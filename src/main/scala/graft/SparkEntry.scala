@@ -1,13 +1,402 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CleanseOps => C, RelationalOps => R, VizPrep => V}
+
+/** Driver contract — one named query per operator in SURVEY.md §2, each with
+  * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
+  *
+  * Oracle-hash safety conventions (SURVEY.md §7 risks):
+  *  - aggregate EXACTLY (decimal/int), cast to double only AFTER the
+  *    aggregate → bit-identical doubles in Spark and DuckDB regardless of
+  *    partial-aggregation order;
+  *  - Spark `bround` (pandas half-even) twins DuckDB `round_even`;
+  *  - no double→string casts; timestamps exported via date_format strings
+  *    or integer fields; int-typed columns cast explicitly in the SQL.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables(s, dir, name)
+
+  /** Exact-sum helper: decimal-cast sum exported as double. */
+  private def dsum(c: Column): Column = sum(c).cast("double")
+
+  // ---------------------------------------------------------------- q01
+  /** Flagship (SURVEY.md §7 minimum slice): scan→filter→join→derive→agg —
+    * S-scan, F5, J1, C7, C5, A3 in one query. */
+  private def q01(s: SparkSession, dir: String): DataFrame = {
+    val li = t(s, dir, "lineitem").filter(C.positive(col("l_quantity")))
+    val o = t(s, dir, "orders")
+    li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(year(col("o_orderdate")).as("order_year"))
+      .agg(
+        count(lit(1)).as("n_items"),
+        dsum(C.revenue(col("l_extendedprice"), col("l_discount"))).as("revenue"),
+        dsum(C.money(col("l_quantity"))).as("sum_qty"))
+      .withColumn("rate_per_100k",
+        C.roundHalfEven(C.per100k(col("revenue"), col("sum_qty")), 2))
+  }
+
+  // ---------------------------------------------------------------- queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_rate_by_year" -> (q01(_, _)),
+
+    // P1/P2 + C1: projection, rename, lower+trim normalization.
+    "q02_project_rename" -> ((s, dir) =>
+      t(s, dir, "nation").select(
+        col("n_nationkey").as("nation_id"),
+        col("n_name").as("nation_name"),
+        C.normalizeName(col("n_name")).as("nation_name_norm"))),
+
+    // F1/J2: broadcast anti-join exclusion (the "Aggregates" filter).
+    "q03_anti_join_exclusion" -> ((s, dir) => {
+      val excl = t(s, dir, "region")
+        .filter(col("r_name").isin("ASIA", "AMERICA"))
+        .select(col("r_regionkey"))
+      R.antiJoinExclude(t(s, dir, "nation"), "n_regionkey", excl, "r_regionkey")
+        .select(col("n_nationkey"), col("n_name"))
+    }),
+
+    // J2 at fact scale: anti join against a big side (no broadcast).
+    "q04_customers_without_orders" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === 2001).select(col("o_custkey"))
+      t(s, dir, "customer")
+        .join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+    }),
+
+    // F2/F3/F5/F7: validity-filter battery, pushdown-friendly.
+    "q05_validity_filter" -> ((s, dir) =>
+      t(s, dir, "part")
+        .filter(C.validCode(col("p_brand"), 8))
+        .filter(C.positive(col("p_retailprice")))
+        .filter(col("p_size").isNotNull && col("p_size").between(1, 25))
+        .select(col("p_partkey"), col("p_brand"), col("p_type"),
+          col("p_size"), col("p_retailprice"))),
+
+    // C2/C3/C8/F4: JSON nested extraction + coercion-to-null + range filter.
+    "q06_json_coerce" -> ((s, dir) => {
+      val k = C.coerceLong(
+        get_json_object(col("props"), "$.k")).as("k")
+      t(s, dir, "events").select(col("event_type"), k)
+        .filter(col("k").isNotNull && col("k") >= 0)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+    }),
+
+    // A1: deterministic first-wins dedup by key subset.
+    "q07_dedup_first" -> ((s, dir) =>
+      R.dedupFirst(t(s, dir, "customer"),
+        Seq("c_nationkey", "c_mktsegment"), Seq(col("c_custkey")))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("c_custkey"), col("c_name"))),
+
+    // J3/J4: broadcast lookup join with miss-fallback (coalesce).
+    "q08_lookup_fallback" -> ((s, dir) => {
+      val n = t(s, dir, "nation")
+      val lookup = n
+        .join(t(s, dir, "region"), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "EUROPE")
+        .select(col("n_name").as("lk_key"), col("r_name").as("lk_val"))
+      R.lookupWithFallback(n.select(col("n_nationkey"), col("n_name")),
+        col("n_name"), lookup, "lk_key", "lk_val", "canonical")
+    }),
+
+    // J1+C7+C5: composite-key inner join of two fact aggregates + per-100k.
+    "q09_composite_join_rate" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .withColumn("ship_year", year(col("l_shipdate")))
+      val shipped = li.groupBy(col("l_suppkey"), col("ship_year"))
+        .agg(dsum(C.money(col("l_quantity"))).as("shipped_qty"))
+      val returned = li.filter(col("l_returnflag") === "R")
+        .groupBy(col("l_suppkey"), col("ship_year"))
+        .agg(dsum(C.money(col("l_quantity"))).as("returned_qty"))
+      shipped.join(returned, Seq("l_suppkey", "ship_year"))
+        .withColumn("rate_per_100k",
+          C.roundHalfEven(C.per100k(col("returned_qty"), col("shipped_qty")), 2))
+    }),
+
+    // §2.7 + C11: UNION ALL of per-year slices with injected literal year.
+    "q10_union_by_year" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      R.unionAll(Seq(1995, 1996, 1997).map(y =>
+        o.filter(year(col("o_orderdate")) === y)
+          .select(col("o_orderkey"), lit(y).as("order_year"))))
+    }),
+
+    // J5: star-schema FK joins, broadcast dims, grouped revenue.
+    "q11_star_join" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(C.revenue(col("l_extendedprice"), col("l_discount")))
+            .as("revenue"))
+    }),
+
+    // A3: grouped average (exact sum / count → double).
+    "q12_avg_by_group" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(C.money(col("c_acctbal"))).as("sum_acctbal"))
+        .withColumn("avg_acctbal", col("sum_acctbal") / col("n_customers"))),
+
+    // §2.5: lag window — chronological-order gap per customer.
+    "q13_window_lag" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("prev_date", lag(col("o_orderdate"), 1).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          datediff(col("o_orderdate").cast("date"),
+            col("prev_date").cast("date")).as("gap_days"))
+    }),
+
+    // §2.6: top-k (TakeOrderedAndProject), deterministic tie-break.
+    "q14_topk_revenue" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(dsum(C.revenue(col("l_extendedprice"), col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_custkey"))
+        .limit(10)),
+
+    // V2: value-semantics bucketing (when-cascade) + grouped rollup.
+    "q15_bucketize" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("bucket", V.bucketLabel(col("o_totalprice"),
+          Seq(0L -> 50000L, 50000L -> 100000L, 100000L -> 200000L,
+            200000L -> 400000L, 400000L -> 3000000L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(C.money(col("o_totalprice"))).as("total_price"))),
+
+    // V1/V3 + C9/C10/C12: tooltip text + marker size viz prep.
+    "q16_viz_prep" -> ((s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          dsum(C.money(col("c_acctbal"))).as("total_bal"))
+        .select(col("n_name"),
+          V.tooltip(col("n_name"),
+            "Customers" -> col("n_customers"),
+            "Balance" -> floor(col("total_bal"))).as("tooltip"),
+          V.markerSize(col("total_bal"), 5000.0).as("marker_size"))),
+
+    // C4/C5: half-even rounding semantics (pandas .round parity).
+    "q17_rounding" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), col("value"),
+          C.roundHalfEven(col("value"), 1).as("value_r1"),
+          C.roundHalfEven(col("value"), 0).as("value_r0"),
+          // decimal round-trip, exported as double (decimal output columns
+          // format differently across engines: '18.20' vs '18.2')
+          col("value").cast("decimal(10,2)").cast("double").as("value_dec"))),
+
+    // §2.9 stretch: batch tumbling time-window aggregate over events.
+    "q18_time_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour"))
+        .agg(count(lit(1)).as("n"),
+          dsum(C.money(col("value"))).as("sum_value"),
+          countDistinct(col("user_id")).as("n_users"))
+        .select(date_format(col("window.start"), "yyyy-MM-dd HH")
+          .as("hour_start"), col("n"), col("sum_value"), col("n_users")))
+  )
+
+  // ---------------------------------------------------------------- oracle
+  private val rev =
+    "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_rate_by_year" ->
+      s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+         | count(*) AS n_items,
+         | CAST(sum($rev) AS DOUBLE) AS revenue,
+         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+         | round_even((CAST(sum($rev) AS DOUBLE)
+         |   / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+         |   * 100000.0, 2) AS rate_per_100k
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |WHERE l_quantity > 0
+         |GROUP BY 1""".stripMargin,
+
+    "q02_project_rename" ->
+      """SELECT n_nationkey AS nation_id, n_name AS nation_name,
+        | lower(trim(n_name)) AS nation_name_norm FROM nation""".stripMargin,
+
+    "q03_anti_join_exclusion" ->
+      """SELECT n_nationkey, n_name FROM nation
+        |WHERE n_regionkey NOT IN
+        | (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA','AMERICA'))"""
+        .stripMargin,
+
+    "q04_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS
+        | (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |   AND year(o_orderdate) = 2001)""".stripMargin,
+
+    "q05_validity_filter" ->
+      """SELECT p_partkey, p_brand, p_type, p_size, p_retailprice FROM part
+        |WHERE p_brand IS NOT NULL AND length(p_brand) = 8
+        | AND p_retailprice IS NOT NULL AND p_retailprice > 0
+        | AND p_size IS NOT NULL AND p_size BETWEEN 1 AND 25""".stripMargin,
+
+    "q06_json_coerce" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type,
+        |   TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events)
+        |WHERE k IS NOT NULL AND k >= 0
+        |GROUP BY event_type""".stripMargin,
+
+    "q07_dedup_first" ->
+      """SELECT c_nationkey, c_mktsegment, c_custkey, c_name FROM (
+        | SELECT c_nationkey, c_mktsegment, c_custkey, c_name,
+        |  row_number() OVER (PARTITION BY c_nationkey, c_mktsegment
+        |                     ORDER BY c_custkey) AS rn
+        | FROM customer) WHERE rn = 1""".stripMargin,
+
+    "q08_lookup_fallback" ->
+      """SELECT n.n_nationkey, n.n_name,
+        | COALESCE(l.lk_val, n.n_name) AS canonical
+        |FROM nation n LEFT JOIN (
+        | SELECT n_name AS lk_key, r_name AS lk_val
+        | FROM nation JOIN region ON n_regionkey = r_regionkey
+        | WHERE r_name = 'EUROPE') l ON n.n_name = l.lk_key""".stripMargin,
+
+    "q09_composite_join_rate" ->
+      """WITH shipped AS (
+        | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS shipped_qty
+        | FROM lineitem GROUP BY 1, 2),
+        |returned AS (
+        | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS returned_qty
+        | FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
+        |SELECT s.l_suppkey, s.ship_year, s.shipped_qty, r.returned_qty,
+        | round_even((r.returned_qty / s.shipped_qty) * 100000.0, 2)
+        |  AS rate_per_100k
+        |FROM shipped s JOIN returned r
+        | ON s.l_suppkey = r.l_suppkey AND s.ship_year = r.ship_year"""
+        .stripMargin,
+
+    "q10_union_by_year" ->
+      """SELECT o_orderkey, 1995 AS order_year FROM orders
+        | WHERE year(o_orderdate) = 1995
+        |UNION ALL
+        |SELECT o_orderkey, 1996 AS order_year FROM orders
+        | WHERE year(o_orderdate) = 1996
+        |UNION ALL
+        |SELECT o_orderkey, 1997 AS order_year FROM orders
+        | WHERE year(o_orderdate) = 1997""".stripMargin,
+
+    "q11_star_join" ->
+      s"""SELECT r_name, n_name, count(*) AS n_items,
+         | CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem
+         | JOIN orders ON l_orderkey = o_orderkey
+         | JOIN customer ON o_custkey = c_custkey
+         | JOIN nation ON c_nationkey = n_nationkey
+         | JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q12_avg_by_group" ->
+      """SELECT n_name, count(*) AS n_customers,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        |  AS avg_acctbal
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1""".stripMargin,
+
+    "q13_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(date_diff('day', CAST(prev_date AS DATE),
+        |   CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+        |FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+        |  lag(o_orderdate) OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderdate, o_orderkey) AS prev_date
+        | FROM orders)""".stripMargin,
+
+    "q14_topk_revenue" ->
+      s"""SELECT o_custkey, CAST(sum($rev) AS DOUBLE) AS revenue
+         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         |GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
+
+    "q15_bucketize" ->
+      """SELECT CASE
+        |  WHEN o_totalprice >= 0 AND o_totalprice < 50000
+        |    THEN '0 - 50000'
+        |  WHEN o_totalprice >= 50000 AND o_totalprice < 100000
+        |    THEN '50000 - 100000'
+        |  WHEN o_totalprice >= 100000 AND o_totalprice < 200000
+        |    THEN '100000 - 200000'
+        |  WHEN o_totalprice >= 200000 AND o_totalprice < 400000
+        |    THEN '200000 - 400000'
+        |  WHEN o_totalprice >= 400000 AND o_totalprice < 3000000
+        |    THEN '400000 - 3000000'
+        |  ELSE 'out of range' END AS bucket,
+        | count(*) AS n_orders,
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |  AS total_price
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "q16_viz_prep" ->
+      """SELECT n_name,
+        | n_name || '<br>Customers ' || CAST(n_customers AS VARCHAR)
+        |  || '<br>Balance ' || CAST(CAST(floor(total_bal) AS BIGINT) AS VARCHAR)
+        |  AS tooltip,
+        | CAST(floor(total_bal / 5000.0) AS BIGINT) AS marker_size
+        |FROM (SELECT n_name, count(*) AS n_customers,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        | FROM customer JOIN nation ON c_nationkey = n_nationkey
+        | GROUP BY 1)""".stripMargin,
+
+    "q17_rounding" ->
+      """WITH s AS (SELECT event_id, value,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        | FROM events)
+        |SELECT event_id, value,
+        | CAST(CASE WHEN v100 % 10 > 5 THEN v100 // 10 + 1
+        |           WHEN v100 % 10 < 5 THEN v100 // 10
+        |           ELSE v100 // 10 + (v100 // 10) % 2 END AS DOUBLE) / 10.0
+        |  AS value_r1,
+        | CAST(CASE WHEN v100 % 100 > 50 THEN v100 // 100 + 1
+        |           WHEN v100 % 100 < 50 THEN v100 // 100
+        |           ELSE v100 // 100 + (v100 // 100) % 2 END AS DOUBLE)
+        |  AS value_r0,
+        | CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_dec
+        |FROM s""".stripMargin,
+
+    "q18_time_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_start,
+        | count(*) AS n,
+        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM events GROUP BY 1""".stripMargin
+  )
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    q01(spark, "/root/testdata/sf0.001")
 }

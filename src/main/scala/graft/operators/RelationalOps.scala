@@ -1,0 +1,51 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational core — joins / dedup / unions from SURVEY.md §2.2-2.4, §2.7.
+  *
+  * Scale posture: lookup and exclusion sides are dimension-sized →
+  * `broadcast()` hints keep them off the shuffle path; composite-key joins
+  * shuffle on their keys and rely on AQE for skew; dedup is a single
+  * hash-partitioned window (no global sort).
+  */
+object RelationalOps {
+
+  /** F1/J2: anti-semi exclusion (`~isin(codes)` at scale). The exclusion
+    * list is broadcast — no shuffle of the probe side.
+    * Ref: crime_immigration_etl.py:157-159. */
+  def antiJoinExclude(df: DataFrame, key: String,
+                      excl: DataFrame, exclKey: String): DataFrame =
+    df.join(broadcast(excl), df(key) === excl(exclKey), "left_anti")
+
+  /** J3/J4: broadcast lookup join with miss-fallback — reproduces
+    * `COUNTRIES_MAP.get(name, name)` (ref :16-34, :177-179): unmatched keys
+    * keep their input value via coalesce. */
+  def lookupWithFallback(df: DataFrame, key: Column,
+                         lookup: DataFrame, lookupKey: String,
+                         lookupValue: String, out: String): DataFrame =
+    df.join(broadcast(lookup), key === lookup(lookupKey), "left")
+      .withColumn(out, coalesce(lookup(lookupValue), key))
+      .drop(lookup(lookupKey)).drop(lookup(lookupValue))
+
+  /** A1: deterministic first-wins dedup — `drop_duplicates(subset=keys)`
+    * (ref :199-203) made reproducible: first row per key under `order`.
+    * One shuffle on the key; window avoids a global sort. */
+  def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
+  /** §2.7: UNION ALL of homogeneous batches (per-year page accumulation,
+    * ref :123/:132) — name-based so column order can't silently misalign. */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    dfs.reduce(_ unionByName _)
+
+  /** J1's `validate="many_to_one"` (ref :288) as an engine-side check:
+    * returns duplicate key groups on the `one` side (empty ⇒ valid). */
+  def manyToOneViolations(one: DataFrame, keys: Seq[String]): DataFrame =
+    one.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+}

@@ -1,0 +1,113 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CleanseOps => C, RelationalOps => R, VizPrep => V}
+
+object SparkTestSession {
+  lazy val spark: SparkSession = Session.builder("local[4]", "4").getOrCreate()
+}
+
+/** Unit tests for the cleanse/relational/viz operator kernel, pinning the
+  * reference's subtle semantics (SURVEY.md §5 unit strategy). */
+class OperatorSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("C4/C5 bround is half-even like pandas .round") {
+    val df = Seq(2.5, 3.5, 2.675, 18.65, 18.75).toDF("x")
+      .select(C.roundHalfEven(col("x"), 0).as("r0"),
+        C.roundHalfEven(col("x"), 2).as("r2"),
+        C.roundHalfEven(col("x"), 1).as("r1"))
+    val rows = df.collect()
+    assert(rows.map(_.getDouble(0)).toSeq == Seq(2.0, 4.0, 3.0, 19.0, 19.0))
+    // shortest-decimal-repr ties resolve half-even: 2.675→2.68, 18.65→18.6
+    assert(rows(2).getDouble(1) == 2.68)
+    assert(rows(3).getDouble(2) == 18.6)
+    assert(rows(4).getDouble(2) == 18.8)
+  }
+
+  test("C2 coercion: invalid → null (pandas to_numeric errors=coerce)") {
+    val df = Seq("1.5", "x", "", "2", ":").toDF("s")
+      .select(C.coerceDouble(col("s")).as("v"))
+    assert(df.collect().map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(1.5), None, None, Some(2.0), None))
+  }
+
+  test("C3 missing-marker replace before coercion (Eurostat ':')") {
+    val df = Seq(":", "7").toDF("s")
+      .select(C.coerceDouble(
+        C.replaceMissingMarker(col("s"), ":", "0")).as("v"))
+    assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 7.0))
+  }
+
+  test("J3 lookup join falls back to input on miss") {
+    val data = Seq("germany", "narnia").toDF("name")
+    val lookup = Seq(("germany", "DEU")).toDF("k", "v")
+    val out = R.lookupWithFallback(data, col("name"), lookup, "k", "v", "canon")
+      .select("canon").as[String].collect().sorted
+    assert(out.toSeq == Seq("DEU", "narnia"))
+  }
+
+  test("A1 dedupFirst is deterministic first-wins per key") {
+    val df = Seq((1, "b", 20), (1, "a", 10), (2, "c", 30)).toDF("k", "s", "v")
+    val out = R.dedupFirst(df, Seq("k"), Seq(col("v")))
+      .orderBy("k").as[(Int, String, Int)].collect()
+    assert(out.toSeq == Seq((1, "a", 10), (2, "c", 30)))
+  }
+
+  test("F1/J2 anti-join exclusion equals NOT IN for non-null keys") {
+    val df = (1 to 10).toDF("k")
+    val excl = Seq(2, 4).toDF("e")
+    val got = R.antiJoinExclude(df, "k", excl, "e")
+      .as[Int].collect().sorted.toSeq
+    assert(got == (1 to 10).filterNot(Set(2, 4)).toSeq)
+  }
+
+  test("V2 bucketLabel: inclusive-lower exclusive-upper with legend labels") {
+    val df = Seq(0.0, 2.9, 3.0, 49.0, 99.0).toDF("x")
+      .select(V.bucketLabel(col("x"), Seq(0L -> 3L, 3L -> 50L)).as("b"))
+    assert(df.as[String].collect().toSeq ==
+      Seq("0 - 3", "0 - 3", "3 - 50", "3 - 50", "out of range"))
+  }
+
+  test("C7 per100k rate with guarded division") {
+    val df = Seq((5.0, 1000.0), (1.0, 0.0)).toDF("n", "d")
+      .select(C.per100k(col("n"), col("d")).as("r"))
+    val rows = df.collect()
+    assert(rows(0).getDouble(0) == 500.0)
+    assert(rows(1).isNullAt(0)) // try_divide: div-by-zero → null, not error
+  }
+
+  test("J1 manyToOneViolations detects duplicate keys") {
+    val ok = Seq((1, "a"), (2, "b")).toDF("k", "v")
+    val bad = ok.union(Seq((1, "c")).toDF("k", "v"))
+    assert(R.manyToOneViolations(ok, Seq("k")).isEmpty)
+    assert(!R.manyToOneViolations(bad, Seq("k")).isEmpty)
+  }
+}
+
+/** Smoke: every declared query runs on sf0.001 and the entry returns rows. */
+class QueriesSmokeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query has an oracle or is explicitly rows-only") {
+    val noOracle = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
+  }
+
+  SparkEntry.queries.foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001") {
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty)
+      df.count() // materialize
+    }
+  }
+}
