@@ -1,18 +1,56 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — times every SparkEntry query on SPARK_GRAFT_SF_DIR.
+  *
+  * Measurement rules (VERDICT r1 "what's wrong" #1-3):
+  *  - materialize with a hash-aggregate over ALL output columns, not
+  *    `.count()` — count lets Catalyst prune the very projections being
+  *    timed (r1's q13 "ran" in 0.2s because the window was elided);
+  *  - one untimed warmup pass absorbs JVM/codegen warmup (r1 charged ~4s
+  *    of it to whichever query ran first);
+  *  - the JSON line goes to BENCH_OUT (or stdout marker-prefixed) so the
+  *    driver can parse it out of sbt log noise.
+  */
 object Bench {
+  /** Forces computation of every output column: xxhash64 across the row,
+    * folded with bit_xor (overflow-free under ANSI, unlike sum). Nothing
+    * upstream can be pruned because every column feeds the hash; the result
+    * is one Long on the driver. */
+  private def materialize(df: DataFrame): Unit = {
+    val cols = df.columns.map(c => col(c).cast("string"))
+    df.select(xxhash64(cols: _*).as("h")).agg(bit_xor(col("h"))).collect()
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local()
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Warmup: run everything once untimed (codegen + classloading + IO cache).
+    names.foreach { n =>
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup $n failed: ${e.getMessage}") }
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val results = names.map { n =>
+      val t0 = System.nanoTime()
+      try materialize(SparkEntry.queries(n)(spark, sfDir))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $n failed: ${e.getMessage}") }
+      n -> (System.nanoTime() - t0) / 1e9
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // File sink for the driver (stdout is interleaved with sbt/log noise).
+    sys.env.get("BENCH_OUT").orElse(Some("BENCH.json")).foreach { p =>
+      Files.writeString(Paths.get(p), json + "\n")
+    }
+    println(json)
     spark.stop()
   }
 }

@@ -108,27 +108,32 @@ object SparkEntry {
         col("n_name"), lookup, "lk_key", "lk_val", "canonical")
     }),
 
-    // J1+C7+C5: composite-key inner join of two fact aggregates + per-100k.
+    // J1+C7+C5: composite-key rate via single-scan conditional aggregation
+    // (VERDICT r1 #4: the shipped/returned self-join paid a second lineitem
+    // scan + shuffle + join; sum(when(returnflag='R')) computes both in one
+    // pass — at 100 TB that halves IO and removes a fact-fact shuffle join).
+    // Inner-join semantics kept: groups with no 'R' rows are dropped.
     "q09_composite_join_rate" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .withColumn("ship_year", year(col("l_shipdate")))
-      val shipped = li.groupBy(col("l_suppkey"), col("ship_year"))
-        .agg(dsum(C.money(col("l_quantity"))).as("shipped_qty"))
-      val returned = li.filter(col("l_returnflag") === "R")
-        .groupBy(col("l_suppkey"), col("ship_year"))
-        .agg(dsum(C.money(col("l_quantity"))).as("returned_qty"))
-      shipped.join(returned, Seq("l_suppkey", "ship_year"))
+      t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), year(col("l_shipdate")).as("ship_year"))
+        .agg(
+          dsum(C.money(col("l_quantity"))).as("shipped_qty"),
+          dsum(when(col("l_returnflag") === "R", C.money(col("l_quantity"))))
+            .as("returned_qty"))
+        .filter(col("returned_qty").isNotNull)
         .withColumn("rate_per_100k",
           C.roundHalfEven(C.per100k(col("returned_qty"), col("shipped_qty")), 2))
     }),
 
-    // §2.7 + C11: UNION ALL of per-year slices with injected literal year.
-    "q10_union_by_year" -> ((s, dir) => {
-      val o = t(s, dir, "orders")
-      R.unionAll(Seq(1995, 1996, 1997).map(y =>
-        o.filter(year(col("o_orderdate")) === y)
-          .select(col("o_orderkey"), lit(y).as("order_year"))))
-    }),
+    // §2.7 + C11: per-year accumulation (ref's page loop). VERDICT r1 #5:
+    // the faithful one-scan-per-year unionAll paid 3× scan; the scale-right
+    // plan is ONE scan + isin filter + derived year. unionAll itself stays
+    // exercised by the fixture-based e2e golden (EtlGoldenSpec).
+    "q10_union_by_year" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .withColumn("order_year", year(col("o_orderdate")))
+        .filter(col("order_year").isin(1995, 1996, 1997))
+        .select(col("o_orderkey"), col("order_year"))),
 
     // J5: star-schema FK joins, broadcast dims, grouped revenue.
     "q11_star_join" -> ((s, dir) => {
@@ -242,11 +247,13 @@ object SparkEntry {
       """SELECT n_nationkey AS nation_id, n_name AS nation_name,
         | lower(trim(n_name)) AS nation_name_norm FROM nation""".stripMargin,
 
+    // NOT EXISTS, not NOT IN: null-safe, matching left_anti semantics
+    // exactly even if exclusion keys ever become nullable (ADVICE r1).
     "q03_anti_join_exclusion" ->
       """SELECT n_nationkey, n_name FROM nation
-        |WHERE n_regionkey NOT IN
-        | (SELECT r_regionkey FROM region WHERE r_name IN ('ASIA','AMERICA'))"""
-        .stripMargin,
+        |WHERE NOT EXISTS
+        | (SELECT 1 FROM region WHERE r_regionkey = n_regionkey
+        |   AND r_name IN ('ASIA','AMERICA'))""".stripMargin,
 
     "q04_customers_without_orders" ->
       """SELECT c_custkey, c_name FROM customer
@@ -286,20 +293,18 @@ object SparkEntry {
         | WHERE r_name = 'EUROPE') l ON n.n_name = l.lk_key""".stripMargin,
 
     "q09_composite_join_rate" ->
-      """WITH shipped AS (
-        | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS shipped_qty
-        | FROM lineitem GROUP BY 1, 2),
-        |returned AS (
-        | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS returned_qty
-        | FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1, 2)
-        |SELECT s.l_suppkey, s.ship_year, s.shipped_qty, r.returned_qty,
-        | round_even((r.returned_qty / s.shipped_qty) * 100000.0, 2)
+      """SELECT l_suppkey, ship_year, shipped_qty, returned_qty,
+        | round_even((returned_qty / shipped_qty) * 100000.0, 2)
         |  AS rate_per_100k
-        |FROM shipped s JOIN returned r
-        | ON s.l_suppkey = r.l_suppkey AND s.ship_year = r.ship_year"""
-        .stripMargin,
+        |FROM (
+        | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |   AS shipped_qty,
+        |  CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+        |   AS returned_qty
+        | FROM lineitem GROUP BY 1, 2)
+        |WHERE returned_qty IS NOT NULL""".stripMargin,
 
     "q10_union_by_year" ->
       """SELECT o_orderkey, 1995 AS order_year FROM orders
@@ -372,18 +377,29 @@ object SparkEntry {
         | FROM customer JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY 1)""".stripMargin,
 
+    // Half-even emulation on exact scaled integers. DuckDB round_even is NOT
+    // a bround twin on either type: on DOUBLE it rounds the binary value
+    // (18.65000…071→18.7) and on DECIMAL it converts to double internally
+    // (observed: round_even(DECIMAL '18.65',1)=18.7), while Spark bround
+    // rounds the decimal-string form ("18.65"→18.6). So: scale to integer
+    // hundredths via a lossless DECIMAL(18,2) cast and do half-even by hand
+    // on abs()+sign (correct for negatives, unlike the r1 emulation —
+    // ADVICE r1). `+ 0.0` normalizes -0.0. PRECONDITION (holds for
+    // events.value, proven by the value_dec roundtrip): inputs are exact
+    // 2-decimal quantities, so the pre-cast is lossless.
     "q17_rounding" ->
       """WITH s AS (SELECT event_id, value,
-        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS v100
+        |  CAST(abs(CAST(value AS DECIMAL(18,2))) * 100 AS BIGINT) AS a,
+        |  CASE WHEN value < 0 THEN -1 ELSE 1 END AS sgn
         | FROM events)
         |SELECT event_id, value,
-        | CAST(CASE WHEN v100 % 10 > 5 THEN v100 // 10 + 1
-        |           WHEN v100 % 10 < 5 THEN v100 // 10
-        |           ELSE v100 // 10 + (v100 // 10) % 2 END AS DOUBLE) / 10.0
+        | sgn * CAST(CASE WHEN a % 10 > 5 THEN a // 10 + 1
+        |           WHEN a % 10 < 5 THEN a // 10
+        |           ELSE a // 10 + (a // 10) % 2 END AS DOUBLE) / 10.0 + 0.0
         |  AS value_r1,
-        | CAST(CASE WHEN v100 % 100 > 50 THEN v100 // 100 + 1
-        |           WHEN v100 % 100 < 50 THEN v100 // 100
-        |           ELSE v100 // 100 + (v100 // 100) % 2 END AS DOUBLE)
+        | sgn * CAST(CASE WHEN a % 100 > 50 THEN a // 100 + 1
+        |           WHEN a % 100 < 50 THEN a // 100
+        |           ELSE a // 100 + (a // 100) % 2 END AS DOUBLE) + 0.0
         |  AS value_r0,
         | CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_dec
         |FROM s""".stripMargin,

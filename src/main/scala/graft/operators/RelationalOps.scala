@@ -22,7 +22,12 @@ object RelationalOps {
 
   /** J3/J4: broadcast lookup join with miss-fallback — reproduces
     * `COUNTRIES_MAP.get(name, name)` (ref :16-34, :177-179): unmatched keys
-    * keep their input value via coalesce. */
+    * keep their input value via coalesce.
+    *
+    * Precondition: `lookupKey` must be unique in `lookup` (a dict has unique
+    * keys); duplicate keys would fan out probe rows. Check with
+    * [[manyToOneViolations]](lookup, Seq(lookupKey)) when the lookup side is
+    * not trusted. */
   def lookupWithFallback(df: DataFrame, key: Column,
                          lookup: DataFrame, lookupKey: String,
                          lookupValue: String, out: String): DataFrame =
@@ -35,14 +40,20 @@ object RelationalOps {
     * One shuffle on the key; window avoids a global sort. */
   def dedupFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1).drop("__rn")
+    // Collision-free temp column: suffix until it's not an input column.
+    val rn = Iterator.iterate("__rn")(_ + "_").find(!df.columns.contains(_)).get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) === 1).drop(rn)
   }
 
   /** §2.7: UNION ALL of homogeneous batches (per-year page accumulation,
-    * ref :123/:132) — name-based so column order can't silently misalign. */
-  def unionAll(dfs: Seq[DataFrame]): DataFrame =
+    * ref :123/:132) — name-based so column order can't silently misalign.
+    * Requires a non-empty batch list (there is no schema to make an empty
+    * union from). */
+  def unionAll(dfs: Seq[DataFrame]): DataFrame = {
+    require(dfs.nonEmpty, "unionAll requires at least one DataFrame")
     dfs.reduce(_ unionByName _)
+  }
 
   /** J1's `validate="many_to_one"` (ref :288) as an engine-side check:
     * returns duplicate key groups on the `one` side (empty ⇒ valid). */
