@@ -4,7 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CleanseOps => C, RelationalOps => R, VizPrep => V}
+import graft.operators.{CleanseOps => C, DedupOps => D, RelationalOps => R,
+  TextOps => T, VectorOps => Vec, VizPrep => V}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -223,12 +224,199 @@ object SparkEntry {
           dsum(C.money(col("value"))).as("sum_value"),
           countDistinct(col("user_id")).as("n_users"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH")
-          .as("hour_start"), col("n"), col("sum_value"), col("n_users")))
+          .as("hour_start"), col("n"), col("sum_value"), col("n_users"))),
+
+    // ------------------------------------------------------------------
+    // LLM-training-data pipeline operators (documents / embeddings).
+    // ------------------------------------------------------------------
+
+    // Text analysis: per-doc token statistics (tokenize, distinct, length).
+    "q19_token_stats" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(T.tokens(col("text"))).as("n_tokens"),
+        size(array_distinct(T.tokens(col("text")))).as("n_distinct"),
+        length(col("text")).as("n_chars_obs"),
+        col("n_chars"))),
+
+    // Text analysis: corpus word frequencies (term + document frequency).
+    "q20_word_freq" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("n_occurrences"),
+          countDistinct(col("doc_id")).as("n_docs"))),
+
+    // Text analysis: per-doc quality score — length bounds + stopword
+    // ratio (the length/punct/stopword heuristics of C4-style filtering).
+    // Ratios are exact int/int double divisions → oracle-stable.
+    "q21_text_quality" -> ((s, dir) => {
+      val w = T.tokens(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(w).as("n_tokens"),
+          size(filter(w, x => x.isin("a", "the"))).as("n_stopwords"),
+          aggregate(transform(w, x => length(x)), lit(0), _ + _)
+            .as("sum_token_len"))
+        .withColumn("stopword_ratio",
+          col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("avg_token_len",
+          col("sum_token_len").cast("double") / col("n_tokens").cast("double"))
+        .withColumn("quality_ok",
+          (col("n_tokens").between(20, 80) && col("stopword_ratio") <= 0.15)
+            .cast("int"))
+    }),
+
+    // Text analysis: marker-word language ID — broadcast feature lookup +
+    // per-doc argmax with deterministic tie-break, 'und' fallback.
+    "q22_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      val markers = langIdMarkers.toDF("m_word", "m_lang", "m_weight")
+      val scores = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .join(broadcast(markers), col("word") === col("m_word"))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(sum(col("m_weight")).as("score"))
+      val best = R.topKPerGroup(scores, Seq("doc_id"),
+        Seq(col("score").desc, col("m_lang")), 1, "__rn").drop("__rn")
+      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("m_lang"), lit("und")).as("lang_pred"),
+          coalesce(col("score"), lit(0L)).as("score"))
+    }),
+
+    // Document fingerprinting: full-content hash, min-token-hash, and a
+    // winnowing-style rolling 8-char window fingerprint.
+    "q23_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+        md5(col("text")).as("content_md5"),
+        T.minTokenHash(T.tokens(col("text"))).as("min_token_hash"),
+        T.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
+
+    // Exact dedup: content-hash groupBy — keeper id + copy count per hash
+    // (A2 dedup-before-write semantics at corpus scale: one shuffle).
+    "q24_exact_dedup" -> ((s, dir) =>
+      D.exactDedupSummary(t(s, dir, "documents"), "doc_id", "text")),
+
+    // Near-dup detection: MinHash(12) → banded LSH(4×3) candidates →
+    // exact Jaccard verify ≥ 0.8 — never all-pairs (the candidate join is
+    // on (band, band_hash)). Finds the corpus's 25 planted near-dup pairs.
+    "q25_minhash_lsh" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        T.wordShingles(T.tokens(col("text")), 3).as("shingles"))
+      D.nearDupPairs(docs, "doc_id", "shingles", 0.8)
+    }),
+
+    // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
+    "q26_simhash" -> ((s, dir) =>
+      D.simhash(t(s, dir, "documents"), "doc_id", T.tokens(col("text")))),
+
+    // Similarity search baseline: brute-force cosine top-5 for 20 query
+    // vectors — query side broadcast, corpus streamed once, no shuffle.
+    "q27_cosine_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Vec.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+        "embedding", 5)
+    }),
+
+    // Similarity search scale path: random-hyperplane LSH (4 planes → 16
+    // buckets), candidates share a bucket, hash join on bucket, top-3.
+    "q28_ann_lsh" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+        Vec.lshBucket(col("embedding"), AnnPlanes).as("bucket"))
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+          col("bucket"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("embedding").as("__cv"), col("bucket").as("__bc"))
+      val scored = q.join(c, col("bucket") === col("__bc") &&
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine", Vec.cosine(col("__qv"), col("__cv")))
+      R.topKPerGroup(scored, Seq("query_id"),
+          Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          col("rank"), col("cosine"))
+    }),
+
+    // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
+    // key bounds the pair space the way LSH buckets do — never all-pairs).
+    "q29_embed_neardup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val a = e.select(col("label"), col("vec_id").as("vec_a"),
+        col("embedding").as("__va"))
+      val b = e.select(col("label").as("__lb"), col("vec_id").as("vec_b"),
+        col("embedding").as("__vb"))
+      a.join(b, col("label") === col("__lb") && col("vec_a") < col("vec_b"))
+        .withColumn("cosine", Vec.cosine(col("__va"), col("__vb")))
+        .filter(col("cosine") >= 0.4)
+        .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
+    })
   )
+
+  /** ANN hyperplane count (16 buckets over the 500-vector corpus). */
+  private val AnnPlanes = 4
+
+  /** Marker-word features for q22 language ID (word, lang, weight). */
+  private val langIdMarkers: Seq[(String, String, Long)] = Seq(
+    ("the", "en", 2L), ("a", "en", 1L),
+    ("window", "de", 2L), ("stream", "de", 1L),
+    ("data", "es", 2L), ("table", "es", 1L),
+    ("query", "fr", 2L), ("merge", "fr", 1L),
+    ("vector", "zh", 2L), ("hash", "zh", 1L))
 
   // ---------------------------------------------------------------- oracle
   private val rev =
     "CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))"
+
+  // --- shared DuckDB fragments for the LLM-pipeline oracles. Each mirrors
+  // the Spark expression OPERATION FOR OPERATION (same md5 prefix widths,
+  // same fold order, same double casts) so results are bit-identical.
+
+  /** DuckDB twin of TextOps.hash32 / hash60. */
+  private def hx(e: String, width: Int): String =
+    s"CAST(('0x' || substr(md5($e),1,$width)) AS BIGINT)"
+
+  /** DuckDB twin of VectorOps.dot: sequential left fold of double products
+    * (list_reduce folds left from the first element; Spark's aggregate
+    * starts at 0.0 — identical IEEE result since 0.0 + x == x). */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1,64)], (x,y) -> x+y)"
+
+  private def sqlCosine(a: String, b: String): String =
+    s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** DuckDB twin of VectorOps.planeWeight + planeBit for plane p. */
+  private def sqlPlaneProj(v: String, p: Int): String =
+    s"list_reduce([CAST($v[j] AS DOUBLE) * " +
+      s"CAST(((1103515245*($p*64+j)+12345)%1000)-500 AS DOUBLE) " +
+      s"for j in generate_series(1,64)], (x,y) -> x+y)"
+
+  private def sqlBucket(v: String): String =
+    (0 until AnnPlanes)
+      .map(p => s"(CASE WHEN ${sqlPlaneProj(v, p)} > 0 THEN ${1L << p} ELSE 0 END)")
+      .mkString("(", " + ", ")")
+
+  /** DuckDB twin of DedupOps.minhashExpr for all K permutations. */
+  private val sqlMinhashCols: String = (0 until D.K)
+    .map(k => s"min((${D.aCoef(k)}*h+${D.bCoef(k)})%${T.HashPrime}) AS mh$k")
+    .mkString(", ")
+
+  /** DuckDB twin of DedupOps.lshBands (band rows via UNION ALL). */
+  private val sqlBandRows: String = (0 until D.Bands).map { b =>
+    val parts = (b * D.RowsPerBand until (b + 1) * D.RowsPerBand)
+      .map(k => s"mh$k::VARCHAR").mkString(" || ',' || ")
+    s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM mh"
+  }.mkString(" UNION ALL ")
+
+  /** DuckDB twin of TextOps.wordShingles(_, 3) as a list expression. */
+  private val sqlShingles3: String =
+    "list_distinct([array_to_string(w[i:i+2],' ') " +
+      "for i in generate_series(1, len(w)-2)])"
+
+  /** DuckDB VALUES table of langIdMarkers. */
+  private val sqlMarkers: String = langIdMarkers
+    .map { case (w, l, wt) => s"('$w','$l',$wt)" }.mkString(", ")
 
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
@@ -409,7 +597,139 @@ object SparkEntry {
         | count(*) AS n,
         | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q19_token_stats" ->
+      """SELECT doc_id, lang,
+        | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INT)
+        |  AS n_distinct,
+        | CAST(length(text) AS INT) AS n_chars_obs, n_chars
+        |FROM documents""".stripMargin,
+
+    "q20_word_freq" ->
+      """SELECT word, count(*) AS n_occurrences,
+        | CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM (SELECT doc_id, unnest(string_split(text,' ')) AS word
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+
+    "q21_text_quality" ->
+      """WITH s AS (SELECT doc_id,
+        |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+        |  CAST(len(list_filter(string_split(text,' '),
+        |    x -> x = 'a' OR x = 'the')) AS INT) AS n_stopwords,
+        |  CAST(list_sum([length(x) for x in string_split(text,' ')]) AS INT)
+        |   AS sum_token_len
+        | FROM documents)
+        |SELECT doc_id, n_tokens, n_stopwords, sum_token_len,
+        | CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  AS stopword_ratio,
+        | CAST(sum_token_len AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  AS avg_token_len,
+        | CAST(n_tokens BETWEEN 20 AND 80
+        |  AND (CAST(n_stopwords AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+        |   <= 0.15 AS INT) AS quality_ok
+        |FROM s""".stripMargin,
+
+    "q22_lang_id" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+         |  FROM documents),
+         |m AS (SELECT * FROM (VALUES $sqlMarkers)
+         |  AS v(m_word, m_lang, m_weight)),
+         |sc AS (SELECT doc_id, m_lang, CAST(sum(m_weight) AS BIGINT) AS score
+         |  FROM tok JOIN m ON word = m_word GROUP BY 1, 2),
+         |best AS (SELECT doc_id, m_lang, score, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn FROM sc)
+         |SELECT d.doc_id, d.lang,
+         | COALESCE(b.m_lang, 'und') AS lang_pred,
+         | CAST(COALESCE(b.score, 0) AS BIGINT) AS score
+         |FROM documents d
+         |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
+        .stripMargin,
+
+    "q23_fingerprint" ->
+      s"""SELECT doc_id, md5(text) AS content_md5,
+         | list_min([${hx("w", 8)}
+         |   for w in list_distinct(string_split(text,' '))])
+         |  AS min_token_hash,
+         | list_min([${hx("substr(text,i,8)", 8)}
+         |   for i in generate_series(1, length(text)-7)]) AS rolling_fp
+         |FROM documents""".stripMargin,
+
+    "q24_exact_dedup" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper_id,
+        | count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q25_minhash_lsh" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
+         |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |bands AS ($sqlBandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |j AS (SELECT ida, idb,
+         |  CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
+         |   AS jaccard
+         |  FROM cand JOIN shl x ON x.doc_id = ida
+         |   JOIN shl y ON y.doc_id = idb)
+         |SELECT ida AS id_a, idb AS id_b, jaccard
+         |FROM j WHERE jaccard >= 0.8""".stripMargin,
+
+    "q26_simhash" ->
+      s"""WITH h AS (SELECT doc_id, ${hx("w", 15)} AS h60
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents)),
+         |v AS (SELECT doc_id, bit,
+         |  sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, ${D.SimhashBits - 1}))
+         |           AS bit) b
+         |  GROUP BY 1, 2)
+         |SELECT doc_id,
+         | CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+         |          ELSE 0 END) AS BIGINT) AS simhash
+         |FROM v GROUP BY 1""".stripMargin,
+
+    "q27_cosine_topk" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |  AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", cosine
+         |FROM r WHERE rnk <= 5""".stripMargin,
+
+    "q28_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  q.bucket AS bucket,
+         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         | FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20),
+         |r AS (SELECT query_id, neighbor_id, bucket, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, bucket, CAST(rnk AS INT) AS "rank",
+         | cosine
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q29_embed_neardup" ->
+      s"""SELECT label, vec_a, vec_b, cosine FROM (
+         | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |  ${sqlCosine("a.embedding", "b.embedding")} AS cosine
+         | FROM embeddings a JOIN embeddings b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id)
+         |WHERE cosine >= 0.4""".stripMargin
   )
 
   /** Flagship query on sf=0.001; driver smoke-checks rows>0. */

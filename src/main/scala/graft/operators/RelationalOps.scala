@@ -59,4 +59,25 @@ object RelationalOps {
     * returns duplicate key groups on the `one` side (empty ⇒ valid). */
   def manyToOneViolations(one: DataFrame, keys: Seq[String]): DataFrame =
     one.groupBy(keys.map(col): _*).count().filter(col("count") > 1)
+
+  /** Top-k per group: row_number under (keys, order), kept while ≤ k.
+    * One shuffle on the keys; no global sort (contrast orderBy.limit,
+    * which is global top-k — Catalyst's TakeOrderedAndProject). */
+  def topKPerGroup(df: DataFrame, keys: Seq[String], order: Seq[Column],
+                   k: Int, rankCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
+  }
+
+  /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at
+    * positions (lo, hi] under a total order. A single-partition window
+    * (acceptable: the slice's very semantics are a global ordering; the
+    * reference uses it on bucket-sized frames). */
+  def positionalSlice(df: DataFrame, order: Seq[Column],
+                      lo: Long, hi: Long): DataFrame = {
+    val w = Window.orderBy(order: _*)
+    val rn = Iterator.iterate("__pos")(_ + "_").find(!df.columns.contains(_)).get
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) > lo && col(rn) <= hi).drop(rn)
+  }
 }

@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis kernel for the training-data-pipeline surface: tokenize,
+  * n-gram shingles, deterministic 32/60-bit hashes, quality metrics,
+  * fingerprints. All pure `Column` expressions (codegen'd, zero UDFs).
+  *
+  * Cross-engine determinism: every hash is a prefix of `md5` (identical in
+  * Spark and DuckDB) parsed as an integer, so the DuckDB oracle can compute
+  * bit-identical values. Integer mixing uses `(a*h + b) mod P` with all
+  * operands well under 2^63 — no overflow on either engine.
+  *
+  * Scale posture: everything here is a per-row map-side expression; the
+  * only shuffles are the aggregations the callers add. Token/shingle
+  * explosion amplifies rows by O(tokens) — downstream aggregates are
+  * map-side-combinable (min/sum), so the shuffle carries one row per
+  * (doc, key), not per token.
+  */
+object TextOps {
+
+  /** 2^31 - 1, the classic Mersenne modulus for minhash permutations. */
+  val HashPrime: Long = 2147483647L
+
+  /** Whitespace tokenizer (the corpus is single-space separated; a
+    * general-purpose variant would split on `\s+`). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** 32-bit deterministic string hash: first 8 hex digits of md5.
+    * DuckDB twin: `CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`. */
+  def hash32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast("long")
+
+  /** 60-bit variant (15 hex digits) for simhash bit sampling. */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** Distinct word n-gram shingles of a token array; docs shorter than `n`
+    * tokens yield an empty set (guard needed: sequence(0, negative) counts
+    * DOWN in Spark rather than producing an empty array). */
+  def wordShingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      .otherwise(array().cast("array<string>"))
+
+  /** Set Jaccard similarity of two (distinct-element) arrays, as the exact
+    * double quotient of two small ints — bit-identical across engines. */
+  def jaccard(a: Column, b: Column): Column =
+    size(array_intersect(a, b)).cast("double") /
+      size(array_union(a, b)).cast("double")
+
+  /** Minhash-style single-value fingerprint: min 32-bit hash over the
+    * distinct token set. */
+  def minTokenHash(words: Column): Column =
+    array_min(transform(array_distinct(words), w => hash32(w)))
+
+  /** Winnowing-style content fingerprint: min hash over every `width`-char
+    * sliding window of the raw text. O(chars) md5s per doc, map-side only. */
+  def rollingFingerprint(text: Column, width: Int): Column =
+    when(length(text) >= width,
+      array_min(transform(sequence(lit(1), length(text) - (width - 1)),
+        i => hash32(text.substr(i, lit(width))))))
+      .otherwise(hash32(text))
+}

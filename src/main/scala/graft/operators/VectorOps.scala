@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Embedding similarity for the training-data pipeline: exact cosine via
+  * higher-order functions (zero UDFs), brute-force top-k as the baseline,
+  * and random-hyperplane LSH bucketing as the scale path.
+  *
+  * Cross-engine float discipline: elements are float32 on disk; every
+  * product casts BOTH operands to double first (float*float would round to
+  * float32 and diverge from the oracle), and the fold is a sequential
+  * left-to-right `aggregate` starting at 0.0 — the same IEEE operation
+  * order DuckDB's `list_reduce` uses, so cosines are bit-identical.
+  *
+  * Scale posture: brute-force top-k broadcasts the (small) query side and
+  * streams the corpus once — O(Q×N) but no shuffle of the big side; the
+  * LSH path buckets both sides first so the join is a hash join on
+  * `bucket` with candidate sets ~N/2^planes per bucket. At 100 TB the
+  * bucketed path is the only viable one; both are provided so the bucketed
+  * result can be recall-checked against the exact one on samples.
+  */
+object VectorOps {
+
+  private def d(c: Column): Column = c.cast("double")
+
+  /** Sequential dot product: fold left over pairwise double products. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity, computed exactly as `dot/(sqrt*sqrt)` in that
+    * operation order (the oracle mirrors it literally). */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Deterministic pseudo-random hyperplane weight for (plane, dim):
+    * an LCG step mapped to [-500, 500). Pure integer arithmetic — the
+    * oracle regenerates identical planes from the same formula. */
+  def planeWeight(plane: Column, dim: Column): Column =
+    ((lit(1103515245L) * (plane * lit(64) + dim) + lit(12345L)) % lit(1000L)
+      - lit(500L)).cast("double")
+
+  /** Sign bit of v·w_plane for one hyperplane (1 if positive else 0). */
+  private def planeBit(v: Column, plane: Int): Column = {
+    val proj = aggregate(
+      zip_with(v, sequence(lit(1), lit(64)),
+        (x, j) => d(x) * planeWeight(lit(plane), j)),
+      lit(0.0), (acc, x) => acc + x)
+    when(proj > 0, lit(1L << plane)).otherwise(lit(0L))
+  }
+
+  /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
+    * long. Similar vectors (cosine ≈ 1) agree on most signs and land in
+    * the same bucket with high probability. */
+  def lshBucket(v: Column, planes: Int): Column =
+    (0 until planes).map(p => planeBit(v, p)).reduce(_ + _)
+
+  /** Brute-force cosine top-k: every query row against the whole corpus,
+    * ranked per query with a deterministic tie-break. Query side should be
+    * small (it is broadcast). */
+  def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                 vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
+  }
+}

@@ -1,0 +1,142 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps => D, RelationalOps => R, TextOps => T,
+  VectorOps => Vec}
+
+/** Unit tests for the LLM-training-data-pipeline operators: text analysis,
+  * exact/near dedup (MinHash-LSH, SimHash), embedding similarity. */
+class LlmOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- text
+
+  test("hash32 is the md5-prefix hash the DuckDB oracle computes") {
+    // duckdb: CAST(('0x' || substr(md5('abc'),1,8)) AS BIGINT) = 2416005272
+    val h = Seq("abc").toDF("s").select(T.hash32(col("s"))).head.getLong(0)
+    assert(h == 2416005272L)
+  }
+
+  test("wordShingles: trigrams, distinct, short-doc guard") {
+    val df = Seq("a b c d", "a b").toDF("text")
+      .select(T.wordShingles(T.tokens(col("text")), 3).as("sh"))
+    val rows = df.collect().map(_.getSeq[String](0))
+    assert(rows(0) == Seq("a b c", "b c d"))
+    assert(rows(1) == Seq.empty) // size<n must NOT produce sequence(0,-1)
+  }
+
+  test("jaccard is exact |intersect|/|union| on distinct sets") {
+    val df = Seq((Seq("x", "y", "z"), Seq("y", "z", "w"))).toDF("a", "b")
+      .select(T.jaccard(col("a"), col("b")))
+    assert(df.head.getDouble(0) == 0.5)
+  }
+
+  test("rollingFingerprint covers every window and handles short text") {
+    val long = Seq("abcdefghij").toDF("t") // 3 windows of width 8
+      .select(T.rollingFingerprint(col("t"), 8)).head.getLong(0)
+    val manual = Seq("abcdefgh", "bcdefghi", "cdefghij").toDF("s")
+      .select(T.hash32(col("s")).as("h")).agg(min("h")).head.getLong(0)
+    assert(long == manual)
+    val short = Seq("abc").toDF("t")
+      .select(T.rollingFingerprint(col("t"), 8)).head.getLong(0)
+    val whole = Seq("abc").toDF("s").select(T.hash32(col("s"))).head.getLong(0)
+    assert(short == whole)
+  }
+
+  // --------------------------------------------------------------- dedup
+
+  test("exactDedupSummary counts copies and keeps min id") {
+    val df = Seq((1L, "same"), (2L, "same"), (3L, "other")).toDF("id", "text")
+    val out = D.exactDedupSummary(df, "id", "text")
+      .orderBy("keeper_id").collect()
+    assert(out.map(r => (r.getLong(1), r.getLong(2))).toSeq ==
+      Seq((1L, 2L), (3L, 1L)))
+  }
+
+  test("minhash LSH finds a near-dup pair without all-pairs comparison") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val nearDup = (1 to 39).map(i => s"w$i").mkString(" ") + " zz"
+    val distinct = (100 to 140).map(i => s"v$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, nearDup), (3L, distinct))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        T.wordShingles(T.tokens(col("text")), 3).as("shingles"))
+    val pairs = D.nearDupPairs(docs, "doc_id", "shingles", 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
+  }
+
+  test("identical docs share a simhash; unrelated docs differ") {
+    val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (3L, "totally different words here")).toDF("doc_id", "text")
+    val out = D.simhash(df, "doc_id", T.tokens(col("text")))
+      .orderBy("doc_id").collect().map(_.getLong(1))
+    assert(out(0) == out(1))
+    assert(out(0) != out(2))
+  }
+
+  test("minhash signature: more shared shingles => more equal components") {
+    val a = (1 to 30).map(i => s"t$i").mkString(" ")
+    val b = (1 to 28).map(i => s"t$i").mkString(" ") + " x y"
+    val docs = Seq((1L, a), (2L, b)).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        T.wordShingles(T.tokens(col("text")), 3).as("sh"))
+    val sigs = D.minhashSignatures(docs, "doc_id", col("sh"))
+      .orderBy("doc_id").collect()
+    val equal = (0 until D.K).count(k =>
+      sigs(0).getLong(k + 1) == sigs(1).getLong(k + 1))
+    assert(equal >= D.K / 2) // ~90% shingle overlap => most minhashes agree
+  }
+
+  // ------------------------------------------------------------- vectors
+
+  test("cosine: identical => 1.0, orthogonal => 0.0") {
+    val df = Seq((Seq(1f, 0f, 2f), Seq(1f, 0f, 2f), Seq(0f, 3f, 0f)))
+      .toDF("a", "b", "c")
+    val Row(same: Double, orth: Double) =
+      df.select(Vec.cosine(col("a"), col("b")),
+        Vec.cosine(col("a"), col("c"))).head
+    assert(math.abs(same - 1.0) < 1e-12)
+    assert(orth == 0.0)
+  }
+
+  test("cosineTopK ranks by similarity with deterministic ties") {
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(0.9f, 0.1f)),
+      (2L, Seq(0f, 1f)), (3L, Seq(1f, 0.01f))).toDF("vec_id", "embedding")
+    val out = Vec.cosineTopK(vecs.filter(col("vec_id") === 0), vecs,
+      "vec_id", "embedding", 2).orderBy("rank").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(3L, 1L)) // closest first
+    assert(out.map(_.getInt(2)).toSeq == Seq(1, 2))
+  }
+
+  test("lshBucket: same vector => same bucket; buckets within range") {
+    val vecs = Seq((0L, (1 to 64).map(_.toFloat)),
+      (1L, (1 to 64).map(_.toFloat)),
+      (2L, (1 to 64).map(i => (65 - i).toFloat))).toDF("vec_id", "embedding")
+    val out = vecs.select(Vec.lshBucket(col("embedding"), 4).as("b"))
+      .collect().map(_.getLong(0))
+    assert(out(0) == out(1))
+    assert(out.forall(b => b >= 0 && b < 16))
+  }
+
+  // ------------------------------------------------------- F8 / top-k
+
+  test("positionalSlice returns rows (lo, hi] of the total order") {
+    val df = (1 to 10).map(i => (i, s"r$i")).toDF("k", "s")
+    val out = R.positionalSlice(df, Seq(col("k")), 3, 6)
+      .select("k").as[Int].collect().sorted
+    assert(out.toSeq == Seq(4, 5, 6))
+  }
+
+  test("topKPerGroup keeps k rows per group, deterministic tie-break") {
+    val df = Seq(("g1", 3), ("g1", 1), ("g1", 2), ("g2", 9)).toDF("g", "v")
+    val out = R.topKPerGroup(df, Seq("g"), Seq(col("v").desc), 2, "rk")
+      .orderBy("g", "rk").as[(String, Int, Int)].collect()
+    assert(out.toSeq == Seq(("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)))
+  }
+}
