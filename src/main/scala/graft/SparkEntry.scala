@@ -338,6 +338,40 @@ object SparkEntry {
           col("rank"), col("cosine"))
     }),
 
+    // C3+C2: sentinel-marker replace then coercion, on a deterministically
+    // derived column (the corpus has no natural ":" sentinel; both engines
+    // construct the same one, so the operator pair is genuinely exercised).
+    "q30_missing_marker" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("s", when(pmod(col("p_size"), lit(7)) === 0, lit(":"))
+          .otherwise(col("p_size").cast("string")))
+        .withColumn("v", C.coerceDouble(
+          C.replaceMissingMarker(col("s"), ":", "0")))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"), sum(col("v").cast("long")).as("sum_size"),
+          sum(when(col("v") === 0, 1).otherwise(0)).as("n_missing"))),
+
+    // F7: dropna(subset) — rows dropped when ANY subset column is null
+    // (pandas how='any' default), nulls derived deterministically.
+    "q31_dropna_subset" -> ((s, dir) =>
+      t(s, dir, "part")
+        .withColumn("a", when(pmod(col("p_size"), lit(5)) === 0, lit(null))
+          .otherwise(col("p_retailprice")))
+        .withColumn("b", when(pmod(col("p_partkey"), lit(3)) === 0, lit(null))
+          .otherwise(col("p_size")))
+        .transform(C.dropNullRows(_, Seq("a", "b")))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n"),
+          dsum(C.money(col("a"))).as("sum_price"),
+          sum(col("b").cast("long")).as("sum_size"))),
+
+    // F8: positional row slice — page 2 (positions 11..20) of orders by
+    // (o_totalprice desc, o_orderkey) — create-maps.py:22-24 semantics.
+    "q32_positional_slice" -> ((s, dir) =>
+      R.positionalSlice(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+        Seq(col("o_totalprice").desc, col("o_orderkey")), 10, 20)),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -722,6 +756,37 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, bucket, CAST(rnk AS INT) AS "rank",
          | cosine
          |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q30_missing_marker" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(v AS BIGINT)) AS BIGINT) AS sum_size,
+        | CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM (SELECT p_brand,
+        |  TRY_CAST(CASE WHEN trim(s) = ':' THEN '0' ELSE s END AS DOUBLE)
+        |   AS v
+        | FROM (SELECT p_brand,
+        |   CASE WHEN p_size % 7 = 0 THEN ':'
+        |        ELSE CAST(p_size AS VARCHAR) END AS s
+        |  FROM part))
+        |GROUP BY 1""".stripMargin,
+
+    "q31_dropna_subset" ->
+      """SELECT p_brand, count(*) AS n,
+        | CAST(sum(CAST(a AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | CAST(sum(b) AS BIGINT) AS sum_size
+        |FROM (SELECT p_brand,
+        |  CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_retailprice END AS a,
+        |  CASE WHEN p_partkey % 3 = 0 THEN NULL ELSE p_size END AS b
+        | FROM part)
+        |WHERE a IS NOT NULL AND b IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q32_positional_slice" ->
+      """SELECT o_orderkey, o_totalprice FROM (
+        | SELECT o_orderkey, o_totalprice, row_number() OVER
+        |  (ORDER BY o_totalprice DESC, o_orderkey) AS pos
+        | FROM orders)
+        |WHERE pos > 10 AND pos <= 20""".stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (

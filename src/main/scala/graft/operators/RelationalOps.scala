@@ -31,8 +31,16 @@ object RelationalOps {
   def lookupWithFallback(df: DataFrame, key: Column,
                          lookup: DataFrame, lookupKey: String,
                          lookupValue: String, out: String): DataFrame =
+    lookupWithFallback(df, key, key, lookup, lookupKey, lookupValue, out)
+
+  /** Variant with a distinct fallback column — mirrors the reference
+    * exactly: the dict is probed with the NORMALIZED name but a miss keeps
+    * the ORIGINAL value (`COUNTRIES_MAP.get(x.strip().lower(), x)`, :178). */
+  def lookupWithFallback(df: DataFrame, key: Column, fallback: Column,
+                         lookup: DataFrame, lookupKey: String,
+                         lookupValue: String, out: String): DataFrame =
     df.join(broadcast(lookup), key === lookup(lookupKey), "left")
-      .withColumn(out, coalesce(lookup(lookupValue), key))
+      .withColumn(out, coalesce(lookup(lookupValue), fallback))
       .drop(lookup(lookupKey)).drop(lookup(lookupValue))
 
   /** A1: deterministic first-wins dedup — `drop_duplicates(subset=keys)`
