@@ -4,8 +4,9 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CleanseOps => C, DedupOps => D, RelationalOps => R,
-  TextOps => T, VectorOps => Vec, VizPrep => V}
+import graft.operators.{CleanseOps => C, DedupOps => D,
+  MultimodalOps => M, RelationalOps => R, TextOps => T, VectorOps => Vec,
+  VizPrep => V}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -371,6 +372,21 @@ object SparkEntry {
       R.positionalSlice(
         t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
         Seq(col("o_totalprice").desc, col("o_orderkey")), 10, 20)),
+
+    // Multimodal: opaque binary payloads + typed stats — byte length,
+    // content hash, fixed-size chunking (frame shape) and a chunk
+    // fingerprint, all on real BinaryType columns. (The oracle mirrors on
+    // the source string: payloads are its UTF-8 bytes and the corpus is
+    // ASCII, so the byte streams are identical.)
+    "q33_multimodal_stats" -> ((s, dir) => {
+      val assets = M.fromText(t(s, dir, "documents"), "doc_id", "text")
+      val ch = M.chunks(col("content"), 32)
+      assets.select(col("asset_id"), col("modality"),
+        length(col("content")).as("n_bytes"),
+        md5(col("content")).as("content_md5"),
+        size(ch).as("n_chunks"),
+        array_min(transform(ch, c => md5(c))).as("chunk_fp"))
+    }),
 
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
@@ -787,6 +803,17 @@ object SparkEntry {
         |  (ORDER BY o_totalprice DESC, o_orderkey) AS pos
         | FROM orders)
         |WHERE pos > 10 AND pos <= 20""".stripMargin,
+
+    "q33_multimodal_stats" ->
+      """SELECT doc_id AS asset_id,
+        | CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |  ELSE 'video' END AS modality,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        | md5(text) AS content_md5,
+        | CAST((length(text)+31)//32 AS INT) AS n_chunks,
+        | list_min([md5(substring(text,(i-1)*32+1,32))
+        |   for i in generate_series(1,(length(text)+31)//32)]) AS chunk_fp
+        |FROM documents""".stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (
