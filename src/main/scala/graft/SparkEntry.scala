@@ -27,6 +27,14 @@ object SparkEntry {
   /** Exact-sum helper: decimal-cast sum exported as double. */
   private def dsum(c: Column): Column = sum(c).cast("double")
 
+  /** Spread a scan across all cores before per-row expression-heavy work
+    * (hashing, shingling). A small parquet file arrives as ONE partition
+    * and would serialize the map work on a single thread; at cluster scale
+    * many files/row-groups give this parallelism for free, so the explicit
+    * exchange only matters (and only costs) at small scale. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
+
   // ---------------------------------------------------------------- q01
   /** Flagship (SURVEY.md §7 minimum slice): scan→filter→join→derive→agg —
     * S-scan, F5, J1, C7, C5, A3 in one query. */
@@ -289,7 +297,7 @@ object SparkEntry {
     // Document fingerprinting: full-content hash, min-token-hash, and a
     // winnowing-style rolling 8-char window fingerprint.
     "q23_fingerprint" -> ((s, dir) =>
-      t(s, dir, "documents").select(col("doc_id"),
+      spread(s, t(s, dir, "documents")).select(col("doc_id"),
         md5(col("text")).as("content_md5"),
         T.minTokenHash(T.tokens(col("text"))).as("min_token_hash"),
         T.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
@@ -302,15 +310,15 @@ object SparkEntry {
     // Near-dup detection: MinHash(12) → banded LSH(4×3) candidates →
     // exact Jaccard verify ≥ 0.8 — never all-pairs (the candidate join is
     // on (band, band_hash)). Finds the corpus's 25 planted near-dup pairs.
-    "q25_minhash_lsh" -> ((s, dir) => {
-      val docs = t(s, dir, "documents").select(col("doc_id"),
-        T.wordShingles(T.tokens(col("text")), 3).as("shingles"))
-      D.nearDupPairs(docs, "doc_id", "shingles", 0.8)
-    }),
+    "q25_minhash_lsh" -> ((s, dir) =>
+      D.nearDupPairs(
+        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", T.wordShingles(T.tokens(col("text")), 3), 0.8)),
 
     // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
     "q26_simhash" -> ((s, dir) =>
-      D.simhash(t(s, dir, "documents"), "doc_id", T.tokens(col("text")))),
+      D.simhash(spread(s, t(s, dir, "documents")), "doc_id",
+        T.tokens(col("text")))),
 
     // Similarity search baseline: brute-force cosine top-5 for 20 query
     // vectors — query side broadcast, corpus streamed once, no shuffle.
@@ -324,15 +332,18 @@ object SparkEntry {
     // buckets), candidates share a bucket, hash join on bucket, top-3.
     "q28_ann_lsh" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        Vec.lshBucket(col("embedding"), AnnPlanes).as("bucket"))
+        Vec.lshBucket(col("embedding"), AnnPlanes).as("bucket"),
+        Vec.norm(col("embedding")).as("__n"))
       val q = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
-          col("bucket"))
+          col("bucket"), col("__n").as("__qn"))
       val c = e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("__cv"), col("bucket").as("__bc"))
+        col("embedding").as("__cv"), col("bucket").as("__bc"),
+        col("__n").as("__cn"))
       val scored = q.join(c, col("bucket") === col("__bc") &&
           col("query_id") =!= col("neighbor_id"))
-        .withColumn("cosine", Vec.cosine(col("__qv"), col("__cv")))
+        .withColumn("cosine", Vec.cosineWithNorms(col("__qv"), col("__cv"),
+          col("__qn"), col("__cn")))
       R.topKPerGroup(scored, Seq("query_id"),
           Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
         .select(col("query_id"), col("neighbor_id"), col("bucket"),
@@ -391,13 +402,15 @@ object SparkEntry {
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = t(s, dir, "embeddings").select(col("label"), col("vec_id"),
+        col("embedding"), Vec.norm(col("embedding")).as("__n"))
       val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("__va"))
+        col("embedding").as("__va"), col("__n").as("__na"))
       val b = e.select(col("label").as("__lb"), col("vec_id").as("vec_b"),
-        col("embedding").as("__vb"))
+        col("embedding").as("__vb"), col("__n").as("__nb"))
       a.join(b, col("label") === col("__lb") && col("vec_a") < col("vec_b"))
-        .withColumn("cosine", Vec.cosine(col("__va"), col("__vb")))
+        .withColumn("cosine", Vec.cosineWithNorms(col("__va"), col("__vb"),
+          col("__na"), col("__nb")))
         .filter(col("cosine") >= 0.4)
         .select(col("label"), col("vec_a"), col("vec_b"), col("cosine"))
     })

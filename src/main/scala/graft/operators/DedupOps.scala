@@ -42,16 +42,20 @@ object DedupOps {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature: explode distinct shingles once, then ONE
-    * groupBy computing all K min-aggregates (single shuffle). Output:
-    * id, mh0..mh{K-1}. */
+  /** Per-doc MinHash signature as a SHUFFLE-FREE map-side expression: hash
+    * the shingle array once, then K array_min folds over it. (The r2 first
+    * cut exploded + groupBy'd — a 60× row amplification plus a shuffle that
+    * a per-row fold doesn't need; at 100 TB this version is map-only.)
+    * Docs with no shingles are dropped (same as the group-by formulation).
+    * Output: id, mh0..mh{K-1}. */
   def minhashSignatures(df: DataFrame, id: String, shingleSet: Column): DataFrame = {
-    val exploded = df
-      .select(col(id), explode(shingleSet).as("__shingle"))
-      .select(col(id), TextOps.hash32(col("__shingle")).as("__h"))
-    exploded.groupBy(col(id))
-      .agg(minhashExpr(col("__h"), 0).as("mh0"),
-        (1 until K).map(k => minhashExpr(col("__h"), k).as(s"mh$k")): _*)
+    val hashes = transform(shingleSet, s => TextOps.hash32(s))
+    df.filter(size(shingleSet) > 0)
+      .select(col(id) +: (0 until K).map { k =>
+        array_min(transform(hashes,
+          h => (lit(aCoef(k)) * h + lit(bCoef(k))) % lit(TextOps.HashPrime)))
+          .as(s"mh$k")
+      }: _*)
   }
 
   /** Banded LSH keys: md5 over the comma-joined rows of each band. One row
@@ -67,26 +71,44 @@ object DedupOps {
   }
 
   /** Near-dup pairs: LSH candidates (same band hash in any band), verified
-    * with exact Jaccard over the shingle sets, thresholded. `docs` must
-    * carry `id` and the shingle-set column `shingles`. */
-  def nearDupPairs(docs: DataFrame, id: String, shingles: String,
+    * with exact Jaccard over the shingle sets, thresholded. `shingles` is
+    * the shingle-set EXPRESSION over `docs`' columns — passed as an
+    * expression (not a precomputed column) so the verify stage can apply
+    * it after its candidate semi-join instead of paying two more
+    * whole-corpus evaluations. */
+  def nearDupPairs(docs: DataFrame, id: String, shingles: Column,
                    threshold: Double): DataFrame = {
-    val sigs = minhashSignatures(docs, id, col(shingles))
+    val sigs = minhashSignatures(
+      docs.select(col(id), shingles.as("__shingles")), id, col("__shingles"))
     val bands = lshBands(sigs, id)
     val left = bands.select(col(id).as("id_a"),
       col("band"), col("band_hash"))
     val right = bands.select(col(id).as("id_b"),
       col("band").as("band_r"), col("band_hash").as("band_hash_r"))
+    // The candidate set is referenced three times below (pair join + two
+    // verify semi-joins); without materialization each reference would
+    // recompute the whole signature pipeline. It is tiny relative to the
+    // corpus (pairs sharing a band), so checkpoint it once — the standard
+    // shape of a production LSH dedup.
     val candidates = left.join(right,
         col("band") === col("band_r") &&
           col("band_hash") === col("band_hash_r") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val sets = docs.select(col(id), col(shingles))
+      .localCheckpoint()
+    // Verify only candidate docs: semi-join the RAW docs first, project the
+    // shingle expression above it — so the expensive shingle build is
+    // re-evaluated for the few candidate docs, not the whole corpus a
+    // second and third time.
+    def candSets(side: String): DataFrame =
+      docs.join(candidates.select(col(side).as("__cid")).distinct(),
+          col(id) === col("__cid"), "left_semi")
+        .select(col(id).as(side), shingles.as(s"__s_$side"))
     candidates
-      .join(sets.select(col(id).as("id_a"), col(shingles).as("__sa")), "id_a")
-      .join(sets.select(col(id).as("id_b"), col(shingles).as("__sb")), "id_b")
-      .withColumn("jaccard", TextOps.jaccard(col("__sa"), col("__sb")))
+      .join(candSets("id_a"), "id_a")
+      .join(candSets("id_b"), "id_b")
+      .withColumn("jaccard",
+        TextOps.jaccard(col("__s_id_a"), col("__s_id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -95,18 +117,22 @@ object DedupOps {
   val SimhashBits = 60
 
   /** Per-doc 60-bit SimHash: each token occurrence votes ±1 on every bit of
-    * its 60-bit hash; bit set iff the vote sum is positive. Fully
-    * relational: explode tokens × bits, two map-side-combinable shuffles. */
-  def simhash(df: DataFrame, id: String, words: Column): DataFrame =
-    df.select(col(id), explode(words).as("__w"))
-      .select(col(id), TextOps.hash60(col("__w")).as("__h"))
-      .select(col(id), col("__h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("bit"))
-      .groupBy(col(id), col("bit"))
-      .agg(sum(when(expr("shiftright(__h, CAST(bit AS INT)) & 1") === 1, 1)
-        .otherwise(-1)).as("vote"))
-      .groupBy(col(id))
-      .agg(sum(when(col("vote") > 0,
-        expr("shiftleft(CAST(1 AS BIGINT), CAST(bit AS INT))"))
-        .otherwise(0L)).as("simhash"))
+    * its 60-bit hash; bit set iff the vote sum is positive (equivalently:
+    * set-bit count > tokens/2). Shuffle-free: token hashes computed once
+    * per row, then one fold over the 60 bit positions — map-only at scale
+    * (the r2 first cut exploded tokens × bits through two shuffles).
+    * Docs with no tokens are dropped (same as the group-by formulation). */
+  def simhash(df: DataFrame, id: String, words: Column): DataFrame = {
+    val hashes = transform(words, w => TextOps.hash60(w))
+    df.filter(size(words) > 0)
+      .select(col(id),
+        aggregate(
+          transform(sequence(lit(0), lit(SimhashBits - 1)), b =>
+            when(size(filter(hashes, h =>
+                call_function("shiftright", h, b.cast("int"))
+                  .bitwiseAND(lit(1L)) === 1)) * 2 > size(hashes),
+              call_function("shiftleft", lit(1L), b.cast("int")))
+              .otherwise(lit(0L))),
+          lit(0L), (acc, x) => acc + x).as("simhash"))
+  }
 }

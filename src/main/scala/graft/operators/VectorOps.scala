@@ -35,6 +35,14 @@ object VectorOps {
     * operation order (the oracle mirrors it literally). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Cosine with norms precomputed once per ROW instead of once per PAIR —
+    * one fold per pair instead of three (the r2 bench cut q29 from 7.9s).
+    * Bit-identical to [[cosine]]: same IEEE ops on the same values, just
+    * factored out of the pair loop, so oracles need no change. */
+  def cosineWithNorms(a: Column, b: Column,
+                      normA: Column, normB: Column): Column =
+    dot(a, b) / (normA * normB)
+
   /** Deterministic pseudo-random hyperplane weight for (plane, dim):
     * an LCG step mapped to [-500, 500). Pure integer arithmetic — the
     * oracle regenerates identical planes from the same formula. */
@@ -62,10 +70,13 @@ object VectorOps {
     * small (it is broadcast). */
   def cosineTopK(queries: DataFrame, corpus: DataFrame, id: String,
                  vec: String, k: Int): DataFrame = {
-    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"))
-    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+      norm(col(vec)).as("__qn"))
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      norm(col(vec)).as("__cn"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("__qv"), col("__cv")))
+      .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
         Seq(col("cosine").desc, col("neighbor_id")), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))

@@ -63,9 +63,8 @@ class LlmOpsSpec extends AnyFunSuite {
     val distinct = (100 to 140).map(i => s"v$i").mkString(" ")
     val docs = Seq((1L, base), (2L, nearDup), (3L, distinct))
       .toDF("doc_id", "text")
-      .select(col("doc_id"),
-        T.wordShingles(T.tokens(col("text")), 3).as("shingles"))
-    val pairs = D.nearDupPairs(docs, "doc_id", "shingles", 0.8).collect()
+    val pairs = D.nearDupPairs(docs, "doc_id",
+      T.wordShingles(T.tokens(col("text")), 3), 0.8).collect()
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
     assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
   }
