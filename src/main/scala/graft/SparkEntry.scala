@@ -244,6 +244,7 @@ object SparkEntry {
       t(s, dir, "documents").select(col("doc_id"), col("lang"),
         size(T.tokens(col("text"))).as("n_tokens"),
         size(array_distinct(T.tokens(col("text")))).as("n_distinct"),
+        T.subtokenCount(col("text")).as("n_subtokens"),
         length(col("text")).as("n_chars_obs"),
         col("n_chars"))),
 
@@ -667,6 +668,8 @@ object SparkEntry {
         | CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
         | CAST(len(list_distinct(string_split(text,' '))) AS INT)
         |  AS n_distinct,
+        | CAST(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]{1,3}'))
+        |  AS INT) AS n_subtokens,
         | CAST(length(text) AS INT) AS n_chars_obs, n_chars
         |FROM documents""".stripMargin,
 

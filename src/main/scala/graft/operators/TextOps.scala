@@ -36,6 +36,14 @@ object TextOps {
   def hash60(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
+  /** BPE-ish subtoken count: matches of a tokenizer-shaped regex (the
+    * default chunks alphabetic runs into ≤4-char pieces, approximating
+    * subword segmentation). Pattern must behave identically in Java regex
+    * and the oracle's RE2 — keep to plain character classes. */
+  def subtokenCount(text: Column,
+                    pattern: String = "[a-z]{1,4}|[0-9]{1,3}"): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0)))
+
   /** Distinct word n-gram shingles of a token array; docs shorter than `n`
     * tokens yield an empty set (guard needed: sequence(0, negative) counts
     * DOWN in Spark rather than producing an empty array). */

@@ -1,0 +1,68 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.RelationalOps
+
+/** S7: DDL/catalog lifecycle — the schema.sql equivalent
+  * (database/initdb/schema.sql:12-117) on the Spark catalog: create the
+  * star-schema tables, seed the `year` dimension, and run the
+  * constraint-check queries that stand in for the DDL's UNIQUE/FK
+  * constraints (Spark does not enforce constraints; the engine validates).
+  *
+  * Scale posture: `saveAsTable` parquet tables; dimension seeds are
+  * `spark.range` (no driver-side collections); constraint checks are the
+  * same single-shuffle groupBy/anti-join validations used elsewhere.
+  */
+object CatalogOps {
+
+  /** Star-schema DDL (schema.sql:23-105): dims + facts as managed parquet
+    * tables in `db`. Existing tables are replaced (the reference's DROP
+    * TABLE IF EXISTS ... CREATE, :12-16). */
+  def createStarSchema(spark: SparkSession, db: String): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    Seq("country", "year", "population", "crime", "immigration")
+      .foreach(t => spark.sql(s"DROP TABLE IF EXISTS $db.$t"))
+    spark.sql(
+      s"""CREATE TABLE $db.country
+         | (country_iso3_id STRING, country_name STRING) USING parquet"""
+        .stripMargin)
+    spark.sql(s"CREATE TABLE $db.year (year_id INT) USING parquet")
+    spark.sql(
+      s"""CREATE TABLE $db.population
+         | (population BIGINT, country_iso3_id STRING, year_id INT)
+         | USING parquet""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $db.crime
+         | (convicts_per_100000 DECIMAL(10,2), country_iso3_id STRING,
+         |  year_id INT) USING parquet""".stripMargin)
+    spark.sql(
+      s"""CREATE TABLE $db.immigration
+         | (immigration_per_100000 DECIMAL(10,2), country_iso3_id STRING,
+         |  year_id INT) USING parquet""".stripMargin)
+  }
+
+  /** Seed the `year` dim 2018-2022 (schema.sql:111-117). */
+  def seedYearDim(spark: SparkSession, db: String): Unit =
+    spark.range(2018, 2023).select(col("id").cast("int").as("year_id"))
+      .write.mode("overwrite").insertInto(s"$db.year")
+
+  /** UNIQUE (country_iso3_id, year_id) check (schema.sql:57,:81,:104):
+    * duplicate key groups in a fact table (empty ⇒ constraint holds). */
+  def uniqueKeyViolations(spark: SparkSession, db: String,
+                          fact: String): DataFrame =
+    RelationalOps.manyToOneViolations(spark.table(s"$db.$fact"),
+      Seq("country_iso3_id", "year_id"))
+
+  /** FK check (schema.sql:43-54 etc.): fact rows whose (country, year)
+    * has no parent in the dims (empty ⇒ FKs hold). */
+  def fkViolations(spark: SparkSession, db: String, fact: String): DataFrame = {
+    val f = spark.table(s"$db.$fact")
+    val badCountry = f.join(spark.table(s"$db.country"),
+      Seq("country_iso3_id"), "left_anti")
+    val badYear = f.join(spark.table(s"$db.year"), Seq("year_id"),
+      "left_anti")
+    badCountry.unionByName(badYear)
+  }
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface (beyond the batch-only reference — the
+  * ingest shapes a continuously-fed training-data pipeline needs):
+  * watermarked tumbling-window aggregation, streaming exact dedup within a
+  * watermark, and custom sessionization state via mapGroupsWithState.
+  *
+  * All transforms are source-agnostic `DataFrame => DataFrame` — the same
+  * code runs on `readStream` (Kafka/files at scale, MemoryStream in specs)
+  * and its batch equivalent. Scale posture: state stores are keyed by the
+  * group/window key and bounded by the watermark — late data past the
+  * watermark is dropped, so state cannot grow without bound.
+  */
+object StreamOps {
+
+  /** Tumbling-window event counts/sums with a watermark: the streaming
+    * analog of q18's batch time-window aggregate. Append-mode-compatible
+    * (windows close once the watermark passes). */
+  def windowedStats(events: DataFrame, tsCol: String, valueCol: String,
+                    window_ : String, watermark: String): DataFrame =
+    events
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("sum_value"))
+
+  /** Streaming exact dedup (A2 at ingest time): first event per key wins;
+    * duplicate arrivals within the watermark horizon are dropped, state
+    * for keys older than the watermark is reclaimed. */
+  def dedupWithinWatermark(events: DataFrame, tsCol: String,
+                           watermark: String,
+                           keys: Seq[String]): DataFrame =
+    events.withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
+
+  final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Long, lastSeen: Long, n: Int,
+                                sum: Double)
+  final case class SessionSummary(user_id: Long, start_ms: Long,
+                                  end_ms: Long, n_events: Int,
+                                  sum_value: Double)
+
+  /** Session gap: a session closes after this much event-time silence. */
+  val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom sessionization via mapGroupsWithState: accumulates per-user
+    * state, closing a session (and starting a new one) when an incoming
+    * event arrives more than [[SessionGapMs]] of EVENT TIME after the
+    * last one — emits the running summary of the current session each
+    * batch. The KeyValueGroupedDataset path: state is per user key,
+    * partitioned by the shuffle. (NoTimeout: a processing-time timeout
+    * would schedule empty micro-batches forever, which also makes
+    * processAllAvailable-style draining impossible.) */
+  def sessionize(events: Dataset[SessionEvent])
+  : Dataset[SessionSummary] = {
+    implicit val outEnc = Encoders.product[SessionSummary]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[SessionState, SessionSummary](
+        GroupStateTimeout.NoTimeout) {
+        case (user, es, state: GroupState[SessionState]) =>
+          val sorted = es.toSeq.sortBy(_.ts.getTime)
+          val init = state.getOption.getOrElse(
+            SessionState(sorted.head.ts.getTime, Long.MinValue, 0, 0.0))
+          val updated = sorted.foldLeft(init) { (acc, e) =>
+            val t = e.ts.getTime
+            if (acc.n > 0 && t - acc.lastSeen > SessionGapMs)
+              SessionState(t, t, 1, e.value) // gap: new session
+            else
+              SessionState(acc.start, math.max(acc.lastSeen, t),
+                acc.n + 1, acc.sum + e.value)
+          }
+          state.update(updated)
+          SessionSummary(user, updated.start, updated.lastSeen,
+            updated.n, updated.sum)
+      }(Encoders.product[SessionState], outEnc)
+  }
+
+  /** Batch-equivalence helper: the SAME windowedStats call on a batch
+    * frame (no watermark needed for completeness in batch). Used by specs
+    * to pin streaming results == batch results on identical input. */
+  def windowedStatsBatch(events: DataFrame, tsCol: String,
+                         valueCol: String, window_ : String): DataFrame =
+    events.groupBy(window(col(tsCol), window_))
+      .agg(count(lit(1)).as("n"),
+        sum(col(valueCol).cast("decimal(18,4)")).cast("double")
+          .as("sum_value"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("sum_value"))
+}

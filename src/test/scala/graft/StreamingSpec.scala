@@ -1,0 +1,87 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.StreamOps
+import graft.streaming.StreamOps.SessionEvent
+
+/** Structured Streaming specs via MemoryStream: windowed aggregation with
+  * watermark, streaming dedup, and batch/stream result equivalence. */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$min%02d:00")
+
+  test("windowedStats over a stream matches the batch equivalent") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Double)]
+    val events = input.toDF.toDF("ts", "value")
+    val q = StreamOps.windowedStats(events, "ts", "value", "10 minutes",
+        "5 minutes")
+      .writeStream.format("memory").queryName("win_stats")
+      .outputMode("complete").start()
+    try {
+      val data = Seq((ts(1), 1.5), (ts(4), 2.0), (ts(11), 3.0),
+        (ts(14), 0.5), (ts(21), 4.0))
+      input.addData(data: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("win_stats")
+        .orderBy("window_start")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      val batch = StreamOps.windowedStatsBatch(
+          data.toDF("ts", "value"), "ts", "value", "10 minutes")
+        .orderBy("window_start")
+        .as[(Timestamp, Long, Double)].collect().toSeq
+      assert(streamed == batch)
+      assert(streamed.map(r => (r._2, r._3)) ==
+        Seq((2L, 3.5), (2L, 3.5), (1L, 4.0)))
+    } finally q.stop()
+  }
+
+  test("dedupWithinWatermark drops duplicate keys as they stream in") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    val events = input.toDF.toDF("event_id", "ts", "value")
+    val q = StreamOps.dedupWithinWatermark(events, "ts", "10 minutes",
+        Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, ts(1), 10.0), (2L, ts(2), 20.0), (1L, ts(3), 99.0))
+      q.processAllAvailable()
+      input.addData((2L, ts(4), 98.0), (3L, ts(5), 30.0))
+      q.processAllAvailable()
+      val out = spark.table("dedup_stream")
+        .select("event_id", "value").as[(Long, Double)].collect().sorted
+      // first arrival wins; later duplicates (even cross-batch) dropped
+      assert(out.toSeq == Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize accumulates per-user state via mapGroupsWithState") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS)
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("update").start()
+    try {
+      input.addData(SessionEvent(7L, ts(1), 1.0), SessionEvent(7L, ts(5), 2.0),
+        SessionEvent(9L, ts(2), 5.0))
+      q.processAllAvailable()
+      input.addData(SessionEvent(7L, ts(9), 3.0))
+      q.processAllAvailable()
+      val latest = spark.table("sessions")
+        .groupBy("user_id").agg(max(struct(col("n_events"),
+          col("sum_value"), col("start_ms"), col("end_ms"))).as("s"))
+        .select("user_id", "s.n_events", "s.sum_value")
+        .as[(Long, Int, Double)].collect().sortBy(_._1)
+      assert(latest.toSeq == Seq((7L, 3, 6.0), (9L, 1, 5.0)))
+    } finally q.stop()
+  }
+}
