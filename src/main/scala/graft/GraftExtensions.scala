@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{DotProductF32, SimHash60}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * expressions in the SQL function registry so `spark.sql` queries can use
+  * them (`SELECT dot_f32(a, b)`), not just the Column API. Installed via
+  * `spark.sql.extensions=graft.GraftExtensions` (Session.builder does
+  * this for every harness session). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f32"),
+      new ExpressionInfo(classOf[DotProductF32].getName, "dot_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_f32 takes exactly 2 arguments")
+        DotProductF32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash60 takes exactly 1 argument")
+        SimHash60(args.head)
+      }))
+  }
+}

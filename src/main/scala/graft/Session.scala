@@ -15,6 +15,7 @@ object Session {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.compression.codec", "snappy")
       // events.ts is TIMESTAMP(NANOS); Spark can only read it as bigint.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

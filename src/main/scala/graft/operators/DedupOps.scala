@@ -117,22 +117,15 @@ object DedupOps {
   val SimhashBits = 60
 
   /** Per-doc 60-bit SimHash: each token occurrence votes ±1 on every bit of
-    * its 60-bit hash; bit set iff the vote sum is positive (equivalently:
-    * set-bit count > tokens/2). Shuffle-free: token hashes computed once
-    * per row, then one fold over the 60 bit positions — map-only at scale
-    * (the r2 first cut exploded tokens × bits through two shuffles).
+    * its 60-bit hash; bit set iff the vote sum is positive. Shuffle-free
+    * AND codegen'd: token hashes computed once per row, bit votes in the
+    * native [[graft.functions.SimHash60]] expression — map-only at scale
+    * (the r2 first cut exploded tokens × bits through two shuffles; the
+    * second cut folded 60 interpreted lambdas per row).
     * Docs with no tokens are dropped (same as the group-by formulation). */
-  def simhash(df: DataFrame, id: String, words: Column): DataFrame = {
-    val hashes = transform(words, w => TextOps.hash60(w))
+  def simhash(df: DataFrame, id: String, words: Column): DataFrame =
     df.filter(size(words) > 0)
       .select(col(id),
-        aggregate(
-          transform(sequence(lit(0), lit(SimhashBits - 1)), b =>
-            when(size(filter(hashes, h =>
-                call_function("shiftright", h, b.cast("int"))
-                  .bitwiseAND(lit(1L)) === 1)) * 2 > size(hashes),
-              call_function("shiftleft", lit(1L), b.cast("int")))
-              .otherwise(lit(0L))),
-          lit(0L), (acc, x) => acc + x).as("simhash"))
-  }
+        call_function("simhash60", transform(words, w => TextOps.hash60(w)))
+          .as("simhash"))
 }

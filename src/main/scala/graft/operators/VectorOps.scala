@@ -24,8 +24,17 @@ object VectorOps {
 
   private def d(c: Column): Column = c.cast("double")
 
-  /** Sequential dot product: fold left over pairwise double products. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential dot product — the native codegen'd expression
+    * ([[graft.functions.DotProductF32]], resolved through the function
+    * registry that [[graft.GraftExtensions]] installs); bit-identical to
+    * the interpreted higher-order form [[dotHof]] it replaced on the hot
+    * paths (same multiply/add sequence). */
+  def dot(a: Column, b: Column): Column = call_function("dot_f32", a, b)
+
+  /** The composable higher-order form (interpreted — no codegen for
+    * lambda functions): kept as the reference implementation; specs pin
+    * dot == dotHof bit-for-bit. */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => d(x) * d(y)), lit(0.0),
       (acc, x) => acc + x)
 

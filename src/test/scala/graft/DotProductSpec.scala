@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{VectorOps => Vec}
+
+/** Pins the native codegen'd dot_f32 expression: registry visibility from
+  * SQL, bit-equality with the interpreted higher-order reference form, and
+  * null handling. */
+class DotProductSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("dot_f32 is callable from SQL via GraftExtensions") {
+    val r = spark.sql(
+      "SELECT dot_f32(array(CAST(1.5 AS FLOAT), CAST(2 AS FLOAT)), " +
+        "array(CAST(4 AS FLOAT), CAST(0.5 AS FLOAT)))").head.getDouble(0)
+    assert(r == 7.0)
+  }
+
+  test("codegen dot is bit-identical to the higher-order reference form") {
+    val vecs = spark.read
+      .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val a = vecs.select(col("vec_id").as("ida"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("idb"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ida") < col("idb") - 479) // small pair set
+    val diff = pairs.select(
+        Vec.dot(col("va"), col("vb")).as("native"),
+        Vec.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(diff == 0)
+  }
+
+  test("null array yields null, not a crash") {
+    val df = Seq((Some(Seq(1f, 2f)), Option.empty[Seq[Float]]))
+      .toDF("a", "b")
+    val r = df.select(Vec.dot(col("a"), col("b"))).head
+    assert(r.isNullAt(0))
+  }
+}
