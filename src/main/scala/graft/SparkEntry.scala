@@ -400,6 +400,33 @@ object SparkEntry {
         array_min(transform(ch, c => md5(c))).as("chunk_fp"))
     }),
 
+    // Similarity search, IVF-flat variant: centroids seeded from the
+    // corpus (vec_id < 8 — k-means training out of scope, assignment +
+    // probe mechanics real), vectors assigned to nearest cell (broadcast
+    // O(N·K) map pass), queries probe their nprobe=2 nearest cells, exact
+    // cosine within candidates only.
+    "q34_ann_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < IvfCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cells = Vec.ivfAssign(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, "cid", "cv")
+      val probes = R.topKPerGroup(
+          e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"),
+              col("embedding").as("__qv"))
+            .crossJoin(broadcast(cent))
+            .withColumn("__d2", Vec.dist2(col("__qv"), col("cv"))),
+          Seq("query_id"), Seq(col("__d2"), col("cid")), IvfProbes, "__pr")
+        .select(col("query_id"), col("__qv"), col("cid").as("cell_id"))
+      val scored = probes.join(cells, Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .withColumn("cosine", Vec.cosine(col("__qv"), col("embedding")))
+      R.topKPerGroup(scored, Seq("query_id"),
+          Seq(col("cosine").desc, col("vec_id")), 3, "rank")
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell_id"), col("rank"), col("cosine"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -419,6 +446,10 @@ object SparkEntry {
 
   /** ANN hyperplane count (16 buckets over the 500-vector corpus). */
   private val AnnPlanes = 4
+
+  /** IVF cell count (seeded centroids) and probe depth for q34. */
+  private val IvfCells = 8
+  private val IvfProbes = 2
 
   /** Marker-word features for q22 language ID (word, lang, weight). */
   private val langIdMarkers: Seq[(String, String, Long)] = Seq(
@@ -449,6 +480,10 @@ object SparkEntry {
 
   private def sqlCosine(a: String, b: String): String =
     s"(${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})))"
+
+  /** DuckDB twin of VectorOps.dist2 — same operation order. */
+  private def sqlDist2(a: String, b: String): String =
+    s"((${sqlDot(a, a)}) - (2.0 * ${sqlDot(a, b)})) + (${sqlDot(b, b)})"
 
   /** DuckDB twin of VectorOps.planeWeight + planeBit for plane p. */
   private def sqlPlaneProj(v: String, p: Int): String =
@@ -830,6 +865,31 @@ object SparkEntry {
         | list_min([md5(substring(text,(i-1)*32+1,32))
         |   for i in generate_series(1,(length(text)+31)//32)]) AS chunk_fp
         |FROM documents""".stripMargin,
+
+    "q34_ann_ivf" ->
+      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < $IvfCells),
+         |asg AS (SELECT vec_id, embedding, cid AS cell_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
+         |  FROM embeddings e CROSS JOIN cent c) WHERE cr = 1),
+         |probes AS (SELECT query_id, qv, cid AS cell_id FROM (
+         |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+         |   row_number() OVER (PARTITION BY q.vec_id
+         |    ORDER BY ${sqlDist2("q.embedding", "c.cv")}, c.cid) AS pr
+         |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
+         | WHERE pr <= $IvfProbes),
+         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_id,
+         |  ${sqlCosine("p.qv", "a.embedding")} AS cosine
+         | FROM probes p JOIN asg a
+         |  ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id),
+         |r AS (SELECT query_id, neighbor_id, cell_id, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT) AS "rank",
+         | cosine
+         |FROM r WHERE rnk <= 3""".stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (

@@ -77,6 +77,23 @@ object RelationalOps {
     df.withColumn(rankCol, row_number().over(w)).filter(col(rankCol) <= k)
   }
 
+  /** Skew mitigation (SURVEY §4 posture): salted equi-join. The large
+    * side gets a pseudo-random salt in [0, salt); the small side is
+    * replicated once per salt value; the join key becomes (keys, salt) so
+    * one hot key spreads over `salt` reducers. Result is identical to the
+    * plain join (salt values match by construction). Use when AQE's
+    * skew-join split isn't available or the skew is in an aggregation
+    * feeding the join. */
+  def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
+                 salt: Int): DataFrame = {
+    require(salt > 0, "salt must be positive")
+    val salted = large.withColumn("__salt",
+      pmod(monotonically_increasing_id(), lit(salt.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(salt.toLong - 1))))
+    salted.join(replicated, keys :+ "__salt").drop("__salt")
+  }
+
   /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at
     * positions (lo, hi] under a total order. A single-partition window
     * (acceptable: the slice's very semantics are a global ordering; the

@@ -74,6 +74,25 @@ object VectorOps {
   def lshBucket(v: Column, planes: Int): Column =
     (0 until planes).map(p => planeBit(v, p)).reduce(_ + _)
 
+  /** Squared euclidean distance via dots, in a FIXED operation order the
+    * oracle mirrors literally: (a·a - 2*a·b) + b·b. */
+  def dist2(a: Column, b: Column): Column =
+    (dot(a, a) - lit(2.0) * dot(a, b)) + dot(b, b)
+
+  /** IVF-flat cell assignment: nearest centroid per vector (argmin dist2,
+    * centroid id tie-break). Centroids are broadcast; assignment is the
+    * standard O(N·K) map-side pass. (Centroid TRAINING is out of scope —
+    * callers provide centroids; the q34 query seeds them deterministically
+    * from the corpus in lieu of k-means, which keeps the oracle exact.) */
+  def ivfAssign(vectors: DataFrame, id: String, vec: String,
+                centroids: DataFrame, cid: String, cvec: String): DataFrame = {
+    val scored = vectors.crossJoin(broadcast(centroids))
+      .withColumn("__d2", dist2(col(vec), col(cvec)))
+    RelationalOps.topKPerGroup(scored, Seq(id),
+        Seq(col("__d2"), col(cid)), 1, "__cr")
+      .select(col(id), col(vec), col(cid).as("cell_id"))
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus,
     * ranked per query with a deterministic tie-break. Query side should be
     * small (it is broadcast). */

@@ -123,6 +123,29 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.forall(b => b >= 0 && b < 16))
   }
 
+  test("ivfAssign puts every vector in its nearest centroid's cell") {
+    val vecs = Seq((0L, Seq(0f, 0f)), (1L, Seq(10f, 10f)),
+      (2L, Seq(1f, 0f)), (3L, Seq(9f, 9f))).toDF("vec_id", "embedding")
+    val cent = vecs.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cells = Vec.ivfAssign(vecs, "vec_id", "embedding", cent, "cid", "cv")
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().sortBy(_._1)
+    assert(cells.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
+  }
+
+  test("saltedJoin produces exactly the plain join's rows under skew") {
+    val large = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i))
+      .toDF("k", "v")
+    val small = Seq(("hot", 1.0), ("k451", 2.0), ("other", 9.9))
+      .toDF("k", "w")
+    val plain = large.join(small, Seq("k")).select("k", "v", "w")
+      .as[(String, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    val salted = R.saltedJoin(large, small, Seq("k"), 8)
+      .select("k", "v", "w")
+      .as[(String, Int, Double)].collect().sortBy(r => (r._1, r._2))
+    assert(salted.toSeq == plain.toSeq && plain.length == 451)
+  }
+
   // ------------------------------------------------------- F8 / top-k
 
   test("positionalSlice returns rows (lo, hi] of the total order") {
