@@ -521,10 +521,10 @@ object SparkEntry {
     "q01_rate_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
          | count(*) AS n_items,
-         | CAST(sum($rev) AS DOUBLE) AS revenue,
-         | CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-         | round_even((CAST(sum($rev) AS DOUBLE)
-         |   / CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE))
+         | CAST(CAST(sum($rev) AS VARCHAR) AS DOUBLE) AS revenue,
+         | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+         | round_even((CAST(CAST(sum($rev) AS VARCHAR) AS DOUBLE)
+         |   / CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE))
          |   * 100000.0, 2) AS rate_per_100k
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |WHERE l_quantity > 0
@@ -585,10 +585,11 @@ object SparkEntry {
         |  AS rate_per_100k
         |FROM (
         | SELECT l_suppkey, CAST(year(l_shipdate) AS INT) AS ship_year,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |  CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |   AS shipped_qty,
-        |  CAST(sum(CASE WHEN l_returnflag = 'R'
-        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS DOUBLE)
+        |  CAST(CAST(sum(CASE WHEN l_returnflag = 'R'
+        |    THEN CAST(l_quantity AS DECIMAL(18,4)) END) AS VARCHAR)
+        |   AS DOUBLE)
         |   AS returned_qty
         | FROM lineitem GROUP BY 1, 2)
         |WHERE returned_qty IS NOT NULL""".stripMargin,
@@ -605,7 +606,7 @@ object SparkEntry {
 
     "q11_star_join" ->
       s"""SELECT r_name, n_name, count(*) AS n_items,
-         | CAST(sum($rev) AS DOUBLE) AS revenue
+         | CAST(CAST(sum($rev) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM lineitem
          | JOIN orders ON l_orderkey = o_orderkey
          | JOIN customer ON o_custkey = c_custkey
@@ -615,8 +616,8 @@ object SparkEntry {
 
     "q12_avg_by_group" ->
       """SELECT n_name, count(*) AS n_customers,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS sum_acctbal,
-        | CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*)
+        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_acctbal,
+        | CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) / count(*)
         |  AS avg_acctbal
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1""".stripMargin,
@@ -631,7 +632,7 @@ object SparkEntry {
         | FROM orders)""".stripMargin,
 
     "q14_topk_revenue" ->
-      s"""SELECT o_custkey, CAST(sum($rev) AS DOUBLE) AS revenue
+      s"""SELECT o_custkey, CAST(CAST(sum($rev) AS VARCHAR) AS DOUBLE) AS revenue
          |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
          |GROUP BY 1 ORDER BY revenue DESC, o_custkey LIMIT 10""".stripMargin,
 
@@ -649,7 +650,7 @@ object SparkEntry {
         |    THEN '400000 - 3000000'
         |  ELSE 'out of range' END AS bucket,
         | count(*) AS n_orders,
-        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
         |  AS total_price
         |FROM orders GROUP BY 1""".stripMargin,
 
@@ -660,7 +661,7 @@ object SparkEntry {
         |  AS tooltip,
         | CAST(floor(total_bal / 5000.0) AS BIGINT) AS marker_size
         |FROM (SELECT n_name, count(*) AS n_customers,
-        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |  CAST(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS total_bal
         | FROM customer JOIN nation ON c_nationkey = n_nationkey
         | GROUP BY 1)""".stripMargin,
 
@@ -688,13 +689,13 @@ object SparkEntry {
         |           WHEN a % 100 < 50 THEN a // 100
         |           ELSE a // 100 + (a // 100) % 2 END AS DOUBLE) + 0.0
         |  AS value_r0,
-        | CAST(CAST(value AS DECIMAL(10,2)) AS DOUBLE) AS value_dec
+        | CAST(CAST(CAST(value AS DECIMAL(10,2)) AS VARCHAR) AS DOUBLE) AS value_dec
         |FROM s""".stripMargin,
 
     "q18_time_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour_start,
         | count(*) AS n,
-        | CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
 
@@ -839,7 +840,7 @@ object SparkEntry {
 
     "q31_dropna_subset" ->
       """SELECT p_brand, count(*) AS n,
-        | CAST(sum(CAST(a AS DECIMAL(18,4))) AS DOUBLE) AS sum_price,
+        | CAST(CAST(sum(CAST(a AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_price,
         | CAST(sum(b) AS BIGINT) AS sum_size
         |FROM (SELECT p_brand,
         |  CASE WHEN p_size % 5 = 0 THEN NULL ELSE p_retailprice END AS a,
