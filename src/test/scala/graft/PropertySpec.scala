@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{CleanseOps => C, RelationalOps => R, TextOps => T}
+
+/** Property-based invariants (SURVEY §5): rate-derivation bounds, dedup
+  * idempotence, join-key containment, rounding stability, Jaccard axioms.
+  * ScalaCheck generators with FIXED seeds (deterministic runs, no
+  * scalatestplus bridge on the classpath); samples stay small — each
+  * property materializes Spark jobs. */
+class PropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: n seeded samples from a generator. */
+  private def forAll[A](gen: Gen[A], n: Int = 5)(f: A => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(gen.pureApply(Gen.Parameters.default, Seed(42L + i)))
+    }
+
+  private def forAll2[A, B](ga: Gen[A], gb: Gen[B], n: Int = 5)
+                           (f: (A, B) => Unit): Unit =
+    (0 until n).foreach { i =>
+      f(ga.pureApply(Gen.Parameters.default, Seed(42L + i)),
+        gb.pureApply(Gen.Parameters.default, Seed(1042L + i)))
+    }
+
+  private val rows = Gen.listOfN(20,
+    Gen.zip(Gen.choose(1, 5), Gen.choose(1, 100), Gen.choose(0.0, 1e6)))
+
+  test("per-100k rate is non-negative and null only on zero denominator") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "den", "num")
+        .select(C.per100k(col("num"), col("den")).as("r"),
+          C.per100k(col("num"), lit(0)).as("r0"))
+      val out = df.collect()
+      assert(out.forall(r => r.getDouble(0) >= 0.0))
+      assert(out.forall(_.isNullAt(1))) // try_divide: div-by-0 -> null
+    }
+  }
+
+  test("dedupFirst is idempotent and keeps one row per key") {
+    forAll(rows) { data =>
+      val df = data.toDF("k", "v", "x")
+      val once = R.dedupFirst(df, Seq("k"), Seq(col("v"), col("x")))
+      val twice = R.dedupFirst(once, Seq("k"), Seq(col("v"), col("x")))
+      val keys = df.select("k").distinct().count()
+      assert(once.count() == keys)
+      assert(once.exceptAll(twice).isEmpty && twice.exceptAll(once).isEmpty)
+    }
+  }
+
+  test("inner join output keys are contained in both inputs") {
+    forAll2(rows, rows) { (l, r) =>
+      val left = l.toDF("k", "v", "x")
+      val right = r.map(t => (t._1, t._2)).toDF("k", "w")
+      val joined = left.join(right, Seq("k"))
+      val lk = left.select("k").as[Int].collect().toSet
+      val rk = right.select("k").as[Int].collect().toSet
+      val jk = joined.select("k").as[Int].collect().toSet
+      assert(jk.subsetOf(lk) && jk.subsetOf(rk))
+    }
+  }
+
+  test("half-even rounding is idempotent and within half-step of input") {
+    forAll(Gen.listOfN(30, Gen.choose(-1e6, 1e6))) { xs =>
+      val df = xs.toDF("x").select(col("x"),
+        C.roundHalfEven(col("x"), 2).as("r"),
+        C.roundHalfEven(C.roundHalfEven(col("x"), 2), 2).as("rr"))
+      df.collect().foreach { row =>
+        val (x, r, rr) = (row.getDouble(0), row.getDouble(1), row.getDouble(2))
+        assert(r == rr)                       // idempotent
+        assert(math.abs(x - r) <= 0.005 + 1e-9) // within half a cent
+      }
+    }
+  }
+
+  test("jaccard is symmetric, bounded, 1 on self, 0 on disjoint") {
+    val words = Gen.listOfN(8, Gen.oneOf("a", "b", "c", "d", "e", "f"))
+    forAll2(words, words) { (wa, wb) =>
+      val df = Seq((wa.distinct, wb.distinct, wa.distinct.map("z" + _)))
+        .toDF("a", "b", "zc")
+      val Seq(ab, ba, aa, disj) = df.select(
+        T.jaccard(col("a"), col("b")), T.jaccard(col("b"), col("a")),
+        T.jaccard(col("a"), col("a")), T.jaccard(col("a"), col("zc")))
+        .head.toSeq.map(_.asInstanceOf[Double]).toSeq
+      assert(ab == ba && ab >= 0.0 && ab <= 1.0)
+      assert(aa == 1.0 && disj == 0.0)
+    }
+  }
+
+  test("unionAll preserves total row count") {
+    forAll2(rows, rows) { (a, b) =>
+      val (da, db) = (a.toDF("k", "v", "x"), b.toDF("k", "v", "x"))
+      assert(R.unionAll(Seq(da, db)).count() == da.count() + db.count())
+    }
+  }
+}
