@@ -28,12 +28,16 @@ object SparkEntry {
   private def dsum(c: Column): Column = sum(c).cast("double")
 
   /** Spread a scan across all cores before per-row expression-heavy work
-    * (hashing, shingling). A small parquet file arrives as ONE partition
-    * and would serialize the map work on a single thread; at cluster scale
-    * many files/row-groups give this parallelism for free, so the explicit
-    * exchange only matters (and only costs) at small scale. */
-  private def spread(s: SparkSession, df: DataFrame): DataFrame =
-    df.repartition(s.sparkContext.defaultParallelism)
+    * (hashing, shingling) — but ONLY when the source arrives with fewer
+    * splits than cores (a small parquet file is one partition and would
+    * serialize the map work on a single thread). At cluster scale the
+    * file splits already provide parallelism and the guard makes this a
+    * no-op — an unconditional repartition would be a full shuffle of the
+    * corpus for nothing. */
+  private def spread(s: SparkSession, df: DataFrame): DataFrame = {
+    val target = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
 
   // ---------------------------------------------------------------- q01
   /** Flagship (SURVEY.md §7 minimum slice): scan→filter→join→derive→agg —

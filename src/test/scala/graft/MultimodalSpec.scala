@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.MultimodalOps
-import graft.operators.MultimodalOps.{DecodedAsset, RawAsset}
+import graft.operators.MultimodalOps.RawAsset
 
 /** Unit tests for the multimodal binary-column plumbing (stubbed decode,
   * real schema/chunking/partition-batch shape). */

@@ -84,6 +84,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("*("), s"no codegen spans in:\n${p.take(800)}")
   }
 
+  test("q19/q33 document scans read only the needed columns") {
+    val f19 = formatted("q19_token_stats")
+    assert(f19.contains("ReadSchema") && !f19.contains("source"),
+      "q19 must not read the unused source column")
+    val f33 = formatted("q33_multimodal_stats")
+    assert(!f33.contains("n_chars"),
+      "q33 must not read the unused n_chars column")
+  }
+
+  test("q22 lang-id broadcasts the marker table") {
+    val p = plan("q22_lang_id")
+    assert(p.contains("BroadcastHashJoin"))
+  }
+
   test("q24 exact dedup is one shuffle on the content hash") {
     val f = formatted("q24_exact_dedup")
     val exchanges = "Exchange".r.findAllIn(f).length
