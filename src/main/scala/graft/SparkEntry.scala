@@ -431,6 +431,42 @@ object SparkEntry {
           col("cell_id"), col("rank"), col("cosine"))
     }),
 
+    // The composed training-data-curation pipeline — what the LLM-ops are
+    // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
+    // keep only quality docs (length window + stopword ratio), annotate
+    // predicted language. One retained-corpus row per surviving doc.
+    "q35_corpus_curation" -> ((s, dir) => {
+      import s.implicits._
+      val docs = spread(s, t(s, dir, "documents"))
+      // near-dup losers: every id_b of a verified pair (id_a < id_b
+      // keeps each cluster's minimum id)
+      val losers = D.nearDupPairs(
+          docs.select(col("doc_id"), col("text")), "doc_id",
+          T.wordShingles(T.tokens(col("text")), 3), 0.8)
+        .select(col("id_b").as("doc_id")).distinct()
+      val w = T.tokens(col("text"))
+      val quality = docs.select(col("doc_id"), col("lang"),
+          size(w).as("n_tokens"),
+          (size(filter(w, x => x.isin("a", "the"))).cast("double")
+            / size(w).cast("double")).as("stopword_ratio"))
+        .filter(col("n_tokens").between(20, 80) &&
+          col("stopword_ratio") <= 0.15)
+      val markers = langIdMarkers.toDF("m_word", "m_lang", "m_weight")
+      val scores = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .join(broadcast(markers), col("word") === col("m_word"))
+        .groupBy(col("doc_id"), col("m_lang"))
+        .agg(sum(col("m_weight")).as("score"))
+      val best = R.topKPerGroup(scores, Seq("doc_id"),
+        Seq(col("score").desc, col("m_lang")), 1, "__rn")
+        .select(col("doc_id"), col("m_lang"))
+      quality.join(losers, Seq("doc_id"), "left_anti")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("lang"),
+          coalesce(col("m_lang"), lit("und")).as("lang_pred"),
+          col("n_tokens"), col("stopword_ratio"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -895,6 +931,47 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT) AS "rank",
          | cosine
          |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q35_corpus_curation" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
+         |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |bands AS ($sqlBandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |losers AS (SELECT DISTINCT idb AS doc_id
+         |  FROM cand JOIN shl x ON x.doc_id = ida
+         |   JOIN shl y ON y.doc_id = idb
+         |  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
+         |   >= 0.8),
+         |q AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
+         |  CAST(len(list_filter(string_split(text,' '),
+         |    x -> x = 'a' OR x = 'the')) AS DOUBLE)
+         |   / CAST(len(string_split(text,' ')) AS DOUBLE)
+         |   AS stopword_ratio
+         | FROM documents),
+         |qf AS (SELECT * FROM q
+         |  WHERE n_tokens BETWEEN 20 AND 80 AND stopword_ratio <= 0.15),
+         |tok2 AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+         |  FROM documents),
+         |m AS (SELECT * FROM (VALUES $sqlMarkers)
+         |  AS v(m_word, m_lang, m_weight)),
+         |sc AS (SELECT doc_id, m_lang, sum(m_weight) AS score
+         |  FROM tok2 JOIN m ON word = m_word GROUP BY 1, 2),
+         |best AS (SELECT doc_id, m_lang FROM (
+         |  SELECT doc_id, m_lang, row_number() OVER (PARTITION BY doc_id
+         |   ORDER BY score DESC, m_lang) AS rn FROM sc) WHERE rn = 1)
+         |SELECT qf.doc_id, qf.lang, COALESCE(b.m_lang, 'und') AS lang_pred,
+         | qf.n_tokens, qf.stopword_ratio
+         |FROM qf LEFT JOIN losers l ON qf.doc_id = l.doc_id
+         | LEFT JOIN best b ON qf.doc_id = b.doc_id
+         |WHERE l.doc_id IS NULL""".stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (
