@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{DotProductF32, SimHash60}
+import graft.functions.{DotProductF32, MinHashSig, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -26,6 +26,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 1, "simhash60 takes exactly 1 argument")
         SimHash60(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "minhash_sig takes exactly 1 argument")
+        MinHashSig(args.head)
       }))
   }
 }

@@ -1,0 +1,119 @@
+package graft.functions
+
+import java.security.MessageDigest
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Native MinHash signature: for an array of shingle strings, all K
+  * permutation minima in ONE pass — `mh_k = min over s of
+  * (a_k * H(s) + b_k) mod P`, H(s) = first 8 hex digits of md5(s) (i.e.
+  * the first 4 digest bytes, big-endian unsigned).
+  *
+  * Bit-identical to the composable form it replaces —
+  * `array_min(transform(transform(shingles, md5→conv), affine))` — which
+  * runs INTERPRETED (higher-order lambdas have no codegen) and re-walks
+  * the array K+1 times; this hashes each shingle once and updates K
+  * running minima. The DuckDB oracle (min over unnest + md5 prefix) is
+  * unchanged.
+  *
+  * Returns array<bigint> of length [[K]]; null for a null or empty input
+  * (an empty shingle set has no minima — callers filter those docs, both
+  * here and in the oracle).
+  */
+case class MinHashSig(child: Expression) extends UnaryExpression {
+
+  import MinHashSig._
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"minhash_sig requires array<string>, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  override def prettyName: String = "minhash_sig"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(K)(Long.MaxValue)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var k = 0
+      while (k < K) {
+        val v = (A(k) * h + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  // Interpreted eval via a static helper keeps the codegen path simple and
+  // the hot loop in compiled JVM code either way.
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("sig")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.MinHashSig.compute($a);
+         |if ($out == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): MinHashSig = copy(child = newChild)
+}
+
+object MinHashSig {
+  /** Shared with graft.operators.DedupOps — change only in lockstep. */
+  val K = 12
+  val P: Long = 2147483647L
+  private val A: Array[Long] = Array.tabulate(K)(k => 2L * k + 1)
+  private val B: Array[Long] = Array.tabulate(K)(k => 1000003L * k)
+
+  private val digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
+  /** Static entry used by the generated code. */
+  def compute(arr: ArrayData): ArrayData = {
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(K)(Long.MaxValue)
+    val md = digest.get()
+    var i = 0
+    while (i < n) {
+      md.reset()
+      val d = md.digest(arr.getUTF8String(i).getBytes)
+      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      var k = 0
+      while (k < K) {
+        val v = (A(k) * h + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(mins)
+  }
+}

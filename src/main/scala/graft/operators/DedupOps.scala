@@ -42,21 +42,18 @@ object DedupOps {
       .groupBy(col("content_hash"))
       .agg(min(col(id)).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Per-doc MinHash signature as a SHUFFLE-FREE map-side expression: hash
-    * the shingle array once, then K array_min folds over it. (The r2 first
-    * cut exploded + groupBy'd — a 60× row amplification plus a shuffle that
-    * a per-row fold doesn't need; at 100 TB this version is map-only.)
-    * Docs with no shingles are dropped (same as the group-by formulation).
-    * Output: id, mh0..mh{K-1}. */
-  def minhashSignatures(df: DataFrame, id: String, shingleSet: Column): DataFrame = {
-    val hashes = transform(shingleSet, s => TextOps.hash32(s))
+  /** Per-doc MinHash signature as a SHUFFLE-FREE map-side expression via
+    * the native [[graft.functions.MinHashSig]] kernel: each shingle hashed
+    * once, all K minima in one pass. (Evolution: r2 first exploded +
+    * groupBy'd — 60× row amplification plus a shuffle; then K interpreted
+    * array_min/transform folds; the native kernel removes the per-element
+    * lambda interpretation too.) Docs with no shingles are dropped (same
+    * as the group-by formulation). Output: id, mh0..mh{K-1}. */
+  def minhashSignatures(df: DataFrame, id: String, shingleSet: Column): DataFrame =
     df.filter(size(shingleSet) > 0)
-      .select(col(id) +: (0 until K).map { k =>
-        array_min(transform(hashes,
-          h => (lit(aCoef(k)) * h + lit(bCoef(k))) % lit(TextOps.HashPrime)))
-          .as(s"mh$k")
-      }: _*)
-  }
+      .select(col(id), call_function("minhash_sig", shingleSet).as("__sig"))
+      .select(col(id) +: (0 until K).map(k =>
+        element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
 
   /** Banded LSH keys: md5 over the comma-joined rows of each band. One row
     * per (id, band). `stack` unpivots the B band columns without a shuffle. */

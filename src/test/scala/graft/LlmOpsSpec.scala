@@ -78,6 +78,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(0) != out(2))
   }
 
+  test("native minhash_sig kernel equals the composable md5+affine form") {
+    val docs = Seq((1L, (1 to 25).map(i => s"w$i").mkString(" ")))
+      .toDF("doc_id", "text")
+      .select(col("doc_id"),
+        T.wordShingles(T.tokens(col("text")), 3).as("sh"))
+    val native = D.minhashSignatures(docs, "doc_id", col("sh")).head
+    val reference = docs.select(col("doc_id") +: (0 until D.K).map { k =>
+      array_min(transform(transform(col("sh"), s => T.hash32(s)),
+        h => (lit(D.aCoef(k)) * h + lit(D.bCoef(k))) % lit(T.HashPrime)))
+        .as(s"mh$k")
+    }: _*).head
+    assert(native == reference)
+  }
+
   test("minhash signature: more shared shingles => more equal components") {
     val a = (1 to 30).map(i => s"t$i").mkString(" ")
     val b = (1 to 28).map(i => s"t$i").mkString(" ") + " x y"
