@@ -36,23 +36,31 @@ object Bench {
     }
     // Best-of-N timing: this host shares cores with co-tenants (observed
     // 8x swings on identical runs); the minimum of N runs is the least
-    // noise-contaminated estimate of the plan's actual cost.
+    // noise-contaminated estimate of the plan's actual cost. A run that
+    // throws contributes NO time — a query with zero successful runs is
+    // reported as -1 and listed under "failures" so the driver can tell a
+    // broken query from a fast one.
     val repeats = sys.env.getOrElse("BENCH_REPEATS", "2").toInt max 1
     val results = names.map { n =>
-      val times = (1 to repeats).map { _ =>
+      val times = (1 to repeats).flatMap { _ =>
         val t0 = System.nanoTime()
-        try materialize(SparkEntry.queries(n)(spark, sfDir))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $n failed: ${e.getMessage}") }
-        (System.nanoTime() - t0) / 1e9
+        try {
+          materialize(SparkEntry.queries(n)(spark, sfDir))
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] $n failed: ${e.getMessage}")
+          None
+        }
       }
-      n -> times.min
+      n -> (if (times.nonEmpty) times.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.map(_._2).filter(_ >= 0).sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failed,"sf":"$sfDir"}"""
     // File sink for the driver (stdout is interleaved with sbt/log noise).
     sys.env.get("BENCH_OUT").orElse(Some("BENCH.json")).foreach { p =>
       Files.writeString(Paths.get(p), json + "\n")

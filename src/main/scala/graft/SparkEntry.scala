@@ -268,7 +268,7 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"),
           size(w).as("n_tokens"),
-          size(filter(w, x => x.isin("a", "the"))).as("n_stopwords"),
+          T.stopwordCount(w, Stopwords).as("n_stopwords"),
           aggregate(transform(w, x => length(x)), lit(0), _ + _)
             .as("sum_token_len"))
         .withColumn("stopword_ratio",
@@ -285,14 +285,9 @@ object SparkEntry {
     "q22_lang_id" -> ((s, dir) => {
       import s.implicits._
       val markers = langIdMarkers.toDF("m_word", "m_lang", "m_weight")
-      val scores = t(s, dir, "documents")
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
-        .join(broadcast(markers), col("word") === col("m_word"))
-        .groupBy(col("doc_id"), col("m_lang"))
-        .agg(sum(col("m_weight")).as("score"))
-      val best = R.topKPerGroup(scores, Seq("doc_id"),
-        Seq(col("score").desc, col("m_lang")), 1, "__rn").drop("__rn")
-      t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val docs = t(s, dir, "documents")
+      val best = T.langIdBest(docs, "doc_id", col("text"), markers)
+      docs.select(col("doc_id"), col("lang"))
         .join(best, Seq("doc_id"), "left")
         .select(col("doc_id"), col("lang"),
           coalesce(col("m_lang"), lit("und")).as("lang_pred"),
@@ -447,18 +442,12 @@ object SparkEntry {
       val w = T.tokens(col("text"))
       val quality = docs.select(col("doc_id"), col("lang"),
           size(w).as("n_tokens"),
-          (size(filter(w, x => x.isin("a", "the"))).cast("double")
+          (T.stopwordCount(w, Stopwords).cast("double")
             / size(w).cast("double")).as("stopword_ratio"))
         .filter(col("n_tokens").between(20, 80) &&
           col("stopword_ratio") <= 0.15)
       val markers = langIdMarkers.toDF("m_word", "m_lang", "m_weight")
-      val scores = docs
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
-        .join(broadcast(markers), col("word") === col("m_word"))
-        .groupBy(col("doc_id"), col("m_lang"))
-        .agg(sum(col("m_weight")).as("score"))
-      val best = R.topKPerGroup(scores, Seq("doc_id"),
-        Seq(col("score").desc, col("m_lang")), 1, "__rn")
+      val best = T.langIdBest(docs, "doc_id", col("text"), markers)
         .select(col("doc_id"), col("m_lang"))
       quality.join(losers, Seq("doc_id"), "left_anti")
         .join(best, Seq("doc_id"), "left")
@@ -490,6 +479,9 @@ object SparkEntry {
   /** IVF cell count (seeded centroids) and probe depth for q34. */
   private val IvfCells = 8
   private val IvfProbes = 2
+
+  /** Stopword list shared by q21 quality and q35 curation. */
+  private val Stopwords = Seq("a", "the")
 
   /** Marker-word features for q22 language ID (word, lang, weight). */
   private val langIdMarkers: Seq[(String, String, Long)] = Seq(
@@ -790,13 +782,18 @@ object SparkEntry {
          |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)"""
         .stripMargin,
 
+    // rolling_fp mirrors rollingFingerprint's short-text fallback: text
+    // under the window width hashes whole (latent on this corpus — min
+    // length 44 — but the oracle must implement the documented behavior).
     "q23_fingerprint" ->
       s"""SELECT doc_id, md5(text) AS content_md5,
          | list_min([${hx("w", 8)}
          |   for w in list_distinct(string_split(text,' '))])
          |  AS min_token_hash,
-         | list_min([${hx("substr(text,i,8)", 8)}
-         |   for i in generate_series(1, length(text)-7)]) AS rolling_fp
+         | CASE WHEN length(text) >= 8 THEN
+         |   list_min([${hx("substr(text,i,8)", 8)}
+         |     for i in generate_series(1, length(text)-7)])
+         |  ELSE ${hx("text", 8)} END AS rolling_fp
          |FROM documents""".stripMargin,
 
     "q24_exact_dedup" ->

@@ -85,11 +85,14 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 }
 
 object MinHashSig {
-  /** Shared with graft.operators.DedupOps — change only in lockstep. */
+  /** THE canonical MinHash constants — DedupOps and the oracle-SQL
+    * generator in SparkEntry read these (compiler-enforced lockstep). */
   val K = 12
   val P: Long = 2147483647L
-  private val A: Array[Long] = Array.tabulate(K)(k => 2L * k + 1)
-  private val B: Array[Long] = Array.tabulate(K)(k => 1000003L * k)
+  def aCoef(k: Int): Long = 2L * k + 1
+  def bCoef(k: Int): Long = 1000003L * k
+  private val A: Array[Long] = Array.tabulate(K)(aCoef)
+  private val B: Array[Long] = Array.tabulate(K)(bCoef)
 
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))

@@ -22,15 +22,16 @@ object DedupOps {
 
   /** Signature width: K hashes in B bands of R rows (K = B*R). Tuned on the
     * corpus: 4 bands × 3 rows gives 100% recall at Jaccard ≥ 0.8 with ~2×
-    * candidate over-generation (48 candidates / 25 true pairs at sf0.01). */
-  val K = 12
+    * candidate over-generation (48 candidates / 25 true pairs at sf0.01).
+    * Constants delegate to the native kernel's canonical definitions —
+    * one source of truth for Scala, codegen, and the oracle SQL. */
+  val K: Int = graft.functions.MinHashSig.K
   val Bands = 4
   val RowsPerBand = 3
 
-  /** Permutation k: h_k(x) = (a_k * x + b_k) mod P, a_k odd. Shared with
-    * the oracle-SQL generator in SparkEntry — change only in lockstep. */
-  def aCoef(k: Int): Long = 2L * k + 1
-  def bCoef(k: Int): Long = 1000003L * k
+  /** Permutation k: h_k(x) = (a_k * x + b_k) mod P, a_k odd. */
+  def aCoef(k: Int): Long = graft.functions.MinHashSig.aCoef(k)
+  def bCoef(k: Int): Long = graft.functions.MinHashSig.bCoef(k)
 
   def minhashExpr(h: Column, k: Int): Column =
     min((lit(aCoef(k)) * h + lit(bCoef(k))) % lit(TextOps.HashPrime))

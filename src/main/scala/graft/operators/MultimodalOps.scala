@@ -47,12 +47,17 @@ object MultimodalOps {
       encode(col(text), "UTF-8").as("content"))
 
   /** Payload chunking: fixed-size binary frames (video frame extraction /
-    * audio windowing shape). n = (bytes + size - 1) / size, all integer. */
+    * audio windowing shape). n = (bytes + size - 1) / size, all integer.
+    * Empty payloads yield an empty chunk array — the guard is required
+    * because Spark's sequence(1, 0) counts DOWN instead of being empty
+    * (same trap TextOps.wordShingles documents). */
   def chunks(content: Column, size: Int): Column =
-    transform(
-      sequence(lit(1),
-        ((length(content) + lit(size - 1)) / lit(size)).cast("int")),
-      i => content.substr((i - lit(1)) * lit(size) + lit(1), lit(size)))
+    when(length(content) > 0,
+      transform(
+        sequence(lit(1),
+          ((length(content) + lit(size - 1)) / lit(size)).cast("int")),
+        i => content.substr((i - lit(1)) * lit(size) + lit(1), lit(size))))
+      .otherwise(array().cast("array<binary>"))
 
   /** Frame sampling: every `everyNth` chunk, with its frame index —
     * posexplode over the chunk array, filtered by position. */

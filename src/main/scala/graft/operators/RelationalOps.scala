@@ -87,11 +87,15 @@ object RelationalOps {
   def saltedJoin(large: DataFrame, small: DataFrame, keys: Seq[String],
                  salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val salted = large.withColumn("__salt",
+    // Collision-free temp column across BOTH inputs (same guard as
+    // dedupFirst/positionalSlice — a caller's __salt must survive).
+    val sc = Iterator.iterate("__salt")(_ + "_")
+      .find(n => !large.columns.contains(n) && !small.columns.contains(n)).get
+    val salted = large.withColumn(sc,
       pmod(monotonically_increasing_id(), lit(salt.toLong)))
-    val replicated = small.withColumn("__salt",
+    val replicated = small.withColumn(sc,
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
-    salted.join(replicated, keys :+ "__salt").drop("__salt")
+    salted.join(replicated, keys :+ sc).drop(sc)
   }
 
   /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at

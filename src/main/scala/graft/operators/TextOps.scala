@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis kernel for the training-data-pipeline surface: tokenize,
@@ -58,6 +58,27 @@ object TextOps {
   def jaccard(a: Column, b: Column): Column =
     size(array_intersect(a, b)).cast("double") /
       size(array_union(a, b)).cast("double")
+
+  /** Count of tokens belonging to a (small, literal) stopword list. */
+  def stopwordCount(words: Column, stopwords: Seq[String]): Column =
+    size(filter(words, w => w.isin(stopwords: _*)))
+
+  /** L11 language ID: marker-word scores per (doc, lang) via a broadcast
+    * feature lookup, then the best language per doc under a deterministic
+    * (score desc, lang asc) tie-break. `markers` must carry columns
+    * (m_word, m_lang, m_weight). Returns (id, m_lang, score) — docs with
+    * no marker hits are absent (callers left-join + coalesce a fallback).
+    * Shared by the standalone lang-id query and the curation pipeline so
+    * the scoring rule cannot drift between them. */
+  def langIdBest(docs: DataFrame, id: String, text: Column,
+                 markers: DataFrame): DataFrame =
+    RelationalOps.topKPerGroup(
+        docs.select(col(id), explode(tokens(text)).as("__word"))
+          .join(broadcast(markers), col("__word") === col("m_word"))
+          .groupBy(col(id), col("m_lang"))
+          .agg(sum(col("m_weight")).as("score")),
+        Seq(id), Seq(col("score").desc, col("m_lang")), 1, "__rn")
+      .select(col(id), col("m_lang"), col("score"))
 
   /** Minhash-style single-value fingerprint: min 32-bit hash over the
     * distinct token set. */

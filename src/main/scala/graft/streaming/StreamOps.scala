@@ -52,35 +52,44 @@ object StreamOps {
   /** Session gap: a session closes after this much event-time silence. */
   val SessionGapMs: Long = 30 * 60 * 1000L
 
-  /** Custom sessionization via mapGroupsWithState: accumulates per-user
-    * state, closing a session (and starting a new one) when an incoming
-    * event arrives more than [[SessionGapMs]] of EVENT TIME after the
-    * last one — emits the running summary of the current session each
-    * batch. The KeyValueGroupedDataset path: state is per user key,
-    * partitioned by the shuffle. (NoTimeout: a processing-time timeout
-    * would schedule empty micro-batches forever, which also makes
+  /** Custom sessionization via flatMapGroupsWithState: accumulates
+    * per-user state, closing a session when an incoming event arrives more
+    * than [[SessionGapMs]] of EVENT TIME after the last one. Emits every
+    * session CLOSED within the batch plus the running summary of the
+    * current session — flatMap, not map, because a single batch can close
+    * several sessions for one key and a map emits only one row (which
+    * would silently drop the pre-gap sessions). The
+    * KeyValueGroupedDataset path: state is per user key, partitioned by
+    * the shuffle. (NoTimeout: a processing-time timeout would schedule
+    * empty micro-batches forever, which also makes
     * processAllAvailable-style draining impossible.) */
   def sessionize(events: Dataset[SessionEvent])
   : Dataset[SessionSummary] = {
     implicit val outEnc = Encoders.product[SessionSummary]
     events.groupByKey(_.user_id)(Encoders.scalaLong)
-      .mapGroupsWithState[SessionState, SessionSummary](
-        GroupStateTimeout.NoTimeout) {
+      .flatMapGroupsWithState[SessionState, SessionSummary](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (user, es, state: GroupState[SessionState]) =>
+          def summary(s: SessionState) =
+            SessionSummary(user, s.start, s.lastSeen, s.n, s.sum)
           val sorted = es.toSeq.sortBy(_.ts.getTime)
-          val init = state.getOption.getOrElse(
-            SessionState(sorted.head.ts.getTime, Long.MinValue, 0, 0.0))
-          val updated = sorted.foldLeft(init) { (acc, e) =>
+          var closed = List.empty[SessionSummary]
+          var cur = state.getOption
+          sorted.foreach { e =>
             val t = e.ts.getTime
-            if (acc.n > 0 && t - acc.lastSeen > SessionGapMs)
-              SessionState(t, t, 1, e.value) // gap: new session
-            else
-              SessionState(acc.start, math.max(acc.lastSeen, t),
-                acc.n + 1, acc.sum + e.value)
+            cur = cur match {
+              case Some(s) if t - s.lastSeen > SessionGapMs =>
+                closed ::= summary(s) // gap: close + start new session
+                Some(SessionState(t, t, 1, e.value))
+              case Some(s) =>
+                Some(SessionState(s.start, math.max(s.lastSeen, t),
+                  s.n + 1, s.sum + e.value))
+              case None =>
+                Some(SessionState(t, t, 1, e.value))
+            }
           }
-          state.update(updated)
-          SessionSummary(user, updated.start, updated.lastSeen,
-            updated.n, updated.sum)
+          cur.foreach(state.update)
+          (closed.reverse ++ cur.map(summary)).iterator
       }(Encoders.product[SessionState], outEnc)
   }
 

@@ -64,7 +64,7 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
-  test("sessionize accumulates per-user state via mapGroupsWithState") {
+  test("sessionize accumulates per-user state via flatMapGroupsWithState") {
     implicit val sc = spark.sqlContext
     val input = MemoryStream[SessionEvent]
     val q = StreamOps.sessionize(input.toDS)
@@ -82,6 +82,29 @@ class StreamingSpec extends AnyFunSuite {
         .select("user_id", "s.n_events", "s.sum_value")
         .as[(Long, Int, Double)].collect().sortBy(_._1)
       assert(latest.toSeq == Seq((7L, 3, 6.0), (9L, 1, 5.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits sessions CLOSED inside a single batch too") {
+    implicit val sc = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS)
+      .writeStream.format("memory").queryName("sessions_gap")
+      .outputMode("update").start()
+    try {
+      // one batch, gap > 30min between the two events: the first session
+      // closes AND must still be emitted (regression: mapGroupsWithState
+      // could only emit one row per key per batch and dropped it)
+      val lateTs = java.sql.Timestamp.valueOf("2024-01-01 11:30:00")
+      input.addData(SessionEvent(11L, ts(2), 5.0),
+        SessionEvent(11L, lateTs, 7.0))
+      q.processAllAvailable()
+      val rows = spark.table("sessions_gap")
+        .select("n_events", "sum_value", "start_ms")
+        .as[(Int, Double, Long)].collect().sortBy(_._3)
+      assert(rows.length == 2)
+      assert(rows(0) == ((1, 5.0, ts(2).getTime)))      // closed session
+      assert(rows(1) == ((1, 7.0, lateTs.getTime)))     // running session
     } finally q.stop()
   }
 }
