@@ -456,6 +456,22 @@ object SparkEntry {
           col("n_tokens"), col("stopword_ratio"))
     }),
 
+    // J5/A3 over the remaining dim chain (supplier→nation→region): every
+    // corpus table is exercised by at least one oracle query.
+    "q36_supplier_balance" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(C.money(col("s_acctbal"))).as("sum_acctbal"))
+        // raw exact-quotient average (q12 pattern) — bround/round_even on
+        // an arbitrary double is the q17 divergence class, avoided
+        .withColumn("avg_acctbal",
+          col("sum_acctbal") / col("n_suppliers"))),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -969,6 +985,17 @@ object SparkEntry {
          |FROM qf LEFT JOIN losers l ON qf.doc_id = l.doc_id
          | LEFT JOIN best b ON qf.doc_id = b.doc_id
          |WHERE l.doc_id IS NULL""".stripMargin,
+
+    "q36_supplier_balance" ->
+      """SELECT r_name, count(*) AS n_suppliers,
+        | CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS sum_acctbal,
+        | CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) / count(*) AS avg_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (
