@@ -20,12 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType,
   * generates a tight primitive loop inside whole-stage codegen.
   *
   * Result is BIT-IDENTICAL to the higher-order form (same IEEE multiply/
-  * add sequence, same 0.0 seed), so the DuckDB oracle twins
-  * (`list_reduce` mirror) hold unchanged.
-  *
-  * Nulls: a null array yields null (nullSafeEval); null ELEMENTS are not
-  * expected (embedding vectors are dense) — they read as 0.0f per
-  * ArrayData.getFloat semantics rather than nulling the result.
+  * add sequence, same 0.0 seed) INCLUDING the degenerate cases (ADVICE r2):
+  * a length mismatch is NULL (zip_with pads the short side with null, the
+  * null product nulls the fold) and a null element is NULL — never a
+  * silent truncate-and-zero-fill. DotProductSpec pins both against the
+  * higher-order form.
   */
 case class DotProductF32(left: Expression, right: Expression)
   extends BinaryExpression {
@@ -40,20 +39,13 @@ case class DotProductF32(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  // Nullable even for non-null inputs: mismatch/null-element -> null.
+  override def nullable: Boolean = true
+
   override def prettyName: String = "dot_f32"
 
-  override def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
-    var acc = 0.0
-    var i = 0
-    while (i < n) {
-      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-      i += 1
-    }
-    acc
-  }
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProductF32.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
@@ -61,17 +53,37 @@ case class DotProductF32(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
+         |boolean $bad = $n != $b.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |for (int $i = 0; !$bad && $i < $n; $i++) {
+         |  if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}
-         |${ev.value} = $acc;
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): DotProductF32 =
     copy(left = newLeft, right = newRight)
+}
+
+object DotProductF32 {
+  /** Shared by interpreted eval and tests; null on length mismatch or a
+    * null element (the higher-order form's exact semantics). */
+  def compute(x: ArrayData, y: ArrayData): Any = {
+    val n = x.numElements()
+    if (n != y.numElements()) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
 }

@@ -23,7 +23,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Returns array<bigint> of length [[K]]; null for a null or empty input
   * (an empty shingle set has no minima — callers filter those docs, both
-  * here and in the oracle).
+  * here and in the oracle). Null ELEMENTS are skipped, exactly as
+  * `array_min` ignores nulls in the composable form (ADVICE r2: a null
+  * element must not NPE a SQL-registered function); an all-null array is
+  * treated as empty.
   */
 case class MinHashSig(child: Expression) extends UnaryExpression {
 
@@ -42,28 +45,8 @@ case class MinHashSig(child: Expression) extends UnaryExpression {
 
   override def prettyName: String = "minhash_sig"
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
-    val n = arr.numElements()
-    if (n == 0) return null
-    val mins = Array.fill(K)(Long.MaxValue)
-    val md = digest.get()
-    var i = 0
-    while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var k = 0
-      while (k < K) {
-        val v = (A(k) * h + B(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
-      }
-      i += 1
-    }
-    new GenericArrayData(mins)
-  }
+  override protected def nullSafeEval(input: Any): Any =
+    MinHashSig.compute(input.asInstanceOf[ArrayData])
 
   // Interpreted eval via a static helper keeps the codegen path simple and
   // the hot loop in compiled JVM code either way.
@@ -97,26 +80,31 @@ object MinHashSig {
   private val digest: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Static entry used by the generated code. */
+  /** Static entry used by the generated code AND interpreted eval — one
+    * implementation, no drift. Null elements are skipped (array_min
+    * semantics); returns null when no non-null element exists. */
   def compute(arr: ArrayData): ArrayData = {
     val n = arr.numElements()
-    if (n == 0) return null
     val mins = Array.fill(K)(Long.MaxValue)
     val md = digest.get()
+    var seen = false
     var i = 0
     while (i < n) {
-      md.reset()
-      val d = md.digest(arr.getUTF8String(i).getBytes)
-      val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
-        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
-      var k = 0
-      while (k < K) {
-        val v = (A(k) * h + B(k)) % P
-        if (v < mins(k)) mins(k) = v
-        k += 1
+      if (!arr.isNullAt(i)) {
+        seen = true
+        md.reset()
+        val d = md.digest(arr.getUTF8String(i).getBytes)
+        val h = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+          ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+        var k = 0
+        while (k < K) {
+          val v = (A(k) * h + B(k)) % P
+          if (v < mins(k)) mins(k) = v
+          k += 1
+        }
       }
       i += 1
     }
-    new GenericArrayData(mins)
+    if (!seen) null else new GenericArrayData(mins)
   }
 }

@@ -86,14 +86,17 @@ object DedupOps {
     // The candidate set is referenced three times below (pair join + two
     // verify semi-joins); without materialization each reference would
     // recompute the whole signature pipeline. It is tiny relative to the
-    // corpus (pairs sharing a band), so checkpoint it once — the standard
-    // shape of a production LSH dedup.
+    // corpus (pairs sharing a band), so persist it — replicated-recoverable
+    // (re-derivable from lineage on executor loss), lazily materialized (no
+    // job at query-construction time), spills if ever not tiny. ADVICE r2:
+    // the previous eager localCheckpoint() stored it non-replicated AND
+    // un-re-derivable — one lost executor failed the whole job.
     val candidates = left.join(right,
         col("band") === col("band_r") &&
           col("band_hash") === col("band_hash_r") &&
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-      .localCheckpoint()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Verify only candidate docs: semi-join the RAW docs first, project the
     // shingle expression above it — so the expensive shingle build is
     // re-evaluated for the few candidate docs, not the whole corpus a

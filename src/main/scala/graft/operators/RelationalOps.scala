@@ -99,14 +99,27 @@ object RelationalOps {
   }
 
   /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at
-    * positions (lo, hi] under a total order. A single-partition window
-    * (acceptable: the slice's very semantics are a global ordering; the
-    * reference uses it on bucket-sized frames). */
+    * positions (lo, hi] under a total order.
+    *
+    * Formulated as multiset subtraction: the slice IS `top(hi) EXCEPT ALL
+    * top(lo)`. Each side is `orderBy.limit` — Catalyst's
+    * TakeOrderedAndProject, a distributed partial top-k (every partition
+    * keeps its own top k, one bounded merge) — so no global sort and no
+    * single-partition window ever runs (the r2 formulation ranked the whole
+    * input through an unpartitioned WindowExec: THE scale killer this
+    * operator invites). Cost: two partial top-k passes over the scan; slices
+    * are shallow by nature (hi is bounded by `limit`'s Int range), so both
+    * passes are cheap and pushdown-friendly.
+    * `order` must be a total order (include a tie-break) or the slice
+    * boundary is nondeterministic. */
   def positionalSlice(df: DataFrame, order: Seq[Column],
                       lo: Long, hi: Long): DataFrame = {
-    val w = Window.orderBy(order: _*)
-    val rn = Iterator.iterate("__pos")(_ + "_").find(!df.columns.contains(_)).get
-    df.withColumn(rn, row_number().over(w))
-      .filter(col(rn) > lo && col(rn) <= hi).drop(rn)
+    require(lo >= 0 && hi >= lo, s"need 0 <= lo <= hi, got ($lo, $hi]")
+    if (hi > Int.MaxValue)
+      throw new IllegalArgumentException(
+        s"positionalSlice hi=$hi exceeds limit() range; a slice that deep " +
+          "is a full global sort — restructure the query instead")
+    val top = df.orderBy(order: _*)
+    top.limit(hi.toInt).exceptAll(top.limit(lo.toInt))
   }
 }

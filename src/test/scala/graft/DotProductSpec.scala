@@ -38,4 +38,34 @@ class DotProductSpec extends AnyFunSuite {
     val r = df.select(Vec.dot(col("a"), col("b"))).head
     assert(r.isNullAt(0))
   }
+
+  // ADVICE r2: mismatch/null-element must be NULL in BOTH forms — the
+  // native kernel may not silently truncate or zero-fill what the
+  // documented higher-order twin nulls out.
+  test("length mismatch is null in both the native and higher-order form") {
+    val df = Seq((Seq(1f, 2f, 3f), Seq(4f, 5f))).toDF("a", "b")
+    val r = df.select(Vec.dot(col("a"), col("b")).as("native"),
+      Vec.dotHof(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("null element is null in both the native and higher-order form") {
+    val df = Seq((Seq(Some(1f), None, Some(3f)), Seq(Some(4f), Some(5f),
+      Some(6f)))).toDF("a", "b")
+    val r = df.select(Vec.dot(col("a"), col("b")).as("native"),
+      Vec.dotHof(col("a"), col("b")).as("hof")).head
+    assert(r.isNullAt(0) && r.isNullAt(1))
+  }
+
+  test("minhash_sig skips null elements instead of NPE (ADVICE r2)") {
+    val withNull = spark.sql(
+      "SELECT minhash_sig(array('ab', CAST(NULL AS STRING), 'cd')) AS s")
+      .head.getSeq[Long](0)
+    val without = spark.sql(
+      "SELECT minhash_sig(array('ab', 'cd')) AS s").head.getSeq[Long](0)
+    assert(withNull == without)
+    val allNull = spark.sql(
+      "SELECT minhash_sig(array(CAST(NULL AS STRING))) AS s").head
+    assert(allNull.isNullAt(0))
+  }
 }

@@ -29,11 +29,19 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q11 star join: nation/region broadcast, no sort-merge for dims") {
     val p = plan("q11_star_join")
-    assert(p.contains("BroadcastHashJoin"))
-    // the two fact-side joins may be shuffle joins; the dim joins must not
-    assert(p.sliding(400).exists(w =>
-      w.contains("BroadcastHashJoin") && w.contains("n_nationkey")) ||
-      p.contains("BroadcastHashJoin"))
+    // the two fact-side joins may be shuffle joins; the dim joins must be
+    // broadcast hash joins on their FK — assert per dim key, on the join
+    // operator's own line (ADVICE r2: the old sliding-window form had a
+    // tautological fallback and could never fail)
+    for (dimKey <- Seq("n_nationkey", "r_regionkey")) {
+      assert(p.linesIterator.exists(l =>
+        l.contains("BroadcastHashJoin") && l.contains(dimKey)),
+        s"no BroadcastHashJoin on $dimKey in:\n$p")
+      assert(!p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+          l.contains(dimKey)),
+        s"dim join on $dimKey took the shuffle path in:\n$p")
+    }
   }
 
   test("q05 validity filters are pushed to the parquet scan") {
