@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CleanseOps => C, DedupOps => D,
-  MultimodalOps => M, RelationalOps => R, TextOps => T, VectorOps => Vec,
-  VizPrep => V}
+  MultimodalOps => M, RelationalOps => R, TextOps => T, TimeOps => Ti,
+  VectorOps => Vec, VizPrep => V}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -472,6 +472,118 @@ object SparkEntry {
         .withColumn("avg_acctbal",
           col("sum_acctbal") / col("n_suppliers"))),
 
+    // As-of join (backward): each error event picks up the same user's
+    // most recent click at-or-before it — merge-scan via TimeOps, one
+    // shuffle on user_id, zero joins. Left-outer: unmatched errors keep
+    // null click columns.
+    "q37_asof_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("err_ts"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      Ti.asofBackward(err, "err_ts", clk, "click_ts", Seq("user_id"),
+          Seq("click_id", "click_ts"), Seq(col("click_id")))
+        .select(col("user_id"), col("err_id"), col("click_id"),
+          (unix_micros(col("err_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+    }),
+
+    // Sessionization: 30-min inactivity gap per user, then per-session
+    // stats — the batch twin of the streaming session window.
+    "q38_sessionize" -> ((s, dir) =>
+      Ti.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+          30L * 60 * 1000000, Seq(col("ts"), col("event_id")))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          min(unix_micros(col("ts"))).as("start_us"),
+          max(unix_micros(col("ts"))).as("end_us"),
+          countDistinct(col("event_type")).as("n_types"))
+        .withColumn("duration_us", col("end_us") - col("start_us"))),
+
+    // n-gram Jaccard near-dup: the same banded-LSH candidate machinery as
+    // q25 but measuring on character 8-gram shingle sets — robust to
+    // tokenization; threshold 0.7 on char-set Jaccard.
+    "q39_ngram_jaccard" -> ((s, dir) =>
+      D.nearDupPairs(
+        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", T.charShingles(col("text"), 8), 0.7)),
+
+    // OLAP rollup (grouping sets): region/nation subtotals + grand total
+    // in one pass — partial-aggregable, one shuffle.
+    "q40_rollup" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(C.money(col("s_acctbal"))).as("sum_acctbal"))),
+
+    // TF-IDF-style term scoring: tf × (N/df) with exact integer-ratio
+    // doubles (no transcendental — log() is not bit-stable across engines),
+    // top-3 terms per doc under a deterministic tie-break.
+    "q41_tfidf" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val tf = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("word"))
+        .groupBy(col("doc_id"), col("word"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      val scored = tf.join(dfreq, "word").crossJoin(broadcast(n))
+        .withColumn("score", col("tf").cast("double") *
+          (col("n_docs").cast("double") / col("df").cast("double")))
+      R.topKPerGroup(scored, Seq("doc_id"),
+          Seq(col("score").desc, col("word")), 3, "rank")
+        .select(col("doc_id"), col("word"), col("tf"), col("df"),
+          col("score"), col("rank"))
+    }),
+
+    // PII scrub: regex redaction of emails then digit runs, with match
+    // counts. The corpus has no natural PII, so both engines inject the
+    // same deterministic contact line first (q30's sentinel pattern) —
+    // the scrub operators are genuinely exercised.
+    "q42_pii_scrub" -> ((s, dir) => {
+      val raw = concat(col("text"), lit(" contact user"),
+        col("doc_id").cast("string"), lit("@mail.example ref "),
+        (col("doc_id") * 7).cast("string"))
+      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+      val numPat = "[0-9]+"
+      t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
+        .withColumn("n_emails",
+          size(regexp_extract_all(col("__raw"), lit(emailPat), lit(0))))
+        .withColumn("__s1",
+          regexp_replace(col("__raw"), emailPat, "<EMAIL>"))
+        .withColumn("n_nums",
+          size(regexp_extract_all(col("__s1"), lit(numPat), lit(0))))
+        .withColumn("__s2", regexp_replace(col("__s1"), numPat, "<NUM>"))
+        .select(col("doc_id"), col("n_emails"), col("n_nums"),
+          md5(col("__s2")).as("scrubbed_md5"),
+          length(col("__s2")).as("scrubbed_len"))
+    }),
+
+    // Exact grouped median via two middle ranks — deterministic (contrast
+    // percentile_approx, the scale path, which is sketch-based and not
+    // oracle-stable). The windowed rank is per-group, one shuffle.
+    "q43_median" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      val cw = Window.partitionBy(col("event_type"))
+      t(s, dir, "events")
+        .select(col("event_type"), col("value"), col("event_id"))
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("__cnt", count(lit(1)).over(cw))
+        .filter(col("__rn") === floor((col("__cnt") + 1) / lit(2)) ||
+          col("__rn") === floor((col("__cnt") + 2) / lit(2)))
+        .groupBy(col("event_type"))
+        .agg((sum(col("value")) / count(lit(1))).as("median_value"),
+          max(col("__cnt")).as("n_events"))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -560,6 +672,12 @@ object SparkEntry {
   private val sqlShingles3: String =
     "list_distinct([array_to_string(w[i:i+2],' ') " +
       "for i in generate_series(1, len(w)-2)])"
+
+  /** DuckDB twin of TextOps.charShingles(text, 8) (incl. short-text
+    * whole-string fallback). */
+  private val sqlCharShingles8: String =
+    "CASE WHEN length(text) >= 8 THEN list_distinct([substr(text,i,8) " +
+      "for i in generate_series(1, length(text)-7)]) ELSE [text] END"
 
   /** DuckDB VALUES table of langIdMarkers. */
   private val sqlMarkers: String = langIdMarkers
@@ -995,6 +1113,109 @@ object SparkEntry {
         |FROM supplier
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    // DuckDB's native ASOF JOIN is an independent implementation of the
+    // same semantics — a genuinely cross-checked oracle (not a SQL mirror
+    // of the Spark formulation). Deterministic: click timestamps are
+    // unique per user (no ties for ASOF to break arbitrarily).
+    "q37_asof_join" ->
+      """WITH e AS (SELECT user_id, event_id AS err_id, ts FROM events
+        |  WHERE event_type = 'error'),
+        |c AS (SELECT user_id, event_id AS click_id, ts FROM events
+        |  WHERE event_type = 'click')
+        |SELECT e.user_id, e.err_id, c.click_id,
+        | epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
+        |FROM e ASOF LEFT JOIN c
+        | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q38_sessionize" ->
+      """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, event_type, us,
+        |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM x)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        | count(*) AS n_events, min(us) AS start_us, max(us) AS end_us,
+        | max(us) - min(us) AS duration_us,
+        | CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM s GROUP BY 1, 2""".stripMargin,
+
+    "q39_ngram_jaccard" ->
+      s"""WITH shl AS (SELECT doc_id, $sqlCharShingles8 AS sl FROM documents),
+         |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |bands AS ($sqlBandRows),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |j AS (SELECT ida, idb,
+         |  CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
+         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
+         |   AS jaccard
+         |  FROM cand JOIN shl x ON x.doc_id = ida
+         |   JOIN shl y ON y.doc_id = idb)
+         |SELECT ida AS id_a, idb AS id_b, jaccard
+         |FROM j WHERE jaccard >= 0.7""".stripMargin,
+
+    "q40_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        | CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS sum_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q41_tfidf" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
+        |  FROM documents),
+        |tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+        |dfreq AS (SELECT word, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |sc AS (SELECT doc_id, word, tf, df,
+        |  CAST(tf AS DOUBLE) * (CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+        |   AS score
+        | FROM tf JOIN dfreq USING (word) CROSS JOIN n),
+        |r AS (SELECT doc_id, word, tf, df, score, row_number() OVER
+        |  (PARTITION BY doc_id ORDER BY score DESC, word) AS rnk FROM sc)
+        |SELECT doc_id, word, CAST(tf AS BIGINT) AS tf,
+        | CAST(df AS BIGINT) AS df, score, CAST(rnk AS INT) AS "rank"
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    "q42_pii_scrub" ->
+      """WITH raw AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR)
+        |   || '@mail.example ref ' || CAST(doc_id * 7 AS VARCHAR) AS r
+        | FROM documents),
+        |s1 AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(r, '[a-z0-9]+@[a-z]+\.[a-z]+'))
+        |   AS INT) AS n_emails,
+        |  regexp_replace(r, '[a-z0-9]+@[a-z]+\.[a-z]+', '<EMAIL>', 'g')
+        |   AS t1
+        | FROM raw)
+        |SELECT doc_id, n_emails,
+        | CAST(len(regexp_extract_all(t1, '[0-9]+')) AS INT) AS n_nums,
+        | md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS scrubbed_md5,
+        | CAST(length(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS INT)
+        |  AS scrubbed_len
+        |FROM s1""".stripMargin,
+
+    "q43_median" ->
+      """WITH x AS (SELECT event_type, value, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS cnt
+        | FROM events)
+        |SELECT event_type, sum(value) / count(*) AS median_value,
+        | CAST(max(cnt) AS BIGINT) AS n_events
+        |FROM x WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         |GROUP BY 1""".stripMargin,
 
     "q29_embed_neardup" ->

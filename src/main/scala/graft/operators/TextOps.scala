@@ -53,6 +53,16 @@ object TextOps {
         i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
       .otherwise(array().cast("array<string>"))
 
+  /** Distinct character n-gram shingles of the raw text (the n-gram-
+    * Jaccard dedup family measures on these rather than word shingles —
+    * robust to tokenization differences). Texts shorter than `n` chars
+    * shingle whole, mirroring [[rollingFingerprint]]'s fallback. */
+  def charShingles(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n)))))
+      .otherwise(array(text))
+
   /** Set Jaccard similarity of two (distinct-element) arrays, as the exact
     * double quotient of two small ints — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column =

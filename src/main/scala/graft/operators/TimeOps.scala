@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series operators Spark lacks as built-ins: backward as-of join and
+  * inactivity-gap sessionization. Both are formulated as ONE shuffle on the
+  * entity key + a merge-scan window — the shape kdb/Flink/QuestDB use for
+  * the same operators — never a per-row range probe or an
+  * O(left × right) interval join.
+  */
+object TimeOps {
+
+  /** Backward (most-recent-at-or-before) as-of join.
+    *
+    * For each left row, finds the right row with the greatest `rightTs` ≤
+    * `leftTs` within the same `keys` group, and attaches that row's
+    * `payload` columns (null when no right row precedes — left-outer
+    * semantics). Among right rows sharing the exact match timestamp, the
+    * LAST under ascending `rightOrder` wins — pass a unique column to make
+    * the join deterministic under timestamp ties.
+    *
+    * Implementation: tag and union both sides, then one
+    * `last(_, ignoreNulls)` running window ordered by (ts, side-tag,
+    * tie-break) — right rows sort before left rows at equal ts, so the
+    * carried value at each left row is exactly the latest right row at-or-
+    * before it. ONE shuffle on `keys`, one sort, zero joins: the classic
+    * merge-scan as-of, linear at any scale (contrast the naive
+    * `left.join(right, keys && rTs <= lTs)` + max-filter, which explodes
+    * to O(|left| × |right per key|) pairs before pruning).
+    *
+    * `payload` names must not collide with left columns; `keys` columns
+    * must exist on both sides with identical names.
+    */
+  def asofBackward(left: DataFrame, leftTs: String,
+                   right: DataFrame, rightTs: String,
+                   keys: Seq[String], payload: Seq[String],
+                   rightOrder: Seq[Column] = Nil): DataFrame = {
+    require(payload.nonEmpty, "asofBackward needs at least one payload column")
+    val clash = payload.filter(left.columns.contains)
+    require(clash.isEmpty, s"payload collides with left columns: $clash")
+    // Collision-free internal names against BOTH schemas.
+    val all = (left.columns ++ right.columns).toSet
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").find(!all.contains(_)).get
+    val ts = fresh("__asof_ts")
+    val tag = fresh("__asof_tag")
+    val carry = fresh("__asof_carry")
+    val tb = fresh("__asof_tb")
+
+    val leftRest = left.columns.toSeq.filterNot(keys.contains)
+    val carryType = right.select(struct(payload.map(col): _*)).schema.head.dataType
+    val tbExpr: Column =
+      if (rightOrder.isEmpty) lit(0L) else struct(rightOrder: _*)
+    val tbType = right.select(tbExpr).schema.head.dataType
+
+    val rSide = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as(ts),
+        lit(0).as(tag),
+        struct(payload.map(col): _*).as(carry),
+        tbExpr.as(tb)) ++
+        leftRest.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    val lSide = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as(ts),
+        lit(1).as(tag),
+        lit(null).cast(carryType).as(carry),
+        lit(null).cast(tbType).as(tb)) ++
+        leftRest.map(col): _*)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(ts).asc, col(tag).asc, col(tb).asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rSide.unionByName(lSide)
+      .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
+      .filter(col(tag) === 1)
+      .select((keys ++ leftRest).map(col) ++
+        payload.map(p => col(carry).getField(p).as(p)): _*)
+  }
+
+  /** Inactivity-gap sessionization: assigns each row a per-key
+    * `session_idx` (1-based, chronological) that increments whenever the
+    * gap since the key's previous row exceeds `gapMicros`.
+    *
+    * One shuffle on `keys`; the lag and the running sum share the same
+    * partitioning and sort, so the second window reuses the first's
+    * exchange. `order` must be a per-key total order starting with the
+    * timestamp (include a unique tie-break column).
+    *
+    * This is the batch twin of the streaming session window
+    * (`session_window` / flatMapGroupsWithState): same assignment, but
+    * replayable over stored history.
+    */
+  def sessionize(df: DataFrame, keys: Seq[String], tsCol: String,
+                 gapMicros: Long, order: Seq[Column],
+                 out: String = "session_idx"): DataFrame = {
+    require(gapMicros > 0, "gapMicros must be positive")
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").find(!df.columns.contains(_)).get
+    val us = fresh("__sess_us")
+    val prev = fresh("__sess_prev")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn(us, unix_micros(col(tsCol)))
+      .withColumn(prev, lag(col(us), 1).over(w))
+      .withColumn(out,
+        sum(when(col(prev).isNull || col(us) - col(prev) > gapMicros, 1L)
+          .otherwise(0L)).over(run))
+      .drop(us, prev)
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{TextOps, TimeOps}
+
+/** Pins the as-of join and sessionization edge semantics the oracle query
+  * can't isolate: inclusive match, timestamp-tie tie-break, left-outer
+  * miss, exact-gap session boundary, and charShingles' short-text
+  * fallback. */
+class TimeOpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("asofBackward: inclusive match, latest-at-or-before, miss -> null") {
+    val l = Seq((1L, 10L, "L10"), (1L, 20L, "L20"), (2L, 5L, "L5"))
+      .toDF("k", "lus", "ltag")
+      .withColumn("lts", timestamp_micros(col("lus")))
+    val r = Seq((1L, 10L, "a"), (1L, 15L, "b"), (2L, 7L, "c"))
+      .toDF("k", "rus", "v")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    val out = TimeOps.asofBackward(l, "lts", r, "rts", Seq("k"),
+        Seq("v"), Seq(col("rus")))
+      .select(col("ltag"), col("v")).collect().map(x => (x.getString(0),
+        if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(out("L10") == "a")  // rts == lts is a match (inclusive)
+    assert(out("L20") == "b")  // latest at-or-before, not first
+    assert(out("L5") == null)  // nothing precedes -> left-outer null
+  }
+
+  test("asofBackward: equal-timestamp right rows resolve by rightOrder (last wins)") {
+    val l = Seq((1L, 20L, "L")).toDF("k", "lus", "ltag")
+      .withColumn("lts", timestamp_micros(col("lus")))
+    val r = Seq((1L, 20L, 1L, "first"), (1L, 20L, 2L, "second"))
+      .toDF("k", "rus", "rid", "v")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    val out = TimeOps.asofBackward(l, "lts", r, "rts", Seq("k"),
+      Seq("v"), Seq(col("rid"))).select(col("v")).head.getString(0)
+    assert(out == "second")
+  }
+
+  test("asofBackward rejects payload/left column collisions") {
+    val l = Seq((1L, 1L, "x")).toDF("k", "lts", "v")
+    val r = Seq((1L, 1L, "y")).toDF("k", "rts", "v")
+    assertThrows[IllegalArgumentException] {
+      TimeOps.asofBackward(l, "lts", r, "rts", Seq("k"), Seq("v"))
+    }
+  }
+
+  test("sessionize: splits strictly beyond the gap, not at it") {
+    val gapUs = 30L * 60 * 1000000
+    val ev = Seq(
+      (7L, 0L, 1L),              // session 1
+      (7L, gapUs, 2L),           // exactly 30min later -> SAME session
+      (7L, 2 * gapUs + 1, 3L),   // 30min + 1us after prev -> new session
+      (8L, 5L, 4L))              // other key, own numbering
+      .toDF("user_id", "us", "event_id")
+      .withColumn("t", timestamp_micros(col("us")))
+    val out = TimeOps.sessionize(ev, Seq("user_id"), "t", gapUs,
+        Seq(col("t"), col("event_id")))
+      .select(col("event_id"), col("session_idx"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == 1 && out(2L) == 1 && out(3L) == 2)
+    assert(out(4L) == 1)
+  }
+
+  test("charShingles: short text shingles whole; duplicates collapse") {
+    val df = Seq("abc", "abcdefgh", "aaaaaaaaaa").toDF("text")
+    val out = df.select(TextOps.charShingles(col("text"), 8).as("s"))
+      .collect().map(_.getSeq[String](0))
+    assert(out(0) == Seq("abc"))
+    assert(out(1) == Seq("abcdefgh"))
+    // "aaaaaaaaaa" has 3 windows, all identical -> 1 distinct shingle
+    assert(out(2) == Seq("aaaaaaaa"))
+  }
+}
