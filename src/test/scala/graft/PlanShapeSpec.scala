@@ -106,6 +106,48 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"))
   }
 
+  // Shuffle counter for FormattedMode output: operator lines print as
+  // "Exchange (n)" — the lookbehind excludes BroadcastExchange (a dim
+  // broadcast is not a shuffle of the fact side).
+  private def shuffles(f: String): Int =
+    "(?<!Broadcast)Exchange \\(".r.findAllIn(f).length
+
+  test("q37 as-of join is one shuffle and ZERO join operators") {
+    val f = formatted("q37_asof_join")
+    assert(!f.contains("Join"), s"merge-scan as-of must not plan a join:\n$f")
+    assert(shuffles(f) == 1,
+      s"expected exactly 1 hash exchange (user_id), got ${shuffles(f)}:\n$f")
+  }
+
+  test("q38 sessionize: lag and running sum share one exchange + sort") {
+    val f = formatted("q38_sessionize")
+    // one for the user_id window pair, one for the (user, session) groupBy
+    assert(shuffles(f) <= 2, s"expected <=2 hash exchanges, got ${shuffles(f)}:\n$f")
+    val sorts = "Sort \\(".r.findAllIn(f).length
+    assert(sorts <= 1, s"both windows must reuse one sort, got $sorts:\n$f")
+  }
+
+  test("q39 char-ngram candidate join is an equi-join, never all-pairs") {
+    val p = plan("q39_ngram_jaccard")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      "ngram candidate generation must join on (band, band_hash)")
+  }
+
+  test("q40 rollup expands grouping sets in one aggregation pass") {
+    val f = formatted("q40_rollup")
+    assert(f.contains("Expand"), "rollup should plan an Expand, not a union")
+    // partial + final aggregate around a single shuffle of the expanded rows
+    assert(shuffles(f) == 1, s"expected 1 hash exchange, got ${shuffles(f)}:\n$f")
+  }
+
+  test("q43 median windows and final aggregate share the group partitioning") {
+    val f = formatted("q43_median")
+    // row_number + count windows and the groupBy all hash on event_type:
+    // Catalyst must not re-shuffle between them
+    assert(shuffles(f) == 1, s"expected 1 hash exchange, got ${shuffles(f)}:\n$f")
+  }
+
   test("q24 exact dedup is one shuffle on the content hash") {
     val f = formatted("q24_exact_dedup")
     val exchanges = "Exchange".r.findAllIn(f).length
