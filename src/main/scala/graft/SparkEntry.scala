@@ -584,6 +584,47 @@ object SparkEntry {
           max(col("__cnt")).as("n_events"))
     }),
 
+    // Pivot (wide aggregation): per-day event counts, one column per
+    // event type. Values passed EXPLICITLY — the implicit form runs a
+    // driver-side distinct over the pivot column first, a hidden extra
+    // pass at corpus scale. Empty cells surface as null (pivot semantics),
+    // which the oracle mirrors with NULLIF.
+    "q44_pivot" -> ((s, dir) =>
+      t(s, dir, "events")
+        .withColumn("day", dayofmonth(col("ts")))
+        .groupBy(col("day"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))),
+
+    // Window-function family over one partition key: running sum, rank,
+    // dense_rank, percent_rank, ntile — two sorts, ONE exchange (both
+    // window specs hash on o_custkey).
+    "q45_window_family" -> ((s, dir) => {
+      val wt = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wv = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders").select(col("o_custkey"), col("o_orderkey"),
+        sum(C.money(col("o_totalprice"))).over(wt).cast("double")
+          .as("running_spend"),
+        rank().over(wv).as("price_rank"),
+        dense_rank().over(wv).as("price_dense_rank"),
+        percent_rank().over(wv).as("price_pr"),
+        ntile(4).over(wv).as("quartile"))
+    }),
+
+    // Set operations with SET semantics (distinct): INTERSECT + EXCEPT
+    // of two year slices of the customer key space.
+    "q46_setops" -> ((s, dir) => {
+      def custs(y: Int) = t(s, dir, "orders")
+        .filter(year(col("o_orderdate")) === y).select(col("o_custkey"))
+      custs(1995).intersect(custs(1996)).withColumn("tag", lit("both"))
+        .unionByName(
+          custs(1995).except(custs(1996))
+            .withColumn("tag", lit("only_1995")))
+    }),
+
     // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
     // key bounds the pair space the way LSH buckets do — never all-pairs).
     "q29_embed_neardup" -> ((s, dir) => {
@@ -1217,6 +1258,46 @@ object SparkEntry {
         | CAST(max(cnt) AS BIGINT) AS n_events
         |FROM x WHERE rn = (cnt + 1) // 2 OR rn = (cnt + 2) // 2
         |GROUP BY 1""".stripMargin,
+
+    "q44_pivot" ->
+      """SELECT CAST(date_part('day', ts) AS INT) AS day,
+        | NULLIF(CAST(count(CASE WHEN event_type = 'click' THEN 1 END)
+        |   AS BIGINT), 0) AS click,
+        | NULLIF(CAST(count(CASE WHEN event_type = 'error' THEN 1 END)
+        |   AS BIGINT), 0) AS error,
+        | NULLIF(CAST(count(CASE WHEN event_type = 'purchase' THEN 1 END)
+        |   AS BIGINT), 0) AS purchase,
+        | NULLIF(CAST(count(CASE WHEN event_type = 'signup' THEN 1 END)
+        |   AS BIGINT), 0) AS signup,
+        | NULLIF(CAST(count(CASE WHEN event_type = 'view' THEN 1 END)
+        |   AS BIGINT), 0) AS view
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q45_window_family" ->
+      """SELECT o_custkey, o_orderkey,
+        | CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,4)))
+        |   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS UNBOUNDED PRECEDING) AS VARCHAR) AS DOUBLE)
+        |  AS running_spend,
+        | CAST(rank() OVER wv AS INT) AS price_rank,
+        | CAST(dense_rank() OVER wv AS INT) AS price_dense_rank,
+        | percent_rank() OVER wv AS price_pr,
+        | CAST(ntile(4) OVER wv AS INT) AS quartile
+        |FROM orders
+        |WINDOW wv AS (PARTITION BY o_custkey
+        |              ORDER BY o_totalprice DESC, o_orderkey)""".stripMargin,
+
+    "q46_setops" ->
+      """SELECT o_custkey, 'both' AS tag FROM (
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        | INTERSECT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        |UNION ALL
+        |SELECT o_custkey, 'only_1995' AS tag FROM (
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        | EXCEPT
+        | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)"""
+        .stripMargin,
 
     "q29_embed_neardup" ->
       s"""SELECT label, vec_a, vec_b, cosine FROM (

@@ -65,4 +65,23 @@ object CatalogOps {
       "left_anti")
     badCountry.unionByName(badYear)
   }
+
+  /** Bucketed managed table: pays the shuffle ONCE at write time so every
+    * later equi-join or aggregation on `keys` against a co-bucketed table
+    * runs exchange-free (Spark reads bucket files as pre-partitioned
+    * splits). This is the 100 TB co-location strategy for fact-fact joins
+    * that repeat across queries — e.g. orders ⋈ lineitem on orderkey —
+    * where re-shuffling terabytes per query is the dominant cost.
+    * `sortCols` additionally sorts within buckets, letting SortMergeJoin
+    * skip its sort phase. Both sides must use the SAME bucket count. */
+  def writeBucketed(df: DataFrame, db: String, table: String,
+                    keys: Seq[String], buckets: Int,
+                    sortCols: Seq[String] = Nil): Unit = {
+    require(keys.nonEmpty && buckets > 0, "need keys and a bucket count")
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val w = df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, keys.head, keys.tail: _*)
+    (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
+      .saveAsTable(s"$db.$table")
+  }
 }

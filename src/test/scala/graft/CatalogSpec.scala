@@ -42,4 +42,39 @@ class CatalogSpec extends AnyFunSuite {
     CatalogOps.createStarSchema(spark, db)
     assert(spark.table(s"$db.crime").count() == 0)
   }
+
+  test("co-bucketed fact-fact join runs with ZERO exchanges") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    // The test metastore (derby) is per-JVM but the warehouse dir persists:
+    // a leftover location from a previous run fails CREATE TABLE AS. Clear
+    // both locations first — test-environment hygiene, not library logic.
+    for (tbl <- Seq("orders_b", "lineitem_b")) {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$tbl")
+      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
+    CatalogOps.writeBucketed(Tables(spark, sf, "orders"),
+      db, "orders_b", Seq("o_orderkey"), 4, Seq("o_orderkey"))
+    CatalogOps.writeBucketed(Tables(spark, sf, "lineitem"),
+      db, "lineitem_b", Seq("l_orderkey"), 4, Seq("l_orderkey"))
+    // force the join path (tiny tables would broadcast otherwise)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table(s"$db.orders_b")
+        .join(spark.table(s"$db.lineitem_b"),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"))
+        .agg(count(lit(1)).as("n"))
+      val f = j.queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode)
+      assert(!f.contains("Exchange"),
+        s"bucketed join + same-key agg must be exchange-free:\n$f")
+      assert(j.limit(5).collect().nonEmpty)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
