@@ -67,8 +67,13 @@ object Bench {
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
+    // n_queries/sec_per_query: the suite GROWS between rounds (r1: 18
+    // queries, r2: 36, r3: 46) — raw totals are not comparable across
+    // rounds without the count.
+    val n = results.count(_._2 >= 0)
+    val perQ = if (n > 0) total / n else -1.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failures":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"queries":$qs,"failures":$failed,"sf":"$sfDir"}"""
     // File sink for the driver (stdout is interleaved with sbt/log noise).
     sys.env.get("BENCH_OUT").orElse(Some("BENCH.json")).foreach { p =>
       Files.writeString(Paths.get(p), json + "\n")

@@ -99,4 +99,35 @@ class PropertySpec extends AnyFunSuite {
       assert(R.unionAll(Seq(da, db)).count() == da.count() + db.count())
     }
   }
+
+  test("asofBackward equals the naive join-then-max reference on random data") {
+    import graft.operators.{TimeOps => Ti}
+    // left: (key, ts, id)  right: (key, ts, id) — heavy ts collisions on
+    // purpose (choose(1,8)) so the tie-break path is exercised.
+    val side = Gen.listOfN(25,
+      Gen.zip(Gen.choose(1, 3), Gen.choose(1L, 8L), Gen.choose(1, 1000)))
+    forAll2(side, side, n = 4) { (l, r) =>
+      val left = l.zipWithIndex
+        .map { case ((k, ts, _), i) => (k, ts, i.toLong) }
+        .toDF("k", "lus", "lid")
+        .withColumn("lts", timestamp_micros(col("lus")))
+      val right = r.map { case (k, ts, v) => (k, ts, v.toLong) }
+        .distinct  // unique (k, ts, rid) triples
+        .toDF("k", "rus", "rid")
+        .withColumn("rts", timestamp_micros(col("rus")))
+      val got = Ti.asofBackward(left, "lts", right, "rts", Seq("k"),
+          Seq("rid"), Seq(col("rid")))
+        .select(col("lid"), col("rid"))
+        .collect().map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
+      // Naive reference: all pairs, filter rts <= lts, keep max (rts, rid).
+      val rightRows = r.map { case (k, ts, v) => (k, ts, v.toLong) }.distinct
+      val want = l.zipWithIndex.map { case ((k, lts, _), i) =>
+        val cands = rightRows.filter(c => c._1 == k && c._2 <= lts)
+        i.toLong -> (if (cands.isEmpty) -1L
+                     else cands.maxBy(c => (c._2, c._3))._3)
+      }.toMap
+      assert(got == want)
+    }
+  }
 }
