@@ -107,4 +107,47 @@ class StreamingSpec extends AnyFunSuite {
       assert(rows(1) == ((1, 7.0, lateTs.getTime)))     // running session
     } finally q.stop()
   }
+
+  test("streaming sessionize matches batch TimeOps.sessionize on one feed") {
+    implicit val sc = spark.sqlContext
+    // Deterministic second-precision feed: 3 users x 40 events, gaps of
+    // 5..50 minutes so plenty straddle the 30-min session boundary.
+    val rng = new scala.util.Random(42)
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val evs = (1L to 3L).flatMap { u =>
+      var t = base + u * 1000
+      (1 to 40).map { _ =>
+        t += (5 + rng.nextInt(46)) * 60000L
+        SessionEvent(u, new Timestamp(t), 1.0)
+      }
+    }
+
+    // Streaming path: everything in one batch -> output is every closed
+    // session plus the final running one, i.e. the complete session list.
+    val input = MemoryStream[SessionEvent]
+    val q = StreamOps.sessionize(input.toDS)
+      .writeStream.format("memory").queryName("sessions_parity")
+      .outputMode("update").start()
+    val streamed = try {
+      input.addData(evs: _*)
+      q.processAllAvailable()
+      spark.table("sessions_parity")
+        .select("user_id", "start_ms", "end_ms", "n_events")
+        .as[(Long, Long, Long, Int)].collect().toSet
+    } finally q.stop()
+
+    // Batch path: same gap, micros units.
+    val batch = graft.operators.TimeOps.sessionize(
+        evs.toDF("user_id", "ts", "value"), Seq("user_id"), "ts",
+        StreamOps.SessionGapMs * 1000, Seq(col("ts")))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg((min(unix_micros(col("ts"))) / 1000).cast("long").as("start_ms"),
+        (max(unix_micros(col("ts"))) / 1000).cast("long").as("end_ms"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select("user_id", "start_ms", "end_ms", "n_events")
+      .as[(Long, Long, Long, Int)].collect().toSet
+
+    assert(streamed == batch)
+    assert(batch.size > 3, "expected multiple sessions per user")
+  }
 }
