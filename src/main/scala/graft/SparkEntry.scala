@@ -551,16 +551,11 @@ object SparkEntry {
       val raw = concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example ref "),
         (col("doc_id") * 7).cast("string"))
-      val emailPat = "[a-z0-9]+@[a-z]+\\.[a-z]+"
-      val numPat = "[0-9]+"
       t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
-        .withColumn("n_emails",
-          size(regexp_extract_all(col("__raw"), lit(emailPat), lit(0))))
-        .withColumn("__s1",
-          regexp_replace(col("__raw"), emailPat, "<EMAIL>"))
-        .withColumn("n_nums",
-          size(regexp_extract_all(col("__s1"), lit(numPat), lit(0))))
-        .withColumn("__s2", regexp_replace(col("__s1"), numPat, "<NUM>"))
+        .withColumn("n_emails", T.matchCount(col("__raw"), T.EmailPattern))
+        .withColumn("__s1", T.redact(col("__raw"), T.EmailPattern, "<EMAIL>"))
+        .withColumn("n_nums", T.matchCount(col("__s1"), T.NumberPattern))
+        .withColumn("__s2", T.redact(col("__s1"), T.NumberPattern, "<NUM>"))
         .select(col("doc_id"), col("n_emails"), col("n_nums"),
           md5(col("__s2")).as("scrubbed_md5"),
           length(col("__s2")).as("scrubbed_len"))

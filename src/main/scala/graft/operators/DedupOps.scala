@@ -91,6 +91,12 @@ object DedupOps {
     // job at query-construction time), spills if ever not tiny. ADVICE r2:
     // the previous eager localCheckpoint() stored it non-replicated AND
     // un-re-derivable — one lost executor failed the whole job.
+    // Lifecycle: CacheManager keys entries by CANONICALIZED plan, so
+    // repeated invocations over the same (docs, shingles) reuse one entry
+    // (observed as "Asked to cache already cached data" on re-runs) —
+    // growth is bounded by distinct corpora per session, each entry a few
+    // KB of id pairs. Long-lived sessions sweeping MANY corpora should
+    // spark.catalog.clearCache() between sweeps.
     val candidates = left.join(right,
         col("band") === col("band_r") &&
           col("band_hash") === col("band_hash_r") &&

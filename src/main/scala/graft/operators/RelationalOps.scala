@@ -110,8 +110,14 @@ object RelationalOps {
     * operator invites). Cost: two partial top-k passes over the scan; slices
     * are shallow by nature (hi is bounded by `limit`'s Int range), so both
     * passes are cheap and pushdown-friendly.
-    * `order` must be a total order (include a tie-break) or the slice
-    * boundary is nondeterministic. */
+    *
+    * Tie robustness: the two top-k passes evaluate independently, so the
+    * caller's `order` is silently extended with every remaining
+    * atomic-typed column — full-row lexicographic order. Rows that STILL
+    * tie are byte-identical on all orderable columns, and multiset
+    * subtraction removes the right count of those regardless of which
+    * physical copies each pass picked. Under a caller-total `order` the
+    * extension is inert. */
   def positionalSlice(df: DataFrame, order: Seq[Column],
                       lo: Long, hi: Long): DataFrame = {
     require(lo >= 0 && hi >= lo, s"need 0 <= lo <= hi, got ($lo, $hi]")
@@ -119,7 +125,11 @@ object RelationalOps {
       throw new IllegalArgumentException(
         s"positionalSlice hi=$hi exceeds limit() range; a slice that deep " +
           "is a full global sort — restructure the query instead")
-    val top = df.orderBy(order: _*)
+    val tieBreaks = df.schema.fields.collect {
+      case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(f.dataType) => col(f.name)
+    }.toSeq
+    val top = df.orderBy(order ++ tieBreaks: _*)
     top.limit(hi.toInt).exceptAll(top.limit(lo.toInt))
   }
 }

@@ -90,6 +90,21 @@ object TextOps {
         Seq(id), Seq(col("score").desc, col("m_lang")), 1, "__rn")
       .select(col(id), col("m_lang"), col("score"))
 
+  /** PII-scrub patterns — kept to plain character classes so Java regex
+    * (Spark) and RE2 (oracle engines) match identically. Order matters
+    * when composing: redact EMAILS FIRST — the email pattern contains
+    * digits that the number pattern would otherwise mangle. */
+  val EmailPattern = "[a-z0-9]+@[a-z]+\\.[a-z]+"
+  val NumberPattern = "[0-9]+"
+
+  /** Replace every match of `pattern` with `token` (L18 redaction). */
+  def redact(c: Column, pattern: String, token: String): Column =
+    regexp_replace(c, pattern, token)
+
+  /** Count of `pattern` matches (redaction audit metric). */
+  def matchCount(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
   /** Minhash-style single-value fingerprint: min 32-bit hash over the
     * distinct token set. */
   def minTokenHash(words: Column): Column =

@@ -78,7 +78,16 @@ object CatalogOps {
                     keys: Seq[String], buckets: Int,
                     sortCols: Seq[String] = Nil): Unit = {
     require(keys.nonEmpty && buckets > 0, "need keys and a bucket count")
-    df.sparkSession.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val spark = df.sparkSession
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    // An orphaned data directory (crashed prior write, or a reset
+    // metastore over a persistent warehouse) makes CREATE TABLE AS fail
+    // with LOCATION_ALREADY_EXISTS even after the DROP above — clear the
+    // managed location too.
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$table")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")
       .bucketBy(buckets, keys.head, keys.tail: _*)
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)

@@ -22,30 +22,40 @@ object SinkOps {
     * exists in the table are dropped, the union is written via a temp dir
     * and swapped in (a parquet path cannot be overwritten while read).
     *
-    * Crash safety (ADVICE r2): the live table is renamed ASIDE first and
-    * deleted only after staging renames into place — at no point between
-    * is there neither old nor new data reachable; a crash mid-swap leaves
-    * either the old table at `path`, or the new table at `path` with the
-    * old one parked at `path + "__old"`. SINGLE-WRITER assumption: like
-    * any non-transactional file-table swap, concurrent loads to the same
-    * path are not coordinated — at warehouse scale this maps onto a
-    * MERGE-capable table format or a catalog-level pointer flip. */
+    * Crash safety (ADVICE r2): before reading, an interrupted prior swap is
+    * recovered — a parked `path__old` with NO live table is the sole
+    * surviving copy and is restored (a parked copy alongside a live table
+    * is the stale leftover of a COMPLETED swap and is deleted). The swap
+    * itself renames the live table aside first and deletes it only after
+    * staging renames into place, so a crash at any point leaves a
+    * recoverable copy at `path` or `path__old` — never silent loss.
+    * SINGLE-WRITER assumption: like any non-transactional file-table swap,
+    * concurrent loads to the same path are not coordinated — at warehouse
+    * scale this maps onto a MERGE-capable table format or a catalog-level
+    * pointer flip. */
   def loadNoConflict(spark: SparkSession, df: DataFrame, path: String,
                      keys: Seq[String], order: Seq[Column]): Unit = {
-    val incoming = RelationalOps.dedupFirst(df, keys, order)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val target = new Path(path)
-    val combined = if (fs.exists(target)) {
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    // Recover an interrupted swap FIRST, so the conflict anti-join below
+    // always sees the true table state.
+    if (fs.exists(old)) {
+      if (fs.exists(target)) fs.delete(old, true) // completed swap leftover
+      else if (!fs.rename(old, target))
+        throw new IllegalStateException(
+          s"crash recovery: restore $old -> $target failed")
+    }
+    val incoming = RelationalOps.dedupFirst(df, keys, order)
+    val hadTarget = fs.exists(target)
+    val combined = if (hadTarget) {
       val existing = spark.read.parquet(path)
       existing.unionByName(
         incoming.join(existing.select(keys.map(existing(_)): _*),
           keys, "left_anti"))
     } else incoming
-    val tmp = new Path(path + "__staging")
-    val old = new Path(path + "__old")
     combined.write.mode("overwrite").parquet(tmp.toString)
-    if (fs.exists(old)) fs.delete(old, true) // leftover from a prior crash
-    val hadTarget = fs.exists(target)
     if (hadTarget && !fs.rename(target, old))
       throw new IllegalStateException(s"rename $target -> $old failed")
     if (!fs.rename(tmp, target)) {

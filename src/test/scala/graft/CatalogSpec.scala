@@ -47,16 +47,6 @@ class CatalogSpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"
     spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-    // The test metastore (derby) is per-JVM but the warehouse dir persists:
-    // a leftover location from a previous run fails CREATE TABLE AS. Clear
-    // both locations first — test-environment hygiene, not library logic.
-    for (tbl <- Seq("orders_b", "lineitem_b")) {
-      spark.sql(s"DROP TABLE IF EXISTS $db.$tbl")
-      val loc = new org.apache.hadoop.fs.Path(
-        spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$tbl")
-      val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      if (fs.exists(loc)) fs.delete(loc, true)
-    }
     CatalogOps.writeBucketed(Tables(spark, sf, "orders"),
       db, "orders_b", Seq("o_orderkey"), 4, Seq("o_orderkey"))
     CatalogOps.writeBucketed(Tables(spark, sf, "lineitem"),

@@ -114,4 +114,32 @@ class EtlGoldenSpec extends AnyFunSuite {
     assert(after3.toSeq == Seq((10.0, "DEU", 2018), (30.0, "ESP", 2019),
       (20.0, "FRA", 2018)))
   }
+
+  test("S6/A2: loadNoConflict recovers an interrupted swap without data loss") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sink2").toString
+    val path = s"$dir/facts"
+    val keys = Seq("country_iso3_id", "year_id")
+    val order = Seq(col("convicts_per_100000"))
+    val batch1 = Seq((10.0, "DEU", 2018), (20.0, "FRA", 2018))
+      .toDF("convicts_per_100000", "country_iso3_id", "year_id")
+    SinkOps.loadNoConflict(spark, batch1, path, keys, order)
+
+    // Simulate a crash between the two swap renames: live table parked at
+    // __old, nothing at the target path.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+
+    // The next load must restore the parked copy and then apply its own
+    // conflict-skip against the RESTORED rows — batch1's keys survive.
+    val batch2 = Seq((99.0, "DEU", 2018), (30.0, "ESP", 2019))
+      .toDF("convicts_per_100000", "country_iso3_id", "year_id")
+    SinkOps.loadNoConflict(spark, batch2, path, keys, order)
+    val after = spark.read.parquet(path).as[(Double, String, Int)]
+      .collect().sortBy(_._2)
+    assert(after.toSeq == Seq((10.0, "DEU", 2018), (30.0, "ESP", 2019),
+      (20.0, "FRA", 2018)))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
 }

@@ -107,10 +107,12 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   // Shuffle counter for FormattedMode output: operator lines print as
-  // "Exchange (n)" — the lookbehind excludes BroadcastExchange (a dim
-  // broadcast is not a shuffle of the fact side).
+  // "Exchange (n)" — the lookbehinds exclude BroadcastExchange (a dim
+  // broadcast is not a shuffle of the fact side) and ReusedExchange (a
+  // reused shuffle ran once; counting it again would fail plans that
+  // legitimately share one exchange).
   private def shuffles(f: String): Int =
-    "(?<!Broadcast)Exchange \\(".r.findAllIn(f).length
+    "(?<!Broadcast)(?<!Reused)Exchange \\(".r.findAllIn(f).length
 
   test("q37 as-of join is one shuffle and ZERO join operators") {
     val f = formatted("q37_asof_join")
