@@ -36,8 +36,28 @@ object TimeOps {
   def asofBackward(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
                    keys: Seq[String], payload: Seq[String],
-                   rightOrder: Seq[Column] = Nil): DataFrame = {
-    require(payload.nonEmpty, "asofBackward needs at least one payload column")
+                   rightOrder: Seq[Column] = Nil): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, payload, rightOrder,
+      backward = true)
+
+  /** Forward (earliest-at-or-after) as-of join — the mirror of
+    * [[asofBackward]]: for each left row, the right row with the SMALLEST
+    * `rightTs` ≥ `leftTs` in the same `keys` group. Same merge-scan shape
+    * (the scan direction flips); same tie rule (last under ascending
+    * `rightOrder` among right rows sharing the match timestamp). */
+  def asofForward(left: DataFrame, leftTs: String,
+                  right: DataFrame, rightTs: String,
+                  keys: Seq[String], payload: Seq[String],
+                  rightOrder: Seq[Column] = Nil): DataFrame =
+    asofImpl(left, leftTs, right, rightTs, keys, payload, rightOrder,
+      backward = false)
+
+  private def asofImpl(left: DataFrame, leftTs: String,
+                       right: DataFrame, rightTs: String,
+                       keys: Seq[String], payload: Seq[String],
+                       rightOrder: Seq[Column],
+                       backward: Boolean): DataFrame = {
+    require(payload.nonEmpty, "asof join needs at least one payload column")
     val clash = payload.filter(left.columns.contains)
     require(clash.isEmpty, s"payload collides with left columns: $clash")
     // Collision-free internal names against BOTH schemas.
@@ -70,8 +90,12 @@ object TimeOps {
         lit(null).cast(tbType).as(tb)) ++
         leftRest.map(col): _*)
 
+    // Backward scans time ascending (carry = latest right ≤ left); forward
+    // scans descending (carry = earliest right ≥ left). Right rows sort
+    // before left rows at the match timestamp either way — inclusive.
+    val tsOrd = if (backward) col(ts).asc else col(ts).desc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(ts).asc, col(tag).asc, col(tb).asc)
+      .orderBy(tsOrd, col(tag).asc, col(tb).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     rSide.unionByName(lSide)
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))

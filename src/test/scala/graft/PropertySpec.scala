@@ -115,19 +115,26 @@ class PropertySpec extends AnyFunSuite {
         .distinct  // unique (k, ts, rid) triples
         .toDF("k", "rus", "rid")
         .withColumn("rts", timestamp_micros(col("rus")))
-      val got = Ti.asofBackward(left, "lts", right, "rts", Seq("k"),
-          Seq("rid"), Seq(col("rid")))
-        .select(col("lid"), col("rid"))
-        .collect().map(x => x.getLong(0) ->
-          (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
-      // Naive reference: all pairs, filter rts <= lts, keep max (rts, rid).
+      def run(f: (org.apache.spark.sql.DataFrame, String,
+        org.apache.spark.sql.DataFrame, String, Seq[String], Seq[String],
+        Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.DataFrame) =
+        f(left, "lts", right, "rts", Seq("k"), Seq("rid"), Seq(col("rid")))
+          .select(col("lid"), col("rid"))
+          .collect().map(x => x.getLong(0) ->
+            (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
       val rightRows = r.map { case (k, ts, v) => (k, ts, v.toLong) }.distinct
-      val want = l.zipWithIndex.map { case ((k, lts, _), i) =>
-        val cands = rightRows.filter(c => c._1 == k && c._2 <= lts)
-        i.toLong -> (if (cands.isEmpty) -1L
-                     else cands.maxBy(c => (c._2, c._3))._3)
-      }.toMap
-      assert(got == want)
+      // Naive references: all pairs, filter by direction, keep the
+      // extreme ts (ties by max rid — the 'last under rightOrder' rule).
+      def naive(dir: (Long, Long) => Boolean, back: Boolean) =
+        l.zipWithIndex.map { case ((k, lts, _), i) =>
+          val cands = rightRows.filter(c => c._1 == k && dir(c._2, lts))
+          i.toLong -> (if (cands.isEmpty) -1L
+            else if (back) cands.maxBy(c => (c._2, c._3))._3
+            else { val m = cands.map(_._2).min
+                   cands.filter(_._2 == m).maxBy(_._3)._3 })
+        }.toMap
+      assert(run(Ti.asofBackward) == naive(_ <= _, back = true))
+      assert(run(Ti.asofForward) == naive(_ >= _, back = false))
     }
   }
 }

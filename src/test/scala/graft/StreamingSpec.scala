@@ -108,6 +108,28 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment join broadcasts the dim against the stream") {
+    implicit val sc = spark.sqlContext
+    // The streaming staple the batch suite can't show: a micro-batch
+    // stream joined to a STATIC dimension (re-read per batch, broadcast —
+    // no stream-side state, unlike stream-stream joins).
+    val dim = Seq((1L, "gold"), (2L, "basic")).toDF("user_id", "tier")
+    val input = MemoryStream[(Long, Double)]
+    val q = input.toDF.toDF("user_id", "value")
+      .join(broadcast(dim), Seq("user_id"), "left")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode("append").start()
+    try {
+      input.addData((1L, 10.0), (2L, 20.0), (3L, 30.0))
+      q.processAllAvailable()
+      val rows = spark.table("enriched")
+        .select("user_id", "tier")
+        .collect().map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) "none" else r.getString(1))).toMap
+      assert(rows == Map(1L -> "gold", 2L -> "basic", 3L -> "none"))
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches batch TimeOps.sessionize on one feed") {
     implicit val sc = spark.sqlContext
     // Deterministic second-precision feed: 3 users x 40 events, gaps of

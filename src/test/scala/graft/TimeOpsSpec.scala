@@ -41,6 +41,22 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(out == "second")
   }
 
+  test("asofForward: inclusive match, earliest-at-or-after, miss -> null") {
+    val l = Seq((1L, 10L, "L10"), (1L, 3L, "L3"), (2L, 9L, "L9"))
+      .toDF("k", "lus", "ltag")
+      .withColumn("lts", timestamp_micros(col("lus")))
+    val r = Seq((1L, 10L, "a"), (1L, 6L, "b"), (2L, 7L, "c"))
+      .toDF("k", "rus", "v")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    val out = TimeOps.asofForward(l, "lts", r, "rts", Seq("k"),
+        Seq("v"), Seq(col("rus")))
+      .select(col("ltag"), col("v")).collect().map(x => (x.getString(0),
+        if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(out("L10") == "a")  // rts == lts is a match (inclusive)
+    assert(out("L3") == "b")   // earliest at-or-after (6, not 10)
+    assert(out("L9") == null)  // nothing follows -> null
+  }
+
   test("asofBackward rejects payload/left column collisions") {
     val l = Seq((1L, 1L, "x")).toDF("k", "lts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rts", "v")
