@@ -523,6 +523,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_suppliers"),
           dsum(C.money(col("s_acctbal"))).as("sum_acctbal"))),
 
+    // CUBE: all four grouping sets — (r,n), (r), (n), () — in one
+    // Expand + single-shuffle aggregation (completes the grouping-sets
+    // family beside q40's rollup).
+    "q47_cube" -> ((s, dir) =>
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          dsum(C.money(col("s_acctbal"))).as("sum_acctbal"))),
+
     // TF-IDF-style term scoring: tf × (N/df) with exact integer-ratio
     // doubles (no transcendental — log() is not bit-stable across engines),
     // top-3 terms per doc under a deterministic tie-break.
@@ -1208,6 +1221,15 @@ object SparkEntry {
         | JOIN nation ON s_nationkey = n_nationkey
         | JOIN region ON n_regionkey = r_regionkey
         |GROUP BY ROLLUP (r_name, n_name)""".stripMargin,
+
+    "q47_cube" ->
+      """SELECT r_name, n_name, count(*) AS n_suppliers,
+        | CAST(CAST(sum(CAST(s_acctbal AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS sum_acctbal
+        |FROM supplier
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY CUBE (r_name, n_name)""".stripMargin,
 
     "q41_tfidf" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text,' ')) AS word
