@@ -491,6 +491,24 @@ object SparkEntry {
             .as("gap_us"))
     }),
 
+    // As-of join (forward): each signup picks up the same user's EARLIEST
+    // purchase at-or-after it — time-to-conversion, the mirror direction
+    // of q37. Same merge-scan shape, scan direction flipped.
+    "q48_asof_forward" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val sgn = ev.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("event_id").as("signup_id"),
+          col("ts").as("signup_ts"))
+      val pur = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("purchase_ts"),
+          col("event_id").as("purchase_id"))
+      Ti.asofForward(sgn, "signup_ts", pur, "purchase_ts", Seq("user_id"),
+          Seq("purchase_id", "purchase_ts"), Seq(col("purchase_id")))
+        .select(col("user_id"), col("signup_id"), col("purchase_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("signup_ts")))
+            .as("wait_us"))
+    }),
+
     // Sessionization: 30-min inactivity gap per user, then per-session
     // stats — the batch twin of the streaming session window.
     "q38_sessionize" -> ((s, dir) =>
@@ -1177,6 +1195,16 @@ object SparkEntry {
         | epoch_us(e.ts) - epoch_us(c.ts) AS gap_us
         |FROM e ASOF LEFT JOIN c
         | ON e.user_id = c.user_id AND e.ts >= c.ts""".stripMargin,
+
+    "q48_asof_forward" ->
+      """WITH s AS (SELECT user_id, event_id AS signup_id, ts FROM events
+        |  WHERE event_type = 'signup'),
+        |p AS (SELECT user_id, event_id AS purchase_id, ts FROM events
+        |  WHERE event_type = 'purchase')
+        |SELECT s.user_id, s.signup_id, p.purchase_id,
+        | epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
+        |FROM s ASOF LEFT JOIN p
+        | ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
 
     "q38_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
