@@ -73,9 +73,34 @@ object DedupOps {
     * the shingle-set EXPRESSION over `docs`' columns — passed as an
     * expression (not a precomputed column) so the verify stage can apply
     * it after its candidate semi-join instead of paying two more
-    * whole-corpus evaluations. */
+    * whole-corpus evaluations.
+    *
+    * Cache lifecycle: the returned plan holds a persisted candidate set
+    * (see [[nearDupPairsTracked]]) that lives until the session ends or
+    * the caller releases it. One-shot consumers should prefer
+    * [[withNearDupPairs]], which unpersists deterministically; long-lived
+    * sessions sweeping many corpora with THIS entry point should
+    * `spark.catalog.clearCache()` between sweeps (ADVICE r3). */
   def nearDupPairs(docs: DataFrame, id: String, shingles: Column,
-                   threshold: Double): DataFrame = {
+                   threshold: Double): DataFrame =
+    nearDupPairsTracked(docs, id, shingles, threshold)._1
+
+  /** Loan-pattern wrapper owning the candidate-cache lifecycle: hands the
+    * verified-pairs plan to `use`, then unpersists the candidate set in a
+    * finally — no CacheManager entry survives the call. `use` must fully
+    * consume the plan (any action); a DataFrame leaked out of `use` and
+    * executed later recomputes candidates uncached (correct, just slower). */
+  def withNearDupPairs[T](docs: DataFrame, id: String, shingles: Column,
+                          threshold: Double)(use: DataFrame => T): T = {
+    val (pairs, candidates) = nearDupPairsTracked(docs, id, shingles, threshold)
+    try use(pairs)
+    finally candidates.unpersist(blocking = false)
+  }
+
+  /** [[nearDupPairs]] plus the persisted candidate handle for lifecycle
+    * control: (verified pairs, candidate set to unpersist when done). */
+  def nearDupPairsTracked(docs: DataFrame, id: String, shingles: Column,
+                          threshold: Double): (DataFrame, DataFrame) = {
     val sigs = minhashSignatures(
       docs.select(col(id), shingles.as("__shingles")), id, col("__shingles"))
     val bands = lshBands(sigs, id)
@@ -84,19 +109,19 @@ object DedupOps {
     val right = bands.select(col(id).as("id_b"),
       col("band").as("band_r"), col("band_hash").as("band_hash_r"))
     // The candidate set is referenced three times below (pair join + two
-    // verify semi-joins); without materialization each reference would
-    // recompute the whole signature pipeline. It is tiny relative to the
-    // corpus (pairs sharing a band), so persist it — replicated-recoverable
-    // (re-derivable from lineage on executor loss), lazily materialized (no
-    // job at query-construction time), spills if ever not tiny. ADVICE r2:
-    // the previous eager localCheckpoint() stored it non-replicated AND
-    // un-re-derivable — one lost executor failed the whole job.
-    // Lifecycle: CacheManager keys entries by CANONICALIZED plan, so
-    // repeated invocations over the same (docs, shingles) reuse one entry
-    // (observed as "Asked to cache already cached data" on re-runs) —
-    // growth is bounded by distinct corpora per session, each entry a few
-    // KB of id pairs. Long-lived sessions sweeping MANY corpora should
-    // spark.catalog.clearCache() between sweeps.
+    // verify semi-joins); without materialization each reference recomputes
+    // the whole signature pipeline (measured r4: q39 3.3s -> 22s, and
+    // exchange reuse does NOT cover it — the references sit under joins
+    // whose canonicalized subtrees differ, so no ReusedExchange appears).
+    // It is tiny relative to the corpus (pairs sharing a band), so persist
+    // it — replicated-recoverable (re-derivable from lineage on executor
+    // loss), lazily materialized (no job at query-construction time),
+    // spills if ever not tiny. ADVICE r2: the previous eager
+    // localCheckpoint() stored it non-replicated AND un-re-derivable.
+    // Lifecycle (ADVICE r3): released by [[withNearDupPairs]] or by the
+    // caller via the [[nearDupPairsTracked]] handle; the CacheManager keys
+    // entries by canonicalized plan, so repeated invocations over the same
+    // (docs, shingles) reuse one entry rather than piling up.
     val candidates = left.join(right,
         col("band") === col("band_r") &&
           col("band_hash") === col("band_hash_r") &&
@@ -111,13 +136,14 @@ object DedupOps {
       docs.join(candidates.select(col(side).as("__cid")).distinct(),
           col(id) === col("__cid"), "left_semi")
         .select(col(id).as(side), shingles.as(s"__s_$side"))
-    candidates
+    val pairs = candidates
       .join(candSets("id_a"), "id_a")
       .join(candSets("id_b"), "id_b")
       .withColumn("jaccard",
         TextOps.jaccard(col("__s_id_a"), col("__s_id_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, candidates)
   }
 
   /** SimHash bits to use (60 usable bits from a 15-hex-digit md5 prefix). */

@@ -99,25 +99,31 @@ object RelationalOps {
   }
 
   /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at
-    * positions (lo, hi] under a total order.
+    * positions (lo, hi] under a total order, returned IN slice order.
     *
-    * Formulated as multiset subtraction: the slice IS `top(hi) EXCEPT ALL
-    * top(lo)`. Each side is `orderBy.limit` — Catalyst's
-    * TakeOrderedAndProject, a distributed partial top-k (every partition
-    * keeps its own top k, one bounded merge) — so no global sort and no
-    * single-partition window ever runs (the r2 formulation ranked the whole
-    * input through an unpartitioned WindowExec: THE scale killer this
-    * operator invites). Cost: two partial top-k passes over the scan; slices
-    * are shallow by nature (hi is bounded by `limit`'s Int range), so both
-    * passes are cheap and pushdown-friendly.
+    * Fast path (all columns orderable): multiset subtraction — the slice
+    * IS `top(hi) EXCEPT ALL top(lo)`. Each side is `orderBy.limit` —
+    * Catalyst's TakeOrderedAndProject, a distributed partial top-k (every
+    * partition keeps its own top k, one bounded merge) — so no global sort
+    * and no single-partition window over the full input ever runs (the r2
+    * formulation ranked the whole input through an unpartitioned
+    * WindowExec: THE scale killer this operator invites). The EXCEPT ALL
+    * rewrite (aggregate + ReplicateRows) destroys row order, so the result
+    * is re-sorted — cheap, at most hi-lo rows (ADVICE r3).
     *
-    * Tie robustness: the two top-k passes evaluate independently, so the
-    * caller's `order` is silently extended with every remaining
-    * atomic-typed column — full-row lexicographic order. Rows that STILL
-    * tie are byte-identical on all orderable columns, and multiset
-    * subtraction removes the right count of those regardless of which
-    * physical copies each pass picked. Under a caller-total `order` the
-    * extension is inert. */
+    * Tie robustness on the fast path: the two top-k passes evaluate
+    * independently, so the caller's `order` is silently extended with
+    * every remaining orderable column — full-row lexicographic order.
+    * Rows that STILL tie are byte-identical on all orderable columns, and
+    * multiset subtraction removes the right count of those regardless of
+    * which physical copies each pass picked. Under a caller-total `order`
+    * the extension is inert.
+    *
+    * Fallback (schema has non-orderable columns, e.g. MapType — set ops
+    * would throw ADVICE r3): ONE partial top-k bounds the input to hi
+    * rows, then a row_number window over those ≤ hi rows (single
+    * partition, but of bounded size — not the full-input window) takes the
+    * slice. One pass, so ties need no cross-pass consistency. */
   def positionalSlice(df: DataFrame, order: Seq[Column],
                       lo: Long, hi: Long): DataFrame = {
     require(lo >= 0 && hi >= lo, s"need 0 <= lo <= hi, got ($lo, $hi]")
@@ -125,11 +131,21 @@ object RelationalOps {
       throw new IllegalArgumentException(
         s"positionalSlice hi=$hi exceeds limit() range; a slice that deep " +
           "is a full global sort — restructure the query instead")
-    val tieBreaks = df.schema.fields.collect {
-      case f if org.apache.spark.sql.catalyst.expressions.RowOrdering
-        .isOrderable(f.dataType) => col(f.name)
-    }.toSeq
-    val top = df.orderBy(order ++ tieBreaks: _*)
-    top.limit(hi.toInt).exceptAll(top.limit(lo.toInt))
+    import org.apache.spark.sql.catalyst.expressions.RowOrdering
+    val allOrderable =
+      df.schema.fields.forall(f => RowOrdering.isOrderable(f.dataType))
+    if (allOrderable) {
+      val tieBreaks = df.schema.fields.map(f => col(f.name)).toSeq
+      val top = df.orderBy(order ++ tieBreaks: _*)
+      top.limit(hi.toInt).exceptAll(top.limit(lo.toInt))
+        .orderBy(order ++ tieBreaks: _*)
+    } else {
+      val rn = Iterator.iterate("__pos")(_ + "_")
+        .find(!df.columns.contains(_)).get
+      val w = Window.orderBy(order: _*)
+      df.orderBy(order: _*).limit(hi.toInt)
+        .withColumn(rn, row_number().over(w))
+        .filter(col(rn) > lo).drop(rn)
+    }
   }
 }

@@ -31,7 +31,9 @@ object TimeOps {
     * to O(|left| × |right per key|) pairs before pruning).
     *
     * `payload` names must not collide with left columns; `keys` columns
-    * must exist on both sides with identical names.
+    * must exist on both sides with identical names. Null timestamps take
+    * no part in matching: right rows with null `rightTs` are ignored, left
+    * rows with null `leftTs` get null payload (DuckDB ASOF semantics).
     */
   def asofBackward(left: DataFrame, leftTs: String,
                    right: DataFrame, rightTs: String,
@@ -75,7 +77,15 @@ object TimeOps {
       if (rightOrder.isEmpty) lit(0L) else struct(rightOrder: _*)
     val tbType = right.select(tbExpr).schema.head.dataType
 
-    val rSide = right.select(
+    // Null timestamps (ADVICE r3): a null ts is "no time" — it can neither
+    // match nor be matched (DuckDB ASOF and the naive formulation agree).
+    // Right rows with null ts are dropped here; left rows with null ts are
+    // nulled at the output projection below (they'd otherwise pick up a
+    // spurious carry: asc sorts nulls FIRST — head of the backward scan —
+    // and desc sorts them LAST — tail of the forward scan).
+    val rightNn = right.filter(col(rightTs).isNotNull)
+
+    val rSide = rightNn.select(
       keys.map(col) ++ Seq(
         col(rightTs).as(ts),
         lit(0).as(tag),
@@ -101,7 +111,8 @@ object TimeOps {
       .withColumn(carry, last(col(carry), ignoreNulls = true).over(w))
       .filter(col(tag) === 1)
       .select((keys ++ leftRest).map(col) ++
-        payload.map(p => col(carry).getField(p).as(p)): _*)
+        payload.map(p => when(col(ts).isNotNull, col(carry).getField(p))
+          .as(p)): _*)
   }
 
   /** Inactivity-gap sessionization: assigns each row a per-key

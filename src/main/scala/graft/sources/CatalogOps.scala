@@ -83,9 +83,12 @@ object CatalogOps {
     // An orphaned data directory (crashed prior write, or a reset
     // metastore over a persistent warehouse) makes CREATE TABLE AS fail
     // with LOCATION_ALREADY_EXISTS even after the DROP above — clear the
-    // managed location too.
+    // managed location too. Resolve it through the catalog (ADVICE r3:
+    // hand-deriving <warehouse.dir>/<db>.db/<table> is wrong for a
+    // database created with a custom LOCATION or a non-default catalog).
     val loc = new org.apache.hadoop.fs.Path(
-      spark.conf.get("spark.sql.warehouse.dir") + s"/$db.db/$table")
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+      table)
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
     val w = df.write.mode("overwrite").format("parquet")

@@ -69,6 +69,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("withNearDupPairs releases the candidate cache; nearDupPairs keeps it") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base + " zz"), (3L, "a b c"))
+      .toDF("doc_id", "text")
+    spark.catalog.clearCache() // isolate from other suites' state
+    val n = D.withNearDupPairs(docs, "doc_id",
+      T.wordShingles(T.tokens(col("text")), 3), 0.8)(_.count())
+    assert(n == 1L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withNearDupPairs must leave no CacheManager entries")
+    // The raw entry point persists (documented session-cache semantics) —
+    // callers own release via clearCache or the tracked handle.
+    D.nearDupPairs(docs, "doc_id",
+      T.wordShingles(T.tokens(col("text")), 3), 0.8).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    spark.catalog.clearCache()
+  }
+
   test("identical docs share a simhash; unrelated docs differ") {
     val df = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
       (3L, "totally different words here")).toDF("doc_id", "text")

@@ -103,18 +103,22 @@ class PropertySpec extends AnyFunSuite {
   test("asofBackward equals the naive join-then-max reference on random data") {
     import graft.operators.{TimeOps => Ti}
     // left: (key, ts, id)  right: (key, ts, id) — heavy ts collisions on
-    // purpose (choose(1,8)) so the tie-break path is exercised.
+    // purpose (choose(0,8)) so the tie-break path is exercised; ts = 0
+    // encodes a NULL timestamp (ADVICE r3: nulls must behave like DuckDB
+    // ASOF — never match, never be matched).
     val side = Gen.listOfN(25,
-      Gen.zip(Gen.choose(1, 3), Gen.choose(1L, 8L), Gen.choose(1, 1000)))
+      Gen.zip(Gen.choose(1, 3), Gen.choose(0L, 8L), Gen.choose(1, 1000)))
     forAll2(side, side, n = 4) { (l, r) =>
       val left = l.zipWithIndex
         .map { case ((k, ts, _), i) => (k, ts, i.toLong) }
         .toDF("k", "lus", "lid")
-        .withColumn("lts", timestamp_micros(col("lus")))
+        .withColumn("lts",
+          when(col("lus") > 0, timestamp_micros(col("lus"))))
       val right = r.map { case (k, ts, v) => (k, ts, v.toLong) }
         .distinct  // unique (k, ts, rid) triples
         .toDF("k", "rus", "rid")
-        .withColumn("rts", timestamp_micros(col("rus")))
+        .withColumn("rts",
+          when(col("rus") > 0, timestamp_micros(col("rus"))))
       def run(f: (org.apache.spark.sql.DataFrame, String,
         org.apache.spark.sql.DataFrame, String, Seq[String], Seq[String],
         Seq[org.apache.spark.sql.Column]) => org.apache.spark.sql.DataFrame) =
@@ -122,12 +126,17 @@ class PropertySpec extends AnyFunSuite {
           .select(col("lid"), col("rid"))
           .collect().map(x => x.getLong(0) ->
             (if (x.isNullAt(1)) -1L else x.getLong(1))).toMap
-      val rightRows = r.map { case (k, ts, v) => (k, ts, v.toLong) }.distinct
+      // Null ts (encoded 0) on the right can never match; on the left it
+      // always misses.
+      val rightRows = r.map { case (k, ts, v) => (k, ts, v.toLong) }
+        .distinct.filter(_._2 > 0)
       // Naive references: all pairs, filter by direction, keep the
       // extreme ts (ties by max rid — the 'last under rightOrder' rule).
       def naive(dir: (Long, Long) => Boolean, back: Boolean) =
         l.zipWithIndex.map { case ((k, lts, _), i) =>
-          val cands = rightRows.filter(c => c._1 == k && dir(c._2, lts))
+          val cands =
+            if (lts == 0) Nil
+            else rightRows.filter(c => c._1 == k && dir(c._2, lts))
           i.toLong -> (if (cands.isEmpty) -1L
             else if (back) cands.maxBy(c => (c._2, c._3))._3
             else { val m = cands.map(_._2).min

@@ -57,6 +57,36 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(out("L9") == null)  // nothing follows -> null
   }
 
+  test("asof null timestamps: never match, never get matched (ADVICE r3)") {
+    // Backward: the null-rts right row would sort at the HEAD of the asc
+    // scan and leak its payload into L5 (which has no true predecessor).
+    val l = Seq((1L, Some(5L), "L5"), (1L, None, "Lnull"))
+      .toDF("k", "lus", "ltag")
+      .withColumn("lts", timestamp_micros(col("lus")))
+    val r = Seq((1L, None, "poison"), (1L, Some(30L), "late"))
+      .toDF("k", "rus", "v")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    val back = TimeOps.asofBackward(l, "lts", r, "rts", Seq("k"),
+        Seq("v"), Seq(col("rus")))
+      .select(col("ltag"), col("v")).collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(back("L5") == null)    // not "poison"
+    assert(back("Lnull") == null) // null left ts -> no match
+    // Forward: the null-lts left row sorts at the TAIL of the desc scan
+    // and would pick up the smallest-ts right row ("early").
+    val r2 = Seq((1L, Some(1L), "early"), (1L, None, "poison"))
+      .toDF("k", "rus", "v")
+      .withColumn("rts", timestamp_micros(col("rus")))
+    val fwd = TimeOps.asofForward(l, "lts", r2, "rts", Seq("k"),
+        Seq("v"), Seq(col("rus")))
+      .select(col("ltag"), col("v")).collect()
+      .map(x => x.getString(0) ->
+        (if (x.isNullAt(1)) null else x.getString(1))).toMap
+    assert(fwd("Lnull") == null)  // not "early"
+    assert(fwd("L5") == null)     // early(1) < 5: nothing at-or-after
+  }
+
   test("asofBackward rejects payload/left column collisions") {
     val l = Seq((1L, 1L, "x")).toDF("k", "lts", "v")
     val r = Seq((1L, 1L, "y")).toDF("k", "rts", "v")
