@@ -1009,18 +1009,20 @@ object SparkEntry {
          |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
          |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
          |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl FROM hs GROUP BY doc_id),
          |bands AS ($sqlBandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
          |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |j AS (SELECT ida, idb,
-         |  CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
-         |   AS jaccard
-         |  FROM cand JOIN shl x ON x.doc_id = ida
-         |   JOIN shl y ON y.doc_id = idb)
-         |SELECT ida AS id_a, idb AS id_b, jaccard
-         |FROM j WHERE jaccard >= 0.8""".stripMargin,
+         |  len(list_intersect(x.hl, y.hl)) AS inter,
+         |  len(x.hl) + len(y.hl) AS tot
+         |  FROM cand JOIN hsl x ON x.doc_id = ida
+         |   JOIN hsl y ON y.doc_id = idb)
+         |SELECT ida AS id_a, idb AS id_b,
+         | CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
+         |FROM j
+         |WHERE CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) >= 0.8""".stripMargin,
 
     "q26_simhash" ->
       s"""WITH h AS (SELECT doc_id, ${hx("w", 15)} AS h60
@@ -1137,16 +1139,17 @@ object SparkEntry {
          |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
          |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
          |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl FROM hs GROUP BY doc_id),
          |bands AS ($sqlBandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
          |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |losers AS (SELECT DISTINCT idb AS doc_id
-         |  FROM cand JOIN shl x ON x.doc_id = ida
-         |   JOIN shl y ON y.doc_id = idb
-         |  WHERE CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
-         |   >= 0.8),
+         |  FROM cand JOIN hsl x ON x.doc_id = ida
+         |   JOIN hsl y ON y.doc_id = idb
+         |  WHERE CAST(len(list_intersect(x.hl, y.hl)) AS DOUBLE)
+         |   / CAST(len(x.hl) + len(y.hl) - len(list_intersect(x.hl, y.hl))
+         |      AS DOUBLE) >= 0.8),
          |q AS (SELECT doc_id, lang,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
          |  CAST(len(list_filter(string_split(text,' '),
@@ -1228,18 +1231,20 @@ object SparkEntry {
          |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
          |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
          |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl FROM hs GROUP BY doc_id),
          |bands AS ($sqlBandRows),
          |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
          |  FROM bands a JOIN bands b
          |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
          |j AS (SELECT ida, idb,
-         |  CAST(len(list_intersect(x.sl, y.sl)) AS DOUBLE)
-         |   / CAST(len(list_distinct(list_concat(x.sl, y.sl))) AS DOUBLE)
-         |   AS jaccard
-         |  FROM cand JOIN shl x ON x.doc_id = ida
-         |   JOIN shl y ON y.doc_id = idb)
-         |SELECT ida AS id_a, idb AS id_b, jaccard
-         |FROM j WHERE jaccard >= 0.7""".stripMargin,
+         |  len(list_intersect(x.hl, y.hl)) AS inter,
+         |  len(x.hl) + len(y.hl) AS tot
+         |  FROM cand JOIN hsl x ON x.doc_id = ida
+         |   JOIN hsl y ON y.doc_id = idb)
+         |SELECT ida AS id_a, idb AS id_b,
+         | CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
+         |FROM j
+         |WHERE CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) >= 0.7""".stripMargin,
 
     "q40_rollup" ->
       """SELECT r_name, n_name, count(*) AS n_suppliers,

@@ -92,35 +92,41 @@ object DedupOps {
     * executed later recomputes candidates uncached (correct, just slower). */
   def withNearDupPairs[T](docs: DataFrame, id: String, shingles: Column,
                           threshold: Double)(use: DataFrame => T): T = {
-    val (pairs, candidates) = nearDupPairsTracked(docs, id, shingles, threshold)
+    val (pairs, cached) = nearDupPairsTracked(docs, id, shingles, threshold)
     try use(pairs)
-    finally candidates.unpersist(blocking = false)
+    finally cached.foreach(_.unpersist(blocking = false))
   }
 
-  /** [[nearDupPairs]] plus the persisted candidate handle for lifecycle
-    * control: (verified pairs, candidate set to unpersist when done). */
+  /** [[nearDupPairs]] plus the persisted intermediate handles for lifecycle
+    * control: (verified pairs, cached plans to unpersist when done). */
   def nearDupPairsTracked(docs: DataFrame, id: String, shingles: Column,
-                          threshold: Double): (DataFrame, DataFrame) = {
+                          threshold: Double): (DataFrame, Seq[DataFrame]) = {
     val sigs = minhashSignatures(
       docs.select(col(id), shingles.as("__shingles")), id, col("__shingles"))
+    // Persist the band keys: B rows of (id, band, band_hash) per doc — the
+    // smallest representation of the whole signature pipeline. The
+    // candidate self-join references it twice, and without materialization
+    // each side recomputes every shingle + K minhashes over the full
+    // corpus (ReusedExchange does NOT cover it: the two sides carry
+    // different aliases under one join, so their canonicalized subtrees
+    // differ). Measured r4 (sf0.1 char-8-grams): cold q39 13.9s with only
+    // the candidate set persisted -> ~6s persisting bands too.
     val bands = lshBands(sigs, id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = bands.select(col(id).as("id_a"),
       col("band"), col("band_hash"))
     val right = bands.select(col(id).as("id_b"),
       col("band").as("band_r"), col("band_hash").as("band_hash_r"))
-    // The candidate set is referenced three times below (pair join + two
-    // verify semi-joins); without materialization each reference recomputes
-    // the whole signature pipeline (measured r4: q39 3.3s -> 22s, and
-    // exchange reuse does NOT cover it — the references sit under joins
-    // whose canonicalized subtrees differ, so no ReusedExchange appears).
-    // It is tiny relative to the corpus (pairs sharing a band), so persist
-    // it — replicated-recoverable (re-derivable from lineage on executor
-    // loss), lazily materialized (no job at query-construction time),
-    // spills if ever not tiny. ADVICE r2: the previous eager
-    // localCheckpoint() stored it non-replicated AND un-re-derivable.
-    // Lifecycle (ADVICE r3): released by [[withNearDupPairs]] or by the
-    // caller via the [[nearDupPairsTracked]] handle; the CacheManager keys
-    // entries by canonicalized plan, so repeated invocations over the same
+    // The candidate set is referenced three times below (pair join + the
+    // candidate-doc semi-join); it is tiny relative to the corpus (pairs
+    // sharing a band), so persist it — replicated-recoverable
+    // (re-derivable from lineage on executor loss), lazily materialized
+    // (no job at query-construction time), spills if ever not tiny.
+    // ADVICE r2: the previous eager localCheckpoint() stored it
+    // non-replicated AND un-re-derivable. Lifecycle (ADVICE r3): released
+    // by [[withNearDupPairs]] or by the caller via the
+    // [[nearDupPairsTracked]] handles; the CacheManager keys entries by
+    // canonicalized plan, so repeated invocations over the same
     // (docs, shingles) reuse one entry rather than piling up.
     val candidates = left.join(right,
         col("band") === col("band_r") &&
@@ -128,22 +134,45 @@ object DedupOps {
           col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Verify only candidate docs: semi-join the RAW docs first, project the
-    // shingle expression above it — so the expensive shingle build is
-    // re-evaluated for the few candidate docs, not the whole corpus a
-    // second and third time.
-    def candSets(side: String): DataFrame =
-      docs.join(candidates.select(col(side).as("__cid")).distinct(),
-          col(id) === col("__cid"), "left_semi")
-        .select(col(id).as(side), shingles.as(s"__s_$side"))
+    // Verify only candidate docs: ONE semi-join of the raw docs against
+    // the union of both pair sides, with the expensive shingle expression
+    // projected above it — so shingles are re-evaluated once per candidate
+    // doc, not once per side (docs on both ends of pairs were previously
+    // computed twice) and never for the non-candidate corpus. Persisted:
+    // the pair join below references it twice (a-side and b-side).
+    //
+    // The verify measures Jaccard over the 32-bit HASHED shingle sets, not
+    // the raw strings. Each candidate doc's array crosses the pair join
+    // once per pair it appears in (hot docs: ~90× at sf0.1), so element
+    // width multiplies straight into shuffle volume — 8-byte longs vs
+    // ~24-byte UTF8 shingles is a 3× cut — and per-pair set intersection
+    // hashes longs instead of strings. hash32 collisions shift a Jaccard
+    // value with probability ~|set|²/2³³ (~1e-4 for 1k-shingle docs) and
+    // deterministically: the oracle computes the identical md5-prefix
+    // hashes, so results stay bit-exact cross-engine. Union size is
+    // derived as |A|+|B|-|A∩B| rather than building a second hash set.
+    // Measured r4 (sf0.1, q39): verify stage 6.5s -> see BENCH_r04.
+    val candDocs = docs.join(
+        candidates.select(explode(array(col("id_a"), col("id_b")))
+          .as("__cid")).distinct(),
+        col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__cid"),
+        array_distinct(transform(shingles, s => TextOps.hash32(s)))
+          .as("__sl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(name: String): DataFrame =
+      candDocs.select(col("__cid").as(name), col("__sl").as(s"__s_$name"))
     val pairs = candidates
-      .join(candSets("id_a"), "id_a")
-      .join(candSets("id_b"), "id_b")
-      .withColumn("jaccard",
-        TextOps.jaccard(col("__s_id_a"), col("__s_id_b")))
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .withColumn("__inter",
+        size(array_intersect(col("__s_id_a"), col("__s_id_b"))))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__s_id_a")) + size(col("__s_id_b")) - col("__inter"))
+          .cast("double"))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    (pairs, candidates)
+    (pairs, Seq(bands, candidates, candDocs))
   }
 
   /** SimHash bits to use (60 usable bits from a 15-hex-digit md5 prefix). */
