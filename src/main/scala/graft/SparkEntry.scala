@@ -322,33 +322,11 @@ object SparkEntry {
 
     // Similarity search baseline: brute-force cosine top-5 for 20 query
     // vectors — query side broadcast, corpus streamed once, no shuffle.
-    "q27_cosine_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Vec.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id",
-        "embedding", 5)
-    }),
+    "q27_cosine_topk" -> (annExact(_, _, 5)),
 
     // Similarity search scale path: random-hyperplane LSH (4 planes → 16
     // buckets), candidates share a bucket, hash join on bucket, top-3.
-    "q28_ann_lsh" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
-        Vec.lshBucket(col("embedding"), AnnPlanes).as("bucket"),
-        Vec.norm(col("embedding")).as("__n"))
-      val q = e.filter(col("vec_id") < 20)
-        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
-          col("bucket"), col("__n").as("__qn"))
-      val c = e.select(col("vec_id").as("neighbor_id"),
-        col("embedding").as("__cv"), col("bucket").as("__bc"),
-        col("__n").as("__cn"))
-      val scored = q.join(c, col("bucket") === col("__bc") &&
-          col("query_id") =!= col("neighbor_id"))
-        .withColumn("cosine", Vec.cosineWithNorms(col("__qv"), col("__cv"),
-          col("__qn"), col("__cn")))
-      R.topKPerGroup(scored, Seq("query_id"),
-          Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
-        .select(col("query_id"), col("neighbor_id"), col("bucket"),
-          col("rank"), col("cosine"))
-    }),
+    "q28_ann_lsh" -> (annLsh(_, _)),
 
     // C3+C2: sentinel-marker replace then coercion, on a deterministically
     // derived column (the corpus has no natural ":" sentinel; both engines
@@ -404,26 +382,27 @@ object SparkEntry {
     // probe mechanics real), vectors assigned to nearest cell (broadcast
     // O(N·K) map pass), queries probe their nprobe=2 nearest cells, exact
     // cosine within candidates only.
-    "q34_ann_ivf" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      val cent = e.filter(col("vec_id") < IvfCells)
-        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val cells = Vec.ivfAssign(e.select(col("vec_id"), col("embedding")),
-        "vec_id", "embedding", cent, "cid", "cv")
-      val probes = R.topKPerGroup(
-          e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"),
-              col("embedding").as("__qv"))
-            .crossJoin(broadcast(cent))
-            .withColumn("__d2", Vec.dist2(col("__qv"), col("cv"))),
-          Seq("query_id"), Seq(col("__d2"), col("cid")), IvfProbes, "__pr")
-        .select(col("query_id"), col("__qv"), col("cid").as("cell_id"))
-      val scored = probes.join(cells, Seq("cell_id"))
-        .filter(col("query_id") =!= col("vec_id"))
-        .withColumn("cosine", Vec.cosine(col("__qv"), col("embedding")))
-      R.topKPerGroup(scored, Seq("query_id"),
-          Seq(col("cosine").desc, col("vec_id")), 3, "rank")
-        .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          col("cell_id"), col("rank"), col("cosine"))
+    "q34_ann_ivf" -> (annIvf(_, _)),
+
+    // ANN recall@3, oracle-measured (SURVEY §2.12 L6b's "recall-checkable"
+    // promise): both approximate paths scored against the exact top-3.
+    // This is THE number that decides whether the bucketed paths are
+    // usable at 100× scale — a measured output, not a code comment.
+    "q49_ann_recall" -> ((s, dir) => {
+      val ex = annExact(s, dir, 3)
+        .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
+      val ap = Seq("lsh" -> annLsh(s, dir), "ivf" -> annIvf(s, dir))
+        .map { case (m, df) => df.select(lit(m).as("method"),
+          col("query_id"), col("neighbor_id")) }
+        .reduce(_ union _)
+      val g = ap.join(ex, Seq("query_id", "neighbor_id"), "left")
+        .groupBy(col("method"))
+        .agg(count(lit(1)).as("n_returned"), count(col("__hit")).as("n_hits"))
+      // Denominator broadcast: one aggregated row (total exact neighbors),
+      // crossJoin is tiny-side by construction.
+      g.crossJoin(broadcast(ex.agg(count(lit(1)).as("n_exact"))))
+        .withColumn("recall_at_3",
+          col("n_hits").cast("double") / col("n_exact").cast("double"))
     }),
 
     // The composed training-data-curation pipeline — what the LLM-ops are
@@ -668,12 +647,76 @@ object SparkEntry {
     })
   )
 
-  /** ANN hyperplane count (16 buckets over the 500-vector corpus). */
+  /** ANN hyperplane count (16 buckets over the 500-vector corpus) — the
+    * default geometry; see [[graft.operators.VectorOps.planesForCorpus]]
+    * for the corpus-size-driven bucket-count math at real scale. */
   private val AnnPlanes = 4
 
-  /** IVF cell count (seeded centroids) and probe depth for q34. */
+  /** IVF cell count (seeded centroids) and probe depth for q34 — defaults
+    * for the test corpus; [[graft.operators.VectorOps.cellsForCorpus]]
+    * documents the scale math. */
   private val IvfCells = 8
   private val IvfProbes = 2
+
+  /** q27/q49 shared: brute-force exact cosine top-k for the 20 query
+    * vectors — query side broadcast, corpus streamed once, no shuffle. */
+  private def annExact(s: SparkSession, dir: String, k: Int): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Vec.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k)
+  }
+
+  /** q28/q49 shared: random-hyperplane LSH ANN — bucket both sides, hash
+    * join on bucket, exact cosine within candidates, top-3. `planes` is
+    * the geometry knob (buckets = 2^planes); the default matches the
+    * graded q28 oracle. */
+  private def annLsh(s: SparkSession, dir: String,
+                     planes: Int = AnnPlanes): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      Vec.lshBucket(col("embedding"), planes).as("bucket"),
+      Vec.norm(col("embedding")).as("__n"))
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        col("bucket"), col("__n").as("__qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__cv"), col("bucket").as("__bc"),
+      col("__n").as("__cn"))
+    val scored = q.join(c, col("bucket") === col("__bc") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vec.cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    R.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("bucket"),
+        col("rank"), col("cosine"))
+  }
+
+  /** q34/q49 shared: IVF-flat ANN — centroids seeded from the corpus
+    * (vec_id < cells; k-means training out of scope, assignment + probe
+    * mechanics real), vectors assigned to nearest cell (broadcast O(N·K)
+    * map pass), queries probe their `probes` nearest cells, exact cosine
+    * within candidates only. */
+  private def annIvf(s: SparkSession, dir: String, cells: Int = IvfCells,
+                     probes: Int = IvfProbes): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    val cent = e.filter(col("vec_id") < cells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val asg = Vec.ivfAssign(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", cent, "cid", "cv")
+    val probed = R.topKPerGroup(
+        e.filter(col("vec_id") < 20).select(col("vec_id").as("query_id"),
+            col("embedding").as("__qv"))
+          .crossJoin(broadcast(cent))
+          .withColumn("__d2", Vec.dist2(col("__qv"), col("cv"))),
+        Seq("query_id"), Seq(col("__d2"), col("cid")), probes, "__pr")
+      .select(col("query_id"), col("__qv"), col("cid").as("cell_id"))
+    val scored = probed.join(asg, Seq("cell_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .withColumn("cosine", Vec.cosine(col("__qv"), col("embedding")))
+    R.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("vec_id")), 3, "rank")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        col("cell_id"), col("rank"), col("cosine"))
+  }
 
   /** Stopword list shared by q21 quality and q35 curation. */
   private val Stopwords = Seq("a", "the")
@@ -722,6 +765,61 @@ object SparkEntry {
     (0 until AnnPlanes)
       .map(p => s"(CASE WHEN ${sqlPlaneProj(v, p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  /** DuckDB twin of [[annExact]] (q27/q49): exact cosine top-k. */
+  private def sqlAnnExact(k: Int): String =
+    s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+       | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+       | WHERE q.vec_id < 20),
+       |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+       |  AS rnk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", cosine
+       |FROM r WHERE rnk <= $k""".stripMargin
+
+  /** DuckDB twin of [[annLsh]] (q28/q49). */
+  private lazy val sqlAnnLsh: String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+       | FROM embeddings),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  q.bucket AS bucket,
+       |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+       | FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+       | WHERE q.vec_id < 20),
+       |r AS (SELECT query_id, neighbor_id, bucket, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, bucket, CAST(rnk AS INT) AS "rank",
+       | cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB twin of [[annIvf]] (q34/q49). */
+  private lazy val sqlAnnIvf: String =
+    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < $IvfCells),
+       |asg AS (SELECT vec_id, embedding, cid AS cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
+       |  FROM embeddings e CROSS JOIN cent c) WHERE cr = 1),
+       |probes AS (SELECT query_id, qv, cid AS cell_id FROM (
+       |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
+       |   row_number() OVER (PARTITION BY q.vec_id
+       |    ORDER BY ${sqlDist2("q.embedding", "c.cv")}, c.cid) AS pr
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
+       | WHERE pr <= $IvfProbes),
+       |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_id,
+       |  ${sqlCosine("p.qv", "a.embedding")} AS cosine
+       | FROM probes p JOIN asg a
+       |  ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cell_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT) AS "rank",
+       | cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
 
   /** DuckDB twin of DedupOps.minhashExpr for all K permutations. */
   private val sqlMinhashCols: String = (0 until D.K)
@@ -1038,32 +1136,9 @@ object SparkEntry {
          |          ELSE 0 END) AS BIGINT) AS simhash
          |FROM v GROUP BY 1""".stripMargin,
 
-    "q27_cosine_topk" ->
-      s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
-         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
-         | WHERE q.vec_id < 20),
-         |r AS (SELECT query_id, neighbor_id, cosine, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
-         |  AS rnk FROM s)
-         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", cosine
-         |FROM r WHERE rnk <= 5""".stripMargin,
+    "q27_cosine_topk" -> sqlAnnExact(5),
 
-    "q28_ann_lsh" ->
-      s"""WITH e AS (SELECT vec_id, embedding,
-         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
-         | FROM embeddings),
-         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  q.bucket AS bucket,
-         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
-         | FROM e q JOIN e c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
-         | WHERE q.vec_id < 20),
-         |r AS (SELECT query_id, neighbor_id, bucket, cosine,
-         |  row_number() OVER (PARTITION BY query_id
-         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, neighbor_id, bucket, CAST(rnk AS INT) AS "rank",
-         | cosine
-         |FROM r WHERE rnk <= 3""".stripMargin,
+    "q28_ann_lsh" -> sqlAnnLsh,
 
     "q30_missing_marker" ->
       """SELECT p_brand, count(*) AS n,
@@ -1107,30 +1182,24 @@ object SparkEntry {
         |   for i in generate_series(1,(length(text)+31)//32)]) AS chunk_fp
         |FROM documents""".stripMargin,
 
-    "q34_ann_ivf" ->
-      s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-         |  FROM embeddings WHERE vec_id < $IvfCells),
-         |asg AS (SELECT vec_id, embedding, cid AS cell_id FROM (
-         |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
-         |    PARTITION BY e.vec_id
-         |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
-         |  FROM embeddings e CROSS JOIN cent c) WHERE cr = 1),
-         |probes AS (SELECT query_id, qv, cid AS cell_id FROM (
-         |  SELECT q.vec_id AS query_id, q.embedding AS qv, c.cid,
-         |   row_number() OVER (PARTITION BY q.vec_id
-         |    ORDER BY ${sqlDist2("q.embedding", "c.cv")}, c.cid) AS pr
-         |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
-         | WHERE pr <= $IvfProbes),
-         |s AS (SELECT p.query_id, a.vec_id AS neighbor_id, p.cell_id,
-         |  ${sqlCosine("p.qv", "a.embedding")} AS cosine
-         | FROM probes p JOIN asg a
-         |  ON p.cell_id = a.cell_id AND p.query_id <> a.vec_id),
-         |r AS (SELECT query_id, neighbor_id, cell_id, cosine,
-         |  row_number() OVER (PARTITION BY query_id
-         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
-         |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT) AS "rank",
-         | cosine
-         |FROM r WHERE rnk <= 3""".stripMargin,
+    "q34_ann_ivf" -> sqlAnnIvf,
+
+    "q49_ann_recall" ->
+      s"""WITH ex AS (SELECT query_id, neighbor_id FROM (${sqlAnnExact(3)})),
+         |ap AS (SELECT 'lsh' AS method, query_id, neighbor_id
+         |   FROM ($sqlAnnLsh)
+         | UNION ALL
+         | SELECT 'ivf' AS method, query_id, neighbor_id
+         |   FROM ($sqlAnnIvf)),
+         |g AS (SELECT method, count(*) AS n_returned,
+         |  count(ex.query_id) AS n_hits
+         | FROM ap LEFT JOIN ex ON ap.query_id = ex.query_id
+         |  AND ap.neighbor_id = ex.neighbor_id
+         | GROUP BY method),
+         |n AS (SELECT count(*) AS n_exact FROM ex)
+         |SELECT method, n_returned, n_hits, n_exact,
+         | CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_3
+         |FROM g CROSS JOIN n""".stripMargin,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w

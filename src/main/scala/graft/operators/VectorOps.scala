@@ -74,6 +74,29 @@ object VectorOps {
   def lshBucket(v: Column, planes: Int): Column =
     (0 until planes).map(p => planeBit(v, p)).reduce(_ + _)
 
+  /** Bucket-count math for the LSH path at real scale: p hyperplanes give
+    * 2^p buckets, so the expected candidate set per query is N/2^p.
+    * Choosing p = ceil(log2(N / targetBucket)) keeps the per-bucket
+    * brute-force cost constant as the corpus grows — at N = 10^10 with
+    * targetBucket = 4096 that is p = 21 (2M buckets), and the candidate
+    * join stays a hash join on `bucket`. Recall falls as p grows (each
+    * plane splits some true neighbors); recall@k should be measured
+    * against the exact path on a sample (q49) whenever p changes. */
+  def planesForCorpus(n: Long, targetBucket: Long = 4096): Int =
+    math.max(1, math.ceil(
+      math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)
+    ).toInt)
+
+  /** Cell-count math for the IVF path: K = N / targetCell cells keeps the
+    * per-cell scan bounded; the classic sqrt(N) heuristic is the
+    * targetCell = sqrt(N) special case. Assignment cost is O(N·K) per
+    * build (broadcast centroids), so K is also bounded by what one
+    * executor can hold: 64-dim float centroids are 256 B each — 1M cells
+    * is 256 MB, still broadcastable. Probe depth trades recall for work
+    * linearly; measure recall@k (q49) when changing either. */
+  def cellsForCorpus(n: Long, targetCell: Long = 4096): Int =
+    math.max(1, math.min(1 << 20, (n / math.max(1L, targetCell)).toInt))
+
   /** Squared euclidean distance via dots, in a FIXED operation order the
     * oracle mirrors literally: (a·a - 2*a·b) + b·b. */
   def dist2(a: Column, b: Column): Column =

@@ -165,6 +165,34 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("ANN geometry is a parameter: a 6-plane LSH build works and stays " +
+    "within its 64-bucket range") {
+    val vecs = (0 until 40).map { i =>
+      (i.toLong, (1 to 64).map(j => ((i * 31 + j * 7) % 13 - 6).toFloat))
+    }.toDF("vec_id", "embedding")
+    val out = vecs.select(Vec.lshBucket(col("embedding"), 6).as("b"))
+      .collect().map(_.getLong(0))
+    assert(out.forall(b => b >= 0 && b < 64))
+    // More planes can only split buckets, never merge them: vectors in
+    // different 4-plane buckets stay apart at 6 planes (the 4-plane id is
+    // the low 4 bits of the 6-plane id — same plane formula, packed low).
+    val both = vecs.select(Vec.lshBucket(col("embedding"), 4).as("b4"),
+      Vec.lshBucket(col("embedding"), 6).as("b6")).collect()
+    assert(both.forall(r => (r.getLong(1) & 15L) == r.getLong(0)))
+  }
+
+  test("geometry defaults follow the corpus-size math") {
+    // planes: N/2^p ≈ targetBucket, monotone in N, floor of 1.
+    assert(Vec.planesForCorpus(500, 32) == 4)
+    assert(Vec.planesForCorpus(1L << 30, 4096) == 18)
+    assert(Vec.planesForCorpus(10, 4096) == 1)
+    assert(Vec.planesForCorpus(2000, 4096) == 1)
+    // cells: N/targetCell, clamped to [1, 2^20] (broadcastable centroids).
+    assert(Vec.cellsForCorpus(500, 64) == 7)
+    assert(Vec.cellsForCorpus(1L << 40, 4096) == (1 << 20))
+    assert(Vec.cellsForCorpus(100, 4096) == 1)
+  }
+
   test("saltedJoin produces exactly the plain join's rows under skew") {
     val large = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i))
       .toDF("k", "v")
