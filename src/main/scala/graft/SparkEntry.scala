@@ -718,16 +718,15 @@ object SparkEntry {
         col("cell_id"), col("rank"), col("cosine"))
   }
 
-  /** Stopword list shared by q21 quality and q35 curation. */
-  private val Stopwords = Seq("a", "the")
+  /** Stopword list shared by q21 quality and q35 curation — the standard
+    * English set ([[graft.operators.Lexicons.EnglishStopwords]]). */
+  private val Stopwords = graft.operators.Lexicons.EnglishStopwords
 
-  /** Marker-word features for q22 language ID (word, lang, weight). */
-  private val langIdMarkers: Seq[(String, String, Long)] = Seq(
-    ("the", "en", 2L), ("a", "en", 1L),
-    ("window", "de", 2L), ("stream", "de", 1L),
-    ("data", "es", 2L), ("table", "es", 1L),
-    ("query", "fr", 2L), ("merge", "fr", 1L),
-    ("vector", "zh", 2L), ("hash", "zh", 1L))
+  /** Marker features for q22 language ID (word, lang, weight): per-language
+    * function-word cores + corpus-tuned discriminative markers
+    * ([[graft.operators.Lexicons.LangMarkers]]). */
+  private val langIdMarkers: Seq[(String, String, Long)] =
+    graft.operators.Lexicons.LangMarkers
 
   // ---------------------------------------------------------------- oracle
   private val rev =
@@ -847,6 +846,10 @@ object SparkEntry {
   /** DuckDB VALUES table of langIdMarkers. */
   private val sqlMarkers: String = langIdMarkers
     .map { case (w, l, wt) => s"('$w','$l',$wt)" }.mkString(", ")
+
+  /** DuckDB list literal of the stopword set (q21/q35 twins). */
+  private val sqlStopwords: String =
+    Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
@@ -1048,10 +1051,10 @@ object SparkEntry {
         |GROUP BY 1""".stripMargin,
 
     "q21_text_quality" ->
-      """WITH s AS (SELECT doc_id,
+      s"""WITH s AS (SELECT doc_id,
         |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
         |  CAST(len(list_filter(string_split(text,' '),
-        |    x -> x = 'a' OR x = 'the')) AS INT) AS n_stopwords,
+        |    x -> list_contains($sqlStopwords, x))) AS INT) AS n_stopwords,
         |  CAST(list_sum([length(x) for x in string_split(text,' ')]) AS INT)
         |   AS sum_token_len
         | FROM documents)
@@ -1222,7 +1225,7 @@ object SparkEntry {
          |q AS (SELECT doc_id, lang,
          |  CAST(len(string_split(text,' ')) AS INT) AS n_tokens,
          |  CAST(len(list_filter(string_split(text,' '),
-         |    x -> x = 'a' OR x = 'the')) AS DOUBLE)
+         |    x -> list_contains($sqlStopwords, x))) AS DOUBLE)
          |   / CAST(len(string_split(text,' ')) AS DOUBLE)
          |   AS stopword_ratio
          | FROM documents),
