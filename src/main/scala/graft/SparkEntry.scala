@@ -405,6 +405,32 @@ object SparkEntry {
           col("n_hits").cast("double") / col("n_exact").cast("double"))
     }),
 
+    // A4 period→month expansion (reference design intent, doc/report.pdf
+    // §3.1.1 p.10: the value for a given month is the AVERAGE of the
+    // values of the periods covering it — quarterly and four-month
+    // (cuatrimestre) aggregates both expanded to member months). Shape:
+    // period rows explode via sequence(start_month, end_month), then
+    // groupBy(month) + avg — two shuffles (period agg, month agg), both
+    // partial-aggregable; the explode amplifies by at most 4 rows.
+    "q50_period_expand" -> ((s, dir) => {
+      val m = t(s, dir, "orders").select(
+        year(col("o_orderdate")).as("order_year"),
+        month(col("o_orderdate")).as("mo"),
+        C.money(col("o_totalprice")).as("v"))
+      def periods(width: Int): DataFrame =
+        m.groupBy(col("order_year"),
+            ((col("mo") - 1) / width).cast("int").as("p0"))
+          .agg(dsum(col("v")).as("period_value"))
+          .select(col("order_year"),
+            explode(sequence(col("p0") * width + 1,
+              col("p0") * width + width)).as("month_num"),
+            col("period_value"))
+      periods(3).union(periods(4))
+        .groupBy(col("order_year"), col("month_num"))
+        .agg(avg(col("period_value")).as("monthly_value"),
+          count(lit(1)).as("n_periods"))
+    }),
+
     // The composed training-data-curation pipeline — what the LLM-ops are
     // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
     // keep only quality docs (length window + stopword ratio), annotate
@@ -1203,6 +1229,27 @@ object SparkEntry {
          |SELECT method, n_returned, n_hits, n_exact,
          | CAST(n_hits AS DOUBLE) / CAST(n_exact AS DOUBLE) AS recall_at_3
          |FROM g CROSS JOIN n""".stripMargin,
+
+    "q50_period_expand" ->
+      """WITH m AS (SELECT CAST(year(o_orderdate) AS INT) AS order_year,
+        |  CAST(month(o_orderdate) AS INT) AS mo,
+        |  CAST(o_totalprice AS DECIMAL(18,4)) AS v FROM orders),
+        |q3 AS (SELECT order_year, (mo-1)//3 AS p0,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS period_value
+        | FROM m GROUP BY 1, 2),
+        |e3 AS (SELECT order_year,
+        |  CAST(unnest(generate_series(p0*3+1, p0*3+3)) AS INT) AS month_num,
+        |  period_value FROM q3),
+        |q4 AS (SELECT order_year, (mo-1)//4 AS p0,
+        |  CAST(CAST(sum(v) AS VARCHAR) AS DOUBLE) AS period_value
+        | FROM m GROUP BY 1, 2),
+        |e4 AS (SELECT order_year,
+        |  CAST(unnest(generate_series(p0*4+1, p0*4+4)) AS INT) AS month_num,
+        |  period_value FROM q4),
+        |u AS (SELECT * FROM e3 UNION ALL SELECT * FROM e4)
+        |SELECT order_year, month_num, avg(period_value) AS monthly_value,
+        | count(*) AS n_periods
+        |FROM u GROUP BY 1, 2""".stripMargin,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
