@@ -431,6 +431,40 @@ object SparkEntry {
           count(lit(1)).as("n_periods"))
     }),
 
+    // Skew-mitigation pair: the same aggregation over a deliberately
+    // skewed join (every even l_suppkey remapped to supplier 1 → one key
+    // carries ~50% of the fact table). q51 routes it through saltedJoin
+    // (key extended with a salt so the hot key spreads over `salt`
+    // reducers); q52 is the plain join for comparison — under AQE its
+    // skew-split handles the hot partition at runtime. Both share one
+    // plain-join oracle: salting must be result-invisible. The dim side
+    // carries a shuffle_hash hint: the skew scenario by definition is
+    // "dim too big to broadcast", and a broadcast join would sidestep the
+    // machinery being exercised (and measured — see BENCH q51 vs q52).
+    "q51_skew_join_salted" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(pmod(col("l_suppkey"), lit(2)) === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("skew_key"),
+        C.money(col("l_quantity")).as("qty"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("skew_key"), col("s_name"))
+      R.saltedJoin(li, sup.hint("shuffle_hash"), Seq("skew_key"), 8)
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("qty")).as("sum_qty"))
+    }),
+
+    "q52_skew_join_plain" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").select(
+        when(pmod(col("l_suppkey"), lit(2)) === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("skew_key"),
+        C.money(col("l_quantity")).as("qty"))
+      val sup = t(s, dir, "supplier")
+        .select(col("s_suppkey").as("skew_key"), col("s_name"))
+      li.join(sup.hint("shuffle_hash"), Seq("skew_key"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("n_items"), dsum(col("qty")).as("sum_qty"))
+    }),
+
     // The composed training-data-curation pipeline — what the LLM-ops are
     // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
     // keep only quality docs (length window + stopword ratio), annotate
@@ -877,6 +911,17 @@ object SparkEntry {
   private val sqlStopwords: String =
     Stopwords.map(w => s"'$w'").mkString("[", ",", "]")
 
+  /** Shared oracle for the q51/q52 skew pair: the PLAIN join — salting
+    * must not change the result. */
+  private val sqlSkewJoin: String =
+    """SELECT s_name, count(*) AS n_items,
+      | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+      |  AS DOUBLE) AS sum_qty
+      |FROM (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1 ELSE l_suppkey END
+      |        AS skew_key, l_quantity FROM lineitem) l
+      |JOIN supplier s ON s.s_suppkey = l.skew_key
+      |GROUP BY 1""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -1250,6 +1295,9 @@ object SparkEntry {
         |SELECT order_year, month_num, avg(period_value) AS monthly_value,
         | count(*) AS n_periods
         |FROM u GROUP BY 1, 2""".stripMargin,
+
+    "q51_skew_join_salted" -> sqlSkewJoin,
+    "q52_skew_join_plain" -> sqlSkewJoin,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w

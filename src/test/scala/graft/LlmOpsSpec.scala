@@ -206,6 +206,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.length == 451)
   }
 
+  test("saltedJoin spreads the hot key across reducers; plain join " +
+    "concentrates it") {
+    // Pin the physical shape: no broadcast (the skew scenario is "dim too
+    // big to broadcast") and no AQE (its coalescing/skew-split would make
+    // partition counts nondeterministic for the assertion).
+    val confs = Seq("spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val large = (1 to 2000).map(i => (if (i <= 1000) "hot" else s"k$i", i))
+        .toDF("k", "v")
+      val small = ((1 to 2000).map(i => (s"k$i", i * 1.0)) :+ ("hot" -> 0.5))
+        .toDF("k", "w")
+      def hotPartitions(joined: org.apache.spark.sql.DataFrame): Long =
+        joined.filter(col("k") === "hot")
+          .select(spark_partition_id().as("pid"))
+          .distinct().count()
+      assert(hotPartitions(large.join(small, Seq("k"))) == 1L,
+        "plain join must put every hot-key row in ONE reducer")
+      assert(hotPartitions(R.saltedJoin(large, small, Seq("k"), 8)) > 1L,
+        "salted join must spread the hot key over multiple reducers")
+    } finally saved.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   // ------------------------------------------------------- F8 / top-k
 
   test("positionalSlice returns rows (lo, hi] of the total order") {
