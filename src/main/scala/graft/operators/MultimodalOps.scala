@@ -95,4 +95,118 @@ object MultimodalOps {
                        decoder: RawAsset => DecodedAsset
                        = stubDecoder): Dataset[DecodedAsset] =
     ds.mapPartitions(_.map(decoder))(Encoders.product[DecodedAsset])
+
+  // ------------------------------------------------- real pure-JVM decode
+
+  /** Real decoder for the codec-free container formats a bare JVM can
+    * parse end-to-end — binary PPM (P6) images and 16-bit PCM WAV audio —
+    * dispatched on magic bytes, anything else falling back to `fallback`
+    * (the stub by default, which the remaining modalities keep until a
+    * codec library is wired into the seam).
+    *
+    * Decoded shapes (documented so downstream features are interpretable):
+    *  - PPM:  checksum = sum of all RGB sample bytes; features =
+    *    [width, height, maxval, mean_r, mean_g, mean_b, mean_luma, 0]
+    *    (means in [0, maxval], luma = (r+g+b)/3).
+    *  - WAV:  checksum = sum of |sample| over all int16 PCM samples;
+    *    features = [sample_rate, channels, n_samples, mean_abs, rms,
+    *    peak, 0, 0].
+    * Malformed payloads (bad magic is dispatched away; truncated bodies,
+    * zero dimensions) fall back rather than throw — at scale one corrupt
+    * asset must not kill a 10^9-row decode stage. */
+  def pureJvmDecoder(fallback: RawAsset => DecodedAsset = stubDecoder)
+  : RawAsset => DecodedAsset = { a =>
+    val c = Option(a.content).getOrElse(Array.emptyByteArray)
+    (if (isPpm(c)) decodePpm(a, c) else if (isWav(c)) decodeWav(a, c)
+     else None).getOrElse(fallback(a))
+  }
+
+  private def isPpm(c: Array[Byte]): Boolean =
+    c.length > 2 && c(0) == 'P' && c(1) == '6' &&
+      Character.isWhitespace(c(2))
+
+  private def isWav(c: Array[Byte]): Boolean =
+    c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
+      new String(c, 8, 4, "US-ASCII") == "WAVE"
+
+  /** P6 header: "P6" <ws> width <ws> height <ws> maxval <single ws>, with
+    * '#'-to-EOL comments allowed between tokens; then width*height*3
+    * binary samples (maxval <= 255 assumed — the 2-byte variant is rare
+    * and falls back via the length check). */
+  private def decodePpm(a: RawAsset, c: Array[Byte]): Option[DecodedAsset] = {
+    var i = 2
+    def skipWs(): Unit = {
+      var go = true
+      while (go && i < c.length) {
+        if (Character.isWhitespace(c(i))) i += 1
+        else if (c(i) == '#') { while (i < c.length && c(i) != '\n') i += 1 }
+        else go = false
+      }
+    }
+    def int(): Option[Int] = {
+      skipWs()
+      val start = i
+      while (i < c.length && c(i) >= '0' && c(i) <= '9') i += 1
+      if (i == start) None else Some(new String(c, start, i - start).toInt)
+    }
+    for {
+      w <- int(); h <- int(); maxval <- int()
+      if w > 0 && h > 0 && maxval > 0 && maxval <= 255 &&
+        i + 1 + w * h * 3 <= c.length
+    } yield {
+      i += 1 // the single whitespace byte after maxval
+      var (sr, sg, sb, sum) = (0L, 0L, 0L, 0L)
+      var p = i
+      val end = i + w * h * 3
+      while (p < end) {
+        val r = c(p) & 0xff; val g = c(p + 1) & 0xff; val b = c(p + 2) & 0xff
+        sr += r; sg += g; sb += b; sum += r + g + b
+        p += 3
+      }
+      val n = (w * h).toFloat
+      DecodedAsset(a.asset_id, a.modality, c.length, sum,
+        Array(w.toFloat, h.toFloat, maxval.toFloat, sr / n, sg / n, sb / n,
+          sum / (3f * n), 0f))
+    }
+  }
+
+  /** RIFF/WAVE chunk walk: read "fmt " (must be PCM, 16-bit) then "data";
+    * samples are little-endian int16. */
+  private def decodeWav(a: RawAsset, c: Array[Byte]): Option[DecodedAsset] = {
+    def le16(o: Int): Int = (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
+    def le32(o: Int): Long = (le16(o) | (le16(o + 2).toLong << 16)) & 0xffffffffL
+    var i = 12
+    var fmt: Option[(Int, Int, Long)] = None // (channels, bits, rate)
+    var data: Option[(Int, Int)] = None      // (offset, length)
+    while (i + 8 <= c.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(c, i, 4, "US-ASCII")
+      val len = le32(i + 4).toInt
+      if (id == "fmt " && i + 8 + 16 <= c.length) {
+        val audioFormat = le16(i + 8)
+        if (audioFormat == 1)
+          fmt = Some((le16(i + 10), le16(i + 22), le32(i + 12)))
+      } else if (id == "data" && i + 8 + len <= c.length)
+        data = Some((i + 8, len))
+      i += 8 + len + (len & 1) // chunks are word-aligned
+    }
+    for {
+      (channels, bits, rate) <- fmt
+      (off, len) <- data
+      if bits == 16 && channels > 0 && len >= 2
+    } yield {
+      val nSamples = len / 2
+      var (sumAbs, sumSq, peak) = (0L, 0.0, 0L)
+      var p = 0
+      while (p < nSamples) {
+        val s = le16(off + p * 2).toShort.toInt
+        val abs = math.abs(s).toLong
+        sumAbs += abs; sumSq += s.toDouble * s; if (abs > peak) peak = abs
+        p += 1
+      }
+      DecodedAsset(a.asset_id, a.modality, c.length, sumAbs,
+        Array(rate.toFloat, channels.toFloat, nSamples.toFloat,
+          (sumAbs.toDouble / nSamples).toFloat,
+          math.sqrt(sumSq / nSamples).toFloat, peak.toFloat, 0f, 0f))
+    }
+  }
 }

@@ -51,4 +51,60 @@ class MultimodalSpec extends AnyFunSuite {
       Seq(0f, 1f / 3, 1f / 3, 1f / 3, 0f, 0f, 0f, 0f))
     assert(out(1).n_bytes == 0 && out(1).checksum == 0L)
   }
+
+  /** 2x2 P6 fixture: red, green, blue, (10,20,30) — with a header comment. */
+  private def ppmFixture: Array[Byte] =
+    "P6\n# fixture\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Int](
+      255, 0, 0, 0, 255, 0, 0, 0, 255, 10, 20, 30).map(_.toByte)
+
+  /** Mono 8 kHz 16-bit PCM fixture with samples 100, -200, 300, -400. */
+  private def wavFixture: Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(52)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(44)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1).putInt(8000).putInt(16000)
+      .putShort(2).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(8)
+    Seq(100, -200, 300, -400).foreach(s => bb.putShort(s.toShort))
+    bb.array()
+  }
+
+  test("pureJvmDecoder decodes a real PPM: dimensions and channel means") {
+    val out = MultimodalOps.decodePartitions(
+      Seq(RawAsset(7L, "image", ppmFixture)).toDS,
+      MultimodalOps.pureJvmDecoder()).head
+    assert(out.checksum == 825L) // 255*3 + 10+20+30
+    val f = out.features
+    assert((f(0), f(1), f(2)) == (2f, 2f, 255f))
+    assert((f(3), f(4), f(5)) == (66.25f, 68.75f, 71.25f)) // per-channel
+    assert(f(6) == 68.75f) // mean luma = 825 / 12
+  }
+
+  test("pureJvmDecoder decodes a real WAV: rate, sample count, amplitude") {
+    val out = MultimodalOps.decodePartitions(
+      Seq(RawAsset(8L, "audio", wavFixture)).toDS,
+      MultimodalOps.pureJvmDecoder()).head
+    assert(out.checksum == 1000L) // sum |samples|
+    val f = out.features
+    assert((f(0), f(1), f(2)) == (8000f, 1f, 4f))
+    assert(f(3) == 250f)                       // mean |sample|
+    assert(math.abs(f(4) - 273.8613f) < 1e-3)  // rms = sqrt(75000)
+    assert(f(5) == 400f)                       // peak
+  }
+
+  test("pureJvmDecoder falls back to the stub for unknown or truncated " +
+    "payloads") {
+    val truncatedPpm = ppmFixture.take(14) // header, body missing
+    val out = MultimodalOps.decodePartitions(
+      Seq(RawAsset(1L, "image", "abc".getBytes("UTF-8")),
+        RawAsset(2L, "image", truncatedPpm)).toDS,
+      MultimodalOps.pureJvmDecoder()).collect().sortBy(_.asset_id)
+    // identical to the stub's documented output for "abc"
+    assert(out(0).checksum == 294L && out(0).n_bytes == 3)
+    // truncated body: dispatched to PPM but fails the length check -> stub
+    assert(out(1).n_bytes == truncatedPpm.length)
+    assert(out(1).features.sum > 0f) // stub histogram, not PPM shape
+  }
 }
