@@ -83,7 +83,7 @@ object Bench {
       .mkString("[", ",", "]")
     val total = results.map(_._2).filter(_ >= 0).sum
     // n_queries/sec_per_query: the suite GROWS between rounds (18 queries
-    // in r1, 51 by r4) — raw totals are not comparable across rounds
+    // in r1, 52 by r4) — raw totals are not comparable across rounds
     // without the count.
     val n = results.count(_._2 >= 0)
     val perQ = if (n > 0) total / n else -1.0
