@@ -391,7 +391,8 @@ object SparkEntry {
     "q49_ann_recall" -> ((s, dir) => {
       val ex = annExact(s, dir, 3)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
-      val ap = Seq("lsh" -> annLsh(s, dir), "ivf" -> annIvf(s, dir))
+      val ap = Seq("lsh" -> annLsh(s, dir),
+          "lsh_mp" -> annLshMultiprobe(s, dir), "ivf" -> annIvf(s, dir))
         .map { case (m, df) => df.select(lit(m).as("method"),
           col("query_id"), col("neighbor_id")) }
         .reduce(_ union _)
@@ -464,6 +465,11 @@ object SparkEntry {
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("n_items"), dsum(col("qty")).as("sum_qty"))
     }),
+
+    // Multi-probe LSH ANN: the recall/work dial for the bucketed
+    // similarity-search path (see annLshMultiprobe; recall measured
+    // against exact in q49).
+    "q53_ann_lsh_multiprobe" -> (annLshMultiprobe(_, _)),
 
     // The composed training-data-curation pipeline — what the LLM-ops are
     // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
@@ -750,6 +756,40 @@ object SparkEntry {
         col("rank"), col("cosine"))
   }
 
+  /** q53/q49 shared: MULTI-PROBE variant of [[annLsh]] — each query also
+    * probes every bucket at Hamming distance 1 from its own (flip one of
+    * the `planes` sign bits), so near neighbors split by a single
+    * hyperplane are recovered. Candidate cost grows by ×(planes+1) on the
+    * query side only (the corpus stays bucketed once); at q49's
+    * measurement this lifts recall@3 from 0.20 to well above the
+    * single-probe path — the standard recall/work dial for hyperplane
+    * LSH. Corpus vectors live in exactly one bucket and probe buckets are
+    * distinct, so no candidate dedup is needed. */
+  private def annLshMultiprobe(s: SparkSession, dir: String,
+                               planes: Int = AnnPlanes): DataFrame = {
+    val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
+      Vec.lshBucket(col("embedding"), planes).as("bucket"),
+      Vec.norm(col("embedding")).as("__n"))
+    val probeList = array(lit(0L) +: (0 until planes)
+      .map(p => lit(1L << p)): _*)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+        explode(transform(probeList, m => col("bucket").bitwiseXOR(m)))
+          .as("probe_bucket"),
+        col("__n").as("__qn"))
+    val c = e.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("__cv"), col("bucket").as("__bc"),
+      col("__n").as("__cn"))
+    val scored = q.join(c, col("probe_bucket") === col("__bc") &&
+        col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", Vec.cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    R.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("cosine"))
+  }
+
   /** q34/q49 shared: IVF-flat ANN — centroids seeded from the corpus
     * (vec_id < cells; k-means training out of scope, assignment + probe
     * mechanics real), vectors assigned to nearest cell (broadcast O(N·K)
@@ -853,6 +893,28 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, bucket, CAST(rnk AS INT) AS "rank",
        | cosine
        |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB twin of [[annLshMultiprobe]] (q53/q49): the query side probes
+    * its own bucket plus every bucket one sign-bit away. */
+  private lazy val sqlAnnLshMp: String = {
+    val masks = (0L +: (0 until AnnPlanes).map(p => 1L << p)).mkString(",")
+    s"""WITH e AS (SELECT vec_id, embedding,
+       |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+       | FROM embeddings),
+       |p AS (SELECT vec_id AS query_id, embedding AS qe,
+       |  CAST(unnest([xor(bucket, m) for m in [$masks]]) AS BIGINT)
+       |   AS probe_bucket
+       | FROM e WHERE vec_id < 20),
+       |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+       |  ${sqlCosine("p.qe", "c.embedding")} AS cosine
+       | FROM p JOIN e c
+       |  ON p.probe_bucket = c.bucket AND p.query_id <> c.vec_id),
+       |r AS (SELECT query_id, neighbor_id, cosine,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", cosine
+       |FROM r WHERE rnk <= 3""".stripMargin
+  }
 
   /** DuckDB twin of [[annIvf]] (q34/q49). */
   private lazy val sqlAnnIvf: String =
@@ -1263,6 +1325,9 @@ object SparkEntry {
          |ap AS (SELECT 'lsh' AS method, query_id, neighbor_id
          |   FROM ($sqlAnnLsh)
          | UNION ALL
+         | SELECT 'lsh_mp' AS method, query_id, neighbor_id
+         |   FROM ($sqlAnnLshMp)
+         | UNION ALL
          | SELECT 'ivf' AS method, query_id, neighbor_id
          |   FROM ($sqlAnnIvf)),
          |g AS (SELECT method, count(*) AS n_returned,
@@ -1298,6 +1363,7 @@ object SparkEntry {
 
     "q51_skew_join_salted" -> sqlSkewJoin,
     "q52_skew_join_plain" -> sqlSkewJoin,
+    "q53_ann_lsh_multiprobe" -> sqlAnnLshMp,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
