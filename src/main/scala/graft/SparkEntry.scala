@@ -5,8 +5,8 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{CleanseOps => C, DedupOps => D,
-  MultimodalOps => M, RelationalOps => R, TextOps => T, TimeOps => Ti,
-  VectorOps => Vec, VizPrep => V}
+  MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
+  TextOps => T, TimeOps => Ti, VectorOps => Vec, VizPrep => V}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -470,6 +470,25 @@ object SparkEntry {
     // similarity-search path (see annLshMultiprobe; recall measured
     // against exact in q49).
     "q53_ann_lsh_multiprobe" -> (annLshMultiprobe(_, _)),
+
+    // Deterministic 20% hash-Bernoulli sample of the corpus (keyed on
+    // doc_id, salt "s1") — reproducible across runs/partitionings/engines;
+    // summarized per language for the oracle.
+    "q54_hash_sample" -> ((s, dir) =>
+      Sam.hashSample(t(s, dir, "documents"), col("doc_id"), 2000, 10000,
+          "s1")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"), min(col("doc_id")).as("min_doc_id"))),
+
+    // Stratified sampling: downsample the dominant language, keep a rare
+    // one whole, drop another entirely — per-stratum rates as a literal
+    // when-chain (no join), decision still a pure hash of (salt, doc_id).
+    "q55_stratified_sample" -> ((s, dir) =>
+      Sam.stratifiedSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"),
+          Map("en" -> 1000, "de" -> 5000, "es" -> 2500, "fr" -> 10000,
+            "zh" -> 0), 10000, "s2")
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))),
 
     // The composed training-data-curation pipeline — what the LLM-ops are
     // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
@@ -1364,6 +1383,20 @@ object SparkEntry {
     "q51_skew_join_salted" -> sqlSkewJoin,
     "q52_skew_join_plain" -> sqlSkewJoin,
     "q53_ann_lsh_multiprobe" -> sqlAnnLshMp,
+
+    "q54_hash_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id
+         |FROM documents
+         |WHERE ${hx("'s1' || CAST(doc_id AS VARCHAR)", 8)} % 10000 < 2000
+         |GROUP BY 1""".stripMargin,
+
+    "q55_stratified_sample" ->
+      s"""SELECT lang, count(*) AS n_sampled
+         |FROM documents
+         |WHERE ${hx("'s2' || CAST(doc_id AS VARCHAR)", 8)} % 10000 <
+         | (CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
+         |   WHEN 'es' THEN 2500 WHEN 'fr' THEN 10000 ELSE 0 END)
+         |GROUP BY 1""".stripMargin,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w

@@ -1,0 +1,56 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for the training-data pipeline: hash-Bernoulli
+  * row sampling and per-stratum rate sampling.
+  *
+  * Spark's own `df.sample` is seed-stable only for a fixed partitioning —
+  * repartition the input and the sample changes, and no external system
+  * can reproduce it. Hashing a row's KEY instead makes the decision a pure
+  * function of the data: reproducible across runs, partitionings, engines
+  * (the DuckDB oracle computes the identical md5-prefix hash), and
+  * incremental loads (a doc sampled today is sampled tomorrow).
+  *
+  * Scale posture: both operators are scan-local filters — zero shuffle,
+  * pushdown-compatible, trivially parallel at any corpus size. The salt
+  * decorrelates independent samples of the same corpus (use distinct salts
+  * for train/validation splits so they are disjoint-ish by independence,
+  * or rate-partition one salt for exact disjointness).
+  */
+object SampleOps {
+
+  /** Sampling hash in [0, denom): md5-prefix of (salt || id). */
+  def sampleBucket(id: Column, salt: String, denom: Int): Column =
+    pmod(TextOps.hash32(concat(lit(salt), id.cast("string"))), lit(denom))
+
+  /** Keep a deterministic `num`/`denom` fraction of rows, keyed by `id`.
+    * Exactly the rows with sample bucket < num survive — so num=2000,
+    * denom=10000 is a reproducible 20% sample, and buckets [0,1000) vs
+    * [1000,2000) are EXACTLY disjoint sub-samples (split by bucket range
+    * for leak-free train/validation partitions). */
+  def hashSample(df: DataFrame, id: Column, num: Int, denom: Int,
+                 salt: String): DataFrame = {
+    require(denom > 0 && num >= 0 && num <= denom,
+      s"need 0 <= num <= denom, got $num/$denom")
+    df.filter(sampleBucket(id, salt, denom) < num)
+  }
+
+  /** Per-stratum sampling rates (e.g. downsample the dominant language,
+    * keep the rare ones whole): `rates` maps stratum value → numerator
+    * over `denom`; strata absent from the map are dropped (rate 0). The
+    * rate lookup is a literal when-chain — codegen'd, no join, no
+    * broadcast table to manage. */
+  def stratifiedSample(df: DataFrame, stratum: Column, id: Column,
+                       rates: Map[String, Int], denom: Int,
+                       salt: String): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    require(rates.values.forall(n => n >= 0 && n <= denom),
+      "every rate numerator must be in [0, denom]")
+    val rateCol = rates.toSeq.sortBy(_._1)
+      .foldLeft(lit(0)) { case (acc, (k, n)) =>
+        when(stratum === k, lit(n)).otherwise(acc) }
+    df.filter(sampleBucket(id, salt, denom) < rateCol)
+  }
+}

@@ -206,6 +206,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.length == 451)
   }
 
+  test("hashSample is deterministic under repartitioning and splits " +
+    "disjointly by bucket range") {
+    import graft.operators.{SampleOps => Sam}
+    val df = (1L to 2000L).toDF("id")
+    def ids(d: org.apache.spark.sql.DataFrame) =
+      Sam.hashSample(d, col("id"), 3000, 10000, "seed").select("id")
+        .as[Long].collect().toSet
+    val a = ids(df)
+    assert(ids(df.repartition(13)) == a, "partitioning must not change it")
+    // ~30% within binomial slack
+    assert(a.size > 480 && a.size < 720)
+    // bucket ranges [0,1500) and [1500,3000) partition the 30% sample
+    val lo = df.filter(Sam.sampleBucket(col("id"), "seed", 10000) < 1500)
+      .select("id").as[Long].collect().toSet
+    val hi = df.filter(Sam.sampleBucket(col("id"), "seed", 10000)
+        .between(1500, 2999)).select("id").as[Long].collect().toSet
+    assert((lo & hi).isEmpty && (lo | hi) == a)
+  }
+
+  test("stratifiedSample applies per-stratum rates; missing strata drop") {
+    import graft.operators.{SampleOps => Sam}
+    val df = (1L to 3000L).map(i => (i, if (i <= 1000) "big"
+      else if (i <= 2000) "keep" else "other")).toDF("id", "s")
+    val out = Sam.stratifiedSample(df, col("s"), col("id"),
+        Map("big" -> 1000, "keep" -> 10000), 10000, "z")
+      .groupBy("s").count().as[(String, Long)].collect().toMap
+    assert(out("keep") == 1000L)         // rate 1.0 keeps the stratum whole
+    assert(out("big") > 50 && out("big") < 150) // ~10%
+    assert(!out.contains("other"))       // unmapped stratum dropped
+  }
+
   test("saltedJoin spreads the hot key across reducers; plain join " +
     "concentrates it") {
     // Pin the physical shape: no broadcast (the skew scenario is "dim too
