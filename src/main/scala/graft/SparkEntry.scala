@@ -490,6 +490,34 @@ object SparkEntry {
             "zh" -> 0), 10000, "s2")
         .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))),
 
+    // LLM context-window prep: overlapping token chunks (size 32, stride
+    // 24 → 8-token overlap), one output row per chunk. Map-side only.
+    "q56_token_chunks" -> ((s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          posexplode(T.tokenChunks(T.tokens(col("text")), 32, 24))
+            .as(Seq("chunk_idx", "chunk_text")))
+        .withColumn("n_chunk_tokens",
+          size(split(col("chunk_text"), " ")))),
+
+    // Sequence packing: fill fixed token budgets (2048) per language by
+    // running token count over a deterministic doc order. Offset-based
+    // packing (a doc may straddle a boundary — the streaming-pack shape);
+    // the window is PARTITIONED by lang, so no global sort: each shard
+    // packs independently, which is exactly how a 100 TB corpus packs
+    // (per-shard workers), and the only shuffle is the window partition.
+    "q57_sequence_pack" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        size(T.tokens(col("text"))).as("n_tokens"))
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("cum_before",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+        .withColumn("pack_id",
+          floor(col("cum_before") / lit(2048)).cast("int"))
+        .groupBy(col("lang"), col("pack_id"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+    }),
+
     // The composed training-data-curation pipeline — what the LLM-ops are
     // FOR: drop near-dup losers (MinHash-LSH clusters keep their min id),
     // keep only quality docs (length window + stopword ratio), annotate
@@ -1397,6 +1425,32 @@ object SparkEntry {
          | (CASE lang WHEN 'en' THEN 1000 WHEN 'de' THEN 5000
          |   WHEN 'es' THEN 2500 WHEN 'fr' THEN 10000 ELSE 0 END)
          |GROUP BY 1""".stripMargin,
+
+    "q56_token_chunks" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+        |  FROM documents),
+        |c AS (SELECT doc_id, w,
+        |  CAST(unnest(generate_series(1, greatest(len(w), 1), 24)) AS INT)
+        |   AS st
+        | FROM tok)
+        |SELECT doc_id, CAST((st - 1) // 24 AS INT) AS chunk_idx,
+        | array_to_string(w[st : st + 31], ' ') AS chunk_text,
+        | CAST(len(string_split(array_to_string(w[st : st + 31], ' '), ' '))
+        |  AS INT) AS n_chunk_tokens
+        |FROM c""".stripMargin,
+
+    "q57_sequence_pack" ->
+      """WITH d AS (SELECT doc_id, lang,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        | FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  COALESCE(sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS cum_before
+        | FROM d)
+        |SELECT lang, CAST(cum_before // 2048 AS INT) AS pack_id,
+        | count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS pack_tokens
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     "q35_corpus_curation" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w

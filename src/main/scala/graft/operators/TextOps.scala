@@ -63,6 +63,21 @@ object TextOps {
         i => text.substr(i, lit(n)))))
       .otherwise(array(text))
 
+  /** Overlapping fixed-size token chunks (LLM context-window prep): chunk
+    * i covers tokens [1 + i*stride, 1 + i*stride + size), so consecutive
+    * chunks share `size - stride` tokens; the tail chunk may be short.
+    * stride = size gives disjoint chunks. Map-side only — callers
+    * posexplode to (chunk_idx, chunk) rows; row amplification is
+    * ~n_tokens/stride. */
+  def tokenChunks(words: Column, size: Int, stride: Int): Column = {
+    require(size > 0 && stride > 0 && stride <= size,
+      s"need 0 < stride <= size, got size=$size stride=$stride")
+    transform(
+      sequence(lit(1), greatest(org.apache.spark.sql.functions.size(words),
+        lit(1)), lit(stride)),
+      st => concat_ws(" ", slice(words, st, lit(size))))
+  }
+
   /** Set Jaccard similarity of two (distinct-element) arrays, as the exact
     * double quotient of two small ints — bit-identical across engines. */
   def jaccard(a: Column, b: Column): Column =

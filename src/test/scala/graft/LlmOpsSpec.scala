@@ -206,6 +206,19 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.length == 451)
   }
 
+  test("tokenChunks: overlap, tail chunk, and single-token edge") {
+    val df = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "solo")).toDF("id", "text")
+    val out = df.select(col("id"),
+        T.tokenChunks(T.tokens(col("text")), 4, 3).as("c"))
+      .as[(Long, Seq[String])].collect().toMap
+    // size 4 stride 3 over 10 tokens: starts 1,4,7,10
+    assert(out(1L) == Seq("t1 t2 t3 t4", "t4 t5 t6 t7", "t7 t8 t9 t10",
+      "t10"))
+    assert(out(2L) == Seq("solo"))
+  }
+
   test("hashSample is deterministic under repartitioning and splits " +
     "disjointly by bucket range") {
     import graft.operators.{SampleOps => Sam}
