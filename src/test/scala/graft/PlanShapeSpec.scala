@@ -157,4 +157,44 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(f.contains("hashpartitioning"))
     assert(exchanges <= 2, s"expected <=2 exchanges, got $exchanges")
   }
+
+  test("q54/q55 sampling is a scan-local filter: no join, one agg shuffle") {
+    for (q <- Seq("q54_hash_sample", "q55_stratified_sample")) {
+      val f = formatted(q)
+      assert(!f.contains("Join"), s"$q: sampling must not plan a join:\n$f")
+      assert(shuffles(f) == 1,
+        s"$q: only the summary agg may shuffle, got ${shuffles(f)}:\n$f")
+    }
+  }
+
+  test("q56 token chunking is map-side only: zero shuffles, one generate") {
+    val f = formatted("q56_token_chunks")
+    assert(shuffles(f) == 0,
+      s"chunking must not shuffle, got ${shuffles(f)}:\n$f")
+    assert(f.contains("Generate"), "posexplode should plan a Generate")
+  }
+
+  test("q57 packing windows are PARTITIONED (no global-sort window)") {
+    val f = formatted("q57_sequence_pack")
+    // the scale-killer this operator invites is a window over a single
+    // partition; the pack window must carry the lang partition spec
+    assert(!f.contains("SinglePartition"),
+      s"pack window must not run on a single partition:\n$f")
+    assert(shuffles(f) <= 2,
+      s"expected <=2 hash exchanges (window + agg), got ${shuffles(f)}:\n$f")
+  }
+
+  test("q50 period expansion keeps both period aggregates partial-aggregable") {
+    val f = formatted("q50_period_expand")
+    assert(f.contains("Generate"), "explode(sequence) should plan a Generate")
+    assert(!f.contains("Join"), "period expansion needs no join")
+    assert(shuffles(f) <= 3,
+      s"expected <=3 hash exchanges (2 period aggs + final), got ${shuffles(f)}:\n$f")
+  }
+
+  test("q53 multiprobe ANN stays an equi-join on the probed bucket") {
+    val p = plan("q53_ann_lsh_multiprobe")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"))
+  }
 }
