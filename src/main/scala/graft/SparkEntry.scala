@@ -499,6 +499,32 @@ object SparkEntry {
         .withColumn("n_chunk_tokens",
           size(split(col("chunk_text"), " ")))),
 
+    // Corpus snapshot diff (CDC shape): compare two corpus versions by
+    // content hash through a FULL OUTER join on doc_id — added / removed /
+    // changed / unchanged counts. v2 is derived deterministically from v1
+    // (drop doc_id%13, edit %7, add %11 under new ids) so both engines
+    // construct the identical "next snapshot". One shuffle per side on
+    // doc_id; the hash comparison keeps full text off the wire.
+    "q58_snapshot_diff" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2 = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("h2"))
+        .union(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            md5(col("text")).as("h2")))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .withColumn("change_type",
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged"))
+        .groupBy(col("change_type")).agg(count(lit(1)).as("n_docs"))
+    }),
+
     // Sequence packing: fill fixed token budgets (2048) per language by
     // running token count over a deterministic doc order. Offset-based
     // packing (a doc may straddle a boundary — the streaming-pack shape);
@@ -1438,6 +1464,23 @@ object SparkEntry {
         | CAST(len(string_split(array_to_string(w[st : st + 31], ' '), ' '))
         |  AS INT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    "q58_snapshot_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END)
+        |   AS h2
+        | FROM documents WHERE doc_id % 13 <> 0
+        | UNION ALL
+        | SELECT doc_id + 1000000, md5(text) FROM documents
+        | WHERE doc_id % 11 = 0),
+        |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
+        | FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT CASE WHEN h1 IS NULL THEN 'added'
+        |  WHEN h2 IS NULL THEN 'removed'
+        |  WHEN h1 <> h2 THEN 'changed' ELSE 'unchanged' END AS change_type,
+        | count(*) AS n_docs
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q57_sequence_pack" ->
       """WITH d AS (SELECT doc_id, lang,
