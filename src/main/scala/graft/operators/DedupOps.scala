@@ -70,10 +70,15 @@ object DedupOps {
 
   /** Near-dup pairs: LSH candidates (same band hash in any band), verified
     * with exact Jaccard over the shingle sets, thresholded. `shingles` is
-    * the shingle-set EXPRESSION over `docs`' columns — passed as an
+    * the shingle EXPRESSION over `docs`' columns — passed as an
     * expression (not a precomputed column) so the verify stage can apply
     * it after its candidate semi-join instead of paying two more
-    * whole-corpus evaluations.
+    * whole-corpus evaluations. Multiplicity is fine (prefer the cheaper
+    * `*ShinglesMulti` forms): the signature stage is duplicate-invariant
+    * (min over duplicates == min over distinct) and the verify stage
+    * dedupes after hashing, so distinct-form and multi-form inputs give
+    * identical pairs — the multi form just skips a per-row hash-set
+    * build on the full-corpus scan.
     *
     * Cache lifecycle: the returned plan holds a persisted candidate set
     * (see [[nearDupPairsTracked]]) that lives until the session ends or

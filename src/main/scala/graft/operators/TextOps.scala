@@ -44,23 +44,40 @@ object TextOps {
                     pattern: String = "[a-z]{1,4}|[0-9]{1,3}"): Column =
     size(regexp_extract_all(text, lit(pattern), lit(0)))
 
-  /** Distinct word n-gram shingles of a token array; docs shorter than `n`
-    * tokens yield an empty set (guard needed: sequence(0, negative) counts
-    * DOWN in Spark rather than producing an empty array). */
-  def wordShingles(words: Column, n: Int): Column =
+  /** Word n-gram shingles of a token array WITH multiplicity — the cheap
+    * form for consumers that are duplicate-invariant (a MinHash minimum
+    * over duplicates equals the minimum over the distinct set, so the
+    * signature stage skips the array_distinct hash-set build per row).
+    * Docs shorter than `n` tokens yield an empty array (guard needed:
+    * sequence(0, negative) counts DOWN in Spark rather than producing an
+    * empty array). */
+  def wordShinglesMulti(words: Column, n: Int): Column =
     when(size(words) >= n,
-      array_distinct(transform(sequence(lit(0), size(words) - n),
-        i => concat_ws(" ", slice(words, i + lit(1), lit(n))))))
+      transform(sequence(lit(0), size(words) - n),
+        i => concat_ws(" ", slice(words, i + lit(1), lit(n)))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct character n-gram shingles of the raw text (the n-gram-
-    * Jaccard dedup family measures on these rather than word shingles —
-    * robust to tokenization differences). Texts shorter than `n` chars
-    * shingle whole, mirroring [[rollingFingerprint]]'s fallback. */
+  /** Distinct word n-gram shingles (set semantics — what Jaccard needs). */
+  def wordShingles(words: Column, n: Int): Column =
+    when(size(words) >= n,
+      array_distinct(wordShinglesMulti(words, n)))
+      .otherwise(array().cast("array<string>"))
+
+  /** Character n-gram shingles WITH multiplicity (see
+    * [[wordShinglesMulti]] for when this is safe). Texts shorter than `n`
+    * chars shingle whole, mirroring [[rollingFingerprint]]'s fallback. */
+  def charShinglesMulti(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - (n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array(text))
+
+  /** Distinct character n-gram shingles (the n-gram-Jaccard dedup family
+    * measures on these rather than word shingles — robust to tokenization
+    * differences). */
   def charShingles(text: Column, n: Int): Column =
     when(length(text) >= n,
-      array_distinct(transform(sequence(lit(1), length(text) - (n - 1)),
-        i => text.substr(i, lit(n)))))
+      array_distinct(charShinglesMulti(text, n)))
       .otherwise(array(text))
 
   /** Overlapping fixed-size token chunks (LLM context-window prep): chunk
