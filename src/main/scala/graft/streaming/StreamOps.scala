@@ -42,6 +42,26 @@ object StreamOps {
     events.withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keys.head, keys.tail: _*)
 
+  /** Stream-stream INTERVAL join: right rows within [leftTs, leftTs +
+    * maxDelaySec] for the same key — e.g. purchases within an hour of a
+    * signup, both sides live streams. Both inputs are watermarked, and
+    * the time-bound join condition is what lets Structured Streaming
+    * EXPIRE state: without it a stream-stream join must buffer both
+    * sides forever. State per side is bounded by watermark + interval.
+    * The same call works on batch frames (condition degenerates to a
+    * plain range join) — specs pin stream == batch on one feed. */
+  def joinWithinInterval(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], leftTs: String, rightTs: String,
+                         watermark: String, maxDelaySec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS")
+    // using-join style output: one copy of each key (the left's)
+    keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Int,
                                 sum: Double)

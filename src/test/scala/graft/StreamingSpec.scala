@@ -130,6 +130,45 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches batch on one feed and drops " +
+    "out-of-window matches") {
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamOps.joinWithinInterval(
+      signups.toDF.toDF("user_id", "signup_ts"),
+      purchases.toDF.toDF("user_id", "purchase_ts", "amount"),
+      Seq("user_id"), "signup_ts", "purchase_ts",
+      "30 minutes", 300) // purchases within 5 min of signup
+    val q = joined
+      .select(col("user_id"), col("purchase_ts"), col("amount"))
+      .writeStream.format("memory").queryName("iv_join")
+      .outputMode("append").start()
+    val sData = Seq((1L, ts(1)), (2L, ts(10)))
+    val pData = Seq(
+      (1L, ts(3), 5.0),   // within 5 min of u1 signup -> joins
+      (1L, ts(9), 7.0),   // 8 min after -> outside interval
+      (2L, ts(12), 9.0),  // within -> joins
+      (3L, ts(12), 1.0))  // no signup -> no join
+    try {
+      signups.addData(sData: _*)
+      purchases.addData(pData: _*)
+      q.processAllAvailable()
+      val streamed = spark.table("iv_join")
+        .as[(Long, Timestamp, Double)].collect().sortBy(_._1).toSeq
+      assert(streamed == Seq((1L, ts(3), 5.0), (2L, ts(12), 9.0)))
+      // batch parity: the SAME call on batch frames
+      val batch = StreamOps.joinWithinInterval(
+          sData.toDF("user_id", "signup_ts"),
+          pData.toDF("user_id", "purchase_ts", "amount"),
+          Seq("user_id"), "signup_ts", "purchase_ts", "30 minutes", 300)
+        .select(col("signup_ts"), col("purchase_ts"), col("amount"))
+        .as[(Timestamp, Timestamp, Double)].collect().sortBy(_._1.getTime)
+      assert(batch.map(r => (r._2, r._3)).toSeq ==
+        Seq((ts(3), 5.0), (ts(12), 9.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches batch TimeOps.sessionize on one feed") {
     implicit val sc = spark.sqlContext
     // Deterministic second-precision feed: 3 users x 40 events, gaps of
