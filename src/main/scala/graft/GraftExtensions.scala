@@ -2,9 +2,11 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Literal}
+import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductF32, MinHashSig, SimHash60}
+import graft.functions.{DotProductF32, MinHashSig, NGramMinHashSig, SimHash60}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -34,5 +36,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 1, "minhash_sig takes exactly 1 argument")
         MinHashSig(args.head)
       }))
+    // fused shingle+minhash kernels: (text, n-literal)
+    def nGram(name: String, word: Boolean)(args: Seq[Expression]) = {
+      require(args.length == 2, s"$name takes exactly 2 arguments")
+      val n = args(1) match {
+        case Literal(v: Int, IntegerType) if v > 0 => v
+        case other => throw new IllegalArgumentException(
+          s"$name: n must be a positive int literal, got $other")
+      }
+      NGramMinHashSig(args.head, n, word)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("char_minhash_sig"),
+      new ExpressionInfo(classOf[NGramMinHashSig].getName, "char_minhash_sig"),
+      (args: Seq[Expression]) => nGram("char_minhash_sig", word = false)(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_minhash_sig"),
+      new ExpressionInfo(classOf[NGramMinHashSig].getName, "word_minhash_sig"),
+      (args: Seq[Expression]) => nGram("word_minhash_sig", word = true)(args)))
   }
 }

@@ -313,7 +313,8 @@ object SparkEntry {
     "q25_minhash_lsh" -> ((s, dir) =>
       D.nearDupPairs(
         spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
-        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8)),
+        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+        sig = Some(call_function("word_minhash_sig", col("text"), lit(3))))),
 
     // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
     "q26_simhash" -> ((s, dir) =>
@@ -555,7 +556,8 @@ object SparkEntry {
       // keeps each cluster's minimum id)
       val losers = D.nearDupPairs(
           docs.select(col("doc_id"), col("text")), "doc_id",
-          T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8)
+          T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+          sig = Some(call_function("word_minhash_sig", col("text"), lit(3))))
         .select(col("id_b").as("doc_id")).distinct()
       val w = T.tokens(col("text"))
       val quality = docs.select(col("doc_id"), col("lang"),
@@ -645,7 +647,8 @@ object SparkEntry {
     "q39_ngram_jaccard" -> ((s, dir) =>
       D.nearDupPairs(
         spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
-        "doc_id", T.charShinglesMulti(col("text"), 8), 0.7)),
+        "doc_id", T.charShinglesMulti(col("text"), 8), 0.7,
+        sig = Some(call_function("char_minhash_sig", col("text"), lit(8))))),
 
     // OLAP rollup (grouping sets): region/nation subtotals + grand total
     // in one pass — partial-aggregable, one shuffle.

@@ -87,8 +87,8 @@ object DedupOps {
     * sessions sweeping many corpora with THIS entry point should
     * `spark.catalog.clearCache()` between sweeps (ADVICE r3). */
   def nearDupPairs(docs: DataFrame, id: String, shingles: Column,
-                   threshold: Double): DataFrame =
-    nearDupPairsTracked(docs, id, shingles, threshold)._1
+                   threshold: Double, sig: Option[Column] = None): DataFrame =
+    nearDupPairsTracked(docs, id, shingles, threshold, sig)._1
 
   /** Loan-pattern wrapper owning the candidate-cache lifecycle: hands the
     * verified-pairs plan to `use`, then unpersists the candidate set in a
@@ -96,18 +96,35 @@ object DedupOps {
     * consume the plan (any action); a DataFrame leaked out of `use` and
     * executed later recomputes candidates uncached (correct, just slower). */
   def withNearDupPairs[T](docs: DataFrame, id: String, shingles: Column,
-                          threshold: Double)(use: DataFrame => T): T = {
-    val (pairs, cached) = nearDupPairsTracked(docs, id, shingles, threshold)
+                          threshold: Double, sig: Option[Column] = None)
+                         (use: DataFrame => T): T = {
+    val (pairs, cached) =
+      nearDupPairsTracked(docs, id, shingles, threshold, sig)
     try use(pairs)
     finally cached.foreach(_.unpersist(blocking = false))
   }
 
   /** [[nearDupPairs]] plus the persisted intermediate handles for lifecycle
-    * control: (verified pairs, cached plans to unpersist when done). */
+    * control: (verified pairs, cached plans to unpersist when done).
+    *
+    * `sig`: optional pre-fused signature expression (a
+    * `char_minhash_sig`/`word_minhash_sig` call) replacing the composable
+    * shingle→minhash pipeline on the full-corpus scan — same K-array
+    * output, spec-pinned bit-identical, but with no interpreted
+    * higher-order lambda and no intermediate shingle array per row. The
+    * `shingles` expression is still what the verify stage measures
+    * Jaccard on (it only evaluates for candidate docs). */
   def nearDupPairsTracked(docs: DataFrame, id: String, shingles: Column,
-                          threshold: Double): (DataFrame, Seq[DataFrame]) = {
-    val sigs = minhashSignatures(
-      docs.select(col(id), shingles.as("__shingles")), id, col("__shingles"))
+                          threshold: Double, sig: Option[Column] = None)
+  : (DataFrame, Seq[DataFrame]) = {
+    val sigs = sig match {
+      case Some(s) =>
+        docs.select(col(id), s.as("__sig")).filter(col("__sig").isNotNull)
+          .select(col(id) +: (0 until K).map(k =>
+            element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
+      case None => minhashSignatures(
+        docs.select(col(id), shingles.as("__shingles")), id, col("__shingles"))
+    }
     // Persist the band keys: B rows of (id, band, band_hash) per doc — the
     // smallest representation of the whole signature pipeline. The
     // candidate self-join references it twice, and without materialization

@@ -206,6 +206,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(salted.toSeq == plain.toSeq && plain.length == 451)
   }
 
+  test("fused char/word minhash kernels match the composable pipeline " +
+    "bit-for-bit on adversarial inputs") {
+    val texts = Seq("", "a", "abcdefg", "exactly8", "nine char",
+      "a  b c ", " lead", "trail ", "a b", "a b c", "a b c d",
+      "héllo wörld ünïcode sträng ここで 테스트 emoji🙂 mixed",
+      (1 to 50).map(i => s"w${i % 7}").mkString(" "),
+      "x" * 300 + " " + "y" * 300)
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val rows = df.select(
+        call_function("char_minhash_sig", col("text"), lit(8)).as("fc"),
+        call_function("minhash_sig",
+          T.charShinglesMulti(col("text"), 8)).as("cc"),
+        call_function("word_minhash_sig", col("text"), lit(3)).as("fw"),
+        call_function("minhash_sig",
+          T.wordShinglesMulti(T.tokens(col("text")), 3)).as("cw"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      def sig(i: Int): Option[Seq[Long]] =
+        if (r.isNullAt(i)) None else Some(r.getSeq[Long](i))
+      assert(sig(0) == sig(1), s"char kernel diverged on: '$t'")
+      assert(sig(2) == sig(3), s"word kernel diverged on: '$t'")
+    }
+  }
+
   test("tokenChunks: overlap, tail chunk, and single-token edge") {
     val df = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
