@@ -6,7 +6,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductF32, MinHashSig, NGramMinHashSig, SimHash60}
+import graft.functions.{DotProductF32, MinHashSig, NGramHashSet,
+  NGramMinHashSig, SimHash60, SortedIntersectCount}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -54,5 +55,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("word_minhash_sig"),
       new ExpressionInfo(classOf[NGramMinHashSig].getName, "word_minhash_sig"),
       (args: Seq[Expression]) => nGram("word_minhash_sig", word = true)(args)))
+    def nGramSet(name: String, word: Boolean)(args: Seq[Expression]) = {
+      require(args.length == 2, s"$name takes exactly 2 arguments")
+      val n = args(1) match {
+        case Literal(v: Int, IntegerType) if v > 0 => v
+        case other => throw new IllegalArgumentException(
+          s"$name: n must be a positive int literal, got $other")
+      }
+      NGramHashSet(args.head, n, word)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("char_shingle_hashset"),
+      new ExpressionInfo(classOf[NGramHashSet].getName,
+        "char_shingle_hashset"),
+      (args: Seq[Expression]) =>
+        nGramSet("char_shingle_hashset", word = false)(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_shingle_hashset"),
+      new ExpressionInfo(classOf[NGramHashSet].getName,
+        "word_shingle_hashset"),
+      (args: Seq[Expression]) =>
+        nGramSet("word_shingle_hashset", word = true)(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName,
+        "sorted_intersect_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2,
+          "sorted_intersect_count takes exactly 2 arguments")
+        SortedIntersectCount(args.head, args(1))
+      }))
   }
 }

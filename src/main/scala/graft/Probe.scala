@@ -33,13 +33,17 @@ object Probe {
       docs.select(col("doc_id"), size(transform(
         sequence(lit(1), length(col("text")) - 7),
         i => col("text").substr(i, lit(8)))).as("n"))))
-    time("minhash sigs", materialize(
+    time("minhash sigs (composable)", materialize(
       D.minhashSignatures(docs, "doc_id", sh)))
+    time("minhash sigs (fused kernel)", materialize(
+      docs.select(col("doc_id"),
+        call_function("char_minhash_sig", col("text"), lit(8)))))
     time("bands", materialize(
       D.lshBands(D.minhashSignatures(docs, "doc_id", sh), "doc_id")))
     (1 to 2).foreach { i =>
       spark.catalog.clearCache()
-      val (pairs, cached) = D.nearDupPairsTracked(docs, "doc_id", sh, 0.7)
+      val (pairs, cached) = D.nearDupPairsTracked(docs, "doc_id", sh, 0.7,
+        Some(D.charKernels(col("text"), 8)))
       val cand = cached(1)
       time(s"candidates #$i", println("[probe] n_cand = " + cand.count()))
       time(s"candDocs #$i", println("[probe] n_canddocs = " + cached(2).count()))
@@ -49,7 +53,8 @@ object Probe {
     (1 to 2).foreach { i =>
       spark.catalog.clearCache()
       time(s"full q39 #$i", materialize(
-        D.nearDupPairs(docs, "doc_id", sh, 0.7)))
+        D.nearDupPairs(docs, "doc_id", sh, 0.7,
+        Some(D.charKernels(col("text"), 8)))))
     }
     spark.stop()
   }

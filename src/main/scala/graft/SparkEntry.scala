@@ -314,7 +314,7 @@ object SparkEntry {
       D.nearDupPairs(
         spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
         "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-        sig = Some(call_function("word_minhash_sig", col("text"), lit(3))))),
+        kernels = Some(D.wordKernels(col("text"), 3)))),
 
     // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
     "q26_simhash" -> ((s, dir) =>
@@ -557,7 +557,7 @@ object SparkEntry {
       val losers = D.nearDupPairs(
           docs.select(col("doc_id"), col("text")), "doc_id",
           T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-          sig = Some(call_function("word_minhash_sig", col("text"), lit(3))))
+          kernels = Some(D.wordKernels(col("text"), 3)))
         .select(col("id_b").as("doc_id")).distinct()
       val w = T.tokens(col("text"))
       val quality = docs.select(col("doc_id"), col("lang"),
@@ -648,7 +648,7 @@ object SparkEntry {
       D.nearDupPairs(
         spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
         "doc_id", T.charShinglesMulti(col("text"), 8), 0.7,
-        sig = Some(call_function("char_minhash_sig", col("text"), lit(8))))),
+        kernels = Some(D.charKernels(col("text"), 8)))),
 
     // OLAP rollup (grouping sets): region/nation subtotals + grand total
     // in one pass — partial-aggregable, one shuffle.

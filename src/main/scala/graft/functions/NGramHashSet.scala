@@ -1,0 +1,128 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression,
+  UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
+  ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType,
+  StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused shingle hash-SET: text in, SORTED distinct array of 32-bit
+  * md5-prefix window hashes out — the verify-stage sibling of
+  * [[NGramMinHashSig]] (same window walk, shared via
+  * `foreachWindowHash`, so the two kernels cannot disagree on shingle
+  * semantics). Equals `array_distinct(transform(shingles, hash32))` as a
+  * SET; the sort is the extra contract that lets [[SortedIntersectCount]]
+  * merge two of these in O(n+m) without building a hash table per pair.
+  * Null for word-mode texts with fewer than n tokens (empty shingle set). */
+case class NGramHashSet(child: Expression, n: Int, word: Boolean)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (word) "word_shingle_hashset" else "char_shingle_hashset"
+
+  override protected def nullSafeEval(input: Any): Any =
+    NGramHashSet.compute(input.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val out = ctx.freshName("hs")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.NGramHashSet.compute($t, $n, $word);
+         |if ($out == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): NGramHashSet = copy(child = newChild)
+}
+
+object NGramHashSet {
+  /** Collect all window hashes, sort, dedupe in place. */
+  def compute(text: UTF8String, n: Int, word: Boolean): ArrayData = {
+    val bytes = text.getBytes
+    var arr = new Array[Long](math.max(8, bytes.length + 1))
+    var m = 0
+    val any = NGramMinHashSig.foreachWindowHash(bytes, n, word) { h =>
+      if (m == arr.length) arr = java.util.Arrays.copyOf(arr, m * 2)
+      arr(m) = h
+      m += 1
+    }
+    if (!any) return null
+    java.util.Arrays.sort(arr, 0, m)
+    var out = 0
+    var i = 0
+    while (i < m) {
+      if (out == 0 || arr(i) != arr(out - 1)) { arr(out) = arr(i); out += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(arr, out))
+  }
+}
+
+/** |A ∩ B| of two SORTED distinct long arrays by linear merge — no hash
+  * table per pair, no boxing. The verify stage's inner loop: with
+  * candidate docs carrying [[NGramHashSet]] arrays, Jaccard =
+  * inter / (|A| + |B| - inter). Inputs MUST be sorted distinct (the
+  * producing kernel guarantees it); nulls propagate. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two array<bigint>, got ($l, $r)")
+    }
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    SortedIntersectCount.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.functions.SortedIntersectCount.compute($a, $b);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SortedIntersectCount =
+    copy(left = newLeft, right = newRight)
+}
+
+object SortedIntersectCount {
+  def compute(a: ArrayData, b: ArrayData): Int = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x == y) { c += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    c
+  }
+}

@@ -83,91 +83,82 @@ object NGramMinHashSig {
 
   /** Static entry shared by generated and interpreted eval. */
   def compute(text: UTF8String, n: Int, word: Boolean): ArrayData = {
-    val bytes = text.getBytes
-    if (word) computeWord(bytes, n) else computeChar(bytes, n)
+    val mins = Array.fill(K)(Long.MaxValue)
+    val any = foreachWindowHash(text.getBytes, n, word) { h =>
+      var k = 0
+      while (k < K) {
+        val v = (A(k) * h + B(k)) % P
+        if (v < mins(k)) mins(k) = v
+        k += 1
+      }
+    }
+    if (!any) null else new GenericArrayData(mins)
   }
 
-  private def computeChar(bytes: Array[Byte], n: Int): ArrayData = {
-    // Code-point start offsets (UTF-8 lead-byte walk), one sentinel end.
-    val offs = new Array[Int](bytes.length + 1)
-    var nChars = 0
-    var i = 0
-    while (i < bytes.length) {
-      if ((bytes(i) & 0xc0) != 0x80) { offs(nChars) = i; nChars += 1 }
-      i += 1
-    }
-    offs(nChars) = bytes.length
-    val mins = Array.fill(K)(Long.MaxValue)
+  /** Walk every shingle window of `bytes` and feed its 32-bit md5-prefix
+    * hash to `f`. Returns false when the input yields NO windows (word
+    * mode with fewer than n tokens — the composable empty-set fallback);
+    * char mode always yields at least the whole-text window.
+    * Shared by the minhash and hash-set kernels so window semantics
+    * cannot drift between them. */
+  private[functions] def foreachWindowHash(bytes: Array[Byte], n: Int,
+                                           word: Boolean)
+                                          (f: Long => Unit): Boolean = {
     val md = digest.get()
     val buf = new Array[Byte](16)
-    if (nChars < n) {
-      // whole-text fallback (includes the empty string)
-      hashWindow(md, buf, bytes, 0, bytes.length, mins)
-    } else {
+    def emit(): Unit = {
+      md.digest(buf, 0, 16)
+      f(((buf(0) & 0xffL) << 24) | ((buf(1) & 0xffL) << 16) |
+        ((buf(2) & 0xffL) << 8) | (buf(3) & 0xffL))
+    }
+    if (word) {
+      // Token ranges: split on every single 0x20 (trailing empties kept,
+      // exactly like split(text, " ") with its default -1 limit).
+      var nTokens = 1
+      var i = 0
+      while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+      if (nTokens < n) return false // wordShingles: fewer than n tokens
+      val starts = new Array[Int](nTokens + 1)
+      var t = 1
+      i = 0
+      while (i < bytes.length) {
+        if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
+        i += 1
+      }
+      starts(nTokens) = bytes.length + 1 // virtual separator past the end
       var w = 0
-      while (w <= nChars - n) {
-        hashWindow(md, buf, bytes, offs(w), offs(w + n) - offs(w), mins)
+      while (w <= nTokens - n) {
+        md.reset()
+        var j = w
+        while (j < w + n) {
+          md.update(bytes, starts(j), (starts(j + 1) - 1) - starts(j))
+          if (j < w + n - 1) md.update(Space, 0, 1)
+          j += 1
+        }
+        emit()
         w += 1
       }
-    }
-    new GenericArrayData(mins)
-  }
-
-  private def computeWord(bytes: Array[Byte], n: Int): ArrayData = {
-    // Token ranges: split on every single 0x20 (trailing empties kept,
-    // exactly like split(text, " ") with its default -1 limit).
-    var nTokens = 1
-    var i = 0
-    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
-    if (nTokens < n) return null // wordShingles: fewer than n tokens
-    val starts = new Array[Int](nTokens + 1)
-    var t = 1
-    i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == ' ') { starts(t) = i + 1; t += 1 }
-      i += 1
-    }
-    starts(nTokens) = bytes.length + 1 // virtual separator past the end
-    def tokStart(j: Int): Int = starts(j)
-    def tokEnd(j: Int): Int = starts(j + 1) - 1
-    val mins = Array.fill(K)(Long.MaxValue)
-    val md = digest.get()
-    val buf = new Array[Byte](16)
-    var w = 0
-    while (w <= nTokens - n) {
-      md.reset()
-      var j = w
-      while (j < w + n) {
-        md.update(bytes, tokStart(j), tokEnd(j) - tokStart(j))
-        if (j < w + n - 1) md.update(Space, 0, 1)
-        j += 1
+    } else {
+      // Code-point start offsets (UTF-8 lead-byte walk), one sentinel end.
+      val offs = new Array[Int](bytes.length + 1)
+      var nChars = 0
+      var i = 0
+      while (i < bytes.length) {
+        if ((bytes(i) & 0xc0) != 0x80) { offs(nChars) = i; nChars += 1 }
+        i += 1
       }
-      fold(md, buf, mins)
-      w += 1
+      offs(nChars) = bytes.length
+      if (nChars < n) {
+        // whole-text fallback (includes the empty string)
+        md.reset(); md.update(bytes, 0, bytes.length); emit()
+      } else {
+        var w = 0
+        while (w <= nChars - n) {
+          md.reset(); md.update(bytes, offs(w), offs(w + n) - offs(w)); emit()
+          w += 1
+        }
+      }
     }
-    new GenericArrayData(mins)
-  }
-
-  private def hashWindow(md: java.security.MessageDigest, buf: Array[Byte],
-                         bytes: Array[Byte], start: Int, len: Int,
-                         mins: Array[Long]): Unit = {
-    md.reset()
-    md.update(bytes, start, len)
-    fold(md, buf, mins)
-  }
-
-  /** Finish the digest into the reusable buffer and fold the 32-bit
-    * prefix through all K affine permutations. */
-  private def fold(md: java.security.MessageDigest, buf: Array[Byte],
-                   mins: Array[Long]): Unit = {
-    md.digest(buf, 0, 16)
-    val h = ((buf(0) & 0xffL) << 24) | ((buf(1) & 0xffL) << 16) |
-      ((buf(2) & 0xffL) << 8) | (buf(3) & 0xffL)
-    var k = 0
-    while (k < K) {
-      val v = (A(k) * h + B(k)) % P
-      if (v < mins(k)) mins(k) = v
-      k += 1
-    }
+    true
   }
 }

@@ -86,9 +86,29 @@ object DedupOps {
     * [[withNearDupPairs]], which unpersists deterministically; long-lived
     * sessions sweeping many corpora with THIS entry point should
     * `spark.catalog.clearCache()` between sweeps (ADVICE r3). */
+  /** Fused-kernel pair for [[nearDupPairsTracked]]: `sig` replaces the
+    * composable shingle→minhash pipeline on the full-corpus scan, and
+    * `hashedSet` replaces the shingle→hash32→distinct build on candidate
+    * docs with a SORTED set whose pairwise intersection merges in O(n+m)
+    * ([[graft.functions.SortedIntersectCount]]) instead of hashing. Both
+    * are spec-pinned bit-identical to the composable forms. */
+  final case class NearDupKernels(sig: Column, hashedSet: Column)
+
+  /** Char-n-gram kernel pair (fused [[graft.functions.NGramMinHashSig]] /
+    * [[graft.functions.NGramHashSet]] over the raw text). */
+  def charKernels(text: Column, n: Int): NearDupKernels = NearDupKernels(
+    call_function("char_minhash_sig", text, lit(n)),
+    call_function("char_shingle_hashset", text, lit(n)))
+
+  /** Word-n-gram kernel pair (single-space tokenization). */
+  def wordKernels(text: Column, n: Int): NearDupKernels = NearDupKernels(
+    call_function("word_minhash_sig", text, lit(n)),
+    call_function("word_shingle_hashset", text, lit(n)))
+
   def nearDupPairs(docs: DataFrame, id: String, shingles: Column,
-                   threshold: Double, sig: Option[Column] = None): DataFrame =
-    nearDupPairsTracked(docs, id, shingles, threshold, sig)._1
+                   threshold: Double,
+                   kernels: Option[NearDupKernels] = None): DataFrame =
+    nearDupPairsTracked(docs, id, shingles, threshold, kernels)._1
 
   /** Loan-pattern wrapper owning the candidate-cache lifecycle: hands the
     * verified-pairs plan to `use`, then unpersists the candidate set in a
@@ -96,10 +116,11 @@ object DedupOps {
     * consume the plan (any action); a DataFrame leaked out of `use` and
     * executed later recomputes candidates uncached (correct, just slower). */
   def withNearDupPairs[T](docs: DataFrame, id: String, shingles: Column,
-                          threshold: Double, sig: Option[Column] = None)
+                          threshold: Double,
+                          kernels: Option[NearDupKernels] = None)
                          (use: DataFrame => T): T = {
     val (pairs, cached) =
-      nearDupPairsTracked(docs, id, shingles, threshold, sig)
+      nearDupPairsTracked(docs, id, shingles, threshold, kernels)
     try use(pairs)
     finally cached.foreach(_.unpersist(blocking = false))
   }
@@ -107,19 +128,19 @@ object DedupOps {
   /** [[nearDupPairs]] plus the persisted intermediate handles for lifecycle
     * control: (verified pairs, cached plans to unpersist when done).
     *
-    * `sig`: optional pre-fused signature expression (a
-    * `char_minhash_sig`/`word_minhash_sig` call) replacing the composable
-    * shingle→minhash pipeline on the full-corpus scan — same K-array
-    * output, spec-pinned bit-identical, but with no interpreted
-    * higher-order lambda and no intermediate shingle array per row. The
-    * `shingles` expression is still what the verify stage measures
-    * Jaccard on (it only evaluates for candidate docs). */
+    * `kernels`: optional fused-kernel pair (see [[NearDupKernels]],
+    * built by [[charKernels]]/[[wordKernels]]) replacing the interpreted
+    * higher-order shingle pipelines on both the signature scan and the
+    * candidate-doc verify build. Results are bit-identical either way;
+    * the generic path stays for arbitrary shingle expressions. */
   def nearDupPairsTracked(docs: DataFrame, id: String, shingles: Column,
-                          threshold: Double, sig: Option[Column] = None)
+                          threshold: Double,
+                          kernels: Option[NearDupKernels] = None)
   : (DataFrame, Seq[DataFrame]) = {
-    val sigs = sig match {
-      case Some(s) =>
-        docs.select(col(id), s.as("__sig")).filter(col("__sig").isNotNull)
+    val sigs = kernels match {
+      case Some(kn) =>
+        docs.select(col(id), kn.sig.as("__sig"))
+          .filter(col("__sig").isNotNull)
           .select(col(id) +: (0 until K).map(k =>
             element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
       case None => minhashSignatures(
@@ -174,21 +195,30 @@ object DedupOps {
     // hashes, so results stay bit-exact cross-engine. Union size is
     // derived as |A|+|B|-|A∩B| rather than building a second hash set.
     // Measured r4 (sf0.1, q39): verify stage 6.5s -> see BENCH_r04.
+    val setExpr = kernels match {
+      case Some(kn) => kn.hashedSet // fused: SORTED distinct hash array
+      case None => array_distinct(transform(shingles, s => TextOps.hash32(s)))
+    }
     val candDocs = docs.join(
         candidates.select(explode(array(col("id_a"), col("id_b")))
           .as("__cid")).distinct(),
         col(id) === col("__cid"), "left_semi")
-      .select(col(id).as("__cid"),
-        array_distinct(transform(shingles, s => TextOps.hash32(s)))
-          .as("__sl"))
+      .select(col(id).as("__cid"), setExpr.as("__sl"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     def side(name: String): DataFrame =
       candDocs.select(col("__cid").as(name), col("__sl").as(s"__s_$name"))
+    // The fused sets are sorted, so the per-pair intersection is a linear
+    // merge (no hash table per pair); the generic path hashes via
+    // array_intersect. Identical counts either way (both are set
+    // intersections of the same distinct hash sets).
+    def interOf(a: Column, b: Column): Column = kernels match {
+      case Some(_) => call_function("sorted_intersect_count", a, b)
+      case None => size(array_intersect(a, b))
+    }
     val pairs = candidates
       .join(side("id_a"), "id_a")
       .join(side("id_b"), "id_b")
-      .withColumn("__inter",
-        size(array_intersect(col("__s_id_a"), col("__s_id_b"))))
+      .withColumn("__inter", interOf(col("__s_id_a"), col("__s_id_b")))
       .withColumn("jaccard", col("__inter").cast("double") /
         (size(col("__s_id_a")) + size(col("__s_id_b")) - col("__inter"))
           .cast("double"))

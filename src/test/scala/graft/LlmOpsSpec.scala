@@ -229,6 +229,41 @@ class LlmOpsSpec extends AnyFunSuite {
       assert(sig(0) == sig(1), s"char kernel diverged on: '$t'")
       assert(sig(2) == sig(3), s"word kernel diverged on: '$t'")
     }
+    // hash-SET kernels: sorted distinct == array_sort(array_distinct(
+    // transform(shingles, hash32))) as sequences, and the sorted merge
+    // count == size(array_intersect) pairwise against a fixed doc
+    val hs = df.select(
+        call_function("char_shingle_hashset", col("text"), lit(8)).as("fh"),
+        array_sort(array_distinct(transform(
+          T.charShinglesMulti(col("text"), 8), s => T.hash32(s)))).as("ch"),
+        call_function("word_shingle_hashset", col("text"), lit(3)).as("fw"),
+        array_sort(array_distinct(transform(
+          T.wordShinglesMulti(T.tokens(col("text")), 3),
+          s => T.hash32(s)))).as("cw"))
+      .collect()
+    hs.zip(texts).foreach { case (r, t) =>
+      def arr(i: Int): Option[Seq[Long]] =
+        if (r.isNullAt(i)) None else Some(r.getSeq[Long](i))
+      assert(arr(0) == arr(1), s"char hashset diverged on: '$t'")
+      // composable word form yields an EMPTY set where the kernel yields
+      // null (dropped doc) — both mean "no shingles"; normalize
+      assert(arr(2).getOrElse(Nil) == arr(3).getOrElse(Nil),
+        s"word hashset diverged on: '$t'")
+    }
+    val pairCheck = df.as[(Long, String)].collect().map(_._2)
+    val ref = pairCheck.head
+    val pc = df.select(
+        call_function("sorted_intersect_count",
+          call_function("char_shingle_hashset", col("text"), lit(8)),
+          call_function("char_shingle_hashset", lit(ref), lit(8))).as("f"),
+        size(array_intersect(
+          array_distinct(transform(T.charShinglesMulti(col("text"), 8),
+            s => T.hash32(s))),
+          array_distinct(transform(T.charShinglesMulti(lit(ref), 8),
+            s => T.hash32(s))))).as("c"))
+      .collect()
+    pc.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      "sorted merge count diverged from array_intersect"))
   }
 
   test("tokenChunks: overlap, tail chunk, and single-token edge") {
