@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DotProductF32, MinHashSig, NGramHashSet,
-  NGramMinHashSig, SimHash60, SortedIntersectCount}
+  NGramMinHashSig, SimHash60, SortedIntersectCount, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -76,6 +76,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         "word_shingle_hashset"),
       (args: Seq[Expression]) =>
         nGramSet("word_shingle_hashset", word = true)(args)))
+    def minH(name: String, word: Boolean)(args: Seq[Expression]) = {
+      require(args.length == 2, s"$name takes exactly 2 arguments")
+      val n = args(1) match {
+        case Literal(v: Int, IntegerType) if v > 0 => v
+        case other => throw new IllegalArgumentException(
+          s"$name: n must be a positive int literal, got $other")
+      }
+      WindowMinHash32(args.head, n, word)
+    }
+    ext.injectFunction((
+      new FunctionIdentifier("char_min_hash32"),
+      new ExpressionInfo(classOf[WindowMinHash32].getName, "char_min_hash32"),
+      (args: Seq[Expression]) => minH("char_min_hash32", word = false)(args)))
+    ext.injectFunction((
+      new FunctionIdentifier("word_min_hash32"),
+      new ExpressionInfo(classOf[WindowMinHash32].getName, "word_min_hash32"),
+      (args: Seq[Expression]) => minH("word_min_hash32", word = true)(args)))
     ext.injectFunction((
       new FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName,

@@ -296,11 +296,15 @@ object SparkEntry {
 
     // Document fingerprinting: full-content hash, min-token-hash, and a
     // winnowing-style rolling 8-char window fingerprint.
+    // Fingerprints via the fused window-min kernels (spec-pinned equal to
+    // the composable minTokenHash / rollingFingerprint forms).
     "q23_fingerprint" -> ((s, dir) =>
       spread(s, t(s, dir, "documents")).select(col("doc_id"),
         md5(col("text")).as("content_md5"),
-        T.minTokenHash(T.tokens(col("text"))).as("min_token_hash"),
-        T.rollingFingerprint(col("text"), 8).as("rolling_fp"))),
+        call_function("word_min_hash32", col("text"), lit(1))
+          .as("min_token_hash"),
+        call_function("char_min_hash32", col("text"), lit(8))
+          .as("rolling_fp"))),
 
     // Exact dedup: content-hash groupBy — keeper id + copy count per hash
     // (A2 dedup-before-write semantics at corpus scale: one shuffle).

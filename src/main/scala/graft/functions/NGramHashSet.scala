@@ -109,6 +109,60 @@ case class SortedIntersectCount(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Fused winnowing-style fingerprint: the MINIMUM 32-bit window hash —
+  * `array_min(transform(windows, hash32))` with no window array and no
+  * interpreted lambda (the q23 fingerprint pass runs over EVERY doc at
+  * corpus scale). Char mode with n=width equals
+  * [[graft.operators.TextOps.rollingFingerprint]]; word mode with n=1
+  * equals [[graft.operators.TextOps.minTokenHash]] (distinct is
+  * irrelevant under min). Shares the window walk with the minhash
+  * kernels. Null only for word-mode texts with no tokens (cannot happen
+  * with split semantics — a split always yields ≥1 token). */
+case class WindowMinHash32(child: Expression, n: Int, word: Boolean)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got $t")
+    }
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def prettyName: String =
+    if (word) "word_min_hash32" else "char_min_hash32"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowMinHash32.compute(input.asInstanceOf[UTF8String], n, word)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val out = ctx.freshName("mh")
+      s"""
+         |Long $out = graft.functions.WindowMinHash32.compute($t, $n, $word);
+         |if ($out == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = $out.longValue();
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowMinHash32 = copy(child = newChild)
+}
+
+object WindowMinHash32 {
+  /** Boxed so the no-window case can signal null. */
+  def compute(text: UTF8String, n: Int, word: Boolean): java.lang.Long = {
+    var min = Long.MaxValue
+    val any = NGramMinHashSig.foreachWindowHash(text.getBytes, n, word) { h =>
+      if (h < min) min = h
+    }
+    if (!any) null else java.lang.Long.valueOf(min)
+  }
+}
+
 object SortedIntersectCount {
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()

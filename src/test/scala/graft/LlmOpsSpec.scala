@@ -264,6 +264,17 @@ class LlmOpsSpec extends AnyFunSuite {
       .collect()
     pc.foreach(r => assert(r.getInt(0) == r.getInt(1),
       "sorted merge count diverged from array_intersect"))
+    // window-min kernels == composable fingerprints
+    val fp = df.select(
+        call_function("char_min_hash32", col("text"), lit(8)).as("fr"),
+        T.rollingFingerprint(col("text"), 8).as("cr"),
+        call_function("word_min_hash32", col("text"), lit(1)).as("fm"),
+        T.minTokenHash(T.tokens(col("text"))).as("cm"))
+      .collect()
+    fp.zip(texts).foreach { case (r, t) =>
+      assert(r.getLong(0) == r.getLong(1), s"rolling fp diverged on: '$t'")
+      assert(r.getLong(2) == r.getLong(3), s"token minhash diverged on: '$t'")
+    }
   }
 
   test("tokenChunks: overlap, tail chunk, and single-token edge") {
