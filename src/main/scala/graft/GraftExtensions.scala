@@ -6,8 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductF32, MinHashSig, NGramHashSet,
-  NGramMinHashSig, SimHash60, SortedIntersectCount, WindowMinHash32}
+import graft.functions.{DotProductF32, LshBucketF32, MinHashSig,
+  NGramHashSet, NGramMinHashSig, SimHash60, SortedIntersectCount,
+  WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -101,6 +102,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("lsh_bucket_f32"),
+      new ExpressionInfo(classOf[LshBucketF32].getName, "lsh_bucket_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "lsh_bucket_f32 takes exactly 2 arguments")
+        val p = args(1) match {
+          case Literal(v: Int, IntegerType) if v > 0 && v <= 63 => v
+          case other => throw new IllegalArgumentException(
+            s"lsh_bucket_f32: planes must be an int literal in [1,63], " +
+              s"got $other")
+        }
+        LshBucketF32(args.head, p)
       }))
   }
 }

@@ -70,8 +70,18 @@ object VectorOps {
 
   /** Random-hyperplane LSH bucket id: `planes` sign bits packed into a
     * long. Similar vectors (cosine ≈ 1) agree on most signs and land in
-    * the same bucket with high probability. */
+    * the same bucket with high probability. Computed by the native
+    * [[graft.functions.LshBucketF32]] kernel — the assignment pass runs
+    * over EVERY corpus vector, and the composable per-plane fold
+    * ([[lshBucketHof]]) is an interpreted lambda per plane per row;
+    * specs pin the two bit-identical (including the non-64-dim and
+    * null-element bucket-0 degenerate cases). */
   def lshBucket(v: Column, planes: Int): Column =
+    call_function("lsh_bucket_f32", v, lit(planes))
+
+  /** The composable higher-order form — kept as the reference
+    * implementation the native kernel is pinned against. */
+  def lshBucketHof(v: Column, planes: Int): Column =
     (0 until planes).map(p => planeBit(v, p)).reduce(_ + _)
 
   /** Bucket-count math for the LSH path at real scale: p hyperplanes give

@@ -165,6 +165,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(cells.toSeq == Seq((0L, 0L), (1L, 1L), (2L, 0L), (3L, 1L)))
   }
 
+  test("native lsh_bucket_f32 matches the composable per-plane fold " +
+    "bit-for-bit, including degenerate inputs") {
+    val vecs = ((0 until 30).map { i =>
+      (i.toLong, (1 to 64).map(j =>
+        ((i * 37 + j * 11) % 17 - 8).toFloat / 3f))
+    } :+ (97L, Seq(1f, 2f, 3f)) // wrong dim: both forms -> bucket 0
+      ).toDF("vec_id", "embedding")
+    for (planes <- Seq(4, 6)) {
+      val rows = vecs.select(
+          Vec.lshBucket(col("embedding"), planes).as("native"),
+          Vec.lshBucketHof(col("embedding"), planes).as("hof"))
+        .collect()
+      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
+        s"bucket diverged at planes=$planes"))
+    }
+  }
+
   test("ANN geometry is a parameter: a 6-plane LSH build works and stays " +
     "within its 64-bucket range") {
     val vecs = (0 until 40).map { i =>
