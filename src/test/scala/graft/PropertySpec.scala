@@ -100,6 +100,45 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("fused text kernels equal their composable forms on random strings") {
+    // Random strings over a charset that stresses every edge the kernels
+    // own: multi-byte UTF-8 (code-point walk), runs of spaces (empty
+    // tokens / trailing empties), and short texts (fallback windows).
+    val charGen: Gen[String] = Gen.frequency(
+      6 -> Gen.alphaNumChar.map(_.toString), 3 -> Gen.const(" "),
+      1 -> Gen.oneOf("é", "ü", "こ", "中", "🙂"))
+    val textGen = Gen.choose(0, 40).flatMap(n =>
+      Gen.listOfN(n, charGen).map(_.mkString))
+    forAll(Gen.listOfN(25, textGen), n = 4) { texts =>
+      val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("id", "text")
+      val rows = df.select(
+          call_function("char_minhash_sig", col("text"), lit(4)).as("a1"),
+          call_function("minhash_sig",
+            T.charShinglesMulti(col("text"), 4)).as("b1"),
+          call_function("word_minhash_sig", col("text"), lit(2)).as("a2"),
+          call_function("minhash_sig",
+            T.wordShinglesMulti(T.tokens(col("text")), 2)).as("b2"),
+          call_function("char_shingle_hashset", col("text"), lit(4)).as("a3"),
+          array_sort(array_distinct(transform(
+            T.charShinglesMulti(col("text"), 4),
+            s => T.hash32(s)))).as("b3"),
+          call_function("char_min_hash32", col("text"), lit(4)).as("a4"),
+          T.rollingFingerprint(col("text"), 4).as("b4"),
+          call_function("word_min_hash32", col("text"), lit(1)).as("a5"),
+          T.minTokenHash(T.tokens(col("text"))).as("b5"))
+        .collect()
+      rows.zip(texts).foreach { case (r, t) =>
+        def v(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
+        Seq((0, 1, "char sig"), (2, 3, "word sig"), (4, 5, "char set"),
+          (6, 7, "rolling fp"), (8, 9, "token minhash")).foreach {
+          case (a, b, what) =>
+            assert(v(a) == v(b), s"$what diverged on '$t'")
+        }
+      }
+    }
+  }
+
   test("asofBackward equals the naive join-then-max reference on random data") {
     import graft.operators.{TimeOps => Ti}
     // left: (key, ts, id)  right: (key, ts, id) — heavy ts collisions on
