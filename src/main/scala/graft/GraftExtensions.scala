@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DotProductF32, LshBucketF32, MinHashSig,
   NGramHashSet, NGramMinHashSig, SimHash60, SortedIntersectCount,
-  WindowMinHash32}
+  TokenHash60Array, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -102,6 +102,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_hash60_array"),
+      new ExpressionInfo(classOf[TokenHash60Array].getName,
+        "token_hash60_array"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "token_hash60_array takes exactly 1 argument")
+        TokenHash60Array(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("lsh_bucket_f32"),

@@ -322,8 +322,8 @@ object SparkEntry {
 
     // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
     "q26_simhash" -> ((s, dir) =>
-      D.simhash(spread(s, t(s, dir, "documents")), "doc_id",
-        T.tokens(col("text")))),
+      D.simhashText(spread(s, t(s, dir, "documents")), "doc_id",
+        col("text"))),
 
     // Similarity search baseline: brute-force cosine top-5 for 20 query
     // vectors — query side broadcast, corpus streamed once, no shuffle.

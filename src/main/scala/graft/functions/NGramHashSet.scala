@@ -163,6 +163,71 @@ object WindowMinHash32 {
   }
 }
 
+/** Fused per-token 60-bit hash array: `transform(split(text, " "),
+  * hash60)` with no interpreted lambda and no intermediate token strings —
+  * the input to [[SimHash60]]'s bit voting (multiplicity and order
+  * preserved; simhash votes count occurrences). hash60 = first 15 hex
+  * digits of md5 = the digest's first 8 bytes as an unsigned big-endian
+  * value shifted right 4. */
+case class TokenHash60Array(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "token_hash60_array"
+
+  override protected def nullSafeEval(input: Any): Any =
+    TokenHash60Array.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.TokenHash60Array.compute($t);")
+
+  override protected def withNewChildInternal(
+      newChild: Expression): TokenHash60Array = copy(child = newChild)
+}
+
+object TokenHash60Array {
+  private val digest: ThreadLocal[java.security.MessageDigest] =
+    ThreadLocal.withInitial(
+      () => java.security.MessageDigest.getInstance("MD5"))
+
+  def compute(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    var nTokens = 1
+    var i = 0
+    while (i < bytes.length) { if (bytes(i) == ' ') nTokens += 1; i += 1 }
+    val out = new Array[Long](nTokens)
+    val md = digest.get()
+    val buf = new Array[Byte](16)
+    var t = 0
+    var start = 0
+    i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        md.reset()
+        md.update(bytes, start, i - start)
+        md.digest(buf, 0, 16)
+        var h = 0L
+        var b = 0
+        while (b < 8) { h = (h << 8) | (buf(b) & 0xffL); b += 1 }
+        out(t) = h >>> 4 // 64 -> 60 bits (15 hex digits)
+        t += 1
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object SortedIntersectCount {
   def compute(a: ArrayData, b: ArrayData): Int = {
     val na = a.numElements()

@@ -242,4 +242,14 @@ object DedupOps {
       .select(col(id),
         call_function("simhash60", transform(words, w => TextOps.hash60(w)))
           .as("simhash"))
+
+  /** [[simhash]] over single-space-tokenized text via the fused
+    * [[graft.functions.TokenHash60Array]] kernel — no interpreted
+    * per-token lambda on the corpus scan; spec-pinned equal to the
+    * composable form. (split always yields ≥1 token, so the empty-array
+    * filter of the generic path is vacuous here.) */
+  def simhashText(df: DataFrame, id: String, text: Column): DataFrame =
+    df.select(col(id),
+      call_function("simhash60", call_function("token_hash60_array", text))
+        .as("simhash"))
 }

@@ -126,12 +126,15 @@ class PropertySpec extends AnyFunSuite {
           call_function("char_min_hash32", col("text"), lit(4)).as("a4"),
           T.rollingFingerprint(col("text"), 4).as("b4"),
           call_function("word_min_hash32", col("text"), lit(1)).as("a5"),
-          T.minTokenHash(T.tokens(col("text"))).as("b5"))
+          T.minTokenHash(T.tokens(col("text"))).as("b5"),
+          call_function("token_hash60_array", col("text")).as("a6"),
+          transform(T.tokens(col("text")), w => T.hash60(w)).as("b6"))
         .collect()
       rows.zip(texts).foreach { case (r, t) =>
         def v(i: Int): Any = if (r.isNullAt(i)) null else r.get(i)
         Seq((0, 1, "char sig"), (2, 3, "word sig"), (4, 5, "char set"),
-          (6, 7, "rolling fp"), (8, 9, "token minhash")).foreach {
+          (6, 7, "rolling fp"), (8, 9, "token minhash"),
+          (10, 11, "token hash60")).foreach {
           case (a, b, what) =>
             assert(v(a) == v(b), s"$what diverged on '$t'")
         }
