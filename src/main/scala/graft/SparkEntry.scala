@@ -269,8 +269,11 @@ object SparkEntry {
         .select(col("doc_id"),
           size(w).as("n_tokens"),
           T.stopwordCount(w, Stopwords).as("n_stopwords"),
-          aggregate(transform(w, x => length(x)), lit(0), _ + _)
-            .as("sum_token_len"))
+          // Σ len(token) without a lambda: splitting on single spaces
+          // removes exactly (n_tokens - 1) one-char separators, so the
+          // token-length sum is length(text) - (n_tokens - 1). Identical
+          // ints (incl. '' -> [''] -> 0); the oracle keeps its list_sum.
+          (length(col("text")) - (size(w) - lit(1))).as("sum_token_len"))
         .withColumn("stopword_ratio",
           col("n_stopwords").cast("double") / col("n_tokens").cast("double"))
         .withColumn("avg_token_len",
