@@ -507,6 +507,43 @@ object SparkEntry {
         .withColumn("n_chunk_tokens",
           size(split(col("chunk_text"), " ")))),
 
+    // Repetition scoring (corpus-quality filter): the most frequent
+    // token's share of the doc — high ratios flag boilerplate/spam for
+    // dropping. Two partial-aggregable shuffles (doc×word, then doc).
+    "q59_repetition" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      tf.groupBy(col("doc_id"))
+        .agg(max(col("tf")).as("max_tf"), sum(col("tf")).as("n_tokens"))
+        .withColumn("repetition_ratio", col("max_tf").cast("double") /
+          col("n_tokens").cast("double"))
+        .withColumn("repetitive",
+          (col("repetition_ratio") >= 0.12).cast("int"))
+    }),
+
+    // Benchmark decontamination: docs sharing too many char-8-gram
+    // shingles with a (tiny, broadcast) eval set are contaminated and
+    // must be dropped before training. The eval set's distinct hashes
+    // broadcast; the corpus side explodes its fused hash-set kernel and
+    // counts overlaps — one hash join + two aggregations, never a
+    // doc×doc comparison.
+    "q60_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val hs = call_function("char_shingle_hashset", col("text"), lit(8))
+      val ev = docs.filter(col("doc_id") < 5)
+        .select(explode(hs).as("h")).distinct()
+      val overlap = docs.select(col("doc_id"), explode(hs).as("h"))
+        .join(broadcast(ev), Seq("h"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
+      docs.select(col("doc_id"), size(hs).as("n_shingles"))
+        .join(overlap, Seq("doc_id"), "left")
+        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("contaminated",
+          (col("n_overlap").cast("double") / col("n_shingles").cast("double")
+            >= 0.5).cast("int"))
+    }),
+
     // Corpus snapshot diff (CDC shape): compare two corpus versions by
     // content hash through a FULL OUTER join on doc_id — added / removed /
     // changed / unchanged counts. v2 is derived deterministically from v1
@@ -1474,6 +1511,37 @@ object SparkEntry {
         | CAST(len(string_split(array_to_string(w[st : st + 31], ' '), ' '))
         |  AS INT) AS n_chunk_tokens
         |FROM c""".stripMargin,
+
+    "q59_repetition" ->
+      """WITH tf AS (SELECT doc_id, w, count(*) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents)
+        | GROUP BY 1, 2),
+        |a AS (SELECT doc_id, max(tf) AS max_tf,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens FROM tf GROUP BY 1)
+        |SELECT doc_id, max_tf, n_tokens,
+        | CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  AS repetition_ratio,
+        | CASE WHEN CAST(max_tf AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  >= 0.12 THEN 1 ELSE 0 END AS repetitive
+        |FROM a""".stripMargin,
+
+    "q60_decontaminate" ->
+      s"""WITH shl AS (SELECT doc_id, $sqlCharShingles8 AS sl
+         |  FROM documents),
+         |hs AS (SELECT DISTINCT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |ev AS (SELECT DISTINCT h FROM hs WHERE doc_id < 5),
+         |cnt AS (SELECT doc_id, CAST(count(*) AS INT) AS n_shingles
+         |  FROM hs GROUP BY 1),
+         |ov AS (SELECT hs.doc_id, count(*) AS n_overlap
+         |  FROM hs JOIN ev ON hs.h = ev.h GROUP BY 1)
+         |SELECT c.doc_id, c.n_shingles,
+         | COALESCE(o.n_overlap, 0) AS n_overlap,
+         | CASE WHEN CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+         |   / CAST(c.n_shingles AS DOUBLE) >= 0.5 THEN 1 ELSE 0 END
+         |  AS contaminated
+         |FROM cnt c LEFT JOIN ov o ON c.doc_id = o.doc_id""".stripMargin,
 
     "q58_snapshot_diff" ->
       """WITH v1 AS (SELECT doc_id, md5(text) AS h1 FROM documents),
