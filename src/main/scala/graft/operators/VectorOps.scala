@@ -126,6 +126,31 @@ object VectorOps {
       .select(col(id), col(vec), col(cid).as("cell_id"))
   }
 
+  /** One distributed Lloyd (k-means) iteration: assign every vector to
+    * its nearest centroid ([[ivfAssign]] — broadcast O(N·K) map pass),
+    * then recompute each centroid as the element-wise mean of its cell.
+    * The recompute shuffles one row per (cell, dim) after partial
+    * aggregation — never the vectors themselves — so an iteration over
+    * 10^10 vectors moves K×dims doubles through the final stage. Chain
+    * calls for more iterations; centroids whose cell emptied disappear
+    * (standard Lloyd degeneracy — callers reseed if K must hold).
+    * This is the training loop the IVF path (q34) intentionally leaves
+    * out of the ORACLE set (an iterative fixpoint has no clean SQL
+    * twin); the mechanics are spec-verified instead (LlmOpsSpec). */
+  def kmeansStep(vectors: DataFrame, id: String, vec: String,
+                 centroids: DataFrame, cid: String, cvec: String)
+  : DataFrame =
+    ivfAssign(vectors, id, vec, centroids, cid, cvec)
+      .select(col("cell_id"), posexplode(col(vec)).as(Seq("dim", "x")))
+      .groupBy(col("cell_id"), col("dim"))
+      .agg(avg(col("x").cast("double")).as("m"))
+      .groupBy(col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("dim"), col("m"))))
+        .as("__pairs"))
+      .select(col("cell_id").as(cid),
+        transform(col("__pairs"), p => p.getField("m").cast("float"))
+          .as(cvec))
+
   /** Brute-force cosine top-k: every query row against the whole corpus,
     * ranked per query with a deterministic tie-break. Query side should be
     * small (it is broadcast). */

@@ -210,6 +210,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Vec.cellsForCorpus(100, 4096) == 1)
   }
 
+  test("kmeansStep moves centroids to their cell means and converges on " +
+    "separated clusters") {
+    // Two tight clusters near (0,0) and (10,10); initial centroids are
+    // deliberately off-center but on the right sides.
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(11f, 10f)), (5L, Seq(10f, 11f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq(2f, 2f)), (1L, Seq(8f, 8f)))
+      .toDF("cid", "cv")
+    val step1 = Vec.kmeansStep(vecs, "vec_id", "embedding", init, "cid", "cv")
+    val c1 = step1.as[(Long, Seq[Float])].collect().toMap
+    // exact cell means: (1/3, 1/3) and (31/3, 31/3)
+    assert(c1(0L) == Seq(1f / 3, 1f / 3))
+    assert(c1(1L) == Seq(31f / 3, 31f / 3))
+    // fixpoint: another step from the means changes nothing
+    val step2 = Vec.kmeansStep(vecs, "vec_id", "embedding", step1, "cid", "cv")
+    assert(step2.as[(Long, Seq[Float])].collect().toMap == c1)
+  }
+
   test("saltedJoin produces exactly the plain join's rows under skew") {
     val large = (1 to 500).map(i => (if (i <= 450) "hot" else s"k$i", i))
       .toDF("k", "v")
