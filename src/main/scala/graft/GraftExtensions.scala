@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DotProductF32, LshBucketF32, MinHashSig,
-  NGramHashSet, NGramMinHashSig, SimHash60, SortedIntersectCount,
-  TokenHash60Array, WindowMinHash32}
+import graft.functions.{DeflateRatio, DotProductF32, LshBucketF32,
+  MinHashSig, NGramHashSet, NGramMinHashSig, SimHash60,
+  SortedIntersectCount, TokenHash60Array, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -102,6 +102,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2,
           "sorted_intersect_count takes exactly 2 arguments")
         SortedIntersectCount(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "deflate_ratio takes exactly 1 argument")
+        DeflateRatio(args.head)
       }))
     ext.injectFunction((
       new FunctionIdentifier("token_hash60_array"),

@@ -210,6 +210,24 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Vec.cellsForCorpus(100, 4096) == 1)
   }
 
+  test("deflate_ratio discriminates repetitive from high-entropy text") {
+    val repetitive = ("the same line again " * 50).trim
+    val prose = "a reasonably varied sentence with many different words " +
+      "that do not repeat themselves in any obvious periodic fashion here"
+    val randomish = (1 to 120).map(i =>
+      ((i * 2654435761L) % 93 + 33).toChar).mkString
+    val rows = Seq((1L, repetitive), (2L, prose), (3L, randomish), (4L, ""))
+      .toDF("id", "text")
+      .select(col("id"),
+        call_function("deflate_ratio", col("text")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(rows(1L) < 0.1, s"repetitive text must compress hard: ${rows(1L)}")
+    assert(rows(2L) > rows(1L) * 3, "prose must compress far less")
+    assert(rows(3L) > rows(2L), "random-ish text must compress least")
+    assert(rows(4L) == 1.0) // empty: nothing to judge
+    assert(rows.values.forall(r => r > 0.0 && r < 1.5))
+  }
+
   test("kmeansStep moves centroids to their cell means and converges on " +
     "separated clusters") {
     // Two tight clusters near (0,0) and (10,10); initial centroids are
