@@ -548,8 +548,11 @@ object SparkEntry {
     // content hash through a FULL OUTER join on doc_id — added / removed /
     // changed / unchanged counts. v2 is derived deterministically from v1
     // (drop doc_id%13, edit %7, add %11 under new ids) so both engines
-    // construct the identical "next snapshot". One shuffle per side on
-    // doc_id; the hash comparison keeps full text off the wire.
+    // construct the identical "next snapshot". Added ids are NEGATED
+    // (-(doc_id+1)) — disjoint from real non-negative ids at EVERY scale
+    // factor, unlike a fixed +1000000 offset which collides once doc_id
+    // reaches 1M and silently corrupts the join keys (ADVICE r4). One
+    // shuffle per side on doc_id; the hash keeps full text off the wire.
     "q58_snapshot_diff" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val v1 = docs.select(col("doc_id"), md5(col("text")).as("h1"))
@@ -559,7 +562,7 @@ object SparkEntry {
             concat(col("text"), lit(" v2"))).otherwise(col("text")))
             .as("h2"))
         .union(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
-          .select((col("doc_id") + 1000000).as("doc_id"),
+          .select((-(col("doc_id") + 1)).as("doc_id"),
             md5(col("text")).as("h2")))
       v1.join(v2, Seq("doc_id"), "full_outer")
         .withColumn("change_type",
@@ -1550,7 +1553,7 @@ object SparkEntry {
         |   AS h2
         | FROM documents WHERE doc_id % 13 <> 0
         | UNION ALL
-        | SELECT doc_id + 1000000, md5(text) FROM documents
+        | SELECT -(doc_id + 1), md5(text) FROM documents
         | WHERE doc_id % 11 = 0),
         |j AS (SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id, h1, h2
         | FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)

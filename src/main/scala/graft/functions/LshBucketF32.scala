@@ -1,9 +1,11 @@
 package graft.functions
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext,
-  ExprCode}
+  ExprCode, FalseLiteral}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
 
@@ -19,12 +21,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, LongType}
   * left-to-right fold from 0.0, same `w(p,j) = ((1103515245*(p*64+j) +
   * 12345) % 1000) - 500` integer weights, bit set iff proj > 0).
   *
-  * Degenerate cases: a vector whose length is not 64 or with a null
-  * element gets bucket 0 in the composable form (every projection nulls
-  * out and `when(null > 0)` falls through) — mirrored here exactly. A
-  * NULL vector returns null (the composable form returned bucket 0,
-  * silently pooling garbage rows into bucket 0; dropping them from the
-  * bucketed join is strictly better and the spec documents the delta). */
+  * Degenerate cases: a vector whose length is not 64, with a null
+  * element, or NULL outright gets bucket 0 — exactly the composable
+  * form's semantics (every projection nulls out and `when(null > 0)`
+  * falls through). Mirroring NULL→0 (rather than returning null) keeps
+  * kernel, composable form, and the DuckDB oracle's CASE expression
+  * bit-identical on EVERY input, so oracle equality for q28/q49/q53
+  * no longer depends on the corpus never containing a null vector
+  * (ADVICE r4). The expression is therefore non-nullable. */
 case class LshBucketF32(child: Expression, planes: Int)
   extends UnaryExpression {
 
@@ -36,16 +40,26 @@ case class LshBucketF32(child: Expression, planes: Int)
     }
 
   override def dataType: DataType = LongType
-  override def nullable: Boolean = true
+  override def nullable: Boolean = false
   override def prettyName: String = "lsh_bucket_f32"
 
-  override protected def nullSafeEval(input: Any): Any =
-    LshBucketF32.compute(input.asInstanceOf[ArrayData], planes)
+  override def eval(input: InternalRow): Any = {
+    val v = child.eval(input)
+    if (v == null) 0L
+    else LshBucketF32.compute(v.asInstanceOf[ArrayData], planes)
+  }
 
   override protected def doGenCode(ctx: CodegenContext,
-                                   ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.functions.LshBucketF32.compute($v, $planes);")
+                                   ev: ExprCode): ExprCode = {
+    val childGen = child.genCode(ctx)
+    ev.copy(
+      code = code"""
+        |${childGen.code}
+        |long ${ev.value} = ${childGen.isNull} ? 0L :
+        |  graft.functions.LshBucketF32.compute(${childGen.value}, $planes);
+      """.stripMargin,
+      isNull = FalseLiteral)
+  }
 
   override protected def withNewChildInternal(
       newChild: Expression): LshBucketF32 = copy(child = newChild)

@@ -147,12 +147,19 @@ object MultimodalOps {
       skipWs()
       val start = i
       while (i < c.length && c(i) >= '0' && c(i) <= '9') i += 1
-      if (i == start) None else Some(new String(c, start, i - start).toInt)
+      // A digit run over 9 chars can't be a sane dimension and would
+      // overflow Int.parseInt into an uncaught NumberFormatException
+      // (ADVICE r4) — malformed headers fall back, never throw.
+      if (i == start || i - start > 9) None
+      else Some(new String(c, start, i - start).toInt)
     }
     for {
       w <- int(); h <- int(); maxval <- int()
+      // Payload bound in LONG math: w*h*3 in Int silently overflows for
+      // large declared dimensions and slips past the length guard,
+      // yielding garbage features instead of a fallback (ADVICE r4).
       if w > 0 && h > 0 && maxval > 0 && maxval <= 255 &&
-        i + 1 + w * h * 3 <= c.length
+        i + 1L + w.toLong * h * 3L <= c.length
     } yield {
       i += 1 // the single whitespace byte after maxval
       var (sr, sg, sb, sum) = (0L, 0L, 0L, 0L)
@@ -175,19 +182,29 @@ object MultimodalOps {
   private def decodeWav(a: RawAsset, c: Array[Byte]): Option[DecodedAsset] = {
     def le16(o: Int): Int = (c(o) & 0xff) | ((c(o + 1) & 0xff) << 8)
     def le32(o: Int): Long = (le16(o) | (le16(o + 2).toLong << 16)) & 0xffffffffL
-    var i = 12
+    // Chunk walk in LONG math (ADVICE r4): a declared chunk length is an
+    // unsigned 32-bit value, so truncating it to Int can go negative
+    // (infinite loop) or a large positive len can overflow the cursor
+    // (StringIndexOutOfBounds). Keeping len/cursor as Long and bounding
+    // the step guarantees forward progress; a malformed walk simply runs
+    // the cursor past c.length and falls back to None — never throws,
+    // never spins, per the decode-seam contract.
+    var i = 12L
     var fmt: Option[(Int, Int, Long)] = None // (channels, bits, rate)
     var data: Option[(Int, Int)] = None      // (offset, length)
     while (i + 8 <= c.length && (fmt.isEmpty || data.isEmpty)) {
-      val id = new String(c, i, 4, "US-ASCII")
-      val len = le32(i + 4).toInt
+      val o = i.toInt // safe: i + 8 <= c.length <= Int.MaxValue
+      val id = new String(c, o, 4, "US-ASCII")
+      val len = le32(o + 4) // unsigned: 0 <= len <= 0xffffffff
       if (id == "fmt " && i + 8 + 16 <= c.length) {
-        val audioFormat = le16(i + 8)
+        val audioFormat = le16(o + 8)
         if (audioFormat == 1)
-          fmt = Some((le16(i + 10), le16(i + 22), le32(i + 12)))
+          fmt = Some((le16(o + 10), le16(o + 22), le32(o + 12)))
       } else if (id == "data" && i + 8 + len <= c.length)
-        data = Some((i + 8, len))
-      i += 8 + len + (len & 1) // chunks are word-aligned
+        data = Some((o + 8, len.toInt)) // fits: bounded by c.length
+      val step = 8L + len + (len & 1L) // chunks are word-aligned
+      if (step <= 0) return None // unreachable given the mask; belt+braces
+      i += step
     }
     for {
       (channels, bits, rate) <- fmt

@@ -171,14 +171,22 @@ class LlmOpsSpec extends AnyFunSuite {
       (i.toLong, (1 to 64).map(j =>
         ((i * 37 + j * 11) % 17 - 8).toFloat / 3f))
     } :+ (97L, Seq(1f, 2f, 3f)) // wrong dim: both forms -> bucket 0
+      :+ (98L, null.asInstanceOf[Seq[Float]]) // NULL vector: both -> 0
       ).toDF("vec_id", "embedding")
     for (planes <- Seq(4, 6)) {
       val rows = vecs.select(
           Vec.lshBucket(col("embedding"), planes).as("native"),
-          Vec.lshBucketHof(col("embedding"), planes).as("hof"))
+          Vec.lshBucketHof(col("embedding"), planes).as("hof"),
+          col("vec_id"))
         .collect()
-      rows.foreach(r => assert(r.getLong(0) == r.getLong(1),
-        s"bucket diverged at planes=$planes"))
+      rows.foreach { r =>
+        assert(!r.isNullAt(0), s"native bucket null at planes=$planes " +
+          s"vec_id=${r.getLong(2)} — lsh_bucket_f32 is non-nullable")
+        assert(r.getLong(0) == r.getLong(1),
+          s"bucket diverged at planes=$planes vec_id=${r.getLong(2)}")
+      }
+      // NULL vector pools into bucket 0, same as the oracle CASE form.
+      assert(rows.find(_.getLong(2) == 98L).get.getLong(0) == 0L)
     }
   }
 

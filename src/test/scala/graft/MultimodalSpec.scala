@@ -107,4 +107,35 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).n_bytes == truncatedPpm.length)
     assert(out(1).features.sum > 0f) // stub histogram, not PPM shape
   }
+
+  test("pureJvmDecoder survives adversarial headers: it falls back, " +
+    "never throws or spins (ADVICE r4)") {
+    // WAV whose first chunk declares length 0xFFFFFFF8 — as an Int that
+    // is -8, making the old walk's step 0 (infinite loop); as unsigned
+    // it overflows any cursor bound. Must fall back to the stub.
+    val evilWav = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(16)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(0xFFFFFFF8)
+      bb.putInt(0)
+      bb.array()
+    }
+    // PPM with a 12-digit width (Int.parseInt throws) and one whose
+    // w*h*3 overflows Int past the length guard (46341^2*3 < 0 in Int).
+    val evilPpm1 = "P6\n123456789012 2\n255\n".getBytes("US-ASCII")
+    val evilPpm2 = "P6\n46341 46341\n255\nxxx".getBytes("US-ASCII")
+    val out = MultimodalOps.decodePartitions(
+      Seq(RawAsset(1L, "audio", evilWav),
+        RawAsset(2L, "image", evilPpm1),
+        RawAsset(3L, "image", evilPpm2)).toDS,
+      MultimodalOps.pureJvmDecoder()).collect().sortBy(_.asset_id)
+    assert(out.length == 3) // reached: no hang, no exception
+    // all three fell back to the stub (byte-histogram features)
+    out.foreach(o => assert(o.features.length == 8))
+    assert(out(0).n_bytes == evilWav.length)
+    assert(out(1).n_bytes == evilPpm1.length)
+    assert(out(2).n_bytes == evilPpm2.length)
+  }
 }
