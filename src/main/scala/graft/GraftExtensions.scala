@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
 import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DeflateRatio, DotProductF32, LshBucketF32,
-  MinHashSig, NGramHashSet, NGramMinHashSig, SimHash60,
+  MinHashSig, NfcNormalize, NGramHashSet, NGramMinHashSig, SimHash60,
   SortedIntersectCount, TokenHash60Array, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -130,6 +130,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"got $other")
         }
         LshBucketF32(args.head, p)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "nfc_normalize takes exactly 1 argument")
+        NfcNormalize(args.head)
       }))
   }
 }

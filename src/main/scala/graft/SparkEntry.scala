@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CleanseOps => C, DedupOps => D,
+import graft.operators.{CleanseOps => C, DedupOps => D, GraphOps => G,
   MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
   TextOps => T, TimeOps => Ti, VectorOps => Vec, VizPrep => V}
 
@@ -322,6 +322,59 @@ object SparkEntry {
         spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
         "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
         kernels = Some(D.wordKernels(col("text"), 3)))),
+
+    // L40: pairs are only half the dedup story — transitive families
+    // (A~B, B~C) must collapse into ONE cluster. Connected components by
+    // distributed min-label propagation over the q25 pair graph; the
+    // fixpoint loop runs at query-construction time (each round is a
+    // distributed join + groupBy — the driver only sees a changed-count).
+    "q61_dup_clusters" -> ((s, dir) =>
+      D.withNearDupPairs(
+        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+        kernels = Some(D.wordKernels(col("text"), 3))) { pairs =>
+        G.dupClusters(pairs, "id_a", "id_b")
+      }),
+
+    // L41: domain-mix rebalancing — every source downsampled to the
+    // smallest source's size, acceptance rates DERIVED from observed
+    // counts (two tiny aggregates + a broadcast rate join; the corpus
+    // scan itself never shuffles).
+    "q62_domain_rebalance" -> ((s, dir) =>
+      Sam.rebalanceEqual(t(s, dir, "documents"), "source", col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"), min(col("doc_id")).as("min_doc_id"))),
+
+    // L42: inverted index (term -> document frequency + posting list).
+    // Postings are capped at the first 8 doc ids (sorted) — the realistic
+    // shape: full posting lists are written bucketed by term, not carried
+    // through a result set. One explode + one shuffle on term.
+    "q63_inverted_index" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          explode(array_distinct(T.tokens(col("text")))).as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("doc_freq"),
+          concat_ws(",",
+            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+              _.cast("string"))).as("postings"))
+        .filter(col("doc_freq") >= 10)),
+
+    // L43: Unicode NFC canonicalization (native kernel; DuckDB
+    // nfc_normalize twin — both implement UAX #15). The corpus is ASCII,
+    // so both engines append the same decomposed suffix to exercise real
+    // composition; `collapsed_units` counts codepoints removed by NFC.
+    "q64_unicode_nfc" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .withColumn("dirty",
+          concat(col("text"), lit(" café école")))
+        .withColumn("norm", T.nfcNormalize(col("dirty")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum((length(col("dirty")) - length(col("norm"))).cast("long"))
+            .as("collapsed_units"),
+          sum(when(col("norm") =!= col("dirty"), 1L).otherwise(0L))
+            .as("n_changed"))),
 
     // SimHash: 60-bit per-doc signature via ±1 bit votes over token hashes.
     "q26_simhash" -> ((s, dir) =>
@@ -1107,6 +1160,36 @@ object SparkEntry {
       |JOIN supplier s ON s.s_suppkey = l.skew_key
       |GROUP BY 1""".stripMargin
 
+  /** q25's near-dup pair pipeline, split as (CTE list, final SELECT) so
+    * q61 can reuse it FLATTENED into its own recursive WITH — DuckDB 1.0
+    * does not scope a nested WITH inside a WITH RECURSIVE member. */
+  private lazy val sqlWordNearDupCtes: String =
+    s"""tok AS (SELECT doc_id, string_split(text,' ') AS w
+       |  FROM documents),
+       |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
+       |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
+       |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+       |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+       |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl FROM hs GROUP BY doc_id),
+       |bands AS ($sqlBandRows),
+       |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+       |  FROM bands a JOIN bands b
+       |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+       |j AS (SELECT ida, idb,
+       |  len(list_intersect(x.hl, y.hl)) AS inter,
+       |  len(x.hl) + len(y.hl) AS tot
+       |  FROM cand JOIN hsl x ON x.doc_id = ida
+       |   JOIN hsl y ON y.doc_id = idb)""".stripMargin
+
+  private lazy val sqlWordNearDupSelect: String =
+    s"""SELECT ida AS id_a, idb AS id_b,
+       | CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
+       |FROM j
+       |WHERE CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) >= 0.8""".stripMargin
+
+  private lazy val sqlWordNearDupPairs: String =
+    s"WITH $sqlWordNearDupCtes\n$sqlWordNearDupSelect"
+
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
       s"""SELECT CAST(year(o_orderdate) AS INT) AS order_year,
@@ -1359,27 +1442,61 @@ object SparkEntry {
         | count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
 
-    "q25_minhash_lsh" ->
-      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
-         |  FROM documents),
-         |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
-         |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
-         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
-         |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
-         |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl FROM hs GROUP BY doc_id),
-         |bands AS ($sqlBandRows),
-         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
-         |  FROM bands a JOIN bands b
-         |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
-         |j AS (SELECT ida, idb,
-         |  len(list_intersect(x.hl, y.hl)) AS inter,
-         |  len(x.hl) + len(y.hl) AS tot
-         |  FROM cand JOIN hsl x ON x.doc_id = ida
-         |   JOIN hsl y ON y.doc_id = idb)
-         |SELECT ida AS id_a, idb AS id_b,
-         | CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) AS jaccard
-         |FROM j
-         |WHERE CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE) >= 0.8""".stripMargin,
+    "q25_minhash_lsh" -> sqlWordNearDupPairs,
+
+    // Connected components over the q25 near-dup pair graph: the oracle
+    // computes the identical min-reachable-id labels via a recursive CTE
+    // (UNION-deduped label propagation), then the same cluster rollup.
+    "q61_dup_clusters" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |nodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM nodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT cluster_id, count(*) AS n_members,
+         | string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
+         |FROM comp GROUP BY cluster_id""".stripMargin,
+
+    "q62_domain_rebalance" ->
+      s"""WITH c AS (SELECT source, count(*) AS n FROM documents
+         |  GROUP BY source),
+         |t AS (SELECT min(n) AS t FROM c),
+         |r AS (SELECT source, CAST(floor(
+         |   CAST(t.t AS DOUBLE) * 1048576 / CAST(c.n AS DOUBLE))
+         |  AS BIGINT) AS num FROM c, t)
+         |SELECT d.source, count(*) AS n_kept, min(d.doc_id) AS min_doc_id
+         |FROM documents d JOIN r ON d.source = r.source
+         |WHERE ${hx("'rebalance' || CAST(doc_id AS VARCHAR)", 8)} % 1048576
+         |  < r.num
+         |GROUP BY 1""".stripMargin,
+
+    "q63_inverted_index" ->
+      """WITH td AS (SELECT DISTINCT doc_id, term FROM
+        |  (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |   FROM documents)),
+        |g AS (SELECT term, count(*) AS doc_freq,
+        |  list_sort(list(doc_id)) AS ids
+        | FROM td GROUP BY term)
+        |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
+        |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q64_unicode_nfc" ->
+      """WITH d AS (SELECT lang,
+        |  text || ' cafe' || chr(769) || ' e' || chr(769) || 'cole'
+        |   AS dirty FROM documents),
+        |n AS (SELECT lang, dirty, nfc_normalize(dirty) AS norm FROM d)
+        |SELECT lang, count(*) AS n_docs,
+        | CAST(sum(length(dirty) - length(norm)) AS BIGINT)
+        |  AS collapsed_units,
+        | CAST(sum(CASE WHEN norm <> dirty THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_changed
+        |FROM n GROUP BY 1""".stripMargin,
 
     "q26_simhash" ->
       s"""WITH h AS (SELECT doc_id, ${hx("w", 15)} AS h60

@@ -32,9 +32,19 @@ object GraphOps {
     * node id reachable from `node` — a deterministic, engine-independent
     * cluster id (the same convention a SQL recursive-CTE oracle computes).
     *
-    * The result is persisted (the loop's fixpoint was already paid;
-    * recomputing it lazily would re-run every round uncached) — callers
-    * own the release via `unpersist()` or session `clearCache()`.
+    * Each round ends in `localCheckpoint(eager)` — this is load-bearing,
+    * not a cache: a mere persist() shortcuts EXECUTION but the logical
+    * plan still nests the previous round twice (union + fixpoint join),
+    * so plan size doubles per round and analysis itself OOMs after ~20
+    * rounds. Checkpointing truncates the plan to the materialized rows.
+    * Local (executor-block) checkpoints are the right default for an
+    * iterative loop — a lost block just re-runs the loop — but on a
+    * cluster where executor loss mid-loop is routine, call
+    * `sc.setCheckpointDir` and swap in reliable `checkpoint()`.
+    *
+    * The returned labels are those checkpointed rows (already
+    * materialized; blocks are released by the ContextCleaner when the
+    * result is garbage-collected, or eagerly via `unpersist()`).
     *
     * Throws after `maxIter` rounds without convergence: a silently partial
     * clustering would under-merge and let duplicates survive. */
@@ -48,7 +58,7 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("node")).distinct()
       .withColumn("label", col("node"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
     var changed = Long.MaxValue
     var iter = 0
     while (changed > 0 && iter < maxIter) {
@@ -57,10 +67,9 @@ object GraphOps {
         .select(col("peer").as("node"), col("label"))
       val next = labels.union(viaPeers)
         .groupBy(col("node")).agg(min(col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
-      // One count per round materializes `next` AND detects the exact
-      // fixpoint (no lost-update heuristics). Each round's plan reads the
-      // previous round's CACHE, so lineage depth stays O(1) per round.
+        .localCheckpoint(true)
+      // One count per round detects the exact fixpoint (no lost-update
+      // heuristics); both sides read materialized checkpoint blocks.
       changed = next.join(labels.withColumnRenamed("label", "__old"), "node")
         .filter(col("label") =!= col("__old")).count()
       labels.unpersist(blocking = false)

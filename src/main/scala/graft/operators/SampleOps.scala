@@ -37,6 +37,36 @@ object SampleOps {
     df.filter(sampleBucket(id, salt, denom) < num)
   }
 
+  /** L41: domain-mix rebalancing — downsample every stratum to the size
+    * of the SMALLEST one, with acceptance rates DERIVED from the observed
+    * counts rather than configured ([[stratifiedSample]] is the
+    * fixed-rate form). The training-data staple: flatten a source/domain
+    * distribution so one crawl doesn't drown the mix.
+    *
+    * rate(s) = floor(min_count * denom / count(s)) out of denom, computed
+    * in exact-double arithmetic (counts ≪ 2^53) so the DuckDB oracle's
+    * floor matches bit-for-bit; rows survive iff their [[sampleBucket]]
+    * clears the stratum's rate — deterministic, partition-independent,
+    * incremental-load-stable.
+    *
+    * Scale: two tiny aggregates (stratum cardinality rows) + a BROADCAST
+    * join of the rate table back onto the corpus scan — no corpus
+    * shuffle; the filter is scan-local. */
+  def rebalanceEqual(df: DataFrame, stratum: String, id: Column,
+                     denom: Int = 1 << 20,
+                     salt: String = "rebalance"): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    val counts = df.groupBy(col(stratum)).agg(count(lit(1)).as("__n"))
+    val target = counts.agg(min(col("__n")).as("__t"))
+    val rates = counts.crossJoin(broadcast(target))
+      .select(col(stratum),
+        floor(col("__t").cast("double") * denom / col("__n").cast("double"))
+          .cast("long").as("__num"))
+    df.join(broadcast(rates), stratum)
+      .filter(sampleBucket(id, salt, denom) < col("__num"))
+      .drop("__num")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample the dominant language,
     * keep the rare ones whole): `rates` maps stratum value → numerator
     * over `denom`; strata absent from the map are dropped (rate 0). The

@@ -27,6 +27,13 @@ object TextOps {
     * general-purpose variant would split on `\s+`). */
   def tokens(c: Column): Column = split(c, " ")
 
+  /** Unicode NFC canonicalization (native [[graft.functions.NfcNormalize]]
+    * kernel; DuckDB twin `nfc_normalize`). Run it BEFORE any dedup hash /
+    * shingle / equality join: composed and decomposed forms of the same
+    * text are byte-different until canonicalized. Map-side, ASCII fast
+    * path, codegen'd. */
+  def nfcNormalize(c: Column): Column = call_function("nfc_normalize", c)
+
   /** 32-bit deterministic string hash: first 8 hex digits of md5.
     * DuckDB twin: `CAST(('0x' || substr(md5(x),1,8)) AS BIGINT)`. */
   def hash32(c: Column): Column =

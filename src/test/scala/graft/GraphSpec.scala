@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{GraphOps => G}
+
+/** Connected components: correctness against an in-memory union-find
+  * reference on random graphs, fixpoint behavior, and the cluster rollup. */
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Union-find reference (path compression, driver-side, test-only). */
+  private def ufComponents(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x
+      else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // min-id labels: union-by-min keeps the root the component minimum
+    nodes.map(x => x -> find(x)).toMap
+  }
+
+  test("connectedComponents matches union-find on random graphs") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 50).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expect = ufComponents(edges)
+      val got = G.connectedComponents(
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial diverged")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("a long chain converges (diameter-bound rounds) and one cluster " +
+    "forms") {
+    // 0-1-2-...-19: worst-case diameter for propagation
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    val labels = G.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == 20 && labels.forall(_._2 == 0L))
+    spark.catalog.clearCache()
+  }
+
+  test("maxIter too small throws instead of returning a partial clustering") {
+    val edges = (0L until 19L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      G.connectedComponents(edges, "a", "b", maxIter = 2)
+    }
+    spark.catalog.clearCache()
+  }
+
+  test("dupClusters rolls up deterministic member lists sorted numerically") {
+    // components {1,2,10} and {3,4}; 10 must sort AFTER 2 (numeric, not
+    // lexicographic — the oracle's ORDER BY node)
+    val edges = Seq((1L, 2L), (2L, 10L), (3L, 4L)).toDF("a", "b")
+    val rows = G.dupClusters(edges, "a", "b")
+      .orderBy("cluster_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows == Seq((1L, 3L, "1,2,10"), (3L, 2L, "3,4")))
+    spark.catalog.clearCache()
+  }
+}

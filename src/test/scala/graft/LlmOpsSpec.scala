@@ -384,6 +384,45 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!out.contains("other"))       // unmapped stratum dropped
   }
 
+  test("rebalanceEqual flattens the stratum mix to the smallest stratum") {
+    import graft.operators.{SampleOps => Sam}
+    // strata of 2000 / 500 / 100 docs: rebalance targets ~100 each
+    val df = (1L to 2600L).map(i => (i, if (i <= 2000) "web"
+      else if (i <= 2500) "books" else "code")).toDF("id", "src")
+    val out = Sam.rebalanceEqual(df, "src", col("id"))
+      .groupBy("src").count().as[(String, Long)].collect().toMap
+    assert(out("code") == 100L) // the smallest stratum survives whole
+    // larger strata land near the target within hash-Bernoulli slack
+    assert(out("web") > 60 && out("web") < 140, s"web=${out("web")}")
+    assert(out("books") > 60 && out("books") < 140, s"books=${out("books")}")
+    // deterministic: same decision under a different partitioning
+    val again = Sam.rebalanceEqual(df.repartition(7), "src", col("id"))
+      .select("id").as[Long].collect().toSet
+    val first = Sam.rebalanceEqual(df, "src", col("id"))
+      .select("id").as[Long].collect().toSet
+    assert(again == first)
+  }
+
+  test("nfc_normalize composes decomposed sequences, is identity on " +
+    "ASCII and already-composed text, and propagates null") {
+    import graft.operators.{TextOps => T}
+    val decomposed = "café"   // e + COMBINING ACUTE
+    val composed = "café"      // é precomposed
+    val rows = Seq((1L, decomposed), (2L, composed), (3L, "plain ascii"),
+        (4L, null.asInstanceOf[String]))
+      .toDF("id", "s")
+      .select(col("id"), T.nfcNormalize(col("s")).as("n"))
+      .collect().sortBy(_.getLong(0))
+    assert(rows(0).getString(1) == composed) // NFC composes
+    assert(rows(1).getString(1) == composed) // already-NFC: unchanged
+    assert(rows(2).getString(1) == "plain ascii")
+    assert(rows(3).isNullAt(1))
+    // hash equality after normalization — the reason the op exists
+    val hashes = Seq(decomposed, composed).toDF("s")
+      .select(T.hash32(T.nfcNormalize(col("s")))).as[Long].collect()
+    assert(hashes(0) == hashes(1))
+  }
+
   test("saltedJoin spreads the hot key across reducers; plain join " +
     "concentrates it") {
     // Pin the physical shape: no broadcast (the skew scenario is "dim too

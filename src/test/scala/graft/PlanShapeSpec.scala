@@ -197,4 +197,45 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"))
   }
+
+  test("runtime bloom-filter pruning injects on a selective fact-fact " +
+    "join (the 100 TB shuffle-reduction path)") {
+    // At cluster scale a fact⋈filtered-dim shuffle join moves the WHOLE
+    // fact side; Spark's InjectRuntimeFilter builds a bloom filter from
+    // the filtered creation side and prunes fact rows AT THE SCAN. The
+    // default thresholds (10 GB application-side scan) are cluster-sized,
+    // so this spec lowers them to prove the plan shape fires — the
+    // library's queries inherit the defaults and the optimizer arms the
+    // filter exactly when the scan is big enough to matter.
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    (1L to 200000L).map(i => (i % 5000, i)).toDF("k", "v")
+      .write.mode("overwrite").parquet(s"$dir/fact")
+    (0L until 5000L).map(i => (i, i % 97)).toDF("dk", "attr")
+      .write.mode("overwrite").parquet(s"$dir/dim")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k)).toMap
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter." +
+        "applicationSideScanSizeThreshold", "0")
+      val fact = spark.read.parquet(s"$dir/fact")
+      val dim = spark.read.parquet(s"$dir/dim").filter(col("attr") === 7)
+      val joined = fact.join(dim, col("k") === col("dk"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"no bloom filter injected:\n$optimized")
+      // and it still returns the right rows with the filter armed
+      assert(joined.count() ==
+        fact.join(spark.read.parquet(s"$dir/dim"),
+          col("k") === col("dk")).filter(col("attr") === 7).count())
+    } finally saved.foreach { case (k, v) =>
+      v.fold(conf.unset(k))(conf.set(k, _)) }
+  }
 }
