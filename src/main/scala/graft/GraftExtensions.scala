@@ -6,9 +6,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DeflateRatio, DotProductF32, LshBucketF32,
-  MinHashSig, NfcNormalize, NGramHashSet, NGramMinHashSig, SimHash60,
-  SortedIntersectCount, TokenHash60Array, WindowMinHash32}
+import graft.functions.{DeflateRatio, DotProductF32, I8Dot, I8Quantize,
+  LshBucketF32, MinHashSig, NfcNormalize, NGramHashSet, NGramMinHashSig,
+  SimHash60, SortedIntersectCount, TokenHash60Array, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -130,6 +130,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"got $other")
         }
         LshBucketF32(args.head, p)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("i8_quantize"),
+      new ExpressionInfo(classOf[I8Quantize].getName, "i8_quantize"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "i8_quantize takes exactly 1 argument")
+        I8Quantize(args.head)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("i8_dot"),
+      new ExpressionInfo(classOf[I8Dot].getName, "i8_dot"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "i8_dot takes exactly 2 arguments")
+        I8Dot(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -360,6 +360,15 @@ object SparkEntry {
               _.cast("string"))).as("postings"))
         .filter(col("doc_freq") >= 10)),
 
+    // L45: int8-quantized similarity search — the 4× memory/bandwidth cut
+    // a 100 TB embedding store serves from. Codes built once per vector
+    // (native kernel, map-side), scoring is exact integer dot (tie-stable
+    // longs, no float comparison traps), query side broadcast.
+    "q65_i8_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
+    }),
+
     // L43: Unicode NFC canonicalization (native kernel; DuckDB
     // nfc_normalize twin — both implement UAX #15). The corpus is ASCII,
     // so both engines append the same decomposed suffix to exercise real
@@ -1485,6 +1494,24 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q65_i8_topk" ->
+      """WITH a AS (SELECT vec_id, embedding,
+        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+        |   AS amax FROM embeddings),
+        |cd AS (SELECT vec_id,
+        |  CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+        |   ELSE list_transform(embedding, x ->
+        |     CAST(trunc(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT)) END
+        |   AS codes FROM a),
+        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |  CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot
+        | FROM cd q JOIN cd c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
+        |r AS (SELECT query_id, neighbor_id, qdot, row_number() OVER
+        |  (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
+        | FROM s)
+        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", qdot
+        |FROM r WHERE rnk <= 3""".stripMargin,
 
     "q64_unicode_nfc" ->
       """WITH d AS (SELECT lang,

@@ -151,6 +151,33 @@ object VectorOps {
         transform(col("__pairs"), p => p.getField("m").cast("float"))
           .as(cvec))
 
+  /** Symmetric int8 scalar quantization (native [[graft.functions.I8Quantize]]
+    * kernel): per-vector scale = max|x|/127, codes truncated toward zero —
+    * the 4× memory/bandwidth cut a 100 TB embedding store serves from
+    * (quantize once at ingest, score with [[i8Dot]], exact-rerank the
+    * short list). */
+  def i8Quantize(v: Column): Column = call_function("i8_quantize", v)
+
+  /** Exact integer dot over int8 code vectors — 64 integer multiply-adds,
+    * no FP, tie-stable (native [[graft.functions.I8Dot]] kernel). */
+  def i8Dot(a: Column, b: Column): Column = call_function("i8_dot", a, b)
+
+  /** Int8-quantized brute-force top-k by integer dot: the [[cosineTopK]]
+    * shape on 4×-smaller vectors with an integer scoring loop. Scores are
+    * exact longs, so ranking is deterministic without float-tie care. */
+  def i8TopK(queries: DataFrame, corpus: DataFrame, id: String,
+             vec: String, k: Int): DataFrame = {
+    val q = queries.select(col(id).as("query_id"),
+      i8Quantize(col(vec)).as("__qc"))
+    val c = corpus.select(col(id).as("neighbor_id"),
+      i8Quantize(col(vec)).as("__cc"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("qdot", i8Dot(col("__qc"), col("__cc")))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("qdot").desc, col("neighbor_id")), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("qdot"))
+  }
+
   /** Brute-force cosine top-k: every query row against the whole corpus,
     * ranked per query with a deterministic tie-break. Query side should be
     * small (it is broadcast). */

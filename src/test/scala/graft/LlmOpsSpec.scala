@@ -190,6 +190,62 @@ class LlmOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("i8 quantization: codes match the composable trunc form, dot is " +
+    "exact, degenerate inputs follow the dot_f32 conventions") {
+    val vecs = ((0 until 20).map { i =>
+      (i.toLong, (1 to 64).map(j =>
+        ((i * 53 + j * 17) % 255 - 127).toFloat / 11f))
+    } :+ (97L, Seq.fill(64)(0f)) // all-zero vector -> all-zero codes
+      ).toDF("vec_id", "v")
+    // composable twin of the kernel: amax fold + per-element trunc
+    val amax = array_max(transform(col("v"),
+      x => abs(x.cast("double"))))
+    val hofCodes = transform(col("v"), x =>
+      when(amax === 0d, lit(0L))
+        .otherwise((x.cast("double") * 127.0 / amax).cast("long")))
+    val rows = vecs.select(col("vec_id"),
+        Vec.i8Quantize(col("v")).as("k"), hofCodes.as("h"))
+      .collect()
+    rows.foreach { r =>
+      val k = r.getSeq[Byte](1).map(_.toLong)
+      val h = r.getSeq[Long](2)
+      assert(k == h, s"codes diverged for vec_id=${r.getLong(0)}")
+      assert(k.forall(c => c >= -127 && c <= 127))
+    }
+    // integer dot is the exact sum of code products
+    val d = vecs.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select(Vec.i8Quantize(col("v")).as("c")).collect()
+      .map(_.getSeq[Byte](0))
+    val expect = d(0).zip(d(1)).map { case (a, b) => a.toLong * b }.sum
+    val two = vecs.filter(col("vec_id") < 2).orderBy("vec_id")
+      .select(col("v")).collect().map(_.getSeq[Float](0).toSeq)
+    val kernelDot = Seq((two(0), two(1))).toDF("a", "b")
+      .select(Vec.i8Dot(Vec.i8Quantize(col("a")), Vec.i8Quantize(col("b"))))
+      .head.getLong(0)
+    assert(kernelDot == expect)
+    // null element -> null codes; length-mismatch dot -> null
+    val badQ = Seq(Tuple1(Seq(Some(1f), None, Some(2f)))).toDF("v")
+      .select(Vec.i8Quantize(col("v"))).head
+    assert(badQ.isNullAt(0))
+    val badD = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
+      .select(Vec.i8Dot(Vec.i8Quantize(col("a")), Vec.i8Quantize(col("b"))))
+      .head
+    assert(badD.isNullAt(0))
+    // quantized cosine tracks float cosine within the int8 noise floor
+    val pair = two
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      val d = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      d / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    def cosI(a: Seq[Byte], b: Seq[Byte]): Double = {
+      val dd = a.zip(b).map { case (x, y) => x.toDouble * y }.sum
+      dd / math.sqrt(a.map(x => x.toDouble * x).sum *
+        b.map(x => x.toDouble * x).sum)
+    }
+    assert(math.abs(cos(pair(0), pair(1)) - cosI(d(0), d(1))) < 0.02)
+  }
+
   test("ANN geometry is a parameter: a 6-plane LSH build works and stays " +
     "within its 64-bucket range") {
     val vecs = (0 until 40).map { i =>
