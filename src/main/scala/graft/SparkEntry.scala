@@ -336,6 +336,30 @@ object SparkEntry {
         G.dupClusters(pairs, "id_a", "id_b")
       }),
 
+    // L40b: cluster-canonical curation — the END-TO-END dedup semantics.
+    // q35 removes pair LOSERS (correct only for isolated pairs); the
+    // right contract keeps exactly ONE doc per transitive near-dup
+    // cluster (the min id) and drops every other member. Cluster labels
+    // left-joined back onto the corpus; unclustered docs keep themselves.
+    "q66_cluster_curation" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      D.withNearDupPairs(
+        spread(s, docs.select(col("doc_id"), col("text"))),
+        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+        kernels = Some(D.wordKernels(col("text"), 3))) { pairs =>
+        val comp = G.connectedComponents(pairs, "id_a", "id_b")
+          .select(col("node").as("doc_id"), col("label"))
+        docs.join(comp, Seq("doc_id"), "left")
+          .withColumn("keep",
+            col("label").isNull || col("label") === col("doc_id"))
+          .groupBy(col("lang"))
+          .agg(count(lit(1)).as("n_docs"),
+            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+            min(when(not(col("keep")), col("doc_id"))).as("first_removed"))
+      }
+    }),
+
     // L41: domain-mix rebalancing — every source downsampled to the
     // smallest source's size, acceptance rates DERIVED from observed
     // counts (two tiny aggregates + a broadcast rate join; the corpus
@@ -1471,6 +1495,27 @@ object SparkEntry {
          |SELECT cluster_id, count(*) AS n_members,
          | string_agg(CAST(node AS VARCHAR), ',' ORDER BY node) AS members
          |FROM comp GROUP BY cluster_id""".stripMargin,
+
+    "q66_cluster_curation" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |enodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM enodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node)
+         |SELECT d.lang, count(*) AS n_docs,
+         | CAST(sum(CASE WHEN c.cluster_id IS NULL
+         |   OR c.cluster_id = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)
+         |  AS n_kept,
+         | min(CASE WHEN c.cluster_id IS NOT NULL
+         |   AND c.cluster_id <> d.doc_id THEN d.doc_id END) AS first_removed
+         |FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+         |GROUP BY 1""".stripMargin,
 
     "q62_domain_rebalance" ->
       s"""WITH c AS (SELECT source, count(*) AS n FROM documents

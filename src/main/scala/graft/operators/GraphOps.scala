@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
 
@@ -84,6 +84,69 @@ object GraphOps {
           "raise maxIter (diameter-bound) or switch to star contraction")
     }
     labels
+  }
+
+  /** Connected components by ALTERNATING STAR CONTRACTION (Kiveris et
+    * al., "Connected Components in MapReduce and Beyond", SoCC 2014) —
+    * the adversarial-diameter alternative to [[connectedComponents]]:
+    * converges in O(log n) rounds on ANY graph (a 200-node chain
+    * contracts in ~10 rounds where propagation needs 200), at the cost
+    * of slightly heavier rounds (two half-steps, each one aggregate +
+    * one join). Same output contract: (node, label = component min).
+    *
+    *  - large-star: every node connects its STRICTLY LARGER neighbors to
+    *    the minimum of its closed neighborhood — long tails fold onto
+    *    small ids without ever disconnecting a component;
+    *  - small-star: every node connects its not-larger neighbors (and
+    *    itself) to that minimum — stars flatten.
+    *
+    * The fixpoint (edge set unchanged) is exactly the star graph: each
+    * component reduced to (min, member) edges. Both half-steps are
+    * hash-partitioned on the grouping node; per-round localCheckpoint
+    * truncates plan growth as in the propagation loop. */
+  def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
+                              maxIter: Int = 50): DataFrame = {
+    // Canonical undirected form: (a < b), dedup, self-loops dropped.
+    def canon(df: DataFrame, x: Column, y: Column): DataFrame =
+      df.select(least(x, y).as("a"), greatest(x, y).as("b"))
+        .filter(col("a") =!= col("b")).distinct()
+    var e = canon(edges,
+      col(src).cast("long"), col(dst).cast("long")).localCheckpoint(true)
+    var iter = 0
+    var stable = false
+    while (!stable && iter < maxIter) {
+      // Large-star: group both orientations on u; m = min(N(u) ∪ {u});
+      // emit (m, v) for strictly larger neighbors v.
+      val nbrs = e.select(col("a").as("u"), col("b").as("v"))
+        .union(e.select(col("b").as("u"), col("a").as("v")))
+      val lsMin = nbrs.groupBy(col("u")).agg(min(col("v")).as("__mv"))
+        .select(col("u"), least(col("__mv"), col("u")).as("m"))
+      val ls = canon(nbrs.join(lsMin, "u").filter(col("v") > col("u")),
+        col("v"), col("m")).localCheckpoint(true)
+      // Small-star on the canonical edges: for each node u its smaller
+      // neighbors are exactly the a-side rows of (a, u); m = min of them
+      // (all < u); emit (m, a_i) for every smaller neighbor plus (m, u).
+      val ssMin = ls.groupBy(col("b").as("u")).agg(min(col("a")).as("m"))
+      val viaNbrs = ls.join(ssMin, col("b") === col("u"))
+        .select(col("a").as("x"), col("m").as("y"))
+      val next = canon(viaNbrs.union(
+          ssMin.select(col("m").as("x"), col("u").as("y"))),
+        col("x"), col("y")).localCheckpoint(true)
+      // Fixpoint: the edge multiset is unchanged (both are distinct sets,
+      // so two anti-joins detect any difference).
+      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      e.unpersist(blocking = false)
+      ls.unpersist(blocking = false)
+      e = next
+      iter += 1
+    }
+    if (!stable)
+      throw new IllegalStateException(
+        s"connectedComponentsStar: no fixpoint after $maxIter rounds")
+    // The fixpoint is a star forest: every edge is (componentMin, member).
+    e.select(col("b").as("node"), col("a").as("label"))
+      .union(e.select(col("a").as("node"), col("a").as("label")))
+      .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 
   /** Cluster summary over an edge list: one row per multi-member cluster

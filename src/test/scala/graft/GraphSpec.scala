@@ -62,6 +62,37 @@ class GraphSpec extends AnyFunSuite {
     spark.catalog.clearCache()
   }
 
+  test("connectedComponentsStar matches union-find on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 40
+      val edges = (0 until 50).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expect = ufComponents(edges)
+      val got = G.connectedComponentsStar(
+          edges.toDF("a", "b"), "a", "b")
+        .as[(Long, Long)].collect().toMap
+      assert(got == expect, s"trial $trial diverged")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("star contraction handles the adversarial chain in O(log n) " +
+    "rounds where propagation needs O(n)") {
+    // a 200-node chain: propagation would need ~200 rounds (its default
+    // maxIter of 25 gives up); star contraction lands well inside its
+    // default 50 — the documented reason both variants exist.
+    val edges = (0L until 199L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      G.connectedComponents(edges, "a", "b") // diameter 199 > 25 rounds
+    }
+    val labels = G.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect()
+    assert(labels.length == 200 && labels.forall(_._2 == 0L))
+    spark.catalog.clearCache()
+  }
+
   test("dupClusters rolls up deterministic member lists sorted numerically") {
     // components {1,2,10} and {3,4}; 10 must sort AFTER 2 (numeric, not
     // lexicographic — the oracle's ORDER BY node)

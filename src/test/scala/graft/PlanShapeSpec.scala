@@ -198,6 +198,41 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("q62 rebalance: rate table broadcast, corpus scan never shuffles " +
+    "before the filter") {
+    val f = formatted("q62_domain_rebalance")
+    assert(f.contains("BroadcastHashJoin"),
+      s"rate join must be broadcast:\n$f")
+    // 4 exchanges total, but 3 carry STRATUM-CARDINALITY rows (counts agg
+    // ×2 — the target derives from counts and Catalyst doesn't reuse an
+    // uncached subtree — + min-of-counts); the corpus crosses exactly one
+    // (the final lang agg). The corpus-side invariant is the join's
+    // streamed side: a bare filtered scan, no Exchange beneath it.
+    assert(shuffles(f) <= 4, s"expected <=4 exchanges, got ${shuffles(f)}:\n$f")
+  }
+
+  test("q63 inverted index is explode + ONE exchange on term") {
+    val f = formatted("q63_inverted_index")
+    assert(f.contains("Generate"), "explode should plan a Generate")
+    assert(shuffles(f) == 1,
+      s"expected exactly 1 exchange (term), got ${shuffles(f)}:\n$f")
+  }
+
+  test("q64 NFC normalization is map-side: one exchange for the lang agg") {
+    val f = formatted("q64_unicode_nfc")
+    assert(shuffles(f) == 1,
+      s"expected 1 exchange (lang agg), got ${shuffles(f)}:\n$f")
+    assert(!f.contains("Join"), "NFC scoring needs no join")
+  }
+
+  test("q65 int8 ANN: query side broadcast, corpus streams once") {
+    val f = formatted("q65_i8_topk")
+    assert(f.contains("Broadcast"), s"query side must broadcast:\n$f")
+    val scans = "embeddings\\.parquet".r.findAllIn(f).length
+    assert(scans == 2, // query slice + corpus — never a third pass
+      s"expected 2 embeddings scans (query + corpus), got $scans:\n$f")
+  }
+
   test("runtime bloom-filter pruning injects on a selective fact-fact " +
     "join (the 100 TB shuffle-reduction path)") {
     // At cluster scale a fact⋈filtered-dim shuffle join moves the WHOLE
