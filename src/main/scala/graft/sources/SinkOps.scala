@@ -36,26 +36,65 @@ object SinkOps {
   def loadNoConflict(spark: SparkSession, df: DataFrame, path: String,
                      keys: Seq[String], order: Seq[Column]): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val target = new Path(path)
-    val tmp = new Path(path + "__staging")
-    val old = new Path(path + "__old")
-    // Recover an interrupted swap FIRST, so the conflict anti-join below
-    // always sees the true table state.
-    if (fs.exists(old)) {
-      if (fs.exists(target)) fs.delete(old, true) // completed swap leftover
-      else if (!fs.rename(old, target))
-        throw new IllegalStateException(
-          s"crash recovery: restore $old -> $target failed")
-    }
+    recoverInterruptedSwap(fs, path)
     val incoming = RelationalOps.dedupFirst(df, keys, order)
-    val hadTarget = fs.exists(target)
+    val hadTarget = fs.exists(new Path(path))
     val combined = if (hadTarget) {
       val existing = spark.read.parquet(path)
       existing.unionByName(
         incoming.join(existing.select(keys.map(existing(_)): _*),
           keys, "left_anti"))
     } else incoming
-    combined.write.mode("overwrite").parquet(tmp.toString)
+    swapWrite(fs, combined, path, hadTarget)
+  }
+
+  /** CDC apply — the write half of the snapshot-diff story (q58 computes
+    * a diff; this applies one): `changes` carries an `opCol` of "upsert"
+    * (replace-or-insert the payload row) or "delete" (remove the key).
+    * One left-anti join on the touched keys + a union, then the same
+    * crash-safe swap as [[loadNoConflict]] — the non-transactional
+    * parquet equivalent of `MERGE WHEN MATCHED UPDATE / DELETE / WHEN NOT
+    * MATCHED INSERT`. Applying the same diff twice is a no-op (upserts
+    * rewrite identical rows, deletes find nothing), so a crashed-and-
+    * retried apply converges. Same SINGLE-WRITER caveat as the load. */
+  def applyCdc(spark: SparkSession, changes: DataFrame, path: String,
+               keys: Seq[String], opCol: String): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, path)
+    require(fs.exists(new Path(path)), s"applyCdc: no snapshot at $path")
+    val existing = spark.read.parquet(path)
+    val touched = changes.select(keys.map(changes(_)): _*).distinct()
+    val survivors = existing.join(touched, keys, "left_anti")
+    val upserts = changes.filter(changes(opCol) === "upsert").drop(opCol)
+    swapWrite(fs, survivors.unionByName(upserts), path, hadTarget = true)
+  }
+
+  /** Recover an interrupted prior swap so readers below always see the
+    * true table state: a parked `path__old` with NO live table is the
+    * sole surviving copy and is restored; alongside a live table it is
+    * the stale leftover of a COMPLETED swap and is deleted. */
+  private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
+                                     path: String): Unit = {
+    val target = new Path(path)
+    val old = new Path(path + "__old")
+    if (fs.exists(old)) {
+      if (fs.exists(target)) fs.delete(old, true) // completed swap leftover
+      else if (!fs.rename(old, target))
+        throw new IllegalStateException(
+          s"crash recovery: restore $old -> $target failed")
+    }
+  }
+
+  /** Stage-then-swap write: stage to `path__staging`, park the live table
+    * at `path__old`, rename staging into place, drop the parked copy — a
+    * crash at any point leaves a recoverable copy at `path` or
+    * `path__old`, never silent loss. */
+  private def swapWrite(fs: org.apache.hadoop.fs.FileSystem, df: DataFrame,
+                        path: String, hadTarget: Boolean): Unit = {
+    val target = new Path(path)
+    val tmp = new Path(path + "__staging")
+    val old = new Path(path + "__old")
+    df.write.mode("overwrite").parquet(tmp.toString)
     if (hadTarget && !fs.rename(target, old))
       throw new IllegalStateException(s"rename $target -> $old failed")
     if (!fs.rename(tmp, target)) {
