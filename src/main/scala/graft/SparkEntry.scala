@@ -393,6 +393,20 @@ object SparkEntry {
       Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
     }),
 
+    // L46: token-weighted sampling — P(keep) ∝ token count (capped), so
+    // the sample draws TOKENS uniformly instead of over-representing
+    // short docs. Scan-local integer-exact filter, zero shuffle before
+    // the rollup.
+    "q67_token_weighted_sample" -> ((s, dir) =>
+      Sam.weightedSample(
+          t(s, dir, "documents").select(col("doc_id"), col("lang"),
+            size(T.tokens(col("text"))).as("n_tokens")),
+          col("doc_id"), least(col("n_tokens"), lit(64)) * lit(8),
+          4096, "tw")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_sampled"),
+          sum(col("n_tokens").cast("long")).as("sum_tokens"))),
+
     // L43: Unicode NFC canonicalization (native kernel; DuckDB
     // nfc_normalize twin — both implement UAX #15). The corpus is ASCII,
     // so both engines append the same decomposed suffix to exercise real
@@ -1539,6 +1553,17 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q67_token_weighted_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang,
+         |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+         | FROM documents)
+         |SELECT lang, count(*) AS n_sampled,
+         | CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+         |FROM d
+         |WHERE ${hx("'tw' || CAST(doc_id AS VARCHAR)", 8)} % 4096
+         |  < least(n_tokens, 64) * 8
+         |GROUP BY 1""".stripMargin,
 
     "q65_i8_topk" ->
       """WITH a AS (SELECT vec_id, embedding,

@@ -67,6 +67,20 @@ object SampleOps {
       .drop("__num")
   }
 
+  /** Weight-proportional deterministic sampling: keep a row with
+    * probability `weight`/`denom`, where `weight` is an INTEGER column in
+    * [0, denom] (clamp at the call site — the filter itself stays a pure
+    * scan-local expression). The canonical use: weight = token count, so
+    * sampled documents draw TOKENS uniformly (a plain doc-uniform sample
+    * over-represents short docs' tokens). Same determinism contract as
+    * [[hashSample]]: pure function of (salt, id), partition-independent,
+    * incremental-load-stable, zero shuffle. */
+  def weightedSample(df: DataFrame, id: Column, weight: Column,
+                     denom: Int, salt: String): DataFrame = {
+    require(denom > 0, "denom must be positive")
+    df.filter(sampleBucket(id, salt, denom) < weight)
+  }
+
   /** Per-stratum sampling rates (e.g. downsample the dominant language,
     * keep the rare ones whole): `rates` maps stratum value → numerator
     * over `denom`; strata absent from the map are dropped (rate 0). The

@@ -440,6 +440,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!out.contains("other"))       // unmapped stratum dropped
   }
 
+  test("weightedSample keeps rows in proportion to their integer weight") {
+    import graft.operators.{SampleOps => Sam}
+    val df = (1L to 4000L).map(i => (i, if (i <= 2000) 100 else 400))
+      .toDF("id", "w")
+    val kept = Sam.weightedSample(df, col("id"), col("w"), 1000, "ws")
+      .groupBy("w").count().as[(Int, Long)].collect().toMap
+    // weight 400/1000 keeps ~4x the share of weight 100/1000
+    assert(kept(100) > 120 && kept(100) < 280, s"w=100: ${kept(100)}")
+    assert(kept(400) > 640 && kept(400) < 960, s"w=400: ${kept(400)}")
+    // extremes: weight 0 drops everything, weight = denom keeps everything
+    assert(Sam.weightedSample(df, col("id"), lit(0), 1000, "ws").count() == 0)
+    assert(Sam.weightedSample(df, col("id"), lit(1000), 1000, "ws")
+      .count() == 4000)
+    // partition-independence
+    val a = Sam.weightedSample(df, col("id"), col("w"), 1000, "ws")
+      .select("id").as[Long].collect().toSet
+    val b = Sam.weightedSample(df.repartition(11), col("id"), col("w"),
+      1000, "ws").select("id").as[Long].collect().toSet
+    assert(a == b)
+  }
+
   test("rebalanceEqual flattens the stratum mix to the smallest stratum") {
     import graft.operators.{SampleOps => Sam}
     // strata of 2000 / 500 / 100 docs: rebalance targets ~100 each
