@@ -393,6 +393,22 @@ object SparkEntry {
       Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
     }),
 
+    // L47: epoch mixing (fractional upsampling) — per-source repeat
+    // factors in milli-epochs derived from the source id (0.3 / 1.2 /
+    // 2.1 / 3.0 epochs); floor copies + deterministic-Bernoulli extra.
+    // Map-side explode, amplification = the mix ratio by construction.
+    "q68_epoch_mix" -> ((s, dir) => {
+      val k = substring(col("source"), 4, 10).cast("int")
+      val wm = pmod(k, lit(4)) * lit(900) + lit(300) // milli-epochs
+      Sam.epochMix(
+          t(s, dir, "documents").select(col("doc_id"), col("source"),
+            wm.as("weight_milli")),
+          col("doc_id"), col("weight_milli"), "em")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows_out"),
+          countDistinct(col("doc_id")).as("n_docs_kept"))
+    }),
+
     // L46: token-weighted sampling — P(keep) ∝ token count (capped), so
     // the sample draws TOKENS uniformly instead of over-representing
     // short docs. Scan-local integer-exact filter, zero shuffle before
@@ -1553,6 +1569,20 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q68_epoch_mix" ->
+      s"""WITH d AS (SELECT doc_id, source,
+         |  (CAST(substr(source, 4) AS INT) % 4) * 900 + 300 AS wm
+         | FROM documents),
+         |c AS (SELECT doc_id, source,
+         |  CAST(wm // 1000 AS INT) +
+         |  (CASE WHEN ${hx("'em' || CAST(doc_id AS VARCHAR)", 8)} % 1000
+         |     < wm % 1000 THEN 1 ELSE 0 END) AS n_copies FROM d),
+         |e AS (SELECT doc_id, source,
+         |  unnest(generate_series(1, n_copies)) AS r FROM c)
+         |SELECT source, count(*) AS n_rows_out,
+         | count(DISTINCT doc_id) AS n_docs_kept
+         |FROM e GROUP BY 1""".stripMargin,
 
     "q67_token_weighted_sample" ->
       s"""WITH d AS (SELECT doc_id, lang,

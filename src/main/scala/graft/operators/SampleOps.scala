@@ -81,6 +81,28 @@ object SampleOps {
     df.filter(sampleBucket(id, salt, denom) < weight)
   }
 
+  /** Epoch mixing — fractional UPSAMPLING, the other half of data mixing
+    * (down-weighting is [[stratifiedSample]]/[[rebalanceEqual]]; training
+    * mixes also REPEAT good sources, e.g. "3.2 epochs of wiki"):
+    * `weightMilli` is the per-row repeat factor in 1/1000ths of an epoch;
+    * every row emits floor(w/1000) copies plus one more with probability
+    * (w mod 1000)/1000 — decided by the same deterministic row-key hash
+    * as [[hashSample]], so the expected copy count is exactly w/1000 and
+    * the realized mix is reproducible across runs, partitionings, and
+    * engines. `copy_idx` distinguishes the copies so a downstream shuffle
+    * can interleave epochs. Map-side explode: zero shuffle, amplification
+    * exactly the mix ratio. */
+  def epochMix(df: DataFrame, id: Column, weightMilli: Column,
+               salt: String): DataFrame = {
+    val base = floor(weightMilli.cast("double") / 1000d).cast("int")
+    val frac = pmod(weightMilli, lit(1000))
+    val copies = base +
+      when(sampleBucket(id, salt, 1000) < frac, 1).otherwise(0)
+    df.select(df.columns.map(col) :+
+      posexplode(array_repeat(lit(1), copies)).as(Seq("copy_idx", "__one")): _*)
+      .drop("__one")
+  }
+
   /** Per-stratum sampling rates (e.g. downsample the dominant language,
     * keep the rare ones whole): `rates` maps stratum value → numerator
     * over `denom`; strata absent from the map are dropped (rate 0). The

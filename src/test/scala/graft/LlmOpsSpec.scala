@@ -461,6 +461,31 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("epochMix emits floor copies plus a deterministic fractional extra") {
+    import graft.operators.{SampleOps => Sam}
+    val df = (1L to 1000L).toDF("id")
+    // 2.5 epochs: every row at least twice, ~half a third time
+    val out = Sam.epochMix(df, col("id"), lit(2500), "e1")
+    val perRow = out.groupBy("id").count().as[(Long, Long)].collect()
+    assert(perRow.length == 1000) // no row lost
+    assert(perRow.forall { case (_, n) => n == 2 || n == 3 })
+    val total = perRow.map(_._2).sum
+    assert(total > 2350 && total < 2650, s"total=$total") // ~2500
+    // copy_idx enumerates the copies 0..n-1
+    val idx = out.filter(col("id") === perRow.head._1)
+      .select("copy_idx").as[Int].collect().sorted
+    assert(idx.toSeq == (0 until idx.length))
+    // integer weight 1000 = exactly one copy each; 0 = dropped
+    assert(Sam.epochMix(df, col("id"), lit(1000), "e1").count() == 1000)
+    assert(Sam.epochMix(df, col("id"), lit(0), "e1").count() == 0)
+    // deterministic across partitionings
+    val a = Sam.epochMix(df, col("id"), lit(1500), "e1")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    val b = Sam.epochMix(df.repartition(9), col("id"), lit(1500), "e1")
+      .groupBy("id").count().as[(Long, Long)].collect().toMap
+    assert(a == b)
+  }
+
   test("rebalanceEqual flattens the stratum mix to the smallest stratum") {
     import graft.operators.{SampleOps => Sam}
     // strata of 2000 / 500 / 100 docs: rebalance targets ~100 each
