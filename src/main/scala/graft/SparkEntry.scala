@@ -388,10 +388,7 @@ object SparkEntry {
     // a 100 TB embedding store serves from. Codes built once per vector
     // (native kernel, map-side), scoring is exact integer dot (tie-stable
     // longs, no float comparison traps), query side broadcast.
-    "q65_i8_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
-      Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
-    }),
+    "q65_i8_topk" -> (annI8(_, _)),
 
     // L47: epoch mixing (fractional upsampling) — per-source repeat
     // factors in milli-epochs derived from the source id (0.3 / 1.2 /
@@ -516,7 +513,8 @@ object SparkEntry {
       val ex = annExact(s, dir, 3)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
       val ap = Seq("lsh" -> annLsh(s, dir),
-          "lsh_mp" -> annLshMultiprobe(s, dir), "ivf" -> annIvf(s, dir))
+          "lsh_mp" -> annLshMultiprobe(s, dir), "ivf" -> annIvf(s, dir),
+          "i8" -> annI8(s, dir))
         .map { case (m, df) => df.select(lit(m).as("method"),
           col("query_id"), col("neighbor_id")) }
         .reduce(_ union _)
@@ -970,6 +968,12 @@ object SparkEntry {
     Vec.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k)
   }
 
+  /** q65/q49 shared: int8-quantized brute-force top-3 (L45). */
+  private def annI8(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+    Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
+  }
+
   /** q28/q49 shared: random-hyperplane LSH ANN — bucket both sides, hash
     * join on bucket, exact cosine within candidates, top-3. `planes` is
     * the geometry knob (buckets = 2^planes); the default matches the
@@ -1252,6 +1256,35 @@ object SparkEntry {
 
   private lazy val sqlWordNearDupPairs: String =
     s"WITH $sqlWordNearDupCtes\n$sqlWordNearDupSelect"
+
+  /** DuckDB twin of [[annI8]] (q65/q49): int8 codes via trunc-toward-zero
+    * (Java (byte)-cast twin), exact integer dots, ranking by quantized
+    * COSINE (same metric as the float path — q49's recall then measures
+    * pure quantization loss); zero-norm codes excluded on both sides. */
+  private lazy val sqlI8TopK: String =
+    """WITH a AS (SELECT vec_id, embedding,
+      |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
+      |   AS amax FROM embeddings),
+      |cd AS (SELECT vec_id,
+      |  CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0::BIGINT)
+      |   ELSE list_transform(embedding, x ->
+      |     CAST(trunc(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT)) END
+      |   AS codes FROM a),
+      |cn AS (SELECT vec_id, codes,
+      |  CAST(list_dot_product(codes, codes) AS BIGINT) AS sd
+      | FROM cd),
+      |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+      |  CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot,
+      |  CAST(list_dot_product(q.codes, c.codes) AS DOUBLE) /
+      |   sqrt(CAST(q.sd AS DOUBLE) * CAST(c.sd AS DOUBLE)) AS cosine_i8
+      | FROM cn q JOIN cn c ON q.vec_id <> c.vec_id
+      | WHERE q.vec_id < 20 AND q.sd > 0 AND c.sd > 0),
+      |r AS (SELECT query_id, neighbor_id, qdot, cosine_i8, row_number()
+      |  OVER (PARTITION BY query_id ORDER BY cosine_i8 DESC, neighbor_id)
+      |  AS rnk FROM s)
+      |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", qdot,
+      | cosine_i8
+      |FROM r WHERE rnk <= 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
@@ -1595,23 +1628,7 @@ object SparkEntry {
          |  < least(n_tokens, 64) * 8
          |GROUP BY 1""".stripMargin,
 
-    "q65_i8_topk" ->
-      """WITH a AS (SELECT vec_id, embedding,
-        |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
-        |   AS amax FROM embeddings),
-        |cd AS (SELECT vec_id,
-        |  CASE WHEN amax = 0 THEN list_transform(embedding, x -> 0::BIGINT)
-        |   ELSE list_transform(embedding, x ->
-        |     CAST(trunc(CAST(x AS DOUBLE) * 127.0 / amax) AS BIGINT)) END
-        |   AS codes FROM a),
-        |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-        |  CAST(list_dot_product(q.codes, c.codes) AS BIGINT) AS qdot
-        | FROM cd q JOIN cd c ON q.vec_id <> c.vec_id WHERE q.vec_id < 20),
-        |r AS (SELECT query_id, neighbor_id, qdot, row_number() OVER
-        |  (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rnk
-        | FROM s)
-        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", qdot
-        |FROM r WHERE rnk <= 3""".stripMargin,
+    "q65_i8_topk" -> sqlI8TopK,
 
     "q64_unicode_nfc" ->
       """WITH d AS (SELECT lang,
@@ -1696,7 +1713,10 @@ object SparkEntry {
          |   FROM ($sqlAnnLshMp)
          | UNION ALL
          | SELECT 'ivf' AS method, query_id, neighbor_id
-         |   FROM ($sqlAnnIvf)),
+         |   FROM ($sqlAnnIvf)
+         | UNION ALL
+         | SELECT 'i8' AS method, query_id, neighbor_id
+         |   FROM ($sqlI8TopK)),
          |g AS (SELECT method, count(*) AS n_returned,
          |  count(ex.query_id) AS n_hits
          | FROM ap LEFT JOIN ex ON ap.query_id = ex.query_id

@@ -94,15 +94,21 @@ case class I8Dot(left: Expression, right: Expression)
 }
 
 object I8Quant {
-  /** Shared by interpreted eval, codegen, and specs. Null on a null
-    * element; all-zero input → all-zero codes. */
+  /** Shared by interpreted eval, codegen, and specs. Null on a null OR
+    * non-finite element (NaN/±Inf have no meaningful int8 code, and the
+    * composable ANSI form would throw on the NaN→long cast — null keeps
+    * the degenerate row out of the bucketed join instead of killing the
+    * job or silently zero-coding it); all-zero input → all-zero codes. */
   def quantize(v: ArrayData): GenericArrayData = {
     val n = v.numElements()
     var amax = 0.0
     var i = 0
     while (i < n) {
       if (v.isNullAt(i)) return null
-      val a = math.abs(v.getFloat(i).toDouble)
+      val x = v.getFloat(i)
+      if (java.lang.Float.isNaN(x) || java.lang.Float.isInfinite(x))
+        return null
+      val a = math.abs(x.toDouble)
       if (a > amax) amax = a
       i += 1
     }

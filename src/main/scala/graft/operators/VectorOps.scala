@@ -162,20 +162,34 @@ object VectorOps {
     * no FP, tie-stable (native [[graft.functions.I8Dot]] kernel). */
   def i8Dot(a: Column, b: Column): Column = call_function("i8_dot", a, b)
 
-  /** Int8-quantized brute-force top-k by integer dot: the [[cosineTopK]]
-    * shape on 4×-smaller vectors with an integer scoring loop. Scores are
-    * exact longs, so ranking is deterministic without float-tie care. */
+  /** Int8-quantized brute-force top-k by QUANTIZED COSINE: the
+    * [[cosineTopK]] shape on 4×-smaller vectors with an integer scoring
+    * loop. Ranking by cosine (dot over code norms, norms computed once
+    * per row) rather than raw dot keeps the metric identical to the
+    * float path, so recall against it (q49) measures PURE quantization
+    * loss — raw dot would conflate it with the dot-vs-cosine mismatch on
+    * non-unit corpora. All three dots are exact longs; the one double
+    * division sequence is mirrored by the oracle bit-for-bit. */
   def i8TopK(queries: DataFrame, corpus: DataFrame, id: String,
              vec: String, k: Int): DataFrame = {
+    // Zero-code vectors have no direction — excluded outright (also keeps
+    // the engines aligned: 0/0 is NaN in Spark but NULL in DuckDB).
     val q = queries.select(col(id).as("query_id"),
-      i8Quantize(col(vec)).as("__qc"))
+        i8Quantize(col(vec)).as("__qc"))
+      .withColumn("__qn", i8Dot(col("__qc"), col("__qc")))
+      .filter(col("__qn") > 0)
     val c = corpus.select(col(id).as("neighbor_id"),
-      i8Quantize(col(vec)).as("__cc"))
+        i8Quantize(col(vec)).as("__cc"))
+      .withColumn("__cn", i8Dot(col("__cc"), col("__cc")))
+      .filter(col("__cn") > 0)
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("qdot", i8Dot(col("__qc"), col("__cc")))
+      .withColumn("cosine_i8", col("qdot").cast("double") /
+        sqrt(col("__qn").cast("double") * col("__cn").cast("double")))
     RelationalOps.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("qdot").desc, col("neighbor_id")), k, "rank")
-      .select(col("query_id"), col("neighbor_id"), col("rank"), col("qdot"))
+        Seq(col("cosine_i8").desc, col("neighbor_id")), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("qdot"), col("cosine_i8"))
   }
 
   /** Brute-force cosine top-k: every query row against the whole corpus,

@@ -227,6 +227,13 @@ class LlmOpsSpec extends AnyFunSuite {
     val badQ = Seq(Tuple1(Seq(Some(1f), None, Some(2f)))).toDF("v")
       .select(Vec.i8Quantize(col("v"))).head
     assert(badQ.isNullAt(0))
+    // non-finite elements -> null codes (never a throw or a zero-code)
+    for (bad <- Seq(Float.NaN, Float.PositiveInfinity,
+        Float.NegativeInfinity)) {
+      val r = Seq(Tuple1(Seq(1f, bad, 2f))).toDF("v")
+        .select(Vec.i8Quantize(col("v"))).head
+      assert(r.isNullAt(0), s"expected null codes for $bad")
+    }
     val badD = Seq((Seq(1f, 2f), Seq(1f, 2f, 3f))).toDF("a", "b")
       .select(Vec.i8Dot(Vec.i8Quantize(col("a")), Vec.i8Quantize(col("b"))))
       .head

@@ -188,4 +188,32 @@ class PropertySpec extends AnyFunSuite {
       assert(run(Ti.asofForward) == naive(_ >= _, back = false))
     }
   }
+
+  test("nfc_normalize: identity on ASCII, idempotent, and agrees with " +
+    "the JDK reference on random unicode") {
+    import java.text.Normalizer
+    val uniChar = Gen.oneOf(
+      Gen.alphaNumChar,
+      Gen.oneOf('é', 'e', '́', 'ü', 'u', '̈', 'ñ', 'n',
+        '̃', 'ß', '中', '文', ' '))
+    val uniStr = Gen.listOfN(24, uniChar).map(_.mkString)
+    forAll(uniStr, n = 10) { s =>
+      val Seq(once, twice, refEq) = Seq(s).toDF("s")
+        .select(T.nfcNormalize(col("s")).as("n1"))
+        .select(col("n1"), T.nfcNormalize(col("n1")).as("n2"))
+        .select(col("n1"), col("n2"),
+          (col("n1") === lit(Normalizer.normalize(s, Normalizer.Form.NFC)))
+            .as("ref"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+        .flatMap(t => Seq(t._1, t._2, t._3.toString)).toSeq
+      assert(once == twice, s"not idempotent on ${s.toList}")
+      assert(refEq == "true", s"diverged from JDK reference on ${s.toList}")
+    }
+    // pure-ASCII strings pass through the fast path unchanged
+    forAll(Gen.listOfN(32, Gen.asciiPrintableChar).map(_.mkString)) { s =>
+      val out = Seq(s).toDF("s").select(T.nfcNormalize(col("s")))
+        .head.getString(0)
+      assert(out == s)
+    }
+  }
 }
