@@ -51,7 +51,11 @@ object SampleOps {
     *
     * Scale: two tiny aggregates (stratum cardinality rows) + a BROADCAST
     * join of the rate table back onto the corpus scan — no corpus
-    * shuffle; the filter is scan-local. */
+    * shuffle; the filter is scan-local.
+    *
+    * Rows with a NULL stratum are dropped (the inner rate join cannot
+    * match them) — same policy as [[stratifiedSample]]'s unmapped-stratum
+    * rate 0. */
   def rebalanceEqual(df: DataFrame, stratum: String, id: Column,
                      denom: Int = 1 << 20,
                      salt: String = "rebalance"): DataFrame = {
@@ -91,7 +95,8 @@ object SampleOps {
     * the realized mix is reproducible across runs, partitionings, and
     * engines. `copy_idx` distinguishes the copies so a downstream shuffle
     * can interleave epochs. Map-side explode: zero shuffle, amplification
-    * exactly the mix ratio. */
+    * exactly the mix ratio. Weights ≤ 0 drop the row (array_repeat of a
+    * non-positive count is empty — never an error). */
   def epochMix(df: DataFrame, id: Column, weightMilli: Column,
                salt: String): DataFrame = {
     val base = floor(weightMilli.cast("double") / 1000d).cast("int")

@@ -56,7 +56,13 @@ object SinkOps {
     * parquet equivalent of `MERGE WHEN MATCHED UPDATE / DELETE / WHEN NOT
     * MATCHED INSERT`. Applying the same diff twice is a no-op (upserts
     * rewrite identical rows, deletes find nothing), so a crashed-and-
-    * retried apply converges. Same SINGLE-WRITER caveat as the load. */
+    * retried apply converges. Same SINGLE-WRITER caveat as the load.
+    *
+    * Precondition: `changes` carries at most ONE row per key — true of
+    * any snapshot diff (q58's shape) by construction. Two upserts of the
+    * same key would BOTH land in the table; compact multi-version change
+    * feeds with [[graft.operators.RelationalOps.dedupFirst]] (latest
+    * version first) before applying. */
   def applyCdc(spark: SparkSession, changes: DataFrame, path: String,
                keys: Seq[String], opCol: String): Unit = {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -482,9 +482,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val idx = out.filter(col("id") === perRow.head._1)
       .select("copy_idx").as[Int].collect().sorted
     assert(idx.toSeq == (0 until idx.length))
-    // integer weight 1000 = exactly one copy each; 0 = dropped
+    // integer weight 1000 = exactly one copy each; <= 0 = dropped
     assert(Sam.epochMix(df, col("id"), lit(1000), "e1").count() == 1000)
     assert(Sam.epochMix(df, col("id"), lit(0), "e1").count() == 0)
+    assert(Sam.epochMix(df, col("id"), lit(-700), "e1").count() == 0)
     // deterministic across partitionings
     val a = Sam.epochMix(df, col("id"), lit(1500), "e1")
       .groupBy("id").count().as[(Long, Long)].collect().toMap
