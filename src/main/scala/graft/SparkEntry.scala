@@ -373,16 +373,25 @@ object SparkEntry {
     // Postings are capped at the first 8 doc ids (sorted) — the realistic
     // shape: full posting lists are written bucketed by term, not carried
     // through a result set. One explode + one shuffle on term.
-    "q63_inverted_index" -> ((s, dir) =>
+    "q63_inverted_index" -> ((s, dir) => {
+      // The 8-id cap is enforced BEFORE collection (row_number over the
+      // term partition, collect only rn<=8 — collect_list skips nulls),
+      // so no aggregation buffer ever holds a stop-word's full O(n_docs)
+      // posting array. The window's term partitioning is reused by the
+      // groupBy: one exchange total.
+      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
       t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(T.tokens(col("text")))).as("term"))
+        .withColumn("rn", row_number().over(w))
         .groupBy(col("term"))
         .agg(count(lit(1)).as("doc_freq"),
           concat_ws(",",
-            transform(slice(sort_array(collect_list(col("doc_id"))), 1, 8),
+            transform(sort_array(collect_list(
+              when(col("rn") <= 8, col("doc_id")))),
               _.cast("string"))).as("postings"))
-        .filter(col("doc_freq") >= 10)),
+        .filter(col("doc_freq") >= 10)
+    }),
 
     // L45: int8-quantized similarity search — the 4× memory/bandwidth cut
     // a 100 TB embedding store serves from. Codes built once per vector

@@ -48,12 +48,14 @@ case class NfcNormalize(child: Expression) extends UnaryExpression {
 object NfcNormalize {
   def compute(s: UTF8String): UTF8String = {
     // ASCII fast path: NFC is the identity on ASCII, and most corpus
-    // bytes are ASCII — skip the UTF-16 round-trip entirely.
-    val bytes = s.getBytes
+    // bytes are ASCII — skip the UTF-16 round-trip entirely. Scanned via
+    // getByte (offset-addressed), NOT getBytes: for UnsafeRow-backed
+    // strings getBytes would copy numBytes per row just to look at them.
+    val n = s.numBytes
     var i = 0
     var ascii = true
-    while (ascii && i < bytes.length) {
-      if (bytes(i) < 0) ascii = false
+    while (ascii && i < n) {
+      if (s.getByte(i) < 0) ascii = false
       i += 1
     }
     if (ascii) return s

@@ -27,6 +27,18 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Release the executor blocks behind a `localCheckpoint`ed DataFrame.
+    * `Dataset.unpersist` is a NO-OP for these (it consults the
+    * CacheManager, which has no entry for a LogicalRDD-backed plan — the
+    * blocks belong to the checkpointed RDD itself), so the fixpoint
+    * loops free each round's blocks by unpersisting that RDD directly;
+    * otherwise dead rounds linger until driver GC + ContextCleaner get
+    * around to them. */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
+    }.foreach(_.unpersist(blocking = false))
+
   /** Connected components of the undirected graph given as an edge list.
     * Returns one row per node: (node, label) where `label` is the MINIMUM
     * node id reachable from `node` — a deterministic, engine-independent
@@ -43,8 +55,10 @@ object GraphOps {
     * `sc.setCheckpointDir` and swap in reliable `checkpoint()`.
     *
     * The returned labels are those checkpointed rows (already
-    * materialized; blocks are released by the ContextCleaner when the
-    * result is garbage-collected, or eagerly via `unpersist()`).
+    * materialized; each superseded round's blocks are freed eagerly by
+    * unpersisting the checkpointed RDD itself — `Dataset.unpersist` is a
+    * no-op for localCheckpoints — and the final round's are released by
+    * the ContextCleaner once the result is garbage-collected).
     *
     * Throws after `maxIter` rounds without convergence: a silently partial
     * clustering would under-merge and let duplicates survive. */
@@ -72,13 +86,13 @@ object GraphOps {
       // heuristics); both sides read materialized checkpoint blocks.
       changed = next.join(labels.withColumnRenamed("label", "__old"), "node")
         .filter(col("label") =!= col("__old")).count()
-      labels.unpersist(blocking = false)
+      releaseCheckpoint(labels)
       labels = next
       iter += 1
     }
     sym.unpersist(blocking = false)
     if (changed > 0) {
-      labels.unpersist(blocking = false)
+      releaseCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents: no fixpoint after $maxIter rounds — " +
           "raise maxIter (diameter-bound) or switch to star contraction")
@@ -135,8 +149,8 @@ object GraphOps {
       // Fixpoint: the edge multiset is unchanged (both are distinct sets,
       // so two anti-joins detect any difference).
       stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
-      e.unpersist(blocking = false)
-      ls.unpersist(blocking = false)
+      releaseCheckpoint(e)
+      releaseCheckpoint(ls)
       e = next
       iter += 1
     }

@@ -99,13 +99,18 @@ object SampleOps {
     * non-positive count is empty — never an error). */
   def epochMix(df: DataFrame, id: Column, weightMilli: Column,
                salt: String): DataFrame = {
+    require(!df.columns.contains("copy_idx"),
+      "epochMix adds an output column copy_idx — rename the input's")
+    // internal marker column: suffix until unused (dedupFirst convention)
+    val one = Iterator.iterate("__one")(_ + "_").find(c =>
+      !df.columns.contains(c)).get
     val base = floor(weightMilli.cast("double") / 1000d).cast("int")
     val frac = pmod(weightMilli, lit(1000))
     val copies = base +
       when(sampleBucket(id, salt, 1000) < frac, 1).otherwise(0)
     df.select(df.columns.map(col) :+
-      posexplode(array_repeat(lit(1), copies)).as(Seq("copy_idx", "__one")): _*)
-      .drop("__one")
+      posexplode(array_repeat(lit(1), copies)).as(Seq("copy_idx", one)): _*)
+      .drop(one)
   }
 
   /** Per-stratum sampling rates (e.g. downsample the dominant language,

@@ -68,6 +68,17 @@ object SinkOps {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, path)
     require(fs.exists(new Path(path)), s"applyCdc: no snapshot at $path")
+    // Fail FAST on ops outside {upsert, delete} (incl. NULL): without the
+    // check a misspelled/differently-cased op would drop its key from the
+    // snapshot (every touched key is anti-joined out) while re-inserting
+    // nothing — silent data loss instead of an error.
+    val badOp = changes.filter(org.apache.spark.sql.functions.not(
+        org.apache.spark.sql.functions.coalesce(
+          changes(opCol).isin("upsert", "delete"),
+          org.apache.spark.sql.functions.lit(false))))
+      .limit(1).count()
+    require(badOp == 0,
+      s"applyCdc: $opCol contains values outside {upsert, delete}")
     val existing = spark.read.parquet(path)
     val touched = changes.select(keys.map(changes(_)): _*).distinct()
     val survivors = existing.join(touched, keys, "left_anti")

@@ -167,5 +167,14 @@ class EtlGoldenSpec extends AnyFunSuite {
     assert(snap() == v2.as[(Long, String)].collect().sortBy(_._1).toSeq)
     // unchanged rows were never rewritten incorrectly
     assert(snap().contains((1L, "a")) && snap().contains((4L, "d")))
+    // an op outside {upsert, delete} (or NULL) must fail fast, not
+    // silently delete the touched key
+    for (badOp <- Seq("UPSERT", "update", null)) {
+      val bad = Seq((1L, "x", badOp)).toDF("id", "payload", "op")
+      intercept[IllegalArgumentException] {
+        SinkOps.applyCdc(spark, bad, path, Seq("id"), "op")
+      }
+      assert(snap().contains((1L, "a"))) // snapshot untouched
+    }
   }
 }
