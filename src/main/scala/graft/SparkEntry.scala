@@ -6,7 +6,8 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.{CleanseOps => C, DedupOps => D, GraphOps => G,
   MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
-  TextOps => T, TimeOps => Ti, VectorOps => Vec, VizPrep => V}
+  SketchOps => Sk, TextOps => T, TimeOps => Ti, VectorOps => Vec,
+  VizPrep => V}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -398,6 +399,22 @@ object SparkEntry {
     // (native kernel, map-side), scoring is exact integer dot (tie-stable
     // longs, no float comparison traps), query side broadcast.
     "q65_i8_topk" -> (annI8(_, _)),
+
+    // L48: Count-Min Sketch — a mergeable frequency sketch whose
+    // CONSTRUCTION is oracle-checked (pure integer math on md5-prefix
+    // hashes; unlike HLL/KLL the oracle reproduces every counter).
+    // Build: one scan, ×3 explode, shuffle bounded by depth×width.
+    // Probes: the 5 most frequent tokens; estimates must overestimate.
+    "q69_countmin" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(explode(T.tokens(col("text"))).as("w"))
+      val sketch = Sk.cmsBuild(toks, col("w"), 3, 1024)
+      val exact = toks.groupBy(col("w")).agg(count(lit(1)).as("exact_n"))
+      val probes = exact.orderBy(col("exact_n").desc, col("w")).limit(5)
+      Sk.cmsQuery(sketch, probes.select(col("w")), "w", 3, 1024)
+        .join(probes, "w")
+        .select(col("w"), col("exact_n"), col("cms_estimate"))
+    }),
 
     // L47: epoch mixing (fractional upsampling) — per-source repeat
     // factors in milli-epochs derived from the source id (0.3 / 1.2 /
@@ -1611,6 +1628,27 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q69_countmin" ->
+      s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w
+         |  FROM documents),
+         |rows3 AS (SELECT unnest(generate_series(0, 2)) AS i),
+         |b AS (SELECT i,
+         |  ${hx("'cms' || CAST(i AS VARCHAR) || ':' || w", 8)} % 1024
+         |   AS bucket
+         | FROM toks, rows3),
+         |sk AS (SELECT i, bucket, count(*) AS c FROM b GROUP BY 1, 2),
+         |exact AS (SELECT w, count(*) AS exact_n FROM toks GROUP BY 1),
+         |probes AS (SELECT w, exact_n FROM exact
+         |  ORDER BY exact_n DESC, w LIMIT 5),
+         |pq AS (SELECT p.w, p.exact_n, r.i,
+         |  ${hx("'cms' || CAST(r.i AS VARCHAR) || ':' || p.w", 8)} % 1024
+         |   AS bucket
+         | FROM probes p, rows3 r)
+         |SELECT pq.w, pq.exact_n,
+         | min(coalesce(sk.c, 0)) AS cms_estimate
+         |FROM pq LEFT JOIN sk ON sk.i = pq.i AND sk.bucket = pq.bucket
+         |GROUP BY 1, 2""".stripMargin,
 
     "q68_epoch_mix" ->
       s"""WITH d AS (SELECT doc_id, source,

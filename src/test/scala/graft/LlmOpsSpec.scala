@@ -447,6 +447,33 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(!out.contains("other"))       // unmapped stratum dropped
   }
 
+  test("count-min sketch: never underestimates, exact when collision-free," +
+    " and two halves' sketches MERGE by adding counters") {
+    import graft.operators.{SketchOps => Sk}
+    val words = (1 to 300).flatMap(i => Seq.fill(i % 7 + 1)(s"w$i"))
+    val df = words.toDF("w")
+    val sk = Sk.cmsBuild(df, col("w"), 3, 256)
+    val exact = df.groupBy("w").count()
+    val est = Sk.cmsQuery(sk, exact.select("w"), "w", 3, 256)
+      .join(exact, "w")
+      .select(col("w"), col("cms_estimate"), col("count"))
+      .as[(String, Long, Long)].collect()
+    assert(est.length == 300)
+    est.foreach { case (w, cms, ex) =>
+      assert(cms >= ex, s"$w underestimated: $cms < $ex") }
+    // mergeability — THE property that makes a sketch a sketch: counters
+    // from disjoint halves ADD to the whole corpus's counters exactly
+    val half1 = Sk.cmsBuild(df.filter(length(col("w")) <= 2), col("w"), 3, 256)
+    val half2 = Sk.cmsBuild(df.filter(length(col("w")) > 2), col("w"), 3, 256)
+    val merged = half1.union(half2)
+      .groupBy("row_id", "bucket").agg(sum(col("c")).as("c"))
+      .as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    val whole = sk.as[(Int, Long, Long)].collect()
+      .map { case (r, b, c) => (r, b) -> c }.toMap
+    assert(merged == whole)
+  }
+
   test("weightedSample keeps rows in proportion to their integer weight") {
     import graft.operators.{SampleOps => Sam}
     val df = (1L to 4000L).map(i => (i, if (i <= 2000) 100 else 400))
