@@ -95,5 +95,11 @@ object Bench {
     }
     println(json)
     spark.stop()
+    // Re-emit AFTER shutdown so the JSON is the LAST stdout line: the
+    // driver's tail capture was slicing the (pre-stop) line mid-way once
+    // Spark's shutdown logging landed after it (`parsed` null in 4 of 5
+    // rounds — VERDICT r5 #8).
+    println(json)
+    System.out.flush()
   }
 }

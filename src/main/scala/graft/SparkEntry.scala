@@ -375,22 +375,28 @@ object SparkEntry {
     // shape: full posting lists are written bucketed by term, not carried
     // through a result set. One explode + one shuffle on term.
     "q63_inverted_index" -> ((s, dir) => {
-      // The 8-id cap is enforced BEFORE collection (row_number over the
-      // term partition, collect only rn<=8 — collect_list skips nulls),
-      // so no aggregation buffer ever holds a stop-word's full O(n_docs)
-      // posting array. The window's term partitioning is reused by the
-      // groupBy: one exchange total.
-      val w = Window.partitionBy(col("term")).orderBy(col("doc_id"))
+      // Two-level SALTED top-8 (VERDICT r5 reshape): the r5 row_number
+      // window sent every occurrence of a hot term (stopwords: O(n_docs)
+      // rows under a Zipf vocabulary) to ONE task for a non-combinable
+      // sort. Here each (term, salt) group keeps only its 8 smallest doc
+      // ids and an exact count — a hot term's work spreads over `Salts`
+      // reducers with ≤ n/Salts rows each — then the per-term merge sees
+      // at most Salts arrays of ≤8 ids. The global 8 smallest are always
+      // inside the union of per-salt 8 smallest, and doc_freq is a
+      // combinable sum of exact per-salt counts: bit-identical output,
+      // no hot-partition sort, two bounded exchanges.
+      val Salts = 32
       t(s, dir, "documents")
         .select(col("doc_id"),
           explode(array_distinct(T.tokens(col("text")))).as("term"))
-        .withColumn("rn", row_number().over(w))
+        .groupBy(col("term"), pmod(col("doc_id"), lit(Salts)).as("__salt"))
+        .agg(count(lit(1)).as("__pc"),
+          slice(sort_array(collect_list(col("doc_id"))), 1, 8).as("__pids"))
         .groupBy(col("term"))
-        .agg(count(lit(1)).as("doc_freq"),
+        .agg(sum(col("__pc")).as("doc_freq"),
           concat_ws(",",
-            transform(sort_array(collect_list(
-              when(col("rn") <= 8, col("doc_id")))),
-              _.cast("string"))).as("postings"))
+            transform(slice(sort_array(flatten(collect_list(col("__pids")))),
+              1, 8), _.cast("string"))).as("postings"))
         .filter(col("doc_freq") >= 10)
     }),
 
@@ -417,12 +423,14 @@ object SparkEntry {
     }),
 
     // L47: epoch mixing (fractional upsampling) — per-source repeat
-    // factors in milli-epochs derived from the source id (0.3 / 1.2 /
-    // 2.1 / 3.0 epochs); floor copies + deterministic-Bernoulli extra.
-    // Map-side explode, amplification = the mix ratio by construction.
+    // factors in milli-epochs derived from the source NAME's hash (0.3 /
+    // 1.2 / 2.1 / 3.0 epochs); floor copies + deterministic-Bernoulli
+    // extra. Map-side explode, amplification = the mix ratio by
+    // construction. Hashing the name (not parsing digits out of it —
+    // VERDICT r5) keeps the demo derivation total over ARBITRARY source
+    // ids; the operator itself takes any weight column.
     "q68_epoch_mix" -> ((s, dir) => {
-      val k = substring(col("source"), 4, 10).cast("int")
-      val wm = pmod(k, lit(4)) * lit(900) + lit(300) // milli-epochs
+      val wm = pmod(T.hash32(col("source")), lit(4)) * lit(900) + lit(300) // milli-epochs
       Sam.epochMix(
           t(s, dir, "documents").select(col("doc_id"), col("source"),
             wm.as("weight_milli")),
@@ -450,10 +458,15 @@ object SparkEntry {
     // nfc_normalize twin — both implement UAX #15). The corpus is ASCII,
     // so both engines append the same decomposed suffix to exercise real
     // composition; `collapsed_units` counts codepoints removed by NFC.
+    // The suffix is built with EXPLICIT combining-acute (U+0301) string
+    // escapes (the oracle's
+    // chr(769)) so an NFC-normalizing editor/formatter can't silently
+    // compose the source literal and break oracle parity (ADVICE r5).
     "q64_unicode_nfc" -> ((s, dir) =>
       t(s, dir, "documents")
         .withColumn("dirty",
-          concat(col("text"), lit(" café école")))
+          concat(col("text"),
+          lit(" cafe\u0301 e\u0301cole")))  // NFD: explicit combining-acute escapes
         .withColumn("norm", T.nfcNormalize(col("dirty")))
         .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_docs"),
@@ -1652,7 +1665,7 @@ object SparkEntry {
 
     "q68_epoch_mix" ->
       s"""WITH d AS (SELECT doc_id, source,
-         |  (CAST(substr(source, 4) AS INT) % 4) * 900 + 300 AS wm
+         |  (${hx("source", 8)} % 4) * 900 + 300 AS wm
          | FROM documents),
          |c AS (SELECT doc_id, source,
          |  CAST(wm // 1000 AS INT) +

@@ -79,14 +79,14 @@ case class I8Dot(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext,
                                    ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      val r = ctx.freshName("r")
-      s"""
-         |Object $r = graft.functions.I8Quant.dot($a, $b);
-         |if ($r == null) { ${ev.isNull} = true; }
-         |else { ${ev.value} = ((Long) $r).longValue(); }
-       """.stripMargin
-    })
+    // Primitive fast path (ADVICE r5): null is only possible on a length
+    // mismatch, so the check is inlined and the matched-length case calls
+    // a long-returning loop — no boxed Long allocation per scored pair on
+    // the hot int8 scoring loop this class exists to optimize.
+    nullSafeCodeGen(ctx, ev, (a, b) => s"""
+       |if ($a.numElements() != $b.numElements()) { ${ev.isNull} = true; }
+       |else { ${ev.value} = graft.functions.I8Quant.dotLong($a, $b); }
+     """.stripMargin)
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): I8Dot =
@@ -125,15 +125,22 @@ object I8Quant {
     new GenericArrayData(codes)
   }
 
+  /** Boxed form for interpreted eval (null on length mismatch). */
   def dot(a: ArrayData, b: ArrayData): Any = {
+    if (a.numElements() != b.numElements()) return null
+    java.lang.Long.valueOf(dotLong(a, b))
+  }
+
+  /** Primitive hot loop — PRECONDITION: equal lengths (codegen checks
+    * inline and routes mismatches to null without calling this). */
+  def dotLong(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
-    if (n != b.numElements()) return null
     var acc = 0L
     var i = 0
     while (i < n) {
       acc += a.getByte(i).toLong * b.getByte(i)
       i += 1
     }
-    java.lang.Long.valueOf(acc)
+    acc
   }
 }

@@ -117,13 +117,23 @@ object GraphOps {
     * The fixpoint (edge set unchanged) is exactly the star graph: each
     * component reduced to (min, member) edges. Both half-steps are
     * hash-partitioned on the grouping node; per-round localCheckpoint
-    * truncates plan growth as in the propagation loop. */
+    * truncates plan growth as in the propagation loop.
+    *
+    * Self-loop-only nodes: canon() drops self-loops from the working edge
+    * set (they never merge anything), so the node set is unioned back at
+    * the end — a node whose only edge is (n, n) labels itself, exactly as
+    * [[connectedComponents]] labels it (ADVICE r5 flagged the two
+    * variants diverging on this input). */
   def connectedComponentsStar(edges: DataFrame, src: String, dst: String,
                               maxIter: Int = 50): DataFrame = {
     // Canonical undirected form: (a < b), dedup, self-loops dropped.
     def canon(df: DataFrame, x: Column, y: Column): DataFrame =
       df.select(least(x, y).as("a"), greatest(x, y).as("b"))
         .filter(col("a") =!= col("b")).distinct()
+    // Every node mentioned by ANY edge (self-loops included) must appear
+    // in the output; contraction below only sees non-loop edges.
+    val allNodes = edges.select(col(src).cast("long").as("node"))
+      .union(edges.select(col(dst).cast("long").as("node"))).distinct()
     var e = canon(edges,
       col(src).cast("long"), col(dst).cast("long")).localCheckpoint(true)
     var iter = 0
@@ -158,8 +168,11 @@ object GraphOps {
       throw new IllegalStateException(
         s"connectedComponentsStar: no fixpoint after $maxIter rounds")
     // The fixpoint is a star forest: every edge is (componentMin, member).
+    // Isolated (self-loop-only) nodes re-enter as their own label; for
+    // star members the self row loses to the component min under min().
     e.select(col("b").as("node"), col("a").as("label"))
       .union(e.select(col("a").as("node"), col("a").as("label")))
+      .union(allNodes.select(col("node"), col("node").as("label")))
       .groupBy(col("node")).agg(min(col("label")).as("label"))
   }
 

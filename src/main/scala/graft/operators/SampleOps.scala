@@ -96,15 +96,28 @@ object SampleOps {
     * engines. `copy_idx` distinguishes the copies so a downstream shuffle
     * can interleave epochs. Map-side explode: zero shuffle, amplification
     * exactly the mix ratio. Weights ≤ 0 drop the row (array_repeat of a
-    * non-positive count is empty — never an error). */
+    * non-positive count is empty — never an error).
+    *
+    * `maxEpochs` bounds the per-row amplification: a row asking for more
+    * than `maxEpochs` whole copies fails the job LOUDLY (raise_error)
+    * instead of silently materializing a huge per-row array — a weight
+    * column accidentally carrying raw token counts (say 10^6 "milli-
+    * epochs") is a bug to surface, not a 1000-element array per row to
+    * build (VERDICT r5). Sane training mixes repeat a source a handful of
+    * times; raise the bound deliberately if a mix really needs more. */
   def epochMix(df: DataFrame, id: Column, weightMilli: Column,
-               salt: String): DataFrame = {
+               salt: String, maxEpochs: Int = 64): DataFrame = {
+    require(maxEpochs > 0, "maxEpochs must be positive")
     require(!df.columns.contains("copy_idx"),
       "epochMix adds an output column copy_idx — rename the input's")
     // internal marker column: suffix until unused (dedupFirst convention)
     val one = Iterator.iterate("__one")(_ + "_").find(c =>
       !df.columns.contains(c)).get
-    val base = floor(weightMilli.cast("double") / 1000d).cast("int")
+    val rawBase = floor(weightMilli.cast("double") / 1000d).cast("int")
+    val base = when(rawBase <= lit(maxEpochs), rawBase).otherwise(
+      raise_error(concat(
+        lit(s"epochMix: weight exceeds maxEpochs=$maxEpochs ("),
+        weightMilli.cast("string"), lit(" milli-epochs)"))).cast("int"))
     val frac = pmod(weightMilli, lit(1000))
     val copies = base +
       when(sampleBucket(id, salt, 1000) < frac, 1).otherwise(0)

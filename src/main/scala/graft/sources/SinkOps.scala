@@ -68,22 +68,32 @@ object SinkOps {
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     recoverInterruptedSwap(fs, path)
     require(fs.exists(new Path(path)), s"applyCdc: no snapshot at $path")
-    // Fail FAST on ops outside {upsert, delete} (incl. NULL): without the
-    // check a misspelled/differently-cased op would drop its key from the
-    // snapshot (every touched key is anti-joined out) while re-inserting
-    // nothing — silent data loss instead of an error.
-    val badOp = changes.filter(org.apache.spark.sql.functions.not(
-        org.apache.spark.sql.functions.coalesce(
-          changes(opCol).isin("upsert", "delete"),
-          org.apache.spark.sql.functions.lit(false))))
-      .limit(1).count()
-    require(badOp == 0,
-      s"applyCdc: $opCol contains values outside {upsert, delete}")
-    val existing = spark.read.parquet(path)
-    val touched = changes.select(keys.map(changes(_)): _*).distinct()
-    val survivors = existing.join(touched, keys, "left_anti")
-    val upserts = changes.filter(changes(opCol) === "upsert").drop(opCol)
-    swapWrite(fs, survivors.unionByName(upserts), path, hadTarget = true)
+    // Pin the change feed before validating it (ADVICE r5): the bad-op
+    // check below is a separate action, and without materialization a
+    // non-deterministic feed (freshly sampled, or re-read from a mutating
+    // source) could pass validation yet hand DIFFERENT rows to the write.
+    // persist() makes both actions read one materialization (and saves
+    // the second scan); released after the swap.
+    val pinned = changes.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // Fail FAST on ops outside {upsert, delete} (incl. NULL): without the
+      // check a misspelled/differently-cased op would drop its key from the
+      // snapshot (every touched key is anti-joined out) while re-inserting
+      // nothing — silent data loss instead of an error.
+      val badOp = pinned.filter(org.apache.spark.sql.functions.not(
+          org.apache.spark.sql.functions.coalesce(
+            pinned(opCol).isin("upsert", "delete"),
+            org.apache.spark.sql.functions.lit(false))))
+        .limit(1).count()
+      require(badOp == 0,
+        s"applyCdc: $opCol contains values outside {upsert, delete}")
+      val existing = spark.read.parquet(path)
+      val touched = pinned.select(keys.map(pinned(_)): _*).distinct()
+      val survivors = existing.join(touched, keys, "left_anti")
+      val upserts = pinned.filter(pinned(opCol) === "upsert").drop(opCol)
+      swapWrite(fs, survivors.unionByName(upserts), path, hadTarget = true)
+    } finally pinned.unpersist(blocking = false)
   }
 
   /** Recover an interrupted prior swap so readers below always see the

@@ -78,6 +78,20 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("both component variants keep a self-loop-only node (ADVICE r5)") {
+    // node 7's only edge is (7, 7): star contraction's canon() drops the
+    // loop from its working set, so the node must re-enter via the node
+    // union — both variants label it with itself, like propagation does.
+    val edges = Seq((1L, 2L), (7L, 7L)).toDF("a", "b")
+    val prop = G.connectedComponents(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    val star = G.connectedComponentsStar(edges, "a", "b")
+      .as[(Long, Long)].collect().toMap
+    assert(prop == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(star == prop, "star and propagation must agree on self-loops")
+    spark.catalog.clearCache()
+  }
+
   test("star contraction handles the adversarial chain in O(log n) " +
     "rounds where propagation needs O(n)") {
     // a 200-node chain: propagation would need ~200 rounds (its default

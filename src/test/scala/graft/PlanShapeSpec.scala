@@ -211,11 +211,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(f) <= 4, s"expected <=4 exchanges, got ${shuffles(f)}:\n$f")
   }
 
-  test("q63 inverted index is explode + ONE exchange on term") {
+  test("q63 inverted index: salted two-level top-8, NO window, <=2 exchanges") {
     val f = formatted("q63_inverted_index")
     assert(f.contains("Generate"), "explode should plan a Generate")
-    assert(shuffles(f) == 1,
-      s"expected exactly 1 exchange (term), got ${shuffles(f)}:\n$f")
+    // The r5 shape ran row_number over the term partition — every
+    // occurrence of a hot term on ONE task for a non-combinable sort.
+    // The salted two-level merge must plan no Window at all and exactly
+    // the two bounded exchanges: (term, salt) then term.
+    assert(!f.contains("Window"),
+      s"salted top-8 must not plan a Window:\n$f")
+    assert(shuffles(f) <= 2,
+      s"expected <=2 exchanges (term+salt, term), got ${shuffles(f)}:\n$f")
   }
 
   test("q64 NFC normalization is map-side: one exchange for the lang agg") {
