@@ -537,11 +537,12 @@ object SparkEntry {
         array_min(transform(ch, c => md5(c))).as("chunk_fp"))
     }),
 
-    // Similarity search, IVF-flat variant: centroids seeded from the
-    // corpus (vec_id < 8 — k-means training out of scope, assignment +
-    // probe mechanics real), vectors assigned to nearest cell (broadcast
-    // O(N·K) map pass), queries probe their nprobe=2 nearest cells, exact
-    // cosine within candidates only.
+    // Similarity search, IVF-flat variant with TRAINED centroids: seeds
+    // (vec_id < 8) refined by 2 Lloyd iterations at query-construction
+    // time (fixed count + deterministic seed, so the oracle replays the
+    // training CTE-for-CTE), vectors assigned to the nearest trained
+    // centroid (broadcast O(N·K) map pass), queries probe their nprobe
+    // nearest cells, exact cosine within candidates only.
     "q34_ann_ivf" -> (annIvf(_, _)),
 
     // ANN recall@3, oracle-measured (SURVEY §2.12 L6b's "recall-checkable"
@@ -552,7 +553,9 @@ object SparkEntry {
       val ex = annExact(s, dir, 3)
         .select(col("query_id"), col("neighbor_id"), lit(1).as("__hit"))
       val ap = Seq("lsh" -> annLsh(s, dir),
-          "lsh_mp" -> annLshMultiprobe(s, dir), "ivf" -> annIvf(s, dir),
+          "lsh_mp" -> annLshMultiprobe(s, dir),
+          "lsh_mp2" -> annLshMultiprobe(s, dir, radius = 2),
+          "ivf" -> annIvf(s, dir),
           "i8" -> annI8(s, dir))
         .map { case (m, df) => df.select(lit(m).as("method"),
           col("query_id"), col("neighbor_id")) }
@@ -994,11 +997,24 @@ object SparkEntry {
     * for the corpus-size-driven bucket-count math at real scale. */
   private val AnnPlanes = 4
 
-  /** IVF cell count (seeded centroids) and probe depth for q34 — defaults
-    * for the test corpus; [[graft.operators.VectorOps.cellsForCorpus]]
-    * documents the scale math. */
+  /** IVF geometry for q34 — cell count, Lloyd training iterations, and
+    * probe depth for the test corpus; [[graft.operators.VectorOps
+    * .cellsForCorpus]] documents the scale math.
+    *
+    * Probe depth is 5 of 8 cells because the SYNTHETIC CORPUS CAPS IVF
+    * RECALL (measured r6, SCALE.md ANN table): the embeddings are
+    * isotropic random vectors (mean pairwise cosine 0.000, std 0.125),
+    * so there is no cluster structure for k-means to exploit — recall@3
+    * is ≈ the fraction of the sphere the probed cells cover, for seeded
+    * AND trained centroids alike (trained, sf0.1: 0.57/0.67/0.70/0.83/
+    * 0.90/0.97/0.98/1.00 at probes 1-8). probes=5 is the knee that
+    * clears 0.90; on a real embedding corpus (clustered by topic) the
+    * same trained geometry reaches high recall at far lower probe
+    * fractions — that, not isotropic noise, is the workload IVF exists
+    * for. */
   private val IvfCells = 8
-  private val IvfProbes = 2
+  private val IvfTrainIters = 2
+  private val IvfProbes = 5
 
   /** q27/q49 shared: brute-force exact cosine top-k for the 20 query
     * vectors — query side broadcast, corpus streamed once, no shuffle. */
@@ -1038,22 +1054,36 @@ object SparkEntry {
         col("rank"), col("cosine"))
   }
 
+  /** Probe masks at Hamming distance ≤ `radius` from a query's own
+    * bucket: every XOR mask over the `planes` sign bits with popcount ≤
+    * radius (mask 0 = the bucket itself). radius 1 is classic multi-probe
+    * (1 + planes buckets); radius 2 adds the C(planes, 2) two-bit flips —
+    * the PROBE-DEPTH DIAL (VERDICT r5 #4): probe count Σ C(planes, i)
+    * trades candidate work for recall, measured per setting by q49. */
+  private def probeMasks(planes: Int, radius: Int): Seq[Long] = {
+    require(radius >= 0 && radius <= planes,
+      s"radius must be in [0, planes], got $radius/$planes")
+    (0L until (1L << planes))
+      .filter(m => java.lang.Long.bitCount(m) <= radius)
+  }
+
   /** q53/q49 shared: MULTI-PROBE variant of [[annLsh]] — each query also
-    * probes every bucket at Hamming distance 1 from its own (flip one of
-    * the `planes` sign bits), so near neighbors split by a single
-    * hyperplane are recovered. Candidate cost grows by ×(planes+1) on the
-    * query side only (the corpus stays bucketed once); at q49's
-    * measurement this lifts recall@3 from 0.20 to well above the
-    * single-probe path — the standard recall/work dial for hyperplane
-    * LSH. Corpus vectors live in exactly one bucket and probe buckets are
-    * distinct, so no candidate dedup is needed. */
+    * probes every bucket within Hamming distance `radius` of its own
+    * (flip up to `radius` of the `planes` sign bits), so near neighbors
+    * split by a few hyperplanes are recovered. Candidate cost grows by
+    * ×(number of masks) on the query side only (the corpus stays
+    * bucketed once); at q49's measurement radius 1 lifts recall@3 from
+    * 0.20 to 0.58 and radius 2 to 0.87 (sf0.1) — the standard
+    * recall/work dial for hyperplane LSH, now parameterized. Corpus
+    * vectors live in exactly one bucket and probe buckets are distinct,
+    * so no candidate dedup is needed. */
   private def annLshMultiprobe(s: SparkSession, dir: String,
-                               planes: Int = AnnPlanes): DataFrame = {
+                               planes: Int = AnnPlanes,
+                               radius: Int = 1): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
       Vec.lshBucket(col("embedding"), planes).as("bucket"),
       Vec.norm(col("embedding")).as("__n"))
-    val probeList = array(lit(0L) +: (0 until planes)
-      .map(p => lit(1L << p)): _*)
+    val probeList = array(probeMasks(planes, radius).map(lit): _*)
     val q = e.filter(col("vec_id") < 20)
       .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
         explode(transform(probeList, m => col("bucket").bitwiseXOR(m)))
@@ -1072,16 +1102,22 @@ object SparkEntry {
         col("cosine"))
   }
 
-  /** q34/q49 shared: IVF-flat ANN — centroids seeded from the corpus
-    * (vec_id < cells; k-means training out of scope, assignment + probe
-    * mechanics real), vectors assigned to nearest cell (broadcast O(N·K)
-    * map pass), queries probe their `probes` nearest cells, exact cosine
-    * within candidates only. */
+  /** q34/q49 shared: IVF-flat ANN with TRAINED centroids — seeds
+    * (vec_id < cells) refined by `iters` Lloyd iterations
+    * ([[graft.operators.VectorOps.kmeansTrain]], VERDICT r5 #1: the
+    * k-means step is now IN the measured path, not beside it), vectors
+    * assigned to the nearest trained centroid (broadcast O(N·K) map
+    * pass), queries probe their `probes` nearest cells, exact cosine
+    * within candidates only. The fixed iteration count keeps training
+    * deterministic, so the oracle replays it CTE-for-CTE
+    * ([[sqlIvfTrainCtes]]). */
   private def annIvf(s: SparkSession, dir: String, cells: Int = IvfCells,
                      probes: Int = IvfProbes): DataFrame = {
     val e = t(s, dir, "embeddings")
-    val cent = e.filter(col("vec_id") < cells)
+    val seed = e.filter(col("vec_id") < cells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val cent = Vec.kmeansTrain(e.select(col("vec_id"), col("embedding")),
+      "vec_id", "embedding", seed, "cid", "cv", IvfTrainIters)
     val asg = Vec.ivfAssign(e.select(col("vec_id"), col("embedding")),
       "vec_id", "embedding", cent, "cid", "cv")
     val probed = R.topKPerGroup(
@@ -1177,9 +1213,10 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3""".stripMargin
 
   /** DuckDB twin of [[annLshMultiprobe]] (q53/q49): the query side probes
-    * its own bucket plus every bucket one sign-bit away. */
-  private lazy val sqlAnnLshMp: String = {
-    val masks = (0L +: (0 until AnnPlanes).map(p => 1L << p)).mkString(",")
+    * every bucket within `radius` sign-bit flips of its own — the same
+    * [[probeMasks]] list injected as a literal. */
+  private def sqlAnnLshMpAt(radius: Int): String = {
+    val masks = probeMasks(AnnPlanes, radius).mkString(",")
     s"""WITH e AS (SELECT vec_id, embedding,
        |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
        | FROM embeddings),
@@ -1198,10 +1235,40 @@ object SparkEntry {
        |FROM r WHERE rnk <= 3""".stripMargin
   }
 
-  /** DuckDB twin of [[annIvf]] (q34/q49). */
+  /** DuckDB twin of [[graft.operators.VectorOps.kmeansTrain]]: `iters`
+    * Lloyd-step CTE blocks — each assigns every vector to its nearest
+    * previous-round centroid (same dist2 operation order, same (d2, cid)
+    * tie-break) and recomputes per-(cell, dim) double means, reassembled
+    * dim-ordered and cast to FLOAT exactly as kmeansStep does. The FLOAT
+    * cast rounds both engines' aggregate means to 24-bit mantissas, so
+    * summation-order noise in the double mean is absorbed before the
+    * next round consumes the centroid. */
+  private def sqlIvfTrainCtes(iters: Int): String = {
+    val seed =
+      s"""cent0 AS (SELECT vec_id AS cid, embedding AS cv
+         |  FROM embeddings WHERE vec_id < $IvfCells)""".stripMargin
+    val steps = (1 to iters).map { i =>
+      s"""asg_t$i AS (SELECT vec_id, embedding, cid AS cell_id FROM (
+         |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
+         |  FROM embeddings e CROSS JOIN cent${i - 1} c) WHERE cr = 1),
+         |cm_t$i AS (SELECT cell_id, dim, avg(CAST(x AS DOUBLE)) AS m
+         | FROM (SELECT cell_id, unnest(embedding) AS x,
+         |   unnest(generate_series(1, len(embedding))) AS dim
+         |  FROM asg_t$i) GROUP BY cell_id, dim),
+         |cent$i AS (SELECT cell_id AS cid,
+         |  list(CAST(m AS FLOAT) ORDER BY dim) AS cv
+         | FROM cm_t$i GROUP BY cell_id)""".stripMargin
+    }
+    (seed +: steps).mkString(",\n")
+  }
+
+  /** DuckDB twin of [[annIvf]] (q34/q49): trained centroids via
+    * [[sqlIvfTrainCtes]], then the assignment/probe/score pipeline. */
   private lazy val sqlAnnIvf: String =
-    s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
-       |  FROM embeddings WHERE vec_id < $IvfCells),
+    s"""WITH ${sqlIvfTrainCtes(IvfTrainIters)},
+       |cent AS (SELECT cid, cv FROM cent$IvfTrainIters),
        |asg AS (SELECT vec_id, embedding, cid AS cell_id FROM (
        |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
        |    PARTITION BY e.vec_id
@@ -1770,7 +1837,10 @@ object SparkEntry {
          |   FROM ($sqlAnnLsh)
          | UNION ALL
          | SELECT 'lsh_mp' AS method, query_id, neighbor_id
-         |   FROM ($sqlAnnLshMp)
+         |   FROM (${sqlAnnLshMpAt(1)})
+         | UNION ALL
+         | SELECT 'lsh_mp2' AS method, query_id, neighbor_id
+         |   FROM (${sqlAnnLshMpAt(2)})
          | UNION ALL
          | SELECT 'ivf' AS method, query_id, neighbor_id
          |   FROM ($sqlAnnIvf)
@@ -1810,7 +1880,7 @@ object SparkEntry {
 
     "q51_skew_join_salted" -> sqlSkewJoin,
     "q52_skew_join_plain" -> sqlSkewJoin,
-    "q53_ann_lsh_multiprobe" -> sqlAnnLshMp,
+    "q53_ann_lsh_multiprobe" -> sqlAnnLshMpAt(1),
 
     "q54_hash_sample" ->
       s"""SELECT lang, count(*) AS n_sampled, min(doc_id) AS min_doc_id

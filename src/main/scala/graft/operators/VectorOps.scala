@@ -151,6 +151,25 @@ object VectorOps {
         transform(col("__pairs"), p => p.getField("m").cast("float"))
           .as(cvec))
 
+  /** A fixed number of chained Lloyd iterations ([[kmeansStep]]) — the
+    * IVF TRAINING loop, run at query-construction time like GraphOps'
+    * fixpoint loop. A FIXED iteration count (not a convergence test)
+    * keeps the whole computation a deterministic function of the seed, so
+    * a SQL oracle can replay it CTE-for-CTE. The returned centroids are
+    * localCheckpoint'ed (eagerly): K rows of K×dims floats — without the
+    * truncation every downstream consumer (assignment, query probes)
+    * would re-run all `iters` corpus passes from lineage. At real scale,
+    * train on a SAMPLE (hashSample) and persist the centroids — the loop
+    * shape is identical. */
+  def kmeansTrain(vectors: DataFrame, id: String, vec: String,
+                  centroids: DataFrame, cid: String, cvec: String,
+                  iters: Int): DataFrame = {
+    require(iters >= 0, "iters must be >= 0")
+    val trained = (1 to iters).foldLeft(centroids)((c, _) =>
+      kmeansStep(vectors, id, vec, c, cid, cvec))
+    if (iters == 0) trained else trained.localCheckpoint(true)
+  }
+
   /** Symmetric int8 scalar quantization (native [[graft.functions.I8Quantize]]
     * kernel): per-vector scale = max|x|/127, codes truncated toward zero —
     * the 4× memory/bandwidth cut a 100 TB embedding store serves from

@@ -317,6 +317,16 @@ class LlmOpsSpec extends AnyFunSuite {
     // fixpoint: another step from the means changes nothing
     val step2 = Vec.kmeansStep(vecs, "vec_id", "embedding", step1, "cid", "cv")
     assert(step2.as[(Long, Seq[Float])].collect().toMap == c1)
+    // kmeansTrain = the same steps chained (iters=2 ≡ step∘step), and
+    // iters=0 hands back the seed untouched — the q34 measured path runs
+    // THIS loop, not a parallel implementation
+    val trained = Vec.kmeansTrain(vecs, "vec_id", "embedding", init,
+      "cid", "cv", 2)
+    assert(trained.as[(Long, Seq[Float])].collect().toMap == c1)
+    val untrained = Vec.kmeansTrain(vecs, "vec_id", "embedding", init,
+      "cid", "cv", 0)
+    assert(untrained.as[(Long, Seq[Float])].collect().toMap ==
+      init.as[(Long, Seq[Float])].collect().toMap)
   }
 
   test("saltedJoin produces exactly the plain join's rows under skew") {
