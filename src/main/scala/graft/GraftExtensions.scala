@@ -8,7 +8,8 @@ import org.apache.spark.sql.types.IntegerType
 
 import graft.functions.{DeflateRatio, DotProductF32, I8Dot, I8Quantize,
   LshBucketF32, MinHashSig, NfcNormalize, NGramHashSet, NGramMinHashSig,
-  SimHash60, SortedIntersectCount, TokenHash60Array, WindowMinHash32}
+  SimHash60, SortedIntersectCount, TokenHash60Array, WindowHashSelect,
+  WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -144,6 +145,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "i8_dot takes exactly 2 arguments")
         I8Dot(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("word_window_select"),
+      new ExpressionInfo(classOf[WindowHashSelect].getName,
+        "word_window_select"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3,
+          "word_window_select takes exactly 3 arguments")
+        val Seq(n, m) = args.tail.map {
+          case Literal(v: Int, IntegerType) if v > 0 => v
+          case other => throw new IllegalArgumentException(
+            "word_window_select: n and modulus must be positive int " +
+              s"literals, got $other")
+        }
+        WindowHashSelect(args.head, n, m)
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

@@ -395,6 +395,16 @@ object SparkEntry {
     // longs, no float comparison traps), query side broadcast.
     "q65_i8_topk" -> (annI8(_, _)),
 
+    // L49: exact substring-level dedup — cross-document repeated spans
+    // (boilerplate paragraphs, license headers) that document-level
+    // hashing cannot see. Every 16-token window fingerprinted map-side
+    // in the fused kernel; content-defined "0 mod 4" selection keeps the
+    // explode at ~n_tokens/4 while detecting repeats at ARBITRARY
+    // offsets; one combinable shuffle on span_hash.
+    "q70_repeated_spans" -> ((s, dir) =>
+      D.repeatedSpans(spread(s, t(s, dir, "documents")), "doc_id",
+        col("text"), width = 16, modulus = 4)),
+
     // L48: Count-Min Sketch — a mergeable frequency sketch whose
     // CONSTRUCTION is oracle-checked (pure integer math on md5-prefix
     // hashes; unlike HLL/KLL the oracle reproduces every counter).
@@ -1716,6 +1726,20 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q70_repeated_spans" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sp AS (SELECT doc_id, ts,
+         |  CAST(unnest(generate_series(1, len(ts) - 15, 1)) AS INT) AS p
+         | FROM tok),
+         |h AS (SELECT doc_id,
+         |  ${hx("array_to_string(ts[p : p + 15], ' ')", 8)} AS span_hash
+         | FROM sp)
+         |SELECT span_hash, count(DISTINCT doc_id) AS n_docs,
+         | count(*) AS n_occurrences, min(doc_id) AS first_doc
+         |FROM h WHERE span_hash % 4 = 0
+         |GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2""".stripMargin,
 
     "q69_countmin" ->
       s"""WITH toks AS (SELECT unnest(string_split(text, ' ')) AS w

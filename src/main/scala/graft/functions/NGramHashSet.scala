@@ -245,3 +245,69 @@ object SortedIntersectCount {
     c
   }
 }
+
+/** Fused content-defined span fingerprints: the 32-bit md5-prefix hash of
+  * EVERY n-token window (stride 1), keeping only hashes ≡ 0 (mod
+  * `modulus`) — Manber's "0 mod p" fingerprint selection (USENIX '94),
+  * the substring-level exact-dedup primitive. Selection depends only on
+  * window CONTENT, so a span repeated at arbitrary offsets in two
+  * documents yields the identical selected-hash set in both (a strided
+  * sample would miss any repeat whose offsets disagree mod the stride).
+  * Order and multiplicity are preserved (duplicate spans inside one doc
+  * count as occurrences). Equals
+  * `filter(transform(wordShinglesMulti(split(text,' '), n), hash32),
+  *         h -> h % modulus = 0)`
+  * — spec-pinned; null (doc dropped) for texts with fewer than n tokens
+  * where the composable form gives the empty array. Expected output size
+  * is n_windows / modulus, so the caller's explode amplifies rows by
+  * ~n_tokens/modulus, not n_tokens. */
+case class WindowHashSelect(child: Expression, n: Int, modulus: Int)
+  extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a string column, got $t")
+    }
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "word_window_select"
+
+  override protected def nullSafeEval(input: Any): Any =
+    WindowHashSelect.compute(input.asInstanceOf[UTF8String], n, modulus)
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t => {
+      val out = ctx.freshName("sel")
+      s"""
+         |org.apache.spark.sql.catalyst.util.ArrayData $out =
+         |  graft.functions.WindowHashSelect.compute($t, $n, $modulus);
+         |if ($out == null) { ${ev.isNull} = true; } else {
+         |  ${ev.value} = $out;
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(
+      newChild: Expression): WindowHashSelect = copy(child = newChild)
+}
+
+object WindowHashSelect {
+  def compute(text: UTF8String, n: Int, modulus: Int): ArrayData = {
+    val bytes = text.getBytes
+    var arr = new Array[Long](8)
+    var m = 0
+    val any = NGramMinHashSig.foreachWindowHash(bytes, n, word = true) { h =>
+      if (h % modulus == 0) {
+        if (m == arr.length) arr = java.util.Arrays.copyOf(arr, m * 2)
+        arr(m) = h
+        m += 1
+      }
+    }
+    if (!any) null
+    else new GenericArrayData(java.util.Arrays.copyOf(arr, m))
+  }
+}

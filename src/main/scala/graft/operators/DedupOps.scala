@@ -263,6 +263,47 @@ object DedupOps {
     def size: Int = memo.size
   }
 
+  /** L49 exact substring-level dedup: cross-document REPEATED SPANS — the
+    * dedup flavor document-level hashing (exact or near) cannot see: two
+    * otherwise-different documents sharing a boilerplate paragraph, a
+    * license header, a template block. The suffix-array formulation
+    * (dedupe every repeated substring, Lee et al. ACL '22) is inherently
+    * sequential; the Spark-native approximation fingerprints every
+    * `width`-token window (stride 1) and keeps windows whose 32-bit hash
+    * ≡ 0 (mod `modulus`) — Manber's content-defined "0 mod p" selection,
+    * so a span shared at ARBITRARY offsets selects identically in every
+    * document containing it (a strided sample misses repeats whose
+    * offsets disagree mod the stride). A repeated span of w windows is
+    * detected unless all w selections miss: P(miss) = (1-1/m)^w — under
+    * 2% for a 16-window (31-token) span at m=4.
+    *
+    * Output: one row per repeated fingerprint — span_hash, n_docs
+    * (distinct documents containing it), n_occurrences (total, counting
+    * within-doc repeats), first_doc (min id, the canonical holder).
+    * Span TEXT is deliberately not carried: at corpus scale the report
+    * stays hash-sized; extracting exemplar text is a candidate-only
+    * rejoin against the few flagged documents.
+    *
+    * Scale: the fused [[graft.functions.WindowHashSelect]] kernel hashes
+    * windows in one pass over the corpus scan (no shingle arrays, no
+    * interpreted lambda), explode amplifies by ~n_tokens/modulus (not
+    * n_tokens), and the aggregate is ONE shuffle whose countDistinct
+    * Spark plans as two partial-aggregable exchanges on (span_hash[,id])
+    * — combinable all the way, no hot keys beyond genuinely
+    * corpus-frequent spans. */
+  def repeatedSpans(docs: DataFrame, id: String, text: Column,
+                    width: Int, modulus: Int): DataFrame =
+    docs
+      .select(col(id).as("__rs_id"),
+        explode(call_function("word_window_select", text,
+          lit(width), lit(modulus))).as("span_hash"))
+      .groupBy(col("span_hash"))
+      .agg(
+        countDistinct(col("__rs_id")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"),
+        min(col("__rs_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+
   /** SimHash bits to use (60 usable bits from a 15-hex-digit md5 prefix). */
   val SimhashBits = 60
 

@@ -679,4 +679,47 @@ class LlmOpsSpec extends AnyFunSuite {
       .orderBy("g", "rk").as[(String, Int, Int)].collect()
     assert(out.toSeq == Seq(("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)))
   }
+
+  // ----------------------------------------- L49 substring-level dedup
+
+  test("word_window_select kernel equals the composable filtered-hash " +
+    "form (order + multiplicity) on adversarial inputs") {
+    val texts = Seq("", "a", "a b", "a b c", "a b c d e",
+      "a  b c ", " lead tok", "trail tok ",
+      "héllo wörld ünïcode sträng ここで 테스트 emoji🙂 mixed tokens here",
+      (1 to 80).map(i => s"w${i % 5}").mkString(" "), // forced dup windows
+      (1 to 40).map(i => s"u$i").mkString(" "))
+    val rows = texts.toDF("text").select(
+        call_function("word_window_select", col("text"), lit(3), lit(4))
+          .as("k"),
+        filter(transform(T.wordShinglesMulti(T.tokens(col("text")), 3),
+          s => T.hash32(s)), h => h % lit(4) === lit(0)).as("c"))
+      .collect()
+    rows.zip(texts).foreach { case (r, t) =>
+      def arr(i: Int): Seq[Long] =
+        if (r.isNullAt(i)) Nil else r.getSeq[Long](i)
+      // kernel null (doc dropped) where composable gives the empty array
+      assert(arr(0) == arr(1), s"window-select diverged on: '$t'")
+    }
+  }
+
+  test("repeatedSpans flags a span shared at DIFFERENT offsets, counts " +
+    "within-doc repeats, and ignores sub-width docs") {
+    val shared = (1 to 6).map(i => s"s$i").mkString(" ") // 6-token span
+    val docs = Seq(
+      (1L, s"a1 a2 a3 $shared z1 z2"),         // span at offset 4
+      (2L, s"$shared b1 b2 b3 b4 b5 b6 b7"),   // span at offset 1
+      (3L, s"c1 $shared c2 c3 $shared c4"),    // twice in one doc
+      (4L, "too short"),                       // < width tokens: dropped
+      (5L, (1 to 12).map(i => s"q$i").mkString(" "))) // no shared span
+      .toDF("doc_id", "text")
+    // width 6, modulus 1 (keep all windows) so detection is exact here
+    val out = D.repeatedSpans(docs, "doc_id", col("text"), 6, 1)
+      .orderBy(col("n_docs").desc, col("span_hash"))
+      .as[(Long, Long, Long, Long)].collect()
+    // exactly ONE fingerprint repeats across docs — the shared span:
+    // 3 docs, 4 occurrences (doc 3 holds it twice), first doc 1
+    assert(out.length == 1)
+    assert(out.head._2 == 3L && out.head._3 == 4L && out.head._4 == 1L)
+  }
 }

@@ -224,6 +224,23 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected <=2 exchanges (term+salt, term), got ${shuffles(f)}:\n$f")
   }
 
+  test("q70 repeated spans: fused kernel map-side, no Window, " +
+    "countDistinct's two partial-aggregable exchanges only") {
+    val f = formatted("q70_repeated_spans")
+    assert(f.contains("Generate"), "explode should plan a Generate")
+    assert(f.contains("word_window_select"),
+      s"fingerprinting must run in the fused kernel:\n$f")
+    assert(!f.contains("Window"), s"no Window in the span rollup:\n$f")
+    // countDistinct plans as two HASH exchanges: (span_hash, id) dedup
+    // then span_hash merge — both map-side combinable, nothing else.
+    // (spread()'s round-robin split of the one-split test file is not a
+    // data shuffle at scale — the guard no-ops when splits >= cores.)
+    val hashShuffles =
+      "Arguments: hashpartitioning".r.findAllIn(f).length
+    assert(hashShuffles <= 2,
+      s"expected <=2 hash exchanges, got $hashShuffles:\n$f")
+  }
+
   test("q64 NFC normalization is map-side: one exchange for the lang agg") {
     val f = formatted("q64_unicode_nfc")
     assert(shuffles(f) == 1,
