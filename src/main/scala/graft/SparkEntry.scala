@@ -829,6 +829,29 @@ object SparkEntry {
             .as("wait_us"))
     }),
 
+    // L50: batch point-in-interval join — each error event opens a
+    // 10-minute incident window per user; count the clicks landing
+    // inside. Interval binning (bin = window width, so <=2 bins per
+    // interval) turns Spark's nested-loop inequality join into ONE equi
+    // shuffle join on (user_id, bin) + exact range filter; the oracle is
+    // the plain BETWEEN join — an independent algorithm.
+    "q71_interval_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val win = 10L * 60 * 1000000 // 10 min in us
+      val err = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("err_id"),
+          col("ts").as("w_start"),
+          timestamp_micros(unix_micros(col("ts")) + win).as("w_end"))
+      val clk = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts").as("click_ts"),
+          col("event_id").as("click_id"))
+      Ti.intervalJoin(clk, "click_ts", err, "w_start", "w_end",
+          Seq("user_id"), win)
+        .groupBy(col("user_id"), col("err_id"))
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("click_id")).as("first_click"))
+    }),
+
     // Sessionization: 30-min inactivity gap per user, then per-session
     // stats — the batch twin of the streaming session window.
     "q38_sessionize" -> ((s, dir) =>
@@ -2078,6 +2101,18 @@ object SparkEntry {
         | epoch_us(p.ts) - epoch_us(s.ts) AS wait_us
         |FROM s ASOF LEFT JOIN p
         | ON s.user_id = p.user_id AND s.ts <= p.ts""".stripMargin,
+
+    "q71_interval_join" ->
+      """WITH e AS (SELECT user_id, event_id AS err_id, ts AS w_start,
+        |  ts + INTERVAL 10 MINUTE AS w_end
+        | FROM events WHERE event_type = 'error'),
+        |c AS (SELECT user_id, ts AS click_ts, event_id AS click_id
+        | FROM events WHERE event_type = 'click')
+        |SELECT e.user_id, e.err_id, count(*) AS n_clicks,
+        | min(c.click_id) AS first_click
+        |FROM e JOIN c ON e.user_id = c.user_id
+        | AND c.click_ts >= e.w_start AND c.click_ts < e.w_end
+        |GROUP BY 1, 2""".stripMargin,
 
     "q38_sessionize" ->
       """WITH x AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us,

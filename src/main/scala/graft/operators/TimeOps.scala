@@ -145,4 +145,55 @@ object TimeOps {
           .otherwise(0L)).over(run))
       .drop(us, prev)
   }
+
+  /** L50 point-in-interval join (batch range join) via time binning.
+    *
+    * Attaches every probe row to every interval row sharing `keys` with
+    * `start <= probeTs < end` (half-open, the standard window
+    * convention). Spark plans the naive inequality join
+    * (`probes.join(intervals, keys && start <= ts && ts < end)`) as a
+    * nested loop — O(|probes| × |intervals per key|) comparisons and,
+    * without an equi-condition, often a BROADCAST nested loop that dies
+    * at scale. Quantizing time into fixed `binWidthUs` buckets makes it
+    * a plain equi shuffle join: each interval explodes to the bins it
+    * overlaps (len/binWidth + 1 rows), each probe maps to ONE bin, and
+    * the exact range predicate filters the per-bin candidates. A
+    * matching (interval, probe) pair meets EXACTLY once — the probe has
+    * one bin and the interval lists each covered bin once — so there is
+    * no post-join dedup, and both aggregations downstream stay
+    * combinable.
+    *
+    * Bin arithmetic is exact: `(us - us % w) / w` divides an exact
+    * multiple of `w` (all values < 2^53, so the double division returns
+    * the integer quotient exactly) — no float-boundary drift between a
+    * probe's bin and its interval's bin list.
+    *
+    * Size `binWidthUs` to the TYPICAL interval length: explode
+    * amplification is len/binWidth + 1 per interval (2 rows when
+    * len <= binWidth), while an over-wide bin packs unrelated rows into
+    * one bucket and pays more filtered candidates. Degenerate inputs are
+    * dropped, matching the inequality-join semantics: empty/inverted
+    * intervals (end <= start) match nothing, and null timestamps or null
+    * keys never satisfy the range predicate. Hot keys shuffle on
+    * (keys, bin) — time itself spreads a hot entity over reducers, the
+    * same effect the salted join buys for key-only joins.
+    *
+    * Column names must be disjoint between the two sides apart from
+    * `keys` (same contract as the as-of join). */
+  def intervalJoin(probes: DataFrame, probeTs: String,
+                   intervals: DataFrame, startCol: String, endCol: String,
+                   keys: Seq[String], binWidthUs: Long): DataFrame = {
+    require(binWidthUs > 0, s"binWidthUs must be positive, got $binWidthUs")
+    def binOf(us: Column): Column =
+      ((us - pmod(us, lit(binWidthUs))) / lit(binWidthUs)).cast("long")
+    val pb = probes.withColumn("__bin", binOf(unix_micros(col(probeTs))))
+    val iv = intervals
+      .filter(col(endCol) > col(startCol))
+      .withColumn("__bin", explode(sequence(
+        binOf(unix_micros(col(startCol))),
+        binOf(unix_micros(col(endCol)) - lit(1L)))))
+    pb.join(iv, keys :+ "__bin")
+      .filter(col(probeTs) >= col(startCol) && col(probeTs) < col(endCol))
+      .drop("__bin")
+  }
 }

@@ -241,6 +241,18 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected <=2 hash exchanges, got $hashShuffles:\n$f")
   }
 
+  test("q71 interval join: equi shuffle join on (key, bin), never a " +
+    "nested loop") {
+    val f = formatted("q71_interval_join")
+    assert(!f.contains("NestedLoop") && !f.contains("Cartesian"),
+      s"range join must not plan a nested loop:\n$f")
+    assert(f.contains("SortMergeJoin") || f.contains("ShuffledHashJoin") ||
+      f.contains("BroadcastHashJoin"), // tiny test corpus may broadcast
+      s"expected an EQUI join on (user_id, bin):\n$f")
+    assert(f.contains("Generate"),
+      "intervals must explode to their covered bins")
+  }
+
   test("q64 NFC normalization is map-side: one exchange for the lang agg") {
     val f = formatted("q64_unicode_nfc")
     assert(shuffles(f) == 1,

@@ -112,6 +112,57 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(out(4L) == 1)
   }
 
+  test("intervalJoin equals the naive inequality join, incl. boundary " +
+    "and cross-bin cases; inverted intervals match nothing") {
+    // bin width 100us; intervals deliberately span bin boundaries
+    val iv = Seq(
+      (1L, 10L, 250L, "a"),   // spans bins 0-2
+      (1L, 90L, 110L, "b"),   // straddles the bin-0/1 edge
+      (2L, 0L, 1000L, "c"),   // whole-range window, other key
+      (1L, 300L, 300L, "d"),  // empty interval: matches nothing
+      (1L, 400L, 350L, "e"))  // inverted: matches nothing
+      .toDF("k", "sus", "eus", "iv_tag")
+      .withColumn("s_ts", timestamp_micros(col("sus")))
+      .withColumn("e_ts", timestamp_micros(col("eus")))
+      .select("k", "s_ts", "e_ts", "iv_tag")
+    val pr = Seq(
+      (1L, 10L, "p_at_start"),   // == start: included
+      (1L, 250L, "p_at_end"),    // == end of a: excluded from a
+      (1L, 100L, "p_mid"),       // inside a AND b
+      (1L, 299L, "p_solo"),      // outside every live interval
+      (2L, 999L, "p_c"),         // inside c only
+      (1L, 300L, "p_empty"))     // == both ends of d: excluded
+      .toDF("k", "pus", "p_tag")
+      .withColumn("p_ts", timestamp_micros(col("pus")))
+      .select("k", "p_ts", "p_tag")
+    val fast = TimeOps.intervalJoin(pr, "p_ts", iv, "s_ts", "e_ts",
+        Seq("k"), 100L)
+      .select("p_tag", "iv_tag").as[(String, String)].collect().toSet
+    val naive = pr.join(iv, pr("k") === iv("k") &&
+        col("p_ts") >= col("s_ts") && col("p_ts") < col("e_ts"))
+      .select("p_tag", "iv_tag").as[(String, String)].collect().toSet
+    assert(fast == naive)
+    assert(fast == Set(("p_at_start", "a"), ("p_mid", "a"), ("p_mid", "b"),
+      ("p_c", "c")))
+  }
+
+  test("intervalJoin meets each matching pair exactly once (no dup from " +
+    "multi-bin intervals)") {
+    val iv = Seq((1L, 0L, 950L, "wide")) // spans 10 bins at width 100
+      .toDF("k", "sus", "eus", "iv_tag")
+      .withColumn("s_ts", timestamp_micros(col("sus")))
+      .withColumn("e_ts", timestamp_micros(col("eus")))
+      .select("k", "s_ts", "e_ts", "iv_tag")
+    val pr = (0L until 10L).map(i => (1L, i * 100L, s"p$i"))
+      .toDF("k", "pus", "p_tag")
+      .withColumn("p_ts", timestamp_micros(col("pus")))
+      .select("k", "p_ts", "p_tag")
+    val out = TimeOps.intervalJoin(pr, "p_ts", iv, "s_ts", "e_ts",
+      Seq("k"), 100L)
+    assert(out.count() == 10L) // one row per probe, never per (probe, bin)
+    assert(out.select("p_tag").distinct().count() == 10L)
+  }
+
   test("charShingles: short text shingles whole; duplicates collapse") {
     val df = Seq("abc", "abcdefgh", "aaaaaaaaaa").toDF("text")
     val out = df.select(TextOps.charShingles(col("text"), 8).as("s"))
