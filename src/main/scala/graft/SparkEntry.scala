@@ -405,6 +405,24 @@ object SparkEntry {
       D.repeatedSpans(spread(s, t(s, dir, "documents")), "doc_id",
         col("text"), width = 16, modulus = 4)),
 
+    // L51: exact distribution monitoring — per-source token-length
+    // P50/P90/P99 (interpolated, the quantile_cont definition both
+    // engines share). Exact percentiles need the group's values on one
+    // reducer; groups here are SOURCES (bounded cardinality), each
+    // reducer holds one source's value multiset — the right trade for a
+    // monitoring query. Sketch-free on purpose: this is the calibration
+    // baseline the mergeable sketches (q69) are judged against.
+    "q72_length_quantiles" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("source"),
+          size(T.tokens(col("text"))).as("n_tokens"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          percentile(col("n_tokens"), lit(0.5)).as("p50"),
+          percentile(col("n_tokens"), lit(0.9)).as("p90"),
+          percentile(col("n_tokens"), lit(0.99)).as("p99"))),
+
     // L48: Count-Min Sketch — a mergeable frequency sketch whose
     // CONSTRUCTION is oracle-checked (pure integer math on md5-prefix
     // hashes; unlike HLL/KLL the oracle reproduces every counter).
@@ -1749,6 +1767,16 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q72_length_quantiles" ->
+      """SELECT source, count(*) AS n_docs,
+        | quantile_cont(n_tokens, 0.5) AS p50,
+        | quantile_cont(n_tokens, 0.9) AS p90,
+        | quantile_cont(n_tokens, 0.99) AS p99
+        |FROM (SELECT source,
+        |  CAST(len(string_split(text, ' ')) AS INT) AS n_tokens
+        | FROM documents)
+        |GROUP BY 1""".stripMargin,
 
     "q70_repeated_spans" ->
       s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
