@@ -405,6 +405,16 @@ object SparkEntry {
       D.repeatedSpans(spread(s, t(s, dir, "documents")), "doc_id",
         col("text"), width = 16, modulus = 4)),
 
+    // L53: exact fixed-size per-stratum sample — EXACTLY 5 docs per lang
+    // by bottom-k sampling hash (rate sampling gives binomial sizes).
+    // Deterministic, partition-independent, and mergeable across shards;
+    // hot strata spread over the salt fan-out (q63's two-level shape).
+    "q74_bottomk_sample" -> ((s, dir) =>
+      Sam.bottomKSample(t(s, dir, "documents"), col("lang"),
+          col("doc_id"), 5, 16, "bk")
+        .select(col("stratum").as("lang"), col("sample_id").as("doc_id"),
+          col("sample_hash"))),
+
     // L52: TF-IDF distinctive terms — each doc's top-3 terms by
     // tf × (N/df), the linear-idf variant whose score is ONE exact
     // integer product and ONE IEEE division (bit-identical across
@@ -1794,6 +1804,15 @@ object SparkEntry {
         | FROM td GROUP BY term)
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
+
+    "q74_bottomk_sample" ->
+      s"""WITH h AS (SELECT lang, doc_id,
+         |  ${hx("'bk' || CAST(doc_id AS VARCHAR)", 8)} AS sample_hash
+         | FROM documents WHERE doc_id IS NOT NULL),
+         |r AS (SELECT lang, doc_id, sample_hash,
+         |  row_number() OVER (PARTITION BY lang
+         |    ORDER BY sample_hash, doc_id) AS rn FROM h)
+         |SELECT lang, doc_id, sample_hash FROM r WHERE rn <= 5""".stripMargin,
 
     "q73_tfidf_terms" ->
       """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term

@@ -142,4 +142,45 @@ object SampleOps {
         when(stratum === k, lit(n)).otherwise(acc) }
     df.filter(sampleBucket(id, salt, denom) < rateCol)
   }
+
+  /** L53: EXACT fixed-size deterministic sample per stratum — the k rows
+    * with the smallest sampling hashes (bottom-k). Rate sampling
+    * ([[hashSample]]) gives binomial sizes; eval sets, few-shot pools,
+    * and per-domain probes need exactly k. Bottom-k by a key hash is
+    * deterministic, partition-independent, AND mergeable:
+    * bottom-k(A ∪ B) = bottom-k(bottom-k(A) ∪ bottom-k(B)), so disjoint
+    * shards/incremental loads update the sample from k-row summaries
+    * without rescanning old data — the bottom-k sketch (Cohen & Kaplan,
+    * PODS '07).
+    *
+    * Skew posture — the same two-level salted shape as the q63 inverted
+    * index: each (stratum, salt) group keeps its k smallest (hash, id)
+    * pairs, so a hot stratum spreads over `saltCount` reducers instead
+    * of sorting on one task; the per-stratum merge then sorts
+    * ≤ saltCount·k pairs. The global k smallest always live inside the
+    * union of the per-salt k smallest. Salting by the sampling hash
+    * itself keeps the fan-out uniform even when ids are skewed. (hash,
+    * id) struct ordering makes the selection total under hash
+    * collisions. Rows with a null id are dropped (no stable identity =
+    * no stable sample); a null stratum forms its own sampled group.
+    *
+    * Output: (stratum, sample_id, sample_hash), ≤ k rows per stratum
+    * (fewer only when the stratum has fewer rows). */
+  def bottomKSample(df: DataFrame, stratum: Column, id: Column, k: Int,
+                    saltCount: Int, seed: String): DataFrame = {
+    require(k > 0, s"k must be positive, got $k")
+    require(saltCount > 0, s"saltCount must be positive, got $saltCount")
+    df.filter(id.isNotNull)
+      .select(stratum.as("stratum"), id.as("__id"),
+        TextOps.hash32(concat(lit(seed), id.cast("string"))).as("__h"))
+      .groupBy(col("stratum"), pmod(col("__h"), lit(saltCount)).as("__salt"))
+      .agg(slice(sort_array(collect_list(struct(col("__h"), col("__id")))),
+        1, k).as("__p"))
+      .groupBy(col("stratum"))
+      .agg(slice(sort_array(flatten(collect_list(col("__p")))), 1, k)
+        .as("__top"))
+      .select(col("stratum"), explode(col("__top")).as("__e"))
+      .select(col("stratum"), col("__e.__id").as("sample_id"),
+        col("__e.__h").as("sample_hash"))
+  }
 }

@@ -680,6 +680,37 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)))
   }
 
+  // ----------------------------------------- L53 bottom-k sampling
+
+  test("bottomKSample: exactly k per stratum, partition-independent, " +
+    "mergeable across shards, null ids dropped") {
+    import graft.operators.{SampleOps => Sam}
+    val df = ((1 to 200).map(i =>
+      (s"s${i % 3}", Some(i.toLong): Option[Long])) :+
+      (("s0", None: Option[Long])))
+      .toDF("lang", "doc_id")
+    val base = Sam.bottomKSample(df, col("lang"), col("doc_id"), 4, 8, "t")
+      .as[(String, Long, Long)].collect().toSet
+    // exactly k per stratum
+    assert(base.groupBy(_._1).forall(_._2.size == 4))
+    // partition independence: repartitioned input gives the identical set
+    val rep = Sam.bottomKSample(df.repartition(7), col("lang"),
+      col("doc_id"), 4, 8, "t").as[(String, Long, Long)].collect().toSet
+    assert(rep == base)
+    // mergeability: bottom-k of (bottom-k(shard1) U bottom-k(shard2))
+    // equals bottom-k of the whole
+    val sh1 = df.filter(col("doc_id") <= 100)
+    val sh2 = df.filter(col("doc_id") > 100)
+    val merged = Sam.bottomKSample(
+      Sam.bottomKSample(sh1, col("lang"), col("doc_id"), 4, 8, "t")
+        .unionByName(
+          Sam.bottomKSample(sh2, col("lang"), col("doc_id"), 4, 8, "t"))
+        .select(col("stratum").as("lang"), col("sample_id").as("doc_id")),
+      col("lang"), col("doc_id"), 4, 8, "t")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == base)
+  }
+
   // ----------------------------------------- L49 substring-level dedup
 
   test("word_window_select kernel equals the composable filtered-hash " +

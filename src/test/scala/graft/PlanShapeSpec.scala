@@ -253,6 +253,17 @@ class PlanShapeSpec extends AnyFunSuite {
       "intervals must explode to their covered bins")
   }
 
+  test("q74 bottom-k sample: salted two-level, no Window, <=2 hash " +
+    "exchanges") {
+    val f = formatted("q74_bottomk_sample")
+    assert(!f.contains("Window"),
+      s"bottom-k must use the salted merge, not a rank window:\n$f")
+    val hashShuffles = "Arguments: hashpartitioning".r.findAllIn(f).length
+    assert(hashShuffles <= 2,
+      s"expected <=2 hash exchanges ((stratum,salt), stratum), " +
+        s"got $hashShuffles:\n$f")
+  }
+
   test("q64 NFC normalization is map-side: one exchange for the lang agg") {
     val f = formatted("q64_unicode_nfc")
     assert(shuffles(f) == 1,
