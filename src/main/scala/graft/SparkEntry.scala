@@ -405,42 +405,15 @@ object SparkEntry {
       D.repeatedSpans(spread(s, t(s, dir, "documents")), "doc_id",
         col("text"), width = 16, modulus = 4)),
 
-    // L53: exact fixed-size per-stratum sample — EXACTLY 5 docs per lang
+    // L52: exact fixed-size per-stratum sample — EXACTLY 5 docs per lang
     // by bottom-k sampling hash (rate sampling gives binomial sizes).
     // Deterministic, partition-independent, and mergeable across shards;
     // hot strata spread over the salt fan-out (q63's two-level shape).
-    "q74_bottomk_sample" -> ((s, dir) =>
+    "q73_bottomk_sample" -> ((s, dir) =>
       Sam.bottomKSample(t(s, dir, "documents"), col("lang"),
           col("doc_id"), 5, 16, "bk")
         .select(col("stratum").as("lang"), col("sample_id").as("doc_id"),
           col("sample_hash"))),
-
-    // L52: TF-IDF distinctive terms — each doc's top-3 terms by
-    // tf × (N/df), the linear-idf variant whose score is ONE exact
-    // integer product and ONE IEEE division (bit-identical across
-    // engines; log-idf would rank identically per doc since log is
-    // monotone, but its transcendental doubles don't hash-compare).
-    // Shape: tf agg → df re-agg from tf (term rows, not token rows) →
-    // term-keyed join → per-doc top-3. All four exchanges combinable or
-    // windowed per doc (thousands of small partitions, no hot key).
-    "q73_tfidf_terms" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val tf = docs
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("term"))
-        .groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-      val n = docs.agg(count(lit(1)).as("n_total"))
-      val scored = tf.join(dfreq, "term")
-        .crossJoin(broadcast(n))
-        .withColumn("score",
-          (col("tf") * col("n_total")).cast("double") /
-            col("df").cast("double"))
-      R.topKPerGroup(scored, Seq("doc_id"),
-          Seq(col("score").desc, col("term")), 3, "rank")
-        .select(col("doc_id"), col("term"), col("tf"), col("df"),
-          col("score"), col("rank"))
-    }),
 
     // L51: exact distribution monitoring — per-source token-length
     // P50/P90/P99 (interpolated, the quantile_cont definition both
@@ -448,7 +421,9 @@ object SparkEntry {
     // reducer; groups here are SOURCES (bounded cardinality), each
     // reducer holds one source's value multiset — the right trade for a
     // monitoring query. Sketch-free on purpose: this is the calibration
-    // baseline the mergeable sketches (q69) are judged against.
+    // baseline the mergeable sketches (q69) are judged against. (q43 is
+    // the rank-window formulation for the exact MEDIAN; this is the
+    // aggregate formulation for interpolated arbitrary-p percentiles.)
     "q72_length_quantiles" -> ((s, dir) =>
       t(s, dir, "documents")
         .select(col("source"),
@@ -1805,7 +1780,7 @@ object SparkEntry {
         |SELECT term, doc_freq, array_to_string(ids[1:8], ',') AS postings
         |FROM g WHERE doc_freq >= 10""".stripMargin,
 
-    "q74_bottomk_sample" ->
+    "q73_bottomk_sample" ->
       s"""WITH h AS (SELECT lang, doc_id,
          |  ${hx("'bk' || CAST(doc_id AS VARCHAR)", 8)} AS sample_hash
          | FROM documents WHERE doc_id IS NOT NULL),
@@ -1813,21 +1788,6 @@ object SparkEntry {
          |  row_number() OVER (PARTITION BY lang
          |    ORDER BY sample_hash, doc_id) AS rn FROM h)
          |SELECT lang, doc_id, sample_hash FROM r WHERE rn <= 5""".stripMargin,
-
-    "q73_tfidf_terms" ->
-      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |  FROM documents),
-        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
-        |n AS (SELECT count(*) AS n_total FROM documents),
-        |sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
-        |  CAST(tf.tf * n.n_total AS DOUBLE) / CAST(dfreq.df AS DOUBLE)
-        |   AS score
-        | FROM tf JOIN dfreq USING (term) CROSS JOIN n),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
-        |  ORDER BY score DESC, term) AS rank FROM sc)
-        |SELECT doc_id, term, tf, df, score, CAST(rank AS INT) AS rank
-        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q72_length_quantiles" ->
       """SELECT source, count(*) AS n_docs,

@@ -143,7 +143,7 @@ object SampleOps {
     df.filter(sampleBucket(id, salt, denom) < rateCol)
   }
 
-  /** L53: EXACT fixed-size deterministic sample per stratum — the k rows
+  /** L52: EXACT fixed-size deterministic sample per stratum — the k rows
     * with the smallest sampling hashes (bottom-k). Rate sampling
     * ([[hashSample]]) gives binomial sizes; eval sets, few-shot pools,
     * and per-domain probes need exactly k. Bottom-k by a key hash is

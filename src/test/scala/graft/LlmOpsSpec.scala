@@ -680,7 +680,7 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(("g1", 3, 1), ("g1", 2, 2), ("g2", 9, 1)))
   }
 
-  // ----------------------------------------- L53 bottom-k sampling
+  // ----------------------------------------- L52 bottom-k sampling
 
   test("bottomKSample: exactly k per stratum, partition-independent, " +
     "mergeable across shards, null ids dropped") {

@@ -253,9 +253,9 @@ class PlanShapeSpec extends AnyFunSuite {
       "intervals must explode to their covered bins")
   }
 
-  test("q74 bottom-k sample: salted two-level, no Window, <=2 hash " +
+  test("q73 bottom-k sample: salted two-level, no Window, <=2 hash " +
     "exchanges") {
-    val f = formatted("q74_bottomk_sample")
+    val f = formatted("q73_bottomk_sample")
     assert(!f.contains("Window"),
       s"bottom-k must use the salted merge, not a rank window:\n$f")
     val hashShuffles = "Arguments: hashpartitioning".r.findAllIn(f).length
