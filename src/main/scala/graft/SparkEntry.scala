@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CleanseOps => C, DedupOps => D, GraphOps => G,
+import graft.operators.{AnalyticsOps => An, CleanseOps => C, DedupOps => D, GraphOps => G,
   MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
   SketchOps => Sk, TextOps => T, TimeOps => Ti, VectorOps => Vec,
   VizPrep => V}
@@ -239,6 +239,24 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"))
         .select(date_format(col("window.start"), "yyyy-MM-dd HH")
           .as("hour_start"), col("n"), col("sum_value"), col("n_users"))),
+
+    // Behavioral analytics: cohort retention — each user joins the cohort
+    // of its first event DAY (the corpus spans one month, so daily
+    // cohorts; the operator takes any timestamp), distinct actives per
+    // (cohort, day offset), fraction against day-0 size. All counting is
+    // integer; the one double (retention) is a single final division.
+    "q74_cohort_retention" -> ((s, dir) =>
+      An.cohortRetention(t(s, dir, "events"), col("user_id"), col("ts"))),
+
+    // Behavioral analytics: strict-sequence funnel signup → click →
+    // purchase. Step k counts users whose earliest step-k event lands
+    // strictly after their earliest qualifying step-(k-1) event — an
+    // actor who purchased before signing up does NOT convert.
+    "q75_funnel" -> ((s, dir) =>
+      An.funnel(t(s, dir, "events"), col("user_id"), col("ts"), Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")))),
 
     // ------------------------------------------------------------------
     // LLM-training-data pipeline operators (documents / embeddings).
@@ -1644,6 +1662,41 @@ object SparkEntry {
         | CAST(CAST(sum(CAST(value AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) AS sum_value,
         | CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
         |FROM events GROUP BY 1""".stripMargin,
+
+    "q74_cohort_retention" ->
+      """WITH c AS (SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT cohort_day, count(*) AS cohort_size FROM c GROUP BY 1),
+        |a AS (SELECT cohort_day,
+        |  CAST(datediff('day', cohort_day, CAST(e.ts AS DATE)) AS INT)
+        |    AS days_since,
+        |  count(DISTINCT e.user_id) AS n_active
+        | FROM events e JOIN c USING (user_id) GROUP BY 1, 2)
+        |SELECT strftime(a.cohort_day, '%Y-%m-%d') AS cohort_day,
+        | a.days_since, CAST(a.n_active AS BIGINT) AS n_active,
+        | CAST(s.cohort_size AS BIGINT) AS cohort_size,
+        | CAST(a.n_active AS DOUBLE) / CAST(s.cohort_size AS DOUBLE)
+        |  AS retention
+        |FROM a JOIN s USING (cohort_day)""".stripMargin,
+
+    "q75_funnel" ->
+      """WITH f1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t GROUP BY 1),
+        |n AS (
+        |  SELECT 1 AS step, 'signup' AS step_label,
+        |    (SELECT count(*) FROM f1) AS n_actors
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3))
+        |SELECT step, step_label, n_actors,
+        | CAST(n_actors AS DOUBLE) /
+        |  CAST((SELECT count(*) FROM f1) AS DOUBLE) AS frac_of_entry
+        |FROM n""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

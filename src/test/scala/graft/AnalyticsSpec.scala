@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.AnalyticsOps
+
+/** Pins the behavioral-analytics edge semantics the oracle query can't
+  * isolate: cohort day-0 self-retention, strict (not at-or-after) funnel
+  * ordering, and the out-of-order actor who never converts. */
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ev(rows: (Long, Long, String)*) =
+    rows.toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us") * 86400000000L))
+
+  test("cohortRetention: day-0 row counts every cohort member at retention 1.0") {
+    val e = ev((1L, 0L, "x"), (1L, 2L, "x"), (2L, 0L, "x"), (3L, 1L, "x"))
+    val out = AnalyticsOps.cohortRetention(e, col("user_id"), col("ts"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // users 1,2 share cohort day 0; user 3 is its own cohort of 1
+    assert(out(("1970-01-01", 0)) == ((2L, 2L, 1.0)))
+    assert(out(("1970-01-01", 2)) == ((1L, 2L, 0.5)))
+    assert(out(("1970-01-02", 0)) == ((1L, 1L, 1.0)))
+    // no row for an offset with zero actives
+    assert(!out.contains(("1970-01-01", 1)))
+  }
+
+  test("cohortRetention: repeat visits on one day count the actor once") {
+    val e = ev((1L, 0L, "x"), (1L, 1L, "x"), (1L, 1L, "x"))
+    val day1 = AnalyticsOps.cohortRetention(e, col("user_id"), col("ts"))
+      .filter(col("days_since") === 1).head
+    assert(day1.getLong(2) == 1L)
+  }
+
+  test("funnel: strict ordering — same-timestamp step-2 does not convert") {
+    val e = Seq((1L, 10L, "a"), (1L, 10L, "b"),  // b ties a: no conversion
+                (2L, 10L, "a"), (2L, 11L, "b"))  // b after a: converts
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.funnel(e, col("user_id"), col("ts"), Seq(
+        "a" -> (col("event_type") === "a"),
+        "b" -> (col("event_type") === "b")))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 2L && out(2) == 1L)
+  }
+
+  test("funnel: out-of-order actor (step2 before step1) never converts") {
+    val e = Seq((1L, 20L, "a"), (1L, 10L, "b"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.funnel(e, col("user_id"), col("ts"), Seq(
+        "a" -> (col("event_type") === "a"),
+        "b" -> (col("event_type") === "b")))
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1) == ((1L, 1.0)) && out(2) == ((0L, 0.0)))
+  }
+
+  test("funnel: later step picks EARLIEST qualifying event, then gates step 3") {
+    // user 1: a@10, b@5 (too early), b@20, c@15 (before b@20 -> no step 3)
+    val e = Seq((1L, 10L, "a"), (1L, 5L, "b"), (1L, 20L, "b"), (1L, 15L, "c"))
+      .toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.funnel(e, col("user_id"), col("ts"), Seq(
+        "a" -> (col("event_type") === "a"),
+        "b" -> (col("event_type") === "b"),
+        "c" -> (col("event_type") === "c")))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 1L && out(2) == 1L && out(3) == 0L)
+  }
+}
