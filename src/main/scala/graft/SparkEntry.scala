@@ -258,6 +258,32 @@ object SparkEntry {
         "click" -> (col("event_type") === "click"),
         "purchase" -> (col("event_type") === "purchase")))),
 
+    // Robust outlier screen: median/MAD per event type with the 1.4826
+    // consistency constant — the screening stat that outliers can't drag
+    // toward themselves (a mean/stddev z-score can). Exact interpolated
+    // medians (q72's bounded-group trade); flags are integer counts.
+    "q76_robust_outliers" -> ((s, dir) =>
+      An.robustOutliers(t(s, dir, "events"), col("event_type"),
+          col("value"))
+        .select(col("grp").as("event_type"), col("med"), col("mad"),
+          col("n_total"), col("n_outliers"), col("outlier_frac"))),
+
+    // Exact per-group OLS trend: daily order volume slope per priority.
+    // Sufficient statistics (n, Σx, Σy, Σxy, Σx²) accumulate as exact
+    // int64 sums — associative, immune to partial-agg order, unlike a
+    // float regr_slope accumulation — then ONE final double expression
+    // per coefficient. x = epoch day, y = orders that day.
+    "q77_group_trend" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1970-01-01"))).as("x"))
+        .agg(count(lit(1)).as("y"))
+      An.trend(daily, col("priority"), col("x"), col("y"))
+        .select(col("grp").as("priority"), col("n").as("n_days"),
+          col("slope"), col("intercept"))
+    }),
+
     // ------------------------------------------------------------------
     // LLM-training-data pipeline operators (documents / embeddings).
     // ------------------------------------------------------------------
@@ -1697,6 +1723,51 @@ object SparkEntry {
         | CAST(n_actors AS DOUBLE) /
         |  CAST((SELECT count(*) FROM f1) AS DOUBLE) AS frac_of_entry
         |FROM n""".stripMargin,
+
+    "q76_robust_outliers" ->
+      """WITH v AS (SELECT event_type, value FROM events
+        |  WHERE value IS NOT NULL),
+        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |  FROM v GROUP BY 1),
+        |d AS (SELECT v.event_type, m.med, abs(v.value - m.med) AS dev
+        |  FROM v JOIN m USING (event_type)),
+        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+        |  FROM d GROUP BY 1)
+        |SELECT d.event_type, max(d.med) AS med, max(md.mad) AS mad,
+        | count(*) AS n_total,
+        | CAST(sum(CASE WHEN d.dev > (3.0 * 1.4826) * md.mad
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+        | CAST(sum(CASE WHEN d.dev > (3.0 * 1.4826) * md.mad
+        |   THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS outlier_frac
+        |FROM d JOIN md USING (event_type)
+        |GROUP BY 1""".stripMargin,
+
+    "q77_group_trend" ->
+      """WITH daily AS (SELECT o_orderpriority AS priority,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   AS BIGINT) AS x,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM orders GROUP BY 1, 2),
+        |s AS (SELECT priority, count(*) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM daily GROUP BY 1)
+        |SELECT priority, n AS n_days,
+        | (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |  / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |   - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+        | (CAST(sy AS DOUBLE)
+        |   - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |   * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) AS intercept
+        |FROM s
+        |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

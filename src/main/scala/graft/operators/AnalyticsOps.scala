@@ -94,4 +94,71 @@ object AnalyticsOps {
         (col("n_actors").cast("double") / col("n0").cast("double"))
           .as("frac_of_entry"))
   }
+
+  /** Robust per-group outlier screen: median/MAD with the 1.4826
+    * consistency constant (MAD of a normal ≈ σ/1.4826), flagging values
+    * whose absolute deviation exceeds `k` robust sigmas. Median-based on
+    * purpose — a mean/stddev z-score lets the outliers it is hunting
+    * drag the threshold toward themselves.
+    *
+    * Three passes over the values (median, MAD, flag count), each a
+    * combinable-input exact percentile: groups land whole on a reducer —
+    * the same bounded-group-cardinality trade as the q72 quantile
+    * monitor, which is the regime a screening query runs in. The
+    * per-group medians travel by broadcast, so the value scan never
+    * shuffles twice on the same key.
+    *
+    * All doubles cross the engine boundary through identical single
+    * expressions (interpolated percentile, abs diff, one product chain),
+    * so the oracle twin is hash-exact. */
+  def robustOutliers(df: DataFrame, group: Column, value: Column,
+                     k: Double = 3.0): DataFrame = {
+    val v = df.select(group.as("grp"), value.as("__v"))
+      .filter(col("__v").isNotNull)
+    val med = v.groupBy(col("grp"))
+      .agg(percentile(col("__v"), lit(0.5)).as("med"))
+    val dev = v.join(broadcast(med), "grp")
+      .select(col("grp"), col("med"),
+        abs(col("__v") - col("med")).as("__dev"))
+    val mad = dev.groupBy(col("grp"))
+      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+    dev.join(broadcast(mad), "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+        count(lit(1)).as("n_total"),
+        sum(when(col("__dev") > (lit(k) * lit(1.4826)) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumn("outlier_frac",
+        col("n_outliers").cast("double") / col("n_total").cast("double"))
+  }
+
+  /** Exact per-group least-squares trend over INTEGER (x, y) points —
+    * the drift detector for per-day volumes, rates, and corpus-mix
+    * monitoring. The five sufficient statistics (n, Σx, Σy, Σxy, Σx²)
+    * accumulate as exact int64 sums — associative, so partial
+    * aggregation order can never perturb the result the way a float
+    * covariance accumulation (regr_slope's implementation) does — and
+    * slope/intercept are single final double expressions.
+    *
+    * One combinable shuffle; output is one row per group. Groups with a
+    * degenerate x spread (denominator 0) are dropped rather than
+    * emitting an engine-dependent inf/NaN. */
+  def trend(points: DataFrame, group: Column, x: Column,
+            y: Column): DataFrame = {
+    val s = points.select(group.as("grp"), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("sx"), sum(col("__y")).as("sy"),
+        sum(col("__x") * col("__y")).as("sxy"),
+        sum(col("__x") * col("__x")).as("sxx"))
+    val nD = col("n").cast("double")
+    val sxD = col("sx").cast("double")
+    val denom = nD * col("sxx").cast("double") - sxD * sxD
+    val slope = (nD * col("sxy").cast("double") -
+      sxD * col("sy").cast("double")) / denom
+    s.filter(denom =!= 0.0)
+      .select(col("grp"), col("n"), slope.as("slope"),
+        ((col("sy").cast("double") - slope * sxD) / nD).as("intercept"))
+  }
 }

@@ -71,4 +71,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(out(1) == 1L && out(2) == 1L && out(3) == 0L)
   }
+
+  test("robustOutliers: outliers cannot drag the median threshold; nulls dropped") {
+    // 9 values at 10.0 +- 1, one wild outlier at 1000, one null
+    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0)
+      .map(v => ("a", Option(v))) :+ (("a", None: Option[Double]))
+    val df = vals.toDF("g", "v")
+    val r = AnalyticsOps.robustOutliers(df, col("g"), col("v")).head
+    assert(r.getAs[Long]("n_total") == 10L)    // null dropped
+    assert(r.getAs[Double]("med") == 10.25)    // outlier-immune (interpolated)
+    assert(r.getAs[Double]("mad") == 0.5)
+    assert(r.getAs[Long]("n_outliers") == 1L)  // only the 1000
+  }
+
+  test("robustOutliers: constant group has mad 0 and every deviation flags") {
+    val df = Seq(("c", 5.0), ("c", 5.0), ("c", 7.0)).toDF("g", "v")
+    val r = AnalyticsOps.robustOutliers(df, col("g"), col("v")).head
+    // med=5, deviations (0,0,2), mad=0 -> any nonzero deviation is an outlier
+    assert(r.getAs[Double]("mad") == 0.0 && r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("trend: recovers an exact line and drops degenerate-x groups") {
+    val pts = Seq(("up", 0L, 3L), ("up", 1L, 5L), ("up", 2L, 7L),
+        ("flat", 4L, 9L), ("flat", 4L, 11L))  // single x value: dropped
+      .toDF("g", "x", "y")
+    val out = AnalyticsOps.trend(pts, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("up") == ((2.0, 3.0)))  // y = 2x + 3, exactly
+    assert(!out.contains("flat"))
+  }
 }
