@@ -284,6 +284,35 @@ object SparkEntry {
           col("slope"), col("intercept"))
     }),
 
+    // SCD Type-2 history: each user's event-type stream collapsed into
+    // versioned validity ranges [valid_from, valid_to) — consecutive
+    // same-state rows merge, the open version carries is_current. One
+    // exchange, two windows on the same partition spec. Subset of users
+    // keeps the dump bounded; the filter is on the partition key, so it
+    // prunes BEFORE the shuffle.
+    "q78_scd2_history" -> ((s, dir) =>
+      Ti.scd2(
+          t(s, dir, "events").filter(pmod(col("user_id"), lit(10)) === 0)
+            .select(col("user_id"), col("event_type"), col("ts"),
+              col("event_id")),
+          Seq("user_id"), col("event_type"), "ts",
+          Seq(unix_micros(col("ts")), col("event_id")))
+        .select(col("user_id"), col("state"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"))),
+
+    // Distribution drift: per event type, total-variation distance (and
+    // worst-bin L∞) between the first and second half of the month over
+    // a fixed 10-bin value histogram. Per-bin terms are EXACT integers
+    // over the common denominator n_A·n_B (decimal products — a float
+    // Σ|p−q| would hash-differ by summation order); one final double
+    // division each.
+    "q79_drift_tvd" -> ((s, dir) =>
+      An.driftTvd(t(s, dir, "events"), col("event_type"),
+          unix_micros(col("ts")) >= lit(1705363200000000L), // 2024-01-16
+          col("value"), lo = 0.0, binWidth = 50.0, nBins = 10)
+        .select(col("grp").as("event_type"), col("na"), col("nb"),
+          col("n_bins"), col("tvd"), col("linf"))),
+
     // ------------------------------------------------------------------
     // LLM-training-data pipeline operators (documents / embeddings).
     // ------------------------------------------------------------------
@@ -1768,6 +1797,46 @@ object SparkEntry {
         |FROM s
         |WHERE (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
         |  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) <> 0.0""".stripMargin,
+
+    "q78_scd2_history" ->
+      """WITH e AS (SELECT user_id, event_type AS state,
+        |  epoch_us(ts) AS us, event_id
+        | FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT *, lag(state) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |v AS (SELECT user_id, state, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS valid_to_us
+        | FROM c WHERE prev IS NULL OR prev <> state)
+        |SELECT user_id, state, valid_from_us, valid_to_us,
+        | CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM v""".stripMargin,
+
+    "q79_drift_tvd" ->
+      """WITH x AS (SELECT event_type,
+        |  epoch_us(ts) >= 1705363200000000 AS in_b,
+        |  greatest(least(CAST(floor((value - 0.0) / 50.0) AS INT), 9), 0)
+        |   AS bin
+        | FROM events),
+        |b AS (SELECT event_type, bin,
+        |  CAST(sum(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM x GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM b GROUP BY 1),
+        |j AS (SELECT b.event_type, t.na, t.nb,
+        |  abs(CAST(b.ca AS DECIMAL(18,0)) * CAST(t.nb AS DECIMAL(18,0))
+        |    - CAST(b.cb AS DECIMAL(18,0)) * CAST(t.na AS DECIMAL(18,0)))
+        |   AS term
+        | FROM b JOIN t USING (event_type) WHERE t.na > 0 AND t.nb > 0)
+        |SELECT event_type, max(na) AS na, max(nb) AS nb,
+        | count(*) AS n_bins,
+        | CAST(sum(term) AS DOUBLE)
+        |  / (2.0 * CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE))
+        |   AS tvd,
+        | CAST(max(term) AS DOUBLE)
+        |  / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS linf
+        |FROM j GROUP BY 1""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

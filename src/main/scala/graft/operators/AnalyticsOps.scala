@@ -161,4 +161,53 @@ object AnalyticsOps {
       .select(col("grp"), col("n"), slope.as("slope"),
         ((col("sy").cast("double") - slope * sxD) / nD).as("intercept"))
   }
+
+  /** Distribution drift between two slices of a corpus (snapshot A vs
+    * snapshot B, last week vs this week): per group, the total-variation
+    * distance TVD = ½·Σ_bins |p_A − p_B| and the worst single bin
+    * L∞ = max_bins |p_A − p_B| over a fixed equi-width histogram.
+    * TVD ∈ [0,1]: 0 = identical histograms, 1 = disjoint support — the
+    * drift alarm for corpus-mix monitoring between crawl snapshots.
+    *
+    * Exactness discipline: p_A − p_B is put over the common denominator
+    * n_A·n_B, so every per-bin term is the INTEGER |c_A·n_B − c_B·n_A| —
+    * products taken at decimal(18,0)×decimal(18,0) (exact to 10^18 rows,
+    * and the 37-digit result is in-range for both engines' decimal
+    * rules), summed exactly, divided by 2·n_A·n_B in ONE final double
+    * expression. A float Σ|p−q| would hash-differ by summation order;
+    * this never can.
+    *
+    * Shape: one combinable groupBy(group, bin) with conditional counts
+    * (the period split is a map-side when(), not a join), a tiny
+    * per-group total agg broadcast back, one combinable per-group
+    * reduce. Histogram width is fixed, so shuffle volume is
+    * groups × bins regardless of corpus size. */
+  def driftTvd(df: DataFrame, group: Column, inB: Column, value: Column,
+               lo: Double, binWidth: Double, nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
+    val bin = greatest(least(floor((value - lit(lo)) / lit(binWidth))
+      .cast("int"), lit(nBins - 1)), lit(0))
+    val b = df.select(group.as("grp"), inB.as("__b"), bin.as("__bin"))
+      .filter(col("__bin").isNotNull)
+      .groupBy(col("grp"), col("__bin"))
+      .agg(sum(when(!col("__b"), 1L).otherwise(0L)).as("ca"),
+        sum(when(col("__b"), 1L).otherwise(0L)).as("cb"))
+    val tot = b.groupBy(col("grp"))
+      .agg(sum(col("ca")).as("na"), sum(col("cb")).as("nb"))
+    val dec = (c: String) => col(c).cast("decimal(18,0)")
+    val term = abs(dec("ca") * dec("nb") - dec("cb") * dec("na"))
+    val naD = col("na").cast("double")
+    val nbD = col("nb").cast("double")
+    // Groups seen in only one slice are dropped (0/0): TVD needs a
+    // sample from BOTH sides; "new group appeared" is q62's census job.
+    b.join(broadcast(tot), "grp")
+      .filter(col("na") > 0 && col("nb") > 0)
+      .groupBy(col("grp"))
+      .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
+        count(lit(1)).as("n_bins"),
+        sum(term).as("__num"), max(term).as("__max"))
+      .select(col("grp"), col("na"), col("nb"), col("n_bins"),
+        (col("__num").cast("double") / ((lit(2.0) * naD) * nbD)).as("tvd"),
+        (col("__max").cast("double") / (naD * nbD)).as("linf"))
+  }
 }

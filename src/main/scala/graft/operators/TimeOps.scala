@@ -196,4 +196,41 @@ object TimeOps {
       .filter(col(probeTs) >= col(startCol) && col(probeTs) < col(endCol))
       .drop("__bin")
   }
+
+  /** SCD Type-2 history build: collapse an event stream into versioned
+    * validity ranges. Per key (ordered by `order` — include a unique
+    * tie-break), consecutive rows with the SAME state merge into one
+    * version; each version carries `valid_from_us` (its first
+    * observation), `valid_to_us` (the next version's start, null while
+    * current — the half-open [from, to) convention every
+    * point-in-time query expects), and an `is_current` flag. The
+    * change-comparison is null-safe: null is a real state, and
+    * null→value / value→null transitions open new versions.
+    *
+    * Shape: two window functions (change-detect lag, then lead over the
+    * COLLAPSED rows) on one `partitionBy(keys)` spec — a single
+    * exchange, reused across both sorts since the filter between them
+    * preserves partitioning and order. No self-joins, no driver state;
+    * compose with [[graft.sources.SinkOps.applyCdc]] to maintain the
+    * current-rows table this history is the audit log of. */
+  def scd2(df: DataFrame, keys: Seq[String], state: Column, tsCol: String,
+           order: Seq[Column]): DataFrame = {
+    def fresh(base: String): String =
+      Iterator.iterate(base)(_ + "_").find(!df.columns.contains(_)).get
+    val prev = fresh("__scd_prev")
+    val seen = fresh("__scd_seen")
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
+    df.withColumn("state", state)
+      .withColumn("valid_from_us", unix_micros(col(tsCol)))
+      .withColumn(prev, lag(col("state"), 1).over(w))
+      // lag of a literal marks "a previous row EXISTS" — `prev` alone
+      // can't: a first row whose state is null would look like a
+      // no-change continuation of itself and vanish.
+      .withColumn(seen, lag(lit(1), 1).over(w))
+      .filter(col(seen).isNull || !(col(prev) <=> col("state")))
+      .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
+      .withColumn("is_current",
+        when(col("valid_to_us").isNull, 1).otherwise(0))
+      .drop(prev, seen)
+  }
 }

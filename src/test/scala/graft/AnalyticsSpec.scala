@@ -101,4 +101,33 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("up") == ((2.0, 3.0)))  // y = 2x + 3, exactly
     assert(!out.contains("flat"))
   }
+
+  test("driftTvd: identical slices -> 0, disjoint slices -> 1, one-sided group dropped") {
+    val rows = Seq(
+      // g "same": identical histograms in both slices
+      ("same", false, 10.0), ("same", false, 60.0),
+      ("same", true, 10.0), ("same", true, 60.0),
+      // g "flip": all mass in different bins per slice
+      ("flip", false, 10.0), ("flip", false, 10.0),
+      ("flip", true, 60.0),
+      // g "solo": only slice A
+      ("solo", false, 10.0))
+    val df = rows.toDF("g", "in_b", "v")
+    val out = AnalyticsOps.driftTvd(df, col("g"), col("in_b"), col("v"),
+        lo = 0.0, binWidth = 50.0, nBins = 10)
+      .collect().map(r => r.getString(0) ->
+        (r.getAs[Double]("tvd"), r.getAs[Double]("linf"))).toMap
+    assert(out("same") == ((0.0, 0.0)))
+    assert(out("flip") == ((1.0, 1.0)))
+    assert(!out.contains("solo"))
+  }
+
+  test("driftTvd: out-of-range values clamp into the edge bins") {
+    val df = Seq(("g", false, -5.0), ("g", true, 999.0))
+      .toDF("g", "in_b", "v")
+    val r = AnalyticsOps.driftTvd(df, col("g"), col("in_b"), col("v"),
+      lo = 0.0, binWidth = 50.0, nBins = 10).head
+    // bin 0 vs bin 9: fully disjoint
+    assert(r.getAs[Double]("tvd") == 1.0 && r.getAs[Long]("n_bins") == 2L)
+  }
 }

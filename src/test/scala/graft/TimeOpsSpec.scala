@@ -163,6 +163,35 @@ class TimeOpsSpec extends AnyFunSuite {
     assert(out.select("p_tag").distinct().count() == 10L)
   }
 
+  test("scd2: merges consecutive same-state rows, half-open contiguous ranges") {
+    val e = Seq((1L, 10L, "A", 1L), (1L, 20L, "A", 2L), (1L, 30L, "B", 3L),
+        (1L, 40L, "A", 4L))
+      .toDF("k", "us", "st", "id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeOps.scd2(e, Seq("k"), col("st"), "ts",
+        Seq(col("us"), col("id")))
+      .select(col("state"), col("valid_from_us"), col("valid_to_us"),
+        col("is_current"))
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2), r.getInt(3))).sortBy(_._2)
+    // A@10 absorbs A@20; B opens at 30; A re-opens at 40 (not merged back)
+    assert(out.toSeq == Seq(("A", 10L, 30L, 0), ("B", 30L, 40L, 0),
+      ("A", 40L, -1L, 1)))
+  }
+
+  test("scd2: null is a real state — null->value and value->null open versions") {
+    val e = Seq((1L, 10L, Option.empty[String], 1L),
+        (1L, 20L, Option("A"), 2L), (1L, 30L, Option.empty[String], 3L),
+        (1L, 40L, Option.empty[String], 4L))
+      .toDF("k", "us", "st", "id")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeOps.scd2(e, Seq("k"), col("st"), "ts",
+      Seq(col("us"), col("id")))
+    assert(out.count() == 3L)  // null, A, null (trailing null run merged)
+    assert(out.filter(col("is_current") === 1 && col("state").isNull)
+      .count() == 1L)
+  }
+
   test("charShingles: short text shingles whole; duplicates collapse") {
     val df = Seq("abc", "abcdefgh", "aaaaaaaaaa").toDF("text")
     val out = df.select(TextOps.charShingles(col("text"), 8).as("s"))
