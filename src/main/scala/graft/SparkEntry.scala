@@ -313,6 +313,42 @@ object SparkEntry {
         .select(col("grp").as("event_type"), col("na"), col("nb"),
           col("n_bins"), col("tvd"), col("linf"))),
 
+    // Entity resolution: dirty-lookup of corrupted part names (3rd char
+    // deleted from every 7th part) against the clean catalog — blocked
+    // on the 2-char prefix (equi-join, never a cartesian), bounded
+    // levenshtein ≤ 2, deterministic best match by (distance, key).
+    "q80_fuzzy_match" -> ((s, dir) => {
+      val probes = t(s, dir, "part")
+        .filter(pmod(col("p_partkey"), lit(7)) === 3)
+        .select(col("p_partkey").as("probe_id"),
+          concat(substring(col("p_name"), 1, 2),
+            expr("substring(p_name, 4)")).as("probe_name"))
+      val catalog = t(s, dir, "part")
+        .select(col("p_partkey").as("match_id"),
+          col("p_name").as("match_name"))
+      R.dedupFirst(
+        D.fuzzyCandidates(probes, col("probe_name"),
+          catalog, col("match_name"), prefixLen = 2, maxDist = 2),
+        Seq("probe_id"), Seq(col("edit_dist"), col("match_id")))
+        .select(col("probe_id"), col("probe_name"), col("match_id"),
+          col("match_name"), col("edit_dist"))
+    }),
+
+    // Explicit Bloom pre-filtered semi-join: lineitems of suppliers in
+    // arrears. The 2 KB bloom (16384 bits over the dim keys) travels by
+    // broadcast and drops non-candidate fact rows MAP-SIDE before any
+    // exchange; the exact semi-join behind it makes false positives
+    // invisible — the oracle is the PLAIN semi-join (q51/q52's
+    // result-invisibility contract, here for runtime filtering).
+    "q81_bloom_semijoin" -> ((s, dir) =>
+      R.bloomSemiJoin(
+          t(s, dir, "lineitem"), col("l_suppkey"),
+          t(s, dir, "supplier").filter(col("s_acctbal") < 0),
+          col("s_suppkey"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum(C.money(col("l_quantity"))).as("sum_qty"))),
+
     // ------------------------------------------------------------------
     // LLM-training-data pipeline operators (documents / embeddings).
     // ------------------------------------------------------------------
@@ -1837,6 +1873,31 @@ object SparkEntry {
         | CAST(max(term) AS DOUBLE)
         |  / (CAST(max(na) AS DOUBLE) * CAST(max(nb) AS DOUBLE)) AS linf
         |FROM j GROUP BY 1""".stripMargin,
+
+    "q80_fuzzy_match" ->
+      """WITH p AS (SELECT p_partkey AS probe_id,
+        |  substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name,
+        |  substr(p_name, 1, 2) AS blk
+        | FROM part WHERE p_partkey % 7 = 3),
+        |c AS (SELECT p_partkey AS match_id, p_name AS match_name,
+        |  substr(p_name, 1, 2) AS blk FROM part),
+        |j AS (SELECT probe_id, probe_name, match_id, match_name,
+        |  CAST(levenshtein(probe_name, match_name) AS INT) AS edit_dist
+        | FROM p JOIN c USING (blk)
+        | WHERE levenshtein(probe_name, match_name) <= 2),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY probe_id
+        |  ORDER BY edit_dist, match_id) AS rn FROM j)
+        |SELECT probe_id, probe_name, match_id, match_name, edit_dist
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "q81_bloom_semijoin" ->
+      s"""SELECT l_returnflag, count(*) AS n_items,
+         | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+         |  AS DOUBLE) AS sum_qty
+         |FROM lineitem
+         |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
+         |  WHERE s_acctbal < 0)
+         |GROUP BY 1""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

@@ -325,6 +325,36 @@ object DedupOps {
     * per-token lambda on the corpus scan; spec-pinned equal to the
     * composable form. (split always yields ≥1 token, so the empty-array
     * filter of the generic path is vacuous here.) */
+  /** Blocked fuzzy candidate generation for entity resolution: join
+    * probe strings (misspelled, OCR'd, externally keyed) against a clean
+    * catalog on a shared PREFIX block, then keep pairs within `maxDist`
+    * edit distance. The prefix equi-join is what makes this a
+    * hash-partitionable plan — the naive all-pairs levenshtein is a
+    * cartesian product no cluster survives; blocking bounds candidates
+    * to same-prefix groups at the standard blocking-recall trade (a typo
+    * INSIDE the prefix escapes the block — widen recall by unioning a
+    * second blocking key, e.g. suffix or phonetic, each pass staying an
+    * equi-join).
+    *
+    * The distance call uses Spark's bounded levenshtein (early exit past
+    * `maxDist` — the common far-apart pair costs O(name·maxDist), not
+    * O(name²)). Compose with [[RelationalOps.dedupFirst]] on
+    * (distance, catalog key) for deterministic best-match resolution.
+    * Both sides' columns pass through; name them disjointly. */
+  def fuzzyCandidates(probes: DataFrame, probeName: Column,
+                      catalog: DataFrame, catName: Column,
+                      prefixLen: Int, maxDist: Int): DataFrame = {
+    require(prefixLen > 0 && maxDist >= 0,
+      s"need prefixLen > 0 and maxDist >= 0, got $prefixLen/$maxDist")
+    val d = levenshtein(probeName, catName, maxDist)
+    probes.withColumn("__blk", substring(probeName, 1, prefixLen))
+      .join(catalog.withColumn("__blk", substring(catName, 1, prefixLen)),
+        Seq("__blk"))
+      .withColumn("edit_dist", d)
+      .filter(col("edit_dist") >= 0) // bounded form returns -1 past maxDist
+      .drop("__blk")
+  }
+
   def simhashText(df: DataFrame, id: String, text: Column): DataFrame =
     df.select(col(id),
       call_function("simhash60", call_function("token_hash60_array", text))

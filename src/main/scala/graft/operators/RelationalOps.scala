@@ -98,6 +98,55 @@ object RelationalOps {
     salted.join(replicated, keys :+ sc).drop(sc)
   }
 
+  /** Semi-join with an EXPLICIT Bloom pre-filter: build a `numBits`-bit
+    * Bloom filter over the dim keys as a plain DataFrame aggregate
+    * (k hash positions → 64-bit words bit_or'd together), broadcast the
+    * word map (numBits/8 bytes — KBs where the dim itself is GBs), and
+    * drop non-candidate fact rows MAP-SIDE before the exact semi-join.
+    *
+    * This is the manual form of the runtime-filter Catalyst injects at
+    * cluster thresholds (see PlanShapeSpec's InjectRuntimeFilter proof):
+    * spelled out as an operator so the pre-shuffle prune is available
+    * unconditionally — at 100 TB the win is that the EXCLUDED fact rows
+    * (typically the vast majority against a selective dim) never enter
+    * the exchange. False positives cost nothing but a wasted candidate
+    * row: the exact semi-join behind the filter decides membership, so
+    * the result is bit-identical to the plain semi-join (the oracle IS
+    * the plain semi-join — bloom must be result-invisible, q51/q52's
+    * salting contract).
+    *
+    * Hashing reuses the deterministic md5-prefix family (TextOps.hash32
+    * with per-probe salts), so the filter itself is reproducible across
+    * runs, partitionings, and engines. */
+  def bloomSemiJoin(fact: DataFrame, key: Column,
+                    dim: DataFrame, dimKey: Column,
+                    numBits: Int = 1 << 14, numHashes: Int = 3): DataFrame = {
+    require(numBits >= 64 && numBits % 64 == 0,
+      s"numBits must be a positive multiple of 64, got $numBits")
+    require(numHashes > 0, s"numHashes must be positive, got $numHashes")
+    def pos(c: Column, h: Int): Column =
+      pmod(TextOps.hash32(concat(lit(s"bf$h:"), c.cast("string"))),
+        lit(numBits))
+    val words = (0 until numHashes)
+      .map(h => dim.select(pos(dimKey, h).as("__pos")))
+      .reduce(_ union _)
+      .select((col("__pos") / 64).cast("long").as("__w"),
+        call_function("shiftleft", lit(1L),
+          pmod(col("__pos"), lit(64)).cast("int")).as("__m"))
+      .groupBy(col("__w")).agg(expr("bit_or(__m)").as("__bits"))
+    val bf = words.agg(map_from_entries(
+      collect_list(struct(col("__w"), col("__bits")))).as("__bf"))
+    val mayContain = (0 until numHashes).map { h =>
+      val p = pos(key, h)
+      (coalesce(try_element_at(col("__bf"), (p / 64).cast("long")),
+        lit(0L)).bitwiseAND(call_function("shiftleft", lit(1L),
+          pmod(p, lit(64)).cast("int")))) =!= 0L
+    }.reduce(_ && _)
+    fact.crossJoin(broadcast(bf)).filter(mayContain).drop("__bf")
+      .join(dim.select(dimKey.as("__dk")).distinct(),
+        key === col("__dk"), "left_semi")
+  }
+
   /** F8: positional row slice `df[lo:hi]` (create-maps.py:22-24) — rows at
     * positions (lo, hi] under a total order, returned IN slice order.
     *

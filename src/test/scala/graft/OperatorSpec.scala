@@ -87,6 +87,36 @@ class OperatorSpec extends AnyFunSuite {
     assert(R.manyToOneViolations(ok, Seq("k")).isEmpty)
     assert(!R.manyToOneViolations(bad, Seq("k")).isEmpty)
   }
+
+  test("fuzzyCandidates: in-block typos match with true distance; prefix typos escape") {
+    val probes = Seq((1L, "smoll ring"), (2L, "Xmall ring")).toDF("pid", "pn")
+    val cat = Seq((10L, "small ring"), (11L, "small king")).toDF("cid", "cn")
+    val out = graft.operators.DedupOps.fuzzyCandidates(
+        probes, col("pn"), cat, col("cn"), prefixLen = 2, maxDist = 2)
+      .select(col("pid"), col("cid"), col("edit_dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(out((1L, 10L)) == 1)  // o->a substitution
+    assert(out((1L, 11L)) == 2)  // o->a plus r->k
+    // probe 2's typo is INSIDE the 2-char prefix -> different block, no row
+    assert(!out.keySet.exists(_._1 == 2L))
+  }
+
+  test("bloomSemiJoin equals the plain semi-join even with forced false positives") {
+    // 64-bit filter over 200 fact keys: collisions guaranteed; the exact
+    // semi-join behind the bloom must erase them.
+    val fact = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "v")
+    val dim = Seq(3L, 77L, 199L, 4000L).toDF("dk")
+    val got = R.bloomSemiJoin(fact, col("k"), dim, col("dk"),
+        numBits = 64, numHashes = 1)
+      .select("k").as[Long].collect().sorted.toSeq
+    assert(got == Seq(3L, 77L, 199L))
+  }
+
+  test("bloomSemiJoin: empty dim yields empty result, not an error") {
+    val fact = Seq((1L, "a")).toDF("k", "v")
+    val dim = Seq.empty[Long].toDF("dk")
+    assert(R.bloomSemiJoin(fact, col("k"), dim, col("dk")).isEmpty)
+  }
 }
 
 /** Smoke: every declared query runs on sf0.001 and the entry returns rows. */
