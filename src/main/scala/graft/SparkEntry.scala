@@ -317,6 +317,10 @@ object SparkEntry {
     // deleted from every 7th part) against the clean catalog — blocked
     // on the 2-char prefix (equi-join, never a cartesian), bounded
     // levenshtein ≤ 2, deterministic best match by (distance, key).
+    // The catalog pre-reduces to one canonical (min) id per distinct
+    // name — provably output-identical under the (dist, id) tiebreak
+    // (the winning id IS the min id of the winning name), and it keeps
+    // the candidate fan-out at name-domain size instead of row count.
     "q80_fuzzy_match" -> ((s, dir) => {
       val probes = t(s, dir, "part")
         .filter(pmod(col("p_partkey"), lit(7)) === 3)
@@ -324,8 +328,8 @@ object SparkEntry {
           concat(substring(col("p_name"), 1, 2),
             expr("substring(p_name, 4)")).as("probe_name"))
       val catalog = t(s, dir, "part")
-        .select(col("p_partkey").as("match_id"),
-          col("p_name").as("match_name"))
+        .groupBy(col("p_name").as("match_name"))
+        .agg(min(col("p_partkey")).as("match_id"))
       R.dedupFirst(
         D.fuzzyCandidates(probes, col("probe_name"),
           catalog, col("match_name"), prefixLen = 2, maxDist = 2),
@@ -1879,8 +1883,8 @@ object SparkEntry {
         |  substr(p_name, 1, 2) || substr(p_name, 4) AS probe_name,
         |  substr(p_name, 1, 2) AS blk
         | FROM part WHERE p_partkey % 7 = 3),
-        |c AS (SELECT p_partkey AS match_id, p_name AS match_name,
-        |  substr(p_name, 1, 2) AS blk FROM part),
+        |c AS (SELECT p_name AS match_name, min(p_partkey) AS match_id,
+        |  substr(p_name, 1, 2) AS blk FROM part GROUP BY 1, 3),
         |j AS (SELECT probe_id, probe_name, match_id, match_name,
         |  CAST(levenshtein(probe_name, match_name) AS INT) AS edit_dist
         | FROM p JOIN c USING (blk)
