@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Product/behavioral analytics over event streams: cohort retention,
@@ -26,22 +27,24 @@ object AnalyticsOps {
     * shuffle join of the event scan against it ON THE SAME KEY (the
     * exchange is reused, not repeated), one combinable groupBy(cohort,
     * offset) — distinct-actor counting shuffles (actor, day) pairs, not
-    * raw events. Cohort sizes are a second tiny aggregate of the
-    * already-built cohort table, broadcast back. No windows, no
-    * driver-side state; output cardinality is days × offsets, independent
-    * of corpus size. */
+    * raw events. The cohort size is read off the AGGREGATED output
+    * (every member is active at offset 0 by definition, so size =
+    * the day-0 n_active) via a window over cohort-days — a separate
+    * size aggregate would re-run the user-level pass over the corpus
+    * (plan-asserted: exactly one actor-keyed exchange). Output
+    * cardinality is days × offsets, independent of corpus size. */
   def cohortRetention(events: DataFrame, actor: Column,
                       ts: Column): DataFrame = {
     val ev = events.select(actor.as("__actor"), to_date(ts).as("__day"))
     val cohort = ev.groupBy(col("__actor"))
       .agg(min(col("__day")).as("cohort_day"))
-    val sizes = cohort.groupBy(col("cohort_day"))
-      .agg(count(lit(1)).as("cohort_size"))
+    val w = Window.partitionBy(col("cohort_day"))
     ev.join(cohort, "__actor")
       .groupBy(col("cohort_day"),
         datediff(col("__day"), col("cohort_day")).as("days_since"))
       .agg(countDistinct(col("__actor")).as("n_active"))
-      .join(broadcast(sizes), "cohort_day")
+      .withColumn("cohort_size",
+        max(when(col("days_since") === 0, col("n_active"))).over(w))
       .select(
         date_format(col("cohort_day"), "yyyy-MM-dd").as("cohort_day"),
         col("days_since"), col("n_active"), col("cohort_size"),

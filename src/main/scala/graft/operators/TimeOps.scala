@@ -219,8 +219,18 @@ object TimeOps {
       Iterator.iterate(base)(_ + "_").find(!df.columns.contains(_)).get
     val prev = fresh("__scd_prev")
     val seen = fresh("__scd_seen")
-    val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)
-    df.withColumn("state", state)
+    // Materialize the order expressions ONCE and build every window over
+    // the materialized columns: handing the raw expressions to each
+    // window gives each a distinct projected sort key (_w0#n), so Spark
+    // plans three Sort+Window passes instead of fusing the two lags into
+    // one Window and eliding the post-filter re-sort (plan-asserted).
+    val ordNames = order.indices.map(i => fresh(s"__scd_o$i"))
+    val ordered = order.zip(ordNames).foldLeft(df) {
+      case (d, (o, n)) => d.withColumn(n, o)
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(ordNames.map(col): _*)
+    ordered.withColumn("state", state)
       .withColumn("valid_from_us", unix_micros(col(tsCol)))
       .withColumn(prev, lag(col("state"), 1).over(w))
       // lag of a literal marks "a previous row EXISTS" — `prev` alone
@@ -231,6 +241,6 @@ object TimeOps {
       .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(w))
       .withColumn("is_current",
         when(col("valid_to_us").isNull, 1).otherwise(0))
-      .drop(prev, seen)
+      .drop(prev +: seen +: ordNames: _*)
   }
 }

@@ -319,4 +319,41 @@ class PlanShapeSpec extends AnyFunSuite {
     } finally saved.foreach { case (k, v) =>
       v.fold(conf.unset(k))(conf.set(k, _)) }
   }
+
+  test("q78 scd2: one exchange, one sort, both lags fused into one window") {
+    val p = plan("q78_scd2_history")
+    val exchanges = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    val sortCount = "\\bSort \\[".r.findAllIn(p).length
+    val windowCount = "\\bWindow \\[".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$p")
+    assert(sortCount == 1, s"expected 1 sort, got $sortCount:\n$p")
+    assert(windowCount == 2,
+      s"expected 2 windows (fused lags + lead), got $windowCount:\n$p")
+  }
+
+  test("q74 cohort: the actor-level aggregate runs exactly once") {
+    val p = plan("q74_cohort_retention")
+    val actorExchanges = p.linesIterator
+      .count(_.contains("hashpartitioning(__actor"))
+    assert(actorExchanges == 1,
+      s"cohort assignment should shuffle the corpus on the actor ONCE, " +
+        s"got $actorExchanges:\n$p")
+  }
+
+  test("bloomSemiJoin: map-side bloom filter sits above the fact scan, " +
+    "exact join is semi") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val fact = (1L to 1000L).map(k => (k, s"v$k")).toDF("k", "v")
+    val dim = Seq(3L, 77L).toDF("dk")
+    val df = graft.operators.RelationalOps
+      .bloomSemiJoin(fact, col("k"), dim, col("dk"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("shiftleft(1,"),
+      s"no bloom bit-test filter in the plan:\n$p")
+    assert(p.contains("LeftSemi"), s"no exact semi-join behind the bloom:\n$p")
+    assert(!p.contains("CartesianProduct") ||
+      p.contains("BroadcastNestedLoopJoin"), // 1-row bf crossJoin is broadcast
+      s"unexpected cartesian:\n$p")
+  }
 }
