@@ -338,6 +338,37 @@ object SparkEntry {
           col("match_name"), col("edit_dist"))
     }),
 
+    // One-pass column profile of orders — the ingest-time data-quality
+    // census: row/null/distinct counts and numeric min/max per column,
+    // from ONE scan + one bounded shuffle (stack unpivot, not N scans).
+    "q82_profile" -> ((s, dir) =>
+      An.profile(t(s, dir, "orders"), Seq("o_orderkey", "o_custkey",
+        "o_orderstatus", "o_totalprice", "o_orderpriority"))),
+
+    // Exact CUSUM changepoint series: per event type, the running
+    // deviation of daily volume from the period mean. The numerator
+    // stays an exact int64 on the common denominator n (a float running
+    // sum would be engine-dependent: DuckDB's windowed SUM adds in
+    // segment-tree order, not scan order).
+    "q83_cusum" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("y"))
+      An.cusum(daily, col("event_type"), col("day"), col("y"))
+        .select(col("grp").as("event_type"),
+          date_format(col("x"), "yyyy-MM-dd").as("day"), col("y"),
+          col("cusum"))
+    }),
+
+    // Triangle census of the near-dup graph (pairs from the session
+    // sweep — the q25/q35/q61/q66 build, fifth consumer, zero rebuild):
+    // clustering coefficient near 1 ⇒ dup families are closed cliques
+    // that transitive clustering collapses cleanly; near 0 ⇒ chainy
+    // borderline similarity that would over-merge. Degree-ordered
+    // enumeration (one out-vertex per triangle, O(√E) out-degree).
+    "q84_triangles" -> ((s, dir) =>
+      G.triangleStats(wordNearDupPairs(s, dir), "id_a", "id_b")),
+
     // Explicit Bloom pre-filtered semi-join: lineitems of suppliers in
     // arrears. The 2 KB bloom (16384 bits over the dim keys) travels by
     // broadcast and drops non-candidate fact rows MAP-SIDE before any
@@ -1902,6 +1933,56 @@ object SparkEntry {
          |WHERE l_suppkey IN (SELECT s_suppkey FROM supplier
          |  WHERE s_acctbal < 0)
          |GROUP BY 1""".stripMargin,
+
+    "q82_profile" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+      "o_totalprice", "o_orderpriority").map { c =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+           | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |  AS n_nulls,
+           | CAST(count(DISTINCT CAST($c AS VARCHAR)) AS BIGINT)
+           |  AS n_distinct,
+           | min(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)) AS min_num,
+           | max(TRY_CAST(CAST($c AS VARCHAR) AS DOUBLE)) AS max_num
+           |FROM orders""".stripMargin
+      }.mkString("", "\nUNION ALL\n", ""),
+
+    "q83_cusum" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |  count(*) AS y FROM events GROUP BY 1, 2),
+        |t AS (SELECT event_type, CAST(sum(y) AS BIGINT) AS tt,
+        |  count(*) AS n FROM d GROUP BY 1),
+        |w AS (SELECT d.event_type, d.day, d.y,
+        |  CAST(sum(d.y) OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |   AS BIGINT) AS rs,
+        |  row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+        |   AS rk,
+        |  t.tt, t.n
+        | FROM d JOIN t USING (event_type))
+        |SELECT event_type, strftime(day, '%Y-%m-%d') AS day,
+        | CAST(y AS BIGINT) AS y,
+        | CAST(n * rs - rk * tt AS DOUBLE) / CAST(n AS DOUBLE) AS cusum
+        |FROM w""".stripMargin,
+
+    "q84_triangles" ->
+      s"""WITH $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS u,
+         |  greatest(id_a, id_b) AS v FROM pairs WHERE id_a <> id_b),
+         |deg AS (SELECT node, count(*) AS d FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         | GROUP BY 1),
+         |tri AS (SELECT count(*) AS t FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |sz AS (SELECT count(*) AS n_nodes,
+         |  CAST(sum(d * (d - 1)) // 2 AS BIGINT) AS n_wedges FROM deg),
+         |ne AS (SELECT count(*) AS n_edges FROM e)
+         |SELECT sz.n_nodes, ne.n_edges, sz.n_wedges,
+         | CAST(tri.t AS BIGINT) AS n_triangles,
+         | CASE WHEN sz.n_wedges > 0
+         |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
+         |  ELSE 0.0 END AS clustering
+         |FROM sz, ne, tri""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

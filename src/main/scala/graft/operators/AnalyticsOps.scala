@@ -213,4 +213,55 @@ object AnalyticsOps {
         (col("__num").cast("double") / ((lit(2.0) * naD) * nbD)).as("tvd"),
         (col("__max").cast("double") / (naD * nbD)).as("linf"))
   }
+
+  /** One-pass column profile — the ingest-time data-quality census
+    * (row/null/distinct counts, numeric min/max) for every listed
+    * column. The table unpivots map-side (`stack` — a projection, not a
+    * shuffle or N scans) into (column, value) rows, then ONE combinable
+    * aggregate per column computes all stats; profiling N columns costs
+    * one scan + one bounded shuffle regardless of N.
+    *
+    * Values travel as strings (the only type all columns share);
+    * distinct counting is injective per engine so counts agree, and
+    * numeric min/max re-parse via try_cast — non-numeric columns
+    * profile as null min/max instead of erroring. */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val args = cols.flatMap(c => Seq(lit(c), col(c).cast("string")))
+    df.select(stack(lit(cols.length) +: args: _*)
+        .as(Seq("column_name", "__val")))
+      .groupBy(col("column_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("__val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+        countDistinct(col("__val")).as("n_distinct"),
+        min(expr("try_cast(__val AS double)")).as("min_num"),
+        max(expr("try_cast(__val AS double)")).as("max_num"))
+  }
+
+  /** Exact CUSUM series per group: the classic changepoint signal
+    * C_d = Σ_{k≤d} (y_k − μ) over INTEGER observations, where μ is the
+    * group mean. A float running sum would be engine-dependent (DuckDB's
+    * windowed SUM accumulates via a segment tree — different addition
+    * order than a sequential scan), so the series stays on the common
+    * denominator n: C_d = (n·Σ_{k≤d} y_k − rank_d·T) / n with an exact
+    * int64 numerator and one final double division.
+    *
+    * One tiny per-group total (broadcast back) + one window over the
+    * PRE-AGGREGATED series (one row per (group, x) — the q72/q76
+    * bounded-group monitoring regime, not raw events). */
+  def cusum(points: DataFrame, group: Column, x: Column,
+            y: Column): DataFrame = {
+    val p = points.select(group.as("grp"), x.as("x"),
+      y.cast("long").as("y"))
+    val tot = p.groupBy(col("grp"))
+      .agg(sum(col("y")).as("__t"), count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col("grp")).orderBy(col("x"))
+    p.join(broadcast(tot), "grp")
+      .withColumn("__rs", sum(col("y"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__rk", row_number().over(w).cast("long"))
+      .select(col("grp"), col("x"), col("y"),
+        ((col("__n") * col("__rs") - col("__rk") * col("__t"))
+          .cast("double") / col("__n").cast("double")).as("cusum"))
+  }
 }

@@ -187,4 +187,57 @@ object GraphOps {
         concat_ws(",", transform(sort_array(collect_list(col("node"))),
           _.cast("string"))).as("members"))
       .select(col("label").as("cluster_id"), col("n_members"), col("members"))
+
+  /** Triangle census of an undirected pair graph: nodes, edges, wedges
+    * (open 2-paths), triangles, and the global clustering coefficient
+    * 3·T/W — the corpus-health shape metric for a near-dup graph (a
+    * coefficient near 1 means dup families are closed cliques exact
+    * clustering collapses cleanly; near 0 means chainy borderline
+    * similarity that transitive clustering will over-merge).
+    *
+    * Enumeration is DEGREE-ORDERED (Cohen, "Graph Twiddling in a
+    * MapReduce World", CiSE 2009): each edge orients from its
+    * (degree, id)-smaller endpoint to the larger, wedges expand only
+    * from out-neighbor pairs, and a semi-join against the oriented
+    * edges closes them. Each triangle has exactly ONE vertex with two
+    * out-edges inside it, so no dedup pass is needed — and max
+    * out-degree is O(√edges) on ANY graph, so the wedge explosion a
+    * hub vertex causes under naive enumeration (deg² wedges on the
+    * raw adjacency) cannot happen. All joins are equi-joins on node
+    * ids; counts are exact integers, the coefficient is one final
+    * double expression. */
+  def triangleStats(pairs: DataFrame, a: String, b: String): DataFrame = {
+    val e = pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val ranked = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ranked.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("d"),
+      when(uFirst, struct(col("dv").as("rd"), col("v").as("rn")))
+        .otherwise(struct(col("du").as("rd"), col("u").as("rn"))).as("dr"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dr") < col("e2.dr"))
+      .select(col("e1.d").as("x"), col("e2.d").as("y"))
+    val tri = wedges.join(
+        o.select(col("s").as("x"), col("d").as("y")), Seq("x", "y"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_triangles"))
+    val sizes = deg.agg(count(lit(1)).as("n_nodes"),
+      // integer div AFTER the exact sum (every term is even) — deg*(deg-1)/2
+      // inside the sum would be a double division
+      expr("sum(deg * (deg - 1)) div 2").as("n_wedges"))
+    val edges = e.agg(count(lit(1)).as("n_edges"))
+    sizes.crossJoin(edges).crossJoin(tri)
+      .withColumn("clustering",
+        when(col("n_wedges") > 0,
+          (lit(3.0) * col("n_triangles").cast("double")) /
+            col("n_wedges").cast("double")).otherwise(lit(0.0)))
+  }
 }

@@ -130,4 +130,23 @@ class AnalyticsSpec extends AnyFunSuite {
     // bin 0 vs bin 9: fully disjoint
     assert(r.getAs[Double]("tvd") == 1.0 && r.getAs[Long]("n_bins") == 2L)
   }
+
+  test("profile: nulls counted, exact distinct, non-numeric min/max -> null") {
+    val df = Seq((Some(3), "a"), (Some(1), "b"), (None, "a"))
+      .toDF("num", "tag")
+    val out = AnalyticsOps.profile(df, Seq("num", "tag"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3),
+          Option(r.get(4)), Option(r.get(5)))).toMap
+    assert(out("num") == ((3L, 1L, 2L, Some(1.0), Some(3.0))))
+    assert(out("tag") == ((3L, 0L, 2L, None, None)))
+  }
+
+  test("cusum: exact running deviation from the group mean, ends at zero") {
+    val pts = Seq(("g", 1, 1L), ("g", 2, 3L), ("g", 3, 2L)).toDF("g", "x", "y")
+    val out = AnalyticsOps.cusum(pts, col("g"), col("x"), col("y"))
+      .orderBy(col("x")).select(col("cusum")).as[Double].collect().toSeq
+    // mean = 2: deviations -1, +1, 0 -> cusum -1, 0, 0 (always ends at 0)
+    assert(out == Seq(-1.0, 0.0, 0.0))
+  }
 }

@@ -117,4 +117,25 @@ class GraphSpec extends AnyFunSuite {
     assert(rows == Seq((1L, 3L, "1,2,10"), (3L, 2L, "3,4")))
     spark.catalog.clearCache()
   }
+
+  test("triangleStats: triangle + chain, duplicate/reversed/self edges collapse") {
+    // triangle {1,2,3} (3 wedges, 1 triangle) + chain 4-5-6 (1 wedge),
+    // fed with a reversed duplicate, an exact duplicate, and a self-loop
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 2L), (1L, 2L),
+        (4L, 5L), (5L, 6L), (6L, 6L))
+      .toDF("a", "b")
+    val r = G.triangleStats(pairs, "a", "b").head
+    assert(r.getAs[Long]("n_nodes") == 6L)
+    assert(r.getAs[Long]("n_edges") == 5L)
+    assert(r.getAs[Long]("n_wedges") == 4L)
+    assert(r.getAs[Long]("n_triangles") == 1L)
+    assert(r.getAs[Double]("clustering") == 0.75)
+  }
+
+  test("triangleStats: wedge-free graph reports clustering 0 without dividing") {
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("a", "b")
+    val r = G.triangleStats(pairs, "a", "b").head
+    assert(r.getAs[Long]("n_wedges") == 0L &&
+      r.getAs[Double]("clustering") == 0.0)
+  }
 }
