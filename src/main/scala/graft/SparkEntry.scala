@@ -369,6 +369,21 @@ object SparkEntry {
     "q84_triangles" -> ((s, dir) =>
       G.triangleStats(wordNearDupPairs(s, dir), "id_a", "id_b")),
 
+    // Incremental dedup: a simulated crawl delta (every 10th doc)
+    // admitted against the existing corpus. Candidate probes come ONLY
+    // from the delta's bands — existing×existing pairs are never
+    // enumerated, the shape that lets a daily delta dedup against a
+    // 100 TB history. Greedy-by-id verdict: rejected if near-dup of any
+    // existing doc or a smaller-id batch mate.
+    "q85_incremental_dedup" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val incoming = docs.filter(pmod(col("doc_id"), lit(10)) === 7)
+      val existing = docs.filter(pmod(col("doc_id"), lit(10)) =!= 7)
+      D.incrementalVerdict(existing, incoming, "doc_id",
+        D.wordKernels(col("text"), 3), 0.8)
+    }),
+
     // Explicit Bloom pre-filtered semi-join: lineitems of suppliers in
     // arrears. The 2 KB bloom (16384 bits over the dim keys) travels by
     // broadcast and drops non-candidate fact rows MAP-SIDE before any
@@ -1983,6 +1998,22 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q85_incremental_dedup" ->
+      s"""WITH $sqlWordNearDupCtes,
+         |p AS ($sqlWordNearDupSelect),
+         |inc AS (SELECT doc_id FROM documents WHERE doc_id % 10 = 7),
+         |rej AS (
+         |  SELECT id_b AS in_id, id_a AS other FROM p WHERE id_b % 10 = 7
+         |  UNION ALL
+         |  SELECT id_a, id_b FROM p
+         |   WHERE id_a % 10 = 7 AND id_b % 10 <> 7)
+         |SELECT i.doc_id,
+         | CASE WHEN min(r.in_id) IS NULL THEN 1 ELSE 0 END AS keep,
+         | CAST(count(r.other) AS BIGINT) AS n_dups,
+         | min(r.other) AS blame_id
+         |FROM inc i LEFT JOIN rej r ON r.in_id = i.doc_id
+         |GROUP BY i.doc_id""".stripMargin,
 
     "q19_token_stats" ->
       """SELECT doc_id, lang,

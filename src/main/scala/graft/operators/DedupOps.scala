@@ -325,6 +325,84 @@ object DedupOps {
     * per-token lambda on the corpus scan; spec-pinned equal to the
     * composable form. (split always yields ≥1 token, so the empty-array
     * filter of the generic path is vacuous here.) */
+  /** Incremental near-dup verdict: admit or reject an INCOMING batch
+    * against an EXISTING corpus without ever enumerating
+    * existing×existing candidates — the production corpus-refresh shape
+    * (daily crawl deltas against a 100 TB history). The band self-join a
+    * full-corpus dedup runs is quadratic in same-bucket occupancy;
+    * here the probe side of every candidate join is the DELTA's bands
+    * only, so work scales with |delta| (and at scale the existing side's
+    * bands are the PRE-STORED band index — bucketed by (band, hash) —
+    * rather than recomputed, which this operator models by building them
+    * in one pass).
+    *
+    * Verdict semantics (greedy-by-id, the q35 pair rule, not transitive
+    * clustering): an incoming doc is rejected if it near-dups ANY
+    * existing doc, or an incoming doc with a smaller id (first-wins
+    * within the batch, so one batch admits exactly one member of each
+    * new dup family). No cascade: a doc rejected by an existing dup
+    * still rejects its own larger-id batch dups — deterministic and
+    * definitional, matching the oracle twin.
+    *
+    * Output: one row per incoming doc — keep flag, rejector count, and
+    * the smallest rejecting id (null when kept). Docs too short to
+    * shingle have no signature, match nothing, and are kept. */
+  def incrementalVerdict(existing: DataFrame, incoming: DataFrame,
+                         id: String, kernels: NearDupKernels,
+                         threshold: Double): DataFrame = {
+    def sigsOf(d: DataFrame): DataFrame =
+      d.select(col(id), kernels.sig.as("__sig"))
+        .filter(col("__sig").isNotNull)
+        .select(col(id) +: (0 until K).map(k =>
+          element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
+    val bIn = lshBands(sigsOf(incoming), id)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bEx = lshBands(sigsOf(existing), id)
+    val probe = bIn.select(col(id).as("in_id"), col("band"),
+      col("band_hash"))
+    def candidatesAgainst(other: DataFrame, keep: Column): DataFrame =
+      probe.join(other
+          .select(col(id).as("other_id"), col("band").as("__b"),
+            col("band_hash").as("__h")),
+        col("band") === col("__b") && col("band_hash") === col("__h") &&
+          keep)
+        .select(col("in_id"), col("other_id")).distinct()
+    val cand = candidatesAgainst(bEx, lit(true))
+      .withColumn("other_existing", lit(true))
+      .unionByName(
+        // within-batch: only the SMALLER id can reject, so enumerate
+        // (larger, smaller) directly — each unordered pair once
+        candidatesAgainst(bIn, col("other_id") < col("in_id"))
+          .withColumn("other_existing", lit(false)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val docsAll = existing.unionByName(incoming)
+    val candDocs = docsAll.join(
+        cand.select(explode(array(col("in_id"), col("other_id")))
+          .as("__cid")).distinct(),
+        col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__cid"), kernels.hashedSet.as("__sl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val inter = call_function("sorted_intersect_count",
+      col("__s_in"), col("__s_ot"))
+    val rejectors = cand
+      .join(candDocs.select(col("__cid").as("in_id"),
+        col("__sl").as("__s_in")), "in_id")
+      .join(candDocs.select(col("__cid").as("other_id"),
+        col("__sl").as("__s_ot")), "other_id")
+      .withColumn("__i", inter)
+      .withColumn("__j", col("__i").cast("double") /
+        (size(col("__s_in")) + size(col("__s_ot")) - col("__i"))
+          .cast("double"))
+      .filter(col("__j") >= threshold)
+      .select(col("in_id"), col("other_id"))
+    incoming.select(col(id))
+      .join(rejectors, col(id) === col("in_id"), "left")
+      .groupBy(col(id))
+      .agg(max(when(col("in_id").isNull, 1).otherwise(0)).as("keep"),
+        count(col("other_id")).as("n_dups"),
+        min(col("other_id")).as("blame_id"))
+  }
+
   /** Blocked fuzzy candidate generation for entity resolution: join
     * probe strings (misspelled, OCR'd, externally keyed) against a clean
     * catalog on a shared PREFIX block, then keep pairs within `maxDist`

@@ -753,4 +753,26 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out.length == 1)
     assert(out.head._2 == 3L && out.head._3 == 4L && out.head._4 == 1L)
   }
+
+  test("incrementalVerdict: greedy-by-id — existing rejects, batch first-wins, " +
+    "no cascade, unmatched kept") {
+    val txt = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words that share nothing at all here ok"
+    // existing: doc 5 = txt; incoming: 11 = txt (dup of 5), 12 = txt
+    // (dup of 5 AND 11), 20 = other (unique), 21 = other (dup of 20 only)
+    val existing = Seq((5L, txt)).toDF("doc_id", "text")
+    val incoming = Seq((11L, txt), (12L, txt), (20L, other), (21L, other))
+      .toDF("doc_id", "text")
+    val out = D.incrementalVerdict(existing, incoming, "doc_id",
+        D.wordKernels(col("text"), 3), 0.8)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), Option(r.get(3)))).toMap
+    assert(out(11L) == ((0, 1L, Some(5L))))      // rejected by existing
+    // rejected by BOTH existing 5 and batch-mate 11 (11 itself rejected:
+    // no cascade), blame = min id
+    assert(out(12L) == ((0, 2L, Some(5L))))
+    assert(out(20L) == ((1, 0L, None)))          // novel: kept
+    assert(out(21L) == ((0, 1L, Some(20L))))     // batch first-wins
+    spark.catalog.clearCache()
+  }
 }
