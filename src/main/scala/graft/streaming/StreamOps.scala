@@ -113,6 +113,61 @@ object StreamOps {
       }(Encoders.product[SessionState], outEnc)
   }
 
+  final case class StepEvent(user_id: Long, us: Long, step: Int)
+  final case class FunnelBuf(times: Map[Int, List[Long]])
+  final case class FunnelReach(user_id: Long, reached: Int,
+                               frontier_us: Long)
+
+  /** Streaming strict-sequence funnel via flatMapGroupsWithState: per
+    * user, buffer per-step event times and re-derive the batch funnel
+    * chain (t₁ = earliest step-1; t_{i+1} = earliest step-(i+1) STRICTLY
+    * after t_i) on every trigger, emitting the user's current reach in
+    * Update mode — the live twin of [[graft.operators.AnalyticsOps
+    * .funnel]], spec-pinned to match it on identical input.
+    *
+    * Out-of-order safety is WHY the buffer exists: a greedy
+    * state-machine (advance on next-step arrival) silently under-counts
+    * when a step-k event arrives before its step-(k-1) predecessor —
+    * re-deriving from buffered times makes late predecessors retroactive
+    * exactly like batch. Earlier arrivals can LOWER an earlier frontier
+    * and make previously-useless later times eligible, so no time below
+    * the current frontier is safely prunable until event time is closed
+    * out: production pairs this with a watermark-driven state timeout
+    * (the [[sessionize]] close-out pattern) so the per-user buffer is
+    * bounded by the funnel horizon, not the stream's lifetime. */
+  def funnelProgress(events: Dataset[StepEvent], nSteps: Int)
+  : Dataset[FunnelReach] = {
+    implicit val outEnc = Encoders.product[FunnelReach]
+    def chain(times: Map[Int, List[Long]]): (Int, Long) = {
+      var frontier = Long.MinValue
+      var reached = 0
+      var i = 1
+      var done = false
+      while (i <= nSteps && !done) {
+        val next = times.getOrElse(i, Nil)
+          .filter(t => if (i == 1) true else t > frontier)
+        if (next.isEmpty) done = true
+        else { frontier = next.min; reached = i }
+        i += 1
+      }
+      (reached, if (reached == 0) 0L else frontier)
+    }
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FunnelBuf, FunnelReach](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (user, es, state: GroupState[FunnelBuf]) =>
+          val buf = es.foldLeft(
+            state.getOption.getOrElse(FunnelBuf(Map.empty))) { (b, e) =>
+            if (e.step < 1 || e.step > nSteps) b
+            else FunnelBuf(b.times.updated(e.step,
+              e.us :: b.times.getOrElse(e.step, Nil)))
+          }
+          state.update(buf)
+          val (reached, frontier) = chain(buf.times)
+          Iterator.single(FunnelReach(user, reached, frontier))
+      }(Encoders.product[FunnelBuf], outEnc)
+  }
+
   /** Batch-equivalence helper: the SAME windowedStats call on a batch
     * frame (no watermark needed for completeness in batch). Used by specs
     * to pin streaming results == batch results on identical input. */

@@ -138,4 +138,28 @@ class GraphSpec extends AnyFunSuite {
     assert(r.getAs[Long]("n_wedges") == 0L &&
       r.getAs[Double]("clustering") == 0.0)
   }
+
+  test("triangleStats matches brute-force enumeration on random graphs") {
+    val rnd = new scala.util.Random(1234)
+    for (trial <- 0 until 3) {
+      val n = 25
+      val raw = (0 until 80).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      val edges = raw.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+      val adj = edges.toSet
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+      val triBrute = (for {
+        i <- nodes; j <- nodes if j > i && adj((i, j))
+        k <- nodes if k > j && adj((j, k)) && adj((i, k))
+      } yield 1).size
+      val degs = edges.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).map(_._2.size.toLong)
+      val wedgeBrute = degs.map(d => d * (d - 1) / 2).sum
+      val r = G.triangleStats(raw.toDF("a", "b"), "a", "b").head
+      assert(r.getAs[Long]("n_triangles") == triBrute.toLong,
+        s"trial $trial triangles")
+      assert(r.getAs[Long]("n_wedges") == wedgeBrute, s"trial $trial wedges")
+    }
+  }
 }

@@ -211,4 +211,50 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
     assert(batch.size > 3, "expected multiple sessions per user")
   }
+
+  test("streaming funnelProgress matches batch funnel; late predecessors " +
+    "are retroactive") {
+    implicit val sc = spark.sqlContext
+    import StreamOps.StepEvent
+    // 40 users, 3 steps, random times; step events DELIBERATELY fed in
+    // two batches with the step-1 events LAST, so a greedy state machine
+    // would under-count every user.
+    val rng = new scala.util.Random(7)
+    val evs = (1L to 40L).flatMap { u =>
+      (1 to 3).flatMap { s =>
+        (0 until 2).map(_ => StepEvent(u, rng.nextInt(1000).toLong, s))
+      }
+    }
+    val (laterSteps, firstSteps) = evs.partition(_.step > 1)
+
+    val input = MemoryStream[StepEvent]
+    val q = StreamOps.funnelProgress(input.toDS, 3)
+      .writeStream.format("memory").queryName("funnel_parity")
+      .outputMode("update").start()
+    val streamed = try {
+      input.addData(laterSteps: _*)
+      q.processAllAvailable()
+      input.addData(firstSteps: _*) // late step-1 arrivals
+      q.processAllAvailable()
+      // Update mode emits once per (user, batch); reach is monotone in
+      // the event set, so the final value is the max
+      spark.table("funnel_parity")
+        .groupBy(col("user_id"))
+        .agg(max(col("reached")).as("reached"))
+        .as[(Long, Int)].collect().toMap
+    } finally q.stop()
+
+    // Batch twin on the identical event set
+    val batchDf = evs.toDF("user_id", "us", "step")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val perStep = graft.operators.AnalyticsOps.funnel(
+        batchDf, col("user_id"), col("ts"),
+        (1 to 3).map(s => s.toString -> (col("step") === s)))
+      .select(col("step"), col("n_actors")).as[(Int, Long)].collect().toMap
+    val streamedPerStep = (1 to 3).map(s =>
+      s -> streamed.values.count(_ >= s).toLong).toMap
+    assert(streamedPerStep == perStep,
+      s"streaming $streamedPerStep vs batch $perStep")
+    assert(perStep(2) > 0, "expected some users past step 1")
+  }
 }
