@@ -369,6 +369,16 @@ object SparkEntry {
     "q84_triangles" -> ((s, dir) =>
       G.triangleStats(wordNearDupPairs(s, dir), "id_a", "id_b")),
 
+    // Contingency screen: order priority × status, observed vs expected
+    // under independence with standardized residuals. Per-cell single
+    // expressions over exact integer counts (a summed χ² total would be
+    // partial-agg-order dependent — deliberately not emitted).
+    "q86_contingency" -> ((s, dir) =>
+      An.contingency(t(s, dir, "orders"), col("o_orderpriority"),
+          col("o_orderstatus"))
+        .select(col("r").as("priority"), col("c").as("status"),
+          col("observed"), col("expected"), col("residual"))),
+
     // Incremental dedup: a simulated crawl delta (every 10th doc)
     // admitted against the existing corpus. Candidate probes come ONLY
     // from the delta's bands — existing×existing pairs are never
@@ -1998,6 +2008,23 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q86_contingency" ->
+      """WITH o AS (SELECT o_orderpriority AS r, o_orderstatus AS c,
+        |  count(*) AS n FROM orders GROUP BY 1, 2),
+        |rt AS (SELECT r, CAST(sum(n) AS BIGINT) AS nr FROM o GROUP BY 1),
+        |ct AS (SELECT c, CAST(sum(n) AS BIGINT) AS nc FROM o GROUP BY 1),
+        |tt AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM o)
+        |SELECT o.r AS priority, o.c AS status,
+        | CAST(o.n AS BIGINT) AS observed,
+        | (CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE))
+        |  / CAST(tt.nn AS DOUBLE) AS expected,
+        | (CAST(o.n AS DOUBLE) -
+        |   (CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE))
+        |    / CAST(tt.nn AS DOUBLE))
+        |  / sqrt((CAST(rt.nr AS DOUBLE) * CAST(ct.nc AS DOUBLE))
+        |    / CAST(tt.nn AS DOUBLE)) AS residual
+        |FROM o JOIN rt USING (r) JOIN ct USING (c), tt""".stripMargin,
 
     "q85_incremental_dedup" ->
       s"""WITH $sqlWordNearDupCtes,

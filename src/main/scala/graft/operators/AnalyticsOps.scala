@@ -247,6 +247,33 @@ object AnalyticsOps {
         max(expr("try_cast(__val AS double)")).as("max_num"))
   }
 
+  /** Contingency table with expected counts and standardized residuals —
+    * the categorical-association screen (which (row, col) cells are
+    * over/under-represented vs independence). Per cell: observed count,
+    * expected = rowTotal·colTotal/N, residual = (o − e)/√e; |residual|
+    * beyond ~3 flags a dependent cell (the per-cell view of a χ²
+    * test — the TOTAL χ² is deliberately not emitted: summing float
+    * terms across cells would be partial-agg-order dependent, while
+    * every per-cell value here is a single deterministic expression
+    * over exact integer counts).
+    *
+    * One combinable (row, col) count shuffle; marginals are two tiny
+    * rollups of the cell table broadcast back — the corpus is scanned
+    * and shuffled once. */
+  def contingency(df: DataFrame, rowC: Column, colC: Column): DataFrame = {
+    val cells = df.select(rowC.as("r"), colC.as("c"))
+      .groupBy(col("r"), col("c")).agg(count(lit(1)).as("observed"))
+    val rt = cells.groupBy(col("r")).agg(sum(col("observed")).as("__nr"))
+    val ct = cells.groupBy(col("c")).agg(sum(col("observed")).as("__nc"))
+    val tt = cells.agg(sum(col("observed")).as("__nn"))
+    val e = (col("__nr").cast("double") * col("__nc").cast("double")) /
+      col("__nn").cast("double")
+    cells.join(broadcast(rt), "r").join(broadcast(ct), "c")
+      .crossJoin(broadcast(tt))
+      .select(col("r"), col("c"), col("observed"), e.as("expected"),
+        ((col("observed").cast("double") - e) / sqrt(e)).as("residual"))
+  }
+
   /** Exact CUSUM series per group: the classic changepoint signal
     * C_d = Σ_{k≤d} (y_k − μ) over INTEGER observations, where μ is the
     * group mean. A float running sum would be engine-dependent (DuckDB's

@@ -142,6 +142,24 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("tag") == ((3L, 0L, 2L, None, None)))
   }
 
+  test("contingency: independent table -> residual 0; dependent cell flags") {
+    // perfectly independent 2x2 (margins 2/2, N=4): every e == o
+    val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
+      .toDF("r", "c")
+    val r0 = AnalyticsOps.contingency(indep, col("r"), col("c"))
+      .select(col("residual")).as[Double].collect()
+    assert(r0.forall(_ == 0.0))
+    // all mass on the diagonal: off-diagonal cells are absent (observed
+    // cells only), diagonal cells over-represented
+    val dep = Seq(("a", "x"), ("a", "x"), ("b", "y"), ("b", "y"))
+      .toDF("r", "c")
+    val rows = AnalyticsOps.contingency(dep, col("r"), col("c"))
+      .collect().map(x => (x.getString(0), x.getString(1)) ->
+        (x.getLong(2), x.getDouble(3), x.getDouble(4))).toMap
+    assert(rows(("a", "x")) == ((2L, 1.0, 1.0)))  // o=2, e=1, resid=+1
+    assert(rows.size == 2)
+  }
+
   test("cusum: exact running deviation from the group mean, ends at zero") {
     val pts = Seq(("g", 1, 1L), ("g", 2, 3L), ("g", 3, 2L)).toDF("g", "x", "y")
     val out = AnalyticsOps.cusum(pts, col("g"), col("x"), col("y"))
