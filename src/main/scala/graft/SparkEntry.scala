@@ -369,6 +369,14 @@ object SparkEntry {
     "q84_triangles" -> ((s, dir) =>
       G.triangleStats(wordNearDupPairs(s, dir), "id_a", "id_b")),
 
+    // Collocation mining: top-20 adjacent bigrams by LIFT = c_xy·N /
+    // (c_x·c_y) — PMI's argument without the libm-dependent ln (the
+    // ranking is identical: log is monotone). One exact-integer-input
+    // division; ties broken by the pair itself.
+    "q87_collocations" -> ((s, dir) =>
+      T.collocationLift(spread(s, t(s, dir, "documents")), col("text"),
+        minCount = 5, k = 20)),
+
     // Contingency screen: order priority × status, observed vs expected
     // under independence with standardized residuals. Per-cell single
     // expressions over exact integer counts (a summed χ² total would be
@@ -2008,6 +2016,25 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q87_collocations" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |bg AS (SELECT unnest([struct_pack(w1 := w[i], w2 := w[i + 1])
+        |   for i in generate_series(1, len(w) - 1)]) AS s FROM tok),
+        |p AS (SELECT s.w1 AS w1, s.w2 AS w2 FROM bg),
+        |c AS (SELECT w1, w2, count(*) AS n_pair FROM p GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS cx
+        |  FROM c GROUP BY 1),
+        |c2 AS (SELECT w2, CAST(sum(n_pair) AS BIGINT) AS cy
+        |  FROM c GROUP BY 1),
+        |nb AS (SELECT CAST(sum(n_pair) AS BIGINT) AS n FROM c)
+        |SELECT c.w1, c.w2, CAST(c.n_pair AS BIGINT) AS n_pair,
+        | (CAST(c.n_pair AS DOUBLE) * CAST(nb.n AS DOUBLE))
+        |  / (CAST(c1.cx AS DOUBLE) * CAST(c2.cy AS DOUBLE)) AS lift
+        |FROM c JOIN c1 USING (w1) JOIN c2 USING (w2), nb
+        |WHERE c.n_pair >= 5
+        |ORDER BY lift DESC, c.w1, c.w2
+        |LIMIT 20""".stripMargin,
 
     "q86_contingency" ->
       """WITH o AS (SELECT o_orderpriority AS r, o_orderstatus AS c,

@@ -156,4 +156,40 @@ object TextOps {
       array_min(transform(sequence(lit(1), length(text) - (width - 1)),
         i => hash32(text.substr(i, lit(width))))))
       .otherwise(hash32(text))
+
+  /** Adjacent-bigram collocation mining by LIFT:
+    * lift(x,y) = P(xy) / (P(x)·P(y)) = c_xy·N / (c_x·c_y) over bigram
+    * occurrences — PMI's argument WITHOUT the log, deliberately: the
+    * ratio is one exact-integer-input double division (hash-stable
+    * cross-engine), while ln() is libm-dependent, and the RANKING is
+    * identical (log is monotone). High-lift pairs are collocations
+    * (phrases, boilerplate); the vocabulary-quality signal tokenizer
+    * and n-gram dedup thresholds get tuned against.
+    *
+    * Shape: map-side zip_with bigrams (explode ≈ n_tokens rows), one
+    * combinable (w1, w2) count shuffle; marginals are two
+    * vocabulary-sized rollups of the bigram-count table joined back
+    * (vocabulary ≪ corpus); top-k is TakeOrderedAndProject — a
+    * per-partition top-k + bounded merge, never a global sort. */
+  def collocationLift(docs: DataFrame, text: Column, minCount: Int,
+                      k: Int): DataFrame = {
+    val w = tokens(text)
+    val n1 = greatest(size(w) - 1, lit(0))
+    val bg = zip_with(slice(w, lit(1), n1), slice(w, lit(2), n1),
+      (x, y) => struct(x.as("w1"), y.as("w2")))
+    val c = docs.select(explode(bg).as("__bg"))
+      .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+    val cx = c.groupBy(col("w1")).agg(sum(col("n_pair")).as("__cx"))
+    val cy = c.groupBy(col("w2")).agg(sum(col("n_pair")).as("__cy"))
+    val nb = c.agg(sum(col("n_pair")).as("__nb"))
+    c.filter(col("n_pair") >= minCount)
+      .join(cx, "w1").join(cy, "w2").crossJoin(broadcast(nb))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        ((col("n_pair").cast("double") * col("__nb").cast("double")) /
+          (col("__cx").cast("double") * col("__cy").cast("double")))
+          .as("lift"))
+      .orderBy(col("lift").desc, col("w1"), col("w2"))
+      .limit(k)
+  }
 }

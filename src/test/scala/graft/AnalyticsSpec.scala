@@ -142,6 +142,36 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out("tag") == ((3L, 0L, 2L, None, None)))
   }
 
+  test("funnel matches a brute-force per-user chain on random event sets") {
+    val rnd = new scala.util.Random(99)
+    val evs = (1L to 30L).flatMap { u =>
+      (0 until rnd.nextInt(8)).map(_ =>
+        (u, rnd.nextInt(100).toLong, "s" + (1 + rnd.nextInt(3))))
+    }
+    // brute force: t1 = min s1; t_k = min s_k strictly after t_{k-1}
+    def reach(times: Map[String, Seq[Long]]): Int = {
+      var frontier = Long.MinValue; var r = 0
+      for (k <- 1 to 3) {
+        val c = times.getOrElse("s" + k, Nil)
+          .filter(t => if (k == 1) true else t > frontier)
+        if (c.nonEmpty && r == k - 1) { frontier = c.min; r = k }
+      }
+      r
+    }
+    val expect = (1 to 3).map { k =>
+      k -> evs.groupBy(_._1).values.count { es =>
+        reach(es.groupBy(_._3).map { case (s, xs) =>
+          s -> xs.map(_._2) }) >= k
+      }.toLong
+    }.toMap
+    val df = evs.toDF("user_id", "us", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val got = AnalyticsOps.funnel(df, col("user_id"), col("ts"),
+        (1 to 3).map(k => s"s$k" -> (col("event_type") === s"s$k")))
+      .select(col("step"), col("n_actors")).as[(Int, Long)].collect().toMap
+    assert(got == expect, s"got $got expected $expect")
+  }
+
   test("contingency: independent table -> residual 0; dependent cell flags") {
     // perfectly independent 2x2 (margins 2/2, N=4): every e == o
     val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))

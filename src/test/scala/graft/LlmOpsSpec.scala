@@ -35,6 +35,20 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(df.head.getDouble(0) == 0.5)
   }
 
+  test("collocationLift: exact lift ratios, deterministic tie order, " +
+    "single-token docs contribute nothing") {
+    val docs = Seq("x y", "x y", "p q", "p z", "x q", "solo")
+      .toDF("text")
+    val out = T.collocationLift(docs, col("text"), minCount = 1, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    // N=5 bigrams; cx: x=3, p=2; cy: y=2, q=2, z=1
+    assert(out(("x", "y")) == ((2L, (2.0 * 5.0) / (3.0 * 2.0))))
+    assert(out(("p", "z")) == ((1L, (1.0 * 5.0) / (2.0 * 1.0))))
+    assert(out(("x", "q")) == ((1L, (1.0 * 5.0) / (3.0 * 2.0))))
+    assert(out.size == 4) // "solo" has no bigram
+  }
+
   test("rollingFingerprint covers every window and handles short text") {
     val long = Seq("abcdefghij").toDF("t") // 3 windows of width 8
       .select(T.rollingFingerprint(col("t"), 8)).head.getLong(0)
