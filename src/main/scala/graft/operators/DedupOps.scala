@@ -438,18 +438,38 @@ object DedupOps {
   def fuzzyCandidates(probes: DataFrame, probeName: Column,
                       catalog: DataFrame, catName: Column,
                       prefixLen: Int, maxDist: Int): DataFrame = {
-    require(prefixLen > 0 && maxDist >= 0,
-      s"need prefixLen > 0 and maxDist >= 0, got $prefixLen/$maxDist")
+    require(prefixLen > 0, s"need prefixLen > 0, got $prefixLen")
+    fuzzyCandidatesBlocked(probes, probeName, catalog, catName,
+      Seq(n => substring(n, 1, prefixLen)), maxDist)
+  }
+
+  /** Multi-blocker form: each blocking function is one equi-join pass
+    * over the distinct name domains, and the union of passes feeds a
+    * single distance evaluation (names deduped across passes first, so
+    * a pair caught by several blockers costs one levenshtein). This is
+    * the documented recall-widening path — a typo INSIDE one blocking
+    * key escapes that block but a second key (suffix, phonetic,
+    * token-sorted) recovers it, every pass staying an equi-join. */
+  def fuzzyCandidatesBlocked(probes: DataFrame, probeName: Column,
+                             catalog: DataFrame, catName: Column,
+                             blockers: Seq[Column => Column],
+                             maxDist: Int): DataFrame = {
+    require(blockers.nonEmpty && maxDist >= 0,
+      s"need >=1 blocker and maxDist >= 0, got ${blockers.length}/$maxDist")
     val bw = math.max(2 * maxDist, 1)
-    val pb = probes.select(probeName.as("__pn")).distinct()
-      .withColumn("__blk", substring(col("__pn"), 1, prefixLen))
-      .withColumn("__lb", floor(length(col("__pn")) / lit(bw)))
-    val cb = catalog.select(catName.as("__cn")).distinct()
-      .withColumn("__blk", substring(col("__cn"), 1, prefixLen))
-      .withColumn("__lb", explode(sequence(
-        floor((length(col("__cn")) - lit(maxDist)) / lit(bw)),
-        floor((length(col("__cn")) + lit(maxDist)) / lit(bw)))))
-    val cand = pb.join(cb, Seq("__blk", "__lb"))
+    val pn = probes.select(probeName.as("__pn")).distinct()
+    val cn = catalog.select(catName.as("__cn")).distinct()
+    val candNames = blockers.map { bk =>
+      pn.withColumn("__blk", bk(col("__pn")))
+        .withColumn("__lb", floor(length(col("__pn")) / lit(bw)))
+        .join(cn.withColumn("__blk", bk(col("__cn")))
+          .withColumn("__lb", explode(sequence(
+            floor((length(col("__cn")) - lit(maxDist)) / lit(bw)),
+            floor((length(col("__cn")) + lit(maxDist)) / lit(bw))))),
+          Seq("__blk", "__lb"))
+        .select(col("__pn"), col("__cn"))
+    }.reduce(_ union _).distinct()
+    val cand = candNames
       .withColumn("edit_dist",
         levenshtein(col("__pn"), col("__cn"), maxDist))
       .filter(col("edit_dist") >= 0) // bounded form: -1 past maxDist

@@ -100,6 +100,39 @@ object SinkOps {
     * true table state: a parked `path__old` with NO live table is the
     * sole surviving copy and is restored; alongside a live table it is
     * the stale leftover of a COMPLETED swap and is deleted. */
+  /** Small-file compaction — the table-maintenance half of an
+    * append-heavy sink: incremental loads and streaming micro-batches
+    * leave a table as thousands of KB-sized parquet files, and at scale
+    * the per-file open/footer/seek overhead (plus driver-side listing)
+    * dominates scan cost long before IO does. Rewrites the table into
+    * `ceil(bytes / targetBytes)` files via the same crash-safe
+    * stage-and-swap as [[loadNoConflict]] (single-writer caveat
+    * likewise). Row-level content is unchanged — compaction must be
+    * read-invisible, the spec pins count+content equality.
+    *
+    * Returns (filesBefore, filesAfter). A no-op (already ≤ target
+    * count) skips the rewrite entirely — safe to run on a schedule. */
+  def compact(spark: SparkSession, path: String,
+              targetBytes: Long = 128L * 1024 * 1024): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val fs = new Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    recoverInterruptedSwap(fs, path)
+    val dataFiles = fs.listStatus(new Path(path))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val before = dataFiles.length
+    val bytes = dataFiles.map(_.getLen).sum
+    val want = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    if (want >= before) (before, before)
+    else {
+      swapWrite(fs, spark.read.parquet(path).coalesce(want), path,
+        hadTarget = true)
+      val after = fs.listStatus(new Path(path))
+        .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      (before, after)
+    }
+  }
+
   private def recoverInterruptedSwap(fs: org.apache.hadoop.fs.FileSystem,
                                      path: String): Unit = {
     val target = new Path(path)

@@ -177,4 +177,21 @@ class EtlGoldenSpec extends AnyFunSuite {
       assert(snap().contains((1L, "a"))) // snapshot untouched
     }
   }
+
+  test("compact: many small files -> few, content read-invisible, rerun no-op") {
+    val dir = java.nio.file.Files.createTempDirectory("compact").toString
+    val path = s"$dir/t"
+    // 32 tiny files
+    (1L to 256L).map(i => (i, s"v$i")).toDF("id", "v")
+      .repartition(32).write.parquet(path)
+    val before = spark.read.parquet(path)
+      .as[(Long, String)].collect().sorted.toSeq
+    val (b, a) = SinkOps.compact(spark, path, targetBytes = 1L << 30)
+    assert(b == 32 && a == 1, s"expected 32 -> 1 files, got $b -> $a")
+    val after = spark.read.parquet(path)
+      .as[(Long, String)].collect().sorted.toSeq
+    assert(after == before) // read-invisible
+    // already compact: no rewrite
+    assert(SinkOps.compact(spark, path, targetBytes = 1L << 30) == ((1, 1)))
+  }
 }

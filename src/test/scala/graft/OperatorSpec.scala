@@ -101,6 +101,22 @@ class OperatorSpec extends AnyFunSuite {
     assert(!out.keySet.exists(_._1 == 2L))
   }
 
+  test("fuzzyCandidatesBlocked: a suffix blocker recovers prefix typos, " +
+    "one levenshtein per pair across passes") {
+    val probes = Seq((2L, "Xmall ring")).toDF("pid", "pn")
+    val cat = Seq((10L, "small ring")).toDF("cid", "cn")
+    val blockers: Seq[org.apache.spark.sql.Column =>
+        org.apache.spark.sql.Column] =
+      Seq(n => substring(n, 1, 2), n => substring(n, -2, 2))
+    val out = graft.operators.DedupOps.fuzzyCandidatesBlocked(
+        probes, col("pn"), cat, col("cn"), blockers, maxDist = 2)
+      .select(col("pid"), col("cid"), col("edit_dist"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // prefix pass misses (typo in prefix), suffix pass ("ng") recovers;
+    // exactly ONE row — passes dedup before the distance join
+    assert(out == Seq((2L, 10L, 1)))
+  }
+
   test("bloomSemiJoin equals the plain semi-join even with forced false positives") {
     // 64-bit filter over 200 fact keys: collisions guaranteed; the exact
     // semi-join behind the bloom must erase them.
