@@ -2,7 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -111,6 +111,51 @@ object StreamOps {
           cur.foreach(state.update)
           (closed.reverse ++ cur.map(summary)).iterator
       }(Encoders.product[SessionState], outEnc)
+  }
+
+  /** Streaming distribution-drift monitor — the live twin of the batch
+    * TVD drift check (AnalyticsOps.driftTvd): per (event-time window,
+    * group), build a fixed equi-width histogram of `valueCol` and score
+    * total-variation distance against a static per-group REFERENCE
+    * histogram (yesterday's corpus, the training mix).
+    *
+    * The histogram is one row of `nBins` conditional sums inside a
+    * SINGLE streaming aggregation — chained streaming aggregations are
+    * unsupported, and a fixed bin count makes the whole window state one
+    * row wide. The reference arrives as a static broadcast join; TVD is
+    * a FIXED left-to-right fold of |c_i·m − r_i·n| integer terms over
+    * the common denominator (the q79 exactness discipline — no
+    * accumulation-order float drift), divided once.
+    *
+    * `reference`: (group, r0..r{nBins-1}) — e.g. yesterday's
+    * histogramAgg output. Windows close on the watermark, so the
+    * monitor emits once per (window, group) in append mode. */
+  def driftMonitor(events: DataFrame, tsCol: String, group: Column,
+                   valueCol: Column, windowDur: String, watermark: String,
+                   reference: DataFrame, lo: Double, binWidth: Double,
+                   nBins: Int): DataFrame = {
+    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
+    val bin = greatest(least(floor((valueCol - lit(lo)) / lit(binWidth))
+      .cast("int"), lit(nBins - 1)), lit(0))
+    val aggCols = count(lit(1)).as("n") +: (0 until nBins).map(b =>
+      sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"c$b"))
+    val hist = events.withWatermark(tsCol, watermark)
+      .select(col(tsCol), group.as("grp"), bin.as("__bin"))
+      .groupBy(window(col(tsCol), windowDur), col("grp"))
+      .agg(aggCols.head, aggCols.tail: _*)
+    val refTotal = (0 until nBins).map(b => col(s"r$b"))
+      .reduce(_ + _).as("m")
+    val joined = hist.join(
+      broadcast(reference.select(col("grp") +:
+        (0 until nBins).map(b => col(s"r$b")) :+ refTotal: _*)), "grp")
+    val num = (0 until nBins).map(b =>
+        abs(col(s"c$b") * col("m") - col(s"r$b") * col("n")))
+      .reduce(_ + _)
+    joined.select(col("window.start").as("window_start"), col("grp"),
+      col("n"), col("m"),
+      (num.cast("double") /
+        ((lit(2.0) * col("n").cast("double")) * col("m").cast("double")))
+        .as("tvd"))
   }
 
   final case class StepEvent(user_id: Long, us: Long, step: Int)

@@ -212,6 +212,38 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.size > 3, "expected multiple sessions per user")
   }
 
+  test("driftMonitor: windowed TVD vs reference — exact on a hand-computed feed") {
+    implicit val sc = spark.sqlContext
+    // reference: group g, 2 bins (width 50, 2 bins), counts r0=2, r1=2
+    val ref = Seq(("g", 2L, 2L)).toDF("grp", "r0", "r1")
+    // window 1 (00:00): values 10,10,10,60 -> c=(3,1), n=4, m=4
+    //   num = |3*4-2*4| + |1*4-2*4| = 4+4 = 8; tvd = 8/(2*4*4) = 0.25
+    // window 2 (01:00): values 60,60 -> c=(0,2): num = 8+8=16... wait
+    //   |0*4-2*2| + |2*4-2*2| = 4 + 4 = 8; tvd = 8/(2*2*4) = 0.5
+    val base = Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    def ev(minOff: Int, v: Double) =
+      (new Timestamp(base + minOff * 60000L), "g", v)
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val q = StreamOps.driftMonitor(
+        input.toDF.toDF("ts", "g", "v"), "ts", col("g"), col("v"),
+        "1 hour", "0 seconds", ref, lo = 0.0, binWidth = 50.0, nBins = 2)
+      .writeStream.format("memory").queryName("drift_monitor")
+      .outputMode("append").start()
+    val rows = try {
+      input.addData(ev(1, 10.0), ev(2, 10.0), ev(3, 10.0), ev(4, 60.0),
+        ev(61, 60.0), ev(62, 60.0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close both windows
+      input.addData(ev(600, 10.0))
+      q.processAllAvailable()
+      spark.table("drift_monitor")
+        .select(col("grp"), col("n"), col("tvd"))
+        .as[(String, Long, Double)].collect().toSet
+    } finally q.stop()
+    assert(rows.contains(("g", 4L, 0.25)), s"window 1 wrong: $rows")
+    assert(rows.contains(("g", 2L, 0.5)), s"window 2 wrong: $rows")
+  }
+
   test("streaming funnelProgress matches batch funnel; late predecessors " +
     "are retroactive") {
     implicit val sc = spark.sqlContext
