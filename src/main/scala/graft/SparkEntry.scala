@@ -1256,10 +1256,13 @@ object SparkEntry {
 
   /** The shared word-3-shingle, 0.8-threshold near-dup pair build over
     * `documents` — first caller in a session pays the build, the rest
-    * read the checkpointed pairs. */
+    * read the checkpointed pairs. Keyed by the context's applicationId
+    * (unique per SparkContext, which owns the checkpoint's lifetime) —
+    * an identity hash would be reusable after GC and could serve a
+    * checkpoint of a STOPPED context to a colliding later session. */
   private def wordNearDupPairs(s: SparkSession, dir: String): DataFrame =
     nearDupSweep.pairs(
-      s"worddup3:0.8:$dir:${System.identityHashCode(s)}",
+      s"worddup3:0.8:$dir:${s.sparkContext.applicationId}",
       spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
       "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
       Some(D.wordKernels(col("text"), 3)))
@@ -1921,7 +1924,7 @@ object SparkEntry {
         |  epoch_us(ts) >= 1705363200000000 AS in_b,
         |  greatest(least(CAST(floor((value - 0.0) / 50.0) AS INT), 9), 0)
         |   AS bin
-        | FROM events),
+        | FROM events WHERE value IS NOT NULL),
         |b AS (SELECT event_type, bin,
         |  CAST(sum(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS ca,
         |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cb

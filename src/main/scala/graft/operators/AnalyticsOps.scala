@@ -185,11 +185,24 @@ object AnalyticsOps {
     * per-group total agg broadcast back, one combinable per-group
     * reduce. Histogram width is fixed, so shuffle volume is
     * groups × bins regardless of corpus size. */
+  /** Clamped equi-width histogram bin, shared by [[driftTvd]] and the
+    * streaming drift monitor. NULL-PRESERVING by explicit guard: Spark's
+    * `least`/`greatest` SKIP null arguments, so the raw clamp chain
+    * would route a null value into the top bin instead of propagating
+    * null — a null-heavy feed would read as "mass moved to the top bin".
+    * Callers drop the null bins (a null value is a missing measurement,
+    * not a drifted one). */
+  def histBin(value: Column, lo: Double, binWidth: Double,
+              nBins: Int): Column = {
+    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
+    when(value.isNotNull,
+      greatest(least(floor((value - lit(lo)) / lit(binWidth))
+        .cast("int"), lit(nBins - 1)), lit(0)))
+  }
+
   def driftTvd(df: DataFrame, group: Column, inB: Column, value: Column,
                lo: Double, binWidth: Double, nBins: Int): DataFrame = {
-    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
-    val bin = greatest(least(floor((value - lit(lo)) / lit(binWidth))
-      .cast("int"), lit(nBins - 1)), lit(0))
+    val bin = histBin(value, lo, binWidth, nBins)
     val b = df.select(group.as("grp"), inB.as("__b"), bin.as("__bin"))
       .filter(col("__bin").isNotNull)
       .groupBy(col("grp"), col("__bin"))

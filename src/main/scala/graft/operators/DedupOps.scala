@@ -346,10 +346,37 @@ object DedupOps {
     *
     * Output: one row per incoming doc — keep flag, rejector count, and
     * the smallest rejecting id (null when kept). Docs too short to
-    * shingle have no signature, match nothing, and are kept. */
+    * shingle have no signature, match nothing, and are kept.
+    *
+    * Cache lifecycle (same contract as [[nearDupPairs]]): the returned
+    * plan holds three persisted intermediates (delta bands, candidates,
+    * candidate-doc hash sets). One-shot consumers should prefer
+    * [[withIncrementalVerdict]], which unpersists in a finally; sessions
+    * holding the plain form release via the [[incrementalVerdictTracked]]
+    * handles or `spark.catalog.clearCache()`. */
   def incrementalVerdict(existing: DataFrame, incoming: DataFrame,
                          id: String, kernels: NearDupKernels,
-                         threshold: Double): DataFrame = {
+                         threshold: Double): DataFrame =
+    incrementalVerdictTracked(existing, incoming, id, kernels, threshold)._1
+
+  /** Loan-pattern wrapper owning the cache lifecycle ([[withNearDupPairs]]
+    * twin): `use` must fully consume the plan; nothing stays persisted. */
+  def withIncrementalVerdict[T](existing: DataFrame, incoming: DataFrame,
+                                id: String, kernels: NearDupKernels,
+                                threshold: Double)
+                               (use: DataFrame => T): T = {
+    val (verdict, cached) =
+      incrementalVerdictTracked(existing, incoming, id, kernels, threshold)
+    try use(verdict)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[incrementalVerdict]] plus the persisted handles for lifecycle
+    * control: (verdict, cached plans to unpersist when done). */
+  def incrementalVerdictTracked(existing: DataFrame, incoming: DataFrame,
+                                id: String, kernels: NearDupKernels,
+                                threshold: Double)
+  : (DataFrame, Seq[DataFrame]) = {
     def sigsOf(d: DataFrame): DataFrame =
       d.select(col(id), kernels.sig.as("__sig"))
         .filter(col("__sig").isNotNull)
@@ -395,12 +422,13 @@ object DedupOps {
           .cast("double"))
       .filter(col("__j") >= threshold)
       .select(col("in_id"), col("other_id"))
-    incoming.select(col(id))
+    val verdict = incoming.select(col(id))
       .join(rejectors, col(id) === col("in_id"), "left")
       .groupBy(col(id))
       .agg(max(when(col("in_id").isNull, 1).otherwise(0)).as("keep"),
         count(col("other_id")).as("n_dups"),
         min(col("other_id")).as("blame_id"))
+    (verdict, Seq(bIn, cand, candDocs))
   }
 
   /** Blocked fuzzy candidate generation for entity resolution: join

@@ -114,10 +114,15 @@ object SampleOps {
     val one = Iterator.iterate("__one")(_ + "_").find(c =>
       !df.columns.contains(c)).get
     val rawBase = floor(weightMilli.cast("double") / 1000d).cast("int")
-    val base = when(rawBase <= lit(maxEpochs), rawBase).otherwise(
+    // Guard inverted so a NULL weight stays null (CaseWhen treats a null
+    // predicate as false): null copies → posexplode drops the row, the
+    // documented pre-guard behavior — `rawBase <= max` as the keep-branch
+    // would route null weights into raise_error and kill the job.
+    val base = when(rawBase > lit(maxEpochs),
       raise_error(concat(
         lit(s"epochMix: weight exceeds maxEpochs=$maxEpochs ("),
         weightMilli.cast("string"), lit(" milli-epochs)"))).cast("int"))
+      .otherwise(rawBase)
     val frac = pmod(weightMilli, lit(1000))
     val copies = base +
       when(sampleBucket(id, salt, 1000) < frac, 1).otherwise(0)

@@ -134,13 +134,16 @@ object StreamOps {
                    valueCol: Column, windowDur: String, watermark: String,
                    reference: DataFrame, lo: Double, binWidth: Double,
                    nBins: Int): DataFrame = {
-    require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
-    val bin = greatest(least(floor((valueCol - lit(lo)) / lit(binWidth))
-      .cast("int"), lit(nBins - 1)), lit(0))
+    // Shared null-preserving bin (AnalyticsOps.histBin): null values are
+    // missing measurements, not top-bin mass — dropped here exactly as
+    // the batch twin drops them.
+    val bin = graft.operators.AnalyticsOps
+      .histBin(valueCol, lo, binWidth, nBins)
     val aggCols = count(lit(1)).as("n") +: (0 until nBins).map(b =>
       sum(when(col("__bin") === b, 1L).otherwise(0L)).as(s"c$b"))
     val hist = events.withWatermark(tsCol, watermark)
       .select(col(tsCol), group.as("grp"), bin.as("__bin"))
+      .filter(col("__bin").isNotNull)
       .groupBy(window(col(tsCol), windowDur), col("grp"))
       .agg(aggCols.head, aggCols.tail: _*)
     val refTotal = (0 until nBins).map(b => col(s"r$b"))
@@ -148,8 +151,13 @@ object StreamOps {
     val joined = hist.join(
       broadcast(reference.select(col("grp") +:
         (0 until nBins).map(b => col(s"r$b")) :+ refTotal: _*)), "grp")
+    // decimal(18,0) products — the q79 overflow discipline (exact to
+    // 10^18 rows; long*long wraps silently at the 100 TB reference ×
+    // busy-window regime)
+    val dec = (c: Column) => c.cast("decimal(18,0)")
     val num = (0 until nBins).map(b =>
-        abs(col(s"c$b") * col("m") - col(s"r$b") * col("n")))
+        abs(dec(col(s"c$b")) * dec(col("m")) -
+          dec(col(s"r$b")) * dec(col("n"))))
       .reduce(_ + _)
     joined.select(col("window.start").as("window_start"), col("grp"),
       col("n"), col("m"),

@@ -122,6 +122,19 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!out.contains("solo"))
   }
 
+  test("driftTvd: null values are dropped, not counted into the top bin") {
+    // least/greatest SKIP nulls, so an unguarded clamp would route a
+    // null value to bin nBins-1 and fake "mass moved to the top bin"
+    val rows = Seq(("g", false, Some(10.0)), ("g", false, None),
+      ("g", true, Some(10.0)), ("g", true, None), ("g", true, None))
+    val r = AnalyticsOps.driftTvd(rows.toDF("g", "in_b", "v"),
+      col("g"), col("in_b"), col("v"), lo = 0.0, binWidth = 50.0,
+      nBins = 10).head
+    // only the two non-null 10.0s count: identical one-bin histograms
+    assert(r.getAs[Long]("na") == 1L && r.getAs[Long]("nb") == 1L &&
+      r.getAs[Double]("tvd") == 0.0)
+  }
+
   test("driftTvd: out-of-range values clamp into the edge bins") {
     val df = Seq(("g", false, -5.0), ("g", true, 999.0))
       .toDF("g", "in_b", "v")

@@ -571,6 +571,9 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(Sam.epochMix(df, col("id"), lit(1000), "e1").count() == 1000)
     assert(Sam.epochMix(df, col("id"), lit(0), "e1").count() == 0)
     assert(Sam.epochMix(df, col("id"), lit(-700), "e1").count() == 0)
+    // a NULL weight drops the row — it must NOT trip the maxEpochs guard
+    assert(Sam.epochMix(df, col("id"),
+      lit(null).cast("long"), "e1").count() == 0)
     // deterministic across partitionings
     val a = Sam.epochMix(df, col("id"), lit(1500), "e1")
       .groupBy("id").count().as[(Long, Long)].collect().toMap
