@@ -1191,6 +1191,29 @@ object SparkEntry {
         ntile(4).over(wv).as("quartile"))
     }),
 
+    // Time-RANGE window frame (q45's family covers ROWS frames + ranks):
+    // trailing 7-DAY revenue per priority over daily aggregates —
+    // RANGE BETWEEN 6 PRECEDING looks back by VALUE (epoch day), so
+    // calendar gaps shrink the window where a ROWS frame would wrongly
+    // reach 7 rows into the past. Decimal window sums exported as
+    // doubles; the trailing average is one final division.
+    "q88_time_range_window" -> ((s, dir) => {
+      val daily = t(s, dir, "orders")
+        .groupBy(col("o_orderpriority").as("priority"),
+          datediff(to_date(col("o_orderdate")),
+            to_date(lit("1970-01-01"))).as("day"))
+        .agg(sum(C.money(col("o_totalprice"))).as("__rev"),
+          count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy(col("priority")).orderBy(col("day"))
+        .rangeBetween(-6, 0)
+      daily.select(col("priority"), col("day"),
+          col("__rev").cast("double").as("daily_rev"), col("n_orders"),
+          sum(col("__rev")).over(w).cast("double").as("rev_7d"),
+          sum(col("n_orders")).over(w).as("orders_7d"))
+        .withColumn("avg_order_7d",
+          col("rev_7d") / col("orders_7d").cast("double"))
+    }),
+
     // Set operations with SET semantics (distinct): INTERSECT + EXCEPT
     // of two year slices of the customer key space.
     "q46_setops" -> ((s, dir) => {
@@ -2019,6 +2042,25 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q88_time_range_window" ->
+      """WITH d AS (SELECT o_orderpriority AS priority,
+        |  CAST(datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+        |   AS INT) AS day,
+        |  sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev,
+        |  count(*) AS n_orders
+        | FROM orders GROUP BY 1, 2)
+        |SELECT priority, day,
+        | CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS daily_rev,
+        | CAST(n_orders AS BIGINT) AS n_orders,
+        | CAST(CAST(sum(rev) OVER w AS VARCHAR) AS DOUBLE) AS rev_7d,
+        | CAST(sum(n_orders) OVER w AS BIGINT) AS orders_7d,
+        | CAST(CAST(sum(rev) OVER w AS VARCHAR) AS DOUBLE)
+        |  / CAST(CAST(sum(n_orders) OVER w AS BIGINT) AS DOUBLE)
+        |   AS avg_order_7d
+        |FROM d
+        |WINDOW w AS (PARTITION BY priority ORDER BY day
+        |  RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)""".stripMargin,
 
     "q87_collocations" ->
       """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
