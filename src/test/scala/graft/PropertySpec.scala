@@ -216,4 +216,65 @@ class PropertySpec extends AnyFunSuite {
       assert(out == s)
     }
   }
+
+  test("scd2 equals a driver-side reference on random keyed state streams") {
+    val rnd = new scala.util.Random(31)
+    for (_ <- 0 until 3) {
+      val evs = (1L to 8L).flatMap { k =>
+        // distinct random times per key so (ts) alone totally orders
+        rnd.shuffle((1 to 60).toList).take(rnd.nextInt(12) + 1)
+          .map(t => (k, t.toLong * 1000000L,
+            ("ABC" (rnd.nextInt(3))).toString))
+      }
+      // reference: sort per key, collapse runs, range-assign
+      val expect = evs.groupBy(_._1).toSeq.flatMap { case (k, es) =>
+        val sorted = es.sortBy(_._2)
+        val collapsed = sorted.foldLeft(List.empty[(String, Long)]) {
+          case (acc, (_, us, st)) =>
+            if (acc.headOption.exists(_._1 == st)) acc
+            else (st, us) :: acc
+        }.reverse
+        collapsed.zipWithIndex.map { case ((st, from), i) =>
+          val to = collapsed.lift(i + 1).map(_._2)
+          (k, st, from, to.getOrElse(-1L), if (to.isEmpty) 1 else 0)
+        }
+      }.toSet
+      val df = evs.toDF("k", "us", "st")
+        .withColumn("ts", timestamp_micros(col("us")))
+      val got = graft.operators.TimeOps.scd2(df, Seq("k"), col("st"), "ts",
+          Seq(col("us")))
+        .select(col("k"), col("state"), col("valid_from_us"),
+          coalesce(col("valid_to_us"), lit(-1L)), col("is_current"))
+        .as[(Long, String, Long, Long, Int)].collect().toSet
+      assert(got == expect)
+    }
+  }
+
+  test("cohortRetention totals equal a driver-side reference on random events") {
+    val rnd = new scala.util.Random(77)
+    val evs = (1L to 25L).flatMap { u =>
+      (0 until rnd.nextInt(6) + 1).map(_ => (u, rnd.nextInt(10)))
+    }
+    val expect = {
+      val firstDay = evs.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+      evs.map { case (u, d) => (firstDay(u), d - firstDay(u), u) }
+        .distinct.groupBy(t => (t._1, t._2)).view
+        .mapValues(_.size.toLong).toMap
+    }
+    val df = evs.toDF("user_id", "d")
+      .withColumn("ts", timestamp_micros(col("d").cast("long") * 86400000000L))
+    val got = graft.operators.AnalyticsOps
+      .cohortRetention(df, col("user_id"), col("ts"))
+      .collect().map { r =>
+        val day = java.time.LocalDate.parse(r.getString(0)).toEpochDay.toInt
+        (day, r.getInt(1)) -> r.getLong(2)
+      }.toMap
+    assert(got == expect)
+    // every cohort's day-0 retention is exactly 1.0 by construction
+    val day0 = graft.operators.AnalyticsOps
+      .cohortRetention(df, col("user_id"), col("ts"))
+      .filter(col("days_since") === 0).select(col("retention"))
+      .as[Double].collect()
+    assert(day0.nonEmpty && day0.forall(_ == 1.0))
+  }
 }
