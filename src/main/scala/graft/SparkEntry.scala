@@ -377,6 +377,18 @@ object SparkEntry {
       T.collocationLift(spread(s, t(s, dir, "documents")), col("text"),
         minCount = 5, k = 20)),
 
+    // Skew diagnostic on the q51/q52 scenario key (every even suppkey
+    // remapped to 1 → one key carries ~half the fact table): the
+    // measure-before-you-salt report. skew_ratio = max/mean key count;
+    // ~1 = uniform, 10×+ = the straggler signature that justifies
+    // saltedJoin. Exact counts, two final divisions.
+    "q89_skew_report" -> ((s, dir) =>
+      An.skewReport(
+        t(s, dir, "lineitem").select(
+          when(pmod(col("l_suppkey"), lit(2)) === 0, lit(1L))
+            .otherwise(col("l_suppkey")).as("skew_key")),
+        col("skew_key"), topK = 5)),
+
     // Contingency screen: order priority × status, observed vs expected
     // under independence with standardized residuals. Per-cell single
     // expressions over exact integer counts (a summed χ² total would be
@@ -2042,6 +2054,21 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q89_skew_report" ->
+      """WITH k AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1
+        |   ELSE l_suppkey END AS key_val FROM lineitem),
+        |c AS (SELECT key_val, count(*) AS cnt FROM k GROUP BY 1),
+        |s AS (SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT)
+        |   AS n_rows, max(cnt) AS max_cnt FROM c),
+        |t AS (SELECT key_val, cnt, row_number() OVER
+        |  (ORDER BY cnt DESC, key_val) AS rn FROM c)
+        |SELECT t.key_val, CAST(t.cnt AS BIGINT) AS cnt,
+        | CAST(t.cnt AS DOUBLE) / CAST(s.n_rows AS DOUBLE) AS share,
+        | CAST(s.n_keys AS BIGINT) AS n_keys, s.n_rows,
+        | (CAST(s.max_cnt AS DOUBLE) * CAST(s.n_keys AS DOUBLE))
+        |  / CAST(s.n_rows AS DOUBLE) AS skew_ratio
+        |FROM t, s WHERE t.rn <= 5""".stripMargin,
 
     "q88_time_range_window" ->
       """WITH d AS (SELECT o_orderpriority AS priority,

@@ -260,6 +260,34 @@ object AnalyticsOps {
         max(expr("try_cast(__val AS double)")).as("max_num"))
   }
 
+  /** Key-skew diagnostic — the measure-before-you-salt report for a
+    * prospective join/aggregation key: the top-k heaviest keys with
+    * their share of the table, plus the global skew ratio
+    * (max key count) / (mean key count). A ratio near 1 means uniform
+    * (plain hash partitioning is fine); 10×+ on a hot key is the
+    * signature that a shuffle on this key stragglers — reach for
+    * saltedJoin / AQE skew split. All counts exact int64; share and
+    * ratio are single final divisions.
+    *
+    * One combinable key-count shuffle; the global stats are a 1-row
+    * aggregate OF THE COUNT TABLE (not a second corpus pass) and the
+    * top-k is TakeOrderedAndProject — no global sort. */
+  def skewReport(df: DataFrame, key: Column, topK: Int): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val counts = df.select(key.as("key_val"))
+      .groupBy(col("key_val")).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"), max(col("cnt")).as("max_cnt"))
+    counts.orderBy(col("cnt").desc, col("key_val")).limit(topK)
+      .crossJoin(broadcast(stats))
+      .select(col("key_val"), col("cnt"),
+        (col("cnt").cast("double") / col("n_rows").cast("double"))
+          .as("share"),
+        col("n_keys"), col("n_rows"),
+        ((col("max_cnt").cast("double") * col("n_keys").cast("double")) /
+          col("n_rows").cast("double")).as("skew_ratio"))
+  }
+
   /** Contingency table with expected counts and standardized residuals —
     * the categorical-association screen (which (row, col) cells are
     * over/under-represented vs independence). Per cell: observed count,
