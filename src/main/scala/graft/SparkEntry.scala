@@ -377,6 +377,16 @@ object SparkEntry {
       T.collocationLift(spread(s, t(s, dir, "documents")), col("text"),
         minCount = 5, k = 20)),
 
+    // Rolling engagement: DAU / trailing-7-day WAU / stickiness per day.
+    // Sliding distinct counting explodes each (user, day) activity to
+    // the 7 days it keeps the user active in (map-side, from the DEDUPED
+    // activity table) — a collect_set window would hold the whole active
+    // set in state per row, and count(DISTINCT) over windows doesn't
+    // exist. Trailing edge days (windows still open) are dropped.
+    "q90_rolling_actives" -> ((s, dir) =>
+      An.rollingActives(t(s, dir, "events"), col("user_id"), col("ts"),
+        windowDays = 7)),
+
     // Skew diagnostic on the q51/q52 scenario key (every even suppkey
     // remapped to 1 → one key carries ~half the fact table): the
     // measure-before-you-salt report. skew_ratio = max/mean key count;
@@ -2054,6 +2064,25 @@ object SparkEntry {
          |  THEN (3.0 * CAST(tri.t AS DOUBLE)) / CAST(sz.n_wedges AS DOUBLE)
          |  ELSE 0.0 END AS clustering
          |FROM sz, ne, tri""".stripMargin,
+
+    "q90_rolling_actives" ->
+      """WITH a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+        |  FROM events),
+        |d AS (SELECT day, count(DISTINCT user_id) AS dau
+        |  FROM a GROUP BY 1),
+        |mx AS (SELECT max(day) AS md FROM a),
+        |c AS (SELECT user_id, CAST(unnest(generate_series(
+        |   CAST(day AS TIMESTAMP),
+        |   CAST(day AS TIMESTAMP) + INTERVAL 6 DAY,
+        |   INTERVAL 1 DAY)) AS DATE) AS wday FROM a),
+        |w AS (SELECT c.wday, count(DISTINCT c.user_id) AS wau
+        |  FROM c, mx WHERE c.wday <= mx.md GROUP BY 1)
+        |SELECT strftime(w.wday, '%Y-%m-%d') AS day,
+        | CAST(coalesce(d.dau, 0) AS BIGINT) AS dau,
+        | CAST(w.wau AS BIGINT) AS wau,
+        | CAST(coalesce(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
+        |  AS stickiness
+        |FROM w LEFT JOIN d ON d.day = w.wday""".stripMargin,
 
     "q89_skew_report" ->
       """WITH k AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1

@@ -260,6 +260,39 @@ object AnalyticsOps {
         max(expr("try_cast(__val AS double)")).as("max_num"))
   }
 
+  /** Rolling distinct actives — DAU / trailing-W-day WAU / stickiness
+    * per day, the engagement staple. Sliding DISTINCT counting can't use
+    * a window frame at scale (`size(collect_set() over range)` holds
+    * every active user in window state per row; count(DISTINCT) over
+    * windows isn't supported at all): instead each (actor, day) activity
+    * CONTRIBUTES to the W days it keeps the actor active in — a
+    * map-side ×W explode of the deduped activity table (not raw
+    * events), then one combinable distinct-count per day. Trailing days
+    * past the corpus edge are dropped (their windows are still open).
+    *
+    * stickiness = DAU/WAU ∈ [1/W, 1]: how much of the weekly audience
+    * shows up on a given day. Counts exact; one final division. */
+  def rollingActives(events: DataFrame, actor: Column, ts: Column,
+                     windowDays: Int): DataFrame = {
+    require(windowDays > 0, "windowDays must be positive")
+    val act = events.select(actor.as("__actor"), to_date(ts).as("__day"))
+      .distinct()
+    val dau = act.groupBy(col("__day").as("day"))
+      .agg(countDistinct(col("__actor")).as("dau"))
+    val maxDay = act.agg(max(col("__day")).as("__md"))
+    act.select(col("__actor"), explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("day"))
+      .crossJoin(broadcast(maxDay))
+      .filter(col("day") <= col("__md"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("__actor")).as("wau"))
+      .join(dau, Seq("day"), "left")
+      .select(date_format(col("day"), "yyyy-MM-dd").as("day"),
+        coalesce(col("dau"), lit(0L)).as("dau"), col("wau"),
+        (coalesce(col("dau"), lit(0L)).cast("double") /
+          col("wau").cast("double")).as("stickiness"))
+  }
+
   /** Key-skew diagnostic — the measure-before-you-salt report for a
     * prospective join/aggregation key: the top-k heaviest keys with
     * their share of the table, plus the global skew ratio

@@ -185,6 +185,21 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got == expect, s"got $got expected $expect")
   }
 
+  test("rollingActives: WAU carries trailing activity; edge windows dropped") {
+    // user 1 active day 0; user 2 active days 0 and 2; corpus ends day 2
+    val e = ev((1L, 0L, "x"), (2L, 0L, "x"), (2L, 2L, "x"))
+    val out = AnalyticsOps.rollingActives(e, col("user_id"), col("ts"), 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    // day 0: dau 2, wau 2; day 1: dau 0, wau 2 (both still in window);
+    // day 2: dau 1, wau 2 (user 1's day-0 activity still counts, w=3)
+    assert(out("1970-01-01") == ((2L, 2L, 1.0)))
+    assert(out("1970-01-02") == ((0L, 2L, 0.0)))
+    assert(out("1970-01-03") == ((1L, 2L, 0.5)))
+    // days 3-4 (windows past the corpus edge) are NOT emitted
+    assert(out.size == 3)
+  }
+
   test("contingency: independent table -> residual 0; dependent cell flags") {
     // perfectly independent 2x2 (margins 2/2, N=4): every e == o
     val indep = Seq(("a", "x"), ("a", "y"), ("b", "x"), ("b", "y"))
