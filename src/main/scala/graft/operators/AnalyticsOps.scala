@@ -65,7 +65,14 @@ object AnalyticsOps {
     * keyed on the actor — a single logical repartition whose exchange
     * Spark reuses across the chain. Per-step frontiers are one row per
     * converted actor (monotonically shrinking). The final counts are
-    * 1-row aggregates; output is `steps.length` rows. */
+    * 1-row aggregates; output is `steps.length` rows.
+    *
+    * Plan-level note: each frontier's lineage contains its
+    * predecessors, so the k count actions rescan the event source
+    * O(k²)/2 times in total. At the 3-4 steps real funnels have, the
+    * rescans are cheaper than materialization; for a DEEP funnel,
+    * localCheckpoint each frontier (the GraphOps per-round pattern) to
+    * make it k scans. */
   def funnel(events: DataFrame, actor: Column, ts: Column,
              steps: Seq[(String, Column)]): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
