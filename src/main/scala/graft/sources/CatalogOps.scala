@@ -96,4 +96,48 @@ object CatalogOps {
     (if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w)
       .saveAsTable(s"$db.$table")
   }
+
+  /** Materialized aggregate rollup — the warehouse answer to "don't scan
+    * 100 TB of facts to draw a dashboard": persist `base` pre-aggregated
+    * by `dims` with decimal-exact SUM/COUNT measures, and serve
+    * re-aggregations (any GROUP BY over a SUBSET of the dims) from the
+    * rollup by summing the partial sums — exact because SUM and COUNT
+    * are decomposable (AVG is served as rolled-up SUM/COUNT, never
+    * averaged-of-averages). The rollup is dims-cardinality-sized, so
+    * downstream queries scan orders of magnitude fewer rows; refresh is
+    * one fact-table aggregation, amortized across every dashboard query
+    * (CatalogSpec pins rollup-served == base-served).
+    *
+    * `measures` maps output name → column; each is summed with exact
+    * decimal(18,4) math plus a row count `n_rows` for count/avg
+    * reconstruction. */
+  def createRollup(spark: SparkSession, base: DataFrame, db: String,
+                   table: String, dims: Seq[String],
+                   measures: Map[String, org.apache.spark.sql.Column])
+  : Unit = {
+    require(dims.nonEmpty && measures.nonEmpty, "need dims and measures")
+    val aggs = measures.toSeq.sortBy(_._1).map { case (name, c) =>
+      sum(c.cast("decimal(18,4)")).as(s"sum_$name")
+    } :+ count(lit(1)).as("n_rows")
+    val rolled = base.groupBy(dims.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
+    val loc = new org.apache.hadoop.fs.Path(
+      new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
+      table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
+    rolled.write.mode("overwrite").format("parquet").saveAsTable(s"$db.$table")
+  }
+
+  /** Serve a coarser aggregation from a [[createRollup]] table: GROUP BY
+    * `dims` (a subset of the rollup's dims), re-summing the partial
+    * sums and counts. Returns sum_<m>, n_rows per group — exact. */
+  def fromRollup(spark: SparkSession, db: String, table: String,
+                 dims: Seq[String], measureNames: Seq[String]): DataFrame = {
+    val r = spark.table(s"$db.$table")
+    val aggs = measureNames.sorted.map(m =>
+      sum(col(s"sum_$m")).as(s"sum_$m")) :+ sum(col("n_rows")).as("n_rows")
+    r.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
 }

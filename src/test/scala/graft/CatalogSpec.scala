@@ -67,4 +67,29 @@ class CatalogSpec extends AnyFunSuite {
       assert(j.limit(5).collect().nonEmpty)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("materialized rollup serves coarser aggregations exactly") {
+    import org.apache.spark.sql.functions._
+    val sf = "/root/testdata/sf0.001"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val orders = Tables(spark, sf, "orders")
+      .withColumn("order_year", year(col("o_orderdate")))
+    CatalogOps.createRollup(spark, orders, db, "orders_rollup",
+      dims = Seq("order_year", "o_orderpriority"),
+      measures = Map("price" -> col("o_totalprice")))
+    // coarser GROUP BY (year only) served from the rollup...
+    val served = CatalogOps.fromRollup(spark, db, "orders_rollup",
+        Seq("order_year"), Seq("price"))
+      .select(col("order_year"), col("sum_price").cast("double"),
+        col("n_rows"))
+      .as[(Int, Double, Long)].collect().toSet
+    // ...must equal the direct fact-table aggregation, exactly
+    val direct = orders.groupBy(col("order_year"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,4)"))
+        .cast("double").as("s"), count(lit(1)).as("n"))
+      .as[(Int, Double, Long)].collect().toSet
+    assert(served == direct)
+    // and the rollup is much smaller than the fact table
+    assert(spark.table(s"$db.orders_rollup").count() < orders.count() / 10)
+  }
 }
