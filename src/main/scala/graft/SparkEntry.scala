@@ -1978,11 +1978,13 @@ object SparkEntry {
         |  epoch_us(ts) AS us, event_id
         | FROM events WHERE user_id % 10 = 0),
         |c AS (SELECT *, lag(state) OVER
-        |  (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |  lag(1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS seen FROM e),
         |v AS (SELECT user_id, state, us AS valid_from_us,
         |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
         |   AS valid_to_us
-        | FROM c WHERE prev IS NULL OR prev <> state)
+        | FROM c WHERE seen IS NULL OR prev IS DISTINCT FROM state)
         |SELECT user_id, state, valid_from_us, valid_to_us,
         | CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_current
         |FROM v""".stripMargin,
@@ -1992,7 +1994,7 @@ object SparkEntry {
         |  epoch_us(ts) >= 1705363200000000 AS in_b,
         |  greatest(least(CAST(floor((value - 0.0) / 50.0) AS INT), 9), 0)
         |   AS bin
-        | FROM events WHERE value IS NOT NULL),
+        | FROM events WHERE value IS NOT NULL AND NOT isnan(value)),
         |b AS (SELECT event_type, bin,
         |  CAST(sum(CASE WHEN in_b THEN 0 ELSE 1 END) AS BIGINT) AS ca,
         |  CAST(sum(CASE WHEN in_b THEN 1 ELSE 0 END) AS BIGINT) AS cb

@@ -115,8 +115,11 @@ object AnalyticsOps {
     * combinable-input exact percentile: groups land whole on a reducer —
     * the same bounded-group-cardinality trade as the q72 quantile
     * monitor, which is the regime a screening query runs in. The
-    * per-group medians travel by broadcast, so the value scan never
-    * shuffles twice on the same key.
+    * per-group median/MAD tables carry NO broadcast hint: AQE picks
+    * broadcast from their ACTUAL runtime size (tiny in the monitoring
+    * regime) but degrades to a shuffle join if a caller feeds millions
+    * of groups — a forced hint would OOM the driver instead (SCALE.md
+    * "Group-cardinality joins").
     *
     * All doubles cross the engine boundary through identical single
     * expressions (interpolated percentile, abs diff, one product chain),
@@ -127,12 +130,12 @@ object AnalyticsOps {
       .filter(col("__v").isNotNull)
     val med = v.groupBy(col("grp"))
       .agg(percentile(col("__v"), lit(0.5)).as("med"))
-    val dev = v.join(broadcast(med), "grp")
+    val dev = v.join(med, "grp")
       .select(col("grp"), col("med"),
         abs(col("__v") - col("med")).as("__dev"))
     val mad = dev.groupBy(col("grp"))
       .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
-    dev.join(broadcast(mad), "grp")
+    dev.join(mad, "grp")
       .groupBy(col("grp"))
       .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
         count(lit(1)).as("n_total"),
@@ -188,21 +191,26 @@ object AnalyticsOps {
     * this never can.
     *
     * Shape: one combinable groupBy(group, bin) with conditional counts
-    * (the period split is a map-side when(), not a join), a tiny
-    * per-group total agg broadcast back, one combinable per-group
-    * reduce. Histogram width is fixed, so shuffle volume is
-    * groups × bins regardless of corpus size. */
+    * (the period split is a map-side when(), not a join), a per-group
+    * total agg joined back (no forced broadcast — AQE sizes it at
+    * runtime, so unbounded group counts degrade to a shuffle join
+    * instead of a driver OOM; SCALE.md "Group-cardinality joins"), one
+    * combinable per-group reduce. Histogram width is fixed, so shuffle
+    * volume is groups × bins regardless of corpus size. */
   /** Clamped equi-width histogram bin, shared by [[driftTvd]] and the
     * streaming drift monitor. NULL-PRESERVING by explicit guard: Spark's
     * `least`/`greatest` SKIP null arguments, so the raw clamp chain
     * would route a null value into the top bin instead of propagating
     * null — a null-heavy feed would read as "mass moved to the top bin".
-    * Callers drop the null bins (a null value is a missing measurement,
-    * not a drifted one). */
+    * NaN gets the same treatment (floor(NaN)=NaN and the non-ANSI
+    * NaN→int cast is 0, which would silently route NaN into bin 0 —
+    * and the DuckDB twin ERRORS on that cast, so a NaN-bearing feed
+    * would break cross-engine parity). Callers drop the null bins (a
+    * null or NaN value is a missing measurement, not a drifted one). */
   def histBin(value: Column, lo: Double, binWidth: Double,
               nBins: Int): Column = {
     require(binWidth > 0 && nBins > 0, "need binWidth > 0 and nBins > 0")
-    when(value.isNotNull,
+    when(value.isNotNull && !isnan(value.cast("double")),
       greatest(least(floor((value - lit(lo)) / lit(binWidth))
         .cast("int"), lit(nBins - 1)), lit(0)))
   }
@@ -223,7 +231,7 @@ object AnalyticsOps {
     val nbD = col("nb").cast("double")
     // Groups seen in only one slice are dropped (0/0): TVD needs a
     // sample from BOTH sides; "new group appeared" is q62's census job.
-    b.join(broadcast(tot), "grp")
+    b.join(tot, "grp")
       .filter(col("na") > 0 && col("nb") > 0)
       .groupBy(col("grp"))
       .agg(max(col("na")).as("na"), max(col("nb")).as("nb"),
@@ -338,9 +346,12 @@ object AnalyticsOps {
     * every per-cell value here is a single deterministic expression
     * over exact integer counts).
     *
-    * One combinable (row, col) count shuffle; marginals are two tiny
-    * rollups of the cell table broadcast back — the corpus is scanned
-    * and shuffled once. */
+    * One combinable (row, col) count shuffle; marginals are two
+    * rollups of the cell table joined back (AQE-sized — category
+    * domains are small in practice, but an unbounded domain must not
+    * force a driver-side broadcast; SCALE.md "Group-cardinality
+    * joins") — the corpus is scanned and shuffled once. The grand
+    * total stays a 1-row broadcast: bounded by construction. */
   def contingency(df: DataFrame, rowC: Column, colC: Column): DataFrame = {
     val cells = df.select(rowC.as("r"), colC.as("c"))
       .groupBy(col("r"), col("c")).agg(count(lit(1)).as("observed"))
@@ -349,7 +360,7 @@ object AnalyticsOps {
     val tt = cells.agg(sum(col("observed")).as("__nn"))
     val e = (col("__nr").cast("double") * col("__nc").cast("double")) /
       col("__nn").cast("double")
-    cells.join(broadcast(rt), "r").join(broadcast(ct), "c")
+    cells.join(rt, "r").join(ct, "c")
       .crossJoin(broadcast(tt))
       .select(col("r"), col("c"), col("observed"), e.as("expected"),
         ((col("observed").cast("double") - e) / sqrt(e)).as("residual"))
@@ -363,7 +374,8 @@ object AnalyticsOps {
     * denominator n: C_d = (n·Σ_{k≤d} y_k − rank_d·T) / n with an exact
     * int64 numerator and one final double division.
     *
-    * One tiny per-group total (broadcast back) + one window over the
+    * One per-group total joined back (AQE-sized, no forced broadcast —
+    * SCALE.md "Group-cardinality joins") + one window over the
     * PRE-AGGREGATED series (one row per (group, x) — the q72/q76
     * bounded-group monitoring regime, not raw events). */
   def cusum(points: DataFrame, group: Column, x: Column,
@@ -373,7 +385,7 @@ object AnalyticsOps {
     val tot = p.groupBy(col("grp"))
       .agg(sum(col("y")).as("__t"), count(lit(1)).as("__n"))
     val w = Window.partitionBy(col("grp")).orderBy(col("x"))
-    p.join(broadcast(tot), "grp")
+    p.join(tot, "grp")
       .withColumn("__rs", sum(col("y"))
         .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__rk", row_number().over(w).cast("long"))

@@ -121,13 +121,34 @@ object CatalogOps {
     } :+ count(lit(1)).as("n_rows")
     val rolled = base.groupBy(dims.map(col): _*)
       .agg(aggs.head, aggs.tail: _*)
-    spark.sql(s"DROP TABLE IF EXISTS $db.$table")
-    val loc = new org.apache.hadoop.fs.Path(
+    // Stage-and-swap (ADVICE r6): the fact-table aggregation runs while
+    // the LIVE rollup still serves — a failed refresh (OOM, bad measure
+    // expr) dies during the staging write and leaves the live table
+    // untouched, matching the SinkOps.swapWrite discipline of never
+    // leaving the target empty. Only after staging is fully written does
+    // the live table drop + staging rename in (metadata-only window; a
+    // crash inside it is healed by the recovery below on the next call).
+    val staging = s"${table}__staging"
+    def managedLoc(t: String) = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
-      table)
-    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(loc)) fs.delete(loc, true)
-    rolled.write.mode("overwrite").format("parquet").saveAsTable(s"$db.$table")
+      t)
+    val fs = managedLoc(table)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dropWithDir(t: String): Unit = {
+      spark.sql(s"DROP TABLE IF EXISTS $db.$t")
+      // Orphaned managed dirs break CREATE TABLE AS (see writeBucketed)
+      if (fs.exists(managedLoc(t))) fs.delete(managedLoc(t), true)
+    }
+    if (spark.catalog.tableExists(s"$db.$staging") &&
+        !spark.catalog.tableExists(s"$db.$table")) {
+      // Crashed prior swap: staging holds the complete refreshed rollup
+      // and the live table is already gone — finish the rename.
+      spark.sql(s"ALTER TABLE $db.$staging RENAME TO $db.$table")
+    }
+    dropWithDir(staging)
+    rolled.write.format("parquet").saveAsTable(s"$db.$staging")
+    dropWithDir(table)
+    spark.sql(s"ALTER TABLE $db.$staging RENAME TO $db.$table")
   }
 
   /** Serve a coarser aggregation from a [[createRollup]] table: GROUP BY

@@ -159,11 +159,16 @@ object StreamOps {
         abs(dec(col(s"c$b")) * dec(col("m")) -
           dec(col(s"r$b")) * dec(col("n"))))
       .reduce(_ + _)
-    joined.select(col("window.start").as("window_start"), col("grp"),
-      col("n"), col("m"),
-      (num.cast("double") /
-        ((lit(2.0) * col("n").cast("double")) * col("m").cast("double")))
-        .as("tvd"))
+    // One-sided drop, mirroring the batch twin's na > 0 AND nb > 0
+    // filter (driftTvd): a reference row with all-zero bin counts (or a
+    // window with none — impossible for a streamed agg, but free to
+    // guard) would otherwise emit NaN/Infinity TVD instead of no row.
+    joined.filter(col("m") > 0 && col("n") > 0)
+      .select(col("window.start").as("window_start"), col("grp"),
+        col("n"), col("m"),
+        (num.cast("double") /
+          ((lit(2.0) * col("n").cast("double")) * col("m").cast("double")))
+          .as("tvd"))
   }
 
   final case class StepEvent(user_id: Long, us: Long, step: Int)

@@ -352,8 +352,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("shiftleft(1,"),
       s"no bloom bit-test filter in the plan:\n$p")
     assert(p.contains("LeftSemi"), s"no exact semi-join behind the bloom:\n$p")
-    assert(!p.contains("CartesianProduct") ||
-      p.contains("BroadcastNestedLoopJoin"), // 1-row bf crossJoin is broadcast
-      s"unexpected cartesian:\n$p")
+    // The 1-row bloom-filter frame must travel as a broadcast nested
+    // loop, and NOTHING in the plan may be a real cartesian — the old
+    // disjunction passed any plan containing a BNLJ even alongside a
+    // CartesianProduct (ADVICE r6).
+    assert(!p.contains("CartesianProduct"),
+      s"unexpected cartesian product:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"expected exactly one broadcast crossJoin for the 1-row bloom " +
+        s"frame:\n$p")
   }
 }
