@@ -8,6 +8,7 @@ import graft.operators.{AnalyticsOps => An, CleanseOps => C, DedupOps => D, Grap
   MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
   SketchOps => Sk, TextOps => T, TimeOps => Ti, VectorOps => Vec,
   VizPrep => V}
+import graft.sources.{CatalogOps => Cat}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -386,6 +387,32 @@ object SparkEntry {
     "q90_rolling_actives" -> ((s, dir) =>
       An.rollingActives(t(s, dir, "events"), col("user_id"), col("ts"),
         windowDays = 7)),
+
+    // Materialized-rollup serving (VERDICT r6 #3): refresh a
+    // (returnflag, linestatus, ship_year) rollup of lineitem, then serve
+    // a coarser GROUP BY returnflag dashboard aggregation FROM THE
+    // ROLLUP — summing decomposable partial sums/counts, never touching
+    // the fact table on the read path. The oracle aggregates the fact
+    // table directly, so the green row IS the rollup contract:
+    // rollup-served == fact-served, exactly (decimal partials, double
+    // cast only at the boundary). At 100 TB the refresh cost amortizes
+    // across every dashboard query; the serve scans dims-cardinality
+    // rows.
+    "q91_rollup_serve" -> ((s, dir) => {
+      val db = "graft_rollups"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      Cat.createRollup(s,
+        t(s, dir, "lineitem").withColumn("ship_year",
+          year(col("l_shipdate"))),
+        db, "lineitem_by_flag_status_year",
+        Seq("l_returnflag", "l_linestatus", "ship_year"),
+        Map("qty" -> col("l_quantity"), "price" -> col("l_extendedprice")))
+      Cat.fromRollup(s, db, "lineitem_by_flag_status_year",
+          Seq("l_returnflag"), Seq("price", "qty"))
+        .select(col("l_returnflag"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
+    }),
 
     // Skew diagnostic on the q51/q52 scenario key (every even suppkey
     // remapped to 1 → one key carries ~half the fact table): the
@@ -2108,6 +2135,19 @@ object SparkEntry {
         | CAST(coalesce(d.dau, 0) AS DOUBLE) / CAST(w.wau AS DOUBLE)
         |  AS stickiness
         |FROM w LEFT JOIN d ON d.day = w.wday""".stripMargin,
+
+    // Fact-table twin of the rollup-served aggregation: equality of this
+    // row hash with the rollup read path is the materialized-view
+    // contract (sum/count are decomposable; the partial decimal sums
+    // re-aggregate exactly).
+    "q91_rollup_serve" ->
+      """SELECT l_returnflag,
+        | CAST(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS sum_price,
+        | CAST(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS VARCHAR)
+        |  AS DOUBLE) AS sum_qty,
+        | count(*) AS n_rows
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     "q89_skew_report" ->
       """WITH k AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1

@@ -13,6 +13,29 @@ class ApproxSpec extends AnyFunSuite {
 
   private val sf = "/root/testdata/sf0.01"
 
+  test("ANN recall regression gate: trained-IVF and multi-probe hold " +
+    "their measured floors (VERDICT r6 #6)") {
+    // q49 measures recall@3 per method; until now nothing ASSERTED it, so
+    // a geometry change (planes, cells, nprobe, probe radius) could
+    // silently degrade the scale paths. Floors sit under the sf0.1
+    // measurements (ivf 0.90, lsh_mp 0.58, lsh_mp2 0.87 — SCALE.md recall
+    // table; fully deterministic, no RNG) with margin for small
+    // parameter tweaks — a real geometry regression trips the gate.
+    val recall =
+      try SparkEntry.queries("q49_ann_recall")(spark, "/root/testdata/sf0.1")
+        .select(col("method"), col("recall_at_3")).collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+      // q49 populates the session sweeps (near-dup pairs, trained
+      // centroids); release their checkpoint blocks so suites sharing
+      // this session start from the clean-session state they assert.
+      finally SparkEntry.clearSessionSweeps()
+    assert(recall("ivf") >= 0.85, s"trained-IVF recall@3 = ${recall("ivf")}")
+    assert(recall("lsh_mp") >= 0.55,
+      s"multi-probe r1 recall@3 = ${recall("lsh_mp")}")
+    assert(recall("lsh_mp2") >= 0.85,
+      s"multi-probe r2 recall@3 = ${recall("lsh_mp2")}")
+  }
+
   test("approx_count_distinct stays within its rsd bound of exact") {
     val ev = Tables(spark, sf, "events")
     val r = ev.agg(

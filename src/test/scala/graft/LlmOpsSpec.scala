@@ -88,6 +88,10 @@ class LlmOpsSpec extends AnyFunSuite {
     val docs = Seq((1L, base), (2L, base + " zz"), (3L, "a b c"))
       .toDF("doc_id", "text")
     spark.catalog.clearCache() // isolate from other suites' state
+    // ...including SparkEntry session sweeps, whose localCheckpoint
+    // blocks survive clearCache by design and would fail the
+    // no-persistent-RDDs assertion below.
+    SparkEntry.clearSessionSweeps()
     val n = D.withNearDupPairs(docs, "doc_id",
       T.wordShingles(T.tokens(col("text")), 3), 0.8)(_.count())
     assert(n == 1L)
