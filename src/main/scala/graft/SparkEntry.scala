@@ -414,6 +414,54 @@ object SparkEntry {
           col("sum_qty").cast("double").as("sum_qty"), col("n_rows"))
     }),
 
+    // Markov transition matrix over per-user event sequences — the
+    // session-flow / Sankey feed. Order totalized by (ts, event_id);
+    // P(next | state) = pair count / from-state out-degree, one exact
+    // division.
+    "q92_transitions" -> ((s, dir) =>
+      An.transitionMatrix(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))),
+
+    // Audience overlap: distinct-user Jaccard between event-type
+    // segments — every unordered pair once, intersection via the
+    // actor-keyed membership self-join, union derived as
+    // |A|+|B|-|A∩B| (no union pass).
+    "q93_audience_overlap" -> ((s, dir) =>
+      An.audienceOverlap(t(s, dir, "events"), col("user_id"),
+          col("event_type"))
+        .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+          col("n_both"), col("jaccard"))),
+
+    // Equal-frequency binning: per-event-type value quartiles (ntile
+    // over the (value, event_id)-totalized order) with the per-bin
+    // census — the feature-engineering discretizer.
+    "q94_quantile_bins" -> ((s, dir) =>
+      An.quantileBins(t(s, dir, "events"), col("event_type"),
+          col("value"), col("event_id"), nBins = 4)
+        .select(col("grp").as("event_type"), col("bin"), col("n"),
+          col("lo"), col("hi"))),
+
+    // Day-of-week seasonal deviation: each (type, day) count against
+    // the type's same-weekday baseline — exact int64 numerator over
+    // the common denominator, one final division.
+    "q95_seasonality" -> ((s, dir) =>
+      An.seasonalDeviation(t(s, dir, "events"), col("ts"),
+          col("event_type"))
+        .select(col("grp").as("event_type"), col("day"), col("dow"),
+          col("cnt"), col("dow_total"), col("n_dowdays"),
+          col("dow_ratio"))),
+
+    // Semi-structured props: extract the long-tail JSON attribute k
+    // (get_json_object + try_cast, codegen'd — no UDF, no schema
+    // migration), then a per-type census of the extracted values.
+    "q96_json_props" -> ((s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_type"), C.jsonLong(col("props"), "$.k").as("k"))
+        .filter(col("k").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // Skew diagnostic on the q51/q52 scenario key (every even suppkey
     // remapped to 1 → one key carries ~half the fact table): the
     // measure-before-you-salt report. skew_ratio = max/mean key count;
@@ -2148,6 +2196,65 @@ object SparkEntry {
         |  AS DOUBLE) AS sum_qty,
         | count(*) AS n_rows
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    "q92_transitions" ->
+      """WITH o AS (SELECT event_type AS from_state,
+        |  lead(event_type) OVER (PARTITION BY user_id
+        |   ORDER BY epoch_us(ts), event_id) AS to_state
+        | FROM events),
+        |pr AS (SELECT from_state, to_state, count(*) AS n
+        | FROM o WHERE to_state IS NOT NULL GROUP BY 1, 2),
+        |d AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+        | FROM pr GROUP BY 1)
+        |SELECT pr.from_state, pr.to_state, CAST(pr.n AS BIGINT) AS n,
+        | d.n_from,
+        | CAST(pr.n AS DOUBLE) / CAST(d.n_from AS DOUBLE) AS p
+        |FROM pr JOIN d USING (from_state)""".stripMargin,
+
+    "q93_audience_overlap" ->
+      """WITH m AS (SELECT DISTINCT event_type AS seg, user_id
+        |  FROM events),
+        |s AS (SELECT seg, count(*) AS sz FROM m GROUP BY 1),
+        |i AS (SELECT a.seg AS seg_a, b.seg AS seg_b, count(*) AS n_both
+        | FROM m a JOIN m b
+        |  ON a.user_id = b.user_id AND a.seg < b.seg
+        | GROUP BY 1, 2)
+        |SELECT i.seg_a, i.seg_b, CAST(sa.sz AS BIGINT) AS n_a,
+        | CAST(sb.sz AS BIGINT) AS n_b, CAST(i.n_both AS BIGINT) AS n_both,
+        | CAST(i.n_both AS DOUBLE)
+        |  / CAST(sa.sz + sb.sz - i.n_both AS DOUBLE) AS jaccard
+        |FROM i JOIN s sa ON sa.seg = i.seg_a
+        | JOIN s sb ON sb.seg = i.seg_b""".stripMargin,
+
+    "q94_quantile_bins" ->
+      """WITH b AS (SELECT event_type, value, ntile(4) OVER
+        |  (PARTITION BY event_type ORDER BY value, event_id) AS bin
+        | FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, CAST(bin AS INT) AS bin, count(*) AS n,
+        | min(value) AS lo, max(value) AS hi
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    "q95_seasonality" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  count(*) AS cnt FROM events GROUP BY 1, 2),
+        |w AS (SELECT *, dayofweek(d) + 1 AS dow FROM daily),
+        |base AS (SELECT event_type, dow, CAST(sum(cnt) AS BIGINT)
+        |   AS dow_total, count(*) AS n_dowdays
+        | FROM w GROUP BY 1, 2)
+        |SELECT w.event_type, strftime(w.d, '%Y-%m-%d') AS day,
+        | CAST(w.dow AS INT) AS dow, CAST(w.cnt AS BIGINT) AS cnt,
+        | base.dow_total, base.n_dowdays,
+        | CAST(w.cnt * base.n_dowdays AS DOUBLE)
+        |  / CAST(base.dow_total AS DOUBLE) AS dow_ratio
+        |FROM w JOIN base USING (event_type, dow)""".stripMargin,
+
+    "q96_json_props" ->
+      """WITH k AS (SELECT event_type,
+        |  TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        | FROM events)
+        |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
+        | min(k) AS min_k, max(k) AS max_k
+        |FROM k WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
 
     "q89_skew_report" ->
       """WITH k AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1

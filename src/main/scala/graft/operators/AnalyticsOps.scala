@@ -372,6 +372,124 @@ object AnalyticsOps {
         ((col("observed").cast("double") - e) / sqrt(e)).as("residual"))
   }
 
+  /** First-order Markov transition matrix over per-actor event
+    * sequences — the "where do users go next" flow analysis behind
+    * Sankey dashboards and session-flow mining. Per actor, events order
+    * by (ts, tiebreak); each consecutive (state → next) pair counts
+    * once; P(next | state) is the pair count over the from-state's
+    * out-degree.
+    *
+    * `tiebreak` must make the per-actor order TOTAL (an event-id);
+    * same-timestamp events would otherwise transition in
+    * partition-dependent order and the counts would not be
+    * deterministic, let alone oracle-stable.
+    *
+    * Scale: one actor-keyed exchange for the lead() window, one
+    * combinable (state, next) count shuffle; the from-state totals are
+    * a rollup OF THE PAIR-COUNT table (state-cardinality², tiny)
+    * rejoined AQE-sized — the event corpus is scanned and shuffled
+    * once per stage, never held in window state beyond one row. */
+  def transitionMatrix(events: DataFrame, actor: Column, ts: Column,
+                       state: Column, tiebreak: Column): DataFrame = {
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__us"), col("__tb"))
+    val pairs = events.select(actor.as("__a"), unix_micros(ts).as("__us"),
+        tiebreak.as("__tb"), state.as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+    val outDeg = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_from"))
+    pairs.join(outDeg, "from_state")
+      .select(col("from_state"), col("to_state"), col("n"), col("n_from"),
+        (col("n").cast("double") / col("n_from").cast("double")).as("p"))
+  }
+
+  /** Pairwise audience overlap between segments — |A∩B|, |A|, |B| and
+    * Jaccard for every segment pair, the "which cohorts are the same
+    * people" screen (segments = event types, traffic sources, feature
+    * flags). Works on the DEDUPED (segment, actor) membership table:
+    * actors join to themselves across segments, so a pair's
+    * intersection counts each shared actor once.
+    *
+    * Scale: membership dedup is one combinable shuffle; the self-join
+    * is keyed on the ACTOR, and its fan-out per actor is
+    * (segments-the-actor-is-in choose 2) — bounded by the segment
+    * count squared, NOT by corpus size. Segment sizes are a tiny
+    * rollup of the membership table rejoined twice (AQE-sized).
+    * Jaccard's denominator derives as |A|+|B|−|A∩B| — no union pass
+    * exists. The `a < b` ordering emits each unordered pair once. */
+  def audienceOverlap(events: DataFrame, actor: Column,
+                      segment: Column): DataFrame = {
+    val m = events.select(segment.as("seg"), actor.as("__actor")).distinct()
+    val sizes = m.groupBy(col("seg")).agg(count(lit(1)).as("size"))
+    val inter = m.select(col("seg").as("seg_a"), col("__actor"))
+      .join(m.select(col("seg").as("seg_b"), col("__actor")), "__actor")
+      .filter(col("seg_a") < col("seg_b"))
+      .groupBy(col("seg_a"), col("seg_b"))
+      .agg(count(lit(1)).as("n_both"))
+    inter
+      .join(sizes.select(col("seg").as("seg_a"), col("size").as("n_a")),
+        "seg_a")
+      .join(sizes.select(col("seg").as("seg_b"), col("size").as("n_b")),
+        "seg_b")
+      .select(col("seg_a"), col("seg_b"), col("n_a"), col("n_b"),
+        col("n_both"),
+        (col("n_both").cast("double") /
+          (col("n_a") + col("n_b") - col("n_both")).cast("double"))
+          .as("jaccard"))
+  }
+
+  /** Per-group equal-frequency (quantile) binning — ntile over a TOTAL
+    * per-group order, the feature-engineering discretizer (quartile /
+    * decile features, score bands). Emits the per-(group, bin) census:
+    * row count and value range. `tiebreak` totalizes the order the
+    * same way [[transitionMatrix]] requires: equal values must bin
+    * deterministically or two runs disagree on boundary rows.
+    *
+    * Scale: one exchange on the group + in-partition sort (ntile needs
+    * the group's rows ranked — the q72/q76 bounded-group monitoring
+    * regime, documented trade); the bin census is a combinable
+    * follow-up aggregate on the SAME key, so the exchange is reused. */
+  def quantileBins(df: DataFrame, group: Column, value: Column,
+                   tiebreak: Column, nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val w = Window.partitionBy(col("grp")).orderBy(col("__v"), col("__tb"))
+    df.select(group.as("grp"), value.as("__v"), tiebreak.as("__tb"))
+      .filter(col("__v").isNotNull)
+      .withColumn("bin", ntile(nBins).over(w))
+      .groupBy(col("grp"), col("bin"))
+      .agg(count(lit(1)).as("n"), min(col("__v")).as("lo"),
+        max(col("__v")).as("hi"))
+  }
+
+  /** Day-of-week seasonal deviation — each (group, day)'s event count
+    * against the group's same-weekday baseline, the "is this Monday
+    * abnormal for a Monday" screen that a flat daily average gets
+    * wrong on any weekly-cyclic stream. ratio = cnt·n_dowdays/dow_total
+    * stays on the common denominator (exact int64 numerator, ONE final
+    * double division — the q79/q83 exactness discipline).
+    *
+    * Scale: one combinable (group, day) count shuffle (already
+    * days×groups-sized), a tiny (group, dow) rollup of THAT table
+    * rejoined AQE-sized; the event corpus is scanned once. */
+  def seasonalDeviation(events: DataFrame, ts: Column,
+                        group: Column): DataFrame = {
+    val daily = events.select(group.as("grp"), to_date(ts).as("__day"))
+      .groupBy(col("grp"), col("__day"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("dow", dayofweek(col("__day")))
+    val base = daily.groupBy(col("grp"), col("dow"))
+      .agg(sum(col("cnt")).as("dow_total"), count(lit(1)).as("n_dowdays"))
+    daily.join(base, Seq("grp", "dow"))
+      .select(col("grp"),
+        date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("dow"), col("cnt"), col("dow_total"), col("n_dowdays"),
+        ((col("cnt") * col("n_dowdays")).cast("double") /
+          col("dow_total").cast("double")).as("dow_ratio"))
+  }
+
   /** Exact CUSUM series per group: the classic changepoint signal
     * C_d = Σ_{k≤d} (y_k − μ) over INTEGER observations, where μ is the
     * group mean. A float running sum would be engine-dependent (DuckDB's

@@ -51,6 +51,24 @@ object CleanseOps {
   def dropNullRows(df: DataFrame, cols: Seq[String]): DataFrame =
     df.na.drop(cols)
 
+  /** Semi-structured property extraction: pull a scalar field out of a
+    * JSON string column and coerce it, null on missing field / malformed
+    * document / non-numeric value alike (`get_json_object` + `try_cast`
+    * both null-propagate). The event-stream staple — `props` payloads
+    * carry the long tail of attributes no schema migration keeps up
+    * with. A plain codegen'd expression: rides the scan, no UDF, and at
+    * 100 TB the JSON parse happens exactly once per row on the
+    * projected column (for HOT fields, materialize the extraction at
+    * ingest — this is the expression you materialize). */
+  def jsonLong(c: Column, path: String): Column =
+    get_json_object(c, path).try_cast("bigint")
+
+  def jsonDouble(c: Column, path: String): Column =
+    get_json_object(c, path).try_cast("double")
+
+  def jsonString(c: Column, path: String): Column =
+    get_json_object(c, path)
+
   /** Exact money arithmetic: cast a 2-decimal double to decimal so sums are
     * order-independent and bit-stable across engines (oracle-hash safety —
     * SURVEY.md §7 "float formatting drift"). */

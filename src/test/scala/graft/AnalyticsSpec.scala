@@ -81,6 +81,69 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plainJoins.size > 1)
   }
 
+  test("transitionMatrix: tiebreak totalizes same-timestamp order; " +
+    "single-event actors and actor boundaries contribute no pair") {
+    val e = Seq(
+      (1L, 10L, 1L, "a"), (1L, 10L, 2L, "b"), (1L, 20L, 3L, "a"), // a→b→a
+      (2L, 5L, 4L, "c"),                    // single event: no pair
+      (3L, 30L, 5L, "b"))                   // no cross-actor a→b pair
+      .toDF("user_id", "us", "event_id", "event_type")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.transitionMatrix(e, col("user_id"), col("ts"),
+        col("event_type"), col("event_id"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out == Map(
+      ("a", "b") -> ((1L, 1L, 1.0)),   // out-degree of a is 1
+      ("b", "a") -> ((1L, 1L, 1.0))))
+  }
+
+  test("audienceOverlap: repeat events count an actor once; each " +
+    "unordered pair emits once with derived-union jaccard") {
+    val e = Seq((1L, "x"), (1L, "x"), (1L, "y"), (2L, "x"), (3L, "y"),
+        (3L, "z"))
+      .toDF("user_id", "event_type")
+    val out = AnalyticsOps.audienceOverlap(e, col("user_id"),
+        col("event_type"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // x={1,2}, y={1,3}, z={3}; pairs with non-empty intersection only
+    assert(out == Map(
+      ("x", "y") -> ((2L, 2L, 1L, 1.0 / 3.0)),
+      ("y", "z") -> ((2L, 1L, 1L, 0.5))))
+  }
+
+  test("quantileBins: remainder rows land in the leading bins and ties " +
+    "split deterministically by the tiebreak") {
+    val df = Seq((1L, 5.0), (2L, 5.0), (3L, 5.0), (4L, 1.0), (5L, 9.0))
+      .toDF("event_id", "value").withColumn("g", lit("only"))
+    val out = AnalyticsOps.quantileBins(df, col("g"), col("value"),
+        col("event_id"), nBins = 3)
+      .collect().map(r => r.getInt(1) -> (r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toMap
+    // order: 1.0, 5.0(id1), 5.0(id2), 5.0(id3), 9.0 → bins 2,2,1
+    assert(out == Map(
+      1 -> ((2L, 1.0, 5.0)), 2 -> ((2L, 5.0, 5.0)), 3 -> ((1L, 9.0, 9.0))))
+  }
+
+  test("seasonalDeviation: a uniform weekday series has ratio 1.0; a " +
+    "spiked day deviates against ITS weekday only") {
+    // Mondays 2024-01-01/08 with 2 and 6 events; Tuesday 2024-01-02 with 3
+    def day(d: String, n: Int, off: Int) = (1 to n).map(i =>
+      (off * 100 + i.toLong, s"$d 00:0$i:00"))
+    val e = (day("2024-01-01", 2, 1) ++ day("2024-01-08", 6, 2) ++
+        day("2024-01-02", 3, 3))
+      .toDF("event_id", "s")
+      .select(col("event_id"), to_timestamp(col("s")).as("ts"),
+        lit("t").as("et"))
+    val out = AnalyticsOps.seasonalDeviation(e, col("ts"), col("et"))
+      .collect().map(r => r.getString(1) ->
+        (r.getLong(3), r.getLong(4), r.getLong(5), r.getDouble(6))).toMap
+    assert(out("2024-01-02") == ((3L, 3L, 1L, 1.0)))      // its own baseline
+    assert(out("2024-01-01") == ((2L, 8L, 2L, 0.5)))      // 2*2/8
+    assert(out("2024-01-08") == ((6L, 8L, 2L, 1.5)))      // 6*2/8
+  }
+
   test("funnel: out-of-order actor (step2 before step1) never converts") {
     val e = Seq((1L, 20L, "a"), (1L, 10L, "b"))
       .toDF("user_id", "us", "event_type")

@@ -43,6 +43,18 @@ class OperatorSpec extends AnyFunSuite {
     assert(df.collect().map(_.getDouble(0)).toSeq == Seq(0.0, 7.0))
   }
 
+  test("json extraction: missing field, malformed doc, and non-numeric " +
+    "value all coerce to null (no ANSI error)") {
+    val df = Seq("""{"k": 69}""", """{"x": 1}""", "not json",
+        """{"k": "abc"}""", null)
+      .toDF("props")
+      .select(graft.operators.CleanseOps.jsonLong(col("props"), "$.k")
+        .as("k"))
+    assert(df.collect().map(r =>
+      if (r.isNullAt(0)) None else Some(r.getLong(0))).toSeq ==
+      Seq(Some(69L), None, None, None, None))
+  }
+
   test("J3 lookup join falls back to input on miss") {
     val data = Seq("germany", "narnia").toDF("name")
     val lookup = Seq(("germany", "DEU")).toDF("k", "v")
