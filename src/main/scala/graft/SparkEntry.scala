@@ -841,11 +841,12 @@ object SparkEntry {
     }),
 
     // Similarity search, IVF-flat variant with TRAINED centroids: seeds
-    // (vec_id < 8) refined by 2 Lloyd iterations at query-construction
-    // time (fixed count + deterministic seed, so the oracle replays the
-    // training CTE-for-CTE), vectors assigned to the nearest trained
-    // centroid (broadcast O(N·K) map pass), queries probe their nprobe
-    // nearest cells, exact cosine within candidates only.
+    // (vec_id < 8) refined by 2 Lloyd iterations over a deterministic
+    // 1/4 hash-SAMPLE of the corpus (the FAISS shape: train on a sample,
+    // assign everything; fixed count + md5-keyed sample, so the oracle
+    // replays the training CTE-for-CTE), vectors assigned to the nearest
+    // trained centroid (broadcast O(N·K) map pass), queries probe their
+    // nprobe nearest cells, exact cosine within candidates only.
     "q34_ann_ivf" -> (annIvf(_, _)),
 
     // ANN recall@3, oracle-measured (SURVEY §2.12 L6b's "recall-checkable"
@@ -1362,6 +1363,15 @@ object SparkEntry {
   private val IvfCells = 8
   private val IvfTrainIters = 2
   private val IvfProbes = 5
+  /** Lloyd passes train on a deterministic 1/4 hash-sample of the corpus
+    * (sampleBucket('ivf', vec_id) < 2500/10000) — the production IVF
+    * shape: FAISS-style index builds never run k-means over the full
+    * store, they train on a sample and ASSIGN the full corpus. The
+    * md5-keyed sample is partition-invariant and oracle-replayable; the
+    * recall gate (ApproxSpec) re-measures the trained geometry. */
+  private val IvfTrainNum = 2500
+  private val IvfTrainDenom = 10000
+  private val IvfTrainSalt = "ivf"
 
   /** Session sweep for the word-3-gram near-dup pair build shared by
     * q25/q35/q61/q66 (VERDICT r5 #3): the four consumers run the SAME
@@ -1495,7 +1505,12 @@ object SparkEntry {
         val e = t(s, dir, "embeddings")
         val seed = e.filter(col("vec_id") < cells)
           .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-        Vec.kmeansTrain(e.select(col("vec_id"), col("embedding")),
+        // Train on the hash-sample, not the corpus (IvfTrainNum doc):
+        // O(sample·K) Lloyd passes instead of O(N·K), identical loop.
+        val trainSet = Sam.hashSample(e, col("vec_id"),
+            IvfTrainNum, IvfTrainDenom, IvfTrainSalt)
+          .select(col("vec_id"), col("embedding"))
+        Vec.kmeansTrain(trainSet,
           "vec_id", "embedding", seed, "cid", "cv", iters)
       })
 
@@ -1639,14 +1654,17 @@ object SparkEntry {
     * next round consumes the centroid. */
   private def sqlIvfTrainCtes(iters: Int): String = {
     val seed =
-      s"""cent0 AS (SELECT vec_id AS cid, embedding AS cv
+      s"""ivf_train AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${hx(s"'$IvfTrainSalt' || CAST(vec_id AS VARCHAR)", 8)}
+         |   % $IvfTrainDenom < $IvfTrainNum),
+         |cent0 AS (SELECT vec_id AS cid, embedding AS cv
          |  FROM embeddings WHERE vec_id < $IvfCells)""".stripMargin
     val steps = (1 to iters).map { i =>
       s"""asg_t$i AS (SELECT vec_id, embedding, cid AS cell_id FROM (
          |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
          |    PARTITION BY e.vec_id
          |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
-         |  FROM embeddings e CROSS JOIN cent${i - 1} c) WHERE cr = 1),
+         |  FROM ivf_train e CROSS JOIN cent${i - 1} c) WHERE cr = 1),
          |cm_t$i AS (SELECT cell_id, dim, avg(CAST(x AS DOUBLE)) AS m
          | FROM (SELECT cell_id, unnest(embedding) AS x,
          |   unnest(generate_series(1, len(embedding))) AS dim
