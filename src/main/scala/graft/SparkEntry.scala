@@ -451,6 +451,49 @@ object SparkEntry {
           col("cnt"), col("dow_total"), col("n_dowdays"),
           col("dow_ratio"))),
 
+    // Digest-guided snapshot reconciliation (the scale path q58's full
+    // diff doesn't have): 64-bucket Merkle-style digests of both
+    // snapshots (one combinable shuffle each, O(buckets) exchanged),
+    // then added/removed/changed counts ONLY inside digest-mismatched
+    // buckets — both row scans semi-joined down to the divergence.
+    // Snapshot B mutates documents exactly like q58: %13 removed,
+    // %7 changed, %11 re-added under new negative ids.
+    "q97_snapshot_reconcile" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val a = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val b = docs.filter(pmod(col("doc_id"), lit(13)) =!= 0)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(col("text"), lit(" v2"))).otherwise(col("text")))
+            .as("fp"))
+        .union(docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+          .select((-(col("doc_id") + 1)).as("doc_id"),
+            md5(col("text")).as("fp")))
+      R.reconcileSnapshots(a, b, col("doc_id"), col("fp"), buckets = 64)
+    }),
+
+    // Token-weighted median document length per language: the length of
+    // the doc containing the median TOKEN (a doc-uniform median
+    // over-represents short docs — same inversion q67's token-weighted
+    // sampling corrects). Integer cumulative-weight pick, no division.
+    "q98_weighted_median" -> ((s, dir) =>
+      An.weightedMedian(
+        t(s, dir, "documents")
+          .select(col("lang"), col("n_chars"), col("doc_id"),
+            size(T.tokens(col("text"))).as("n_tokens")),
+        col("lang"), col("n_chars"), col("n_tokens"), col("doc_id"))
+        .select(col("grp").as("lang"), col("weighted_median"),
+          col("total_weight"))),
+
+    // Last-activity churn census: actors bucketed by days since last
+    // seen relative to the CORPUS max day (reproducible, backfill-safe)
+    // — active [0,1), cooling [1,2), churned [2,∞). (Day-scale edges:
+    // the synthetic actors are hyper-active, so week-scale edges
+    // degenerate to one bucket; a production caller passes [7, 14].)
+    "q99_churn_census" -> ((s, dir) =>
+      An.churnCensus(t(s, dir, "events"), col("user_id"), col("ts"),
+        edges = Seq(1, 2))),
+
     // Semi-structured props: extract the long-tail JSON attribute k
     // (get_json_object + try_cast, codegen'd — no UDF, no schema
     // migration), then a per-type census of the extracted values.
@@ -2265,6 +2308,74 @@ object SparkEntry {
         | CAST(w.cnt * base.n_dowdays AS DOUBLE)
         |  / CAST(base.dow_total AS DOUBLE) AS dow_ratio
         |FROM w JOIN base USING (event_type, dow)""".stripMargin,
+
+    "q97_snapshot_reconcile" ->
+      s"""WITH a AS (SELECT doc_id, md5(text) AS fp FROM documents),
+         |b AS (SELECT doc_id, md5(CASE WHEN doc_id % 7 = 0
+         |    THEN text || ' v2' ELSE text END) AS fp
+         |  FROM documents WHERE doc_id % 13 <> 0
+         | UNION ALL
+         | SELECT -(doc_id + 1) AS doc_id, md5(text) AS fp
+         |  FROM documents WHERE doc_id % 11 = 0),
+         |da AS (SELECT ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 AS bucket,
+         |  count(*) AS n_a, bit_xor(${hx("fp", 15)}) AS dg
+         | FROM a GROUP BY 1),
+         |db AS (SELECT ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 AS bucket,
+         |  count(*) AS n_b, bit_xor(${hx("fp", 15)}) AS dg
+         | FROM b GROUP BY 1),
+         |mm AS (SELECT coalesce(da.bucket, db.bucket) AS bucket,
+         |  CAST(coalesce(da.n_a, 0) AS BIGINT) AS n_a,
+         |  CAST(coalesce(db.n_b, 0) AS BIGINT) AS n_b
+         | FROM da FULL OUTER JOIN db ON da.bucket = db.bucket
+         | WHERE da.dg IS DISTINCT FROM db.dg
+         |  OR da.n_a IS DISTINCT FROM db.n_b),
+         |ra AS (SELECT ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 AS bucket,
+         |  CAST(doc_id AS VARCHAR) AS k, fp FROM a
+         | WHERE ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 IN
+         |  (SELECT bucket FROM mm)),
+         |rb AS (SELECT ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 AS bucket,
+         |  CAST(doc_id AS VARCHAR) AS k, fp FROM b
+         | WHERE ${hx("CAST(doc_id AS VARCHAR)", 8)} % 64 IN
+         |  (SELECT bucket FROM mm)),
+         |rd AS (SELECT coalesce(ra.bucket, rb.bucket) AS bucket,
+         |  CAST(sum(CASE WHEN ra.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_added,
+         |  CAST(sum(CASE WHEN rb.fp IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         |   AS n_removed,
+         |  CAST(sum(CASE WHEN ra.fp IS NOT NULL AND rb.fp IS NOT NULL
+         |    AND ra.fp <> rb.fp THEN 1 ELSE 0 END) AS BIGINT) AS n_changed
+         | FROM ra FULL OUTER JOIN rb
+         |  ON ra.bucket = rb.bucket AND ra.k = rb.k
+         | GROUP BY 1)
+         |SELECT mm.bucket, mm.n_a, mm.n_b, rd.n_added, rd.n_removed,
+         | rd.n_changed
+         |FROM mm JOIN rd USING (bucket)""".stripMargin,
+
+    "q98_weighted_median" ->
+      """WITH d AS (SELECT lang, CAST(n_chars AS BIGINT) AS v,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS w, doc_id
+        | FROM documents),
+        |c AS (SELECT lang, v, doc_id,
+        |  CAST(sum(w) OVER (PARTITION BY lang ORDER BY v, doc_id
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |  CAST(sum(w) OVER (PARTITION BY lang) AS BIGINT) AS tot
+        | FROM d WHERE v IS NOT NULL AND w > 0),
+        |q AS (SELECT lang, v, tot, row_number() OVER
+        |  (PARTITION BY lang ORDER BY v, doc_id) AS rn
+        | FROM c WHERE 2 * cum >= tot)
+        |SELECT lang, v AS weighted_median, tot AS total_weight
+        |FROM q WHERE rn = 1""".stripMargin,
+
+    "q99_churn_census" ->
+      """WITH l AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT max(last_day) AS md FROM l),
+        |g AS (SELECT CAST(datediff('day', last_day, md) AS INT) AS gap
+        |  FROM l, m)
+        |SELECT CASE WHEN gap >= 2 THEN 2 WHEN gap >= 1 THEN 1
+        |  ELSE 0 END AS gap_bucket,
+        | count(*) AS n_actors, min(gap) AS min_gap, max(gap) AS max_gap
+        |FROM g GROUP BY 1""".stripMargin,
 
     "q96_json_props" ->
       """WITH k AS (SELECT event_type,

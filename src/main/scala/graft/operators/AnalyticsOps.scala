@@ -490,6 +490,72 @@ object AnalyticsOps {
           col("dow_total").cast("double")).as("dow_ratio"))
   }
 
+  /** Exact per-group WEIGHTED median over integer values and weights —
+    * the corpus statistic a plain median gets wrong whenever rows carry
+    * unequal mass (the canonical use: weight = token count, so the
+    * median is the value experienced by the median TOKEN, matching the
+    * token-uniform sampling story). Lower weighted median: the smallest
+    * value whose cumulative weight reaches half the total
+    * (2·cumw ≥ tot — integer comparison, no division, no float).
+    *
+    * `tiebreak` totalizes the order ([[transitionMatrix]] discipline):
+    * equal values must accumulate deterministically or the boundary
+    * pick is partition-dependent.
+    *
+    * Scale: ONE exchange on the group — the running sum, the partition
+    * total, and the min-pick all share the same partition spec (the
+    * q72 bounded-group trade for exact order statistics; sketches
+    * cover unbounded groups). */
+  def weightedMedian(df: DataFrame, group: Column, value: Column,
+                     weight: Column, tiebreak: Column): DataFrame = {
+    val ord = Window.partitionBy(col("grp"))
+      .orderBy(col("__v"), col("__tb"))
+    val all = Window.partitionBy(col("grp"))
+    df.select(group.as("grp"), value.cast("long").as("__v"),
+        weight.cast("long").as("__w"), tiebreak.as("__tb"))
+      .filter(col("__v").isNotNull && col("__w").isNotNull &&
+        col("__w") > 0)
+      .withColumn("__cum", sum(col("__w"))
+        .over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .withColumn("__tot", sum(col("__w")).over(all))
+      .filter(col("__cum") * 2 >= col("__tot"))
+      .groupBy(col("grp"))
+      .agg(min(struct(col("__v"), col("__tb"))).getField("__v")
+          .as("weighted_median"),
+        max(col("__tot")).as("total_weight"))
+  }
+
+  /** Last-activity churn census — bucket every actor by how many days
+    * before the corpus's last day they were last seen (the lifecycle
+    * funnel: active / cooling / churned). The horizon is the DATA's max
+    * day, not wall clock, so the census is reproducible and
+    * backfill-safe. Bucket edges are inclusive lower bounds in
+    * `edges` (sorted ascending, implicit 0 start): edges = [7, 14] →
+    * "0" [0,7), "7" [7,14), "14" [14,∞).
+    *
+    * Scale: one combinable groupBy(actor) max-day pass; the global max
+    * day travels by 1-row broadcast; the census is bucket-cardinality
+    * rows. */
+  def churnCensus(events: DataFrame, actor: Column, ts: Column,
+                  edges: Seq[Int]): DataFrame = {
+    require(edges.nonEmpty && edges == edges.sorted && edges.head > 0,
+      "edges must be ascending positive day offsets")
+    val last = events.select(actor.as("__actor"), to_date(ts).as("__day"))
+      .groupBy(col("__actor")).agg(max(col("__day")).as("last_day"))
+    val maxDay = last.agg(max(col("last_day")).as("__md"))
+    val gap = datediff(col("__md"), col("last_day"))
+    // Ascending fold so the LARGEST edge's branch sits outermost —
+    // each when() shadows everything folded before it.
+    val bucket = edges.foldLeft(lit(0)) { (acc, e) =>
+      when(gap >= e, lit(e)).otherwise(acc)
+    }
+    last.crossJoin(broadcast(maxDay))
+      .groupBy(bucket.as("gap_bucket"))
+      .agg(count(lit(1)).as("n_actors"),
+        min(gap).as("min_gap"), max(gap).as("max_gap"))
+  }
+
   /** Exact CUSUM series per group: the classic changepoint signal
     * C_d = Σ_{k≤d} (y_k − μ) over INTEGER observations, where μ is the
     * group mean. A float running sum would be engine-dependent (DuckDB's

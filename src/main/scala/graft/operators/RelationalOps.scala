@@ -13,6 +13,77 @@ import org.apache.spark.sql.functions._
   */
 object RelationalOps {
 
+  /** Merkle-style bucket digest of a snapshot: every row lands in one of
+    * `buckets` key-hash buckets, and each bucket reduces to (row count,
+    * bit_xor of a 60-bit row fingerprint hash). The digest table is the
+    * O(buckets) summary two 100 TB snapshot copies EXCHANGE to find out
+    * whether (and WHERE) they differ — the anti-entropy primitive behind
+    * replica repair and cross-region table reconciliation: comparing
+    * digests moves `buckets` rows, not the tables.
+    *
+    * bit_xor is the right fold: commutative/associative (partial-agg
+    * order free — combinable in one shuffle), self-inverse (A ⊕ A = 0,
+    * so identical row multisets cancel regardless of order), and
+    * sensitive to any single-row change of the fingerprint. (A row
+    * DUPLICATED an even number of times xor-cancels — the count column
+    * catches that case; for a cryptographic guarantee swap in an
+    * order-free additive hash, same shape.)
+    *
+    * One combinable shuffle of (bucket, hash) pairs; both hashes are the
+    * repo's md5-prefix convention, so an external engine (the DuckDB
+    * oracle — or a second warehouse entirely) reproduces the digest
+    * bit-for-bit. That cross-engine reproducibility IS the point: the
+    * two sides of a reconciliation rarely run the same system. */
+  def bucketDigest(df: DataFrame, key: Column, fingerprint: Column,
+                   buckets: Int): DataFrame = {
+    require(buckets > 0, "buckets must be positive")
+    df.select(
+        pmod(TextOps.hash32(key.cast("string")), lit(buckets)).as("bucket"),
+        TextOps.hash60(fingerprint).as("__h"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_rows"), expr("bit_xor(__h)").as("digest"))
+  }
+
+  /** Digest-guided snapshot reconciliation: compare two snapshots'
+    * [[bucketDigest]] tables, then run the ROW-LEVEL diff only inside
+    * the buckets whose digests disagree — added/removed/changed counts
+    * per mismatched bucket. Identical buckets (the vast majority of a
+    * mostly-in-sync pair) never join at row level: both row scans are
+    * semi-joined down to the mismatched buckets before the full-outer
+    * diff, so the expensive comparison is delta-sided like q85's
+    * incremental dedup — work scales with the DIVERGENCE, not the
+    * snapshot size. */
+  def reconcileSnapshots(a: DataFrame, b: DataFrame, key: Column,
+                         fingerprint: Column, buckets: Int): DataFrame = {
+    val da = bucketDigest(a, key, fingerprint, buckets)
+      .select(col("bucket"), col("n_rows").as("n_a"),
+        col("digest").as("__da"))
+    val db = bucketDigest(b, key, fingerprint, buckets)
+      .select(col("bucket"), col("n_rows").as("n_b"),
+        col("digest").as("__db"))
+    // Null-safe: a bucket present on one side only is a mismatch too.
+    // BOTH signals gate: digest inequality catches changes, count
+    // inequality catches the xor-cancelling even-duplicate case the
+    // digest alone is blind to (spec-pinned).
+    val mismatch = da.join(db, Seq("bucket"), "full_outer")
+      .filter(!(col("__da") <=> col("__db")) ||
+        !(col("n_a") <=> col("n_b")))
+      .select(col("bucket"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+        coalesce(col("n_b"), lit(0L)).as("n_b"))
+    def rows(df: DataFrame, fp: String) = df.select(
+        pmod(TextOps.hash32(key.cast("string")), lit(buckets)).as("bucket"),
+        key.cast("string").as("__k"), fingerprint.as(fp))
+      .join(mismatch.select(col("bucket")), Seq("bucket"), "left_semi")
+    val diff = rows(a, "__fa")
+      .join(rows(b, "__fb"), Seq("bucket", "__k"), "full_outer")
+      .groupBy(col("bucket"))
+      .agg(sum(when(col("__fa").isNull, 1L).otherwise(0L)).as("n_added"),
+        sum(when(col("__fb").isNull, 1L).otherwise(0L)).as("n_removed"),
+        sum(when(col("__fa").isNotNull && col("__fb").isNotNull &&
+          col("__fa") =!= col("__fb"), 1L).otherwise(0L)).as("n_changed"))
+    mismatch.join(diff, "bucket")
+  }
+
   /** F1/J2: anti-semi exclusion (`~isin(codes)` at scale). The exclusion
     * list is broadcast — no shuffle of the probe side.
     * Ref: crime_immigration_etl.py:157-159. */

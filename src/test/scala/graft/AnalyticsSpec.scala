@@ -321,4 +321,32 @@ class AnalyticsSpec extends AnyFunSuite {
     // mean = 2: deviations -1, +1, 0 -> cusum -1, 0, 0 (always ends at 0)
     assert(out == Seq(-1.0, 0.0, 0.0))
   }
+
+  test("weightedMedian: heavy row pulls the median; zero/null weights drop") {
+    val d = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 10L, 10L, 3L),
+        ("h", 5L, 0L, 4L), ("h", 7L, 3L, 5L))
+      .toDF("grp", "v", "w", "id")
+    val out = AnalyticsOps.weightedMedian(d, col("grp"), col("v"),
+        col("w"), col("id"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // g: total 12, cum 1,2,12 -> first 2*cum>=12 is v=10 (plain median: 2)
+    assert(out("g") == ((10L, 12L)))
+    // h: the zero-weight row contributes nothing
+    assert(out("h") == ((7L, 3L)))
+  }
+
+  test("churnCensus: a gap past the top edge lands in the TOP bucket") {
+    // regression: the edge fold must keep the largest edge outermost —
+    // a descending fold sent every gap >= smallest edge to that bucket
+    val e = ev((1L, 10L, "x"), (2L, 9L, "x"), (3L, 5L, "x"),
+      (3L, 2L, "x"))  // gaps vs max day 10: 0, 1, 5
+    val out = AnalyticsOps.churnCensus(e, col("user_id"), col("ts"),
+        edges = Seq(1, 2))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getInt(2),
+        r.getInt(3))).toMap
+    assert(out(0) == ((1L, 0, 0)))
+    assert(out(1) == ((1L, 1, 1)))
+    assert(out(2) == ((1L, 5, 5)))  // gap 5 >= 2 -> bucket 2, not 1
+  }
 }

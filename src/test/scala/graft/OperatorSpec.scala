@@ -129,6 +129,44 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((2L, 10L, 1)))
   }
 
+  test("reconcileSnapshots: identical snapshots emit nothing; a single " +
+    "change surfaces only its bucket; row diff is semi-joined to " +
+    "mismatched buckets") {
+    import graft.operators.RelationalOps
+    val a = (1L to 100L).map(i => (i, s"fp$i")).toDF("id", "fp")
+    val same = RelationalOps.reconcileSnapshots(a, a, col("id"), col("fp"),
+      buckets = 8)
+    assert(same.collect().isEmpty)
+    // change row 42, remove row 7, add row 101
+    val b = (1L to 100L).filter(_ != 7L)
+      .map(i => (i, if (i == 42L) "fp42-v2" else s"fp$i"))
+      .toDF("id", "fp")
+      .union(Seq((101L, "fp101")).toDF("id", "fp"))
+    val out = RelationalOps.reconcileSnapshots(a, b, col("id"), col("fp"),
+      buckets = 8)
+    val rows = out.collect().map(r => r.getLong(0) ->
+      (r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(rows.values.map(_._1).sum == 1L)   // one added
+    assert(rows.values.map(_._2).sum == 1L)   // one removed
+    assert(rows.values.map(_._3).sum == 1L)   // one changed
+    assert(rows.size <= 3, s"only touched buckets may surface: $rows")
+    // scale property: both row scans reach the diff through a LeftSemi
+    // against the mismatched-bucket set — identical buckets never join
+    // (>= 2: Catalyst may push a semi below a union, duplicating it per
+    // union child — even earlier pruning)
+    val semis = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+        if j.joinType.sql == "LEFT SEMI" => j }
+    assert(semis.size >= 2, s"expected semi-joined row scans:\n$semis")
+    // an even-duplicated row xor-cancels in the digest but the COUNT
+    // catches it (the documented reason the digest carries n_rows)
+    val dup = a.union(Seq((9L, "fp9"), (9L, "fp9")).toDF("id", "fp"))
+    val dupOut = RelationalOps.reconcileSnapshots(a, dup, col("id"),
+      col("fp"), buckets = 8).collect()
+    assert(dupOut.length == 1 && dupOut.head.getLong(2) ==
+      dupOut.head.getLong(1) + 2)
+  }
+
   test("bloomSemiJoin equals the plain semi-join even with forced false positives") {
     // 64-bit filter over 200 fact keys: collisions guaranteed; the exact
     // semi-join behind the bloom must erase them.
