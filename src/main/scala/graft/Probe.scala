@@ -2,9 +2,9 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.operators.{DedupOps => D, TextOps => T}
+import graft.operators.{SampleOps => Sam, VectorOps => Vec}
 
-/** Throwaway diagnostic: q39 cold-path cost breakdown (r4). */
+/** Throwaway diagnostic: q34/q49 trained-IVF cost breakdown (r7). */
 object Probe {
   private def materialize(df: DataFrame): Unit = {
     val cols = df.columns.map(c => col(c).cast("string"))
@@ -18,44 +18,30 @@ object Probe {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Session.local()
-    val raw = Tables(spark, sfDir, "documents")
-    val tgt = spark.sparkContext.defaultParallelism
-    val docs = (if (raw.rdd.getNumPartitions < tgt) raw.repartition(tgt)
-                else raw).select(col("doc_id"), col("text"))
-    val sh = T.charShingles(col("text"), 8)
-    // warm IO + codegen
-    materialize(docs.select(col("doc_id"), length(col("text")).as("l")))
-    docs.select(avg(length(col("text")))).show()
-    println("[probe] n_docs = " + docs.count())
-    time("shingles only", materialize(
-      docs.select(col("doc_id"), size(sh).as("n"))))
-    time("shingles no-distinct", materialize(
-      docs.select(col("doc_id"), size(transform(
-        sequence(lit(1), length(col("text")) - 7),
-        i => col("text").substr(i, lit(8)))).as("n"))))
-    time("minhash sigs (composable)", materialize(
-      D.minhashSignatures(docs, "doc_id", sh)))
-    time("minhash sigs (fused kernel)", materialize(
-      docs.select(col("doc_id"),
-        call_function("char_minhash_sig", col("text"), lit(8)))))
-    time("bands", materialize(
-      D.lshBands(D.minhashSignatures(docs, "doc_id", sh), "doc_id")))
-    (1 to 2).foreach { i =>
-      spark.catalog.clearCache()
-      val (pairs, cached) = D.nearDupPairsTracked(docs, "doc_id", sh, 0.7,
-        Some(D.charKernels(col("text"), 8)))
-      val cand = cached(1)
-      time(s"candidates #$i", println("[probe] n_cand = " + cand.count()))
-      time(s"candDocs #$i", println("[probe] n_canddocs = " + cached(2).count()))
-      time(s"verify-after-cand #$i", materialize(pairs))
-      cached.foreach(_.unpersist(blocking = true))
-    }
-    (1 to 2).foreach { i =>
-      spark.catalog.clearCache()
-      time(s"full q39 #$i", materialize(
-        D.nearDupPairs(docs, "doc_id", sh, 0.7,
-        Some(D.charKernels(col("text"), 8)))))
-    }
+    val e = Tables(spark, sfDir, "embeddings")
+    println("[probe] n_embeddings = " + e.count())
+    val seed = e.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val trainSet = Sam.hashSample(e, col("vec_id"), 2500, 10000, "ivf")
+      .select(col("vec_id"), col("embedding"))
+    // warm
+    materialize(Vec.kmeansTrain(trainSet, "vec_id", "embedding", seed,
+      "cid", "cv", 2))
+    time("sample count", println("[probe] n_train = " + trainSet.count()))
+    time("train iters=0 (checkpoint seed only)",
+      materialize(Vec.kmeansTrain(trainSet, "vec_id", "embedding", seed,
+        "cid", "cv", 0)))
+    time("train iters=1",
+      materialize(Vec.kmeansTrain(trainSet, "vec_id", "embedding", seed,
+        "cid", "cv", 1)))
+    time("train iters=2",
+      materialize(Vec.kmeansTrain(trainSet, "vec_id", "embedding", seed,
+        "cid", "cv", 2)))
+    val cent = Vec.kmeansTrain(trainSet, "vec_id", "embedding", seed,
+      "cid", "cv", 2)
+    time("full-corpus assign",
+      materialize(Vec.ivfAssign(e.select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", cent, "cid", "cv")))
     spark.stop()
   }
 }

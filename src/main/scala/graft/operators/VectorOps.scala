@@ -121,9 +121,17 @@ object VectorOps {
                 centroids: DataFrame, cid: String, cvec: String): DataFrame = {
     val scored = vectors.crossJoin(broadcast(centroids))
       .withColumn("__d2", dist2(col(vec), col(cvec)))
-    RelationalOps.topKPerGroup(scored, Seq(id),
-        Seq(col("__d2"), col(cid)), 1, "__cr")
-      .select(col(id), col(vec), col(cid).as("cell_id"))
+    // Argmin as a COMBINABLE aggregate, not a window: min(struct(d2,
+    // cid, vec)) — cid is unique per centroid, so the lexicographic
+    // comparison settles at (d2, cid) and never reaches vec; identical
+    // result to a (d2, cid)-ordered row_number pick. Partial aggregation
+    // collapses the K candidate rows per vector map-side (the crossJoin
+    // keeps them in one partition), so the exchange moves one pre-reduced
+    // row per vector — a window would shuffle AND sort all N·K rows.
+    scored.groupBy(col(id))
+      .agg(min(struct(col("__d2"), col(cid), col(vec))).as("__m"))
+      .select(col(id), col("__m").getField(vec).as(vec),
+        col("__m").getField(cid).as("cell_id"))
   }
 
   /** One distributed Lloyd (k-means) iteration: assign every vector to
