@@ -494,6 +494,16 @@ object SparkEntry {
       An.churnCensus(t(s, dir, "events"), col("user_id"), col("ts"),
         edges = Seq(1, 2))),
 
+    // BM25 ranked retrieval: top-10 docs for three term queries. Rational
+    // idf (no libm ln), fixed-point integer contributions so the per-doc
+    // sum is order-free and bit-identical in the oracle. The exploded
+    // token stream is broadcast-pruned to query terms before any shuffle.
+    "q100_bm25" -> ((s, dir) => {
+      import s.implicits._
+      T.bm25TopK(t(s, dir, "documents"), "doc_id", col("text"),
+        Bm25Queries.toDF("query_id", "term"), k = 10)
+    }),
+
     // Semi-structured props: extract the long-tail JSON attribute k
     // (get_json_object + try_cast, codegen'd — no UDF, no schema
     // migration), then a per-type census of the extracted values.
@@ -1406,6 +1416,13 @@ object SparkEntry {
   private val IvfCells = 8
   private val IvfTrainIters = 2
   private val IvfProbes = 5
+
+  /** q100's fixed retrieval workload: three term queries over the corpus
+    * vocabulary (mixed lengths exercise the per-term integer sum). */
+  private val Bm25Queries: Seq[(String, String)] = Seq(
+    ("s1", "spark"), ("s1", "join"), ("s1", "window"),
+    ("s2", "hash"), ("s2", "merge"),
+    ("s3", "customer"), ("s3", "query"), ("s3", "table"), ("s3", "scan"))
   /** Lloyd passes train on a deterministic 1/4 hash-sample of the corpus
     * (sampleBucket('ivf', vec_id) < 2500/10000) — the production IVF
     * shape: FAISS-style index builds never run k-means over the full
@@ -2365,6 +2382,48 @@ object SparkEntry {
         | FROM c WHERE 2 * cum >= tot)
         |SELECT lang, v AS weighted_median, tot AS total_weight
         |FROM q WHERE rn = 1""".stripMargin,
+
+    // BM25 twin: identical IEEE op sequence per (doc, term) contribution
+    // (rational idf × saturation, one fixed parenthesization), floored to
+    // a scaled BIGINT before the per-doc sum — integer summation makes
+    // the result order-free, so the two engines agree to the bit. The
+    // double literals are interpolated from the SAME Scala doubles the
+    // Spark plan uses (toString round-trips, DuckDB parses to the
+    // identical IEEE value).
+    "q100_bm25" -> {
+      val vals = Bm25Queries
+        .map { case (q, t) => s"('$q','$t')" }.mkString(", ")
+      s"""WITH q(query_id, term) AS (VALUES $vals),
+         |d AS (SELECT doc_id, string_split(text, ' ') AS toks
+         |  FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl FROM d),
+         |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+         |e AS (SELECT doc_id, unnest(toks) AS term FROM d),
+         |tf AS (SELECT q.query_id, e.term, e.doc_id,
+         |  CAST(count(*) AS BIGINT) AS tf
+         | FROM e JOIN q ON e.term = q.term GROUP BY 1, 2, 3),
+         |df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+         | FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.query_id, tf.doc_id,
+         |  CAST(floor((((CAST(g.n - df.df AS DOUBLE) + 0.5)
+         |      / (CAST(df.df AS DOUBLE) + 0.5))
+         |    * ((CAST(tf.tf AS DOUBLE) * ${1.2 + 1.0})
+         |      / (CAST(tf.tf AS DOUBLE) + ${1.2} * (${1.0 - 0.75}
+         |        + ${0.75} * (CAST(dl.dl AS DOUBLE)
+         |          / (CAST(g.sumdl AS DOUBLE) / CAST(g.n AS DOUBLE)))))))
+         |   * ${1e6}) AS BIGINT) AS fp
+         | FROM tf JOIN df USING (term) JOIN dl USING (doc_id), g),
+         |a AS (SELECT query_id, doc_id, CAST(sum(fp) AS BIGINT)
+         |   AS score_fp, count(*) AS n_terms
+         | FROM sc GROUP BY 1, 2),
+         |r AS (SELECT query_id, doc_id, score_fp, n_terms, row_number()
+         |  OVER (PARTITION BY query_id ORDER BY score_fp DESC, doc_id)
+         |   AS rnk FROM a)
+         |SELECT query_id, doc_id, CAST(rnk AS INT) AS "rank", score_fp,
+         | n_terms
+         |FROM r WHERE rnk <= 10""".stripMargin
+    },
 
     "q99_churn_census" ->
       """WITH l AS (SELECT user_id, max(CAST(ts AS DATE)) AS last_day

@@ -192,4 +192,58 @@ object TextOps {
       .orderBy(col("lift").desc, col("w1"), col("w2"))
       .limit(k)
   }
+
+  /** BM25 ranked retrieval: top-k documents per query over an on-the-fly
+    * index — the classic lexical search scorer (Robertson/Spärck Jones
+    * term saturation × length normalization). `queries` is a (query_id,
+    * term) table; scoring uses the rational idf (N−df+0.5)/(df+0.5) — no
+    * libm `ln` (the q41/q87 monotone-surrogate discipline: log is the
+    * one op Spark's and the oracle's math libraries may round apart).
+    *
+    * Cross-engine exactness: each (doc, term) contribution is ONE fixed
+    * IEEE op sequence over integer inputs (tf, dl, df, N — every +,−,×,÷
+    * exactly rounded, so both engines produce the same bits), scaled and
+    * FLOORED to a BIGINT, and the per-doc score is the INTEGER sum of
+    * those — float summation order never arises.
+    *
+    * Scale: the exploded token stream is pruned by a broadcast join
+    * against the query terms BEFORE any aggregation — the tf shuffle
+    * carries only matching postings, never the corpus's token stream.
+    * dl rides each exploded row (max-carried through the tf groupBy), so
+    * no doc-side join; df and the (N, Σdl) globals are query-term- and
+    * 1-row-sized broadcasts off the pruned table. Final top-k is a
+    * per-query window over candidate docs only. */
+  def bm25TopK(docs: DataFrame, id: String, text: Column,
+               queries: DataFrame, k: Int,
+               k1: Double = 1.2, b: Double = 0.75,
+               scale: Double = 1e6): DataFrame = {
+    val toks = docs.select(col(id), tokens(text).as("__toks"))
+      .select(col(id), col("__toks"),
+        size(col("__toks")).cast("long").as("__dl"))
+    val g = toks.agg(count(lit(1)).as("__n"), sum(col("__dl")).as("__sumdl"))
+    val tf = toks
+      .select(col(id), col("__dl"), explode(col("__toks")).as("term"))
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .groupBy(col("query_id"), col("term"), col(id))
+      .agg(count(lit(1)).as("__tf"), max(col("__dl")).as("__dl"))
+    val dfreq = tf.select(col("term"), col(id)).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val satu = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
+    val perDoc = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col(id),
+        floor((idf * satu) * lit(scale)).as("__fp"))
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("__fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+    RelationalOps.topKPerGroup(perDoc, Seq("query_id"),
+        Seq(col("score_fp").desc, col(id)), k, "rank")
+      .select(col("query_id"), col(id), col("rank"), col("score_fp"),
+        col("n_terms"))
+  }
 }

@@ -832,4 +832,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(21L) == ((0, 1L, Some(20L))))     // batch first-wins
     spark.catalog.clearCache()
   }
+
+  test("bm25TopK: exact fixed-point scores; tf and length normalization " +
+    "rank as BM25 says; non-matching docs absent") {
+    // corpus: N=4, dl = 3,3,3,1 -> sumdl=10, avgdl=2.5; df(x)=3
+    val docs = Seq((1L, "x x y"), (2L, "x y y"), (3L, "z z z"), (4L, "x"))
+      .toDF("doc_id", "text")
+    val q = Seq(("qa", "x")).toDF("query_id", "term")
+    val out = T.bm25TopK(docs, "doc_id", col("text"), q, k = 10)
+      .collect().map(r => r.getLong(1) -> (r.getInt(2), r.getLong(3)))
+      .toMap
+    // the operator's exact double pipeline, replayed here op-for-op
+    def fp(tf: Long, dl: Long): Long = {
+      val avgdl = 10.0.toDouble / 4.0
+      val idf = ((4L - 3L).toDouble + 0.5) / (3L.toDouble + 0.5)
+      val satu = (tf.toDouble * (1.2 + 1.0)) /
+        (tf.toDouble + 1.2 * ((1.0 - 0.75) + 0.75 * (dl.toDouble / avgdl)))
+      math.floor((idf * satu) * 1e6).toLong
+    }
+    assert(out(1L)._2 == fp(2L, 3L))
+    assert(out(2L)._2 == fp(1L, 3L))
+    assert(out(4L)._2 == fp(1L, 1L))
+    assert(!out.contains(3L))                  // no query term -> absent
+    assert(out(1L)._2 > out(2L)._2)            // higher tf wins at same dl
+    assert(out(4L)._2 > out(2L)._2)            // shorter doc wins at same tf
+    // ranks follow (score desc, doc_id): the dl-1 doc's length norm
+    // (satu 1.325·idf) edges out the tf-2 dl-3 doc (1.302·idf)
+    assert(out(4L)._1 == 1 && out(1L)._1 == 2 && out(2L)._1 == 3)
+  }
 }
