@@ -205,6 +205,148 @@ object VectorOps {
     def size: Int = memo.size
   }
 
+  // ------------------------------------------------- driver-held centroids
+
+  /** A trained centroid set held on the DRIVER: (cell id, centroid
+    * vector) pairs. K×dims floats are driver-sized BY DESIGN — a FAISS
+    * index holds its centroid table in RAM, and Spark MLlib's own KMeans
+    * collects centers to the driver every Lloyd iteration. Holding them
+    * locally turns cell assignment into a pure map-side EXPRESSION
+    * (zero joins, zero exchanges, whole-stage codegen) instead of a
+    * broadcast crossJoin + argmin aggregate; the DataFrame loop
+    * ([[kmeansStep]]/[[kmeansTrain]]/[[ivfAssign]]) remains the variant
+    * for centroid tables too big for one machine (e.g. 2^20 cells ×
+    * 1024 dims), where assignment must stay a distributed join. */
+  type LocalCentroids = Seq[(Long, Array[Float])]
+
+  /** The centroid table as ONE array-of-structs literal. Constant-folded
+    * to a single `Literal`, so the generated code references an opaque
+    * constant object — the code SHAPE is identical for every centroid
+    * value set, and the codegen cache hits across Lloyd iterations and
+    * re-built queries. (The first cut inlined each centroid as its own
+    * literal: every iteration produced byte-different generated source,
+    * and Janino recompilation — ~0.5 s per stage — dominated training
+    * on a 491-row sample.) */
+  private def centroidsLit(cents: LocalCentroids): Column = {
+    require(cents.nonEmpty, "need at least one centroid")
+    array(cents.map { case (cid, cv) =>
+      struct(lit(cid).as("cid"), typedlit(cv.toSeq).as("cv")) }: _*)
+  }
+
+  /** Per-centroid (d2, cid) scores as an array — [[dist2]]'s fixed op
+    * order with the interpreted fold ([[dotHof]], spec-pinned
+    * bit-identical to the native kernel) for the centroid-side dots the
+    * lambda needs. */
+  private def scoredArray(vec: Column, cents: LocalCentroids): Column =
+    transform(centroidsLit(cents), c => {
+      val cv = c.getField("cv")
+      struct(((dot(vec, vec) - lit(2.0) * dotHof(vec, cv))
+        + dotHof(cv, cv)).as("d2"), c.getField("cid").as("cid"))
+    })
+
+  /** Nearest-cell id for `vec` under driver-held centroids — the same
+    * argmin-by-(dist2, cid) the DataFrame path and the oracle compute
+    * (`array_min` over (d2, cid) structs is the lexicographic min, so
+    * ties break on cid identically). Map-side, zero joins. */
+  def nearestCellExpr(vec: Column, cents: LocalCentroids): Column =
+    array_min(scoredArray(vec, cents)).getField("cid")
+
+  /** The `probes` nearest cell ids for a QUERY vector, as an array —
+    * `array_sort` over (d2, cid) structs replays the oracle's
+    * row_number-over-(d2, cid) probe selection. Map-side; explode the
+    * result to fan a query out to its probe cells. */
+  def probeCellsExpr(vec: Column, cents: LocalCentroids,
+                     probes: Int): Column = {
+    require(probes > 0, "probes must be > 0")
+    transform(slice(array_sort(scoredArray(vec, cents)), 1, probes),
+      s => s.getField("cid"))
+  }
+
+  /** Lloyd training with driver-held centroids — the Spark-MLlib shape:
+    * per iteration ONE combinable aggregate (nearest cell via
+    * [[nearestCellExpr]], per-cell count + `dims` element sums) and a
+    * K-row collect; the driver finishes mean = sum/n and rounds to
+    * float. Bit-compatible with [[kmeansTrain]] and the SQL oracle: the
+    * per-element mean is the same double sum / count division (partial
+    * aggregation order differs, but the FLOAT cast absorbs sub-24-bit
+    * summation noise exactly as the oracle's replay relies on — spec
+    * pins local == DataFrame training on the shared geometry), cells
+    * that empty disappear, and the result is cid-sorted for
+    * deterministic downstream literal order. */
+  def kmeansTrainLocal(vectors: DataFrame, vec: String,
+                       seed: LocalCentroids, iters: Int,
+                       dims: Int): LocalCentroids = {
+    require(iters >= 0, "iters must be >= 0")
+    require(dims > 0, "dims must be > 0")
+    if (iters == 0) return seed
+    kmeansTrainArrays(
+      vectors.select(col(vec)).collect().map(_.getSeq[Float](0).toArray),
+      seed, iters)
+  }
+
+  /** The in-process Lloyd core: `iters` passes over an already-collected
+    * training sample. This is NOT a driver loop over corpus data — the
+    * sample is driver-bounded BY CONSTRUCTION (FAISS trains its coarse
+    * quantizer on ≤ ~256·K vectors regardless of corpus size, and MLlib
+    * KMeans collects the centers to the driver every iteration); ONE
+    * collect job fetches it, then the K·sample·dims flop loop is
+    * microseconds next to any Spark job's scheduling latency.
+    *
+    * Bit-compatibility: per-vector assignment replays [[dist2]]'s exact
+    * IEEE sequence ((a·a − 2·a·b) + b·b, dots as left-to-right
+    * double-promoted folds) with the (d2, cid) tie-break; per-cell means
+    * are double sum / count rounded to float — the FLOAT cast absorbs
+    * summation-order noise exactly as the SQL oracle's replay relies on
+    * (spec pins in-process == distributed [[kmeansTrain]]). Cells that
+    * empty disappear; the result is cid-sorted. */
+  def kmeansTrainArrays(data: Seq[Array[Float]], seed: LocalCentroids,
+                        iters: Int): LocalCentroids = {
+    require(iters >= 0, "iters must be >= 0")
+    def dotDD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    (1 to iters).foldLeft(seed) { (cents, _) =>
+      val selfDots = data.map(v => dotDD(v, v))
+      val centDots = cents.map { case (_, cv) => dotDD(cv, cv) }
+      val sums = scala.collection.mutable.LinkedHashMap
+        .empty[Long, (Array[Double], Long)]
+      data.zip(selfDots).foreach { case (v, vv) =>
+        var best = Double.MaxValue; var bestCid = Long.MaxValue
+        cents.indices.foreach { k =>
+          val (cid, cv) = cents(k)
+          val d2 = (vv - 2.0 * dotDD(v, cv)) + centDots(k)
+          if (d2 < best || (d2 == best && cid < bestCid)) {
+            best = d2; bestCid = cid
+          }
+        }
+        val (acc, n) = sums.getOrElseUpdate(bestCid,
+          (new Array[Double](v.length), 0L))
+        var j = 0
+        while (j < v.length) { acc(j) += v(j).toDouble; j += 1 }
+        sums(bestCid) = (acc, n + 1)
+      }
+      sums.toSeq.map { case (cid, (acc, n)) =>
+        (cid, acc.map(s => (s / n.toDouble).toFloat))
+      }.sortBy(_._1)
+    }
+  }
+
+  /** Session-sweep memo for [[kmeansTrainLocal]] output — the
+    * [[CentroidSweep]] contract for driver-held centroid sets. Plain
+    * objects: nothing to checkpoint or release, a memo hit costs zero
+    * jobs, and `spark.catalog.clearCache()` cannot touch it. Key
+    * discipline is the same: corpus + geometry + owning session. */
+  final class LocalCentroidSweep {
+    private val memo = new java.util.concurrent.ConcurrentHashMap[
+      String, LocalCentroids]()
+    def centroids(key: String, train: => LocalCentroids): LocalCentroids =
+      memo.computeIfAbsent(key, _ => train)
+    def clear(): Unit = memo.clear()
+    def size: Int = memo.size
+  }
+
   /** Symmetric int8 scalar quantization (native [[graft.functions.I8Quantize]]
     * kernel): per-vector scale = max|x|/127, codes truncated toward zero —
     * the 4× memory/bandwidth cut a 100 TB embedding store serves from

@@ -381,6 +381,71 @@ class LlmOpsSpec extends AnyFunSuite {
       init.as[(Long, Seq[Float])].collect().toMap)
   }
 
+  test("driver-held centroids: kmeansTrainLocal equals the distributed " +
+    "kmeansTrain; nearestCellExpr/probeCellsExpr replay ivfAssign and " +
+    "the (d2, cid) probe order") {
+    val vecs = Seq(
+      (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
+      (3L, Seq(10f, 10f)), (4L, Seq(11f, 10f)), (5L, Seq(10f, 11f)))
+      .toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq(2f, 2f)), (1L, Seq(8f, 8f))).toDF("cid", "cv")
+    val initLocal: Vec.LocalCentroids =
+      Seq((0L, Array(2f, 2f)), (1L, Array(8f, 8f)))
+    // training parity: same Lloyd math, float cast absorbs sum order
+    val dist = Vec.kmeansTrain(vecs, "vec_id", "embedding", init,
+      "cid", "cv", 2).as[(Long, Seq[Float])].collect().toMap
+    val local = Vec.kmeansTrainLocal(vecs, "embedding", initLocal, 2, 2)
+    assert(local.map { case (c, v) => c -> v.toSeq }.toMap == dist)
+    assert(local.map(_._1) == local.map(_._1).sorted,
+      "local centroids must come back cid-sorted")
+    // iters=0 hands back the seed untouched
+    assert(Vec.kmeansTrainLocal(vecs, "embedding", initLocal, 0, 2)
+      .eq(initLocal))
+    // assignment parity with the DataFrame path on the TRAINED set
+    val localDf = local.map { case (c, v) => (c, v.toSeq) }.toDF("cid", "cv")
+    val viaJoin = Vec.ivfAssign(vecs, "vec_id", "embedding",
+        localDf, "cid", "cv")
+      .select(col("vec_id"), col("cell_id"))
+      .as[(Long, Long)].collect().toMap
+    val viaExpr = vecs.select(col("vec_id"),
+        Vec.nearestCellExpr(col("embedding"), local))
+      .as[(Long, Long)].collect().toMap
+    assert(viaExpr == viaJoin)
+    // probe order: ascending (d2, cid), cid breaking exact ties
+    val tied: Vec.LocalCentroids =
+      Seq((7L, Array(0f, 0f)), (2L, Array(0f, 0f)), (5L, Array(3f, 4f)))
+    val probes = Seq(Tuple1(Seq(0f, 0f))).toDF("embedding")
+      .select(Vec.probeCellsExpr(col("embedding"), tied, 3))
+      .head.getSeq[Long](0)
+    assert(probes == Seq(2L, 7L, 5L))
+    assert(Seq(Tuple1(Seq(0f, 0f))).toDF("embedding")
+      .select(Vec.probeCellsExpr(col("embedding"), tied, 2))
+      .head.getSeq[Long](0) == Seq(2L, 7L))
+  }
+
+  test("LocalCentroidSweep: one training run per (key, session), clear() " +
+    "forces a retrain") {
+    val vecs = Seq((0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)),
+      (2L, Seq(10f, 10f)), (3L, Seq(11f, 10f))).toDF("vec_id", "embedding")
+    val initLocal: Vec.LocalCentroids =
+      Seq((0L, Array(2f, 2f)), (1L, Array(8f, 8f)))
+    val sweep = new Vec.LocalCentroidSweep
+    var trainings = 0
+    def train = {
+      trainings += 1
+      Vec.kmeansTrainLocal(vecs, "embedding", initLocal, 2, 2)
+    }
+    val c1 = sweep.centroids("k1", train)
+    val c2 = sweep.centroids("k1", train)
+    assert((c2 eq c1) && trainings == 1,
+      "second consumer must reuse the first training run")
+    sweep.clear()
+    assert(sweep.size == 0)
+    val c3 = sweep.centroids("k1", train)
+    assert(trainings == 2 && c3.map { case (c, v) => c -> v.toSeq } ==
+      c1.map { case (c, v) => c -> v.toSeq })
+  }
+
   test("CentroidSweep: one training run per (key, session), clear() " +
     "forces a retrain (VERDICT r6 #1)") {
     val vecs = Seq(
