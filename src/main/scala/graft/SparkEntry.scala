@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnalyticsOps => An, CleanseOps => C, DedupOps => D, GraphOps => G,
-  MultimodalOps => M, RelationalOps => R, SampleOps => Sam,
+  MultimodalOps => M, QualityOps => Q, RelationalOps => R, SampleOps => Sam,
   SketchOps => Sk, TextOps => T, TimeOps => Ti, VectorOps => Vec,
   VizPrep => V}
 import graft.sources.{CatalogOps => Cat}
@@ -502,6 +502,91 @@ object SparkEntry {
       import s.implicits._
       T.bm25TopK(t(s, dir, "documents"), "doc_id", col("text"),
         Bm25Queries.toDF("query_id", "term"), k = 10)
+    }),
+
+    // L80: data-quality audit — the dbt-test/Great-Expectations contract
+    // as Spark plans: referential integrity (anti-joins), key uniqueness,
+    // null screens, and row-level expectations, folded into ONE
+    // (check, n_violations) report. Structural checks pass on this
+    // corpus (0 rows); the business expectations genuinely trip.
+    "q101_quality_audit" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem"); val ord = t(s, dir, "orders")
+      val cust = t(s, dir, "customer"); val ev = t(s, dir, "events")
+      val docs = t(s, dir, "documents")
+      Q.auditReport(Seq(
+        "fk_lineitem_orders" -> Q.fkOrphans(li, col("l_orderkey"),
+          ord, col("o_orderkey")),
+        "fk_orders_customer" -> Q.fkOrphans(ord, col("o_custkey"),
+          cust, col("c_custkey")),
+        "pk_documents_doc_id" -> Q.dupKeys(docs, Seq("doc_id")),
+        "null_events_value" -> Q.nullRows(ev, col("value")),
+        "expect_value_le_400" -> Q.expectViolations(ev,
+          col("value") <= 400.0),
+        "expect_doc_len_ge_100" -> Q.expectViolations(docs,
+          col("n_chars") >= 100L),
+        "expect_nchars_consistent" -> Q.expectViolations(docs,
+          col("n_chars") === length(col("text")).cast("long")),
+        "expect_quantity_range" -> Q.expectViolations(li,
+          col("l_quantity") >= 1 && col("l_quantity") <= 50)))
+    }),
+
+    // L81: leakage-safe split — train/val/test assignment hashed on the
+    // near-dup CLUSTER canonical (q61's components), so no cluster
+    // straddles a split boundary. n_groups counts distinct canonicals
+    // per split: the leakage audit is n_docs vs n_groups, and a cluster
+    // appearing under two splits would be visible as a canonical counted
+    // twice (definitionally impossible here — the split is a pure
+    // function of the canonical).
+    "q102_leakage_split" -> ((s, dir) => {
+      val comp = G.connectedComponents(wordNearDupPairs(s, dir),
+        "id_a", "id_b")
+      Sam.leakageSplit(t(s, dir, "documents"), col("doc_id"), comp,
+          "node", "label", salt = "q102split")
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("split_group")).as("n_groups"),
+          min(col("doc_id")).as("min_doc_id"))
+    }),
+
+    // L82: Mann-Whitney rank-sum — click vs purchase order values. One
+    // global sort of the two bounded samples; integer-scaled ranks keep
+    // the z assembly IEEE-exact for the oracle hash.
+    "q103_ranksum" -> ((s, dir) =>
+      An.rankSumTest(t(s, dir, "events"), col("event_type"),
+        col("value"), "click", "purchase")),
+
+    // L83: date-spine gap fill on a sparse slice (high-value events miss
+    // days at every SF): calendar from each type's [first, last] day,
+    // zeros for silent days, last-observed carried forward.
+    "q104_gapfill" -> ((s, dir) =>
+      Ti.gapFill(
+          t(s, dir, "events").filter(col("value") > 300.0),
+          col("event_type"), to_date(col("ts")), lit(1L))
+        .select(col("__g").as("event_type"),
+          date_format(col("__day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("is_observed"), col("carried"))),
+
+    // L84: EWMA smoothing (α=1/2, lookback-40) over the gap-filled daily
+    // series — the control-chart companion to q83's CUSUM: halving-fold
+    // EWMA is exact, so the smoothed series oracle-hashes.
+    "q105_ewma" -> ((s, dir) =>
+      Ti.ewmaSmooth(
+          Ti.gapFill(
+            t(s, dir, "events").filter(col("value") > 300.0),
+            col("event_type"), to_date(col("ts")), lit(1L)),
+          col("__g"), col("__day"), col("n"))
+        .select(col("__g").as("event_type"),
+          date_format(col("__day"), "yyyy-MM-dd").as("day"),
+          col("n"), col("ewma"))),
+
+    // L85: golden-record survivorship — each near-dup cluster keeps its
+    // LONGEST member (quality = n_chars), not its min-id; kept_longer
+    // flags clusters where the rule beat the arbitrary canonical.
+    "q106_survivorship" -> ((s, dir) => {
+      val comp = G.connectedComponents(wordNearDupPairs(s, dir),
+        "id_a", "id_b")
+      D.survivorship(t(s, dir, "documents"), col("doc_id"),
+        col("n_chars"), comp, "node", "label")
     }),
 
     // Semi-structured props: extract the long-tail JSON attribute k
@@ -2519,6 +2604,162 @@ object SparkEntry {
         |SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k,
         | min(k) AS min_k, max(k) AS max_k
         |FROM k WHERE k IS NOT NULL GROUP BY 1""".stripMargin,
+
+    "q101_quality_audit" ->
+      """SELECT * FROM (
+        |SELECT 'fk_lineitem_orders' AS "check", count(*) AS n_violations
+        | FROM lineitem l WHERE l.l_orderkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM orders o
+        |    WHERE o.o_orderkey = l.l_orderkey)
+        |UNION ALL
+        |SELECT 'fk_orders_customer', count(*) FROM orders o
+        | WHERE o.o_custkey IS NOT NULL
+        |  AND NOT EXISTS (SELECT 1 FROM customer c
+        |    WHERE c.c_custkey = o.o_custkey)
+        |UNION ALL
+        |SELECT 'pk_documents_doc_id', count(*) FROM (
+        | SELECT doc_id FROM documents GROUP BY 1 HAVING count(*) > 1)
+        |UNION ALL
+        |SELECT 'null_events_value', count(*) FROM events
+        | WHERE value IS NULL
+        |UNION ALL
+        |SELECT 'expect_value_le_400', count(*) FROM events
+        | WHERE NOT coalesce(value <= 400.0, FALSE)
+        |UNION ALL
+        |SELECT 'expect_doc_len_ge_100', count(*) FROM documents
+        | WHERE NOT coalesce(n_chars >= 100, FALSE)
+        |UNION ALL
+        |SELECT 'expect_nchars_consistent', count(*) FROM documents
+        | WHERE NOT coalesce(n_chars = length(text), FALSE)
+        |UNION ALL
+        |SELECT 'expect_quantity_range', count(*) FROM lineitem
+        | WHERE NOT coalesce(l_quantity >= 1 AND l_quantity <= 50, FALSE)
+        |) ORDER BY "check"""".stripMargin,
+
+    "q102_leakage_split" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |enodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM enodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |assigned AS (SELECT d.doc_id,
+         |  coalesce(c.cluster_id, d.doc_id) AS split_group
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |bucketed AS (SELECT doc_id, split_group,
+         |  ${hx("'q102split' || CAST(split_group AS VARCHAR)", 8)} % 10
+         |   AS b
+         | FROM assigned)
+         |SELECT CASE WHEN b < 8 THEN 'train'
+         |  WHEN b < 9 THEN 'validation' ELSE 'test' END AS split,
+         | count(*) AS n_docs, count(DISTINCT split_group) AS n_groups,
+         | min(doc_id) AS min_doc_id
+         |FROM bucketed GROUP BY 1""".stripMargin,
+
+    // Replays rankSumTest's exact op sequence: doubled average ranks stay
+    // integral (2·minrank + ties − 1); U1/mu/sigma assemble through the
+    // identical division/sqrt order so the doubles hash-match.
+    "q103_ranksum" ->
+      """WITH p AS (SELECT event_type AS s, value AS v FROM events
+        |  WHERE event_type IN ('click', 'purchase') AND value IS NOT NULL),
+        |ranked AS (SELECT s,
+        |  2 * CAST(rank() OVER (ORDER BY v) AS BIGINT)
+        |   + CAST(count(*) OVER (PARTITION BY v) AS BIGINT) - 1 AS r2,
+        |  CAST(count(*) OVER (PARTITION BY v) AS BIGINT) AS ties
+        | FROM p),
+        |agg AS (SELECT
+        |  CAST(sum(CASE WHEN s = 'click' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n1,
+        |  CAST(sum(CASE WHEN s = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n2,
+        |  CAST(sum(CASE WHEN s = 'click' THEN r2 END) AS BIGINT) AS r1x2,
+        |  CAST(sum(ties * ties - 1) AS BIGINT) AS tcorr
+        | FROM ranked),
+        |u AS (SELECT n1, n2,
+        |  CAST(r1x2 - n1 * (n1 + 1) AS DOUBLE) / 2.0 AS u1, tcorr
+        | FROM agg),
+        |m AS (SELECT n1, n2, u1, tcorr,
+        |  CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 2.0 AS mu,
+        |  sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0
+        |   * (CAST(n1 + n2 + 1 AS DOUBLE)
+        |      - CAST(tcorr AS DOUBLE)
+        |        / (CAST(n1 + n2 AS DOUBLE)
+        |           * CAST(n1 + n2 - 1 AS DOUBLE)))) AS sigma
+        | FROM u)
+        |SELECT n1, n2, u1, (u1 - mu) / sigma AS z FROM m""".stripMargin,
+
+    "q104_gapfill" ->
+      """WITH obs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |  CAST(sum(1) AS BIGINT) AS n
+        | FROM events WHERE value > 300.0 GROUP BY 1, 2),
+        |spine AS (SELECT g,
+        |  CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM (SELECT g, min(day) AS lo, max(day) AS hi
+        |   FROM obs GROUP BY 1)),
+        |filled AS (SELECT s.g, s.day, o.n IS NOT NULL AS is_observed,
+        |  last_value(o.n IGNORE NULLS) OVER (PARTITION BY s.g
+        |    ORDER BY s.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS carried,
+        |  coalesce(o.n, 0) AS n
+        | FROM spine s LEFT JOIN obs o ON o.g = s.g AND o.day = s.day)
+        |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        | is_observed, carried
+        |FROM filled""".stripMargin,
+
+    // The halving fold replays ewmaSmooth exactly: list() over the same
+    // 40-row frame preserves frame order, list_reduce folds left, and the
+    // prepended 0.0 seeds the zero-init recursion ((0+x1)/2 = x1/2).
+    "q105_ewma" ->
+      """WITH obs AS (SELECT event_type AS g, CAST(ts AS DATE) AS day,
+        |  CAST(sum(1) AS BIGINT) AS n
+        | FROM events WHERE value > 300.0 GROUP BY 1, 2),
+        |spine AS (SELECT g,
+        |  CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+        |    CAST(hi AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM (SELECT g, min(day) AS lo, max(day) AS hi
+        |   FROM obs GROUP BY 1)),
+        |filled AS (SELECT s.g, s.day, coalesce(o.n, 0) AS n
+        | FROM spine s LEFT JOIN obs o ON o.g = s.g AND o.day = s.day),
+        |seq AS (SELECT g, day, n,
+        |  list(CAST(n AS DOUBLE)) OVER (PARTITION BY g ORDER BY day
+        |    ROWS BETWEEN 39 PRECEDING AND CURRENT ROW) AS terms
+        | FROM filled)
+        |SELECT g AS event_type, strftime(day, '%Y-%m-%d') AS day, n,
+        | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+        |   (acc, x) -> (acc + x) / 2.0) AS ewma
+        |FROM seq""".stripMargin,
+
+    "q106_survivorship" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |enodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM enodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |member AS (SELECT coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+         |  d.doc_id, d.n_chars
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id),
+         |picked AS (SELECT cluster_id, doc_id, n_chars,
+         |  row_number() OVER (PARTITION BY cluster_id
+         |    ORDER BY n_chars DESC, doc_id ASC) AS rn,
+         |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |  min(doc_id) OVER (PARTITION BY cluster_id) AS min_id
+         | FROM member)
+         |SELECT cluster_id, doc_id AS survivor_id,
+         | n_chars AS survivor_quality, CAST(n_members AS BIGINT)
+         |  AS n_members, doc_id <> min_id AS kept_longer
+         |FROM picked WHERE rn = 1""".stripMargin,
 
     "q89_skew_report" ->
       """WITH k AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1

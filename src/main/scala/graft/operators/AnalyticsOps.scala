@@ -583,4 +583,59 @@ object AnalyticsOps {
         ((col("__n") * col("__rs") - col("__rk") * col("__t"))
           .cast("double") / col("__n").cast("double")).as("cusum"))
   }
+
+  /** Mann–Whitney rank-sum test (normal approximation, tie-corrected):
+    * did treatment `b`'s values stochastically dominate `a`'s? The
+    * nonparametric two-sample test — no normality assumption, robust to
+    * the heavy tails that invalidate a t-test on revenue-like measures.
+    *
+    * Exactness discipline (hash-oracle-safe): average ranks are exact
+    * rationals (min-rank + (t−1)/2 — halves are exact doubles), R1/U1
+    * stay INTEGER-scaled (2·R1 is an int64) until the final z, and the
+    * tie-corrected variance is assembled from exact int64 tie sums with a
+    * FIXED division/sqrt sequence both engines replay bit-identically
+    * (+, −, ×, /, sqrt are all correctly rounded IEEE ops — the formula
+    * avoids libm entirely).
+    *
+    * Scale: ranking is ONE window sort over the filtered two-sample
+    * series; tie sums and group counts are combinable aggregates off the
+    * same pass. Output is one row. The window is a single global sort of
+    * n1+n2 measurements — the test is for comparing bounded experiment
+    * samples; for corpus-scale distribution monitoring use [[driftTvd]]
+    * (binned, no global sort). */
+  def rankSumTest(df: DataFrame, sample: Column, value: Column,
+                  a: String, b: String): DataFrame = {
+    val p = df.select(sample.as("__s"), value.as("__v"))
+      .filter(col("__s").isin(a, b) && col("__v").isNotNull)
+    // rank() = min rank of the tie group; + count-of-ties − 1 over 2
+    // gives the average rank. Doubled to stay integral: 2·avgrank.
+    val wv = Window.orderBy(col("__v"))
+    val ranked = p
+      .withColumn("__minrk", rank().over(wv).cast("long"))
+      .withColumn("__ties", count(lit(1))
+        .over(Window.partitionBy(col("__v"))).cast("long"))
+      .withColumn("__r2", lit(2L) * col("__minrk") + col("__ties") - 1L)
+    ranked.agg(
+        sum(when(col("__s") === a, 1L).otherwise(0L)).as("__n1"),
+        sum(when(col("__s") === b, 1L).otherwise(0L)).as("__n2"),
+        sum(when(col("__s") === a, col("__r2"))).as("__2r1"),
+        // Σ (t³ − t) over distinct tie groups: each tied row contributes
+        // t² − 1 (its group's t³−t spread over t rows) — combinable, no
+        // second pass over distinct values.
+        sum(col("__ties") * col("__ties") - 1L).as("__tcorr"))
+      .select(col("__n1").as("n1"), col("__n2").as("n2"),
+        ((col("__2r1") - col("__n1") * (col("__n1") + 1L))
+          .cast("double") / lit(2.0)).as("u1"),
+        col("__tcorr").as("tie_term"))
+      .withColumn("mu",
+        col("n1").cast("double") * col("n2").cast("double") / lit(2.0))
+      .withColumn("sigma", sqrt(
+        col("n1").cast("double") * col("n2").cast("double") / lit(12.0)
+          * ((col("n1") + col("n2") + 1L).cast("double")
+            - col("tie_term").cast("double")
+              / ((col("n1") + col("n2")).cast("double")
+                * (col("n1") + col("n2") - 1L).cast("double")))))
+      .withColumn("z", (col("u1") - col("mu")) / col("sigma"))
+      .select(col("n1"), col("n2"), col("u1"), col("z"))
+  }
 }

@@ -511,4 +511,43 @@ object DedupOps {
     df.select(col(id),
       call_function("simhash60", call_function("token_hash60_array", text))
         .as("simhash"))
+
+  /** Golden-record survivorship: collapse each near-dup cluster to its
+    * BEST member under an explicit quality rule, instead of the arbitrary
+    * min-id canonical (q66's cluster curation keeps min-id — right for
+    * "drop the copies", wrong for "keep the best copy"; a crawl's longest
+    * capture of a page usually dominates its truncated re-crawls).
+    *
+    * `labels` is a (node, label) cluster assignment ([[graft.operators
+    * .GraphOps.connectedComponents]] output); rows absent from it are
+    * singleton clusters of themselves. The survivor is argmax by
+    * (`quality`, then SMALLEST id — a total order, so the pick is
+    * deterministic under exact quality ties regardless of partitioning).
+    *
+    * One left join (cluster labels are the pair-graph's nodes — orders of
+    * magnitude smaller than the corpus) + ONE combinable aggregate on the
+    * cluster key: max_by over a (quality, −id) struct needs no window
+    * sort and partial-aggregates map-side. Output: one row per cluster
+    * with the survivor, member count, and how much the rule changed vs
+    * min-id (kept_longer) — the survivorship audit trail. */
+  def survivorship(df: DataFrame, id: Column, quality: Column,
+                   labels: DataFrame, node: String,
+                   label: String): DataFrame = {
+    val lab = labels.select(col(node).as("__node"),
+      col(label).as("__label"))
+    df.select(id.as("__id"), quality.as("__q"))
+      .join(lab, col("__id") === col("__node"), "left")
+      .withColumn("cluster_id", coalesce(col("__label"), col("__id")))
+      .groupBy(col("cluster_id"))
+      .agg(
+        max(struct(col("__q").as("q"), (-col("__id")).as("nid")))
+          .as("__best"),
+        count(lit(1)).as("n_members"),
+        min(col("__id")).as("__minid"))
+      .select(col("cluster_id"),
+        (-col("__best.nid")).as("survivor_id"),
+        col("__best.q").as("survivor_quality"),
+        col("n_members"),
+        (col("__best.nid") =!= -col("__minid")).as("kept_longer"))
+  }
 }

@@ -188,4 +188,42 @@ object SampleOps {
       .select(col("stratum"), col("__e.__id").as("sample_id"),
         col("__e.__h").as("sample_hash"))
   }
+
+  /** Leakage-safe train/validation/test split: the split decision hashes
+    * the near-dup CLUSTER canonical, not the row id, so every member of a
+    * duplicate cluster lands in the SAME split. Splitting by row id leaks
+    * — a benchmark answer's near-duplicate in train inflates eval exactly
+    * like the verbatim copy would ([[graft.operators.DedupOps]] exists to
+    * stop); group-aware splitting is the standard fix (GroupKFold).
+    *
+    * `labels` is the (node, label) cluster assignment; unclustered rows
+    * are their own group. Buckets: [[sampleBucket]] of the canonical over
+    * `denom`, cut at `valLo` and `testLo` — train = [0, valLo),
+    * validation = [valLo, testLo), test = [testLo, denom). Same
+    * determinism contract as [[hashSample]]: pure function of
+    * (salt, canonical), so the assignment is reproducible across runs,
+    * engines, and incremental loads — and a NEW near-dup of an existing
+    * test doc automatically joins the test split (its cluster's
+    * canonical, hence its bucket, is unchanged).
+    *
+    * One left join against the label table (pair-graph-sized, broadcast
+    * at typical dup rates) + a scan-local hash — no corpus shuffle. */
+  def leakageSplit(df: DataFrame, id: Column, labels: DataFrame,
+                   node: String, label: String, salt: String,
+                   denom: Int = 10, valLo: Int = 8,
+                   testLo: Int = 9): DataFrame = {
+    require(0 < valLo && valLo <= testLo && testLo <= denom,
+      s"need 0 < valLo <= testLo <= denom, got $valLo/$testLo/$denom")
+    val lab = labels.select(col(node).as("__node"),
+      col(label).as("__label"))
+    df.join(broadcast(lab), id === col("__node"), "left")
+      .withColumn("split_group", coalesce(col("__label"), id))
+      .withColumn("__bucket",
+        sampleBucket(col("split_group"), salt, denom))
+      .withColumn("split",
+        when(col("__bucket") < valLo, "train")
+          .when(col("__bucket") < testLo, "validation")
+          .otherwise("test"))
+      .drop("__node", "__label", "__bucket")
+  }
 }

@@ -243,4 +243,68 @@ object TimeOps {
         when(col("valid_to_us").isNull, 1).otherwise(0))
       .drop(prev +: seen +: ordNames: _*)
   }
+
+  /** Date-spine gap fill: regularize an irregular per-(group, day) series
+    * onto the complete daily calendar between each group's first and last
+    * observation, so downstream window math (EWMA, lag deltas, rolling
+    * means) sees one row per day instead of silently skipping gaps.
+    * Missing days get `n = 0` (no events happened — a FACT, not a
+    * missing measurement) and `carried` = the last OBSERVED value
+    * (forward fill — the standard last-observation-carried-forward
+    * convention for state-like measures).
+    *
+    * Scale: the spine is `sequence()` over each group's [min, max] day
+    * exploded map-side from a K-row aggregate — never a driver-side
+    * calendar loop — and the fill join is keyed (group, day) against the
+    * observed aggregate, both sides pre-shrunk to days × groups rows
+    * (corpus-independent). The forward fill is one `last(ignoreNulls)`
+    * running window — the [[asofBackward]] merge-scan shape, one sort.
+    * Output cardinality: total calendar days across groups. */
+  def gapFill(observed: DataFrame, group: Column, day: Column,
+              value: Column): DataFrame = {
+    val obs = observed.select(group.as("__g"), day.as("__day"),
+        value.as("__v"))
+      .groupBy(col("__g"), col("__day")).agg(sum(col("__v")).as("n"))
+    val spine = obs.groupBy(col("__g"))
+      .agg(min(col("__day")).as("__lo"), max(col("__day")).as("__hi"))
+      .select(col("__g"), explode(sequence(col("__lo"), col("__hi"),
+        expr("interval 1 day"))).as("__day"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(obs, Seq("__g", "__day"), "left")
+      .withColumn("is_observed", col("n").isNotNull)
+      .withColumn("carried", last(col("n"), ignoreNulls = true).over(w))
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+  }
+
+  /** Windowed exponentially-weighted moving average with α = 1/2: the
+    * zero-initialized recursion e ← (x + e) / 2, folded oldest-to-newest
+    * over the last `lookback` observations of each group. Both design
+    * choices are about EXACTNESS, which is what makes the operator
+    * oracle-checkable and run-to-run stable at cluster scale:
+    *  - α = 1/2 makes every step one double addition and one EXACT
+    *    halving (no libm pow, no per-term weight rounding);
+    *  - the truncation bounds the state, and the fold runs LEFT-TO-RIGHT
+    *    over the frame's collected array (`aggregate` HOF) — a fixed
+    *    sequential order no engine's partial-aggregation or segment-tree
+    *    window strategy can perturb. At lookback 40 the dropped tail
+    *    weighs < 2^-40 ≈ 1e-12 of any observation — at or below one ulp
+    *    of typical magnitudes — while keeping state bounded, exactly the
+    *    streaming-EWMA compromise.
+    * Input must be one row per (group, tick) — run [[gapFill]] first so
+    * gaps decay the average instead of silently stretching a step. */
+  def ewmaSmooth(series: DataFrame, group: Column, ord: Column,
+                 value: Column, lookback: Int = 40): DataFrame = {
+    require(lookback >= 1 && lookback <= 60,
+      s"lookback must be in [1, 60] (2^-61 underflows any signal), " +
+        s"got $lookback")
+    val w = Window.partitionBy(group).orderBy(ord)
+      .rowsBetween(-(lookback - 1), Window.currentRow)
+    // collect_list over a running frame preserves frame order
+    // (oldest..newest) — the fold then halves every prior term once per
+    // newer observation: e = Σ_j x_{t-j} · 2^{-(j+1)}.
+    series.withColumn("ewma",
+      aggregate(collect_list(value.cast("double")).over(w),
+        lit(0.0), (acc, x) => (acc + x) / lit(2.0)))
+  }
 }

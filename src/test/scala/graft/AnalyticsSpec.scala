@@ -349,4 +349,22 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(1) == ((1L, 1, 1)))
     assert(out(2) == ((1L, 5, 5)))  // gap 5 >= 2 -> bucket 2, not 1
   }
+
+  test("rankSumTest: tie-averaged ranks, exact U, tie-corrected z " +
+    "against a hand-computed example") {
+    // a: 1,2,2,5  b: 2,3,4 — the three 2s tie across groups
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+        ("b", 2.0), ("b", 3.0), ("b", 4.0), ("zzz", 99.0))
+      .toDF("grp", "v") // the extra group must be excluded by the filter
+    val r = AnalyticsOps.rankSumTest(df, col("grp"), col("v"), "a", "b")
+      .head
+    assert(r.getLong(0) == 4L && r.getLong(1) == 3L)
+    // ranks(a) = 1, 3, 3, 7 (tie avg of ranks {2,3,4} = 3) -> R1 = 14,
+    // U1 = 14 - 4*5/2 = 4
+    assert(r.getDouble(2) == 4.0)
+    // mu = 6; tcorr = t^3-t = 24; sigma^2 = 1*(8 - 24/42) = 52/7
+    val z = (4.0 - 6.0) / math.sqrt(
+      4.0 * 3.0 / 12.0 * (8.0 - 24.0 / (7.0 * 6.0)))
+    assert(r.getDouble(3) == z)
+  }
 }

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.{DedupOps, QualityOps, SampleOps}
+
+/** Pins the data-governance edge semantics the oracle queries can't
+  * isolate: null-FK vacuous validity, three-valued-logic expectation
+  * violations, zero-violation report rows, cluster-co-assigned splits,
+  * and survivorship tie-breaking. */
+class GovernanceSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("fkOrphans: null FK is vacuously valid, real orphans surface") {
+    val child = Seq((1L, Some(10L)), (2L, Some(99L)), (3L, None))
+      .toDF("id", "fk")
+    val parent = Seq(10L, 20L).toDF("pk")
+    val bad = QualityOps.fkOrphans(child, col("fk"), parent, col("pk"))
+      .select(col("id")).as[Long].collect().toSet
+    assert(bad == Set(2L), "only the dangling non-null FK is an orphan")
+  }
+
+  test("dupKeys: one row per duplicated key with multiplicity") {
+    val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 2), ("c", 1))
+      .toDF("k", "sub")
+    val out = QualityOps.dupKeys(df, Seq("k", "sub"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(out == Map(("b", 1) -> 2L))
+  }
+
+  test("expectViolations: a null predicate value IS a violation " +
+    "(three-valued logic must not let null rows pass an audit)") {
+    val df = Seq(Some(5.0), Some(-1.0), None).toDF("price")
+    val bad = QualityOps.expectViolations(df, col("price") >= 0.0)
+    assert(bad.count() == 2, "negative AND null both violate")
+  }
+
+  test("auditReport: healthy checks report 0, order is by check name") {
+    val df = Seq(1, 2, 3).toDF("x")
+    val rep = QualityOps.auditReport(Seq(
+        "b_neg" -> df.filter(col("x") < 0),
+        "a_big" -> df.filter(col("x") > 2)))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(rep.toSeq == Seq(("a_big", 1L), ("b_neg", 0L)))
+  }
+
+  test("leakageSplit: every cluster member lands in the SAME split; " +
+    "unclustered rows are their own group") {
+    val docs = (1L to 40L).toDF("doc_id")
+    // two clusters: {1,2,3} labeled 1, {10,11} labeled 10
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+      .toDF("node", "label")
+    val out = SampleOps.leakageSplit(docs, col("doc_id"), labels,
+        "node", "label", salt = "t")
+      .select(col("doc_id"), col("split_group"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(Set(out(1L), out(2L), out(3L)).size == 1,
+      "cluster {1,2,3} must share (group, split)")
+    assert(Set(out(10L), out(11L)).size == 1)
+    assert(out(20L)._1 == 20L, "unclustered row groups as itself")
+    val splits = out.values.map(_._2).toSet
+    assert(splits.subsetOf(Set("train", "validation", "test")))
+    // deterministic: a re-run assigns identically
+    val again = SampleOps.leakageSplit(docs, col("doc_id"), labels,
+        "node", "label", salt = "t")
+      .select(col("doc_id"), col("split_group"), col("split"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(again == out)
+    // a different salt decorrelates (40 ids: some row must move)
+    val moved = SampleOps.leakageSplit(docs, col("doc_id"), labels,
+        "node", "label", salt = "other")
+      .select(col("doc_id"), col("split")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(moved.exists { case (id, s) => out(id)._2 != s })
+  }
+
+  test("survivorship: max quality wins, exact ties break to smallest id, " +
+    "singletons survive as themselves") {
+    val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
+      .toDF("doc_id", "quality")
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L)).toDF("node", "label")
+    val out = DedupOps.survivorship(docs, col("doc_id"), col("quality"),
+        labels, "node", "label")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // quality tie 9 at ids 2,3 -> smaller id 2; beat min-id canonical 1
+    assert(out(1L) == ((2L, 9L, 3L, true)))
+    assert(out(4L) == ((4L, 7L, 1L, false)))
+  }
+}

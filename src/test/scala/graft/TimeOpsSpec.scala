@@ -192,6 +192,40 @@ class TimeOpsSpec extends AnyFunSuite {
       .count() == 1L)
   }
 
+  test("gapFill: silent days get n=0 + carried forward; spans are " +
+    "per-group; observed flags survive") {
+    val obs = Seq(("g1", "2024-01-01", 2L), ("g1", "2024-01-04", 3L),
+      ("g2", "2024-01-02", 7L))
+      .toDF("g", "d", "v").withColumn("d", to_date(col("d")))
+    val out = TimeOps.gapFill(obs, col("g"), col("d"), col("v"))
+      .select(col("__g"), date_format(col("__day"), "yyyy-MM-dd"),
+        col("n"), col("is_observed"), col("carried"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getBoolean(3), r.getLong(4))).toMap
+    assert(out.size == 5,
+      "g1 spans 4 days, g2 spans 1 - no cross-group spine")
+    assert(out(("g1", "2024-01-01")) == ((2L, true, 2L)))
+    assert(out(("g1", "2024-01-02")) == ((0L, false, 2L))) // gap: 0 + ffill
+    assert(out(("g1", "2024-01-03")) == ((0L, false, 2L)))
+    assert(out(("g1", "2024-01-04")) == ((3L, true, 3L)))
+    assert(out(("g2", "2024-01-02")) == ((7L, true, 7L)))
+  }
+
+  test("ewmaSmooth: exact halving fold, zero-init, lookback truncation") {
+    val s = Seq(("g", 1, 4L), ("g", 2, 0L), ("g", 3, 8L))
+      .toDF("g", "t", "n")
+    def run(lb: Int) = TimeOps.ewmaSmooth(s, col("g"), col("t"),
+        col("n"), lookback = lb)
+      .select(col("t"), col("ewma")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // full: e1=4/2=2, e2=(2+0)/2=1, e3=(1+8)/2=4.5 — all exact
+    assert(run(40) == Map(1 -> 2.0, 2 -> 1.0, 3 -> 4.5))
+    // lookback=2 restarts the zero-init fold on the truncated frame
+    assert(run(2) == Map(1 -> 2.0, 2 -> 1.0, 3 -> 4.0))
+    assertThrows[IllegalArgumentException](
+      TimeOps.ewmaSmooth(s, col("g"), col("t"), col("n"), lookback = 0))
+  }
+
   test("charShingles: short text shingles whole; duplicates collapse") {
     val df = Seq("abc", "abcdefgh", "aaaaaaaaaa").toDF("text")
     val out = df.select(TextOps.charShingles(col("text"), 8).as("s"))
