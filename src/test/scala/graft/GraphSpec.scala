@@ -162,4 +162,26 @@ class GraphSpec extends AnyFunSuite {
       assert(r.getAs[Long]("n_wedges") == wedgeBrute, s"trial $trial wedges")
     }
   }
+
+  test("LabelSweep: one components run per (key, session); " +
+    "dupClustersFromLabels equals dupClusters on the shared labels") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val sweep = new G.LabelSweep
+    var runs = 0
+    def compute = { runs += 1; G.connectedComponents(edges, "a", "b") }
+    val l1 = sweep.labels("k", compute)
+    val l2 = sweep.labels("k", compute)
+    assert((l2 eq l1) && runs == 1,
+      "second consumer must reuse the first components run")
+    val viaShared = G.dupClustersFromLabels(l1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    val direct = G.dupClusters(edges, "a", "b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    assert(viaShared == direct)
+    assert(viaShared == Map(1L -> ((3L, "1,2,3")), 10L -> ((2L, "10,11"))))
+    sweep.clear()
+    assert(sweep.size == 0)
+  }
 }
