@@ -362,4 +362,50 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly one broadcast crossJoin for the 1-row bloom " +
         s"frame:\n$p")
   }
+
+  test("q102 leakage split: the label join broadcasts — the corpus is " +
+    "never shuffled for its split assignment") {
+    SparkEntry.clearSessionSweeps()
+    try {
+      val p = plan("q102_leakage_split")
+      assert(p.contains("BroadcastHashJoin"),
+        s"label join must broadcast:\n$p")
+      // the only exchange below the final aggregate pair is the agg's own
+      // hash partitioning — no shuffle positions the corpus for the join
+      assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+        s"corpus shuffled for the label join:\n$p")
+    } finally SparkEntry.clearSessionSweeps()
+  }
+
+  test("q104 gapfill: spine explode is map-side, the observed aggregate " +
+    "broadcasts into the fill join, and the slice reaches every scan") {
+    val f = formatted("q104_gapfill")
+    // the extent branch and the fill branch each scan the filtered slice
+    // (no exchange reuse across the agg-of-agg rewrite) — both scans must
+    // carry the pushed slice predicate, so each reads the pruned slice
+    val scans = "events\\.parquet".r.findAllIn(f).length
+    assert(scans == 2, s"expected the 2 pruned slice scans, got $scans:\n$f")
+    assert("GreaterThan\\(value,300".r.findAllIn(f).length == scans,
+      s"slice predicate must be pushed to every events scan:\n$f")
+    assert(f.contains("Generate") && f.contains("sequence("),
+      s"no map-side sequence explode in:\n$f")
+    // days x groups rows broadcast; the spine is never shuffle-joined
+    val p = plan("q104_gapfill")
+    assert(p.contains("BroadcastHashJoin"),
+      s"fill join must broadcast the observed aggregate:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"fill join took the shuffle path:\n$p")
+  }
+
+  test("q101 audit: checks are anti-joins + scan-local filters, " +
+    "never a cartesian") {
+    val p = plan("q101_quality_audit")
+    // 8 checks over 5 tables -> the report is a union of 1-row counts;
+    // no check may introduce a cartesian or nested-loop join
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"audit plan degraded:\n$p")
+    // exactly the two FK checks join at all, both as anti-joins
+    assert(p.linesIterator.count(_.contains("LeftAnti")) == 2,
+      s"expected exactly 2 anti-join FK checks:\n$p")
+  }
 }
