@@ -585,6 +585,28 @@ object SparkEntry {
       D.survivorship(t(s, dir, "documents"), col("doc_id"),
         col("n_chars"), nearDupComponents(s, dir), "node", "label")),
 
+    // L86: per-domain quality calibration — keep each source's top 20% by
+    // length (percent_rank >= 0.8 within the source), so one quality bar
+    // adapts to every domain's own distribution instead of a global
+    // threshold silently flattening a long-doc domain.
+    "q107_quality_calibration" -> ((s, dir) =>
+      Sam.percentileFilter(t(s, dir, "documents"), col("source"),
+          col("n_chars"), 0.8)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          min(col("n_chars")).as("threshold_chars"),
+          min(col("doc_id")).as("min_doc_id"))),
+
+    // L87: exact Pearson correlation (value-cents vs hour-of-day per
+    // event type) — integer sufficient statistics, decimal cross terms,
+    // engine-exact; the built-in float `corr` is partial-agg-order
+    // nondeterministic and could not hash-verify.
+    "q108_correlation" -> ((s, dir) =>
+      An.correlation(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"), hour(col("ts")),
+        (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))),
+
     // Semi-structured props: extract the long-tail JSON attribute k
     // (get_json_object + try_cast, codegen'd — no UDF, no schema
     // migration), then a per-type census of the extracted values.
@@ -2745,6 +2767,41 @@ object SparkEntry {
         | list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
         |   (acc, x) -> (acc + x) / 2.0) AS ewma
         |FROM seq""".stripMargin,
+
+    "q107_quality_calibration" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |  percent_rank() OVER (PARTITION BY source ORDER BY n_chars)
+        |   AS score_pct
+        | FROM documents)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_kept,
+        | min(n_chars) AS threshold_chars, min(doc_id) AS min_doc_id
+        |FROM r WHERE score_pct >= 0.8 GROUP BY 1""".stripMargin,
+
+    // HUGEINT cross terms replay Spark's DECIMAL(38,0) arithmetic: both
+    // are exact integers, and the one double cast of identical integers
+    // is the identical double.
+    "q108_correlation" ->
+      """WITH p AS (SELECT event_type AS grp,
+        |  CAST(hour(ts) AS BIGINT) AS x,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS y
+        | FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx,
+        |  CAST(sum(y*y) AS BIGINT) AS syy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy
+        | FROM p GROUP BY 1),
+        |d AS (SELECT grp, n,
+        |  CAST(CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS num,
+        |  CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |    - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE) AS dx,
+        |  CAST(CAST(n AS HUGEINT) * CAST(syy AS HUGEINT)
+        |    - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS DOUBLE) AS dy
+        | FROM s)
+        |SELECT grp, n, CASE WHEN dx > 0.0 AND dy > 0.0
+        | THEN num / (sqrt(dx) * sqrt(dy)) END AS r
+        |FROM d""".stripMargin,
 
     "q106_survivorship" ->
       s"""WITH RECURSIVE $sqlWordNearDupCtes,

@@ -638,4 +638,54 @@ object AnalyticsOps {
       .withColumn("z", (col("u1") - col("mu")) / col("sigma"))
       .select(col("n1"), col("n2"), col("u1"), col("z"))
   }
+
+  /** Exact per-group Pearson correlation from INTEGER sufficient
+    * statistics — the [[trend]] discipline applied to r: both inputs
+    * must already be integer-scaled (cast fixed-point measures to their
+    * smallest integer unit at the call site), so the five sums are exact
+    * int64s immune to partial-aggregation order, unlike the built-in
+    * `corr` whose float accumulation is partition-nondeterministic — on
+    * a 1000-executor shuffle the same query returns different low bits
+    * run to run, which poisons hash-verification and regression-diffing
+    * alike.
+    *
+    * The final assembly computes n·Σxy − Σx·Σy (and both variance
+    * analogues) in DECIMAL(38,0) — exact at any row count whose products
+    * fit 38 digits (10^9 rows of 10^6-unit measures: ~10^23 ≪ 10^38) —
+    * then ONE double cast each and the fixed /, sqrt, × sequence, so the
+    * result is bit-identical across engines and partitionings.
+    *
+    * ONE combinable shuffle; output one row per group. Degenerate groups
+    * (zero variance in either variable) return null r via an explicit
+    * guard — constancy is "correlation undefined", not "uncorrelated",
+    * and the guard keeps the NaN/Inf of an IEEE 0-denominator division
+    * (engine-representation-dependent in exported parquet) out of the
+    * result entirely. */
+  def correlation(df: DataFrame, group: Column, x: Column,
+                  y: Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val p = df.select(group.as("grp"), x.cast("long").as("__x"),
+        y.cast("long").as("__y"))
+      .filter(col("__x").isNotNull && col("__y").isNotNull)
+    p.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("grp"), col("n"),
+        (col("n").cast(D) * col("__sxy").cast(D)
+          - col("__sx").cast(D) * col("__sy").cast(D)).cast("double")
+          .as("__num"),
+        (col("n").cast(D) * col("__sxx").cast(D)
+          - col("__sx").cast(D) * col("__sx").cast(D)).cast("double")
+          .as("__dx"),
+        (col("n").cast(D) * col("__syy").cast(D)
+          - col("__sy").cast(D) * col("__sy").cast(D)).cast("double")
+          .as("__dy"))
+      .select(col("grp"), col("n"),
+        when(col("__dx") > 0.0 && col("__dy") > 0.0,
+          col("__num") / (sqrt(col("__dx")) * sqrt(col("__dy"))))
+          .as("r"))
+  }
 }

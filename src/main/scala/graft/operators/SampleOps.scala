@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic sampling for the training-data pipeline: hash-Bernoulli
@@ -187,6 +188,36 @@ object SampleOps {
       .select(col("stratum"), explode(col("__top")).as("__e"))
       .select(col("stratum"), col("__e.__id").as("sample_id"),
         col("__e.__h").as("sample_hash"))
+  }
+
+  /** Per-stratum percentile calibration filter: keep rows whose `score`
+    * sits at or above the `minPct` percent-rank WITHIN their stratum —
+    * the curation step that makes one quality bar comparable across
+    * domains (an absolute threshold tuned on web text silently drops
+    * most of a code or academic domain; rank-normalizing per source asks
+    * "top X% of ITS OWN distribution" instead).
+    *
+    * percent_rank = (rank − 1) / (n − 1) with min-rank ties, so exact
+    * score ties share a fate (all kept or all dropped — no arbitrary
+    * member split). A single-row stratum ranks 0.0 by convention (both
+    * engines agree), so any minPct > 0 DROPS it — guard rare strata with
+    * a size floor upstream if they must survive. The division is one
+    * int/int IEEE op — the keep set replays identically in the oracle.
+    *
+    * One exchange on the stratum + an in-partition sort; the filter is a
+    * predicate on the window output, so downstream aggregations keyed on
+    * the stratum REUSE the exchange. The q72/q76 bounded-group trade:
+    * strata are sources/domains (bounded cardinality), each stratum's
+    * rows land whole on a reducer — for unbounded strata or skewed
+    * mega-strata, cut at approx_percentile cutpoints instead (sketch,
+    * mergeable, no per-stratum sort). */
+  def percentileFilter(df: DataFrame, stratum: Column, score: Column,
+                       minPct: Double): DataFrame = {
+    require(minPct >= 0.0 && minPct <= 1.0,
+      s"minPct must be in [0, 1], got $minPct")
+    df.withColumn("score_pct", percent_rank().over(
+        Window.partitionBy(stratum).orderBy(score)))
+      .filter(col("score_pct") >= minPct)
   }
 
   /** Leakage-safe train/validation/test split: the split decision hashes

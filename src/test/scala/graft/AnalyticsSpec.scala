@@ -367,4 +367,26 @@ class AnalyticsSpec extends AnyFunSuite {
       4.0 * 3.0 / 12.0 * (8.0 - 24.0 / (7.0 * 6.0)))
     assert(r.getDouble(3) == z)
   }
+
+  test("correlation: perfect lines hit ±1 (to the sqrt ulp), degenerate " +
+    "variance is null not NaN, nulls dropped") {
+    val df = Seq(
+        ("up", 1L, 2L), ("up", 2L, 4L), ("up", 3L, 6L),
+        ("down", 1L, 6L), ("down", 2L, 4L), ("down", 3L, 2L),
+        ("flat", 1L, 5L), ("flat", 2L, 5L), ("flat", 3L, 5L))
+      .toDF("g", "x", "y")
+      .unionByName(Seq(("up", Option.empty[Long], Option(9L)))
+        .toDF("g", "x", "y"))
+    val out = AnalyticsOps.correlation(df, col("g"), col("x"), col("y"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      .toMap
+    assert(out("up")._1 == 3L, "null x row must be dropped")
+    assert(math.abs(out("up")._2.get - 1.0) < 1e-12)
+    assert(math.abs(out("down")._2.get + 1.0) < 1e-12)
+    assert(out("flat")._2.isEmpty, "zero variance -> null, never NaN")
+    // exact assembly: r equals the same fixed op sequence on the exact
+    // integer sufficient stats (num=12, dx=6, dy=24 for the up line)
+    assert(out("up")._2.get == 12.0 / (math.sqrt(6.0) * math.sqrt(24.0)))
+  }
 }

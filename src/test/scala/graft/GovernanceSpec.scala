@@ -79,6 +79,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(moved.exists { case (id, s) => out(id)._2 != s })
   }
 
+  test("percentileFilter: ties share a fate, single-row stratum is kept " +
+    "at pct 0.0, boundary is inclusive") {
+    // stratum s: scores 1,2,3,3,5 — percent_rank = 0, .25, .5, .5, 1
+    val df = Seq(("s", 1L, 1), ("s", 2L, 2), ("s", 3L, 3), ("s", 3L, 4),
+        ("s", 5L, 5), ("solo", 9L, 6))
+      .toDF("src", "score", "id")
+    def kept(p: Double) = SampleOps
+      .percentileFilter(df, col("src"), col("score"), p)
+      .select(col("id")).as[Int].collect().toSet
+    assert(kept(0.5) == Set(3, 4, 5),
+      "tied 3s share a fate; a single-row stratum ranks 0.0 (both " +
+        "engines' convention) so any p > 0 drops it")
+    assert(kept(0.0) == Set(1, 2, 3, 4, 5, 6), "0.0 keeps everything")
+    assert(kept(1.0) == Set(5), "1.0 keeps only each stratum's max")
+    assertThrows[IllegalArgumentException](
+      SampleOps.percentileFilter(df, col("src"), col("score"), 1.5))
+  }
+
   test("survivorship: max quality wins, exact ties break to smallest id, " +
     "singletons survive as themselves") {
     val docs = Seq((1L, 5L), (2L, 9L), (3L, 9L), (4L, 7L))
