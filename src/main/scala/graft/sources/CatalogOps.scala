@@ -116,11 +116,6 @@ object CatalogOps {
                    measures: Map[String, org.apache.spark.sql.Column])
   : Unit = {
     require(dims.nonEmpty && measures.nonEmpty, "need dims and measures")
-    val aggs = measures.toSeq.sortBy(_._1).map { case (name, c) =>
-      sum(c.cast("decimal(18,4)")).as(s"sum_$name")
-    } :+ count(lit(1)).as("n_rows")
-    val rolled = base.groupBy(dims.map(col): _*)
-      .agg(aggs.head, aggs.tail: _*)
     // Stage-and-swap (ADVICE r6): the fact-table aggregation runs while
     // the LIVE rollup still serves — a failed refresh (OOM, bad measure
     // expr) dies during the staging write and leaves the live table
@@ -128,6 +123,31 @@ object CatalogOps {
     // leaving the target empty. Only after staging is fully written does
     // the live table drop + staging rename in (metadata-only window; a
     // crash inside it is healed by the recovery below on the next call).
+    stageAndSwap(spark, db, table, rollupPartial(base, dims, measures))
+  }
+
+  /** The rollup's aggregate shape over any slice of the base data:
+    * decimal-exact sum per measure + row count, grouped by `dims`. Used
+    * by [[createRollup]] (whole base) and the streaming maintenance path
+    * (per micro-batch — [[upsertRollup]] via StreamOps.maintainRollup);
+    * both produce ADDABLE partials, which is what keeps merge-maintained
+    * == rebuilt-from-base exact. */
+  def rollupPartial(base: DataFrame, dims: Seq[String],
+                    measures: Map[String, org.apache.spark.sql.Column])
+  : DataFrame = {
+    val aggs = measures.toSeq.sortBy(_._1).map { case (name, c) =>
+      sum(c.cast("decimal(18,4)")).as(s"sum_$name")
+    } :+ count(lit(1)).as("n_rows")
+    base.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** The crash-safe table-replace primitive shared by [[createRollup]]
+    * and [[upsertRollup]]: write the replacement to a staging table
+    * FIRST, then drop + rename in a metadata-only window; a crash inside
+    * that window is healed on the next call (staging complete + live
+    * missing → finish the rename). */
+  private def stageAndSwap(spark: SparkSession, db: String, table: String,
+                           replacement: DataFrame): Unit = {
     val staging = s"${table}__staging"
     def managedLoc(t: String) = new org.apache.hadoop.fs.Path(
       new org.apache.hadoop.fs.Path(spark.catalog.getDatabase(db).locationUri),
@@ -141,14 +161,53 @@ object CatalogOps {
     }
     if (spark.catalog.tableExists(s"$db.$staging") &&
         !spark.catalog.tableExists(s"$db.$table")) {
-      // Crashed prior swap: staging holds the complete refreshed rollup
-      // and the live table is already gone — finish the rename.
+      // Crashed prior swap: staging holds the complete replacement and
+      // the live table is already gone — finish the rename.
       spark.sql(s"ALTER TABLE $db.$staging RENAME TO $db.$table")
     }
     dropWithDir(staging)
-    rolled.write.format("parquet").saveAsTable(s"$db.$staging")
+    replacement.write.format("parquet").saveAsTable(s"$db.$staging")
     dropWithDir(table)
     spark.sql(s"ALTER TABLE $db.$staging RENAME TO $db.$table")
+  }
+
+  /** Merge one micro-batch's PARTIAL aggregates into a live rollup table
+    * — the streaming maintenance half of [[createRollup]] (which rebuilds
+    * from the base table; this folds a delta in without touching the
+    * base). Exactness rides the same decomposability: the stored
+    * sum/count partials and the batch's partials add.
+    *
+    * Idempotence (the foreachBatch replay contract): `batchId` is stored
+    * ON the rollup rows (constant column — atomic with the data under
+    * [[stageAndSwap]], no sidecar to desync from). A replayed batch
+    * (Structured Streaming re-runs the last epoch after a crash) sees
+    * max(applied) >= batchId and SKIPS — apply-at-most-once per epoch,
+    * which with the stream's at-least-once redelivery is exactly-once
+    * table state.
+    *
+    * The rewrite cost is rollup-cardinality (dims-sized, corpus-
+    * independent) per batch — the parquet-table trade; at warehouse
+    * scale the same partials MERGE into a transactional format instead.
+    * Single-writer, like every SinkOps path. */
+  def upsertRollup(spark: SparkSession, partial: DataFrame, db: String,
+                   table: String, dims: Seq[String],
+                   measureNames: Seq[String], batchId: Long): Unit = {
+    val cols = dims ++ measureNames.sorted.map(m => s"sum_$m") :+ "n_rows"
+    val tagged = partial.selectExpr(cols: _*)
+      .withColumn("applied_batch", lit(batchId))
+    if (!spark.catalog.tableExists(s"$db.$table")) {
+      stageAndSwap(spark, db, table, tagged)
+      return
+    }
+    val live = spark.table(s"$db.$table")
+    val applied = live.agg(max(col("applied_batch"))).head
+    if (!applied.isNullAt(0) && applied.getLong(0) >= batchId) return
+    val aggs = measureNames.sorted.map(m =>
+      sum(col(s"sum_$m")).as(s"sum_$m")) :+ sum(col("n_rows")).as("n_rows")
+    val merged = live.unionByName(tagged)
+      .groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
+      .withColumn("applied_batch", lit(batchId))
+    stageAndSwap(spark, db, table, merged)
   }
 
   /** Serve a coarser aggregation from a [[createRollup]] table: GROUP BY

@@ -237,4 +237,34 @@ object StreamOps {
           .as("sum_value"))
       .select(col("window.start").as("window_start"), col("n"),
         col("sum_value"))
+
+  /** L89: streaming rollup maintenance — keep a
+    * [[graft.sources.CatalogOps.createRollup]]-shaped table current from
+    * a stream, instead of re-aggregating the base table per refresh. Each
+    * micro-batch folds its ADDABLE partials (decimal sums + counts, the
+    * same decomposability the batch rollup serves from) into the live
+    * table via `upsertRollup`, whose stored `applied_batch` epoch makes a
+    * replayed batch a NO-OP — at-least-once redelivery from the stream
+    * becomes exactly-once table state (spec-pinned: maintained ==
+    * rebuilt-from-scratch, and a forced replay changes nothing).
+    *
+    * foreachBatch is the sanctioned shape for "merge a stream into a
+    * table Structured Streaming has no native sink for": the batch holds
+    * only the delta, the merge cost is rollup-cardinality per trigger,
+    * and the checkpoint dir carries source offsets so a restart resumes
+    * (and at-most re-replays) the in-flight epoch. */
+  def maintainRollup(stream: DataFrame, dims: Seq[String],
+                     measures: Map[String, Column], db: String,
+                     table: String, checkpointDir: String)
+  : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row],
+                       batchId: Long) =>
+        graft.sources.CatalogOps.upsertRollup(batch.sparkSession,
+          graft.sources.CatalogOps.rollupPartial(batch.toDF(), dims,
+            measures),
+          db, table, dims, measures.keys.toSeq, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .start()
 }

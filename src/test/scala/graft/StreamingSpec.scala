@@ -289,4 +289,47 @@ class StreamingSpec extends AnyFunSuite {
       s"streaming $streamedPerStep vs batch $perStep")
     assert(perStep(2) > 0, "expected some users past step 1")
   }
+
+  test("maintainRollup: stream-maintained rollup == rebuilt-from-scratch " +
+    "after 3 epochs; a replayed epoch is a no-op (exactly-once state)") {
+    import graft.sources.CatalogOps
+    implicit val sc = spark.sqlContext
+    val db = "graft_test_stream_rollup"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    spark.sql(s"DROP TABLE IF EXISTS $db.ev_rollup")
+    val ckpt = java.nio.file.Files
+      .createTempDirectory("graft_rollup_ckpt").toString
+    val input = MemoryStream[(String, Double)]
+    val measures = Map("value" -> col("value"))
+    val q = StreamOps.maintainRollup(input.toDF.toDF("etype", "value"),
+      Seq("etype"), measures, db, "ev_rollup", ckpt)
+    val batches = Seq(
+      Seq(("a", 1.0), ("a", 2.0), ("b", 10.0)),
+      Seq(("b", 0.5), ("c", 7.0)),
+      Seq(("a", 4.0), ("c", 0.25)))
+    try {
+      batches.foreach { b => input.addData(b: _*); q.processAllAvailable() }
+    } finally q.stop()
+    def served(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("etype"))
+        .agg(sum(col("sum_value")).cast("double").as("s"),
+          sum(col("n_rows")).as("n"))
+        .as[(String, Double, Long)].collect().toSet
+    val maintained = served(spark.table(s"$db.ev_rollup"))
+    // rebuilt from scratch over the SAME full data
+    CatalogOps.createRollup(spark,
+      batches.flatten.toDF("etype", "value"), db, "ev_rollup_full",
+      Seq("etype"), measures)
+    assert(maintained == served(spark.table(s"$db.ev_rollup_full")))
+    assert(maintained == Set(("a", 7.0, 3L), ("b", 10.5, 2L),
+      ("c", 7.25, 2L)))
+    // forced replay of an already-applied epoch: applied_batch gates it
+    val before = spark.table(s"$db.ev_rollup").collect().toSet
+    CatalogOps.upsertRollup(spark,
+      CatalogOps.rollupPartial(Seq(("a", 99.0)).toDF("etype", "value"),
+        Seq("etype"), measures),
+      db, "ev_rollup", Seq("etype"), Seq("value"), batchId = 0L)
+    assert(spark.table(s"$db.ev_rollup").collect().toSet == before,
+      "replaying epoch 0 must not change the table")
+  }
 }

@@ -192,6 +192,40 @@ class TimeOpsSpec extends AnyFunSuite {
       .count() == 1L)
   }
 
+  test("sessionize parity with Spark's built-in session_window: " +
+    "identical memberships at the same gap (both keep diff <= gap — " +
+    "the built-in merges adjacent windows)") {
+    val gap = 10L
+    val df = Seq(
+        (1L, 0L, "a"), (1L, 10L, "b"),   // diff == gap: same session
+        (1L, 21L, "c"),                  // diff 11 > gap: new session
+        (2L, 0L, "d"), (2L, 11L, "e"))   // diff 11: new session
+      .toDF("k", "us", "tag")
+      .withColumn("ts", timestamp_micros(col("us")))
+    def members(sessions: org.apache.spark.sql.DataFrame,
+                sessCols: Seq[org.apache.spark.sql.Column]) =
+      sessions.groupBy(sessCols: _*)
+        .agg(sort_array(collect_list(col("tag"))).as("members"))
+        .select(col("members")).as[Seq[String]].collect().toSet
+    val ours = members(
+      TimeOps.sessionize(df, Seq("k"), "ts", gap, Seq(col("us"))),
+      Seq(col("k"), col("session_idx")))
+    val builtin = members(df,
+      Seq(col("k"), session_window(col("ts"), s"$gap microseconds")))
+    assert(ours == builtin,
+      "the merge-scan sessionize must replay the built-in's memberships")
+    assert(ours == Set(Seq("a", "b"), Seq("c"), Seq("d"), Seq("e")))
+    // the boundary is genuinely inclusive in BOTH: one microsecond less
+    // gap splits the exact-gap pair in both implementations
+    val oursTight = members(
+      TimeOps.sessionize(df, Seq("k"), "ts", gap - 1, Seq(col("us"))),
+      Seq(col("k"), col("session_idx")))
+    val builtinTight = members(df,
+      Seq(col("k"), session_window(col("ts"), s"${gap - 1} microseconds")))
+    assert(oursTight == builtinTight &&
+      oursTight.contains(Seq("a")) && oursTight.contains(Seq("b")))
+  }
+
   test("gapFill: silent days get n=0 + carried forward; spans are " +
     "per-group; observed flags survive") {
     val obs = Seq(("g1", "2024-01-01", 2L), ("g1", "2024-01-04", 3L),
