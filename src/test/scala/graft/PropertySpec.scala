@@ -277,4 +277,62 @@ class PropertySpec extends AnyFunSuite {
       .as[Double].collect()
     assert(day0.nonEmpty && day0.forall(_ == 1.0))
   }
+
+  test("rankSumTest U equals brute-force pair counting on random " +
+    "tied-value samples") {
+    val samples = Gen.listOfN(30,
+      Gen.zip(Gen.oneOf("a", "b", "x"), Gen.choose(0, 8)))
+    forAll(samples, n = 6) { data =>
+      val as = data.collect { case ("a", v) => v }
+      val bs = data.collect { case ("b", v) => v }
+      if (as.nonEmpty && bs.nonEmpty) {
+        // U1 = #(a beats b) + half the cross-group ties, exactly
+        val wins = (for (x <- as; y <- bs) yield
+          if (x > y) 2 else if (x == y) 1 else 0).sum
+        val df = data.map { case (s, v) => (s, v.toDouble) }.toDF("s", "v")
+        val r = graft.operators.AnalyticsOps
+          .rankSumTest(df, col("s"), col("v"), "a", "b").head
+        assert(r.getLong(0) == as.size && r.getLong(1) == bs.size)
+        assert(r.getDouble(2) == wins.toDouble / 2.0,
+          s"U1 mismatch: got ${r.getDouble(2)}, brute $wins/2")
+      }
+    }
+  }
+
+  test("gapFill + ewmaSmooth equal a driver-side reference on random " +
+    "sparse series") {
+    val series = Gen.listOfN(12,
+      Gen.zip(Gen.oneOf("g1", "g2"), Gen.choose(0, 20), Gen.choose(1, 9)))
+    forAll(series, n = 6) { raw =>
+      // one observation per (group, day): sum duplicate days like the op
+      val obs = raw.groupBy(d => (d._1, d._2)).view
+        .mapValues(_.map(_._3.toLong).sum).toMap
+      val df = raw.map { case (g, d, v) =>
+        (g, java.time.LocalDate.ofEpochDay(d.toLong).toString, v.toLong) }
+        .toDF("g", "d", "v").withColumn("d", to_date(col("d")))
+      val filled = graft.operators.TimeOps
+        .gapFill(df, col("g"), col("d"), col("v"))
+      val got = graft.operators.TimeOps
+        .ewmaSmooth(filled, col("__g"), col("__day"), col("n"), 40)
+        .select(col("__g"), col("__day").cast("string"), col("n"),
+          col("carried"), col("ewma"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+      // driver reference: explicit spine walk + LOCF + halving fold
+      obs.keys.groupBy(_._1).foreach { case (g, ks) =>
+        val days = ks.map(_._2)
+        var carried = 0L; var ewma = 0.0
+        val window = scala.collection.mutable.Queue.empty[Long]
+        for (d <- days.min to days.max) {
+          val n = obs.getOrElse((g, d), 0L)
+          if (obs.contains((g, d))) carried = n
+          window.enqueue(n)
+          while (window.size > 40) window.dequeue()
+          ewma = window.foldLeft(0.0)((acc, x) => (acc + x) / 2.0)
+          val key = (g, java.time.LocalDate.ofEpochDay(d.toLong).toString)
+          assert(got(key) == ((n, carried, ewma)), s"$key")
+        }
+      }
+    }
+  }
 }
