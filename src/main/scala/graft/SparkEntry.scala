@@ -607,6 +607,59 @@ object SparkEntry {
         col("event_type"), hour(col("ts")),
         (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))),
 
+    // L92: PageRank over the co-purchase graph (parts sharing an order)
+    // — scaled-integer arithmetic (rank in 10⁻⁹ units, floor-div mass
+    // transfer) so 3 damped iterations are exact, order-independent, and
+    // hash-identical to the oracle's unrolled CTE chain. Top 20 hubs.
+    "q109_pagerank" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      G.pageRank(e, "src", "dst", iters = 3, scale = 1000000000L)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node").as("part"), col("rank"),
+          col("outdeg").as("degree"))
+    }),
+
+    // L93: sorted-neighborhood blocking — per-lang sort by (n_chars, id),
+    // pair each doc with its next 2 sort neighbors map-side (lead, no
+    // self-join), verify on the length gap. The merge/purge candidate
+    // generator that catches pairs an exact blocking key would split.
+    "q110_sorted_neighborhood" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lens = docs.select(col("doc_id").as("__d"),
+        col("n_chars").as("__len"))
+      D.sortedNeighborhood(docs, col("lang"), col("doc_id"),
+          Seq(col("n_chars")), window = 2)
+        .join(lens.select(col("__d").as("id_a"), col("__len").as("len_a")),
+          "id_a")
+        .join(lens.select(col("__d").as("id_b"), col("__len").as("len_b")),
+          "id_b")
+        .filter(abs(col("len_a") - col("len_b")) <= 2)
+        .select(col("block").as("lang"), col("id_a"), col("id_b"),
+          col("gap"), col("len_a"), col("len_b"))
+    }),
+
+    // L94: association rules on order baskets — co-purchased part pairs
+    // seen in ≥ 3 orders expand to directed rules with support /
+    // confidence / lift (exact-int numerators, one division each).
+    "q111_assoc_rules" -> ((s, dir) =>
+      An.associationRules(t(s, dir, "lineitem"), col("l_orderkey"),
+        col("l_partkey"), minCount = 3L)),
+
+    // L95: per-type standard-score census of event values (cents) —
+    // exact integer sufficient stats, decimal variance assembly, then a
+    // deterministic per-row z; reports the scale parameters and the
+    // |z| > 2 / > 3 tail mass that decides if z-scoring is usable.
+    "q112_standardize" -> ((s, dir) =>
+      An.standardize(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"),
+        (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))),
+
     // Semi-structured props: extract the long-tail JSON attribute k
     // (get_json_object + try_cast, codegen'd — no UDF, no schema
     // migration), then a per-type census of the extracted values.
@@ -2802,6 +2855,100 @@ object SparkEntry {
         |SELECT grp, n, CASE WHEN dx > 0.0 AND dy > 0.0
         | THEN num / (sqrt(dx) * sqrt(dy)) END AS r
         |FROM d""".stripMargin,
+
+    "q109_pagerank" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM pp x JOIN pp y
+        |  ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT a AS u, b AS v FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg
+        |  FROM sym GROUP BY 1),
+        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS rank, outdeg
+        |  FROM deg),
+        |m1 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r0 r ON s.u = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node,
+        |  CAST(150000000 + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg FROM deg d JOIN m1 m ON d.node = m.node),
+        |m2 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r1 r ON s.u = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node,
+        |  CAST(150000000 + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg FROM deg d JOIN m2 m ON d.node = m.node),
+        |m3 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r2 r ON s.u = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node,
+        |  CAST(150000000 + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg FROM deg d JOIN m3 m ON d.node = m.node)
+        |SELECT node AS part, rank, outdeg AS degree FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    "q110_sorted_neighborhood" ->
+      """WITH s AS (SELECT lang, doc_id, n_chars,
+        |  lead(doc_id, 1) OVER w AS b1, lead(doc_id, 2) OVER w AS b2,
+        |  lead(n_chars, 1) OVER w AS l1, lead(n_chars, 2) OVER w AS l2
+        | FROM documents
+        | WINDOW w AS (PARTITION BY lang ORDER BY n_chars, doc_id)),
+        |p AS (SELECT lang, doc_id AS id_a, b1 AS id_b, 1 AS gap,
+        |   n_chars AS len_a, l1 AS len_b FROM s WHERE b1 IS NOT NULL
+        | UNION ALL
+        | SELECT lang, doc_id, b2, 2, n_chars, l2 FROM s
+        |  WHERE b2 IS NOT NULL)
+        |SELECT lang, id_a, id_b, CAST(gap AS INT) AS gap, len_a, len_b
+        |FROM p WHERE abs(len_a - len_b) <= 2""".stripMargin,
+
+    "q111_assoc_rules" ->
+      """WITH m AS (SELECT DISTINCT l_orderkey AS b, l_partkey AS i
+        |  FROM lineitem),
+        |n AS (SELECT CAST(count(DISTINCT b) AS BIGINT) AS nb FROM m),
+        |ic AS (SELECT i, CAST(count(*) AS BIGINT) AS ci
+        |  FROM m GROUP BY 1),
+        |pairs AS (SELECT x.i AS a, y.i AS c,
+        |  CAST(count(*) AS BIGINT) AS cab
+        | FROM m x JOIN m y ON x.b = y.b AND x.i < y.i
+        | GROUP BY 1, 2 HAVING count(*) >= 3),
+        |rules AS (SELECT a, c, cab FROM pairs
+        |  UNION ALL SELECT c, a, cab FROM pairs)
+        |SELECT r.a AS antecedent, r.c AS consequent, r.cab AS n_pair,
+        | ia.ci AS n_ante,
+        | CAST(r.cab AS DOUBLE) / CAST(n.nb AS DOUBLE) AS support,
+        | CAST(r.cab AS DOUBLE) / CAST(ia.ci AS DOUBLE) AS confidence,
+        | CAST(r.cab * n.nb AS DOUBLE)
+        |  / CAST(ia.ci * ic2.ci AS DOUBLE) AS lift
+        |FROM rules r JOIN ic ia ON r.a = ia.i
+        | JOIN ic ic2 ON r.c = ic2.i, n""".stripMargin,
+
+    "q112_standardize" ->
+      """WITH p AS (SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS x
+        | FROM events WHERE value IS NOT NULL),
+        |s AS (SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(x) AS BIGINT) AS sx,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx
+        | FROM p GROUP BY 1),
+        |st AS (SELECT grp, n,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+        |  CASE WHEN n > 1 THEN
+        |   sqrt(CAST(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+        |     - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * CAST(n - 1 AS HUGEINT)
+        |       AS DOUBLE)) END AS sd FROM s),
+        |z AS (SELECT p.grp, st.n, st.mean, st.sd,
+        |  CASE WHEN st.sd > 0 THEN
+        |   (CAST(p.x AS DOUBLE) - st.mean) / st.sd END AS z
+        | FROM p JOIN st ON p.grp = st.grp)
+        |SELECT grp, min(n) AS n, min(mean) AS mean, min(sd) AS sd,
+        | min(z) AS min_z, max(z) AS max_z,
+        | CAST(sum(CASE WHEN abs(z) > 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_gt2,
+        | CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_gt3
+        |FROM z GROUP BY 1""".stripMargin,
 
     "q106_survivorship" ->
       s"""WITH RECURSIVE $sqlWordNearDupCtes,

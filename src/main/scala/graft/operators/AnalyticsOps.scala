@@ -661,6 +661,93 @@ object AnalyticsOps {
     * and the guard keeps the NaN/Inf of an IEEE 0-denominator division
     * (engine-representation-dependent in exported parquet) out of the
     * result entirely. */
+  /** Association rules over unordered baskets (Agrawal & Srikant's
+    * support/confidence/lift frame, pair rules only — the market-basket
+    * "customers who bought X also bought Y"): for every co-occurring
+    * item pair above `minCount` baskets, both directed rules a→b and
+    * b→a with support = c_ab/N, confidence = c_ab/c_a, and
+    * lift = c_ab·N/(c_a·c_b). [[graft.operators.TextOps]]'
+    * collocationLift ranks ORDERED bigrams inside a sequence; this
+    * ranks UNORDERED co-membership of a set — the two halves of
+    * co-occurrence mining.
+    *
+    * Scale: membership is deduped to distinct (basket, item) first, so
+    * pair fan-out is per-basket items², bounded by basket width — the
+    * [[audienceOverlap]] posture, never corpus². Pair counts and item
+    * counts are combinable; N travels as a 1-row broadcast; every ratio
+    * is ONE exact-int double division, so rule metrics hash-verify.
+    * Output: (antecedent, consequent, n_pair, n_ante, support,
+    * confidence, lift), minCount-pruned BEFORE the rule expansion so
+    * the long tail of singleton pairs never doubles. */
+  def associationRules(df: DataFrame, basket: Column, item: Column,
+                       minCount: Long): DataFrame = {
+    val m = df.select(basket.as("__b"), item.as("__i"))
+      .filter(col("__b").isNotNull && col("__i").isNotNull).distinct()
+    val n = m.select(col("__b")).distinct().agg(count(lit(1)).as("__n"))
+    val ic = m.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+    val pairs = m.as("x").join(m.as("y"),
+        col("x.__b") === col("y.__b") && col("x.__i") < col("y.__i"))
+      .groupBy(col("x.__i").as("__a"), col("y.__i").as("__c"))
+      .agg(count(lit(1)).as("__cab"))
+      .filter(col("__cab") >= minCount)
+    val rules = pairs.select(col("__a"), col("__c"), col("__cab"))
+      .union(pairs.select(col("__c"), col("__a"), col("__cab")))
+    rules
+      .join(ic.select(col("__i").as("__a"), col("__ci").as("__ca")), "__a")
+      .join(ic.select(col("__i").as("__c"), col("__ci").as("__cc")), "__c")
+      .crossJoin(broadcast(n))
+      .select(col("__a").as("antecedent"), col("__c").as("consequent"),
+        col("__cab").as("n_pair"), col("__ca").as("n_ante"),
+        (col("__cab").cast("double") / col("__n").cast("double"))
+          .as("support"),
+        (col("__cab").cast("double") / col("__ca").cast("double"))
+          .as("confidence"),
+        ((col("__cab") * col("__n")).cast("double")
+          / (col("__ca") * col("__cc")).cast("double")).as("lift"))
+  }
+
+  /** Per-group standard-score normalization census — the z-score feature
+    * scaler with the [[correlation]] determinism discipline: `value`
+    * arrives integer-scaled, so per-group (n, Σx, Σx²) are exact int64
+    * partials; mean and the SAMPLE variance (n−1) assemble in
+    * DECIMAL(38,0) with one double cast each and a fixed /, sqrt
+    * sequence. Each row's z = (x − mean)/sd is then one deterministic
+    * double expression, computed by REJOINING the K-row stats table to
+    * the rows (AQE picks broadcast vs shuffle on the actual group count
+    * — no driver-side hint to OOM on a high-cardinality caller).
+    *
+    * Emits the census, not the scaled corpus: per group n, mean, sd,
+    * min/max z (extremes are order-insensitive double aggregates) and
+    * the |z| > 2 and > 3 tail counts — the "is this feature scalable /
+    * how heavy are its tails" report. Groups with sd = 0 (or n < 2)
+    * report null z fields: constancy is "scale undefined", the
+    * correlation guard again. The scaled rows themselves are one
+    * `.withColumn` on the joined frame any caller can keep instead. */
+  def standardize(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val D = "decimal(38,0)"
+    val p = df.select(group.as("grp"), value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val stats = p.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      .select(col("grp"), col("n"),
+        (col("__sx").cast("double") / col("n").cast("double")).as("mean"),
+        when(col("n") > 1L,
+          sqrt((col("n").cast(D) * col("__sxx").cast(D)
+            - col("__sx").cast(D) * col("__sx").cast(D)).cast("double")
+            / (col("n").cast(D) * (col("n") - 1L).cast(D))
+              .cast("double"))).as("sd"))
+    p.join(stats, "grp")
+      .withColumn("__z", when(col("sd") > 0.0,
+        (col("__x").cast("double") - col("mean")) / col("sd")))
+      .groupBy(col("grp"))
+      .agg(first(col("n")).as("n"), first(col("mean")).as("mean"),
+        first(col("sd")).as("sd"),
+        min(col("__z")).as("min_z"), max(col("__z")).as("max_z"),
+        sum(when(abs(col("__z")) > 2.0, 1L).otherwise(0L)).as("n_gt2"),
+        sum(when(abs(col("__z")) > 3.0, 1L).otherwise(0L)).as("n_gt3"))
+  }
+
   def correlation(df: DataFrame, group: Column, x: Column,
                   y: Column): DataFrame = {
     val D = "decimal(38,0)"

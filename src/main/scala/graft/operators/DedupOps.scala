@@ -507,6 +507,50 @@ object DedupOps {
       .drop("__pn", "__cn")
   }
 
+  /** Sorted-neighborhood blocking (Hernández & Stolfo, "The merge/purge
+    * problem for large databases", SIGMOD 1995) — the third classic
+    * candidate-generation family next to LSH banding (hash-bucket
+    * blocking) and [[fuzzyCandidatesBlocked]] (key blocking): sort the
+    * records inside each block by a fuzzy key and pair every record with
+    * its next `window` neighbors in that order. Records that exact
+    * blocking keys would split (an off-by-one length, a near-boundary
+    * value) land ADJACENT in the sort and still pair.
+    *
+    * Shape: `window` is a slide, not a join — after ONE window sort per
+    * block (hash-partitioned on `block`; no global order, no single
+    * partition), each row emits its pairs map-side via lead(id, k) for
+    * k = 1..window, so candidate count is exactly rows·window with zero
+    * self-join fan-out. At 100 TB the sort is the same exchange any
+    * per-block window op pays; `window` bounds memory at O(window) per
+    * row. The returned `gap` (neighbor distance in sort order) lets the
+    * verify stage weight near neighbors above far ones.
+    *
+    * Output: (block, id_a, id_b, gap) with id_a the sort-order
+    * predecessor; ties in `sortKey` are totalized by id so the pairing
+    * is deterministic under any partitioning. */
+  def sortedNeighborhood(df: DataFrame, block: Column, id: Column,
+                         sortKey: Seq[Column], window: Int): DataFrame = {
+    require(window >= 1, s"need window >= 1, got $window")
+    val keys = sortKey.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }
+    val base = df.select(block.as("__blk") +: id.as("__a") +: keys: _*)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__blk"))
+      .orderBy(sortKey.indices.map(i => col(s"__s$i").asc) :+
+        col("__a").asc: _*)
+    // Leads materialize in their own projection — a generator (explode)
+    // cannot host window expressions.
+    val leads = base.select(col("__blk") +: col("__a") +:
+      (1 to window).map(k =>
+        struct(lead(col("__a"), k).over(w).as("b"), lit(k).as("gap"))
+          .as(s"__l$k")): _*)
+    leads
+      .select(col("__blk"), col("__a"),
+        explode(array((1 to window).map(k => col(s"__l$k")): _*)).as("__p"))
+      .filter(col("__p.b").isNotNull)
+      .select(col("__blk").as("block"), col("__a").as("id_a"),
+        col("__p.b").as("id_b"), col("__p.gap").as("gap"))
+  }
+
   def simhashText(df: DataFrame, id: String, text: Column): DataFrame =
     df.select(col(id),
       call_function("simhash60", call_function("token_hash60_array", text))

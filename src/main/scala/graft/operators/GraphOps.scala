@@ -214,6 +214,72 @@ object GraphOps {
     def size: Int = memo.size
   }
 
+  /** PageRank over an undirected edge list, in SCALED-INTEGER arithmetic
+    * so the result is exact, order-independent, and engine-reproducible:
+    * every rank is a non-negative long in units of `scale⁻¹`, each
+    * iteration's mass transfer is `rank div outdeg` (integer floor
+    * division — identical in Spark `div` and DuckDB `//` for
+    * non-negative operands), and the damping step is
+    * `(15·scale) div 100 + (85·mass) div 100`. A float PageRank cannot
+    * hash-verify: partial-aggregation order perturbs the low bits of
+    * every double sum, and k iterations compound the perturbation.
+    *
+    * Per iteration: one equi-join (edges ⋈ ranks on the source node) and
+    * one combinable sum shuffle — the standard distributed PageRank
+    * shape, hash-partitioned on node id, nothing on the driver. Plan
+    * depth grows linearly with `iters`; for the fixed small k this runs
+    * at (3-5, the analytics norm) no checkpoint is needed — beyond ~10,
+    * localCheckpoint per round as in [[connectedComponents]].
+    *
+    * Overflow bound (checked): the damping multiply needs
+    * `85 · nNodes · scale < 2⁶³`, because total mass is conserved at
+    * `nNodes · scale` and any single node's in-mass is at most that.
+    * `scale` trades precision for headroom: 10⁹ (the default) holds to
+    * ~10⁸ nodes with 9 significant digits; a 10⁹-node graph runs at
+    * scale 10⁶. Symmetrized edges mean every node has outdeg ≥ 1, so
+    * there is no dangling-mass term.
+    *
+    * Returns (node, rank, outdeg) — ranks sum to ≈ nNodes·scale (floor
+    * losses only), i.e. the "ranks average to 1" convention scaled. */
+  def pageRank(edges: DataFrame, src: String, dst: String,
+               iters: Int = 3, scale: Long = 1000000000L): DataFrame = {
+    val e = edges
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym = e.select(col("a").as("u"), col("b").as("v"))
+      .union(e.select(col("b").as("u"), col("a").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count() // one scalar; also materializes sym + deg
+    require(nNodes == 0 || scale <= Long.MaxValue / 85L / math.max(nNodes, 1L),
+      s"pageRank: 85 * $nNodes nodes * scale $scale overflows long — lower scale")
+    val teleport = (15L * scale) / 100L
+    var ranks = deg.select(col("node"), lit(scale).as("rank"), col("outdeg"))
+    for (_ <- 1 to iters) {
+      val mass = sym.join(ranks, sym("u") === ranks("node"))
+        .select(col("v").as("node"),
+          expr("rank div outdeg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("mass"))
+      // Inner join is total: symmetrization gives every node both an
+      // out-edge (it's in deg) and an in-edge (its peers contribute).
+      ranks = deg.join(mass, "node")
+        .select(col("node"),
+          (lit(teleport) + expr("(85 * mass) div 100")).as("rank"),
+          col("outdeg"))
+    }
+    // Materialize before dropping the cached edge/degree frames the lazy
+    // plan still references (the connectedComponents return discipline —
+    // the caller gets checkpointed rows, blocks freed by ContextCleaner).
+    val out = ranks.select(col("node"), col("rank"), col("outdeg"))
+      .localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
   /** Triangle census of an undirected pair graph: nodes, edges, wedges
     * (open 2-paths), triangles, and the global clustering coefficient
     * 3·T/W — the corpus-health shape metric for a near-dup graph (a

@@ -389,4 +389,51 @@ class AnalyticsSpec extends AnyFunSuite {
     // integer sufficient stats (num=12, dx=6, dy=24 for the up line)
     assert(out("up")._2.get == 12.0 / (math.sqrt(6.0) * math.sqrt(24.0)))
   }
+
+  test("associationRules: hand-checked support/confidence/lift, both " +
+    "directions, minCount prunes, duplicate memberships collapse") {
+    // baskets: 1:{a,b,c} 2:{a,b} 3:{a,c} 4:{b} — c(a,b)=2 c(a,c)=2 c(b,c)=1
+    val m = Seq((1L, "a"), (1L, "b"), (1L, "c"), (2L, "a"), (2L, "b"),
+        (2L, "a"), // duplicate membership must not double-count
+        (3L, "a"), (3L, "c"), (4L, "b"))
+      .toDF("bk", "it")
+    val out = AnalyticsOps.associationRules(m, col("bk"), col("it"), 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    // minCount=2 keeps {a,b} and {a,c}; {b,c}=1 pruned BEFORE expansion
+    assert(out.keySet == Set(("a", "b"), ("b", "a"), ("a", "c"),
+      ("c", "a")))
+    val ab = out(("a", "b"))
+    assert(ab.getAs[Long]("n_pair") == 2L && ab.getAs[Long]("n_ante") == 3L)
+    assert(ab.getAs[Double]("support") == 2.0 / 4.0)
+    assert(ab.getAs[Double]("confidence") == 2.0 / 3.0)
+    assert(ab.getAs[Double]("lift") == (2.0 * 4.0) / (3.0 * 3.0))
+    // reverse direction shares n_pair and lift, swaps the denominator
+    val ba = out(("b", "a"))
+    assert(ba.getAs[Double]("confidence") == 2.0 / 3.0 &&
+      ba.getAs[Double]("lift") == ab.getAs[Double]("lift"))
+  }
+
+  test("standardize: exact stats, deterministic z census, constant " +
+    "group reports null scale fields") {
+    // g: 0,10 (mean 5, sample sd sqrt(50)); h constant; one null dropped
+    val df = Seq(("g", Some(0L)), ("g", Some(10L)), ("h", Some(4L)),
+        ("h", Some(4L)), ("g", Option.empty[Long]))
+      .toDF("grp0", "v")
+    val out = AnalyticsOps.standardize(df, col("grp0"), col("v"))
+      .collect().map(r => r.getAs[String]("grp") -> r).toMap
+    val g = out("g")
+    assert(g.getAs[Long]("n") == 2L)
+    assert(g.getAs[Double]("mean") == 5.0)
+    assert(g.getAs[Double]("sd") == math.sqrt(50.0))
+    // z = ±5/sqrt(50): the same fixed op sequence as the operator
+    assert(g.getAs[Double]("max_z") == (10.0 - 5.0) / math.sqrt(50.0))
+    assert(g.getAs[Double]("min_z") == (0.0 - 5.0) / math.sqrt(50.0))
+    assert(g.getAs[Long]("n_gt2") == 0L && g.getAs[Long]("n_gt3") == 0L)
+    val h = out("h")
+    assert(h.getAs[Long]("n") == 2L && h.getAs[Double]("mean") == 4.0)
+    assert(h.getAs[Double]("sd") == 0.0, "constant group: sd 0")
+    assert(h.isNullAt(h.fieldIndex("min_z")) &&
+      h.isNullAt(h.fieldIndex("max_z")), "sd=0 -> null z, never Inf/NaN")
+    assert(h.getAs[Long]("n_gt2") == 0L)
+  }
 }

@@ -163,6 +163,71 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  /** Driver-side reference of the exact scaled-integer iteration: same
+    * floor divisions in the same places, so equality is exact. */
+  private def prReference(edges: Seq[(Long, Long)], iters: Int,
+                          scale: Long): Map[Long, Long] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).distinct
+    val sym = und ++ und.map(_.swap)
+    val deg = sym.groupBy(_._1).map { case (n, es) => n -> es.size.toLong }
+    var rank = deg.map { case (n, _) => n -> scale }
+    for (_ <- 1 to iters) {
+      val mass = sym.groupBy(_._2).map { case (v, es) =>
+        v -> es.map { case (u, _) => rank(u) / deg(u) }.sum
+      }
+      rank = rank.map { case (n, _) =>
+        n -> ((15L * scale) / 100L + (85L * mass(n)) / 100L)
+      }
+    }
+    rank
+  }
+
+  test("pageRank matches the scaled-integer reference exactly on random " +
+    "graphs, and the hub of a star outranks its leaves") {
+    val rnd = new scala.util.Random(7)
+    for (trial <- 0 until 3) {
+      val n = 20
+      val edges = (0 until 40).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val expect = prReference(edges, iters = 3, scale = 1000000L)
+      val got = G.pageRank(edges.toDF("a", "b"), "a", "b",
+          iters = 3, scale = 1000000L)
+        .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank"))
+        .toMap
+      assert(got == expect, s"trial $trial")
+    }
+    // star 0-{1..8}: the hub collects 8 leaves' full rank each round
+    val star = (1L to 8L).map(l => (0L, l))
+    val ranks = G.pageRank(star.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getAs[Long]("node") -> r.getAs[Long]("rank"))
+      .toMap
+    assert((1L to 8L).forall(l => ranks(0L) > ranks(l)))
+    // leaves are isomorphic -> exactly equal ranks (a float PageRank
+    // only gets this approximately; the integer one is exact)
+    assert((2L to 8L).forall(l => ranks(l) == ranks(1L)))
+  }
+
+  test("pageRank conserves total mass up to floor losses and rejects an " +
+    "overflow-capable scale") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (1L, 3L))
+    val scale = 1000000000L
+    val ranks = G.pageRank(edges.toDF("a", "b"), "a", "b",
+      iters = 3, scale = scale).collect()
+    val total = ranks.map(_.getAs[Long]("rank")).sum
+    val nodes = ranks.length.toLong
+    // each round loses < 1 unit per (edge-direction div) + per-node div:
+    // bound generously at nodes+2·edges units per iteration
+    val maxLoss = 3L * (nodes + 2L * 5L)
+    assert(total <= nodes * scale && total >= nodes * scale - maxLoss,
+      s"mass $total vs ${nodes * scale}")
+    intercept[IllegalArgumentException] {
+      G.pageRank(edges.toDF("a", "b"), "a", "b",
+        iters = 1, scale = Long.MaxValue / 100L)
+    }
+  }
+
   test("LabelSweep: one components run per (key, session); " +
     "dupClustersFromLabels equals dupClusters on the shared labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

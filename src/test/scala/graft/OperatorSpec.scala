@@ -129,6 +129,27 @@ class OperatorSpec extends AnyFunSuite {
     assert(out == Seq((2L, 10L, 1)))
   }
 
+  test("sortedNeighborhood: each record pairs with its next `window` " +
+    "sort neighbors inside its block only; ties totalized by id") {
+    val df = Seq(
+        ("en", 1L, 100L), ("en", 2L, 101L), ("en", 3L, 105L),
+        ("en", 4L, 100L), // ties with id 1 on the key -> id order decides
+        ("de", 9L, 100L)) // other block: never pairs with en rows
+      .toDF("blk", "id", "len")
+    val out = graft.operators.DedupOps.sortedNeighborhood(
+        df, col("blk"), col("id"), Seq(col("len")), window = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    // en sort order: (100,1) (100,4) (101,2) (105,3); de: (100,9) alone
+    assert(out == Set(
+      ("en", 1L, 4L, 1), ("en", 1L, 2L, 2),
+      ("en", 4L, 2L, 1), ("en", 4L, 3L, 2),
+      ("en", 2L, 3L, 1)))
+    // candidate count is exactly rows*window minus the per-block tail
+    assert(out.size == 5)
+  }
+
   test("reconcileSnapshots: identical snapshots emit nothing; a single " +
     "change surfaces only its bucket; row diff is semi-joined to " +
     "mismatched buckets") {
