@@ -397,6 +397,42 @@ class PlanShapeSpec extends AnyFunSuite {
       s"fill join took the shuffle path:\n$p")
   }
 
+  test("sortedNeighborhood: candidate generation is one exchange + " +
+    "window + map-side explode — no join anywhere") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = (1L to 100L).map(i => (s"b${i % 3}", i, i * 7 % 50))
+      .toDF("blk", "id", "len")
+    val p = graft.operators.DedupOps
+      .sortedNeighborhood(df, col("blk"), col("id"), Seq(col("len")), 2)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"merge/purge slide must not join:\n$p")
+    assert(p.linesIterator.count(_.contains("Exchange")) == 1,
+      s"expected exactly the block-partitioning exchange:\n$p")
+    assert(p.contains("Window") && p.contains("Generate"),
+      s"expected window + explode:\n$p")
+  }
+
+  test("q111 association rules: basket self-join is an equi hash join, " +
+    "N travels by 1-row broadcast, no cartesian") {
+    val p = plan("q111_assoc_rules")
+    assert(!p.contains("CartesianProduct"),
+      s"pair generation degraded to a cartesian:\n$p")
+    // the 1-row basket-count frame is the only nested-loop broadcast
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 1,
+      s"expected exactly one 1-row crossJoin for N:\n$p")
+  }
+
+  test("q112 standardize: stats rejoin is AQE-sized (no explicit " +
+    "broadcast hint in the logical plan), single stats exchange") {
+    val df = SparkEntry.queries("q112_standardize")(spark, sf)
+    val logical = df.queryExecution.optimizedPlan.toString
+    assert(!logical.contains("broadcast"),
+      s"group-stats join must not carry a driver-side hint:\n$logical")
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), s"degraded plan:\n$p")
+  }
+
   test("q101 audit: checks are anti-joins + scan-local filters, " +
     "never a cartesian") {
     val p = plan("q101_quality_audit")
