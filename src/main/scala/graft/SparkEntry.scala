@@ -650,6 +650,26 @@ object SparkEntry {
       An.associationRules(t(s, dir, "lineitem"), col("l_orderkey"),
         col("l_partkey"), minCount = 3L)),
 
+    // L96: containment near-dup — asymmetric |A∩B|/min(|A|,|B|) over
+    // word-3-shingle hash sets catches a small doc embedded in a larger
+    // one (J → 0 but c → 1); candidates from a WIDER banding (6×2) than
+    // the Jaccard pass, verify exact on sorted hashed sets, output
+    // oriented (contained, container).
+    "q113_containment" -> ((s, dir) =>
+      D.containmentPairs(
+        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", D.wordKernels(col("text"), 3), 0.6)),
+
+    // L97: Kaplan-Meier survival over user lifetimes at HOUR granularity
+    // (first→last active hour; last seen within 24h of the horizon =
+    // censored) — the corpus spans one month with near-universal daily
+    // activity, so hours are where churn is visible. Survival folds
+    // left-to-right over exact-int division factors so it hash-verifies.
+    "q114_kaplan_meier" -> ((s, dir) =>
+      An.kaplanMeier(t(s, dir, "events"), col("user_id"),
+        floor(unix_micros(col("ts")) / lit(3600000000L)),
+        censorTicks = 24)),
+
     // L95: per-type standard-score census of event values (cents) —
     // exact integer sufficient stats, decimal variance assembly, then a
     // deterministic per-row z; reports the scale parameters and the
@@ -2022,6 +2042,18 @@ object SparkEntry {
     s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM mh"
   }.mkString(" UNION ALL ")
 
+  /** [[sqlBandRows]] at an arbitrary geometry — the q113 containment
+    * pass bands the SAME K=12 signature WIDER (6 bands × 2 rows) so
+    * contained pairs living at lower Jaccard still collide. */
+  private def sqlBandRowsAt(rowsPerBand: Int): String = {
+    val nb = D.K / rowsPerBand
+    (0 until nb).map { b =>
+      val parts = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => s"mh$k::VARCHAR").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band, md5($parts) AS bh FROM mh"
+    }.mkString(" UNION ALL ")
+  }
+
   /** DuckDB twin of TextOps.wordShingles(_, 3) as a list expression. */
   private val sqlShingles3: String =
     "list_distinct([array_to_string(w[i:i+2],' ') " +
@@ -2949,6 +2981,69 @@ object SparkEntry {
         | CAST(sum(CASE WHEN abs(z) > 3 THEN 1 ELSE 0 END) AS BIGINT)
         |  AS n_gt3
         |FROM z GROUP BY 1""".stripMargin,
+
+    // q113 twin: same signature/band machinery as q25 but banded 6×2
+    // (sqlBandRowsAt(2)) and scored by containment |A∩B|/min instead of
+    // Jaccard; orientation (smaller set = contained, ties keep ida) is a
+    // total order, so the output is deterministic on both engines.
+    "q113_containment" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
+         |hs AS (SELECT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |mh AS (SELECT doc_id, $sqlMinhashCols FROM hs GROUP BY doc_id),
+         |hsl AS (SELECT doc_id, list(DISTINCT h) AS hl
+         |  FROM hs GROUP BY doc_id),
+         |bands AS (${sqlBandRowsAt(2)}),
+         |cand AS (SELECT DISTINCT a.doc_id AS ida, b.doc_id AS idb
+         |  FROM bands a JOIN bands b
+         |   ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id),
+         |j AS (SELECT ida, idb,
+         |  len(list_intersect(x.hl, y.hl)) AS inter,
+         |  len(x.hl) AS la, len(y.hl) AS lb
+         |  FROM cand JOIN hsl x ON x.doc_id = ida
+         |   JOIN hsl y ON y.doc_id = idb)
+         |SELECT CASE WHEN la <= lb THEN ida ELSE idb END AS contained_id,
+         | CASE WHEN la <= lb THEN idb ELSE ida END AS container_id,
+         | CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
+         |  AS containment,
+         | CAST(least(la, lb) AS INT) AS size_contained,
+         | CAST(greatest(la, lb) AS INT) AS size_container
+         |FROM j
+         |WHERE CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
+         |  >= 0.6""".stripMargin,
+
+    // q114 twin: KM survival — the product folds left-to-right over the
+    // duration-ordered factor list (list_reduce without an init starts at
+    // the first element; Spark's aggregate starts at 1.0 and 1.0*x == x),
+    // so the doubles are bit-identical. At-risk counts are exact-int
+    // window sums (order-free).
+    "q114_kaplan_meier" ->
+      """WITH d AS (SELECT user_id AS a,
+        |  CAST(datediff('hour', TIMESTAMP '1970-01-01', ts)
+        |   AS INT) AS tk
+        | FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |sp AS (SELECT a, min(tk) AS f, max(tk) AS l FROM d GROUP BY a),
+        |h AS (SELECT max(l) AS hmax FROM sp),
+        |du AS (SELECT
+        |  CASE WHEN l < hmax - 24 THEN l - f + 1
+        |   ELSE hmax - f + 1 END AS t,
+        |  CASE WHEN l < hmax - 24 THEN 1 ELSE 0 END AS died
+        | FROM sp, h),
+        |tb AS (SELECT t, CAST(sum(died) AS BIGINT) AS d,
+        |  CAST(sum(1 - died) AS BIGINT) AS c FROM du GROUP BY t),
+        |nr AS (SELECT t, d, c,
+        |  CAST(sum(d + c) OVER (ORDER BY t DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS n FROM tb)
+        |SELECT CAST(a.t AS INT) AS duration, min(a.n) AS n_at_risk,
+        | min(a.d) AS n_churned, min(a.c) AS n_censored,
+        | list_reduce(list(CAST(1.0 AS DOUBLE)
+        |   - CAST(b.d AS DOUBLE) / CAST(b.n AS DOUBLE) ORDER BY b.t),
+        |  (x, y) -> x * y) AS survival
+        |FROM nr a JOIN nr b ON b.t <= a.t
+        |GROUP BY a.t""".stripMargin,
 
     "q106_survivorship" ->
       s"""WITH RECURSIVE $sqlWordNearDupCtes,

@@ -661,6 +661,61 @@ object AnalyticsOps {
     * and the guard keeps the NaN/Inf of an IEEE 0-denominator division
     * (engine-representation-dependent in exported parquet) out of the
     * result entirely. */
+  /** Kaplan–Meier survival curve over actor lifetimes — the standard
+    * censoring-aware retention estimator: each actor's lifetime runs
+    * from its first to its last active tick (`tick` is any integer time
+    * coordinate — hours/days/weeks since epoch — chosen by the caller to
+    * match the corpus's churn granularity); an actor last seen within
+    * `censorTicks` of the corpus horizon is CENSORED at its observed
+    * duration (it may still be alive — counting it as churned is the
+    * classic downward bias naive retention curves have), everyone else
+    * churned at its last-seen duration. For each observed duration t:
+    * n_at_risk = actors surviving ≥ t, and
+    * S(t) = Π_{s ≤ t} (1 − d_s/n_s) over churn events — censored exits
+    * reduce the at-risk set without reducing survival.
+    *
+    * Determinism: each factor is one exact-int double division, and the
+    * product folds LEFT-TO-RIGHT over the duration-ordered collected
+    * list (the [[graft.operators.TimeOps]] EWMA discipline) — a
+    * multiplicative window aggregate would be at the mercy of the
+    * engine's frame evaluation order; exp(Σ ln) would be at libm's.
+    *
+    * Scale: one combinable groupBy(actor) over the corpus, a 1-row
+    * horizon broadcast, then EVERYTHING downstream operates on the
+    * duration-cardinality table (≤ observation-window ticks — corpus-
+    * independent), where the two global windows (reverse running sum,
+    * ordered collect) sort tens of rows on one task by design. */
+  def kaplanMeier(events: DataFrame, actor: Column, tick: Column,
+                  censorTicks: Int): DataFrame = {
+    val sp = events.select(actor.as("__a"), tick.cast("int").as("__tk"))
+      .filter(col("__a").isNotNull && col("__tk").isNotNull)
+      .groupBy(col("__a"))
+      .agg(min(col("__tk")).as("__f"), max(col("__tk")).as("__l"))
+    val h = sp.agg(max(col("__l")).as("__hmax"))
+    val churned = col("__l") < col("__hmax") - censorTicks
+    val du = sp.crossJoin(broadcast(h))
+      .select(
+        when(churned, col("__l") - col("__f") + 1)
+          .otherwise(col("__hmax") - col("__f") + 1).as("t"),
+        when(churned, 1L).otherwise(0L).as("__died"))
+    val tb = du.groupBy(col("t"))
+      .agg(sum(col("__died")).as("d"), sum(lit(1L) - col("__died")).as("c"))
+    val wDesc = Window.orderBy(col("t").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAsc = Window.orderBy(col("t").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tb
+      .withColumn("n", sum(col("d") + col("c")).over(wDesc))
+      .withColumn("__hist", collect_list(
+        struct(col("d").cast("double").as("d"),
+          col("n").cast("double").as("n"))).over(wAsc))
+      .select(col("t").as("duration"), col("n").as("n_at_risk"),
+        col("d").as("n_churned"), col("c").as("n_censored"),
+        aggregate(col("__hist"), lit(1.0), (acc, x) =>
+          acc * (lit(1.0) - x.getField("d") / x.getField("n")))
+          .as("survival"))
+  }
+
   /** Association rules over unordered baskets (Agrawal & Srikant's
     * support/confidence/lift frame, pair rules only — the market-basket
     * "customers who bought X also bought Y"): for every co-occurring

@@ -507,6 +507,88 @@ object DedupOps {
       .drop("__pn", "__cn")
   }
 
+  /** Containment near-dup pairs — the ASYMMETRIC twin of
+    * [[nearDupPairs]]: containment c = |A∩B| / min(|A|,|B|) finds a
+    * small document embedded in a larger one (boilerplate wrapping,
+    * quotation, page-plus-chrome re-crawls), which symmetric Jaccard
+    * misses by construction (A ⊂ B with |A| ≪ |B| has J = |A|/|B| → 0
+    * but c = 1). The standard sub-document leak the Jaccard dedup pass
+    * leaves behind.
+    *
+    * Candidates still come from banded minhash equi-joins — never
+    * all-pairs — but on a WIDER geometry than the Jaccard pass:
+    * `rowsPerBand` = 2 (default) gives K/2 bands hit with probability
+    * 1−(1−J²)^(K/2), tuned low because contained pairs live at lower
+    * Jaccard than near-dups (J = c·min/max under containment c). The
+    * recall/candidate-volume trade is the dial: r=1 maximizes recall at
+    * J→0 but buckets every pair sharing ONE corpus-common minimum
+    * shingle (candidate blowup on low-entropy corpora); r=3 reuses the
+    * Jaccard geometry and only sees high-J containment. At true 100 TB
+    * sub-document scale the sharper tool is a pre-stored band INDEX
+    * (L64's shape) probed by the suspect small docs only.
+    *
+    * Verify is exact on the sorted hashed shingle sets (one O(n+m)
+    * merge per candidate pair); output is ORIENTED: (contained_id,
+    * container_id) by set size, ties by id — deterministic under any
+    * partitioning. Same cache lifecycle notes as [[nearDupPairs]]. */
+  def containmentPairs(docs: DataFrame, id: String,
+                       kernels: NearDupKernels, threshold: Double,
+                       rowsPerBand: Int = 2): DataFrame = {
+    require(K % rowsPerBand == 0 && rowsPerBand >= 1,
+      s"rowsPerBand $rowsPerBand must divide K=$K")
+    val nb = K / rowsPerBand
+    val sigs = docs.select(col(id), kernels.sig.as("__sig"))
+      .filter(col("__sig").isNotNull)
+      .select(col(id) +: (0 until K).map(k =>
+        element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
+    val bandCols: Seq[Column] = (0 until nb).flatMap { b =>
+      val rows = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(k => col(s"mh$k").cast("string"))
+      Seq(lit(b), md5(concat_ws(",", rows: _*)))
+    }
+    val bands = sigs.select(col(id),
+        stack(Seq(lit(nb)) ++ bandCols: _*).as(Seq("band", "band_hash")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = bands.select(col(id).as("id_a"),
+        col("band"), col("band_hash"))
+      .join(bands.select(col(id).as("id_b"), col("band").as("band_r"),
+          col("band_hash").as("band_hash_r")),
+        col("band") === col("band_r") &&
+          col("band_hash") === col("band_hash_r") &&
+          col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candDocs = docs.join(
+        candidates.select(explode(array(col("id_a"), col("id_b")))
+          .as("__cid")).distinct(),
+        col(id) === col("__cid"), "left_semi")
+      .select(col(id).as("__cid"), kernels.hashedSet.as("__sl"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(name: String): DataFrame =
+      candDocs.select(col("__cid").as(name), col("__sl").as(s"__s_$name"))
+    val verified = candidates
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .withColumn("__inter", call_function("sorted_intersect_count",
+        col("__s_id_a"), col("__s_id_b")))
+      .withColumn("__la", size(col("__s_id_a")))
+      .withColumn("__lb", size(col("__s_id_b")))
+      .withColumn("containment", col("__inter").cast("double") /
+        least(col("__la"), col("__lb")).cast("double"))
+      .filter(col("containment") >= threshold)
+    // Orientation: the smaller set is the contained side; exact size
+    // ties keep the candidate order (id_a < id_b) — a total order.
+    val aContained = col("__la") < col("__lb") || (col("__la") === col("__lb"))
+    verified.select(
+      when(aContained, col("id_a")).otherwise(col("id_b"))
+        .as("contained_id"),
+      when(aContained, col("id_b")).otherwise(col("id_a"))
+        .as("container_id"),
+      col("containment"),
+      least(col("__la"), col("__lb")).as("size_contained"),
+      greatest(col("__la"), col("__lb")).as("size_container"))
+  }
+
   /** Sorted-neighborhood blocking (Hernández & Stolfo, "The merge/purge
     * problem for large databases", SIGMOD 1995) — the third classic
     * candidate-generation family next to LSH banding (hash-bucket

@@ -413,6 +413,31 @@ class AnalyticsSpec extends AnyFunSuite {
       ba.getAs[Double]("lift") == ab.getAs[Double]("lift"))
   }
 
+  test("kaplanMeier: censored exits shrink the risk set without reducing " +
+    "survival; factors fold in duration order; at-risk counts exact") {
+    // horizon = 100, censorTicks = 10: A (0..100) and C (20..95) are
+    // censored (last seen within 10 of horizon), B (0..50), D (10..40),
+    // E (0..0) churned. Durations: 1,31,51 churn; 81,101 censor.
+    val e = Seq(("A", 0), ("A", 100), ("B", 0), ("B", 50), ("C", 20),
+        ("C", 95), ("D", 10), ("D", 40), ("E", 0))
+      .toDF("u", "tk")
+    val out = AnalyticsOps.kaplanMeier(e, col("u"), col("tk"), 10)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4))).toMap
+    // the same IEEE op sequence the operator folds: 1.0 * Π (1 - d/n)
+    val s1 = 1.0 * (1.0 - 1.0 / 5.0)
+    val s31 = s1 * (1.0 - 1.0 / 4.0)
+    val s51 = s31 * (1.0 - 1.0 / 3.0)
+    assert(out(1) == (((5L, 1L, 0L), s1)))
+    assert(out(31) == (((4L, 1L, 0L), s31)))
+    assert(out(51) == (((3L, 1L, 0L), s51)))
+    // censored rows: risk set keeps shrinking, survival does NOT drop
+    assert(out(81) == (((2L, 0L, 1L), s51 * (1.0 - 0.0 / 2.0))))
+    assert(out(101) == (((1L, 0L, 1L), s51 * (1.0 - 0.0 / 2.0) *
+      (1.0 - 0.0 / 1.0))))
+    assert(out.size == 5)
+  }
+
   test("standardize: exact stats, deterministic z census, constant " +
     "group reports null scale fields") {
     // g: 0,10 (mean 5, sample sd sqrt(50)); h constant; one null dropped

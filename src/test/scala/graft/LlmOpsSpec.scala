@@ -83,6 +83,32 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("containmentPairs finds a small doc embedded in a large one that " +
+    "the Jaccard pass cannot even candidate, oriented smaller-inside-larger") {
+    // 30 words inside 80: containment = 1.0 but J ~ 0.36 — the 4x3
+    // Jaccard banding produces NO candidate for this pair (verified
+    // against the fixed hash constants), while the wider 6x2 containment
+    // banding collides on one band. The contained doc gets the LARGER id
+    // so the output orientation must come from set size, not id order.
+    val contained = (1 to 30).map(i => s"w$i").mkString(" ")
+    val container = (1 to 80).map(i => s"w$i").mkString(" ")
+    val other = (200 to 240).map(i => s"v$i").mkString(" ")
+    val docs = Seq((2L, container), (9L, contained), (5L, other))
+      .toDF("doc_id", "text")
+    assert(D.nearDupPairs(docs, "doc_id",
+      T.wordShingles(T.tokens(col("text")), 3), 0.0).count() == 0L,
+      "symmetric banding must miss the sub-document at ANY threshold")
+    val out = D.containmentPairs(docs, "doc_id",
+      D.wordKernels(col("text"), 3), 0.6).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(0) == 9L && r.getLong(1) == 2L,
+      s"orientation must be (contained=9, container=2), got $r")
+    assert(r.getDouble(2) == 1.0, "full containment")
+    assert(r.getInt(3) < r.getInt(4))
+    spark.catalog.clearCache()
+  }
+
   test("withNearDupPairs releases the candidate cache; nearDupPairs keeps it") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base + " zz"), (3L, "a b c"))
