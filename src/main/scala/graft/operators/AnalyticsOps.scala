@@ -687,11 +687,15 @@ object AnalyticsOps {
     * ordered collect) sort tens of rows on one task by design. */
   def kaplanMeier(events: DataFrame, actor: Column, tick: Column,
                   censorTicks: Int): DataFrame = {
-    val sp = events.select(actor.as("__a"), tick.cast("int").as("__tk"))
+    val base = events.select(actor.as("__a"), tick.cast("int").as("__tk"))
       .filter(col("__a").isNotNull && col("__tk").isNotNull)
-      .groupBy(col("__a"))
+    val sp = base.groupBy(col("__a"))
       .agg(min(col("__tk")).as("__f"), max(col("__tk")).as("__l"))
-    val h = sp.agg(max(col("__l")).as("__hmax"))
+    // Horizon = max tick over the EVENT scan, not max(__l) over the actor
+    // table: same value (max of per-actor maxes), but a map-side partial
+    // max + 1-row exchange instead of re-running the actor aggregation —
+    // the plan keeps exactly ONE actor-keyed exchange (plan-asserted).
+    val h = base.agg(max(col("__tk")).as("__hmax"))
     val churned = col("__l") < col("__hmax") - censorTicks
     val du = sp.crossJoin(broadcast(h))
       .select(

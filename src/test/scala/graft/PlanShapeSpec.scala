@@ -433,6 +433,35 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"degraded plan:\n$p")
   }
 
+  test("q113 containment: candidates and verify are equi hash joins — " +
+    "never a nested loop over doc pairs") {
+    val p = plan("q113_containment")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"containment must stay banded (no all-pairs):\n$p")
+    spark.catalog.clearCache() // containmentPairs persists its band table
+  }
+
+  test("q114 kaplan-meier: one corpus-scale exchange (the actor groupBy); " +
+    "horizon travels as a 1-row broadcast") {
+    val df = SparkEntry.queries("q114_kaplan_meier")(spark, sf)
+    val p = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case x => x.toString
+    }
+    // the only joins allowed are the 1-row horizon broadcast (nested-loop
+    // cross by construction) — no shuffled join may appear
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"kaplanMeier must not shuffle-join:\n$p")
+    // everything after the actor aggregate runs on the duration table:
+    // exactly one hash-partitioned corpus exchange (actor groupBy); the
+    // window exchanges are single-partition by design on the tiny table
+    val corpusExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__a"))
+    assert(corpusExchanges == 1,
+      s"expected exactly 1 actor exchange, got $corpusExchanges:\n$p")
+  }
+
   test("q101 audit: checks are anti-joins + scan-local filters, " +
     "never a cartesian") {
     val p = plan("q101_quality_audit")
