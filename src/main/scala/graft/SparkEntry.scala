@@ -670,6 +670,44 @@ object SparkEntry {
         floor(unix_micros(col("ts")) / lit(3600000000L)),
         censorTicks = 24)),
 
+    // L98: two-sample KS D per event type — first vs second half of the
+    // month (the drift question q79 answers with binned TVD, here exact
+    // over the full empirical CDFs). D carried as an integer numerator;
+    // one final division.
+    "q115_ks_test" -> ((s, dir) =>
+      An.ksTest(
+        t(s, dir, "events").withColumn("__half",
+          when(dayofmonth(col("ts")) < 16, "h1").otherwise("h2")),
+        col("event_type"), col("__half"),
+        (col("value").cast("decimal(12,2)") * 100).cast("long"),
+        "h1", "h2")),
+
+    // L99: k-anonymity violations over customer quasi-identifiers
+    // (segment × nation × coarsened balance — the classic generalized
+    // numeric QI): equivalence classes smaller than k=8 — the privacy
+    // census the PII scrub (q42) cannot see.
+    "q116_k_anonymity" -> ((s, dir) =>
+      Q.kAnonymityViolations(t(s, dir, "customer"),
+        Seq(col("c_mktsegment"), col("c_nationkey"),
+          floor(col("c_acctbal") / 1000).as("bal_bucket")), k = 8)),
+
+    // L100: last-touch attribution — purchases credited to the same
+    // user's latest click/view within 24h, else unattributed; one
+    // actor-sorted merge-scan, no conversion×touch self-join.
+    "q117_attribution" -> ((s, dir) =>
+      An.lastTouchAttribution(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"),
+        when(col("event_type").isin("click", "view"), col("event_type")),
+        col("event_type") === "purchase", col("value"),
+        lookbackMicros = 86400000000L)),
+
+    // L101: trigram LM table over documents — context "w1 w2" → top-3
+    // next tokens with exact conditional probabilities, contexts seen
+    // ≥5 times. Pairs expand map-side; counts shuffle once.
+    "q118_ngram_lm" -> ((s, dir) =>
+      T.ngramNextTokens(spread(s, t(s, dir, "documents")), col("text"),
+        n = 3, minContext = 5L, k = 3)),
+
     // L95: per-type standard-score census of event values (cents) —
     // exact integer sufficient stats, decimal variance assembly, then a
     // deterministic per-row z; reports the scale parameters and the
@@ -3013,6 +3051,85 @@ object SparkEntry {
          |FROM j
          |WHERE CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
          |  >= 0.6""".stripMargin,
+
+    // q115 twin: KS over integer cents; cumulative and total counts are
+    // exact-int window sums, D's numerator stays integral — one double
+    // division at the end, identical on both engines.
+    "q115_ks_test" ->
+      """WITH p AS (SELECT event_type AS g,
+        |  CASE WHEN datepart('day', ts) < 16 THEN 'h1' ELSE 'h2' END AS s,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+        |vc AS (SELECT g, v,
+        |  CAST(sum(CASE WHEN s = 'h1' THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |  CAST(sum(CASE WHEN s = 'h2' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        | FROM p GROUP BY 1, 2),
+        |cum AS (SELECT g,
+        |  CAST(sum(ca) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cuma,
+        |  CAST(sum(cb) OVER (PARTITION BY g ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |   AS cumb,
+        |  CAST(sum(ca) OVER (PARTITION BY g) AS BIGINT) AS na,
+        |  CAST(sum(cb) OVER (PARTITION BY g) AS BIGINT) AS nb
+        | FROM vc)
+        |SELECT g AS grp, min(na) AS n_a, min(nb) AS n_b,
+        | max(abs(cuma * nb - cumb * na)) AS d_num,
+        | CAST(max(abs(cuma * nb - cumb * na)) AS DOUBLE)
+        |  / CAST(min(na) * min(nb) AS DOUBLE) AS d
+        |FROM cum GROUP BY g
+        |HAVING min(na) > 0 AND min(nb) > 0""".stripMargin,
+
+    // q116 twin: classes below k over the same grouping (exact decimal
+    // division by 1000 before floor on both engines).
+    "q116_k_anonymity" ->
+      """SELECT c_mktsegment, c_nationkey,
+        | CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_bucket,
+        | CAST(count(*) AS BIGINT) AS class_size
+        |FROM customer GROUP BY 1, 2, 3 HAVING count(*) < 8""".stripMargin,
+
+    // q117 twin: the same single actor-ordered merge-scan — last_value
+    // IGNORE NULLS over (us, event_id) carries the latest touch; value
+    // sums in DECIMAL and exports via the q01 string round-trip.
+    "q117_attribution" ->
+      """WITH ev AS (SELECT user_id AS a, epoch_us(ts) AS us,
+        |  event_id AS eid,
+        |  CASE WHEN event_type IN ('click','view') THEN event_type END
+        |   AS ch,
+        |  event_type = 'purchase' AS conv, value AS val
+        | FROM events WHERE user_id IS NOT NULL),
+        |tg AS (SELECT *, last_value(
+        |   CASE WHEN ch IS NOT NULL
+        |    THEN struct_pack(tus := us, c := ch) END IGNORE NULLS)
+        |  OVER (PARTITION BY a ORDER BY us, eid
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lt
+        | FROM ev)
+        |SELECT CASE WHEN lt IS NOT NULL AND us - lt.tus <= 86400000000
+        |  THEN lt.c ELSE 'unattributed' END AS channel,
+        | CAST(count(*) AS BIGINT) AS n_conversions,
+        | CAST(CAST(sum(CAST(val AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE)
+        |  AS attributed_value
+        |FROM tg WHERE conv GROUP BY 1""".stripMargin,
+
+    // q118 twin: identical pair expansion via list comprehension;
+    // context totals and rank ride the same window partition.
+    "q118_ngram_lm" ->
+      """WITH tok AS (SELECT string_split(text, ' ') AS w FROM documents),
+        |pr AS (SELECT unnest([struct_pack(
+        |   c := array_to_string(w[i:i+1], ' '), nx := w[i+2])
+        |  for i in generate_series(1, len(w) - 2)]) AS p FROM tok),
+        |c AS (SELECT p.c AS context, p.nx AS next_token,
+        |  CAST(count(*) AS BIGINT) AS n_next FROM pr GROUP BY 1, 2),
+        |t2 AS (SELECT context, next_token, n_next,
+        |  CAST(sum(n_next) OVER (PARTITION BY context) AS BIGINT)
+        |   AS n_ctx,
+        |  row_number() OVER (PARTITION BY context
+        |   ORDER BY n_next DESC, next_token) AS rk
+        | FROM c)
+        |SELECT context, next_token, n_next, n_ctx,
+        | CAST(n_next AS DOUBLE) / CAST(n_ctx AS DOUBLE) AS prob
+        |FROM t2 WHERE n_ctx >= 5 AND rk <= 3""".stripMargin,
 
     // q114 twin: KM survival — the product folds left-to-right over the
     // duration-ordered factor list (list_reduce without an init starts at

@@ -661,6 +661,96 @@ object AnalyticsOps {
     * and the guard keeps the NaN/Inf of an IEEE 0-denominator division
     * (engine-representation-dependent in exported parquet) out of the
     * result entirely. */
+  /** Two-sample Kolmogorov–Smirnov D statistic per group — the
+    * distribution-level companion to [[rankSumTest]] (which tests
+    * location shift; KS sees ANY distributional difference: shape,
+    * spread, tails). D = max_x |F_a(x) − F_b(x)| evaluated at the
+    * pooled sample's step points.
+    *
+    * Exactness: D is carried as the INTEGER numerator
+    * max |cum_a·n_b − cum_b·n_a| (the CDFs' common-denominator form) —
+    * the only double is one final division, so the statistic
+    * hash-verifies. No p-value on purpose: it needs exp/ln, the one op
+    * family the engines' math libraries may round apart (the q41/q87
+    * monotone-surrogate discipline); the exact (d_num, n_a·n_b) pair IS
+    * the sufficient statistic a caller thresholds.
+    *
+    * Scale: one combinable (group, value) count shuffle — the windows
+    * then run over the DISTINCT-VALUE table, not raw rows; same
+    * bounded-group windowed regime as [[rankSumTest]] (one sort per
+    * group, value-cardinality rows). Corpus-scale drift monitoring at
+    * unbounded cardinality belongs to [[driftTvd]]'s binned path. */
+  def ksTest(df: DataFrame, group: Column, sample: Column, value: Column,
+             a: String, b: String): DataFrame = {
+    val p = df.select(group.as("__g"), sample.as("__s"), value.as("__v"))
+      .filter(col("__g").isNotNull && col("__v").isNotNull &&
+        col("__s").isin(a, b))
+    val vc = p.groupBy(col("__g"), col("__v"))
+      .agg(sum(when(col("__s") === a, 1L).otherwise(0L)).as("__ca"),
+        sum(when(col("__s") === b, 1L).otherwise(0L)).as("__cb"))
+    val wcum = Window.partitionBy(col("__g")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wtot = Window.partitionBy(col("__g"))
+    vc
+      .withColumn("__cuma", sum(col("__ca")).over(wcum))
+      .withColumn("__cumb", sum(col("__cb")).over(wcum))
+      .withColumn("__na", sum(col("__ca")).over(wtot))
+      .withColumn("__nb", sum(col("__cb")).over(wtot))
+      .groupBy(col("__g"))
+      .agg(min(col("__na")).as("n_a"), min(col("__nb")).as("n_b"),
+        max(abs(col("__cuma") * col("__nb") - col("__cumb") * col("__na")))
+          .as("d_num"))
+      .filter(col("n_a") > 0 && col("n_b") > 0)
+      .select(col("__g").as("grp"), col("n_a"), col("n_b"), col("d_num"),
+        (col("d_num").cast("double") /
+          (col("n_a") * col("n_b")).cast("double")).as("d"))
+  }
+
+  /** Last-touch marketing attribution: each conversion is credited to
+    * the SAME actor's most recent touch event within `lookbackMicros`,
+    * or to the "unattributed" bucket when no touch precedes it closely
+    * enough — the standard position-based credit assignment (first-touch
+    * is the mirror with `first(...)` over the same frame).
+    *
+    * One merge-scan: touches and conversions ride a single actor-keyed
+    * sort (`last(..., ignoreNulls)` over a running frame carries the
+    * latest touch forward), so there is NO self-join of conversions
+    * against touches. Ordering is totalized by (ts, tie) so a touch and
+    * a conversion in the same microsecond resolve deterministically;
+    * the frame includes the current row safely because touch and
+    * conversion predicates are disjoint by construction.
+    *
+    * Scale: one actor exchange + sort (the [[TimeOps.sessionize]]
+    * regime, per-actor event counts bounded), one combinable channel
+    * aggregate; attributed value sums exactly in DECIMAL and exports
+    * one double. */
+  def lastTouchAttribution(events: DataFrame, actor: Column, ts: Column,
+                           tie: Column, touchChannel: Column,
+                           isConversion: Column, convValue: Column,
+                           lookbackMicros: Long): DataFrame = {
+    val ev = events.select(actor.as("__a"), unix_micros(ts).as("__us"),
+        tie.as("__tie"), touchChannel.as("__ch"),
+        isConversion.as("__conv"), convValue.as("__val"))
+      .filter(col("__a").isNotNull)
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__us"), col("__tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev.withColumn("__lt",
+        last(when(col("__ch").isNotNull,
+          struct(col("__us").as("tus"), col("__ch").as("ch"))),
+          ignoreNulls = true).over(w))
+      .filter(col("__conv"))
+      .select(
+        when(col("__lt").isNotNull &&
+          col("__us") - col("__lt.tus") <= lookbackMicros, col("__lt.ch"))
+          .otherwise(lit("unattributed")).as("channel"),
+        col("__val"))
+      .groupBy(col("channel"))
+      .agg(count(lit(1)).as("n_conversions"),
+        sum(col("__val").cast("decimal(18,4)")).cast("double")
+          .as("attributed_value"))
+  }
+
   /** Kaplan–Meier survival curve over actor lifetimes — the standard
     * censoring-aware retention estimator: each actor's lifetime runs
     * from its first to its last active tick (`tick` is any integer time

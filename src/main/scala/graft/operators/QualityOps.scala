@@ -64,4 +64,33 @@ object QualityOps {
         .select(lit(name).as("check"), col("n_violations"))
     }.reduce(_.unionByName(_)).orderBy(col("check"))
   }
+
+  /** Equivalence classes violating k-anonymity: every combination of the
+    * quasi-identifier columns shared by FEWER than k rows — the classes
+    * whose members a release would re-identify (Sweeney's k-anonymity
+    * frame; the privacy companion to the PII scrub, which removes direct
+    * identifiers but cannot see quasi-identifier joins). Output is the
+    * violating class (its quasi values) + its size; empty = the release
+    * is k-anonymous at this k. One combinable count shuffle, output
+    * bounded by class cardinality — never row-scale. */
+  def kAnonymityViolations(df: DataFrame, quasi: Seq[Column],
+                           k: Int): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("class_size"))
+      .filter(col("class_size") < k)
+
+  /** One-row k-anonymity census over the same classes: the dataset's
+    * achieved k (the SMALLEST class size — the number that holds for
+    * every row), class counts, and rows at re-identification risk under
+    * the caller's k. Rides one combinable aggregate over the class
+    * table. */
+  def kAnonymityReport(df: DataFrame, quasi: Seq[Column],
+                       k: Int): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(min(col("__n")).as("k_achieved"),
+        count(lit(1)).as("n_classes"),
+        sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
+        sum(when(col("__n") < k, col("__n")).otherwise(0L))
+          .as("rows_at_risk"))
 }

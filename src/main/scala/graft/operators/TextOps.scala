@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis kernel for the training-data-pipeline surface: tokenize,
@@ -156,6 +157,48 @@ object TextOps {
       array_min(transform(sequence(lit(1), length(text) - (width - 1)),
         i => hash32(text.substr(i, lit(width))))))
       .otherwise(hash32(text))
+
+  /** Count-based n-gram language-model table: context (the n−1
+    * preceding tokens) → next token, with counts and the conditional
+    * probability P(next | context) = n_next / n_ctx — the training-data
+    * artifact count LMs and contamination/memorization probes are built
+    * from (and the exact-count core of Kneser-Ney style smoothing,
+    * which layers arithmetic on these same tables). Keeps the top `k`
+    * continuations per context (ties broken by token — deterministic)
+    * for contexts seen at least `minContext` times.
+    *
+    * Shape: n-gram pairs expand MAP-SIDE (one transform over the token
+    * array — no join, no shuffle to build pairs), one combinable
+    * (context, next) count shuffle, then both the context total and the
+    * top-k rank ride ONE context-partitioned exchange. Group sizes are
+    * bounded by vocabulary (a context has at most |V| continuations);
+    * a pathologically hot context at 100 TB takes the q63 salted
+    * two-level top-k shape instead. Probability is one exact-int double
+    * division — hash-stable. */
+  def ngramNextTokens(docs: DataFrame, text: Column, n: Int,
+                      minContext: Long, k: Int): DataFrame = {
+    require(n >= 2, s"n-gram order $n must be >= 2")
+    val w = tokens(text)
+    val m = size(w) - (n - 1)
+    val pairs = when(m >= 1, transform(sequence(lit(1), m), i =>
+      struct(array_join(slice(w, i, lit(n - 1)), " ").as("ctx"),
+        element_at(w, i + (n - 1)).as("nxt"))))
+      .otherwise(array().cast("array<struct<ctx:string,nxt:string>>"))
+    val c = docs.select(explode(pairs).as("__p"))
+      .select(col("__p.ctx").as("context"), col("__p.nxt").as("next_token"))
+      .groupBy(col("context"), col("next_token"))
+      .agg(count(lit(1)).as("n_next"))
+    val wc = Window.partitionBy(col("context"))
+    val wr = Window.partitionBy(col("context"))
+      .orderBy(col("n_next").desc, col("next_token"))
+    c.withColumn("n_ctx", sum(col("n_next")).over(wc))
+      .withColumn("__rk", row_number().over(wr))
+      .filter(col("n_ctx") >= minContext && col("__rk") <= k)
+      .select(col("context"), col("next_token"), col("n_next"),
+        col("n_ctx"),
+        (col("n_next").cast("double") / col("n_ctx").cast("double"))
+          .as("prob"))
+  }
 
   /** Adjacent-bigram collocation mining by LIFT:
     * lift(x,y) = P(xy) / (P(x)·P(y)) = c_xy·N / (c_x·c_y) over bigram

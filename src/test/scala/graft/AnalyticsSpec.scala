@@ -413,6 +413,45 @@ class AnalyticsSpec extends AnyFunSuite {
       ba.getAs[Double]("lift") == ab.getAs[Double]("lift"))
   }
 
+  test("ksTest: exact integer D numerator, identical samples give D=0, " +
+    "off-sample rows ignored") {
+    // g: a={1,2} b={2,3} -> step CDF gaps 1/2, 1/2, 0 -> D = 2/4
+    // h: a={5} b={5} -> identical -> D = 0
+    val df = Seq(("g", "a", 1L), ("g", "a", 2L), ("g", "b", 2L),
+        ("g", "b", 3L), ("h", "a", 5L), ("h", "b", 5L),
+        ("g", "other", 99L)) // not in either sample: must not count
+      .toDF("grp0", "s", "v")
+    val out = AnalyticsOps.ksTest(df, col("grp0"), col("s"), col("v"),
+        "a", "b")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)), r.getDouble(4))).toMap
+    assert(out("g") == (((2L, 2L, 2L), 0.5)))
+    assert(out("h") == (((1L, 1L, 0L), 0.0)))
+  }
+
+  test("lastTouchAttribution: latest touch wins, lookback expires, " +
+    "no-touch conversions land unattributed, same-tick resolves by tie") {
+    val rows = Seq(
+      (1L, 10L, 1L, "click", 0.0), (1L, 50L, 2L, "purchase", 10.0),
+      (2L, 10L, 3L, "view", 0.0), (2L, 500L, 4L, "purchase", 5.0),
+      (3L, 20L, 5L, "purchase", 2.0),
+      (4L, 10L, 6L, "click", 0.0), (4L, 20L, 7L, "view", 0.0),
+      (4L, 60L, 8L, "purchase", 1.0),
+      (5L, 30L, 9L, "click", 0.0), (5L, 30L, 10L, "purchase", 4.0))
+      .toDF("u", "us", "eid", "et", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.lastTouchAttribution(rows, col("u"), col("ts"),
+        col("eid"), when(col("et").isin("click", "view"), col("et")),
+        col("et") === "purchase", col("v"), lookbackMicros = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") == ((2L, 14.0)), "u1 in-window + u5 same-tick tie")
+    assert(out("view") == ((1L, 1.0)), "u4: LATEST touch, not first")
+    assert(out("unattributed") == ((2L, 7.0)),
+      "u2 expired lookback + u3 no touch")
+    assert(out.size == 3)
+  }
+
   test("kaplanMeier: censored exits shrink the risk set without reducing " +
     "survival; factors fold in duration order; at-risk counts exact") {
     // horizon = 100, censorTicks = 10: A (0..100) and C (20..95) are

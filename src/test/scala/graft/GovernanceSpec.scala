@@ -22,6 +22,26 @@ class GovernanceSpec extends AnyFunSuite {
     assert(bad == Set(2L), "only the dangling non-null FK is an orphan")
   }
 
+  test("kAnonymity: violating classes surface with size; report counts " +
+    "achieved k, violators, and rows at risk") {
+    // classes: (a,1)x5 (a,2)x2 (b,1)x1 — k=3: two violators, 3 rows at risk
+    val df = (Seq.fill(5)(("a", 1)) ++ Seq.fill(2)(("a", 2)) ++ Seq(("b", 1)))
+      .toDF("seg", "nat")
+    val bad = QualityOps.kAnonymityViolations(df,
+        Seq(col("seg"), col("nat")), 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2))
+      .toMap
+    assert(bad == Map(("a", 2) -> 2L, ("b", 1) -> 1L))
+    val rep = QualityOps.kAnonymityReport(df,
+      Seq(col("seg"), col("nat")), 3).head
+    assert(rep.getLong(0) == 1L, "achieved k = smallest class")
+    assert(rep.getLong(1) == 3L && rep.getLong(2) == 2L &&
+      rep.getLong(3) == 3L)
+    // at k=1 nothing violates: k-anonymity holds vacuously
+    assert(QualityOps.kAnonymityViolations(df,
+      Seq(col("seg"), col("nat")), 1).collect().isEmpty)
+  }
+
   test("dupKeys: one row per duplicated key with multiplicity") {
     val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 2), ("c", 1))
       .toDF("k", "sub")

@@ -83,6 +83,25 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("ngramNextTokens: exact conditional counts, top-k tie by token, " +
+    "short docs contribute nothing, rare contexts pruned") {
+    val docs = Seq("a b c", "a b d", "a b c", "b c d e", "x y", "q")
+      .toDF("text")
+    val out = T.ngramNextTokens(docs, col("text"), n = 3,
+        minContext = 3L, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // only "a b" is seen >= 3 times; "b c"/"c d" (once) pruned
+    assert(out.keySet == Set(("a b", "c"), ("a b", "d")))
+    assert(out(("a b", "c")) == ((2L, 3L, 2.0 / 3.0)))
+    assert(out(("a b", "d")) == ((1L, 3L, 1.0 / 3.0)))
+    // tie at equal counts: token order decides the kept continuation
+    val tied = Seq("t t a", "t t b").toDF("text")
+    val top = T.ngramNextTokens(tied, col("text"), n = 3,
+      minContext = 2L, k = 1).collect()
+    assert(top.length == 1 && top.head.getString(1) == "a")
+  }
+
   test("containmentPairs finds a small doc embedded in a large one that " +
     "the Jaccard pass cannot even candidate, oriented smaller-inside-larger") {
     // 30 words inside 80: containment = 1.0 but J ~ 0.36 — the 4x3
