@@ -462,6 +462,27 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 actor exchange, got $corpusExchanges:\n$p")
   }
 
+  test("q115 ks / q116 k-anonymity / q118 ngram-lm: pure agg+window " +
+    "pipelines — no join operator at all") {
+    for (q <- Seq("q115_ks_test", "q116_k_anonymity", "q118_ngram_lm")) {
+      val p = plan(q)
+      assert(!p.contains("Join"), s"$q must not join:\n$p")
+    }
+    // and the count shuffles combine map-side: a partial aggregate must
+    // appear under each final aggregate
+    assert(plan("q118_ngram_lm").contains("partial_count"))
+  }
+
+  test("q117 attribution: touches and conversions ride ONE actor-sorted " +
+    "scan — no conversion-touch self-join") {
+    val p = plan("q117_attribution")
+    assert(!p.contains("Join"), s"attribution must be a merge-scan:\n$p")
+    val actorExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__a"))
+    assert(actorExchanges == 1,
+      s"expected exactly 1 actor exchange, got $actorExchanges:\n$p")
+  }
+
   test("q101 audit: checks are anti-joins + scan-local filters, " +
     "never a cartesian") {
     val p = plan("q101_quality_audit")
