@@ -708,6 +708,30 @@ object SparkEntry {
       T.ngramNextTokens(spread(s, t(s, dir, "documents")), col("text"),
         n = 3, minContext = 5L, k = 3)),
 
+    // L102: BPE tokenizer training — the first 6 merge rules learned
+    // from the corpus (count-weighted argmax pair per round, greedy
+    // within-word application). One corpus shuffle for word counts;
+    // every round runs on the 31-type vocabulary table.
+    "q119_bpe_merges" -> ((s, dir) =>
+      T.bpeMerges(t(s, dir, "documents"), col("text"), rounds = 6)),
+
+    // L103: referential-integrity-preserving pseudonymization — customer
+    // and orders tokenized INDEPENDENTLY with the same salt; the join on
+    // tokens must reproduce the cleartext join exactly (per-segment order
+    // counts prove it against the cleartext oracle).
+    "q120_pseudonymize" -> ((s, dir) => {
+      val salt = "graft-release-2026-08"
+      val cust = t(s, dir, "customer").select(
+        Q.pseudonymize(col("c_custkey"), salt).as("token"),
+        col("c_mktsegment"))
+      val ord = t(s, dir, "orders").select(
+        Q.pseudonymize(col("o_custkey"), salt).as("token"))
+      ord.join(cust, "token")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("token")).as("n_customers"))
+    }),
+
     // L95: per-type standard-score census of event values (cents) —
     // exact integer sufficient stats, decimal variance assembly, then a
     // deterministic per-row z; reports the scale parameters and the
@@ -3051,6 +3075,51 @@ object SparkEntry {
          |FROM j
          |WHERE CAST(inter AS DOUBLE) / CAST(least(la, lb) AS DOUBLE)
          |  >= 0.6""".stripMargin,
+
+    // q119 twin: the 6 BPE rounds unrolled as CTE blocks (the
+    // sqlIvfTrainCtes pattern) — per round: pair counts over the
+    // sep-delimited symbol strings, argmax by (cnt desc, l, r), then the
+    // same left-to-right non-overlapping `replace` both engines share.
+    "q119_bpe_merges" -> {
+      val rounds = (1 to 6).map { r =>
+        val prev = s"s${r - 1}"
+        s"""p$r AS (SELECT (pr).l AS l, (pr).r AS r,
+           |  CAST(sum(n) AS BIGINT) AS cnt
+           | FROM (SELECT n, unnest([struct_pack(l := sy[i], r := sy[i+1])
+           |   for i in generate_series(1, len(sy) - 1)]) AS pr
+           |  FROM (SELECT n, list_filter(string_split(s, chr(31)),
+           |    x -> x <> '') AS sy FROM $prev)) GROUP BY 1, 2),
+           |b$r AS (SELECT l, r, cnt FROM (SELECT l, r, cnt, row_number()
+           |  OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$r) WHERE rk = 1),
+           |s$r AS (SELECT n, replace(s, chr(31) || b.l || chr(31) ||
+           |  b.r || chr(31), chr(31) || b.l || b.r || chr(31)) AS s
+           |  FROM $prev, b$r b)""".stripMargin
+      }.mkString(",\n")
+      val tails = (1 to 6).map(r =>
+        s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, " +
+          s"l || r AS merged, cnt AS pair_count FROM b$r")
+        .mkString(" UNION ALL ")
+      s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+         |   FROM documents) WHERE w <> '' GROUP BY 1),
+         |s0 AS (SELECT n, chr(31) || array_to_string(
+         |   [w[i] for i in generate_series(1, len(w))], chr(31))
+         |   || chr(31) AS s FROM wc),
+         |$rounds
+         |$tails""".stripMargin
+    },
+
+    // q120 twin: identical md5 tokenization (md5 is engine-identical),
+    // independent per table, joined on the token.
+    "q120_pseudonymize" ->
+      """WITH c AS (SELECT substr(md5('graft-release-2026-08'
+        |   || CAST(c_custkey AS VARCHAR)), 1, 16) AS token, c_mktsegment
+        | FROM customer),
+        |o AS (SELECT substr(md5('graft-release-2026-08'
+        |   || CAST(o_custkey AS VARCHAR)), 1, 16) AS token FROM orders)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(count(DISTINCT o.token) AS BIGINT) AS n_customers
+        |FROM o JOIN c USING (token) GROUP BY 1""".stripMargin,
 
     // q115 twin: KS over integer cents; cumulative and total counts are
     // exact-int window sums, D's numerator stays integral — one double

@@ -79,6 +79,19 @@ object QualityOps {
       .agg(count(lit(1)).as("class_size"))
       .filter(col("class_size") < k)
 
+  /** Deterministic salted pseudonymization: a keyed one-way token for an
+    * identifier column — `substr(md5(salt || id), 1, width)`. The same
+    * (salt, id) always maps to the same token, so FOREIGN-KEY JOINS
+    * SURVIVE pseudonymization applied independently per table (the
+    * property ad-hoc per-table scrambling destroys); rotating the salt
+    * unlinks a release from every previous one. Map-side, codegen'd,
+    * zero state — no lookup table to secure or replicate. Production
+    * hardening swaps md5 for a keyed MAC; the dataflow is identical.
+    * Width 16 hex chars = 64 bits: birthday-collision-safe to ~10^9
+    * distinct ids (callers can verify with a distinct-count audit). */
+  def pseudonymize(id: Column, salt: String, width: Int = 16): Column =
+    substring(md5(concat(lit(salt), id.cast("string"))), 1, width)
+
   /** One-row k-anonymity census over the same classes: the dataset's
     * achieved k (the SMALLEST class size — the number that holds for
     * every row), class counts, and rows at re-identification risk under

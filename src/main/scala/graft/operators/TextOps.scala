@@ -158,6 +158,69 @@ object TextOps {
         i => hash32(text.substr(i, lit(width))))))
       .otherwise(hash32(text))
 
+  /** Byte-pair-encoding merge training (Sennrich et al. 2016) — the
+    * first `rounds` merge rules learned from the corpus, i.e. the
+    * tokenizer-training artifact itself: per round, the most frequent
+    * adjacent symbol pair (weighted by word count, ties totalized by
+    * (count desc, left, right)) merges into one symbol everywhere,
+    * greedily left-to-right within each word — exactly the classic
+    * algorithm, so the merge table is deterministic and hash-verifiable.
+    *
+    * Representation: each word's symbol sequence is ONE sep-delimited
+    * string ("␟c␟a␟t␟"); applying a merge is a plain `replace` of
+    * "␟l␟r␟" with "␟lr␟" — both engines' replace scans left-to-right
+    * non-overlapping, which IS BPE's within-word greedy application
+    * (overlapping runs like "aaa" merge to "aa"+"a"). No lambda fold,
+    * no per-round schema churn.
+    *
+    * Scale: ONE corpus-scale shuffle (the word-count groupBy); every
+    * round after that runs on the VOCABULARY table (corpus-independent)
+    * — a combinable pair-count aggregate whose argmax (1 row) comes to
+    * the driver, exactly the [[graft.operators.VectorOps]] kmeansTrain
+    * loop shape. Real tokenizer training (30k+ merges over a 10M-type
+    * vocab) adds per-round localCheckpoint to truncate the replace
+    * lineage — at the handful of rounds exposed here the plan stays
+    * shallow. */
+  def bpeMerges(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"rounds $rounds must be >= 1")
+    val sep = "\u001f" // unit separator: cannot occur in tokenized text
+    val spark = docs.sparkSession
+    val wc = docs.select(explode(tokens(text)).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // split("", -1) keeps a trailing empty element — filter it so the
+    // symbol string matches the oracle's char-list form exactly
+    var cur = wc.select(col("n"),
+      concat(lit(sep),
+        array_join(filter(split(col("w"), ""), x => length(x) > 0), sep),
+        lit(sep)).as("s"))
+    val merges = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (round <- 1 to rounds) {
+      val syms = filter(split(col("s"), sep), x => length(x) > 0)
+      val m = size(syms) - 1
+      val pairs = when(m >= 1, transform(sequence(lit(1), m), i =>
+        struct(element_at(syms, i).as("l"),
+          element_at(syms, i + 1).as("r"))))
+        .otherwise(array().cast("array<struct<l:string,r:string>>"))
+      val best = cur.select(col("n"), explode(pairs).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      require(best.nonEmpty,
+        s"vocabulary exhausted after ${round - 1} merges; lower `rounds`")
+      val (l, r, cnt) =
+        (best.head.getString(0), best.head.getString(1),
+          best.head.getLong(2))
+      merges += ((round, l, r, l + r, cnt))
+      cur = cur.withColumn("s", call_function("replace", col("s"),
+        lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
+    }
+    import spark.implicits._
+    merges.result()
+      .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
+  }
+
   /** Count-based n-gram language-model table: context (the n−1
     * preceding tokens) → next token, with counts and the conditional
     * probability P(next | context) = n_next / n_ctx — the training-data

@@ -22,6 +22,24 @@ class GovernanceSpec extends AnyFunSuite {
     assert(bad == Set(2L), "only the dangling non-null FK is an orphan")
   }
 
+  test("pseudonymize: same (salt, id) -> same token across tables so FK " +
+    "joins survive; salt rotation unlinks; width respected") {
+    val a = Seq(1L, 2L, 3L).toDF("id")
+      .select(col("id"), QualityOps.pseudonymize(col("id"), "s1").as("tk"))
+    val b = Seq(2L, 3L, 4L).toDF("fk")
+      .select(col("fk"), QualityOps.pseudonymize(col("fk"), "s1").as("tk"))
+    // tokenized join reproduces the cleartext join exactly
+    val joined = a.join(b, "tk").select(col("id"), col("fk"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(joined == Set((2L, 2L), (3L, 3L)))
+    // rotating the salt unlinks every token
+    val rot = Seq(1L, 2L, 3L).toDF("id")
+      .select(QualityOps.pseudonymize(col("id"), "s2").as("tk"))
+    assert(a.select(col("tk")).join(rot, "tk").count() == 0L)
+    val tok = a.select(col("tk")).head.getString(0)
+    assert(tok.length == 16 && tok.matches("[0-9a-f]{16}"))
+  }
+
   test("kAnonymity: violating classes surface with size; report counts " +
     "achieved k, violators, and rows at risk") {
     // classes: (a,1)x5 (a,2)x2 (b,1)x1 — k=3: two violators, 3 rows at risk

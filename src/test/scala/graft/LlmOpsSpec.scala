@@ -83,6 +83,27 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(pairs.head.getDouble(2) > 0.8 && pairs.head.getDouble(2) < 1.0)
   }
 
+  test("bpeMerges replays the classic BPE example: count-weighted argmax " +
+    "with (cnt, l, r) tie-break, greedy within-word application") {
+    // Sennrich et al.'s vocab {low:5, lower:2, newest:6, widest:3}:
+    // es(9) -> est(9) -> lo(7) -> low(7), with es beating st on the
+    // l-asc tie and lo beating ow the same way.
+    val text = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest")).mkString(" ")
+    val out = T.bpeMerges(Seq(text).toDF("text"), col("text"), rounds = 4)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4))).toSeq
+    assert(out == Seq(
+      (1, "e", "s", "es", 9L),
+      (2, "es", "t", "est", 9L),
+      (3, "l", "o", "lo", 7L),
+      (4, "lo", "w", "low", 7L)))
+    // overlapping runs merge greedily left-to-right: aaa -> (aa)(a)
+    val o2 = T.bpeMerges(Seq("aaa aaa").toDF("text"), col("text"), 2)
+      .collect().map(r => (r.getString(3), r.getLong(4))).toSeq
+    assert(o2 == Seq(("aa", 4L), ("aaa", 2L)))
+  }
+
   test("ngramNextTokens: exact conditional counts, top-k tie by token, " +
     "short docs contribute nothing, rare contexts pruned") {
     val docs = Seq("a b c", "a b d", "a b c", "b c d e", "x y", "q")
