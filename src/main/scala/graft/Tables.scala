@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet corpus (TESTDATA.md).
   *
@@ -17,12 +18,20 @@ object Tables {
 
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads as a
-    // nanos bigint (spark.sql.legacy.parquet.nanosAsLong, set in Session).
-    // Normalize to TimestampType via integer division (a double division
-    // would lose precision at 1.7e18 ns).
-    if (name == "events" && df.schema("ts").dataType.typeName == "long")
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    // The corpus has shipped events.ts under three parquet encodings across
+    // regenerations: TIMESTAMP(NANOS) (read as a nanos bigint under
+    // spark.sql.legacy.parquet.nanosAsLong, set in Session), timestamp[us]
+    // with isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and plain
+    // timestamp[us] UTC. Normalize all three to TimestampType so downstream
+    // unix_micros(ts) always analyzes. Session TZ is pinned UTC, so the
+    // NTZ->LTZ cast preserves wall-clock and matches the DuckDB oracle,
+    // which reads the same parquet as naive timestamps. Nanos use integer
+    // division (a double division would lose precision at 1.7e18 ns).
+    if (name == "events") df.schema("ts").dataType match {
+      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+      case _                => df
+    }
     else df
   }
 }
