@@ -612,9 +612,16 @@ object SparkEntry {
     // transfer) so 3 damped iterations are exact, order-independent, and
     // hash-identical to the oracle's unrolled CTE chain. Top 20 hubs.
     "q109_pagerank" -> ((s, dir) => {
+      // Persisted: the self-join references pp under two different
+      // aliases, whose canonicalized subtrees differ, so ReusedExchange
+      // does NOT share the distinct — uncached, each side would replay
+      // the lineitem scan + distinct shuffle. Session-cache lifecycle
+      // (plan-keyed; re-invocations reuse one entry), the nearDupPairs
+      // raw-entry posture.
       val pp = t(s, dir, "lineitem")
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
         .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val e = pp.as("x").join(pp.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("src"), col("y.pk").as("dst"))

@@ -717,8 +717,10 @@ object AnalyticsOps {
     * latest touch forward), so there is NO self-join of conversions
     * against touches. Ordering is totalized by (ts, tie) so a touch and
     * a conversion in the same microsecond resolve deterministically;
-    * the frame includes the current row safely because touch and
-    * conversion predicates are disjoint by construction.
+    * the frame includes the current row safely because the scan ENFORCES
+    * touch/conversion disjointness — a row matching `isConversion` has
+    * its touch channel nulled, so overlapping caller predicates cannot
+    * make a conversion credit itself.
     *
     * Scale: one actor exchange + sort (the [[TimeOps.sessionize]]
     * regime, per-actor event counts bounded), one combinable channel
@@ -729,7 +731,8 @@ object AnalyticsOps {
                            isConversion: Column, convValue: Column,
                            lookbackMicros: Long): DataFrame = {
     val ev = events.select(actor.as("__a"), unix_micros(ts).as("__us"),
-        tie.as("__tie"), touchChannel.as("__ch"),
+        tie.as("__tie"),
+        when(isConversion, lit(null)).otherwise(touchChannel).as("__ch"),
         isConversion.as("__conv"), convValue.as("__val"))
       .filter(col("__a").isNotNull)
     val w = Window.partitionBy(col("__a"))
@@ -876,9 +879,13 @@ object AnalyticsOps {
     val D = "decimal(38,0)"
     val p = df.select(group.as("grp"), value.cast("long").as("__x"))
       .filter(col("__x").isNotNull)
+    // Σx² accumulates in DECIMAL(38,0): a single |x| ≈ 3e9 already puts
+    // x² past int64 (9e18 > 2⁶³−1), which under ANSI throws mid-aggregate
+    // where the oracle's hugeint is exact. Decimal sums of exact ints are
+    // exact, so results are bit-identical where int64 sufficed.
     val stats = p.groupBy(col("grp"))
-      .agg(count(lit(1)).as("n"), sum(col("__x")).as("__sx"),
-        sum(col("__x") * col("__x")).as("__sxx"))
+      .agg(count(lit(1)).as("n"), sum(col("__x").cast(D)).as("__sx"),
+        sum(col("__x").cast(D) * col("__x").cast(D)).as("__sxx"))
       .select(col("grp"), col("n"),
         (col("__sx").cast("double") / col("n").cast("double")).as("mean"),
         when(col("n") > 1L,
@@ -903,12 +910,15 @@ object AnalyticsOps {
     val p = df.select(group.as("grp"), x.cast("long").as("__x"),
         y.cast("long").as("__y"))
       .filter(col("__x").isNotNull && col("__y").isNotNull)
+    // Cross/square products in DECIMAL(38,0) before summing — same
+    // overflow posture as [[standardize]]: |x| ≈ 3e9 breaks int64 on a
+    // single product; decimal keeps the sufficient statistics exact.
     p.groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"),
-        sum(col("__x") * col("__y")).as("__sxy"))
+        sum(col("__x").cast(D)).as("__sx"), sum(col("__y").cast(D)).as("__sy"),
+        sum(col("__x").cast(D) * col("__x").cast(D)).as("__sxx"),
+        sum(col("__y").cast(D) * col("__y").cast(D)).as("__syy"),
+        sum(col("__x").cast(D) * col("__y").cast(D)).as("__sxy"))
       .select(col("grp"), col("n"),
         (col("n").cast(D) * col("__sxy").cast(D)
           - col("__sx").cast(D) * col("__sy").cast(D)).cast("double")

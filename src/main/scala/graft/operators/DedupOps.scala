@@ -530,10 +530,39 @@ object DedupOps {
     * Verify is exact on the sorted hashed shingle sets (one O(n+m)
     * merge per candidate pair); output is ORIENTED: (contained_id,
     * container_id) by set size, ties by id — deterministic under any
-    * partitioning. Same cache lifecycle notes as [[nearDupPairs]]. */
+    * partitioning. Same cache lifecycle notes as [[nearDupPairs]]:
+    * this plain entry point leaves its three persisted intermediates to
+    * the CacheManager (keyed by canonicalized plan, so re-invocations
+    * reuse rather than pile up); use [[withContainmentPairs]] or
+    * [[containmentPairsTracked]] for a deterministic unpersist. */
   def containmentPairs(docs: DataFrame, id: String,
                        kernels: NearDupKernels, threshold: Double,
-                       rowsPerBand: Int = 2): DataFrame = {
+                       rowsPerBand: Int = 2): DataFrame =
+    containmentPairsTracked(docs, id, kernels, threshold, rowsPerBand)._1
+
+  /** Loan-pattern twin of [[withNearDupPairs]] for the containment pass:
+    * hands the oriented-pairs plan to `use`, then unpersists the band /
+    * candidate / candidate-doc caches in a finally — no CacheManager
+    * entry survives the call. `use` must fully consume the plan; a
+    * DataFrame leaked out and executed later recomputes uncached
+    * (correct, just slower). */
+  def withContainmentPairs[T](docs: DataFrame, id: String,
+                              kernels: NearDupKernels, threshold: Double,
+                              rowsPerBand: Int = 2)
+                             (use: DataFrame => T): T = {
+    val (pairs, cached) =
+      containmentPairsTracked(docs, id, kernels, threshold, rowsPerBand)
+    try use(pairs)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[containmentPairs]] plus the persisted intermediate handles
+    * (bands, candidates, candidate docs) for lifecycle control, mirroring
+    * [[nearDupPairsTracked]]. */
+  def containmentPairsTracked(docs: DataFrame, id: String,
+                              kernels: NearDupKernels, threshold: Double,
+                              rowsPerBand: Int = 2)
+  : (DataFrame, Seq[DataFrame]) = {
     require(K % rowsPerBand == 0 && rowsPerBand >= 1,
       s"rowsPerBand $rowsPerBand must divide K=$K")
     val nb = K / rowsPerBand
@@ -579,7 +608,7 @@ object DedupOps {
     // Orientation: the smaller set is the contained side; exact size
     // ties keep the candidate order (id_a < id_b) — a total order.
     val aContained = col("__la") < col("__lb") || (col("__la") === col("__lb"))
-    verified.select(
+    val oriented = verified.select(
       when(aContained, col("id_a")).otherwise(col("id_b"))
         .as("contained_id"),
       when(aContained, col("id_b")).otherwise(col("id_a"))
@@ -587,6 +616,7 @@ object DedupOps {
       col("containment"),
       least(col("__la"), col("__lb")).as("size_contained"),
       greatest(col("__la"), col("__lb")).as("size_container"))
+    (oriented, Seq(bands, candidates, candDocs))
   }
 
   /** Sorted-neighborhood blocking (Hernández & Stolfo, "The merge/purge
@@ -615,9 +645,12 @@ object DedupOps {
     require(window >= 1, s"need window >= 1, got $window")
     val keys = sortKey.zipWithIndex.map { case (c, i) => c.as(s"__s$i") }
     val base = df.select(block.as("__blk") +: id.as("__a") +: keys: _*)
+    // asc_nulls_last pins where null keys sort: Spark's asc default is
+    // NULLS FIRST, DuckDB/ANSI's is NULLS LAST — an unpinned nullable key
+    // would give the two engines different neighbor orders (ADVICE r7).
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("__blk"))
-      .orderBy(sortKey.indices.map(i => col(s"__s$i").asc) :+
+      .orderBy(sortKey.indices.map(i => col(s"__s$i").asc_nulls_last) :+
         col("__a").asc: _*)
     // Leads materialize in their own projection — a generator (explode)
     // cannot host window expressions.

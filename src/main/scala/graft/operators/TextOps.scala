@@ -173,14 +173,16 @@ object TextOps {
     * (overlapping runs like "aaa" merge to "aa"+"a"). No lambda fold,
     * no per-round schema churn.
     *
-    * Scale: ONE corpus-scale shuffle (the word-count groupBy); every
-    * round after that runs on the VOCABULARY table (corpus-independent)
-    * — a combinable pair-count aggregate whose argmax (1 row) comes to
-    * the driver, exactly the [[graft.operators.VectorOps]] kmeansTrain
-    * loop shape. Real tokenizer training (30k+ merges over a 10M-type
-    * vocab) adds per-round localCheckpoint to truncate the replace
-    * lineage — at the handful of rounds exposed here the plan stays
-    * shallow. */
+    * Scale: ONE corpus-scale shuffle (the word-count groupBy), enforced
+    * by a lazy localCheckpoint of the symbol table each round — round
+    * 1's argmax materializes the word table (the only corpus scan); every
+    * later round reads the previous round's checkpointed VOCABULARY
+    * table (corpus-independent) plus one replace. The per-round work is
+    * a combinable pair-count aggregate whose argmax (1 row) comes to the
+    * driver, exactly the [[graft.operators.VectorOps]] kmeansTrain loop
+    * shape; the checkpoint also truncates the replace lineage, so 30k+
+    * merge rounds keep a flat plan. TablesSpec-style pin:
+    * LlmOpsSpec asserts exactly one corpus scan across rounds. */
   def bpeMerges(docs: DataFrame, text: Column, rounds: Int): DataFrame = {
     require(rounds >= 1, s"rounds $rounds must be >= 1")
     val sep = "\u001f" // unit separator: cannot occur in tokenized text
@@ -189,11 +191,15 @@ object TextOps {
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
     // split("", -1) keeps a trailing empty element — filter it so the
-    // symbol string matches the oracle's char-list form exactly
+    // symbol string matches the oracle's char-list form exactly.
+    // Lazy localCheckpoint: round 1's argmax materializes the word table
+    // once (the ONLY corpus scan); every later round reads the previous
+    // round's checkpointed table plus one replace, instead of replaying
+    // tokenize+count+replace-chain from the corpus each round.
     var cur = wc.select(col("n"),
       concat(lit(sep),
         array_join(filter(split(col("w"), ""), x => length(x) > 0), sep),
-        lit(sep)).as("s"))
+        lit(sep)).as("s")).localCheckpoint(false)
     val merges = Seq.newBuilder[(Int, String, String, String, Long)]
     for (round <- 1 to rounds) {
       val syms = filter(split(col("s"), sep), x => length(x) > 0)
@@ -213,8 +219,10 @@ object TextOps {
         (best.head.getString(0), best.head.getString(1),
           best.head.getLong(2))
       merges += ((round, l, r, l + r, cnt))
-      cur = cur.withColumn("s", call_function("replace", col("s"),
-        lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
+      if (round < rounds)
+        cur = cur.withColumn("s", call_function("replace", col("s"),
+          lit(sep + l + sep + r + sep), lit(sep + l + r + sep)))
+          .localCheckpoint(false)
     }
     import spark.implicits._
     merges.result()

@@ -452,6 +452,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.size == 3)
   }
 
+  test("lastTouchAttribution enforces touch/conversion disjointness: " +
+    "a conversion row matching the touch predicate cannot credit itself") {
+    // Overlapping caller predicates: "purchase" is both a channel and the
+    // conversion marker. The scan nulls the touch channel on conversion
+    // rows, so u1's purchase attributes to the preceding click, and u2's
+    // bare purchase stays unattributed instead of crediting "purchase".
+    val rows = Seq(
+      (1L, 10L, 1L, "click", 0.0), (1L, 50L, 2L, "purchase", 10.0),
+      (2L, 20L, 3L, "purchase", 5.0))
+      .toDF("u", "us", "eid", "et", "v")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = AnalyticsOps.lastTouchAttribution(rows, col("u"), col("ts"),
+        col("eid"), col("et"), // every row "is a touch", incl. conversions
+        col("et") === "purchase", col("v"), lookbackMicros = 100L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out("click") == ((1L, 10.0)))
+    assert(out("unattributed") == ((1L, 5.0)))
+    assert(!out.contains("purchase"),
+      "conversion rows must never win attribution as their own touch")
+  }
+
   test("kaplanMeier: censored exits shrink the risk set without reducing " +
     "survival; factors fold in duration order; at-risk counts exact") {
     // horizon = 100, censorTicks = 10: A (0..100) and C (20..95) are
@@ -499,5 +521,35 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(h.isNullAt(h.fieldIndex("min_z")) &&
       h.isNullAt(h.fieldIndex("max_z")), "sd=0 -> null z, never Inf/NaN")
     assert(h.getAs[Long]("n_gt2") == 0L)
+  }
+
+  test("standardize survives |x| ~ 3e9 where an int64 x*x accumulator " +
+    "would overflow (decimal sufficient statistics, ADVICE r7)") {
+    // 3e9^2 = 9e18 > Long.MaxValue (~9.22e18): a single int64 product is
+    // already past the edge once summed with anything; ANSI mode would
+    // throw mid-aggregate. Decimal(38,0) stats stay exact.
+    val a = 3000000000L
+    val b = -2999999999L
+    val df = Seq(("g", a), ("g", b)).toDF("grp0", "v")
+    val out = AnalyticsOps.standardize(df, col("grp0"), col("v")).head
+    val mean = (a + b).toDouble / 2.0
+    assert(out.getAs[Long]("n") == 2L)
+    assert(out.getAs[Double]("mean") == mean)
+    // sample variance via the exact decimal assembly: (n*Sxx - Sx^2)/(n*(n-1))
+    val sxx = BigDecimal(a) * BigDecimal(a) + BigDecimal(b) * BigDecimal(b)
+    val sx = BigDecimal(a) + BigDecimal(b)
+    val sd = math.sqrt(
+      ((BigDecimal(2) * sxx - sx * sx).toDouble) / 2.0)
+    assert(out.getAs[Double]("sd") == sd)
+  }
+
+  test("correlation survives |x| ~ 3e9 products (decimal sufficient " +
+    "statistics)") {
+    val df = Seq(("g", 3000000000L, -3000000000L),
+      ("g", -2999999999L, 2999999999L), ("g", 1000000000L, -1000000001L))
+      .toDF("grp0", "x", "y")
+    val r = AnalyticsOps.correlation(df, col("grp0"), col("x"), col("y"))
+      .head.getAs[Double]("r")
+    assert(r < -0.999 && r >= -1.0, s"near-perfect negative corr, got $r")
   }
 }

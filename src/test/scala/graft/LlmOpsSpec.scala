@@ -104,6 +104,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(o2 == Seq(("aa", 4L), ("aaa", 2L)))
   }
 
+  test("bpeMerges scans the corpus exactly once across rounds " +
+    "(per-round localCheckpoint pin)") {
+    // An accumulator in the corpus lineage counts real materializations:
+    // without the symbol-table checkpoint each round's argmax would replay
+    // the corpus (acc == rounds); with it only round 1 touches the source.
+    val acc = spark.sparkContext.longAccumulator("bpe_corpus_scans")
+    val base = Seq.fill(4)("low lower newest widest").toDF("text")
+      .repartition(1)
+    val docs = spark.createDataFrame(
+      base.rdd.mapPartitions { it => acc.add(1); it }, base.schema)
+    val out = T.bpeMerges(docs, col("text"), rounds = 3).collect()
+    assert(out.length == 3)
+    assert(acc.value == 1L,
+      s"corpus materialized ${acc.value} times; the merge loop must run " +
+        "on the checkpointed symbol table, not replay the corpus per round")
+  }
+
   test("ngramNextTokens: exact conditional counts, top-k tie by token, " +
     "short docs contribute nothing, rare contexts pruned") {
     val docs = Seq("a b c", "a b d", "a b c", "b c d e", "x y", "q")
@@ -146,6 +163,25 @@ class LlmOpsSpec extends AnyFunSuite {
       s"orientation must be (contained=9, container=2), got $r")
     assert(r.getDouble(2) == 1.0, "full containment")
     assert(r.getInt(3) < r.getInt(4))
+    spark.catalog.clearCache()
+  }
+
+  test("withContainmentPairs releases all three caches (bands, candidates, " +
+    "candidate docs); containmentPairs keeps them (ADVICE r7/r8)") {
+    val contained = (1 to 30).map(i => s"w$i").mkString(" ")
+    val container = (1 to 80).map(i => s"w$i").mkString(" ")
+    val docs = Seq((2L, container), (9L, contained),
+      (5L, (200 to 240).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
+    spark.catalog.clearCache()
+    SparkEntry.clearSessionSweeps()
+    val n = D.withContainmentPairs(docs, "doc_id",
+      D.wordKernels(col("text"), 3), 0.6)(_.count())
+    assert(n == 1L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withContainmentPairs must leave no CacheManager entries")
+    D.containmentPairs(docs, "doc_id", D.wordKernels(col("text"), 3), 0.6)
+      .count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     spark.catalog.clearCache()
   }
 

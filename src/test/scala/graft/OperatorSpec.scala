@@ -150,6 +150,20 @@ class OperatorSpec extends AnyFunSuite {
     assert(out.size == 5)
   }
 
+  test("sortedNeighborhood: null sort keys pin to NULLS LAST (the " +
+    "DuckDB/ANSI default), so neighbor order is cross-engine stable") {
+    val df = Seq(
+        ("en", 1L, Some(100L)), ("en", 2L, Some(200L)),
+        ("en", 3L, Option.empty[Long])) // null key must sort AFTER 200
+      .toDF("blk", "id", "len")
+    val out = graft.operators.DedupOps.sortedNeighborhood(
+        df, col("blk"), col("id"), Seq(col("len")), window = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // order (100,1) (200,2) (null,3): Spark's asc default (NULLS FIRST)
+    // would instead yield (3,1),(1,2) — divergent from the oracle
+    assert(out == Set((1L, 2L), (2L, 3L)))
+  }
+
   test("reconcileSnapshots: identical snapshots emit nothing; a single " +
     "change surfaces only its bucket; row diff is semi-joined to " +
     "mismatched buckets") {
