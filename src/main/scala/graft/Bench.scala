@@ -82,7 +82,10 @@ object Bench {
       val times = byName.getOrElse(n, Seq.empty)
       n -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Failed queries (no successful run) are reported ONLY under
+    // "failures" — a -1.0 sentinel in the queries map reads as a timing to
+    // naive per-query consumers diffing rounds (ADVICE r8).
+    val qs = results.collect { case (k, v) if v >= 0 => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
       .mkString("[", ",", "]")
