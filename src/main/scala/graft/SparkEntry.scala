@@ -739,6 +739,80 @@ object SparkEntry {
           countDistinct(col("token")).as("n_customers"))
     }),
 
+    // L104: BPE tokenizer APPLICATION — the q119-trained merge rules
+    // (session-memoized) segment the corpus; per-lang census of
+    // words/chars/subtokens and the compression ratio. The replace chain
+    // runs over the distinct word VOCABULARY and joins back to (lang,
+    // word) occurrence counts — segmentation work scales with |V|, not
+    // corpus tokens.
+    "q121_bpe_segment" -> ((s, dir) => {
+      val rules = bpeRules(s, dir, 6)
+      val occ = t(s, dir, "documents")
+        .select(col("lang"), explode(T.tokens(col("text"))).as("w"))
+        .filter(col("w") =!= "")
+        .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
+      val vocab = T.bpeSubtokens(occ.select(col("w")).distinct(),
+        col("w"), rules)
+      occ.join(vocab, "w")
+        .groupBy(col("lang"))
+        .agg(sum(col("cnt")).as("n_words"),
+          sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
+          sum(col("cnt") * col("n_subtokens")).as("n_subtokens"))
+        .withColumn("subtokens_per_word",
+          col("n_subtokens").cast("double") / col("n_words").cast("double"))
+    }),
+
+    // L105: LM-predictability census — share of each source's trigram
+    // events the corpus-trained count LM (q118's exact table) already
+    // predicts; high share = boilerplate/templated source, the
+    // memorization probe next to q60's eval-set decontamination.
+    "q122_lm_novelty" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val lm = T.ngramNextTokens(spread(s, docs), col("text"),
+          n = 3, minContext = 5L, k = 3)
+        .select(col("context"), col("next_token"))
+      T.lmNoveltyStats(docs, col("source"), col("text"), lm, n = 3)
+    }),
+
+    // L106: hybrid-retrieval rank fusion — RRF over the radius-1
+    // multi-probe LSH list and the int8-quantized list (both depth 10),
+    // fused top-3 per query; rank-based fusion needs no cross-list score
+    // calibration, and n_sources reports per-survivor list agreement.
+    "q123_rrf_fusion" -> ((s, dir) =>
+      Vec.rrfFuse(Seq(
+        annLshMultiprobe(s, dir, radius = 1, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank")),
+        annI8(s, dir, k = 10)
+          .select(col("query_id"), col("neighbor_id"), col("rank"))),
+        rrfK = 60, k = 3)),
+
+    // L107: walk-forward temporal split with a 2-day embargo before the
+    // 10-day test window (horizon = corpus max ts, backfill-safe), plus
+    // the actor-leakage residual a time split cannot remove.
+    "q124_temporal_split" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .crossJoin(broadcast(t(s, dir, "events")
+          .agg(max(unix_micros(col("ts"))).as("__mx"))))
+      Sam.temporalSplitCensus(ev, unix_micros(col("ts")), col("user_id"),
+        col("__mx") - lit(10L * 86400000000L),
+        embargoMicros = 2L * 86400000000L)
+    }),
+
+    // L108: inter-labeler agreement — Cohen's kappa between the declared
+    // document language and the q22 marker-n-gram prediction, exact
+    // integer po/pe numerators, one double division.
+    "q125_label_agreement" -> ((s, dir) => {
+      import s.implicits._
+      val markers = langIdMarkers.toDF("m_word", "m_lang", "m_weight")
+      val docs = t(s, dir, "documents")
+      val best = T.langIdBest(docs, "doc_id", col("text"), markers)
+      val lab = docs.select(col("doc_id"), col("lang"))
+        .join(best, Seq("doc_id"), "left")
+        .select(col("lang").as("a"),
+          coalesce(col("m_lang"), lit("und")).as("b"))
+      An.cohenKappa(lab, col("a"), col("b"))
+    }),
+
     // L95: per-type standard-score census of event values (cents) —
     // exact integer sufficient stats, decimal variance assembly, then a
     // deterministic per-row z; reports the scale parameters and the
@@ -1696,11 +1770,28 @@ object SparkEntry {
     * FAISS/MLlib regime, making assignment a map-side expression. */
   private val centroidSweep = new Vec.LocalCentroidSweep
 
+  /** Session sweep for the LEARNED BPE merge-rule list shared by q121
+    * (and any other tokenizer-apply consumer): the rules are the
+    * tokenizer artifact — trained once per (corpus, rounds) and applied
+    * everywhere, the [[trainedCentroids]] regime. Driver-held: `rounds`
+    * (l, r) string pairs. Keyed by applicationId like the other sweeps. */
+  private val bpeSweep = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(String, String)]]()
+
+  private def bpeRules(s: SparkSession, dir: String,
+                       rounds: Int): Seq[(String, String)] =
+    bpeSweep.computeIfAbsent(
+      s"bpe:$rounds:$dir:${s.sparkContext.applicationId}",
+      _ => T.bpeMerges(t(s, dir, "documents"), col("text"), rounds)
+        .orderBy(col("merge_rank")).collect()
+        .map(r => (r.getString(1), r.getString(2))).toSeq)
+
   /** Harness lifecycle hook (Bench round boundaries, tests). */
   def clearSessionSweeps(): Unit = {
     nearDupSweep.clear()
     centroidSweep.clear()
     componentSweep.clear()
+    bpeSweep.clear()
   }
 
   /** The shared word-3-shingle, 0.8-threshold near-dup pair build over
@@ -1734,10 +1825,10 @@ object SparkEntry {
     Vec.cosineTopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k)
   }
 
-  /** q65/q49 shared: int8-quantized brute-force top-3 (L45). */
-  private def annI8(s: SparkSession, dir: String): DataFrame = {
+  /** q65/q49 shared: int8-quantized brute-force top-k (L45). */
+  private def annI8(s: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val e = t(s, dir, "embeddings")
-    Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", 3)
+    Vec.i8TopK(e.filter(col("vec_id") < 20), e, "vec_id", "embedding", k)
   }
 
   /** q28/q49 shared: random-hyperplane LSH ANN — bucket both sides, hash
@@ -1790,7 +1881,8 @@ object SparkEntry {
     * so no candidate dedup is needed. */
   private def annLshMultiprobe(s: SparkSession, dir: String,
                                planes: Int = AnnPlanes,
-                               radius: Int = 1): DataFrame = {
+                               radius: Int = 1,
+                               k: Int = 3): DataFrame = {
     val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"),
       Vec.lshBucket(col("embedding"), planes).as("bucket"),
       Vec.norm(col("embedding")).as("__n"))
@@ -1808,7 +1900,7 @@ object SparkEntry {
       .withColumn("cosine", Vec.cosineWithNorms(col("__qv"), col("__cv"),
         col("__qn"), col("__cn")))
     R.topKPerGroup(scored, Seq("query_id"),
-        Seq(col("cosine").desc, col("neighbor_id")), 3, "rank")
+        Seq(col("cosine").desc, col("neighbor_id")), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("cosine"))
   }
@@ -2020,7 +2112,7 @@ object SparkEntry {
   /** DuckDB twin of [[annLshMultiprobe]] (q53/q49): the query side probes
     * every bucket within `radius` sign-bit flips of its own — the same
     * [[probeMasks]] list injected as a literal. */
-  private def sqlAnnLshMpAt(radius: Int): String = {
+  private def sqlAnnLshMpAt(radius: Int, k: Int = 3): String = {
     val masks = probeMasks(AnnPlanes, radius).mkString(",")
     s"""WITH e AS (SELECT vec_id, embedding,
        |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
@@ -2037,7 +2129,7 @@ object SparkEntry {
        |  row_number() OVER (PARTITION BY query_id
        |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", cosine
-       |FROM r WHERE rnk <= 3""".stripMargin
+       |FROM r WHERE rnk <= $k""".stripMargin
   }
 
   /** DuckDB twin of [[graft.operators.VectorOps.kmeansTrain]]: `iters`
@@ -2187,8 +2279,39 @@ object SparkEntry {
     * (Java (byte)-cast twin), exact integer dots, ranking by quantized
     * COSINE (same metric as the float path — q49's recall then measures
     * pure quantization loss); zero-norm codes excluded on both sides. */
-  private lazy val sqlI8TopK: String =
-    """WITH a AS (SELECT vec_id, embedding,
+  /** DuckDB twin of [[graft.operators.TextOps.bpeMerges]]'s training
+    * loop: `rounds` CTE blocks, each counting adjacent symbol pairs
+    * weighted by word count (p$r), picking the (cnt desc, l, r)-argmax
+    * merge (b$r), and applying it to the sep-string vocabulary (s$r).
+    * Expects a preceding CTE `wc(w, n)` — the global word-count table —
+    * and emits s0 itself. Shared by the q119 (training output) and q121
+    * (application) oracles so both learn bit-identical rules. */
+  private def sqlBpeTrainCtes(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      val prev = s"s${r - 1}"
+      s"""p$r AS (SELECT (pr).l AS l, (pr).r AS r,
+         |  CAST(sum(n) AS BIGINT) AS cnt
+         | FROM (SELECT n, unnest([struct_pack(l := sy[i], r := sy[i+1])
+         |   for i in generate_series(1, len(sy) - 1)]) AS pr
+         |  FROM (SELECT n, list_filter(string_split(s, chr(31)),
+         |    x -> x <> '') AS sy FROM $prev)) GROUP BY 1, 2),
+         |b$r AS (SELECT l, r, cnt FROM (SELECT l, r, cnt, row_number()
+         |  OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$r) WHERE rk = 1),
+         |s$r AS (SELECT n, replace(s, chr(31) || b.l || chr(31) ||
+         |  b.r || chr(31), chr(31) || b.l || b.r || chr(31)) AS s
+         |  FROM $prev, b$r b)""".stripMargin
+    }.mkString(",\n")
+    // NOTE: emitted lines must never begin with (whitespace +) '|': this
+    // block is interpolated into templates that call .stripMargin AGAIN,
+    // which would eat one pipe of a line-leading '||'.
+    s"""s0 AS (SELECT n, chr(31) || array_to_string(
+       |   [w[i] for i in generate_series(1, len(w))], chr(31)) ||
+       |   chr(31) AS s FROM wc),
+       |$steps""".stripMargin
+  }
+
+  private def sqlI8TopKAt(k: Int): String =
+    s"""WITH a AS (SELECT vec_id, embedding,
       |  list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))
       |   AS amax FROM embeddings),
       |cd AS (SELECT vec_id,
@@ -2210,7 +2333,9 @@ object SparkEntry {
       |  AS rnk FROM s)
       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", qdot,
       | cosine_i8
-      |FROM r WHERE rnk <= 3""".stripMargin
+      |FROM r WHERE rnk <= $k""".stripMargin
+
+  private lazy val sqlI8TopK: String = sqlI8TopKAt(3)
 
   def oracleSql: Map[String, String] = Map(
     "q01_rate_by_year" ->
@@ -3088,20 +3213,6 @@ object SparkEntry {
     // sep-delimited symbol strings, argmax by (cnt desc, l, r), then the
     // same left-to-right non-overlapping `replace` both engines share.
     "q119_bpe_merges" -> {
-      val rounds = (1 to 6).map { r =>
-        val prev = s"s${r - 1}"
-        s"""p$r AS (SELECT (pr).l AS l, (pr).r AS r,
-           |  CAST(sum(n) AS BIGINT) AS cnt
-           | FROM (SELECT n, unnest([struct_pack(l := sy[i], r := sy[i+1])
-           |   for i in generate_series(1, len(sy) - 1)]) AS pr
-           |  FROM (SELECT n, list_filter(string_split(s, chr(31)),
-           |    x -> x <> '') AS sy FROM $prev)) GROUP BY 1, 2),
-           |b$r AS (SELECT l, r, cnt FROM (SELECT l, r, cnt, row_number()
-           |  OVER (ORDER BY cnt DESC, l, r) AS rk FROM p$r) WHERE rk = 1),
-           |s$r AS (SELECT n, replace(s, chr(31) || b.l || chr(31) ||
-           |  b.r || chr(31), chr(31) || b.l || b.r || chr(31)) AS s
-           |  FROM $prev, b$r b)""".stripMargin
-      }.mkString(",\n")
       val tails = (1 to 6).map(r =>
         s"SELECT $r AS merge_rank, l AS left_sym, r AS right_sym, " +
           s"l || r AS merged, cnt AS pair_count FROM b$r")
@@ -3109,12 +3220,154 @@ object SparkEntry {
       s"""WITH wc AS (SELECT w, CAST(count(*) AS BIGINT) AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w
          |   FROM documents) WHERE w <> '' GROUP BY 1),
-         |s0 AS (SELECT n, chr(31) || array_to_string(
-         |   [w[i] for i in generate_series(1, len(w))], chr(31))
-         |   || chr(31) AS s FROM wc),
-         |$rounds
+         |${sqlBpeTrainCtes(6)}
          |$tails""".stripMargin
     },
+
+    // q121 twin: the SAME learned merges (shared sqlBpeTrainCtes — b1..b6
+    // over the identical global word counts), applied to a w-carrying
+    // copy of the vocabulary (v-chain), then joined back to per-(lang,
+    // word) occurrence counts. subtokens_per_word is one exact
+    // bigint/bigint double division.
+    "q121_bpe_segment" -> {
+      val vchain = (1 to 6).map { r =>
+        s"""v$r AS (SELECT w, replace(s, chr(31) || b.l || chr(31) ||
+           |  b.r || chr(31), chr(31) || b.l || b.r || chr(31)) AS s
+           |  FROM v${r - 1}, b$r b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH occ AS (SELECT lang, w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |   FROM documents) WHERE w <> '' GROUP BY 1, 2),
+         |wc AS (SELECT w, CAST(sum(cnt) AS BIGINT) AS n
+         |  FROM occ GROUP BY 1),
+         |${sqlBpeTrainCtes(6)},
+         |v0 AS (SELECT w, chr(31) || array_to_string(
+         |   [w[i] for i in generate_series(1, len(w))], chr(31))
+         |   || chr(31) AS s FROM wc),
+         |$vchain,
+         |vv AS (SELECT w, CAST(len(list_filter(string_split(s, chr(31)),
+         |   x -> x <> '')) AS BIGINT) AS n_sub FROM v6)
+         |SELECT o.lang, CAST(sum(o.cnt) AS BIGINT) AS n_words,
+         | CAST(sum(o.cnt * length(o.w)) AS BIGINT) AS n_chars,
+         | CAST(sum(o.cnt * v.n_sub) AS BIGINT) AS n_subtokens,
+         | CAST(CAST(sum(o.cnt * v.n_sub) AS BIGINT) AS DOUBLE)
+         |  / CAST(CAST(sum(o.cnt) AS BIGINT) AS DOUBLE)
+         |  AS subtokens_per_word
+         |FROM occ o JOIN vv v USING (w) GROUP BY 1""".stripMargin
+    },
+
+    // q122 twin: the q118 LM build (same counts, same >=5 / top-3
+    // pruning) as flat CTEs, then every trigram event left-joined
+    // against the unique (context, next_token) LM rows — one exact
+    // int/int share per source.
+    "q122_lm_novelty" ->
+      """WITH tok AS (SELECT source, string_split(text, ' ') AS w
+        |  FROM documents),
+        |pr AS (SELECT source, unnest([struct_pack(
+        |   c := array_to_string(w[i:i+1], ' '), nx := w[i+2])
+        |  for i in generate_series(1, len(w) - 2)]) AS p FROM tok),
+        |tri AS (SELECT source, p.c AS context, p.nx AS next_token
+        |  FROM pr),
+        |cnt AS (SELECT context, next_token,
+        |  CAST(count(*) AS BIGINT) AS n_next FROM tri GROUP BY 1, 2),
+        |t2 AS (SELECT context, next_token, n_next,
+        |  CAST(sum(n_next) OVER (PARTITION BY context) AS BIGINT)
+        |   AS n_ctx,
+        |  row_number() OVER (PARTITION BY context
+        |   ORDER BY n_next DESC, next_token) AS rk
+        | FROM cnt),
+        |lm AS (SELECT context, next_token FROM t2
+        |  WHERE n_ctx >= 5 AND rk <= 3),
+        |j AS (SELECT tri.source,
+        |  CASE WHEN lm.context IS NOT NULL THEN 1 END AS hit
+        | FROM tri LEFT JOIN lm ON tri.context = lm.context
+        |  AND tri.next_token = lm.next_token)
+        |SELECT source AS grp, CAST(count(*) AS BIGINT) AS n_ngrams,
+        | CAST(count(hit) AS BIGINT) AS n_predicted,
+        | CAST(count(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS predicted_share
+        |FROM j GROUP BY 1""".stripMargin,
+
+    // q123 twin: both depth-10 lists re-derived by their own oracle
+    // machinery (radius-1 multi-probe LSH, int8-quantized), fused with
+    // the identical 1.0/(60+rank) terms in the same fixed order
+    // (lsh term + i8 term), top-3 by (score desc, neighbor).
+    "q123_rrf_fusion" ->
+      s"""WITH la AS (SELECT query_id, neighbor_id, "rank" AS rnk
+         |  FROM (${sqlAnnLshMpAt(1, 10)})),
+         |ib AS (SELECT query_id, neighbor_id, "rank" AS rnk
+         |  FROM (${sqlI8TopKAt(10)})),
+         |f AS (SELECT query_id, neighbor_id,
+         |  coalesce(1.0 / CAST(60 + a.rnk AS DOUBLE), 0.0)
+         |   + coalesce(1.0 / CAST(60 + b.rnk AS DOUBLE), 0.0)
+         |   AS rrf_score,
+         |  (CASE WHEN a.rnk IS NOT NULL THEN 1 ELSE 0 END
+         |   + CASE WHEN b.rnk IS NOT NULL THEN 1 ELSE 0 END)
+         |   AS n_sources
+         | FROM la a FULL JOIN ib b USING (query_id, neighbor_id)),
+         |r2 AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |  ORDER BY rrf_score DESC, neighbor_id) AS rk FROM f)
+         |SELECT query_id, neighbor_id, CAST(rk AS INT) AS "rank",
+         | rrf_score, n_sources
+         |FROM r2 WHERE rk <= 3""".stripMargin,
+
+    // q124 twin: same data-derived horizon (max ts), same 10-day test /
+    // 2-day embargo boundaries in integer microseconds; leak count from
+    // a per-actor train/test flag rollup, null actors excluded there
+    // but counted as events.
+    "q124_temporal_split" ->
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |l AS (SELECT CASE
+        |   WHEN epoch_us(ts) >= m - 864000000000 THEN 'test'
+        |   WHEN epoch_us(ts) >= m - 1036800000000 THEN 'embargo'
+        |   ELSE 'train' END AS split,
+        |  user_id AS a FROM events, mx),
+        |pa AS (SELECT a,
+        |  max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+        |  max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+        | FROM l WHERE a IS NOT NULL GROUP BY a),
+        |lk AS (SELECT CAST(coalesce(sum(CASE WHEN tr = 1 AND te = 1
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked_actors FROM pa)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(DISTINCT a) AS BIGINT) AS n_actors, n_leaked_actors
+        |FROM l, lk GROUP BY split, n_leaked_actors""".stripMargin,
+
+    // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
+    // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l
+    // over n² − Σ r_l·c_l), one double division each at the end.
+    "q125_label_agreement" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(text,' '))
+         |   AS word FROM documents),
+         |m AS (SELECT * FROM (VALUES $sqlMarkers)
+         |  AS v(m_word, m_lang, m_weight)),
+         |sc AS (SELECT doc_id, m_lang,
+         |  CAST(sum(m_weight) AS BIGINT) AS score
+         |  FROM tok JOIN m ON word = m_word GROUP BY 1, 2),
+         |best AS (SELECT doc_id, m_lang, score, row_number() OVER
+         |  (PARTITION BY doc_id ORDER BY score DESC, m_lang) AS rn
+         |  FROM sc),
+         |lab AS (SELECT d.lang AS a, COALESCE(b.m_lang, 'und') AS b
+         |  FROM documents d
+         |  LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)),
+         |pc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c
+         |  FROM lab GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n,
+         |  CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT)
+         |   AS n_agree FROM pc),
+         |ra AS (SELECT a AS l, CAST(sum(c) AS BIGINT) AS r
+         |  FROM pc GROUP BY 1),
+         |cb AS (SELECT b AS l, CAST(sum(c) AS BIGINT) AS cc
+         |  FROM pc GROUP BY 1),
+         |pe AS (SELECT CAST(coalesce(sum(r * cc), 0) AS BIGINT)
+         |  AS pe_num FROM ra JOIN cb USING (l))
+         |SELECT n AS n_items, n_agree,
+         | CAST(n_agree AS DOUBLE) / CAST(n AS DOUBLE) AS po,
+         | pe_num,
+         | CAST(pe_num AS DOUBLE) / CAST(n * n AS DOUBLE) AS pe,
+         | CASE WHEN n * n <> pe_num THEN
+         |   CAST(n * n_agree - pe_num AS DOUBLE)
+         |    / CAST(n * n - pe_num AS DOUBLE) END AS kappa
+         |FROM tot, pe""".stripMargin,
 
     // q120 twin: identical md5 tokenization (md5 is engine-identical),
     // independent per table, joined on the token.

@@ -934,4 +934,42 @@ object AnalyticsOps {
           col("__num") / (sqrt(col("__dx")) * sqrt(col("__dy"))))
           .as("r"))
   }
+
+  /** Cohen's kappa inter-labeler agreement: chance-corrected agreement
+    * between two categorical label columns (two annotators, a heuristic
+    * vs a declared label, model vs gold) — the label-quality gate run
+    * before trusting either labeler for filtering or eval. κ = (p_o −
+    * p_e)/(1 − p_e), carried as EXACT integer numerator/denominator
+    * (n·agree − Σ_l row_l·col_l over n² − Σ_l row_l·col_l) with ONE
+    * double division at the end — a float p_o/p_e intermediate would
+    * round before the subtraction.
+    *
+    * Scale: ONE corpus shuffle (the (a, b) pair count — combinable);
+    * marginals, the agreement diagonal, and the expected-agreement sum
+    * all derive from that label-vocab²-bounded pair table, never a
+    * second corpus pass. Output is one row. Degenerate census (p_e = 1:
+    * both labelers constant and equal) yields κ = null, never 0/0. */
+  def cohenKappa(df: DataFrame, labelA: Column, labelB: Column)
+  : DataFrame = {
+    val pc = df.select(labelA.as("a"), labelB.as("b"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+    val tot = pc.agg(sum(col("c")).as("n"),
+      sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+        .as("n_agree"))
+    val ra = pc.groupBy(col("a").as("l")).agg(sum(col("c")).as("__r"))
+    val cb = pc.groupBy(col("b").as("l")).agg(sum(col("c")).as("__c"))
+    val pe = ra.join(cb, "l")
+      .agg(coalesce(sum(col("__r") * col("__c")), lit(0L)).as("pe_num"))
+    tot.crossJoin(broadcast(pe))
+      .select(col("n").as("n_items"), col("n_agree"),
+        (col("n_agree").cast("double") / col("n").cast("double"))
+          .as("po"),
+        col("pe_num"),
+        (col("pe_num").cast("double")
+          / (col("n") * col("n")).cast("double")).as("pe"),
+        when(col("n") * col("n") =!= col("pe_num"),
+          (col("n") * col("n_agree") - col("pe_num")).cast("double")
+            / (col("n") * col("n") - col("pe_num")).cast("double"))
+          .as("kappa"))
+  }
 }

@@ -257,4 +257,55 @@ object SampleOps {
           .otherwise("test"))
       .drop("__node", "__label", "__bucket")
   }
+
+  /** Walk-forward split label with an EMBARGO gap (time-series
+    * GroupKFold): 'test' at/after `testStartMicros`, 'embargo' in the
+    * `embargoMicros` window just before it (dropped from training so
+    * near-boundary temporal leakage — features computed over windows
+    * that straddle the cutoff — cannot contaminate), 'train' strictly
+    * before the embargo. A pure map-side expression (the caller derives
+    * `testStartMicros`, typically from a 1-row max-ts aggregate
+    * broadcast — the churnCensus horizon shape, so the split is
+    * reproducible and backfill-safe). */
+  def temporalSplitLabel(tsMicros: Column, testStartMicros: Column,
+                         embargoMicros: Long): Column = {
+    require(embargoMicros >= 0, s"embargoMicros $embargoMicros < 0")
+    when(tsMicros >= testStartMicros, lit("test"))
+      .when(tsMicros >= testStartMicros - lit(embargoMicros),
+        lit("embargo"))
+      .otherwise(lit("train"))
+  }
+
+  /** Census of a [[temporalSplitLabel]] split: per-split event and
+    * distinct-actor counts, plus `n_leaked_actors` — actors active in
+    * BOTH train and test. The time embargo blocks boundary-window
+    * leakage but NOT actor-level leakage (an actor's early behavior
+    * predicts its own later behavior); this census reports that
+    * residual so the caller can decide between a time split and a
+    * [[leakageSplit]]-style actor split.
+    *
+    * Scale: one scan labels events; the split census is one combinable
+    * groupBy (distinct-actor counting shuffles (split, actor) pairs);
+    * the leak count is one actor-keyed combinable aggregate over the
+    * same label pass, joined back as a 1-row broadcast. Null actors
+    * count as events but never as actors or leaks. */
+  def temporalSplitCensus(df: DataFrame, tsMicros: Column, actor: Column,
+                          testStartMicros: Column, embargoMicros: Long)
+  : DataFrame = {
+    val lab = df.select(
+      temporalSplitLabel(tsMicros, testStartMicros, embargoMicros)
+        .as("split"),
+      actor.as("__a"))
+    val perActor = lab.filter(col("__a").isNotNull)
+      .groupBy(col("__a"))
+      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("__tr"),
+        max(when(col("split") === "test", 1).otherwise(0)).as("__te"))
+    val leaked = perActor.agg(
+      coalesce(sum(when(col("__tr") === 1 && col("__te") === 1, 1L)
+        .otherwise(0L)), lit(0L)).as("n_leaked_actors"))
+    lab.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("__a")).as("n_actors"))
+      .crossJoin(broadcast(leaked))
+  }
 }

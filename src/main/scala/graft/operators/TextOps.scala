@@ -229,6 +229,64 @@ object TextOps {
       .toDF("merge_rank", "left_sym", "right_sym", "merged", "pair_count")
   }
 
+  /** Apply an ORDERED BPE merge-rule list (the [[bpeMerges]] training
+    * artifact) to a table of word TYPES: adds `n_subtokens`, the symbol
+    * count after every rule has applied greedily left-to-right within the
+    * word — tokenizer APPLICATION, the other half of L102's training.
+    * Same sep-string representation as [[bpeMerges]], so a rule list
+    * learned there segments identically here (and identically to the
+    * oracle's replace chain).
+    *
+    * Scale: a pure map-side expression chain (one `replace` per rule —
+    * rule lists are small by construction: they ARE the tokenizer), meant
+    * to run over the VOCABULARY (distinct word types), never token
+    * occurrences — callers join the segmented types back to occurrences
+    * by word (q121), so the replace chain runs |V| times, not |corpus
+    * tokens| times. */
+  def bpeSubtokens(words: DataFrame, word: Column,
+                   merges: Seq[(String, String)]): DataFrame = {
+    val sep = "\u001f" // unit separator, as in bpeMerges
+    val s0 = concat(lit(sep),
+      array_join(filter(split(word, ""), x => length(x) > 0), sep),
+      lit(sep))
+    val sN = merges.foldLeft(s0) { case (s, (l, r)) =>
+      call_function("replace", s,
+        lit(sep + l + sep + r + sep), lit(sep + l + r + sep))
+    }
+    words.withColumn("n_subtokens",
+      size(filter(split(sN, sep), x => length(x) > 0)).cast("long"))
+  }
+
+  /** LM-predictability census: the share of a slice's (n−1-gram context,
+    * next-token) events that a count-LM table ([[ngramNextTokens]] shape:
+    * unique (context, next_token) rows) predicts. High predicted share =
+    * template/boilerplate-like text (the LM already knows it); low =
+    * novel text — the memorization/diversity probe run per source before
+    * mixing corpora, and the LM-side twin of L36's eval-set
+    * decontamination. Output per group: n_ngrams, n_predicted, and the
+    * exact int/int `predicted_share`.
+    *
+    * Shape: pairs expand map-side ([[ngramPairs]]), ONE equi-join on
+    * (context, next_token) against the LM table (LM rows are unique, so
+    * the left join never fans out), one combinable group count. At 100 TB
+    * the LM table shuffles once on the same key as the probe side —
+    * no broadcast assumption (trained LM tables outgrow driver memory). */
+  def lmNoveltyStats(docs: DataFrame, group: Column, text: Column,
+                     lm: DataFrame, n: Int): DataFrame = {
+    val tri = docs.select(group.as("grp"),
+        explode(ngramPairs(text, n)).as("__p"))
+      .select(col("grp"), col("__p.ctx").as("context"),
+        col("__p.nxt").as("next_token"))
+    val hits = lm.select(col("context"), col("next_token"),
+      lit(1).as("__hit"))
+    tri.join(hits, Seq("context", "next_token"), "left")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(col("__hit")).as("n_predicted"))
+      .withColumn("predicted_share",
+        col("n_predicted").cast("double") / col("n_ngrams").cast("double"))
+  }
+
   /** Count-based n-gram language-model table: context (the n−1
     * preceding tokens) → next token, with counts and the conditional
     * probability P(next | context) = n_next / n_ctx — the training-data
@@ -246,16 +304,24 @@ object TextOps {
     * a pathologically hot context at 100 TB takes the q63 salted
     * two-level top-k shape instead. Probability is one exact-int double
     * division — hash-stable. */
-  def ngramNextTokens(docs: DataFrame, text: Column, n: Int,
-                      minContext: Long, k: Int): DataFrame = {
-    require(n >= 2, s"n-gram order $n must be >= 2")
+  /** Map-side (context, next-token) n-gram pair expansion: every length-n
+    * window of the token array as a (space-joined n−1-gram context, next
+    * token) struct — the shared kernel of [[ngramNextTokens]] (LM
+    * training) and [[lmNoveltyStats]] (LM scoring). Pure expression over
+    * the row's own tokens: no join, no shuffle. */
+  def ngramPairs(text: Column, n: Int): Column = {
     val w = tokens(text)
     val m = size(w) - (n - 1)
-    val pairs = when(m >= 1, transform(sequence(lit(1), m), i =>
+    when(m >= 1, transform(sequence(lit(1), m), i =>
       struct(array_join(slice(w, i, lit(n - 1)), " ").as("ctx"),
         element_at(w, i + (n - 1)).as("nxt"))))
       .otherwise(array().cast("array<struct<ctx:string,nxt:string>>"))
-    val c = docs.select(explode(pairs).as("__p"))
+  }
+
+  def ngramNextTokens(docs: DataFrame, text: Column, n: Int,
+                      minContext: Long, k: Int): DataFrame = {
+    require(n >= 2, s"n-gram order $n must be >= 2")
+    val c = docs.select(explode(ngramPairs(text, n)).as("__p"))
       .select(col("__p.ctx").as("context"), col("__p.nxt").as("next_token"))
       .groupBy(col("context"), col("next_token"))
       .agg(count(lit(1)).as("n_next"))

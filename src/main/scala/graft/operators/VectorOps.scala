@@ -404,4 +404,44 @@ object VectorOps {
         Seq(col("cosine").desc, col("neighbor_id")), k, "rank")
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("cosine"))
   }
+
+  /** Reciprocal-rank fusion (Cormack & Clarke SIGIR '09) of two or more
+    * retrieval rankings: score(q, d) = Σ_lists 1/(rrfK + rank_list(d)),
+    * missing-from-list contributes 0 — the standard ensemble for hybrid
+    * retrieval (LSH + quantized, dense + BM25). Rank-based fusion needs
+    * NO score calibration between lists (cosine and int-dot never share
+    * a scale), and the fused order is deterministic: each term is one
+    * exact int→double division, terms add in the caller's fixed list
+    * order, ties break by neighbor id.
+    *
+    * Input frames carry (query_id, neighbor_id, rank). Shape: the lists
+    * full-outer-join on (query_id, neighbor_id) — list sizes are
+    * per-query top-k tables (bounded, never corpus-sized), so the join
+    * and the final per-query top-k are cheap regardless of corpus
+    * scale; the expensive part stays inside the per-list retrieval
+    * plans, which keep their own scale postures. `n_sources` reports
+    * how many lists agreed on each survivor (the fusion diagnostic). */
+  def rrfFuse(rankings: Seq[DataFrame], rrfK: Int, k: Int): DataFrame = {
+    require(rankings.size >= 2, s"need >= 2 rankings, got ${rankings.size}")
+    require(rrfK >= 1, s"rrfK $rrfK must be >= 1")
+    val terms = rankings.zipWithIndex.map { case (r, i) =>
+      r.select(col("query_id"), col("neighbor_id"),
+        (lit(1.0) / (lit(rrfK) + col("rank")).cast("double"))
+          .as(s"__t$i"))
+    }
+    val joined = terms.reduce((a, b) =>
+      a.join(b, Seq("query_id", "neighbor_id"), "full_outer"))
+    val score = terms.indices
+      .map(i => coalesce(col(s"__t$i"), lit(0.0)))
+      .reduce(_ + _)
+    val nSrc = terms.indices
+      .map(i => when(col(s"__t$i").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    val sc = joined.select(col("query_id"), col("neighbor_id"),
+      score.as("rrf_score"), nSrc.as("n_sources"))
+    RelationalOps.topKPerGroup(sc, Seq("query_id"),
+        Seq(col("rrf_score").desc, col("neighbor_id")), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        col("rrf_score"), col("n_sources"))
+  }
 }

@@ -552,4 +552,39 @@ class AnalyticsSpec extends AnyFunSuite {
       .head.getAs[Double]("r")
     assert(r < -0.999 && r >= -1.0, s"near-perfect negative corr, got $r")
   }
+
+  test("cohenKappa: textbook 2x2 table gives kappa 0.4; perfect " +
+    "agreement 1.0; constant-and-equal labelers give null") {
+    // (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15: n=50, agree=35, po=0.7
+    // rows a=25,b=25; cols a=30,b=20; pe_num=25*30+25*20=1250, pe=0.5
+    val rows = Seq.fill(20)(("a", "a")) ++ Seq.fill(5)(("a", "b")) ++
+      Seq.fill(10)(("b", "a")) ++ Seq.fill(15)(("b", "b"))
+    val out = AnalyticsOps.cohenKappa(rows.toDF("x", "y"),
+      col("x"), col("y")).head
+    assert(out.getAs[Long]("n_items") == 50L)
+    assert(out.getAs[Long]("n_agree") == 35L)
+    assert(out.getAs[Double]("po") == 0.7)
+    assert(out.getAs[Long]("pe_num") == 1250L)
+    assert(out.getAs[Double]("pe") == 0.5)
+    // exact: (50*35 - 1250)/(2500 - 1250) = 500/1250 = 0.4
+    assert(out.getAs[Double]("kappa") == 0.4)
+    val perfect = AnalyticsOps.cohenKappa(
+      Seq(("a", "a"), ("b", "b")).toDF("x", "y"), col("x"), col("y")).head
+    assert(perfect.getAs[Double]("kappa") == 1.0)
+    val degen = AnalyticsOps.cohenKappa(
+      Seq(("a", "a"), ("a", "a")).toDF("x", "y"), col("x"), col("y")).head
+    assert(degen.isNullAt(degen.fieldIndex("kappa")))
+  }
+
+  test("cohenKappa: labels on one side only contribute marginals, not " +
+    "expected agreement") {
+    // B predicts 'c' which A never uses: pe sums only shared labels
+    val out = AnalyticsOps.cohenKappa(
+      Seq(("a", "a"), ("a", "c"), ("b", "b"), ("b", "c")).toDF("x", "y"),
+      col("x"), col("y")).head
+    // n=4 agree=2; rows a=2,b=2; cols a=1,b=1,c=2; pe_num=2*1+2*1=4
+    assert(out.getAs[Long]("pe_num") == 4L)
+    // kappa = (4*2 - 4)/(16 - 4) = 4/12
+    assert(out.getAs[Double]("kappa") == 4.0 / 12.0)
+  }
 }

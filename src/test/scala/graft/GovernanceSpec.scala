@@ -149,4 +149,37 @@ class GovernanceSpec extends AnyFunSuite {
     assert(out(1L) == ((2L, 9L, 3L, true)))
     assert(out(4L) == ((4L, 7L, 1L, false)))
   }
+
+  test("temporalSplitLabel: boundary rows — test start inclusive, " +
+    "embargo start inclusive, just-before goes to train") {
+    val df = Seq(99L, 100L, 149L, 150L, 151L).toDF("us")
+    val out = df.select(col("us"),
+        SampleOps.temporalSplitLabel(col("us"), lit(150L), 50L)
+          .as("split"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(99L) == "train")    // < start - embargo
+    assert(out(100L) == "embargo") // == start - embargo (inclusive)
+    assert(out(149L) == "embargo")
+    assert(out(150L) == "test")    // == start (inclusive)
+    assert(out(151L) == "test")
+  }
+
+  test("temporalSplitCensus: per-split counts; an actor active in train " +
+    "AND test leaks; null actors count as events only") {
+    val ev = Seq(
+      (Some(1L), 10L), (Some(1L), 160L),  // actor 1: train + test -> leak
+      (Some(2L), 20L), (Some(2L), 120L),  // actor 2: train + embargo
+      (Some(3L), 155L),                   // actor 3: test only
+      (None, 30L), (None, 170L)           // null actor: events only
+    ).toDF("a", "us")
+    val out = SampleOps.temporalSplitCensus(ev, col("us"), col("a"),
+        lit(150L), embargoMicros = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out("train") == ((3L, 2L, 1L)))
+    assert(out("embargo") == ((1L, 1L, 1L)))
+    assert(out("test") == ((3L, 2L, 1L)))
+    assertThrows[IllegalArgumentException](
+      SampleOps.temporalSplitLabel(col("us"), lit(150L), -1L))
+  }
 }

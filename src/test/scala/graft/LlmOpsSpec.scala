@@ -1027,4 +1027,67 @@ class LlmOpsSpec extends AnyFunSuite {
     // (satu 1.325·idf) edges out the tf-2 dl-3 doc (1.302·idf)
     assert(out(4L)._1 == 1 && out(1L)._1 == 2 && out(2L)._1 == 3)
   }
+
+  test("bpeSubtokens: ordered merges apply greedily within words; " +
+    "overlapping runs merge left-to-right non-overlapping") {
+    val words = Seq("low", "lower", "slow", "aaa", "b").toDF("w")
+    val out = T.bpeSubtokens(words, col("w"),
+        Seq(("l", "o"), ("lo", "w"), ("a", "a")))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out("low") == 1L)    // l o w -> lo w -> low
+    assert(out("lower") == 3L)  // l o w e r -> lo w e r -> low e r
+    assert(out("slow") == 2L)   // s l o w -> s lo w -> s low
+    assert(out("aaa") == 2L)    // a a a -> aa a (greedy, non-overlapping)
+    assert(out("b") == 1L)      // untouched singleton
+  }
+
+  test("bpeSubtokens composes with bpeMerges: rules learned there " +
+    "segment the training corpus consistently") {
+    val docs = Seq("low low lower", "low slow").toDF("text")
+    val merges = T.bpeMerges(docs, col("text"), rounds = 2)
+      .orderBy(col("merge_rank")).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    val vocab = docs.select(explode(T.tokens(col("text"))).as("w"))
+      .distinct()
+    val out = T.bpeSubtokens(vocab, col("w"), merges)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // merge 1: (l,o) cnt 4; merge 2: (lo,w) cnt 4 -> "low" is one symbol
+    assert(out("low") == 1L)
+    assert(out("lower") == 3L)
+    assert(out("slow") == 2L)
+  }
+
+  test("lmNoveltyStats: exact predicted share per group; LM misses and " +
+    "short docs count nothing") {
+    val docs = Seq(
+      ("s1", "a b c d"),   // trigrams: (a b,c) hit, (b c,d) miss
+      ("s2", "a b c"),     // (a b,c) hit
+      ("s2", "x y"),       // too short: 0 trigrams
+      ("s3", "q q q")      // (q q,q) miss
+    ).toDF("src", "text")
+    val lm = Seq(("a b", "c"), ("b c", "z")).toDF("context", "next_token")
+    val out = T.lmNoveltyStats(docs, col("src"), col("text"), lm, n = 3)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out("s1") == ((2L, 1L, 0.5)))
+    assert(out("s2") == ((1L, 1L, 1.0)))
+    assert(out("s3") == ((1L, 0L, 0.0)))
+  }
+
+  test("rrfFuse: exact 1/(k+rank) sums, fixed term order, missing list " +
+    "contributes 0, n_sources reports agreement") {
+    val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val l2 = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF(
+      "query_id", "neighbor_id", "rank")
+    val out = Vec.rrfFuse(Seq(l1, l2), rrfK = 60, k = 3)
+      .collect().map(r => r.getLong(1) ->
+        (r.getInt(2), r.getDouble(3), r.getInt(4))).toMap
+    val t1 = 1.0 / 61.0; val t2 = 1.0 / 62.0
+    assert(out(11L) == ((1, t2 + t1, 2))) // both lists -> top
+    assert(out(10L) == ((2, t1, 1)))
+    assert(out(12L) == ((3, t2, 1)))
+    assertThrows[IllegalArgumentException](
+      Vec.rrfFuse(Seq(l1), rrfK = 60, k = 3))
+  }
 }
