@@ -266,23 +266,30 @@ object TextOps {
     * decontamination. Output per group: n_ngrams, n_predicted, and the
     * exact int/int `predicted_share`.
     *
-    * Shape: pairs expand map-side ([[ngramPairs]]), ONE equi-join on
-    * (context, next_token) against the LM table (LM rows are unique, so
-    * the left join never fans out), one combinable group count. At 100 TB
-    * the LM table shuffles once on the same key as the probe side —
-    * no broadcast assumption (trained LM tables outgrow driver memory). */
+    * Shape: pairs expand map-side ([[ngramPairs]]), then the probe side
+    * AGGREGATES to (group, context, next) counts BEFORE the join — a
+    * combinable shuffle that collapses repeated n-grams, so the join
+    * probes distinct events, not raw occurrences (at 100 TB the repeat
+    * factor is exactly what makes raw-occurrence joins explode). ONE
+    * equi-join on (context, next_token) against the LM table (LM rows
+    * are unique, so the left join never fans out), one bounded group
+    * rollup weighted by the collapsed counts. No broadcast assumption —
+    * trained LM tables outgrow driver memory. */
   def lmNoveltyStats(docs: DataFrame, group: Column, text: Column,
                      lm: DataFrame, n: Int): DataFrame = {
     val tri = docs.select(group.as("grp"),
         explode(ngramPairs(text, n)).as("__p"))
       .select(col("grp"), col("__p.ctx").as("context"),
         col("__p.nxt").as("next_token"))
+      .groupBy(col("grp"), col("context"), col("next_token"))
+      .agg(count(lit(1)).as("__cnt"))
     val hits = lm.select(col("context"), col("next_token"),
       lit(1).as("__hit"))
     tri.join(hits, Seq("context", "next_token"), "left")
       .groupBy(col("grp"))
-      .agg(count(lit(1)).as("n_ngrams"),
-        count(col("__hit")).as("n_predicted"))
+      .agg(sum(col("__cnt")).as("n_ngrams"),
+        sum(when(col("__hit").isNotNull, col("__cnt")).otherwise(0L))
+          .as("n_predicted"))
       .withColumn("predicted_share",
         col("n_predicted").cast("double") / col("n_ngrams").cast("double"))
   }
