@@ -751,9 +751,11 @@ object SparkEntry {
         .select(col("lang"), explode(T.tokens(col("text"))).as("w"))
         .filter(col("w") =!= "")
         .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("cnt"))
-      val vocab = T.bpeSubtokens(occ.select(col("w")).distinct(),
-        col("w"), rules)
-      occ.join(vocab, "w")
+      // Segment each (lang, word) GROUP row map-side — the replace chain
+      // runs |V|×|langs| times (vocabulary-scale), and the plan stays ONE
+      // corpus scan + two combinable shuffles (a distinct-w + join-back
+      // would re-scan the corpus for the vocabulary branch).
+      T.bpeSubtokens(occ, col("w"), rules)
         .groupBy(col("lang"))
         .agg(sum(col("cnt")).as("n_words"),
           sum(col("cnt") * length(col("w")).cast("long")).as("n_chars"),
@@ -3312,9 +3314,10 @@ object SparkEntry {
          |FROM r2 WHERE rk <= 3""".stripMargin,
 
     // q124 twin: same data-derived horizon (max ts), same 10-day test /
-    // 2-day embargo boundaries in integer microseconds; leak count from
-    // a per-actor train/test flag rollup, null actors excluded there
-    // but counted as events.
+    // 2-day embargo boundaries in integer microseconds; everything
+    // (event totals, distinct actors, leak count) derives from the same
+    // per-actor per-split count table, three fixed split rows. Null
+    // actors count as events, never as actors or leaks.
     "q124_temporal_split" ->
       """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
         |l AS (SELECT CASE
@@ -3323,14 +3326,32 @@ object SparkEntry {
         |   ELSE 'train' END AS split,
         |  user_id AS a FROM events, mx),
         |pa AS (SELECT a,
-        |  max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
-        |  max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
-        | FROM l WHERE a IS NOT NULL GROUP BY a),
-        |lk AS (SELECT CAST(coalesce(sum(CASE WHEN tr = 1 AND te = 1
-        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_leaked_actors FROM pa)
-        |SELECT split, CAST(count(*) AS BIGINT) AS n_events,
-        | CAST(count(DISTINCT a) AS BIGINT) AS n_actors, n_leaked_actors
-        |FROM l, lk GROUP BY split, n_leaked_actors""".stripMargin,
+        |  CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS tr,
+        |  CAST(sum(CASE WHEN split = 'embargo' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS em,
+        |  CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS te
+        | FROM l GROUP BY a),
+        |g AS (SELECT
+        |  CAST(coalesce(sum(tr), 0) AS BIGINT) AS evtr,
+        |  CAST(coalesce(sum(em), 0) AS BIGINT) AS evem,
+        |  CAST(coalesce(sum(te), 0) AS BIGINT) AS evte,
+        |  CAST(coalesce(sum(CASE WHEN a IS NOT NULL AND tr > 0
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS actr,
+        |  CAST(coalesce(sum(CASE WHEN a IS NOT NULL AND em > 0
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS acem,
+        |  CAST(coalesce(sum(CASE WHEN a IS NOT NULL AND te > 0
+        |   THEN 1 ELSE 0 END), 0) AS BIGINT) AS acte,
+        |  CAST(coalesce(sum(CASE WHEN a IS NOT NULL AND tr > 0
+        |   AND te > 0 THEN 1 ELSE 0 END), 0) AS BIGINT)
+        |   AS n_leaked_actors
+        | FROM pa)
+        |SELECT 'train' AS split, evtr AS n_events, actr AS n_actors,
+        | n_leaked_actors FROM g
+        |UNION ALL SELECT 'embargo', evem, acem, n_leaked_actors FROM g
+        |UNION ALL SELECT 'test', evte, acte, n_leaked_actors FROM g"""
+        .stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -947,12 +947,16 @@ object AnalyticsOps {
     * Scale: ONE corpus shuffle (the (a, b) pair count — combinable);
     * marginals, the agreement diagonal, and the expected-agreement sum
     * all derive from that label-vocab²-bounded pair table, never a
-    * second corpus pass. Output is one row. Degenerate census (p_e = 1:
-    * both labelers constant and equal) yields κ = null, never 0/0. */
+    * second corpus pass — the pair table is eagerly localCheckpointed
+    * (bounded: |labels_A|×|labels_B| rows) because three plan branches
+    * read it, and without the checkpoint each branch would replay the
+    * corpus count. Output is one row. Degenerate census (p_e = 1: both
+    * labelers constant and equal) yields κ = null, never 0/0. */
   def cohenKappa(df: DataFrame, labelA: Column, labelB: Column)
   : DataFrame = {
     val pc = df.select(labelA.as("a"), labelB.as("b"))
       .groupBy(col("a"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val tot = pc.agg(sum(col("c")).as("n"),
       sum(when(col("a") === col("b"), col("c")).otherwise(0L))
         .as("n_agree"))

@@ -284,11 +284,14 @@ object SampleOps {
     * residual so the caller can decide between a time split and a
     * [[leakageSplit]]-style actor split.
     *
-    * Scale: one scan labels events; the split census is one combinable
-    * groupBy (distinct-actor counting shuffles (split, actor) pairs);
-    * the leak count is one actor-keyed combinable aggregate over the
-    * same label pass, joined back as a 1-row broadcast. Null actors
-    * count as events but never as actors or leaks. */
+    * Scale: ONE labeled corpus pass into one combinable actor-keyed
+    * aggregate (per-actor per-split counts); event totals, distinct
+    * actors, and the leak count all derive from that actor-cardinality
+    * table, and the three split rows unpivot map-side from its 1-row
+    * rollup — a separate groupBy(split) census would label and scan the
+    * corpus a second time. Null actors count as events but never as
+    * actors or leaks. Every split emits a row even when empty (fixed
+    * report schema). */
   def temporalSplitCensus(df: DataFrame, tsMicros: Column, actor: Column,
                           testStartMicros: Column, embargoMicros: Long)
   : DataFrame = {
@@ -296,16 +299,31 @@ object SampleOps {
       temporalSplitLabel(tsMicros, testStartMicros, embargoMicros)
         .as("split"),
       actor.as("__a"))
-    val perActor = lab.filter(col("__a").isNotNull)
-      .groupBy(col("__a"))
-      .agg(max(when(col("split") === "train", 1).otherwise(0)).as("__tr"),
-        max(when(col("split") === "test", 1).otherwise(0)).as("__te"))
-    val leaked = perActor.agg(
-      coalesce(sum(when(col("__tr") === 1 && col("__te") === 1, 1L)
-        .otherwise(0L)), lit(0L)).as("n_leaked_actors"))
-    lab.groupBy(col("split"))
-      .agg(count(lit(1)).as("n_events"),
-        countDistinct(col("__a")).as("n_actors"))
-      .crossJoin(broadcast(leaked))
+    val perActor = lab.groupBy(col("__a")).agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("__tr"),
+      sum(when(col("split") === "embargo", 1L).otherwise(0L)).as("__em"),
+      sum(when(col("split") === "test", 1L).otherwise(0L)).as("__te"))
+    def actors(c: Column) = coalesce(
+      sum(when(col("__a").isNotNull && c > 0L, 1L).otherwise(0L)), lit(0L))
+    val g = perActor.agg(
+      coalesce(sum(col("__tr")), lit(0L)).as("__evtr"),
+      coalesce(sum(col("__em")), lit(0L)).as("__evem"),
+      coalesce(sum(col("__te")), lit(0L)).as("__evte"),
+      actors(col("__tr")).as("__actr"),
+      actors(col("__em")).as("__acem"),
+      actors(col("__te")).as("__acte"),
+      coalesce(sum(when(col("__a").isNotNull
+          && col("__tr") > 0L && col("__te") > 0L, 1L).otherwise(0L)),
+        lit(0L)).as("n_leaked_actors"))
+    g.select(explode(array(
+        struct(lit("train").as("split"), col("__evtr").as("n_events"),
+          col("__actr").as("n_actors")),
+        struct(lit("embargo").as("split"), col("__evem").as("n_events"),
+          col("__acem").as("n_actors")),
+        struct(lit("test").as("split"), col("__evte").as("n_events"),
+          col("__acte").as("n_actors")))).as("__s"),
+        col("n_leaked_actors"))
+      .select(col("__s.split").as("split"), col("__s.n_events").as("n_events"),
+        col("__s.n_actors").as("n_actors"), col("n_leaked_actors"))
   }
 }
