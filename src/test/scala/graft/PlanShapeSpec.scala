@@ -494,4 +494,42 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.count(_.contains("LeftAnti")) == 2,
       s"expected exactly 2 anti-join FK checks:\n$p")
   }
+
+  test("q121 bpe-segment: ONE documents scan — segmentation runs on the " +
+    "occurrence groups, not a re-scanned vocabulary branch") {
+    val f = formatted("q121_bpe_segment")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$f")
+  }
+
+  test("q122 lm-novelty: probe side aggregates BEFORE the LM join " +
+    "(combinable partial under the pair count), join is equi, not loop") {
+    val p = plan("q122_lm_novelty")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"), s"LM probe join degraded:\n$p")
+    assert(p.contains("partial_count"),
+      s"pair counts must combine map-side:\n$p")
+  }
+
+  test("q124 temporal split: ONE labeled events pass (single actor " +
+    "exchange) + a ts-only horizon scan — no second census pass") {
+    val f = formatted("q124_temporal_split")
+    val scans = "events\\.parquet".r.findAllIn(f).length
+    assert(scans == 2,
+      s"expected 2 events scans (data + ts-only horizon), got $scans:\n$f")
+    val p = plan("q124_temporal_split")
+    val actorExchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning") && l.contains("__a"))
+    assert(actorExchanges == 1,
+      s"expected exactly 1 actor exchange, got $actorExchanges:\n$p")
+  }
+
+  test("q125 kappa: marginal/total branches read the checkpointed pair " +
+    "table — the labeling pass never re-scans documents") {
+    val p = plan("q125_label_agreement")
+    // after the eager localCheckpoint, the executed plan contains no
+    // parquet scan at all: every branch reads the bounded pair table
+    assert(!p.contains("FileScan"),
+      s"kappa branches must read the checkpoint, not re-scan:\n$p")
+  }
 }
