@@ -6,10 +6,10 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
 import org.apache.spark.sql.types.IntegerType
 
-import graft.functions.{DeflateRatio, DotProductF32, I8Dot, I8Quantize,
-  LshBucketF32, MinHashSig, NfcNormalize, NGramHashSet, NGramMinHashSig,
-  SimHash60, SortedIntersectCount, TokenHash60Array, WindowHashSelect,
-  WindowMinHash32}
+import graft.functions.{DeflateRatio, DotProductF32, DotProductF64, I8Dot,
+  I8Quantize, LshBucketF32, MinHashSig, NfcNormalize, NGramHashSet,
+  NGramMinHashSig, SimHash60, SortedIntersectCount, TokenHash60Array,
+  WindowHashSelect, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => {
         require(args.length == 2, "dot_f32 takes exactly 2 arguments")
         DotProductF32(args.head, args(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("dot_f64"),
+      new ExpressionInfo(classOf[DotProductF64].getName, "dot_f64"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_f64 takes exactly 2 arguments")
+        DotProductF64(args.head, args(1))
       }))
     ext.injectFunction((
       new FunctionIdentifier("simhash60"),

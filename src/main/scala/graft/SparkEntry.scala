@@ -800,6 +800,41 @@ object SparkEntry {
         embargoMicros = 2L * 86400000000L)
     }),
 
+    // L109: JL random-projection compressed search — 64-dim floats
+    // projected once to 16 doubles (same LCG plane family as the LSH
+    // buckets, keeping the VALUE the bucket throws away), brute-force
+    // cosine in projected space: 4× less data per comparison, the
+    // compressed-serving tier between q27 (exact) and q28 (bucketed).
+    "q126_rp_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+        .select(col("vec_id"), Vec.randomProject(col("embedding"), 16)
+          .as("rp"))
+        .withColumn("__n", sqrt(Vec.dotD(col("rp"), col("rp"))))
+        .filter(col("__n") > 0)
+      val q = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("rp").as("__q"),
+          col("__n").as("__qn"))
+      val c = e.select(col("vec_id").as("neighbor_id"),
+        col("rp").as("__c"), col("__n").as("__cn"))
+      val scored = c.join(broadcast(q),
+          col("query_id") =!= col("neighbor_id"))
+        .withColumn("cosine_rp",
+          Vec.dotD(col("__q"), col("__c")) / (col("__qn") * col("__cn")))
+      R.topKPerGroup(scored, Seq("query_id"),
+          Seq(col("cosine_rp").desc, col("neighbor_id")), 3, "rank")
+        .select(col("query_id"), col("neighbor_id"), col("rank"),
+          col("cosine_rp"))
+    }),
+
+    // L110: Tukey-fence outlier census — boxplot-rule IQR fences per
+    // event type over value cents; the quartile-based robust screen
+    // next to q76's median/MAD and q112's mean/sd.
+    "q127_tukey_fences" -> ((s, dir) =>
+      An.tukeyFences(
+        t(s, dir, "events").filter(col("value").isNotNull),
+        col("event_type"),
+        (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -2281,6 +2316,18 @@ object SparkEntry {
     * (Java (byte)-cast twin), exact integer dots, ranking by quantized
     * COSINE (same metric as the float path — q49's recall then measures
     * pure quantization loss); zero-norm codes excluded on both sides. */
+  /** DuckDB twin of [[graft.operators.VectorOps.dotD]] over projected
+    * double lists (no float cast — the elements are already double). */
+  private def sqlRpDot(a: String, b: String, dims: Int): String =
+    s"list_reduce([$a[i]*$b[i] for i in generate_series(1,$dims)], " +
+      "(x,y) -> x+y)"
+
+  /** DuckDB twin of [[graft.operators.VectorOps.randomProject]]: the
+    * `dims` LCG projections as a double list ([[sqlPlaneProj]] per
+    * coordinate — identical fold order). */
+  private def sqlRpList(v: String, dims: Int): String =
+    (0 until dims).map(p => sqlPlaneProj(v, p)).mkString("[", ", ", "]")
+
   /** DuckDB twin of [[graft.operators.TextOps.bpeMerges]]'s training
     * loop: `rounds` CTE blocks, each counting adjacent symbol pairs
     * weighted by word count (p$r), picking the (cnt desc, l, r)-argmax
@@ -3352,6 +3399,52 @@ object SparkEntry {
         |UNION ALL SELECT 'embargo', evem, acem, n_leaked_actors FROM g
         |UNION ALL SELECT 'test', evte, acte, n_leaked_actors FROM g"""
         .stripMargin,
+
+    // q126 twin: identical LCG projections (sqlPlaneProj per coordinate,
+    // same left fold), per-vector norms computed once, cosine in the
+    // same dot/(n*n) order, zero-norm vectors excluded on both sides.
+    "q126_rp_topk" ->
+      s"""WITH pr AS (SELECT vec_id, ${sqlRpList("embedding", 16)} AS rp
+         |  FROM embeddings),
+         |nn AS (SELECT vec_id, rp,
+         |  sqrt(${sqlRpDot("rp", "rp", 16)}) AS n FROM pr),
+         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlRpDot("q.rp", "c.rp", 16)} / (q.n * c.n) AS cosine_rp
+         | FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 20 AND q.n > 0 AND c.n > 0),
+         |r AS (SELECT query_id, neighbor_id, cosine_rp, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine_rp DESC, neighbor_id)
+         |  AS rnk FROM s)
+         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank",
+         | cosine_rp
+         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // q127 twin: exact interpolated quartiles (quantile_cont — the q72
+    // discipline) as window aggregates over the same cents values,
+    // fence arithmetic in the same q1 - k*(q3-q1) operation order,
+    // degenerate-IQR groups report null fence counts.
+    "q127_tukey_fences" ->
+      """WITH p AS (SELECT event_type AS grp,
+        |  CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   AS DOUBLE) AS v
+        | FROM events WHERE value IS NOT NULL),
+        |q AS (SELECT grp, v,
+        |  quantile_cont(v, 0.25) OVER (PARTITION BY grp) AS q1,
+        |  quantile_cont(v, 0.5) OVER (PARTITION BY grp) AS med,
+        |  quantile_cont(v, 0.75) OVER (PARTITION BY grp) AS q3
+        | FROM p)
+        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
+        | min(q1) AS q1, min(med) AS med, min(q3) AS q3,
+        | min(q3) - min(q1) AS iqr,
+        | CASE WHEN min(q3) > min(q1) THEN
+        |  CAST(sum(CASE WHEN v < q1 - 1.5 * (q3 - q1)
+        |   OR v > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
+        |  END AS n_outside_inner,
+        | CASE WHEN min(q3) > min(q1) THEN
+        |  CAST(sum(CASE WHEN v < q1 - 3.0 * (q3 - q1)
+        |   OR v > q3 + 3.0 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
+        |  END AS n_outside_outer
+        |FROM q GROUP BY grp""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -151,6 +151,42 @@ object AnalyticsOps {
         col("n_outliers").cast("double") / col("n_total").cast("double"))
   }
 
+  /** Tukey-fence (boxplot-rule) outlier census by IQR — the OTHER robust
+    * screen next to [[robustOutliers]]' median/MAD: quartiles instead of
+    * MAD, so the fences are the ones every boxplot, dbt test, and EDA
+    * notebook draws (inner fence 1.5×IQR, outer 3×IQR). Reports per
+    * group: n, q1/med/q3 (exact interpolated percentiles — bit-identical
+    * to the oracle's quantile_cont, the q72 discipline), IQR, and the
+    * row counts outside each fence. Degenerate groups (IQR 0) report
+    * null fence counts rather than flagging everything.
+    *
+    * Shape: ONE group exchange — the quartiles ride a window over the
+    * grouped partition and the census reuses the same exchange for its
+    * final combinable aggregate; medians never travel to the driver. */
+  def tukeyFences(df: DataFrame, group: Column, value: Column)
+  : DataFrame = {
+    val w = Window.partitionBy(col("grp"))
+    val v = df.select(group.as("grp"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .withColumn("__q1", percentile(col("__v"), lit(0.25)).over(w))
+      .withColumn("__med", percentile(col("__v"), lit(0.5)).over(w))
+      .withColumn("__q3", percentile(col("__v"), lit(0.75)).over(w))
+    val iqr = col("__q3") - col("__q1")
+    def outside(k: Double) =
+      col("__v") < col("__q1") - lit(k) * iqr ||
+        col("__v") > col("__q3") + lit(k) * iqr
+    v.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("__q1")).as("q1"), min(col("__med")).as("med"),
+        min(col("__q3")).as("q3"),
+        sum(when(outside(1.5), 1L).otherwise(0L)).as("__inner"),
+        sum(when(outside(3.0), 1L).otherwise(0L)).as("__outer"))
+      .select(col("grp"), col("n"), col("q1"), col("med"), col("q3"),
+        (col("q3") - col("q1")).as("iqr"),
+        when(col("q3") > col("q1"), col("__inner")).as("n_outside_inner"),
+        when(col("q3") > col("q1"), col("__outer")).as("n_outside_outer"))
+  }
+
   /** Exact per-group least-squares trend over INTEGER (x, y) points —
     * the drift detector for per-day volumes, rates, and corpus-mix
     * monitoring. The five sufficient statistics (n, Σx, Σy, Σxy, Σx²)

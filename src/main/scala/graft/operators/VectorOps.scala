@@ -59,6 +59,35 @@ object VectorOps {
     ((lit(1103515245L) * (plane * lit(64) + dim) + lit(12345L)) % lit(1000L)
       - lit(500L)).cast("double")
 
+  /** Johnson–Lindenstrauss random projection: the 64-dim float vector
+    * compressed to `outDims` double coordinates, coordinate p = v·w_p
+    * over the SAME deterministic LCG plane family as [[lshBucket]]
+    * (which keeps only each projection's sign — this keeps the value).
+    * JL says pairwise distances/angles survive to within ε with
+    * outDims = O(log n / ε²) — the 4× compression the LSH bucket throws
+    * away, recovered as a rankable score. Pure map-side expression,
+    * computed ONCE per vector at ingest in production (the projection
+    * is the point: downstream scans read 16 doubles, not 64 floats +
+    * re-projection). Each coordinate folds left in a fixed order, so
+    * the oracle replays it bit-for-bit. */
+  def randomProject(v: Column, outDims: Int): Column =
+    array((0 until outDims).map { p =>
+      aggregate(zip_with(v, sequence(lit(1), lit(64)),
+        (x, j) => d(x) * planeWeight(lit(p), j)),
+        lit(0.0), (acc, x) => acc + x)
+    }: _*)
+
+  /** Sequential dot over DOUBLE arrays (projected space) — native
+    * codegen'd ([[graft.functions.DotProductF64]]); bit-identical to the
+    * interpreted [[dotDHof]] reference (spec-pinned). */
+  def dotD(a: Column, b: Column): Column = call_function("dot_f64", a, b)
+
+  /** The composable higher-order form — the reference implementation
+    * [[dotD]]'s kernel is pinned against. */
+  def dotDHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0),
+      (acc, x) => acc + x)
+
   /** Sign bit of v·w_plane for one hyperplane (1 if positive else 0). */
   private def planeBit(v: Column, plane: Int): Column = {
     val proj = aggregate(

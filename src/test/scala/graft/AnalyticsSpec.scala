@@ -553,6 +553,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(r < -0.999 && r >= -1.0, s"near-perfect negative corr, got $r")
   }
 
+  test("tukeyFences: exact interpolated quartiles, boxplot fences flag " +
+    "the outlier, degenerate IQR reports null counts") {
+    val df = (Seq(1L, 2L, 3L, 4L, 100L).map(("g", _)) ++
+      Seq(("flat", 7L), ("flat", 7L), ("flat", 7L))).toDF("t", "v")
+    val out = AnalyticsOps.tukeyFences(df, col("t"), col("v"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // sorted [1,2,3,4,100]: q1@pos1=2, med@pos2=3, q3@pos3=4, iqr=2
+    assert(g.getAs[Double]("q1") == 2.0 && g.getAs[Double]("med") == 3.0
+      && g.getAs[Double]("q3") == 4.0 && g.getAs[Double]("iqr") == 2.0)
+    // fences: inner (-1, 7), outer (-4, 10) -> 100 is outside both
+    assert(g.getAs[Long]("n_outside_inner") == 1L)
+    assert(g.getAs[Long]("n_outside_outer") == 1L)
+    val flat = out("flat")
+    assert(flat.getAs[Double]("iqr") == 0.0)
+    assert(flat.isNullAt(flat.fieldIndex("n_outside_inner")))
+    assert(flat.isNullAt(flat.fieldIndex("n_outside_outer")))
+  }
+
   test("cohenKappa: textbook 2x2 table gives kappa 0.4; perfect " +
     "agreement 1.0; constant-and-equal labelers give null") {
     // (a,a)=20 (a,b)=5 (b,a)=10 (b,b)=15: n=50, agree=35, po=0.7

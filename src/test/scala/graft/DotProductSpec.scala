@@ -57,6 +57,26 @@ class DotProductSpec extends AnyFunSuite {
     assert(r.isNullAt(0) && r.isNullAt(1))
   }
 
+  test("dot_f64 is bit-identical to its higher-order form, including " +
+    "mismatch/null-element nulls") {
+    val df = Seq((Seq(1.5, -2.25, 3.0), Seq(4.0, 0.5, -1.125)))
+      .toDF("a", "b")
+    val r = df.select(Vec.dotD(col("a"), col("b")).as("native"),
+      Vec.dotDHof(col("a"), col("b")).as("hof")).head
+    assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+      java.lang.Double.doubleToLongBits(r.getDouble(1)))
+    assert(r.getDouble(0) == 1.5 * 4.0 + -2.25 * 0.5 + 3.0 * -1.125)
+    val mm = Seq((Seq(1.0, 2.0), Seq(1.0))).toDF("a", "b")
+      .select(Vec.dotD(col("a"), col("b")).as("n"),
+        Vec.dotDHof(col("a"), col("b")).as("h")).head
+    assert(mm.isNullAt(0) && mm.isNullAt(1))
+    val ne = Seq((Seq(Some(1.0), None), Seq(Some(2.0), Some(3.0))))
+      .toDF("a", "b")
+      .select(Vec.dotD(col("a"), col("b")).as("n"),
+        Vec.dotDHof(col("a"), col("b")).as("h")).head
+    assert(ne.isNullAt(0) && ne.isNullAt(1))
+  }
+
   test("minhash_sig skips null elements instead of NPE (ADVICE r2)") {
     val withNull = spark.sql(
       "SELECT minhash_sig(array('ab', CAST(NULL AS STRING), 'cd')) AS s")

@@ -1074,6 +1074,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("s3") == ((1L, 0L, 0.0)))
   }
 
+  test("randomProject: deterministic LCG coordinates, exact left fold; " +
+    "dotD matches a hand fold") {
+    val v = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
+    val df = Seq(Tuple1(v.toSeq)).toDF("e")
+      .select(Vec.randomProject(col("e"), 2).as("rp"))
+    val rp = df.head.getSeq[Double](0)
+    // coordinate p: only dim 1 contributes -> 1.0 * weight(p, 1)
+    def w(p: Long, j: Long): Double =
+      ((1103515245L * (p * 64 + j) + 12345L) % 1000L - 500L).toDouble
+    assert(rp == Seq(w(0, 1), w(1, 1)))
+    val dd = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
+      .select(Vec.dotD(col("a"), col("b"))).head.getDouble(0)
+    assert(dd == 1.0 * 3.0 + 2.0 * 4.0)
+  }
+
   test("rrfFuse: exact 1/(k+rank) sums, fixed term order, missing list " +
     "contributes 0, n_sources reports agreement") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF(
