@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's parquet corpus (TESTDATA.md).
   *
@@ -31,6 +32,19 @@ object Tables {
       case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
+    }
+    // Same hazard class for embeddings: the engine's native kernels
+    // (dot_f32, lsh_bucket_f32, i8_quantize) require array<float> — the
+    // corpus's documented encoding. A regeneration that re-encodes the
+    // same float32 values as list<double> (float→double is exact, so the
+    // double→float cast back is lossless and the DuckDB oracle, reading
+    // the identical values, stays bit-compatible) must not break every
+    // ANN query at analysis time the way the r8 ts re-encoding broke the
+    // event-time family.
+    else if (name == "embeddings") df.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast("array<float>"))
+      case _ => df
     }
     else df
   }

@@ -68,4 +68,31 @@ class TablesSpec extends AnyFunSuite {
     assert(df.schema("ts").dataType == TimestampType)
     assert(df.select(unix_micros(col("ts"))).head.getLong(0) > 0L)
   }
+
+  test("embeddings re-encoded as list<double> normalize to array<float> " +
+    "losslessly and feed the native kernels") {
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    val dir = Files.createTempDirectory("tables_spec_").toString
+    // exact float32 values re-encoded as doubles (float->double is exact)
+    val vals = Seq(1.5f, -0.25f, 3.75f)
+    Seq((1L, vals.map(_.toDouble)))
+      .toDF("vec_id", "embedding")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val df = Tables(spark, dir, "embeddings")
+    assert(df.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+    assert(df.select(col("embedding")).head.getSeq[Float](0) == vals)
+    // the float32 kernel contract holds after normalization
+    val d = df.select(call_function("dot_f32",
+      col("embedding"), col("embedding"))).head.getDouble(0)
+    assert(d == vals.map(v => v.toDouble * v.toDouble).sum)
+  }
+
+  test("driver corpus embeddings load as array<float>") {
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.001")
+    val df = Tables(spark, dir, "embeddings")
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    assert(df.schema("embedding").dataType
+      .asInstanceOf[ArrayType].elementType == FloatType)
+  }
 }
