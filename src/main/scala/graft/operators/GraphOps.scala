@@ -66,10 +66,14 @@ object GraphOps {
   def connectedComponents(edges: DataFrame, src: String, dst: String,
                           maxIter: Int = 25): DataFrame = {
     // Symmetrize once: propagation needs both directions of each edge.
+    // Pre-hashed on the per-round join key (the pageRank posture): the
+    // cached layout satisfies every round's sym ⋈ labels distribution,
+    // so only the node-cardinality label side shuffles per iteration.
     val sym = edges
       .select(col(src).cast("long").as("node"), col(dst).cast("long").as("peer"))
       .union(edges
         .select(col(dst).cast("long").as("node"), col(src).cast("long").as("peer")))
+      .repartition(col("node"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("node")).distinct()
       .withColumn("label", col("node"))
@@ -247,8 +251,15 @@ object GraphOps {
       .select(least(col(src), col(dst)).cast("long").as("a"),
         greatest(col(src), col(dst)).cast("long").as("b"))
       .filter(col("a") =!= col("b")).distinct()
+    // Persist the edge list PRE-HASHED on the join key: every iteration
+    // joins sym.u = ranks.node, and an unpartitioned cache would pay an
+    // Exchange of the (large) edge list per iteration — partitioned, the
+    // cached layout satisfies the join's distribution and only the
+    // node-cardinality ranks side shuffles each round. deg's groupBy(u)
+    // rides the same layout for free.
     val sym = e.select(col("a").as("u"), col("b").as("v"))
       .union(e.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("outdeg"))
