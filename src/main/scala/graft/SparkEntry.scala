@@ -768,13 +768,13 @@ object SparkEntry {
     // events the corpus-trained count LM (q118's exact table) already
     // predicts; high share = boilerplate/templated source, the
     // memorization probe next to q60's eval-set decontamination.
-    "q122_lm_novelty" -> ((s, dir) => {
-      val docs = t(s, dir, "documents")
-      val lm = T.ngramNextTokens(spread(s, docs), col("text"),
-          n = 3, minContext = 5L, k = 3)
-        .select(col("context"), col("next_token"))
-      T.lmNoveltyStats(docs, col("source"), col("text"), lm, n = 3)
-    }),
+    // Fused self-trained form: the LM derives from the probe side's own
+    // checkpointed count table, so the corpus n-gram expansion runs once
+    // (spec-pinned identical to the ngramNextTokens + lmNoveltyStats
+    // composition).
+    "q122_lm_novelty" -> ((s, dir) =>
+      T.lmSelfNoveltyStats(spread(s, t(s, dir, "documents")),
+        col("source"), col("text"), n = 3, minContext = 5L, k = 3)),
 
     // L106: hybrid-retrieval rank fusion — RRF over the radius-1
     // multi-probe LSH list and the int8-quantized list (both depth 10),

@@ -294,6 +294,41 @@ object TextOps {
         col("n_predicted").cast("double") / col("n_ngrams").cast("double"))
   }
 
+  /** [[lmNoveltyStats]] with the LM TRAINED ON THE SAME CORPUS (the
+    * self-boilerplate census): the probe side's (group, context, next)
+    * count table is eagerly checkpointed and the LM derives from its
+    * rollup — counts per (context, next) are the group-sums of the probe
+    * counts — so the corpus's n-gram expansion runs ONCE where the
+    * generic compose-it-yourself form ([[ngramNextTokens]] +
+    * [[lmNoveltyStats]]) would expand it twice. Identical output to that
+    * composition (spec-pinned); same `minContext`/top-`k` pruning. */
+  def lmSelfNoveltyStats(docs: DataFrame, group: Column, text: Column,
+                         n: Int, minContext: Long, k: Int): DataFrame = {
+    val tri = docs.select(group.as("grp"),
+        explode(ngramPairs(text, n)).as("__p"))
+      .select(col("grp"), col("__p.ctx").as("context"),
+        col("__p.nxt").as("next_token"))
+      .groupBy(col("grp"), col("context"), col("next_token"))
+      .agg(count(lit(1)).as("__cnt"))
+      .localCheckpoint()
+    val c = tri.groupBy(col("context"), col("next_token"))
+      .agg(sum(col("__cnt")).as("n_next"))
+    val wc = Window.partitionBy(col("context"))
+    val wr = Window.partitionBy(col("context"))
+      .orderBy(col("n_next").desc, col("next_token"))
+    val lm = c.withColumn("n_ctx", sum(col("n_next")).over(wc))
+      .withColumn("__rk", row_number().over(wr))
+      .filter(col("n_ctx") >= minContext && col("__rk") <= k)
+      .select(col("context"), col("next_token"), lit(1).as("__hit"))
+    tri.join(lm, Seq("context", "next_token"), "left")
+      .groupBy(col("grp"))
+      .agg(sum(col("__cnt")).as("n_ngrams"),
+        sum(when(col("__hit").isNotNull, col("__cnt")).otherwise(0L))
+          .as("n_predicted"))
+      .withColumn("predicted_share",
+        col("n_predicted").cast("double") / col("n_ngrams").cast("double"))
+  }
+
   /** Count-based n-gram language-model table: context (the n−1
     * preceding tokens) → next token, with counts and the conditional
     * probability P(next | context) = n_next / n_ctx — the training-data

@@ -1089,6 +1089,23 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(dd == 1.0 * 3.0 + 2.0 * 4.0)
   }
 
+  test("lmSelfNoveltyStats equals the ngramNextTokens + lmNoveltyStats " +
+    "composition (one corpus expansion instead of two)") {
+    val docs = Seq(("s1", "a b c d a b c"), ("s1", "a b c"),
+      ("s2", "a b d x y z"), ("s2", "q q q q q q q q"))
+      .toDF("src", "text")
+    val lm = T.ngramNextTokens(docs, col("text"), 3, 2L, 2)
+      .select(col("context"), col("next_token"))
+    val composed = T.lmNoveltyStats(docs, col("src"), col("text"), lm, 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    val fused = T.lmSelfNoveltyStats(docs, col("src"), col("text"),
+        3, 2L, 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toSet
+    assert(fused == composed)
+  }
+
   test("rrfFuse: exact 1/(k+rank) sums, fixed term order, missing list " +
     "contributes 0, n_sources reports agreement") {
     val l1 = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF(
