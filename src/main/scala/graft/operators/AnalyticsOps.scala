@@ -869,8 +869,15 @@ object AnalyticsOps {
     * the long tail of singleton pairs never doubles. */
   def associationRules(df: DataFrame, basket: Column, item: Column,
                        minCount: Long): DataFrame = {
+    // Persisted: four plan branches read the deduped membership (the
+    // basket count, the item marginals, and BOTH self-join aliases —
+    // whose canonicalized subtrees differ, so ReusedExchange cannot
+    // share them); uncached, each branch replays the scan + distinct
+    // shuffle. Session-cache lifecycle (plan-keyed; the harness clears
+    // between rounds), the q109 pair-scan posture.
     val m = df.select(basket.as("__b"), item.as("__i"))
       .filter(col("__b").isNotNull && col("__i").isNotNull).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val n = m.select(col("__b")).distinct().agg(count(lit(1)).as("__n"))
     val ic = m.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
     val pairs = m.as("x").join(m.as("y"),

@@ -502,13 +502,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(scans == 1, s"expected 1 documents scan, got $scans:\n$f")
   }
 
-  test("q122 lm-novelty: probe side aggregates BEFORE the LM join " +
-    "(combinable partial under the pair count), join is equi, not loop") {
+  test("q122 lm-novelty: LM and probe both read the ONE checkpointed " +
+    "pair-count table; join is equi, not loop") {
     val p = plan("q122_lm_novelty")
     assert(!p.contains("BroadcastNestedLoopJoin") &&
       !p.contains("CartesianProduct"), s"LM probe join degraded:\n$p")
-    assert(p.contains("partial_count"),
-      s"pair counts must combine map-side:\n$p")
+    // the fused form's corpus expansion happened ONCE at checkpoint
+    // time: the final plan reads materialized rows, never the parquet
+    assert(p.contains("ExistingRDD"),
+      s"probe must read the checkpointed pair counts:\n$p")
+    assert(!p.contains("FileScan"),
+      s"no branch may re-expand the corpus:\n$p")
   }
 
   test("q124 temporal split: ONE labeled events pass (single actor " +
