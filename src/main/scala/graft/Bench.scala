@@ -114,7 +114,11 @@ object Bench {
     System.out.flush()
     System.err.println(json)
     System.err.flush()
-    try Files.writeString(Paths.get("BENCH_last.json"), json + "\n")
-    catch { case _: Throwable => () }
+    // Only a FULL-surface run may update the repo-local last pointer: a
+    // BENCH_ONLY subset would shadow the last complete run with a
+    // 3-query total and mislead round-over-round diffs (ADVICE r8).
+    if (only.isEmpty)
+      try Files.writeString(Paths.get("BENCH_last.json"), json + "\n")
+      catch { case _: Throwable => () }
   }
 }
