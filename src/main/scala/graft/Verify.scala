@@ -15,11 +15,13 @@ object Verify {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val queries = SparkEntry.queries.filter { case (n, _) =>
       only.forall(_.contains(n)) }
+    val errors = Seq.newBuilder[(String, String)]
     queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        errors += name -> s"${e.getClass.getSimpleName}: ${e.getMessage}"
       }
       // Release per-query caches (LSH candidate sets): each query is
       // written exactly once, so a retained entry is pure leak here.
@@ -41,6 +43,13 @@ object Verify {
       .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Queries that failed to RUN are otherwise silently absent from the
+    // correctness report (their parquet never lands — ADVICE r8); leave a
+    // machine-readable record so a consumer can tell "broken" from
+    // "never declared".
+    val errJson = errors.result()
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/verify_errors.json"), errJson)
     spark.stop()
   }
 }

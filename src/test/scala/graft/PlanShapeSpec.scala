@@ -528,6 +528,17 @@ class PlanShapeSpec extends AnyFunSuite {
       s"expected exactly 1 actor exchange, got $actorExchanges:\n$p")
   }
 
+  test("q126 rp-topk: the 20-query side broadcasts; the corpus streams " +
+    "through the compressed pair loop once") {
+    val p = plan("q126_rp_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"brute-force pair loop must broadcast the small side:\n$p")
+    val f = formatted("q126_rp_topk")
+    val scans = "embeddings\\.parquet".r.findAllIn(f).length
+    assert(scans <= 2,
+      s"corpus must not be re-scanned per branch, got $scans scans:\n$f")
+  }
+
   test("q125 kappa: marginal/total branches read the checkpointed pair " +
     "table — the labeling pass never re-scans documents") {
     val p = plan("q125_label_agreement")
