@@ -835,6 +835,46 @@ object SparkEntry {
         col("event_type"),
         (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))),
 
+    // L111: near-dup pair EVIDENCE report — the audit table a curation
+    // pipeline ships with its dedup decisions: per banded candidate pair
+    // the word-3-gram Jaccard (the decision metric), the containment
+    // coefficient (sub-document flag), the char-8-gram Jaccard
+    // (tokenization-robust corroboration), and the SimHash hamming
+    // distance (the cheap global fingerprint). Threshold tuning and
+    // human spot-checks read THIS, not the bare pair list. Pairs come
+    // from the shared session sweep; features are three equi-joins of
+    // the (bounded) pair list against per-doc kernel columns.
+    "q128_pair_evidence" -> ((s, dir) => {
+      val pairs = wordNearDupPairs(s, dir)
+        .select(col("id_a"), col("id_b"),
+          col("jaccard").as("word3_jaccard"))
+      val feat = t(s, dir, "documents").select(col("doc_id"),
+        call_function("word_shingle_hashset", col("text"), lit(3))
+          .as("__w3"),
+        call_function("char_shingle_hashset", col("text"), lit(8))
+          .as("__c8"),
+        call_function("simhash60",
+          call_function("token_hash60_array", col("text"))).as("__sh"))
+      val a = feat.select(col("doc_id").as("id_a"), col("__w3").as("__w3a"),
+        col("__c8").as("__c8a"), col("__sh").as("__sha"))
+      val b = feat.select(col("doc_id").as("id_b"), col("__w3").as("__w3b"),
+        col("__c8").as("__c8b"), col("__sh").as("__shb"))
+      val i3 = call_function("sorted_intersect_count",
+        col("__w3a"), col("__w3b"))
+      val i8 = call_function("sorted_intersect_count",
+        col("__c8a"), col("__c8b"))
+      pairs.join(a, "id_a").join(b, "id_b")
+        .select(col("id_a"), col("id_b"), col("word3_jaccard"),
+          (i3.cast("double")
+            / least(size(col("__w3a")), size(col("__w3b"))).cast("double"))
+            .as("word3_containment"),
+          (i8.cast("double")
+            / (size(col("__c8a")) + size(col("__c8b")) - i8).cast("double"))
+            .as("char8_jaccard"),
+          bit_count(col("__sha").bitwiseXOR(col("__shb")))
+            .as("simhash_hamming"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -3445,6 +3485,50 @@ object SparkEntry {
         |   OR v > q3 + 3.0 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
         |  END AS n_outside_outer
         |FROM q GROUP BY grp""".stripMargin,
+
+    // q128 twin: q25's candidate pipeline gives the pairs + word-3
+    // Jaccard; the word hash lists (hsl) are reused for containment,
+    // char-8 sets and the q26 simhash votes are rebuilt CTE-for-CTE,
+    // every ratio one exact int/int double division.
+    "q128_pair_evidence" ->
+      s"""WITH $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |c8l AS (SELECT doc_id, list(DISTINCT h8) AS cl
+         |  FROM (SELECT doc_id, ${hx("s8", 8)} AS h8
+         |   FROM (SELECT doc_id, unnest($sqlCharShingles8) AS s8
+         |    FROM documents))
+         |  GROUP BY doc_id),
+         |sh60 AS (SELECT doc_id, ${hx("w", 15)} AS h60
+         |  FROM (SELECT doc_id, unnest(string_split(text,' ')) AS w
+         |        FROM documents)),
+         |sv AS (SELECT doc_id, bit,
+         |  sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM sh60, (SELECT unnest(generate_series(0, 59)) AS bit) b
+         |  GROUP BY 1, 2),
+         |sh AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+         |           ELSE 0 END) AS BIGINT) AS h
+         | FROM sv GROUP BY 1),
+         |ev AS (SELECT p.id_a, p.id_b, p.jaccard AS word3_jaccard,
+         |  len(list_intersect(wx.hl, wy.hl)) AS i3,
+         |  len(wx.hl) AS l3a, len(wy.hl) AS l3b,
+         |  len(list_intersect(cx.cl, cy.cl)) AS i8,
+         |  len(cx.cl) AS l8a, len(cy.cl) AS l8b,
+         |  xor(sa.h, sb.h) AS xh
+         | FROM pairs p
+         |  JOIN hsl wx ON wx.doc_id = p.id_a
+         |  JOIN hsl wy ON wy.doc_id = p.id_b
+         |  JOIN c8l cx ON cx.doc_id = p.id_a
+         |  JOIN c8l cy ON cy.doc_id = p.id_b
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b)
+         |SELECT id_a, id_b, word3_jaccard,
+         | CAST(i3 AS DOUBLE) / CAST(least(l3a, l3b) AS DOUBLE)
+         |  AS word3_containment,
+         | CAST(i8 AS DOUBLE) / CAST((l8a + l8b) - i8 AS DOUBLE)
+         |  AS char8_jaccard,
+         | CAST(bit_count(xh) AS INT) AS simhash_hamming
+         |FROM ev""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l
