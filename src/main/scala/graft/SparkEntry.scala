@@ -801,10 +801,18 @@ object SparkEntry {
     }),
 
     // L109: JL random-projection compressed search — 64-dim floats
-    // projected once to 16 doubles (same LCG plane family as the LSH
-    // buckets, keeping the VALUE the bucket throws away), brute-force
-    // cosine in projected space: 4× less data per comparison, the
-    // compressed-serving tier between q27 (exact) and q28 (bucketed).
+    // projected once to 16 doubles (md5-decorrelated weight matrix),
+    // brute-force cosine in projected space: 4× less data per
+    // comparison. q49's rp row MEASURES what the compression costs on
+    // THIS corpus: recall@3 0.05 (sf0.1) — the synthetic embeddings'
+    // top-3 margins are noise-level, so a 16-dim score cannot rank them
+    // (numpy cross-check: even 32 dims + depth-200 rerank recovers only
+    // 0.72). That measured negative result is the point of the recall
+    // harness: it says compressed SCORING is unusable here and the
+    // engine's scale paths correctly keep exact scores over filtered
+    // candidates (lsh_mp2 0.87, ivf 0.97 — candidates approximate,
+    // scores exact). On a corpus with real margins the same operator
+    // serves as the compressed tier; the q49 row is the gate.
     "q126_rp_topk" -> ((s, dir) => {
       val e = t(s, dir, "embeddings")
         .select(col("vec_id"), Vec.randomProject(col("embedding"), 16)
@@ -1982,10 +1990,10 @@ object SparkEntry {
         col("cosine"))
   }
 
-  /** q49 internal: ALL SIX retrieval methods' top-3 tables from ONE pair
-    * scan and ONE window — the recall HARNESS, not the serving plans
-    * (those are graded as their own queries: q27 exact, q65 i8, q28 lsh,
-    * q53 multiprobe, q34 ivf, each keeping its scale-shaped plan). A
+  /** q49 internal: ALL SEVEN retrieval methods' top-3 tables from ONE
+    * pair scan and ONE window — the recall HARNESS, not the serving plans
+    * (those are graded as their own queries: q27 exact, q65 i8, q126 rp,
+    * q28 lsh, q53 multiprobe, q34 ivf, each keeping its scale plan). A
     * recall measurement evaluates every method on the same (query,
     * corpus-vector) pair universe, so the harness scores each pair once
     * and expresses method membership as an ADMISSIBILITY FLAG on the
@@ -1993,6 +2001,9 @@ object SparkEntry {
     *  - exact: always admissible (the truth table);
     *  - i8: both sides quantize to a nonzero code (q65's exclusion),
     *    scored by quantized cosine;
+    *  - rp: both sides project to a nonzero 16-dim norm (q126's
+    *    exclusion), scored by projected cosine — measures pure
+    *    JL compression loss;
     *  - lsh/lsh_mp/lsh_mp2: popcount(bucket_q XOR bucket_c) ≤ radius —
     *    a corpus vector lives in exactly one bucket, so hamming ≤ r is
     *    EXACTLY membership in the radius-r probe candidate set;
@@ -2012,9 +2023,12 @@ object SparkEntry {
         col("vec_id").as(s"${pfx}id"), col("embedding").as(s"${pfx}v"),
         Vec.norm(col("embedding")).as(s"${pfx}n"),
         Vec.lshBucket(col("embedding"), planes).as(s"${pfx}b"),
-        Vec.i8Quantize(col("embedding")).as(s"${pfx}c"))
+        Vec.i8Quantize(col("embedding")).as(s"${pfx}c"),
+        Vec.randomProject(col("embedding"), 16).as(s"${pfx}rp"))
       .withColumn(s"${pfx}in",
         Vec.i8Dot(col(s"${pfx}c"), col(s"${pfx}c")))
+      .withColumn(s"${pfx}rn",
+        sqrt(Vec.dotD(col(s"${pfx}rp"), col(s"${pfx}rp"))))
     val q = side("__q", e.filter(col("vec_id") < 20))
       .withColumn("__qcells",
         Vec.probeCellsExpr(col("__qv"), cent, IvfProbes))
@@ -2025,6 +2039,8 @@ object SparkEntry {
       col("__qn"), col("__cn"))
     val cos8 = Vec.i8Dot(col("__qc"), col("__cc")).cast("double") /
       sqrt(col("__qin").cast("double") * col("__cin").cast("double"))
+    val cosRp = Vec.dotD(col("__qrp"), col("__crp")) /
+      (col("__qrn") * col("__crn"))
     def m(name: String, score: Column, ok: Column) =
       struct(lit(name).as("method"), score.as("score"), ok.as("ok"))
     val scored = c.join(broadcast(q), col("__qid") =!= col("__cid"))
@@ -2032,6 +2048,7 @@ object SparkEntry {
         explode(filter(array(
           m("exact", cos, lit(true)),
           m("i8", cos8, col("__qin") > 0 && col("__cin") > 0),
+          m("rp", cosRp, col("__qrn") > 0 && col("__crn") > 0),
           m("lsh", cos, ham === 0),
           m("lsh_mp", cos, ham <= 1),
           m("lsh_mp2", cos, ham <= 2),
@@ -2363,10 +2380,34 @@ object SparkEntry {
       "(x,y) -> x+y)"
 
   /** DuckDB twin of [[graft.operators.VectorOps.randomProject]]: the
-    * `dims` LCG projections as a double list ([[sqlPlaneProj]] per
-    * coordinate — identical fold order). */
+    * `dims` projections as a double list, each a left fold over the SAME
+    * md5-derived literal weights the Column expression embeds — parity
+    * by construction, no cross-engine weight formula. */
   private def sqlRpList(v: String, dims: Int): String =
-    (0 until dims).map(p => sqlPlaneProj(v, p)).mkString("[", ", ", "]")
+    (0 until dims).map { p =>
+      val prods = (1 to 64).map(j =>
+        s"CAST($v[$j] AS DOUBLE)*CAST(${Vec.rpWeight(p, j)} AS DOUBLE)")
+        .mkString("[", ", ", "]")
+      s"list_reduce($prods, (x,y) -> x+y)"
+    }.mkString("[", ", ", "]")
+
+  /** DuckDB twin of q126 (and q49's rp row): projected-space brute-force
+    * cosine top-3. */
+  private lazy val sqlRpTopK: String =
+    s"""WITH pr AS (SELECT vec_id, ${sqlRpList("embedding", 16)} AS rp
+       |  FROM embeddings),
+       |nn AS (SELECT vec_id, rp,
+       |  sqrt(${sqlRpDot("rp", "rp", 16)}) AS n FROM pr),
+       |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+       |  ${sqlRpDot("q.rp", "c.rp", 16)} / (q.n * c.n) AS cosine_rp
+       | FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
+       | WHERE q.vec_id < 20 AND q.n > 0 AND c.n > 0),
+       |r AS (SELECT query_id, neighbor_id, cosine_rp, row_number() OVER
+       |  (PARTITION BY query_id ORDER BY cosine_rp DESC, neighbor_id)
+       |  AS rnk FROM s)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank",
+       | cosine_rp
+       |FROM r WHERE rnk <= 3""".stripMargin
 
   /** DuckDB twin of [[graft.operators.TextOps.bpeMerges]]'s training
     * loop: `rounds` CTE blocks, each counting adjacent symbol pairs
@@ -3443,21 +3484,7 @@ object SparkEntry {
     // q126 twin: identical LCG projections (sqlPlaneProj per coordinate,
     // same left fold), per-vector norms computed once, cosine in the
     // same dot/(n*n) order, zero-norm vectors excluded on both sides.
-    "q126_rp_topk" ->
-      s"""WITH pr AS (SELECT vec_id, ${sqlRpList("embedding", 16)} AS rp
-         |  FROM embeddings),
-         |nn AS (SELECT vec_id, rp,
-         |  sqrt(${sqlRpDot("rp", "rp", 16)}) AS n FROM pr),
-         |s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         |  ${sqlRpDot("q.rp", "c.rp", 16)} / (q.n * c.n) AS cosine_rp
-         | FROM nn q JOIN nn c ON q.vec_id <> c.vec_id
-         | WHERE q.vec_id < 20 AND q.n > 0 AND c.n > 0),
-         |r AS (SELECT query_id, neighbor_id, cosine_rp, row_number() OVER
-         |  (PARTITION BY query_id ORDER BY cosine_rp DESC, neighbor_id)
-         |  AS rnk FROM s)
-         |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank",
-         | cosine_rp
-         |FROM r WHERE rnk <= 3""".stripMargin,
+    "q126_rp_topk" -> sqlRpTopK,
 
     // q127 twin: exact interpolated quartiles (quantile_cont — the q72
     // discipline) as window aggregates over the same cents values,
@@ -4106,7 +4133,10 @@ object SparkEntry {
          |   FROM ($sqlAnnIvf)
          | UNION ALL
          | SELECT 'i8' AS method, query_id, neighbor_id
-         |   FROM ($sqlI8TopK)),
+         |   FROM ($sqlI8TopK)
+         | UNION ALL
+         | SELECT 'rp' AS method, query_id, neighbor_id
+         |   FROM ($sqlRpTopK)),
          |g AS (SELECT method, count(*) AS n_returned,
          |  count(ex.query_id) AS n_hits
          | FROM ap LEFT JOIN ex ON ap.query_id = ex.query_id

@@ -59,21 +59,38 @@ object VectorOps {
     ((lit(1103515245L) * (plane * lit(64) + dim) + lit(12345L)) % lit(1000L)
       - lit(500L)).cast("double")
 
+  /** Deterministic md5-derived projection weight for (plane, dim), a
+    * whole number in [-500, 500). NOT the [[planeWeight]] LCG: that
+    * sequence is an arithmetic progression mod 1000, so distinct planes
+    * are SHIFTS of one periodic sequence — fine when only the sign
+    * survives (LSH buckets), but a VALUE projection built from it is
+    * effectively low-rank and ranks neighbors no better than chance
+    * (measured: recall@3 0.02). md5 decorrelates every (plane, dim)
+    * cell; the weights are compile-time constants embedded as literals
+    * in both the Column expression and the oracle SQL, so cross-engine
+    * parity needs no shared formula at all. */
+  def rpWeight(plane: Int, dim: Int): Long = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"rp:$plane:$dim".getBytes("UTF-8"))
+    val v = ((h(0) & 0xffL) << 24) | ((h(1) & 0xffL) << 16) |
+      ((h(2) & 0xffL) << 8) | (h(3) & 0xffL)
+    v % 1000L - 500L
+  }
+
   /** Johnson–Lindenstrauss random projection: the 64-dim float vector
     * compressed to `outDims` double coordinates, coordinate p = v·w_p
-    * over the SAME deterministic LCG plane family as [[lshBucket]]
-    * (which keeps only each projection's sign — this keeps the value).
-    * JL says pairwise distances/angles survive to within ε with
-    * outDims = O(log n / ε²) — the 4× compression the LSH bucket throws
-    * away, recovered as a rankable score. Pure map-side expression,
-    * computed ONCE per vector at ingest in production (the projection
-    * is the point: downstream scans read 16 doubles, not 64 floats +
+    * over the md5-decorrelated [[rpWeight]] matrix. JL says pairwise
+    * distances/angles survive to within ε with outDims =
+    * O(log n / ε²) — the compression an LSH bucket throws away,
+    * recovered as a rankable score. Pure map-side expression, computed
+    * ONCE per vector at ingest in production (the projection is the
+    * point: downstream scans read 16 doubles, not 64 floats +
     * re-projection). Each coordinate folds left in a fixed order, so
     * the oracle replays it bit-for-bit. */
   def randomProject(v: Column, outDims: Int): Column =
     array((0 until outDims).map { p =>
-      aggregate(zip_with(v, sequence(lit(1), lit(64)),
-        (x, j) => d(x) * planeWeight(lit(p), j)),
+      val w = array((1 to 64).map(j => lit(rpWeight(p, j).toDouble)): _*)
+      aggregate(zip_with(v, w, (x, wj) => d(x) * wj),
         lit(0.0), (acc, x) => acc + x)
     }: _*)
 

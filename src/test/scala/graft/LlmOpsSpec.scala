@@ -1074,16 +1074,21 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out("s3") == ((1L, 0L, 0.0)))
   }
 
-  test("randomProject: deterministic LCG coordinates, exact left fold; " +
-    "dotD matches a hand fold") {
+  test("randomProject: deterministic md5 weights, exact left fold, " +
+    "planes decorrelated; dotD matches a hand fold") {
     val v = Array.tabulate(64)(i => if (i == 0) 1.0f else 0.0f)
     val df = Seq(Tuple1(v.toSeq)).toDF("e")
       .select(Vec.randomProject(col("e"), 2).as("rp"))
     val rp = df.head.getSeq[Double](0)
-    // coordinate p: only dim 1 contributes -> 1.0 * weight(p, 1)
-    def w(p: Long, j: Long): Double =
-      ((1103515245L * (p * 64 + j) + 12345L) % 1000L - 500L).toDouble
-    assert(rp == Seq(w(0, 1), w(1, 1)))
+    // coordinate p: only dim 1 contributes -> 1.0 * rpWeight(p, 1)
+    assert(rp == Seq(Vec.rpWeight(0, 1).toDouble,
+      Vec.rpWeight(1, 1).toDouble))
+    // the weight matrix must not be the low-rank LCG progression: rows
+    // of the old generator were shifts of one periodic sequence, which
+    // made the projection rank-deficient (measured recall@3 0.02). Pin
+    // pairwise-distinct deltas between the first two planes.
+    val deltas = (1 to 8).map(j => Vec.rpWeight(0, j) - Vec.rpWeight(1, j))
+    assert(deltas.distinct.size > 1, s"planes are shifts: $deltas")
     val dd = Seq((Seq(1.0, 2.0), Seq(3.0, 4.0))).toDF("a", "b")
       .select(Vec.dotD(col("a"), col("b"))).head.getDouble(0)
     assert(dd == 1.0 * 3.0 + 2.0 * 4.0)
