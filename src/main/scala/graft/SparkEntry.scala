@@ -883,6 +883,97 @@ object SparkEntry {
             .as("simhash_hamming"))
     }),
 
+    // L112: per-source duplicated-span share census — the Gopher /
+    // RefinedWeb "duplicate line fraction" curation rule over
+    // content-defined 16-token windows (q70's fingerprints, consumed
+    // per document instead of per span). Census sums are exact longs;
+    // the share is ONE int/int double division per source; a doc is
+    // majority-dup by the integer test 2·dup ≥ total.
+    "q129_dup_span_share" -> ((s, dir) => {
+      val perDoc = D.dupSpanShare(
+        spread(s, t(s, dir, "documents")), "doc_id", col("text"),
+        width = 16, modulus = 4, carry = Seq("source"))
+      perDoc.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_spans")).as("n_spans"),
+          sum(col("n_dup_spans")).as("n_dup_spans"),
+          sum(when(lit(2) * col("n_dup_spans") >= col("n_spans"), 1L)
+            .otherwise(0L)).as("n_docs_majority_dup"))
+        .withColumn("dup_share", col("n_dup_spans").cast("double") /
+          col("n_spans").cast("double"))
+    }),
+
+    // L113: exact-COMPLETE similarity self-join (prefix filter, PPJoin
+    // family) at word-3-shingle Jaccard ≥ 1/2 — every qualifying pair
+    // returned with a proof-backed guarantee, vs the banded-LSH
+    // screen's probabilistic recall. Oracle is the brute-force exact
+    // join (independent algorithm), so the hash match IS the
+    // completeness check at sf0.01.
+    "q130_prefix_join" -> ((s, dir) =>
+      D.prefixFilterPairs(
+        spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
+        "doc_id", D.wordKernels(col("text"), 3), tNum = 1, tDen = 2)),
+
+    // L114: fixed-grid linear-interpolation resample of event values at
+    // 6-hour ticks per user — gapFill's measurement-series twin. ONE
+    // merge-scan window per user (both neighbor frames share one sort);
+    // interp evaluates in a fixed double op sequence so it
+    // hash-verifies.
+    "q131_interp_resample" -> ((s, dir) =>
+      Ti.interpResample(t(s, dir, "events"), col("user_id"), col("ts"),
+          col("value"), stepUs = 21600000000L)
+        .withColumnRenamed("__g", "user_id")),
+
+    // L115: MinHash estimator calibration — for every banded candidate
+    // pair, the signature-agreement estimate (n_eq/K) next to the exact
+    // shingle Jaccard it approximates: the dedup-side sketch-vs-exact
+    // audit (q49 is the ANN-side one). Per-pair rows, each double one
+    // exact division — no float summation anywhere.
+    "q132_minhash_calibration" -> ((s, dir) => {
+      val docs = spread(s, t(s, dir, "documents"))
+        .select(col("doc_id"), col("text"))
+      val kn = D.wordKernels(col("text"), 3)
+      val sigs = docs.select(col("doc_id"), kn.sig.as("__sig"))
+        .filter(col("__sig").isNotNull)
+        .select(col("doc_id") +: (0 until D.K).map(k =>
+          element_at(col("__sig"), k + 1).as(s"mh$k")): _*)
+      val bands = D.lshBands(sigs, "doc_id")
+      val cand = bands.select(col("doc_id").as("id_a"),
+          col("band"), col("band_hash"))
+        .join(bands.select(col("doc_id").as("id_b"),
+            col("band").as("band_r"), col("band_hash").as("band_hash_r")),
+          col("band") === col("band_r") &&
+            col("band_hash") === col("band_hash_r") &&
+            col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      def sigSide(name: String): DataFrame =
+        sigs.select(col("doc_id").as(name) +:
+          (0 until D.K).map(k => col(s"mh$k").as(s"__${name}_mh$k")): _*)
+      val sets = docs.select(col("doc_id"), kn.hashedSet.as("__set"))
+      def setSide(name: String): DataFrame =
+        sets.select(col("doc_id").as(name), col("__set").as(s"__s_$name"))
+      val nEq = (0 until D.K).map(k =>
+        when(col(s"__id_a_mh$k") === col(s"__id_b_mh$k"), 1)
+          .otherwise(0)).reduce(_ + _)
+      val inter = call_function("sorted_intersect_count",
+        col("__s_id_a"), col("__s_id_b"))
+      cand
+        .join(sigSide("id_a"), "id_a").join(sigSide("id_b"), "id_b")
+        .join(setSide("id_a"), "id_a").join(setSide("id_b"), "id_b")
+        .withColumn("n_eq", nEq)
+        .withColumn("__inter", inter)
+        .select(col("id_a"), col("id_b"), col("n_eq"),
+          (col("n_eq").cast("double") / lit(D.K.toDouble))
+            .as("est_jaccard"),
+          (col("__inter").cast("double") /
+            (size(col("__s_id_a")) + size(col("__s_id_b")) -
+              col("__inter")).cast("double")).as("exact_jaccard"),
+          abs((col("n_eq").cast("double") / lit(D.K.toDouble)) -
+            (col("__inter").cast("double") /
+              (size(col("__s_id_a")) + size(col("__s_id_b")) -
+                col("__inter")).cast("double"))).as("abs_err"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -3556,6 +3647,120 @@ object SparkEntry {
          |  AS char8_jaccard,
          | CAST(bit_count(xh) AS INT) AS simhash_hamming
          |FROM ev""".stripMargin,
+
+    // q129 twin: q70's content-defined window fingerprints, folded per
+    // document then per source; distinct-doc counts via a window over
+    // the (hash, doc)-deduped table.
+    "q129_dup_span_share" ->
+      s"""WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sp AS (SELECT doc_id, source, ts,
+         |  CAST(unnest(generate_series(1, len(ts) - 15, 1)) AS INT) AS p
+         | FROM tok),
+         |h AS (SELECT doc_id, source,
+         |  ${hx("array_to_string(ts[p : p + 15], ' ')", 8)} AS sh
+         | FROM sp),
+         |phd AS (SELECT sh, doc_id, source,
+         |  CAST(count(*) AS BIGINT) AS n_occ
+         | FROM h WHERE sh % 4 = 0 GROUP BY 1, 2, 3),
+         |fl AS (SELECT doc_id, source, n_occ,
+         |  count(*) OVER (PARTITION BY sh) AS nd FROM phd),
+         |pd AS (SELECT doc_id, source,
+         |  CAST(sum(n_occ) AS BIGINT) AS n_spans,
+         |  CAST(sum(CASE WHEN nd >= 2 THEN n_occ ELSE 0 END) AS BIGINT)
+         |   AS n_dup
+         | FROM fl GROUP BY 1, 2)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(n_spans) AS BIGINT) AS n_spans,
+         | CAST(sum(n_dup) AS BIGINT) AS n_dup_spans,
+         | CAST(sum(CASE WHEN 2 * n_dup >= n_spans THEN 1 ELSE 0 END)
+         |  AS BIGINT) AS n_docs_majority_dup,
+         | CAST(sum(n_dup) AS DOUBLE) / CAST(sum(n_spans) AS DOUBLE)
+         |  AS dup_share
+         |FROM pd GROUP BY 1""".stripMargin,
+
+    // q130 twin: brute-force exact similarity join (no prefix filter —
+    // an INDEPENDENT algorithm), integer threshold 2·inter ≥ union.
+    "q130_prefix_join" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT doc_id, $sqlShingles3 AS sl FROM tok),
+         |hs AS (SELECT DISTINCT doc_id, ${hx("s", 8)} AS h
+         |  FROM (SELECT doc_id, unnest(sl) AS s FROM shl)),
+         |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM hs GROUP BY 1),
+         |iv AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(count(*) AS BIGINT) AS inter
+         | FROM hs a JOIN hs b ON a.h = b.h AND a.doc_id < b.doc_id
+         | GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         | CAST(inter AS DOUBLE) / CAST((x.n + y.n) - inter AS DOUBLE)
+         |  AS jaccard
+         |FROM iv JOIN sz x ON x.doc_id = id_a
+         | JOIN sz y ON y.doc_id = id_b
+         |WHERE 2 * inter >= (x.n + y.n) - inter""".stripMargin,
+
+    // q131 twin: same union + merge-scan windows, same fixed double op
+    // sequence for the interior interpolation.
+    "q131_interp_resample" ->
+      s"""WITH obs AS (SELECT user_id, epoch_us(ts) AS tus,
+         |  max(value) AS v
+         | FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         |ext AS (SELECT user_id, min(tus) AS lo, max(tus) AS hi
+         |  FROM obs GROUP BY 1),
+         |tks AS (SELECT user_id,
+         |  lo + (((-lo) % 21600000000 + 21600000000) % 21600000000)
+         |   AS t0,
+         |  hi - (hi % 21600000000) AS t1 FROM ext),
+         |grid AS (SELECT user_id,
+         |  unnest(generate_series(t0, t1, 21600000000)) AS tus
+         | FROM tks WHERE t0 <= t1),
+         |u AS (SELECT user_id, tus, 0 AS isg, v FROM obs
+         | UNION ALL
+         | SELECT user_id, tus, 1 AS isg, CAST(NULL AS DOUBLE) AS v
+         |  FROM grid),
+         |w AS (SELECT user_id, tus, isg,
+         |  last_value(CASE WHEN isg = 0 THEN tus END IGNORE NULLS) OVER
+         |   (PARTITION BY user_id ORDER BY tus, isg
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+         |  last_value(CASE WHEN isg = 0 THEN v END IGNORE NULLS) OVER
+         |   (PARTITION BY user_id ORDER BY tus, isg
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+         |  first_value(CASE WHEN isg = 0 THEN tus END IGNORE NULLS) OVER
+         |   (PARTITION BY user_id ORDER BY tus, isg
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt,
+         |  first_value(CASE WHEN isg = 0 THEN v END IGNORE NULLS) OVER
+         |   (PARTITION BY user_id ORDER BY tus, isg
+         |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv
+         | FROM u)
+         |SELECT user_id, tus AS tick_us,
+         | CASE WHEN pt = tus THEN pv
+         |  ELSE (pv * CAST(nt - tus AS DOUBLE) +
+         |        nv * CAST(tus - pt AS DOUBLE))
+         |       / CAST(nt - pt AS DOUBLE) END AS value_interp,
+         | CAST(pt = tus AS INT) AS is_exact
+         |FROM w WHERE isg = 1""".stripMargin,
+
+    // q132 twin: q25's signature/band/candidate CTEs; estimate =
+    // matching components / K, exact from the hashed shingle sets.
+    "q132_minhash_calibration" -> {
+      val eqTerms = (0 until D.K)
+        .map(k => s"CASE WHEN x.mh$k = y.mh$k THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sqlWordNearDupCtes,
+         |est AS (SELECT c.ida, c.idb, ($eqTerms) AS n_eq
+         |  FROM cand c JOIN mh x ON x.doc_id = c.ida
+         |   JOIN mh y ON y.doc_id = c.idb)
+         |SELECT j.ida AS id_a, j.idb AS id_b,
+         | CAST(e.n_eq AS INT) AS n_eq,
+         | CAST(e.n_eq AS DOUBLE) / ${D.K}.0 AS est_jaccard,
+         | CAST(j.inter AS DOUBLE) / CAST(j.tot - j.inter AS DOUBLE)
+         |  AS exact_jaccard,
+         | abs(CAST(e.n_eq AS DOUBLE) / ${D.K}.0 -
+         |  CAST(j.inter AS DOUBLE) / CAST(j.tot - j.inter AS DOUBLE))
+         |  AS abs_err
+         |FROM j JOIN est e ON e.ida = j.ida AND e.idb = j.idb""".stripMargin
+    },
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

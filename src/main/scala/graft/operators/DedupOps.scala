@@ -709,4 +709,164 @@ object DedupOps {
         col("n_members"),
         (col("__best.nid") =!= -col("__minid")).as("kept_longer"))
   }
+
+  /** Per-document duplicated-span share — the "fraction of a document
+    * that is cross-corpus boilerplate" quality signal (the duplicate-line
+    * fraction rule of the Gopher / RefinedWeb curation stacks, realized
+    * over content-defined token windows because web "lines" are a
+    * formatting accident): for each document, the share of its sampled
+    * `width`-token window fingerprints that also appear in at least one
+    * OTHER document. [[repeatedSpans]] reports the corpus's repeated
+    * spans; this is the per-document consumption of the same evidence —
+    * the column a curation filter thresholds ("drop documents more than
+    * half made of boilerplate").
+    *
+    * Fingerprints come from the same fused [[graft.functions
+    * .WindowHashSelect]] kernel ("0 mod `modulus`" content-defined
+    * selection, Manber USENIX '94), so a span repeats-detects at
+    * arbitrary offsets and the corpus expands by ~n_tokens/modulus once.
+    * Within-doc repeats of a span count toward the doc's span mass but do
+    * NOT make it "duplicated" — duplication means ≥ 2 DISTINCT docs, the
+    * [[repeatedSpans]] rule.
+    *
+    * Shape: ONE corpus expansion → combinable (span_hash, doc) count →
+    * window count over span_hash (distinct-doc count without a
+    * countDistinct Expand — the table is already (hash, doc)-deduped) →
+    * per-doc fold. Shuffles: (hash,doc) agg, hash window, doc agg — all
+    * combinable or bounded; nothing all-pairs, nothing driver-side.
+    * Docs shorter than `width` tokens (or whose windows all miss the
+    * "0 mod modulus" sample) have no evidence rows and are ABSENT from
+    * the output — a caller treating absence as share-0 should left-join
+    * from the corpus.
+    *
+    * Output: one row per evidenced doc — n_spans (sampled window
+    * occurrences), n_dup_spans (occurrences of cross-doc-repeated
+    * fingerprints), dup_share (ONE exact int/int double division). */
+  def dupSpanShare(docs: DataFrame, id: String, text: Column,
+                   width: Int, modulus: Int,
+                   carry: Seq[String] = Nil): DataFrame = {
+    // `carry`: columns functionally dependent on `id` (a doc's source,
+    // lang, …) threaded through the aggregation keys so a census
+    // consumer needs no corpus-sized rejoin to recover them.
+    val carryCols = carry.map(col)
+    val spans = docs
+      .select(col(id).as("__ds_id") +: carryCols :+
+        explode(call_function("word_window_select", text,
+          lit(width), lit(modulus))).as("span_hash"): _*)
+    val perHashDoc = spans
+      .groupBy(col("span_hash") +: col("__ds_id") +: carryCols: _*)
+      .agg(count(lit(1)).as("__n_occ"))
+    val wh = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("span_hash"))
+    perHashDoc
+      .withColumn("__nd", count(lit(1)).over(wh))
+      .groupBy(col("__ds_id") +: carryCols: _*)
+      .agg(
+        sum(col("__n_occ")).as("n_spans"),
+        sum(when(col("__nd") >= 2, col("__n_occ")).otherwise(lit(0L)))
+          .as("n_dup_spans"))
+      .withColumn("dup_share",
+        col("n_dup_spans").cast("double") / col("n_spans").cast("double"))
+      .withColumnRenamed("__ds_id", id)
+  }
+
+  /** Exact-COMPLETE similarity self-join via document-frequency-ordered
+    * prefix filtering (the SSJoin / All-Pairs / PPJoin family —
+    * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et al.
+    * WWW'08): every pair with Jaccard ≥ tNum/tDen over the kernel's
+    * shingle hash sets is RETURNED, with a proof-backed guarantee —
+    * unlike the banded-LSH generator ([[nearDupPairs]]), whose recall is
+    * probabilistic in (bands, rows). LSH is the cheap screen; this is
+    * the candidate family a compliance-grade dedup (or the recall audit
+    * of the LSH tuning) runs.
+    *
+    * Filter: order every doc's shingles by a single global total order —
+    * ascending document frequency, ties by hash — and keep each doc's
+    * first |S| − ⌈t·|S|⌉ + 1 (its RAREST shingles). Two docs with
+    * J ≥ t must share a shingle inside both prefixes (else their
+    * intersection fits in one doc's suffix of size ⌈t·|S|⌉ − 1 <
+    * t·|S| ≤ |A∩B|), so the prefix self-join loses nothing; df-ordering
+    * makes the joined postings the SHORTEST ones (rare shingles), which
+    * is what bounds candidate fan-out at scale.
+    *
+    * The threshold is a RATIONAL tNum/tDen: prefix lengths are exact
+    * integer arithmetic and the verify keeps `tDen·inter ≥
+    * tNum·(|A|+|B|−inter)` — an integer comparison, no float boundary.
+    *
+    * Shape: corpus → sorted hash sets (fused kernel, once, persisted —
+    * reused by the explode and both verify sides); explode + df join
+    * (combinable shuffle on hash); per-doc rank window (one doc
+    * exchange); prefix self-join on hash (persisted posting prefix);
+    * candidate-distinct; O(n+m) merge-verify per candidate. Returned
+    * through the tracked/loan lifecycle like [[nearDupPairsTracked]]. */
+  def prefixFilterPairs(docs: DataFrame, id: String,
+                        kernels: NearDupKernels,
+                        tNum: Int, tDen: Int): DataFrame =
+    prefixFilterPairsTracked(docs, id, kernels, tNum, tDen)._1
+
+  /** Loan-pattern twin of [[withNearDupPairs]] for the prefix-filter
+    * join: unpersists the set / prefix / candidate caches in a finally. */
+  def withPrefixFilterPairs[T](docs: DataFrame, id: String,
+                               kernels: NearDupKernels,
+                               tNum: Int, tDen: Int)
+                              (use: DataFrame => T): T = {
+    val (pairs, cached) =
+      prefixFilterPairsTracked(docs, id, kernels, tNum, tDen)
+    try use(pairs)
+    finally cached.foreach(_.unpersist(blocking = false))
+  }
+
+  /** [[prefixFilterPairs]] plus the persisted intermediate handles. */
+  def prefixFilterPairsTracked(docs: DataFrame, id: String,
+                               kernels: NearDupKernels,
+                               tNum: Int, tDen: Int)
+  : (DataFrame, Seq[DataFrame]) = {
+    require(tNum > 0 && tDen > 0 && tNum <= tDen,
+      s"threshold $tNum/$tDen must be a fraction in (0, 1]")
+    val sets = docs
+      .select(col(id).as("__pf_id"), kernels.hashedSet.as("__pf_set"))
+      .filter(size(col("__pf_set")) > 0)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tok = sets.select(col("__pf_id"),
+      size(col("__pf_set")).as("__pf_sz"),
+      explode(col("__pf_set")).as("__pf_h"))
+    // Document frequency per shingle hash: sets are distinct per doc, so
+    // count(*) IS the df. One combinable shuffle, vocabulary-sized.
+    val dfTbl = tok.groupBy(col("__pf_h"))
+      .agg(count(lit(1)).as("__pf_df"))
+    val wDoc = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__pf_id"))
+      .orderBy(col("__pf_df").asc, col("__pf_h").asc)
+    // prefix length |S| − ⌈t·|S|⌉ + 1, exact: ⌈a/b⌉ = (a − a mod b)/b + sign
+    // fix via (a+b−1); floorDiv over positives via pmod keeps it integer.
+    val ceilNum = lit(tNum.toLong) * col("__pf_sz") + lit((tDen - 1).toLong)
+    val prefLen = col("__pf_sz") -
+      (ceilNum - pmod(ceilNum, lit(tDen.toLong))) / lit(tDen.toLong) +
+      lit(1)
+    val prefix = tok.join(dfTbl, "__pf_h")
+      .withColumn("__pf_rk", row_number().over(wDoc))
+      .filter(col("__pf_rk") <= prefLen)
+      .select(col("__pf_h"), col("__pf_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val candidates = prefix.select(col("__pf_h"), col("__pf_id").as("id_a"))
+      .join(prefix.select(col("__pf_h").as("__pf_h_r"),
+          col("__pf_id").as("id_b")),
+        col("__pf_h") === col("__pf_h_r") && col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    def side(name: String): DataFrame =
+      sets.select(col("__pf_id").as(name), col("__pf_set").as(s"__s_$name"))
+    val pairs = candidates
+      .join(side("id_a"), "id_a")
+      .join(side("id_b"), "id_b")
+      .withColumn("__inter", call_function("sorted_intersect_count",
+        col("__s_id_a"), col("__s_id_b")))
+      .filter(lit(tDen.toLong) * col("__inter") >= lit(tNum.toLong) *
+        (size(col("__s_id_a")) + size(col("__s_id_b")) - col("__inter")))
+      .withColumn("jaccard", col("__inter").cast("double") /
+        (size(col("__s_id_a")) + size(col("__s_id_b")) - col("__inter"))
+          .cast("double"))
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+    (pairs, Seq(sets, prefix, candidates))
+  }
 }

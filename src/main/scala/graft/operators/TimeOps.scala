@@ -307,4 +307,90 @@ object TimeOps {
       aggregate(collect_list(value.cast("double")).over(w),
         lit(0.0), (acc, x) => (acc + x) / lit(2.0)))
   }
+
+  /** Fixed-grid resampling with LINEAR interpolation — the
+    * feature-engineering twin of [[gapFill]]: where gapFill regularizes a
+    * COUNT series (absence is the fact n = 0, state forward-fills), this
+    * regularizes a MEASUREMENT series (absence is a missing observation,
+    * and the standard estimate between two readings is the line through
+    * them). Sensor readings, account balances, model-metric checkpoints
+    * resample this way before any window math.
+    *
+    * Grid: every multiple of `stepUs` microseconds inside each group's
+    * [first, last] observation span — derived per group from a K-row
+    * min/max aggregate and exploded map-side (`sequence`), never a
+    * driver-side loop; grid ticks are exact integer micros. Same-tick
+    * duplicate observations collapse by MAX first (a deterministic tie
+    * rule both engines share).
+    *
+    * Interpolation: ONE merge-scan per group — grid ticks and
+    * observations union into a single (ts, kind)-ordered window sort
+    * (the [[asofBackward]] shape); `last(ignoreNulls)` over the running
+    * frame carries (prev_ts, prev_v) onto each tick, `first(ignoreNulls)`
+    * over the following frame brings (next_ts, next_v) — both frames
+    * share one partition+sort, so the plan pays ONE exchange and ONE
+    * sort, no self-join of observations to ticks. A tick that lands
+    * exactly on an observation reports it verbatim (`is_exact`);
+    * interior ticks evaluate
+    * `(v_prev·(t_next−t) + v_next·(t−t_prev)) / (t_next−t_prev)` in a
+    * FIXED double op sequence (weights are exact long→double micro
+    * deltas < 2^53), so results hash-verify cross-engine. Every grid
+    * tick lies inside its group's observation span by construction, so
+    * both neighbors always exist.
+    *
+    * Output: one row per (group, tick) — tick_us (integer micros, the
+    * engine-neutral export), value_interp, is_exact. */
+  def interpResample(events: DataFrame, group: Column, ts: Column,
+                     value: Column, stepUs: Long): DataFrame = {
+    require(stepUs >= 1, s"stepUs must be positive, got $stepUs")
+    // A null measurement is a MISSING observation (it contributes no
+    // anchor point), not a zero — drop it before anchoring.
+    val obs = events
+      .select(group.as("__g"), unix_micros(ts).as("__tus"),
+        value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__g"), col("__tus"))
+      .agg(max(col("__v")).as("__v"))
+    // First/last tick per group: ceil/floor to the step grid in exact
+    // integer math (timestamps are non-negative micros).
+    val spine = obs.groupBy(col("__g"))
+      .agg(min(col("__tus")).as("__lo"), max(col("__tus")).as("__hi"))
+      .withColumn("__t0", col("__lo") + pmod(-col("__lo"), lit(stepUs)))
+      .withColumn("__t1", col("__hi") - pmod(col("__hi"), lit(stepUs)))
+      // a group spanning less than one step holds no grid tick; sequence()
+      // would throw on start > stop rather than return empty
+      .filter(col("__t0") <= col("__t1"))
+      .select(col("__g"),
+        explode(sequence(col("__t0"), col("__t1"), lit(stepUs)))
+          .as("__tus"))
+      .select(col("__g"), col("__tus"), lit(1).as("__is_grid"),
+        lit(null).cast("double").as("__v"))
+    val unioned = obs
+      .select(col("__g"), col("__tus"), lit(0).as("__is_grid"), col("__v"))
+      .unionByName(spine)
+    // Observations sort BEFORE the grid tick at the same instant, so the
+    // running frame sees an exact-hit observation and the following frame
+    // (strictly later rows) does not double-serve it.
+    val ord = Seq(col("__tus").asc, col("__is_grid").asc)
+    val wPrev = Window.partitionBy(col("__g")).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.partitionBy(col("__g")).orderBy(ord: _*)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsTs = when(col("__is_grid") === 0, col("__tus"))
+    val obsV = when(col("__is_grid") === 0, col("__v"))
+    val withNbrs = unioned
+      .withColumn("__pt", last(obsTs, ignoreNulls = true).over(wPrev))
+      .withColumn("__pv", last(obsV, ignoreNulls = true).over(wPrev))
+      .withColumn("__nt", first(obsTs, ignoreNulls = true).over(wNext))
+      .withColumn("__nv", first(obsV, ignoreNulls = true).over(wNext))
+    withNbrs.filter(col("__is_grid") === 1)
+      .select(col("__g"), col("__tus").as("tick_us"),
+        when(col("__pt") === col("__tus"), col("__pv"))
+          .otherwise(
+            (col("__pv") * (col("__nt") - col("__tus")).cast("double") +
+              col("__nv") * (col("__tus") - col("__pt")).cast("double")) /
+              (col("__nt") - col("__pt")).cast("double"))
+          .as("value_interp"),
+        (col("__pt") === col("__tus")).cast("int").as("is_exact"))
+  }
 }

@@ -1127,4 +1127,78 @@ class LlmOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       Vec.rrfFuse(Seq(l1), rrfK = 60, k = 3))
   }
+
+  test("dupSpanShare: cross-doc spans count, within-doc repeats don't, " +
+    "short docs are absent, carry threads through") {
+    val docs = Seq(
+      (1L, "s1", "a b c d e"), // windows: [a b c d], [b c d e]
+      (2L, "s1", "a b c d x"), // shares [a b c d] with doc 1
+      (3L, "s2", "p q r s"),   // one unique window
+      (4L, "s2", "a a a a a"), // same fingerprint twice, ONE doc only
+      (5L, "s2", "x y")        // too short to window -> absent
+    ).toDF("doc_id", "src", "text")
+    val out = D.dupSpanShare(docs, "doc_id", col("text"),
+        width = 4, modulus = 1, carry = Seq("src"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(out(1L) == (("s1", 2L, 1L, 0.5)))
+    assert(out(2L) == (("s1", 2L, 1L, 0.5)))
+    assert(out(3L) == (("s2", 1L, 0L, 0.0)))
+    // within-doc repetition is span MASS but not cross-doc duplication
+    assert(out(4L) == (("s2", 2L, 0L, 0.0)))
+    assert(!out.contains(5L))
+  }
+
+  test("prefixFilterPairs equals the brute-force exact similarity join " +
+    "on random corpora (completeness AND precision)") {
+    val rnd = new scala.util.Random(42)
+    val vocab = (0 until 40).map(i => s"t$i")
+    // planted families: each base doc spawns a mutated sibling (one word
+    // appended / one word changed), so qualifying pairs exist at J >= 1/2
+    // alongside random background docs that don't
+    val docs = (0 until 15).flatMap { f =>
+      val n = 5 + rnd.nextInt(10)
+      val base = Seq.fill(n)(vocab(rnd.nextInt(vocab.size)))
+      val mutated =
+        if (rnd.nextBoolean()) base :+ vocab(rnd.nextInt(vocab.size))
+        else base.updated(rnd.nextInt(n), vocab(rnd.nextInt(vocab.size)))
+      val noise = Seq.fill(4 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size)))
+      Seq((f * 3L, base.mkString(" ")), (f * 3L + 1, mutated.mkString(" ")),
+        (f * 3L + 2, noise.mkString(" ")))
+    }.toDF("doc_id", "text")
+    val kn = D.wordKernels(col("text"), 3)
+    // independent reference: collect the kernel's hashed shingle sets and
+    // do the quadratic join in plain Scala with the integer threshold
+    val sets = docs.select(col("doc_id"), kn.hashedSet.as("s"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet)
+      .filter(_._2.nonEmpty).toMap
+    val expected = (for {
+      (a, sa) <- sets.toSeq; (b, sb) <- sets.toSeq if a < b
+      inter = (sa & sb).size
+      if 2L * inter >= (sa.size + sb.size - inter)
+    } yield (a, b) -> inter.toDouble / (sa.size + sb.size - inter)).toMap
+    val got = D.withPrefixFilterPairs(docs, "doc_id", kn, 1, 2) { pairs =>
+      pairs.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    assert(got == expected)
+    assert(expected.nonEmpty) // the corpus actually exercises the join
+  }
+
+  test("withPrefixFilterPairs releases its three caches (sets, prefix, " +
+    "candidates); prefixFilterPairs keeps them") {
+    val docs = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "x y z w q"))
+      .toDF("doc_id", "text")
+    val kn = D.wordKernels(col("text"), 3)
+    spark.catalog.clearCache()
+    SparkEntry.clearSessionSweeps()
+    val n = D.withPrefixFilterPairs(docs, "doc_id", kn, 1, 2)(_.count())
+    assert(n == 1L)
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "withPrefixFilterPairs must leave no CacheManager entries")
+    D.prefixFilterPairs(docs, "doc_id", kn, 1, 2).count()
+    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    spark.catalog.clearCache()
+  }
 }

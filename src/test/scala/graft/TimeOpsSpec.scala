@@ -269,4 +269,39 @@ class TimeOpsSpec extends AnyFunSuite {
     // "aaaaaaaaaa" has 3 windows, all identical -> 1 distinct shingle
     assert(out(2) == Seq("aaaaaaaa"))
   }
+
+  test("interpResample: exact hits verbatim, interior ticks on the line, " +
+    "grid clipped to the observation span") {
+    val ev = Seq((1L, 0L, 10.0), (1L, 100L, 20.0))
+      .toDF("g", "us", "v").withColumn("ts", timestamp_micros(col("us")))
+    val out = TimeOps.interpResample(ev, col("g"), col("ts"), col("v"),
+        stepUs = 10L)
+      .collect().map(r => r.getLong(1) -> (r.getDouble(2), r.getInt(3)))
+      .toMap
+    assert(out.size == 11) // ticks 0, 10, ..., 100
+    assert(out(0L) == ((10.0, 1)))   // exact hit, verbatim
+    assert(out(100L) == ((20.0, 1)))
+    assert(out(50L) == ((15.0, 0)))  // midpoint of the line
+    assert(out(10L) == ((11.0, 0)))
+  }
+
+  test("interpResample: unaligned observations, same-tick max collapse, " +
+    "null measurements dropped, sub-step spans emit nothing") {
+    val ev = Seq(
+      (1L, 5L, Some(0.0)), (1L, 25L, Some(10.0)),  // grid ticks 10, 20
+      (1L, 25L, Some(4.0)),                        // same-tick -> max = 10
+      (1L, 15L, None),                             // null: not an anchor
+      (2L, 3L, Some(1.0)), (2L, 7L, Some(2.0))     // span < step: no tick
+    ).toDF("g", "us", "v").withColumn("ts", timestamp_micros(col("us")))
+    val rows = TimeOps.interpResample(ev, col("g"), col("ts"), col("v"),
+        stepUs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getInt(3))).toMap
+    assert(rows.keySet == Set((1L, 10L), (1L, 20L)))
+    // (0*(25-10) + 10*(10-5)) / (25-5) = 2.5 ; (0*5 + 10*15) / 20 = 7.5
+    assert(rows((1L, 10L)) == ((2.5, 0)))
+    assert(rows((1L, 20L)) == ((7.5, 0)))
+    assertThrows[IllegalArgumentException](
+      TimeOps.interpResample(ev, col("g"), col("ts"), col("v"), 0L))
+  }
 }
