@@ -974,6 +974,42 @@ object SparkEntry {
                 col("__inter")).cast("double"))).as("abs_err"))
     }),
 
+    // L116: SemDeDup embedding-cluster prune list — keep-earliest rule
+    // within deterministic sign-LSH cells at cosine >= 0.3 (the corpus's
+    // meaningful-similarity tail; the all-pairs 99.9th pct is ~0.38).
+    "q133_semdedup" -> ((s, dir) =>
+      Vec.semDedupPrune(t(s, dir, "embeddings"), "vec_id", "embedding",
+        planes = AnnPlanes, theta = 0.3)),
+
+    // L117: hard-negative mining — per query, the top-3 most-similar
+    // OTHER-label vectors from radius-1 multi-probe LSH candidates.
+    "q134_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      Vec.hardNegativeTopK(e.filter(col("vec_id") < 20), e, "vec_id",
+        "embedding", "label", planes = AnnPlanes, k = 3)
+    }),
+
+    // L118: lexical-diversity census per source — vocabulary size, TTR,
+    // hapax share, top-token share from ONE (source, token) count table.
+    "q135_lexical_diversity" -> ((s, dir) =>
+      T.lexicalDiversity(spread(s, t(s, dir, "documents")), col("source"),
+          col("text"))
+        .withColumnRenamed("grp", "source")),
+
+    // L119: histogram-quantile calibration — 64-bin mergeable histogram
+    // estimates vs the exact interpolated quantiles, per event type.
+    "q136_hist_quantiles" -> ((s, dir) =>
+      Sk.histQuantileCalibration(t(s, dir, "events"), col("event_type"),
+          col("value"), buckets = 64, qs = Seq(0.5, 0.9, 0.99))
+        .withColumnRenamed("grp", "event_type")),
+
+    // L120: quantized DSIR importance score — target = English docs,
+    // raw = whole corpus, 4096 hashed unigram features, exact integer
+    // floor-log2 ratios (no transcendental anywhere).
+    "q137_dsir_score" -> ((s, dir) =>
+      T.dsirScore(spread(s, t(s, dir, "documents")), col("doc_id"),
+        col("text"), col("lang") === "en", buckets = 4096)),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -3761,6 +3797,132 @@ object SparkEntry {
          |  AS abs_err
          |FROM j JOIN est e ON e.ida = j.ida AND e.idb = j.idb""".stripMargin
     },
+
+    // q133 twin: same sign-LSH buckets, same pair predicate, same
+    // keep-earliest aggregate.
+    "q133_semdedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings),
+         |p AS (SELECT a.vec_id, a.bucket, b.vec_id AS w,
+         |  ${sqlCosine("a.embedding", "b.embedding")} AS c
+         | FROM e a JOIN e b ON a.bucket = b.bucket AND b.vec_id < a.vec_id)
+         |SELECT vec_id, bucket, min(w) AS witness_id,
+         | CAST(count(*) AS BIGINT) AS n_dups, max(c) AS max_cosine
+         |FROM p WHERE c >= 0.3 GROUP BY 1, 2""".stripMargin,
+
+    // q134 twin: q53's radius-1 probe mask list + the label inequality
+    // riding the bucket join.
+    "q134_hard_negatives" -> {
+      val masks = (0 to AnnPlanes).map(i =>
+        if (i == 0) 0L else 1L << (i - 1)).mkString(",")
+      s"""WITH e AS (SELECT vec_id, embedding, label,
+         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings),
+         |p AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql,
+         |  CAST(unnest([xor(bucket, m) for m in [$masks]]) AS BIGINT)
+         |   AS probe_bucket
+         | FROM e WHERE vec_id < 20),
+         |s AS (SELECT p.query_id, c.vec_id AS neighbor_id,
+         |  c.label AS neg_label,
+         |  ${sqlCosine("p.qe", "c.embedding")} AS cosine
+         | FROM p JOIN e c
+         |  ON p.probe_bucket = c.bucket AND p.ql <> c.label),
+         |r AS (SELECT query_id, neighbor_id, neg_label, cosine,
+         |  row_number() OVER (PARTITION BY query_id
+         |   ORDER BY cosine DESC, neighbor_id) AS rnk FROM s)
+         |SELECT query_id, neighbor_id, neg_label,
+         | CAST(rnk AS INT) AS "rank", cosine
+         |FROM r WHERE rnk <= 3""".stripMargin
+    },
+
+    // q135 twin: one (source, token) count table feeds every statistic.
+    "q135_lexical_diversity" ->
+      """WITH tc AS (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |cnt AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        |  FROM tc GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_hapax,
+        |  CAST(max(n) AS BIGINT) AS top_count
+        |  FROM cnt GROUP BY 1),
+        |nd AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM documents GROUP BY 1)
+        |SELECT source, n_docs, n_tokens, n_types, n_hapax, top_count,
+        | CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+        |  AS type_token_ratio,
+        | CAST(n_hapax AS DOUBLE) / CAST(n_types AS DOUBLE) AS hapax_share,
+        | CAST(top_count AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
+        |FROM g JOIN nd USING (source)""".stripMargin,
+
+    // q136 twin: same extent pass, same 64-bin bucketing op order, same
+    // nearest-rank walk and in-bin interpolation, same OWN-op-sequence
+    // exact side (never DuckDB's internal quantile kernel).
+    "q136_hist_quantiles" ->
+      """WITH v AS (SELECT event_type AS grp, CAST(value AS DOUBLE) AS v
+        |  FROM events WHERE value IS NOT NULL),
+        |ext AS (SELECT grp, min(v) AS lo, max(v) AS hi,
+        |  CAST(count(*) AS BIGINT) AS n FROM v GROUP BY 1),
+        |hist AS (SELECT grp, b, CAST(count(*) AS BIGINT) AS c FROM (
+        |  SELECT v.grp, CASE WHEN hi = lo THEN 0 ELSE
+        |    CAST(least(floor(((v - lo) / (hi - lo)) * 64), 63) AS INT)
+        |   END AS b
+        |  FROM v JOIN ext USING (grp)) GROUP BY 1, 2),
+        |cum AS (SELECT grp, b, c,
+        |  CAST(sum(c) OVER (PARTITION BY grp ORDER BY b) AS BIGINT)
+        |   AS cm FROM hist),
+        |tg AS (SELECT grp, lo, hi, n, q,
+        |  greatest(CAST(ceil(q * n) AS BIGINT), 1) AS t,
+        |  q * (n - 1) + 1 AS pos
+        |  FROM ext CROSS JOIN (VALUES (CAST(0.5 AS DOUBLE)),
+        |    (CAST(0.9 AS DOUBLE)), (CAST(0.99 AS DOUBLE))) AS qq(q)),
+        |tg2 AS (SELECT *, CAST(floor(pos) AS BIGINT) AS r0,
+        |  pos - CAST(floor(pos) AS BIGINT) AS frac,
+        |  least(CAST(floor(pos) AS BIGINT) + 1, n) AS r1 FROM tg),
+        |est AS (SELECT tg2.grp, q, n, r0, r1, frac,
+        |  lo + (((CAST(b AS DOUBLE) +
+        |    (CAST(t - (cm - c) AS DOUBLE) / CAST(c AS DOUBLE))) *
+        |    (hi - lo)) / 64) AS hist_est
+        |  FROM tg2 JOIN cum ON tg2.grp = cum.grp
+        |   AND (cm - c) < t AND t <= cm),
+        |rk AS (SELECT grp, v,
+        |  CAST(row_number() OVER (PARTITION BY grp ORDER BY v) AS BIGINT)
+        |   AS r FROM v)
+        |SELECT e.grp AS event_type, q, n, hist_est,
+        | a.v + ((b2.v - a.v) * frac) AS exact_q,
+        | abs(hist_est - (a.v + ((b2.v - a.v) * frac))) AS abs_err
+        |FROM est e
+        | JOIN rk a ON a.grp = e.grp AND a.r = e.r0
+        | JOIN rk b2 ON b2.grp = e.grp AND b2.r = e.r1""".stripMargin,
+
+    // q137 twin: same md5-hashed features, same add-one-smoothed exact
+    // floor-log2 ratios via length(bin(x)) - 1, same normalizer.
+    "q137_dsir_score" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS is_target,
+         |  unnest(string_split(text, ' ')) AS w FROM documents),
+         |f AS (SELECT doc_id, is_target,
+         |  CAST(${hx("w", 15)} % 4096 AS BIGINT) AS f FROM tok),
+         |df AS (SELECT doc_id, is_target, f,
+         |  CAST(count(*) AS BIGINT) AS c FROM f GROUP BY 1, 2, 3),
+         |raw AS (SELECT f, CAST(sum(c) AS BIGINT) AS nr FROM df GROUP BY 1),
+         |tgt AS (SELECT f, CAST(sum(c) AS BIGINT) AS nt
+         |  FROM df WHERE is_target GROUP BY 1),
+         |lr AS (SELECT f,
+         |  CAST((length(bin(COALESCE(nt, 0) + 1)) - 1) -
+         |       (length(bin(nr + 1)) - 1) AS BIGINT) AS lr
+         |  FROM raw LEFT JOIN tgt USING (f)),
+         |tots AS (SELECT
+         |  CAST((length(bin(tr + 4096)) - 1) -
+         |       (length(bin(COALESCE(tt, 0) + 4096)) - 1) AS BIGINT)
+         |   AS nrm
+         |  FROM (SELECT CAST(sum(nr) AS BIGINT) AS tr FROM raw)
+         |  CROSS JOIN (SELECT CAST(sum(nt) AS BIGINT) AS tt FROM tgt))
+         |SELECT doc_id, is_target, CAST(sum(c) AS BIGINT) AS n_tokens,
+         | CAST(sum(c * lr) + sum(c) * (SELECT nrm FROM tots) AS BIGINT)
+         |  AS dsir_score
+         |FROM df JOIN lr USING (f) GROUP BY 1, 2""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

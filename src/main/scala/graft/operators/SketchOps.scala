@@ -83,4 +83,78 @@ object SketchOps {
       .agg(hll_sketch_estimate(hll_union_agg(col("hll")))
         .as("n_distinct_est"),
         sum(col("n_rows")).as("n_rows"))
+
+  // ------------------------------------ histogram quantile calibration
+
+  /** Fixed-grid histogram quantile estimates NEXT TO the exact quantiles
+    * they approximate — the quantile-sketch twin of the q132 MinHash and
+    * q49 ANN calibrations. The estimator is the mergeable production
+    * path at 100 TB: per-group [min,max] extent (one combinable pass),
+    * `buckets` equal-width bin counts (a second combinable pass whose
+    * shuffle is bounded by groups×buckets rows — histograms from
+    * disjoint shards ADD, like the CMS counters), then for each
+    * nearest-rank target t = ceil(q·n) a linear interpolation inside the
+    * covering bin. The exact side sorts each group's values ONCE
+    * (row_number window) and evaluates the same interpolated-rank
+    * definition as DuckDB's quantile_cont — but with OUR OWN fixed op
+    * sequence in both engines (v0 + (v1−v0)·frac, frac = q·(n−1) −
+    * (r0−1)), so the comparison never leans on two engines' internal
+    * percentile kernels agreeing bitwise. Exact side is the calibration
+    * baseline ONLY — at 100 TB you ship the histogram and this report is
+    * how you size `buckets`.
+    *
+    * Output: one row per (group, q): n, the bin estimate, the exact
+    * quantile, and |est − exact| — every value either an exact long or a
+    * fixed-sequence double. */
+  def histQuantileCalibration(df: DataFrame, group: Column, value: Column,
+                              buckets: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val v = df.select(group.as("grp"), value.cast("double").as("__v"))
+      .filter(col("__v").isNotNull)
+    val ext = v.groupBy(col("grp")).agg(min(col("__v")).as("__lo"),
+      max(col("__v")).as("__hi"), count(lit(1)).as("n"))
+    val hist = v.join(broadcast(ext), Seq("grp"))
+      .select(col("grp"),
+        when(col("__hi") === col("__lo"), lit(0))
+          .otherwise(least(
+            floor(((col("__v") - col("__lo")) / (col("__hi") - col("__lo")))
+              * buckets),
+            lit((buckets - 1).toLong))).cast("int").as("__b"))
+      .groupBy(col("grp"), col("__b")).agg(count(lit(1)).as("__c"))
+    val wb = Window.partitionBy(col("grp")).orderBy(col("__b"))
+    val cum = hist.withColumn("__cum", sum(col("__c")).over(wb))
+      .withColumn("__cumb", col("__cum") - col("__c"))
+    // Per (group, q) targets: nearest-rank t for the histogram walk and
+    // the interpolated rank pair (r0, r0+1, frac) for the exact side.
+    val qlit = explode(array(qs.map(lit): _*)).as("q")
+    val targets = ext.select(col("grp"), col("__lo"), col("__hi"),
+        col("n"), qlit)
+      .withColumn("__t", greatest(ceil(col("q") * col("n")), lit(1L)))
+      .withColumn("__pos", col("q") * (col("n") - 1) + 1)
+      .withColumn("__r0", floor(col("__pos")).cast("long"))
+      .withColumn("__frac", col("__pos") - col("__r0"))
+      .withColumn("__r1", least(col("__r0") + 1, col("n")))
+    val est = targets.join(cum, Seq("grp"))
+      .filter(col("__cumb") < col("__t") && col("__t") <= col("__cum"))
+      .select(col("grp"), col("q"), col("n"), col("__lo"), col("__hi"),
+        col("__r0"), col("__r1"), col("__frac"),
+        (col("__lo") + (((col("__b") +
+          ((col("__t") - col("__cumb")).cast("double") /
+            col("__c").cast("double"))) *
+          (col("__hi") - col("__lo"))) / buckets)).as("hist_est"))
+    val wr = Window.partitionBy(col("grp")).orderBy(col("__v"))
+    val rk = v.withColumn("__r", row_number().over(wr).cast("long"))
+    val v0 = rk.select(col("grp").as("__g0"), col("__r").as("__rr0"),
+      col("__v").as("__v0"))
+    val v1 = rk.select(col("grp").as("__g1"), col("__r").as("__rr1"),
+      col("__v").as("__v1"))
+    est
+      .join(v0, col("grp") === col("__g0") && col("__r0") === col("__rr0"))
+      .join(v1, col("grp") === col("__g1") && col("__r1") === col("__rr1"))
+      .withColumn("exact_q",
+        col("__v0") + ((col("__v1") - col("__v0")) * col("__frac")))
+      .select(col("grp"), col("q"), col("n"), col("hist_est"),
+        col("exact_q"),
+        abs(col("hist_est") - col("exact_q")).as("abs_err"))
+  }
 }

@@ -468,4 +468,93 @@ object TextOps {
       .select(col("query_id"), col(id), col("rank"), col("score_fp"),
         col("n_terms"))
   }
+
+  /** Exact floor(log2(x)) for a positive long — `length(bin(x)) - 1`,
+    * pure integer/string ops, so both engines agree bit-for-bit where a
+    * transcendental `log` could round differently at powers of two.
+    * DuckDB twin: `length(bin(x)) - 1`. */
+  def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("int")
+
+  /** Lexical-diversity census per group — the corpus-health panel
+    * curation dashboards run per source/shard: token count, vocabulary
+    * size (types), type-token ratio, hapax-legomenon share (types seen
+    * once — high = noisy/OCR text, low = boilerplate), and the top
+    * token's frequency share (high = template spam). ONE (group, token)
+    * count shuffle feeds every statistic — types, tokens, hapax and max
+    * all fold from the same table; doc counts ride a second cheap
+    * group-sized aggregate. Counts are exact longs; each ratio is one
+    * final int/int double division (hash-stable). Group cardinality is
+    * bounded by vocabulary per group, combinable map-side — the 100 TB
+    * shape. */
+  def lexicalDiversity(docs: DataFrame, group: Column,
+                       text: Column): DataFrame = {
+    val tc = docs.select(group.as("grp"), explode(tokens(text)).as("__tok"))
+      .groupBy(col("grp"), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    val perGrp = tc.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_types"),
+        sum(col("__n")).as("n_tokens"),
+        sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"),
+        max(col("__n")).as("top_count"))
+    val nd = docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"))
+    perGrp.join(nd, Seq("grp"))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_types"),
+        col("n_hapax"), col("top_count"),
+        (col("n_types").cast("double") / col("n_tokens").cast("double"))
+          .as("type_token_ratio"),
+        (col("n_hapax").cast("double") / col("n_types").cast("double"))
+          .as("hapax_share"),
+        (col("top_count").cast("double") / col("n_tokens").cast("double"))
+          .as("top_share"))
+  }
+
+  /** Quantized DSIR importance score (Xie et al. 2023, arXiv:2302.03169,
+    * "Data Selection for Language Models via Importance Resampling"):
+    * score(d) = Σ_f c_{d,f}·[log p_target(f) − log p_raw(f)] over hashed
+    * unigram features f — documents scoring high look like the target
+    * distribution and get upsampled. The log is QUANTIZED to exact
+    * integer floor(log2) ([[ilog2]]) so every contribution is an exact
+    * long and the per-doc sum is order-free — no transcendental ever
+    * evaluates (the BM25 fixed-point discipline, one step further).
+    * With add-one smoothing over `buckets` features:
+    *   score(d) = Σ_f c_{d,f}·[L(n_t(f)+1) − L(n_r(f)+1)]
+    *            + n_d·[L(T_r + B) − L(T_t + B)],  L = floor(log2)
+    * (the second term is the doc-length-proportional normalizer from the
+    * totals ratio). `isTarget` marks the in-domain exemplar docs; the
+    * raw distribution is the whole input.
+    *
+    * Shape: ONE token expansion → (doc, feature) counts (combinable);
+    * the feature table folds to at most `buckets` rows → both count
+    * tables and the totals BROADCAST; the per-doc score is one
+    * combinable sum. At 100 TB: two bounded broadcasts + two shuffles,
+    * both on pre-aggregated rows. */
+  def dsirScore(docs: DataFrame, id: Column, text: Column,
+                isTarget: Column, buckets: Int): DataFrame = {
+    val feat = docs.select(id.as("doc_id"), isTarget.as("is_target"),
+        explode(tokens(text)).as("__tok"))
+      .select(col("doc_id"), col("is_target"),
+        pmod(hash60(col("__tok")), lit(buckets.toLong)).as("__f"))
+      .groupBy(col("doc_id"), col("is_target"), col("__f"))
+      .agg(count(lit(1)).as("__c"))
+    val raw = feat.groupBy(col("__f")).agg(sum(col("__c")).as("__nr"))
+    val tgt = feat.filter(col("is_target"))
+      .groupBy(col("__f")).agg(sum(col("__c")).as("__nt"))
+    val lr = raw.join(tgt, Seq("__f"), "left")
+      .select(col("__f"),
+        (ilog2(coalesce(col("__nt"), lit(0L)) + 1) -
+          ilog2(col("__nr") + 1)).cast("long").as("__lr"))
+    val totals = raw.agg(sum(col("__nr")).as("__tr"))
+      .crossJoin(tgt.agg(sum(col("__nt")).as("__tt")))
+      .select((ilog2(col("__tr") + buckets) -
+        ilog2(coalesce(col("__tt"), lit(0L)) + buckets))
+        .cast("long").as("__norm"))
+    feat.join(broadcast(lr), Seq("__f"))
+      .groupBy(col("doc_id"), col("is_target"))
+      .agg(sum(col("__c")).as("n_tokens"),
+        sum(col("__c") * col("__lr")).as("__s"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("is_target"), col("n_tokens"),
+        (col("__s") + col("n_tokens") * col("__norm")).as("dsir_score"))
+  }
 }

@@ -490,4 +490,74 @@ object VectorOps {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         col("rrf_score"), col("n_sources"))
   }
+
+  /** Semantic deduplication prune list (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): partition the embedding space into cells, compare
+    * pairs ONLY within a cell, and prune every vector that has a
+    * more-senior (smaller-id) cell-mate with cosine ≥ `theta`. The
+    * keep-earliest rule needs no transitive closure — a vector's fate
+    * depends only on the existence of one smaller-id near-neighbor, so
+    * one bucketed self-join + one aggregate decides every row (vs the
+    * near-dup clustering path, L40b, which pays a CC fixpoint for
+    * cluster-aware curation).
+    *
+    * Cells here are deterministic sign-LSH buckets ([[lshBucket]]) rather
+    * than the paper's trained k-means cells, so the cell assignment is a
+    * pure expression the oracle replays exactly; the trained-cell variant
+    * is [[ivfAssign]] composed the same way. Scale: pair work is
+    * Σ_cells |cell|² — bounded by sizing buckets via [[planesForCorpus]]
+    * (~4k vectors/cell at any corpus size), the paper's own recipe; the
+    * corpus never pairs across cells. Returns ONLY pruned vectors:
+    * (id, bucket, witness_id = smallest qualifying senior, n_dups =
+    * qualifying seniors, max_cosine). Counts are exact longs; cosines are
+    * compare/max only (no float summation). */
+  def semDedupPrune(vectors: DataFrame, id: String, vec: String,
+                    planes: Int, theta: Double): DataFrame = {
+    val e = vectors.select(col(id), col(vec),
+      lshBucket(col(vec), planes).as("bucket"), norm(col(vec)).as("__n"))
+    val a = e.select(col(id).as("vec_id"), col(vec).as("__va"),
+      col("bucket"), col("__n").as("__na"))
+    val b = e.select(col(id).as("__w"), col(vec).as("__vb"),
+      col("bucket").as("__bb"), col("__n").as("__nb"))
+    a.join(b, col("bucket") === col("__bb") && col("__w") < col("vec_id"))
+      .withColumn("__cos", cosineWithNorms(col("__va"), col("__vb"),
+        col("__na"), col("__nb")))
+      .filter(col("__cos") >= lit(theta))
+      .groupBy(col("vec_id"), col("bucket"))
+      .agg(min(col("__w")).as("witness_id"),
+        count(lit(1)).as("n_dups"),
+        max(col("__cos")).as("max_cosine"))
+  }
+
+  /** Hard-negative mining for contrastive training (Xiong et al. 2021,
+    * ANCE, arXiv:2007.00808 shape): for each query vector, the top-`k`
+    * most-similar corpus vectors whose `label` DIFFERS from the query's —
+    * the near-miss negatives that make embedding training informative.
+    * Candidate generation is radius-1 multi-probe sign-LSH (the q53
+    * dial): the corpus is bucketed ONCE, each query probes its own
+    * bucket plus every 1-bit flip, and only candidates are scored — the
+    * production ANN shape, not a brute-force pair scan. The label
+    * inequality rides the bucket join (no post-filter pass). Ties break
+    * by neighbor id; cosines are compare-only doubles. */
+  def hardNegativeTopK(queries: DataFrame, corpus: DataFrame, id: String,
+                       vec: String, label: String, planes: Int,
+                       k: Int): DataFrame = {
+    val masks = (0 to planes).map(i =>
+      if (i == 0) 0L else 1L << (i - 1)).map(lit)
+    val c = corpus.select(col(id).as("neighbor_id"), col(vec).as("__cv"),
+      lshBucket(col(vec), planes).as("__bc"), norm(col(vec)).as("__cn"),
+      col(label).as("neg_label"))
+    val q = queries.select(col(id).as("query_id"), col(vec).as("__qv"),
+        explode(transform(array(masks: _*), m =>
+          lshBucket(col(vec), planes).bitwiseXOR(m))).as("__probe"),
+        norm(col(vec)).as("__qn"), col(label).as("__ql"))
+    val scored = q.join(c, col("__probe") === col("__bc") &&
+        col("__ql") =!= col("neg_label"))
+      .withColumn("cosine", cosineWithNorms(col("__qv"), col("__cv"),
+        col("__qn"), col("__cn")))
+    RelationalOps.topKPerGroup(scored, Seq("query_id"),
+        Seq(col("cosine").desc, col("neighbor_id")), k, "rank")
+      .select(col("query_id"), col("neighbor_id"), col("neg_label"),
+        col("rank"), col("cosine"))
+  }
 }

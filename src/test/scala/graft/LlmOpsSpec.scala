@@ -1201,4 +1201,117 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
     spark.catalog.clearCache()
   }
+
+  // ------------------------------------------------- semdedup / negatives
+
+  test("semDedupPrune: keep-earliest within cell, cross-cell pairs never " +
+    "compared, thresholds respected") {
+    // v1 ≈ v2 ≈ v3 (same direction, same LSH cell), v4 orthogonal-ish.
+    def vec(seed: Double): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(i + 1) + seed).toFloat)
+    val rows = Seq((1L, vec(0.0)), (2L, vec(0.001)), (3L, vec(0.002)),
+      (4L, Array.tabulate(64)(i => (math.cos(3 * i + 7)).toFloat)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Vec.semDedupPrune(df, "vec_id", "embedding",
+        planes = 4, theta = 0.99)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    // 1 survives (no smaller id); 2 pruned by witness 1; 3 pruned with
+    // witness 1 and both 1,2 as qualifying seniors.
+    assert(!out.contains(1L) && !out.contains(4L))
+    assert(out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((1L, 2L)))
+  }
+
+  test("hardNegativeTopK never returns the query's own label and ranks " +
+    "by cosine desc") {
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(64)(i => (math.sin(i * 0.1 + seed * 0.01) + 1.0).toFloat)
+    // All vectors share a direction-ish region so LSH buckets collide.
+    val rows = (0L until 30L).map(i => (i, vec(i.toInt), (i % 3).toInt))
+    val df = rows.toDF("vec_id", "embedding", "label")
+    val out = Vec.hardNegativeTopK(df.filter(col("vec_id") < 3), df,
+      "vec_id", "embedding", "label", planes = 2, k = 3).collect()
+    val lbl = rows.map(r => r._1 -> r._3).toMap
+    out.foreach { r =>
+      assert(lbl(r.getLong(0)) != r.getInt(2),
+        s"query ${r.getLong(0)} got same-label negative ${r.getLong(1)}")
+    }
+    out.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val byRank = rs.sortBy(_.getInt(3)).map(_.getDouble(4))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+      assert(rs.length <= 3)
+    }
+  }
+
+  // -------------------------------------------------- lexical diversity
+
+  test("lexicalDiversity: exact counts on a known corpus") {
+    val docs = Seq(("s1", "a a b"), ("s1", "a c"), ("s2", "x x x x"))
+      .toDF("source", "text")
+    val out = T.lexicalDiversity(docs, col("source"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1") // tokens: a a b a c → n=5, types {a:3,b:1,c:1}
+    assert(s1.getLong(1) == 2L && s1.getLong(2) == 5L &&
+      s1.getLong(3) == 3L && s1.getLong(4) == 2L && s1.getLong(5) == 3L)
+    assert(s1.getDouble(6) == 3.0 / 5.0) // ttr
+    assert(s1.getDouble(7) == 2.0 / 3.0) // hapax share
+    assert(s1.getDouble(8) == 3.0 / 5.0) // top share
+    val s2 = out("s2") // one type, 4 tokens, no hapax
+    assert(s2.getLong(2) == 4L && s2.getLong(3) == 1L &&
+      s2.getLong(4) == 0L && s2.getDouble(8) == 1.0)
+  }
+
+  // ------------------------------------------------------ dsir / ilog2
+
+  test("ilog2 is exact floor(log2) including powers of two") {
+    val xs = Seq(1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L, (1L << 40) - 1,
+      1L << 40)
+    val got = xs.toDF("x").select(T.ilog2(col("x"))).collect()
+      .map(_.getInt(0))
+    val want = xs.map(x => 63 - java.lang.Long.numberOfLeadingZeros(x))
+    assert(got.toSeq == want)
+  }
+
+  test("dsirScore ranks target-vocabulary docs above off-target docs") {
+    val docs = Seq(
+      (1L, "alpha beta gamma alpha beta", true),
+      (2L, "alpha beta gamma gamma beta", true),
+      (3L, "zeta eta theta iota kappa", false),
+      (4L, "alpha beta gamma beta alpha", false), // target-looking raw doc
+      (5L, "zeta eta theta zeta eta", false))
+      .toDF("doc_id", "text", "tgt")
+    val out = T.dsirScore(docs, col("doc_id"), col("text"), col("tgt"),
+        buckets = 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // Doc 4 shares the target vocabulary → scores above the zeta docs.
+    assert(out(4L) > out(3L) && out(4L) > out(5L))
+    assert(out(1L) > out(3L))
+    assert(out.size == 5)
+  }
+
+  // --------------------------------------- histogram quantile calibration
+
+  test("histQuantileCalibration: exact side matches quantile_cont " +
+    "semantics; fine-grained histogram nails integer grids") {
+    import graft.operators.{SketchOps => Sk}
+    // 1..101 in one group: p50=51, p90=91, p99≈100.9 (interpolated).
+    val df = (1 to 101).map(v => ("g", v.toDouble)).toDF("k", "v")
+    val out = Sk.histQuantileCalibration(df, col("k"), col("v"),
+        buckets = 1000, qs = Seq(0.5, 0.9, 0.99))
+      .collect().map(r => r.getDouble(1) -> r).toMap
+    assert(out(0.5).getDouble(4) == 51.0)
+    assert(out(0.9).getDouble(4) == 91.0)
+    assert(math.abs(out(0.99).getDouble(4) - 100.0) <= 1.0)
+    // With 1000 bins over 100 distinct values the estimate lands within
+    // one bin width of the exact quantile.
+    out.values.foreach(r => assert(r.getDouble(5) < 1.0,
+      s"abs_err ${r.getDouble(5)} too large"))
+    // Degenerate group (hi == lo) stays finite.
+    val one = Sk.histQuantileCalibration(
+      Seq(("g", 5.0), ("g", 5.0)).toDF("k", "v"), col("k"), col("v"),
+      buckets = 8, qs = Seq(0.5)).collect()
+    assert(one.length == 1 && one.head.getDouble(3) == 5.0 &&
+      one.head.getDouble(4) == 5.0)
+  }
 }
