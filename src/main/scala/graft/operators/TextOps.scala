@@ -531,12 +531,18 @@ object TextOps {
     * both on pre-aggregated rows. */
   def dsirScore(docs: DataFrame, id: Column, text: Column,
                 isTarget: Column, buckets: Int): DataFrame = {
+    // Eagerly checkpoint the (doc, feature) count table: raw counts,
+    // target counts, totals and the final per-doc fold all branch from
+    // it — without the checkpoint each branch would replay the corpus
+    // tokenize+count shuffle (the q119 lesson). The table is bounded by
+    // docs × min(doc_tokens, buckets) rows — far below token scale.
     val feat = docs.select(id.as("doc_id"), isTarget.as("is_target"),
         explode(tokens(text)).as("__tok"))
       .select(col("doc_id"), col("is_target"),
         pmod(hash60(col("__tok")), lit(buckets.toLong)).as("__f"))
       .groupBy(col("doc_id"), col("is_target"), col("__f"))
       .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
     val raw = feat.groupBy(col("__f")).agg(sum(col("__c")).as("__nr"))
     val tgt = feat.filter(col("is_target"))
       .groupBy(col("__f")).agg(sum(col("__c")).as("__nt"))

@@ -547,4 +547,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("FileScan"),
       s"kappa branches must read the checkpoint, not re-scan:\n$p")
   }
+
+  test("q133 semdedup / q134 hard negatives: cell/probe joins stay " +
+    "equi-joins — never a cartesian over the corpus") {
+    for (q <- Seq("q133_semdedup", "q134_hard_negatives")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q pair generation degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("q136 hist quantiles: the extent table broadcasts onto the " +
+    "bucketing scan; no shuffled join anywhere") {
+    val p = plan("q136_hist_quantiles")
+    assert(p.contains("BroadcastHashJoin"),
+      s"extent must broadcast onto the corpus scan:\n$p")
+    assert(!p.contains("CartesianProduct"), s"degraded plan:\n$p")
+  }
+
+  test("q137 dsir: every branch reads the checkpointed feature-count " +
+    "table (ONE corpus expansion); log-ratio table broadcasts; the only " +
+    "nested-loops are the two 1-row totals cross joins") {
+    val p = plan("q137_dsir_score")
+    assert(!p.contains("FileScan"),
+      s"branches must read the checkpoint, not re-expand the corpus:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"log-ratio table must broadcast:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) == 2,
+      s"expected the tr×tt and totals×fold 1-row cross joins only:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the corpus-side fold must never shuffle-join:\n$p")
+  }
 }
