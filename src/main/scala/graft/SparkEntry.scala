@@ -1010,6 +1010,34 @@ object SparkEntry {
       T.dsirScore(spread(s, t(s, dir, "documents")), col("doc_id"),
         col("text"), col("lang") === "en", buckets = 4096)),
 
+    // L121: exact duplicated-span removal — q129's census turned into
+    // the Lee et al. rewrite: 16-token windows seen in >= 2 docs are
+    // cut from every doc but the window's first.
+    "q138_dup_span_removal" -> ((s, dir) =>
+      D.dupSpanRemove(spread(s, t(s, dir, "documents")), "doc_id",
+        col("text"), width = 16)),
+
+    // L122: positional phrase search — adjacency-in-order matching over
+    // a positional inverted index; phrase terms broadcast.
+    "q139_phrase_search" -> ((s, dir) => {
+      import s.implicits._
+      T.phraseSearch(spread(s, t(s, dir, "documents")), "doc_id",
+        col("text"), searchPhrases.toDF("phrase_id", "phrase"))
+    }),
+
+    // L123: τ=1/2 temperature source mixing — sqrt-scaled token budgets
+    // per source over a 1M-token budget.
+    "q140_temperature_mix" -> ((s, dir) =>
+      Sam.temperatureMixSqrt(t(s, dir, "documents"), col("source"),
+          size(T.tokens(col("text"))).cast("long"), budget = 1000000L)
+        .withColumnRenamed("grp", "source")),
+
+    // L124: cross-source contamination matrix — pairwise distinct
+    // 13-gram overlap between sources (the train/eval bleed audit).
+    "q141_contamination_matrix" -> ((s, dir) =>
+      T.crossSourceOverlap(spread(s, t(s, dir, "documents")),
+        col("source"), col("text"), n = 13)),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -1924,6 +1952,11 @@ object SparkEntry {
     * default geometry; see [[graft.operators.VectorOps.planesForCorpus]]
     * for the corpus-size-driven bucket-count math at real scale. */
   private val AnnPlanes = 4
+
+  /** q139's phrase workload — ONE list shared by the Spark query and its
+    * oracle so the two sides can never drift. */
+  private val searchPhrases = Seq(
+    (1L, "table part"), (2L, "fast key scan"), (3L, "value table"))
 
   /** IVF geometry for q34 — cell count, Lloyd training iterations, and
     * probe depth for the test corpus; [[graft.operators.VectorOps
@@ -3923,6 +3956,100 @@ object SparkEntry {
          | CAST(sum(c * lr) + sum(c) * (SELECT nrm FROM tots) AS BIGINT)
          |  AS dsir_score
          |FROM df JOIN lr USING (f) GROUP BY 1, 2""".stripMargin,
+
+    // q138 twin: q70's span-hash CTE at modulus 1, keep-first removal,
+    // ordered string_agg reassembly.
+    "q138_dup_span_removal" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sp AS (SELECT doc_id, ts,
+         |  CAST(unnest(generate_series(1, len(ts) - 15, 1)) AS INT) AS p
+         | FROM tok),
+         |h AS (SELECT doc_id, p,
+         |  ${hx("array_to_string(ts[p : p + 15], ' ')", 8)} AS sh
+         | FROM sp),
+         |st AS (SELECT sh, count(DISTINCT doc_id) AS nd, min(doc_id) AS fd
+         |  FROM h GROUP BY 1),
+         |rm AS (SELECT DISTINCT h.doc_id,
+         |  CAST(unnest(generate_series(p, p + 15)) AS INT) AS pos
+         | FROM h JOIN st USING (sh) WHERE nd >= 2 AND h.doc_id <> fd),
+         |tp AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(ts))) AS INT) AS pos, ts
+         | FROM tok),
+         |tk AS (SELECT doc_id, pos, ts[pos] AS tok FROM tp),
+         |mk AS (SELECT tk.doc_id, tk.pos, tok, rm.pos AS rmp
+         | FROM tk LEFT JOIN rm
+         |  ON tk.doc_id = rm.doc_id AND tk.pos = rm.pos)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         | CAST(count(rmp) AS BIGINT) AS n_removed,
+         | COALESCE(string_agg(tok, ' ' ORDER BY pos)
+         |   FILTER (WHERE rmp IS NULL), '') AS cleaned_text
+         |FROM mk GROUP BY 1""".stripMargin,
+
+    // q139 twin: phrase terms as literal VALUES from the same shared
+    // list; same start-voting aggregate.
+    "q139_phrase_search" -> {
+      val termVals = searchPhrases.flatMap { case (pid, ph) =>
+        ph.split(" ").zipWithIndex.map { case (w, i) => s"($pid, $i, '$w')" }
+      }.mkString(", ")
+      val ntVals = searchPhrases
+        .map { case (pid, ph) => s"($pid, ${ph.split(" ").length})" }
+        .mkString(", ")
+      s"""WITH tok AS (SELECT doc_id, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |tp AS (SELECT doc_id,
+         |  CAST(unnest(generate_series(1, len(ts))) AS INT) AS pos, ts
+         | FROM tok),
+         |tk AS (SELECT doc_id, pos, ts[pos] AS tok FROM tp),
+         |tm AS (SELECT * FROM (VALUES $termVals) AS v(phrase_id, i, pt)),
+         |nt AS (SELECT * FROM (VALUES $ntVals) AS v(phrase_id, n_terms)),
+         |st AS (SELECT phrase_id, doc_id, pos - i AS s,
+         |  count(DISTINCT i) AS hits
+         | FROM tk JOIN tm ON tok = pt GROUP BY 1, 2, 3)
+         |SELECT CAST(phrase_id AS BIGINT) AS phrase_id, doc_id,
+         | CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM st JOIN nt USING (phrase_id)
+         |WHERE hits = n_terms GROUP BY 1, 2""".stripMargin
+    },
+
+    // q140 twin: same sqrt weights, same source-ordered left fold for
+    // the weight total (list_reduce from the first element == Spark's
+    // 0.0-seeded fold), same floor(budget·share).
+    "q140_temperature_mix" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        | FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |  sqrt(CAST(n_tokens AS DOUBLE)) AS weight FROM g),
+        |tw AS (SELECT list_reduce(list(weight ORDER BY source),
+        |  (x, y) -> x + y) AS t FROM w)
+        |SELECT source, n_docs, n_tokens, weight, weight / t AS share,
+        | CAST(floor(CAST(1000000 AS DOUBLE) * (weight / t)) AS BIGINT)
+        |  AS alloc_tokens
+        |FROM w CROSS JOIN tw""".stripMargin,
+
+    // q141 twin: distinct (source, 13-gram-hash) sets, pair join with
+    // src_a < src_b, totals rejoined.
+    "q141_contamination_matrix" ->
+      s"""WITH tok AS (SELECT source, string_split(text, ' ') AS ts
+         |  FROM documents),
+         |sp AS (SELECT source, ts,
+         |  CAST(unnest(generate_series(1, len(ts) - 12, 1)) AS INT) AS p
+         | FROM tok),
+         |sh AS (SELECT DISTINCT source,
+         |  ${hx("array_to_string(ts[p : p + 12], ' ')", 8)} AS h
+         | FROM sp),
+         |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM sh
+         |  GROUP BY 1),
+         |pr AS (SELECT a.source AS src_a, b.source AS src_b,
+         |  CAST(count(*) AS BIGINT) AS n_common
+         | FROM sh a JOIN sh b ON a.h = b.h AND a.source < b.source
+         | GROUP BY 1, 2)
+         |SELECT src_a, src_b, n_common, ta.n AS n_a, tb.n AS n_b,
+         | CAST(n_common AS DOUBLE) / CAST(ta.n + tb.n - n_common AS DOUBLE)
+         |  AS jaccard
+         |FROM pr JOIN tot ta ON ta.source = src_a
+         | JOIN tot tb ON tb.source = src_b""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -770,6 +770,60 @@ object DedupOps {
       .withColumnRenamed("__ds_id", id)
   }
 
+  /** Exact duplicated-span REMOVAL (Lee et al. 2022, arXiv:2107.06499,
+    * "Deduplicating Training Data Makes Language Models Better"): every
+    * `width`-token window that appears in ≥ 2 distinct documents is
+    * removed from every document EXCEPT the window's first (min-id) doc —
+    * the rewrite that [[dupSpanShare]] only censuses. Keep-first needs no
+    * transitive reasoning: a window's fate is (n_docs ≥ 2, doc ≠
+    * first_doc), decided by one span-hash aggregate.
+    *
+    * Shape: span hashes are a map-side transform at EVERY position
+    * (modulus 1 — removal needs full coverage, unlike the census's
+    * sampled windows); one (hash) aggregate finds duplicated windows and
+    * their first doc; the ×width position explode runs ONLY on duplicated
+    * span occurrences (the small side); reassembly is one per-doc
+    * aggregate folding (pos, token, removed?) structs back into cleaned
+    * text. Tokens/counts exact longs; a fully-covered doc keeps its row
+    * with cleaned_text = ''. Docs shorter than `width` pass through
+    * untouched. */
+  def dupSpanRemove(docs: DataFrame, id: String, text: Column,
+                    width: Int): DataFrame = {
+    val toks = docs.select(col(id).as("__id"),
+      TextOps.tokens(text).as("__ts"))
+    val spans = toks.select(col("__id"),
+        explode(when(size(col("__ts")) >= width,
+          transform(sequence(lit(1), size(col("__ts")) - (width - 1)),
+            p => struct(p.as("p"),
+              TextOps.hash32(concat_ws(" ",
+                slice(col("__ts"), p, lit(width)))).as("sh"))))
+          .otherwise(array().cast("array<struct<p:int,sh:bigint>>")))
+          .as("__sp"))
+      .select(col("__id"), col("__sp.p").as("__p"), col("__sp.sh").as("__sh"))
+    val stats = spans.groupBy(col("__sh"))
+      .agg(countDistinct(col("__id")).as("__nd"),
+        min(col("__id")).as("__fd"))
+      .filter(col("__nd") >= 2)
+    val rmPos = spans.join(stats, Seq("__sh"))
+      .filter(col("__id") =!= col("__fd"))
+      .select(col("__id"),
+        explode(sequence(col("__p"), col("__p") + (width - 1))).as("__pos"))
+      .distinct()
+    val tokPos = toks.select(col("__id"),
+      posexplode(col("__ts")).as(Seq("__pos0", "__tok")))
+      .select(col("__id"), (col("__pos0") + 1).as("__pos"), col("__tok"))
+    tokPos.join(rmPos.withColumn("__rm", lit(1)), Seq("__id", "__pos"),
+        "left")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__rm").isNotNull, 1L).otherwise(0L)).as("n_removed"),
+        concat_ws(" ", transform(
+          filter(array_sort(collect_list(struct(col("__pos"), col("__tok"),
+            col("__rm")))), x => x.getField("__rm").isNull),
+          x => x.getField("__tok"))).as("cleaned_text"))
+      .withColumnRenamed("__id", id)
+  }
+
   /** Exact-COMPLETE similarity self-join via document-frequency-ordered
     * prefix filtering (the SSJoin / All-Pairs / PPJoin family —
     * Chaudhuri et al. ICDE'06, Bayardo et al. WWW'07, Xiao et al.

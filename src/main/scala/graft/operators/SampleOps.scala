@@ -326,4 +326,32 @@ object SampleOps {
       .select(col("__s.split").as("split"), col("__s.n_events").as("n_events"),
         col("__s.n_actors").as("n_actors"), col("n_leaked_actors"))
   }
+
+  /** Temperature-scaled source mixing weights at τ = 1/2 (the UniMax /
+    * multilingual-sampling family, Chung et al. 2023, arXiv:2304.09151;
+    * p_s ∝ n_s^τ): per-source token counts → sqrt weights → budget
+    * allocation. τ = 1/2 is chosen because sqrt is IEEE
+    * correctly-rounded in every engine — the one temperature whose
+    * scores are bit-reproducible without a transcendental pow.
+    *
+    * The weight SUM is a float reduction, so it folds over the
+    * group-sorted weight array in one fixed left-to-right order (the
+    * sqlDot discipline) — deterministic regardless of partitioning; the
+    * array is group-cardinality (sources), never corpus-sized. Output
+    * per source: exact token/doc counts, weight, share, and the
+    * floor(budget·share) token allocation. */
+  def temperatureMixSqrt(docs: DataFrame, group: Column, sizeOf: Column,
+                         budget: Long): DataFrame = {
+    val g = docs.groupBy(group.as("grp"))
+      .agg(count(lit(1)).as("n_docs"), sum(sizeOf).as("n_tokens"))
+      .withColumn("weight", sqrt(col("n_tokens").cast("double")))
+    val tot = g.agg(aggregate(
+      array_sort(collect_list(struct(col("grp"), col("weight")))),
+      lit(0.0), (acc, x) => acc + x.getField("weight")).as("__tw"))
+    g.crossJoin(broadcast(tot))
+      .select(col("grp"), col("n_docs"), col("n_tokens"), col("weight"),
+        (col("weight") / col("__tw")).as("share"),
+        floor(lit(budget) * (col("weight") / col("__tw"))).cast("long")
+          .as("alloc_tokens"))
+  }
 }

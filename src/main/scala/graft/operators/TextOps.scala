@@ -469,6 +469,74 @@ object TextOps {
         col("n_terms"))
   }
 
+  /** Positional phrase search over an inverted index with positions —
+    * the retrieval primitive BM25 ([[bm25TopK]]) can't express: "these
+    * terms, ADJACENT, in order". A phrase of terms t_0..t_{m-1} matches
+    * at start s iff token(s+i) = t_i for every i, i.e. every matching
+    * posting votes for the same (doc, pos − i) start and a start wins
+    * when it collects all m distinct offsets.
+    *
+    * Shape: the phrase-term table BROADCASTS onto the corpus posting
+    * scan (only tokens appearing in some phrase survive the join — the
+    * corpus-side fan-out is bounded by phrase vocabulary, never corpus
+    * vocabulary); one (phrase, doc, start) count shuffle on the
+    * surviving postings; per-(phrase, doc) occurrence counts are exact
+    * longs. The posting explode itself is map-side. */
+  def phraseSearch(docs: DataFrame, id: String, text: Column,
+                   phrases: DataFrame): DataFrame = {
+    val terms = phrases.select(col("phrase_id"),
+      posexplode(tokens(col("phrase"))).as(Seq("__i", "__pt")))
+    val nTerms = phrases.select(col("phrase_id"),
+      size(tokens(col("phrase"))).as("__nt"))
+    val post = docs.select(col(id).as("doc_id"),
+      posexplode(tokens(text)).as(Seq("__pos", "__tok")))
+    post.join(broadcast(terms), col("__tok") === col("__pt"))
+      .select(col("phrase_id"), col("doc_id"),
+        (col("__pos") - col("__i")).as("__start"), col("__i"))
+      .groupBy(col("phrase_id"), col("doc_id"), col("__start"))
+      .agg(countDistinct(col("__i")).as("__hits"))
+      .join(broadcast(nTerms), Seq("phrase_id"))
+      .filter(col("__hits") === col("__nt"))
+      .groupBy(col("phrase_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_occurrences"))
+  }
+
+  /** Cross-source n-gram contamination matrix — the pairwise overlap
+    * census run between corpus shards (and between train and eval sets)
+    * before mixing: for every source pair, how many distinct word
+    * `n`-gram shingle hashes they share, with per-source set sizes and
+    * the Jaccard. The q60 decontamination pass removes against ONE eval
+    * set; this is the all-pairs audit of which sources bleed into which.
+    *
+    * Shape: one corpus shingle expansion → DISTINCT (source, hash) set
+    * (combinable); the self-join joins per-hash source lists — fan-out
+    * per hash is bounded by sources² (20 sources → ≤ 190 pairs), never
+    * corpus-sized; totals broadcast back onto the group-cardinality
+    * pair table. Counts exact; Jaccard one int/int division. */
+  def crossSourceOverlap(docs: DataFrame, group: Column, text: Column,
+                         n: Int): DataFrame = {
+    val sh = docs.select(group.as("grp"),
+        explode(wordShingles(tokens(text), n)).as("__s"))
+      .select(col("grp"), hash32(col("__s")).as("__h"))
+      .distinct()
+    val tot = sh.groupBy(col("grp")).agg(count(lit(1)).as("__n"))
+    val pairs = sh.select(col("grp").as("src_a"), col("__h"))
+      .join(sh.select(col("grp").as("src_b"), col("__h").as("__h2")),
+        col("__h") === col("__h2") && col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+    pairs
+      .join(broadcast(tot.select(col("grp").as("src_a"),
+        col("__n").as("n_a"))), Seq("src_a"))
+      .join(broadcast(tot.select(col("grp").as("src_b"),
+        col("__n").as("n_b"))), Seq("src_b"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+        col("n_b"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   /** Exact floor(log2(x)) for a positive long — `length(bin(x)) - 1`,
     * pure integer/string ops, so both engines agree bit-for-bit where a
     * transcendental `log` could round differently at powers of two.

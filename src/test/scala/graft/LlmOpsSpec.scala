@@ -4,8 +4,8 @@ import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.{DedupOps => D, RelationalOps => R, TextOps => T,
-  VectorOps => Vec}
+import graft.operators.{DedupOps => D, RelationalOps => R,
+  SampleOps => Sam, TextOps => T, VectorOps => Vec}
 
 /** Unit tests for the LLM-training-data-pipeline operators: text analysis,
   * exact/near dedup (MinHash-LSH, SimHash), embedding similarity. */
@@ -1288,6 +1288,85 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(4L) > out(3L) && out(4L) > out(5L))
     assert(out(1L) > out(3L))
     assert(out.size == 5)
+  }
+
+  // ------------------------------------------------- dup-span removal
+
+  test("dupSpanRemove cuts duplicated windows from every doc but the " +
+    "first, keeps short docs whole, reassembles in order") {
+    val shared = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (10L, s"$shared tail1 tail2"),          // first doc with the span
+      (20L, s"lead1 $shared tail3"),          // later doc → span removed
+      (30L, "short doc"),                     // < width → untouched
+      (40L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11 u12 u13 u14 u15 u16 u17"))
+      .toDF("doc_id", "text")
+    val out = D.dupSpanRemove(docs, "doc_id", col("text"), width = 16)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(10L) == ((18L, 0L, s"$shared tail1 tail2")))
+    // doc 20: positions 2..17 removed (16 tokens), lead1 + tail3 remain
+    assert(out(20L) == ((18L, 16L, "lead1 tail3")))
+    assert(out(30L) == ((2L, 0L, "short doc")))
+    assert(out(40L)._2 == 0L) // unique windows → nothing removed
+    assert(out.size == 4)
+  }
+
+  // ------------------------------------------------------ phrase search
+
+  test("phraseSearch matches adjacent in-order terms only, counts " +
+    "occurrences, repeated-word phrases need true adjacency") {
+    val docs = Seq(
+      (1L, "a b c a b c"),   // "a b" twice, "b c a" once (pos 2)
+      (2L, "b a c b"),       // "a b" never adjacent-in-order
+      (3L, "x x y"))         // "x x" once
+      .toDF("doc_id", "text")
+    val phrases = Seq((1L, "a b"), (2L, "b c a"), (3L, "x x"))
+      .toDF("phrase_id", "phrase")
+    val out = T.phraseSearch(docs, "doc_id", col("text"), phrases)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    assert(out((1L, 1L)) == 2L)
+    assert(out((2L, 1L)) == 1L)
+    assert(out((3L, 3L)) == 1L)
+    assert(!out.contains((1L, 2L))) // doc 2 has no "a b"
+    assert(out.size == 3)
+  }
+
+  // ------------------------------------------- cross-source contamination
+
+  test("crossSourceOverlap counts shared distinct shingles with " +
+    "src_a < src_b, never self-pairs") {
+    val docs = Seq(
+      ("s1", "a b c d e"), ("s2", "a b c x y"), ("s3", "p q r s t"))
+      .toDF("source", "text")
+    val out = T.crossSourceOverlap(docs, col("source"), col("text"), n = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    // s1: {abc,bcd,cde}, s2: {abc,bcx,cxy} → share {abc}
+    assert(out(("s1", "s2")) == ((1L, 3L, 3L, 1.0 / 5.0)))
+    assert(!out.contains(("s2", "s1")) && !out.contains(("s1", "s1")))
+    assert(!out.exists(_._1._2 == "s3")) // s3 shares nothing → absent
+  }
+
+  // -------------------------------------------------- temperature mixing
+
+  test("temperatureMixSqrt: sqrt weights, shares sum to ~1, allocation " +
+    "proportional to sqrt not to raw size") {
+    val docs = Seq.fill(90)(("big", 100L)) ++ Seq.fill(10)(("small", 25L))
+    val df = docs.toDF("src", "n")
+    val out = Sam.temperatureMixSqrt(df, col("src"), col("n"),
+        budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getLong(5))).toMap
+    val (bd, bt, bw, bs, ba) = out("big")
+    val (sd, st, sw, ss, sa) = out("small")
+    assert(bd == 90L && bt == 9000L && sd == 10L && st == 250L)
+    assert(bw == math.sqrt(9000.0) && sw == math.sqrt(250.0))
+    assert(math.abs(bs + ss - 1.0) < 1e-12)
+    // raw ratio is 36:1 but sqrt ratio is 6:1 — temperature flattens
+    assert(ba < 36 * sa && ba > 5 * sa)
   }
 
   // --------------------------------------- histogram quantile calibration
