@@ -1038,6 +1038,42 @@ object SparkEntry {
       T.crossSourceOverlap(spread(s, t(s, dir, "documents")),
         col("source"), col("text"), n = 13)),
 
+    // L125: decode-free binary perceptual-hash near-dup — byte-window
+    // SimHash over the multimodal payload column, 4×15-bit band screen,
+    // exact Hamming verify at <= 8.
+    "q142_binary_phash_neardup" -> ((s, dir) =>
+      M.binaryNearDupPairs(
+        M.fromText(spread(s, t(s, dir, "documents")), "doc_id", "text"),
+        "asset_id", col("content"), maxHamming = 8)),
+
+    // L126: Zipf rank-frequency slope per source — OLS over exact
+    // floor-log2 (rank, freq) points; quantized-transcendental OLS.
+    "q143_zipf_slope" -> ((s, dir) =>
+      T.zipfSlope(spread(s, t(s, dir, "documents")), col("source"),
+          col("text"))
+        .withColumnRenamed("grp", "source")),
+
+    // L127: dedup yield forecast — cluster-size histogram + docs/tokens
+    // removed under keep-min-id curation, from the session's shared CC
+    // labels (q61/q66's build, another zero-rebuild consumer).
+    "q144_dedup_yield" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"),
+        size(T.tokens(col("text"))).cast("long").as("__nt"))
+      val comp = nearDupComponents(s, dir)
+        .select(col("node").as("doc_id"), col("label"))
+      val lab = docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("__cid", coalesce(col("label"), col("doc_id")))
+      val cl = lab.groupBy(col("__cid"))
+        .agg(count(lit(1)).as("__sz"), sum(col("__nt")).as("__tok"),
+          sum(when(col("doc_id") === col("__cid"), col("__nt"))
+            .otherwise(0L)).as("__keepTok"))
+      cl.groupBy(col("__sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          sum(col("__sz")).as("n_docs"),
+          sum(col("__sz") - 1).as("n_removed_docs"),
+          sum(col("__tok") - col("__keepTok")).as("n_removed_tokens"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4050,6 +4086,94 @@ object SparkEntry {
          |  AS jaccard
          |FROM pr JOIN tot ta ON ta.source = src_a
          | JOIN tot tb ON tb.source = src_b""".stripMargin,
+
+    // q142 twin: the corpus is pure ASCII so byte 4-windows of the BLOB
+    // == char 4-windows of the text; q26's bit-vote CTE over window
+    // hashes, same 4×15-bit banding, same popcount verify.
+    "q142_binary_phash_neardup" ->
+      s"""WITH h AS (SELECT doc_id, ${hx("substring(text, p, 4)", 15)}
+         |   AS h60
+         | FROM (SELECT doc_id, text,
+         |   CAST(unnest(generate_series(1, len(text) - 3)) AS INT) AS p
+         |  FROM documents WHERE len(text) >= 4)),
+         |v AS (SELECT doc_id, bit,
+         |  sum(CASE WHEN (h60 >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         |  FROM h, (SELECT unnest(generate_series(0, 59)) AS bit) b
+         |  GROUP BY 1, 2),
+         |ph AS (SELECT doc_id,
+         |  CAST(sum(CASE WHEN vote > 0 THEN (1::BIGINT << bit)
+         |           ELSE 0 END) AS BIGINT) AS phash
+         | FROM v GROUP BY 1),
+         |bd AS (SELECT doc_id, phash, b,
+         |  (phash >> (15 * b)) & 32767 AS bv
+         | FROM ph, (SELECT unnest([0, 1, 2, 3]) AS b) bb),
+         |cd AS (SELECT DISTINCT x.doc_id AS ida, y.doc_id AS idb
+         | FROM bd x JOIN bd y
+         |  ON x.b = y.b AND x.bv = y.bv AND x.doc_id < y.doc_id)
+         |SELECT ida AS id_a, idb AS id_b,
+         | CAST(bit_count(xor(pa.phash, pb.phash)) AS INT) AS hamming
+         |FROM cd JOIN ph pa ON pa.doc_id = ida
+         | JOIN ph pb ON pb.doc_id = idb
+         |WHERE bit_count(xor(pa.phash, pb.phash)) <= 8""".stripMargin,
+
+    // q143 twin: same count/rank CTEs, same length(bin())−1 quantized
+    // coordinates, same exact-integer OLS statistics.
+    "q143_zipf_slope" ->
+      """WITH tc AS (SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents) GROUP BY 1, 2),
+        |rk AS (SELECT source, n, CAST(row_number() OVER
+        |  (PARTITION BY source ORDER BY n DESC, tok) AS BIGINT) AS r
+        | FROM tc),
+        |pts AS (SELECT source,
+        |  CAST(length(bin(r)) - 1 AS BIGINT) AS x,
+        |  CAST(length(bin(n)) - 1 AS BIGINT) AS y FROM rk),
+        |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x * y) AS BIGINT) AS sxy,
+        |  CAST(sum(x * x) AS BIGINT) AS sxx
+        | FROM pts GROUP BY 1)
+        |SELECT source, n_types,
+        | CASE WHEN n_types * sxx - sx * sx = 0 THEN NULL
+        |  ELSE CAST(n_types * sxy - sx * sy AS DOUBLE) /
+        |       CAST(n_types * sxx - sx * sx AS DOUBLE) END AS zipf_slope,
+        | CASE WHEN n_types * sxx - sx * sx = 0 THEN NULL
+        |  ELSE (CAST(sy AS DOUBLE) -
+        |   (CAST(n_types * sxy - sx * sy AS DOUBLE) /
+        |    CAST(n_types * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |   / CAST(n_types AS DOUBLE) END AS zipf_intercept
+        |FROM st""".stripMargin,
+
+    // q144 twin: q61's recursive-CC comp CTE, token counts left-joined,
+    // keep-min-id curation folded to a cluster-size histogram.
+    "q144_dedup_yield" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |enodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM enodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |dt AS (SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+         | FROM documents),
+         |lab AS (SELECT dt.doc_id, nt,
+         |  COALESCE(c.cluster_id, dt.doc_id) AS cid
+         | FROM dt LEFT JOIN comp c ON c.node = dt.doc_id),
+         |cl AS (SELECT cid, CAST(count(*) AS BIGINT) AS sz,
+         |  CAST(sum(nt) AS BIGINT) AS tok,
+         |  CAST(sum(CASE WHEN doc_id = cid THEN nt ELSE 0 END) AS BIGINT)
+         |   AS keeptok
+         | FROM lab GROUP BY 1)
+         |SELECT sz AS cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+         | CAST(sum(sz) AS BIGINT) AS n_docs,
+         | CAST(sum(sz - 1) AS BIGINT) AS n_removed_docs,
+         | CAST(sum(tok - keeptok) AS BIGINT) AS n_removed_tokens
+         |FROM cl GROUP BY 1""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -543,6 +543,44 @@ object TextOps {
     * DuckDB twin: `length(bin(x)) - 1`. */
   def ilog2(x: Column): Column = (length(bin(x)) - 1).cast("int")
 
+  /** Zipf rank-frequency slope census per group — does the vocabulary
+    * follow the power law natural text does? (Synthetic/template corpora
+    * flatten; boilerplate steepens.) The regression runs on QUANTIZED
+    * log coordinates: x = floor(log2 rank), y = floor(log2 freq)
+    * ([[ilog2]] — exact integers), so the OLS sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²) are exact longs that combine map-side, and
+    * slope/intercept are each ONE final double expression — the q77
+    * trend discipline with the transcendental quantized away.
+    *
+    * Shape: one (group, token) count shuffle, one group-partitioned
+    * rank window (vocabulary-bounded groups), one combinable stats
+    * aggregate. Degenerate groups (all ranks in one log2 bucket) return
+    * null slope rather than dividing by zero. */
+  def zipfSlope(docs: DataFrame, group: Column, text: Column): DataFrame = {
+    val tc = docs.select(group.as("grp"), explode(tokens(text)).as("__tok"))
+      .groupBy(col("grp"), col("__tok"))
+      .agg(count(lit(1)).as("__n"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
+      .orderBy(col("__n").desc, col("__tok"))
+    val pts = tc.withColumn("__r", row_number().over(wr).cast("long"))
+      .select(col("grp"), ilog2(col("__r")).cast("long").as("__x"),
+        ilog2(col("__n")).cast("long").as("__y"))
+    val st = pts.groupBy(col("grp")).agg(count(lit(1)).as("n_types"),
+      sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+      sum(col("__x") * col("__y")).as("__sxy"),
+      sum(col("__x") * col("__x")).as("__sxx"))
+    val den = st("n_types") * col("__sxx") - col("__sx") * col("__sx")
+    val num = st("n_types") * col("__sxy") - col("__sx") * col("__sy")
+    st.select(col("grp"), col("n_types"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double")).as("zipf_slope"),
+      when(den === 0, lit(null).cast("double"))
+        .otherwise((col("__sy").cast("double") -
+          (num.cast("double") / den.cast("double")) *
+            col("__sx").cast("double")) / col("n_types").cast("double"))
+        .as("zipf_intercept"))
+  }
+
   /** Lexical-diversity census per group — the corpus-health panel
     * curation dashboards run per source/shard: token count, vocabulary
     * size (types), type-token ratio, hapax-legomenon share (types seen

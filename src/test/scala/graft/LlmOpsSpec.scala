@@ -1369,6 +1369,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(ba < 36 * sa && ba > 5 * sa)
   }
 
+  // ---------------------------------------------------------- zipf slope
+
+  test("zipfSlope: exact quantized OLS on a constructed rank-frequency " +
+    "table; degenerate single-bucket group yields null") {
+    // freqs 8,4,2,1 → ranks 1..4: pts (x=ilog2 r, y=ilog2 f) =
+    // (0,3),(1,2),(1,1),(2,0)
+    val text = (Seq.fill(8)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c") ++
+      Seq("d")).mkString(" ")
+    val docs = Seq(("g", text), ("one", "x y")).toDF("src", "text")
+    val out = T.zipfSlope(docs, col("src"), col("text"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g = out("g")
+    // n=4, sx=4, sy=6, sxy=0*3+1*2+1*1+2*0=3, sxx=0+1+1+4=6
+    // slope = (4*3-4*6)/(4*6-16) = -12/8 = -1.5
+    assert(g.getLong(1) == 4L)
+    assert(g.getDouble(2) == -1.5)
+    assert(g.getDouble(3) == (6.0 - (-1.5) * 4.0) / 4.0) // intercept = 3
+    // "one": tokens x,y each freq 1 → ranks 1,2 → x∈{0,1}, y=0 — den>0
+    // (x varies) so slope 0; make a REAL degenerate: single token.
+    val deg = T.zipfSlope(Seq(("d", "solo")).toDF("s", "t"), col("s"),
+      col("t")).collect()
+    assert(deg.head.isNullAt(2) && deg.head.isNullAt(3))
+  }
+
   // --------------------------------------- histogram quantile calibration
 
   test("histQuantileCalibration: exact side matches quantile_cont " +

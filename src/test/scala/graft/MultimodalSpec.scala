@@ -138,4 +138,34 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out(1).n_bytes == evilPpm1.length)
     assert(out(2).n_bytes == evilPpm2.length)
   }
+
+  test("binarySimhash: identical payloads share the hash, a small edit " +
+    "stays Hamming-close, an unrelated payload lands far; short " +
+    "payloads dropped") {
+    import org.apache.spark.sql.functions.{col, encode, length => flen}
+    val base = ("the quick brown fox jumps over the lazy dog " * 6).trim
+    val edited = base.updated(10, 'X').toString
+    val other = ("zq9 vml k2p wwj hrt eleven misc chunk join " * 6).trim
+    val df = Seq((1L, base), (2L, base), (3L, edited), (4L, other),
+        (5L, "abc"))
+      .toDF("id", "t")
+      .select(col("id"), encode(col("t"), "UTF-8").as("content"))
+    val hs = MultimodalOps.binarySimhash(df, "id", col("content"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(!hs.contains(5L)) // < 4 bytes → no windows
+    assert(hs(1L) == hs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(hs(1L), hs(3L)) <= 8,
+      s"one-char edit moved ${ham(hs(1L), hs(3L))} bits")
+    assert(ham(hs(1L), hs(4L)) > 12,
+      s"unrelated payloads only ${ham(hs(1L), hs(4L))} bits apart")
+    val pairs = MultimodalOps.binaryNearDupPairs(df, "id", col("content"),
+        maxHamming = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2))
+      .toMap
+    assert(pairs.contains((1L, 2L)) && pairs((1L, 2L)) == 0)
+    assert(pairs.contains((1L, 3L)))
+    assert(!pairs.contains((1L, 4L)) && !pairs.contains((4L, 1L)))
+    spark.catalog.clearCache()
+  }
 }
