@@ -1074,6 +1074,48 @@ object SparkEntry {
           sum(col("__tok") - col("__keepTok")).as("n_removed_tokens"))
     }),
 
+    // L128: point-in-time (feature-store) join — each purchase probe
+    // reads the user's SCD2 state version valid AT ITS TIMESTAMP (no
+    // future leakage): the q78 history consumed through the q37
+    // merge-scan as-of, zero joins, one keyed shuffle.
+    "q145_pit_join" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .filter(pmod(col("user_id"), lit(10)) === 0)
+      val hist = Ti.scd2(
+          ev.select(col("user_id"), col("event_type"), col("ts"),
+            col("event_id")),
+          Seq("user_id"), col("event_type"), "ts",
+          Seq(unix_micros(col("ts")), col("event_id")))
+        .select(col("user_id"), col("valid_from_us"), col("state"),
+          col("event_id").as("__vid"))
+      val probes = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts")).as("probe_us"))
+      Ti.asofBackward(probes, "probe_us", hist, "valid_from_us",
+          Seq("user_id"), payload = Seq("state", "valid_from_us"),
+          rightOrder = Seq(col("valid_from_us"), col("__vid")))
+        .select(col("user_id"), col("event_id"), col("probe_us"),
+          col("state"), col("valid_from_us"))
+    }),
+
+    // L129: group-aware k-fold assignment (GroupKFold) — folds hash the
+    // near-dup CLUSTER id, so near-duplicate docs can never straddle a
+    // fold boundary (q102's leakage rule, k-fold shape). Census per
+    // (fold, lang).
+    "q146_group_kfold" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val comp = nearDupComponents(s, dir)
+        .select(col("node").as("doc_id"), col("label"))
+      docs.join(comp, Seq("doc_id"), "left")
+        .withColumn("__cid", coalesce(col("label"), col("doc_id")))
+        .withColumn("fold",
+          pmod(T.hash32(concat(lit("fold:"), col("__cid"))), lit(5L))
+            .cast("int"))
+        .groupBy(col("fold"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("__cid")).as("n_clusters"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4174,6 +4216,54 @@ object SparkEntry {
          | CAST(sum(sz - 1) AS BIGINT) AS n_removed_docs,
          | CAST(sum(tok - keeptok) AS BIGINT) AS n_removed_tokens
          |FROM cl GROUP BY 1""".stripMargin,
+
+    // q145 twin: q78's version CTEs + the rank-1 backward lookup (the
+    // naive formulation of the merge-scan as-of — same tie rule: among
+    // equal valid_from, greatest version id wins).
+    "q145_pit_join" ->
+      """WITH e AS (SELECT user_id, event_type AS state,
+        |  epoch_us(ts) AS us, event_id
+        | FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT *, lag(state) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |  lag(1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS seen FROM e),
+        |v AS (SELECT user_id, state, us AS valid_from_us,
+        |  event_id AS vid
+        | FROM c WHERE seen IS NULL OR prev IS DISTINCT FROM state),
+        |p AS (SELECT user_id, event_id, us AS probe_us FROM e
+        | WHERE state = 'purchase'),
+        |j AS (SELECT p.user_id, p.event_id, p.probe_us, v.state,
+        |  v.valid_from_us,
+        |  row_number() OVER (PARTITION BY p.user_id, p.event_id
+        |   ORDER BY v.valid_from_us DESC, v.vid DESC) AS rn
+        | FROM p JOIN v ON v.user_id = p.user_id
+        |  AND v.valid_from_us <= p.probe_us)
+        |SELECT user_id, event_id, probe_us, state, valid_from_us
+        |FROM j WHERE rn = 1""".stripMargin,
+
+    // q146 twin: q61's recursive comp CTE; fold = md5-prefix hash of
+    // 'fold:<cluster>' mod 5.
+    "q146_group_kfold" ->
+      s"""WITH RECURSIVE $sqlWordNearDupCtes,
+         |pairs AS ($sqlWordNearDupSelect),
+         |edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |enodes AS (SELECT DISTINCT s AS node FROM edges),
+         |reach(node, label) AS (
+         |  SELECT node, node FROM enodes
+         |  UNION
+         |  SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+         |comp AS (SELECT node, min(label) AS cluster_id
+         |  FROM reach GROUP BY node),
+         |lab AS (SELECT d.doc_id, d.lang,
+         |  COALESCE(c.cluster_id, d.doc_id) AS cid
+         | FROM documents d LEFT JOIN comp c ON c.node = d.doc_id)
+         |SELECT CAST(${hx("'fold:' || CAST(cid AS VARCHAR)", 8)} % 5
+         |   AS INT) AS fold,
+         | lang, CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
+         |FROM lab GROUP BY 1, 2""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

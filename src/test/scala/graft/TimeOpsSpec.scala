@@ -304,4 +304,18 @@ class TimeOpsSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       TimeOps.interpResample(ev, col("g"), col("ts"), col("v"), 0L))
   }
+
+  test("q145 point-in-time join never leaks the future: every probe " +
+    "reads the version valid AT its timestamp (sf0.001 corpus)") {
+    val out = SparkEntry.queries("q145_pit_join")(spark,
+      "/root/testdata/sf0.001").collect()
+    assert(out.nonEmpty)
+    // valid_from <= probe always (backward-only), and a purchase event
+    // is itself a version boundary or continuation — state is never null
+    out.foreach { r =>
+      val (probe, from) = (r.getLong(2), r.getLong(4))
+      assert(from <= probe, s"future version leaked: $from > $probe")
+      assert(!r.isNullAt(3))
+    }
+  }
 }
