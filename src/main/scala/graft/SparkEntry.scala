@@ -1116,6 +1116,40 @@ object SparkEntry {
           countDistinct(col("__cid")).as("n_clusters"))
     }),
 
+    // L130: curation-waterfall census — ordered filter funnel with
+    // per-stage removal attribution (nonempty → length floor → English
+    // → length ceiling), one corpus scan.
+    "q147_curation_waterfall" -> ((s, dir) => {
+      val nTok = size(T.tokens(col("text")))
+      Q.curationWaterfall(t(s, dir, "documents"), Seq(
+        "nonempty" -> (col("n_chars") > 0),
+        "min_tokens" -> (nTok >= 30),
+        "english" -> (col("lang") === "en"),
+        "max_tokens" -> (nTok <= 90)))
+    }),
+
+    // L131: weak-supervision majority vote — three deterministic
+    // labeling functions (length band, type-token ratio band, stopword
+    // presence) vote good/bad/abstain per doc; plurality with
+    // smallest-label tie-break; census per (final label, votes cast).
+    "q148_weak_labels" -> ((s, dir) => {
+      val w = T.tokens(col("text"))
+      val nT = size(w)
+      val nD = size(array_distinct(w))
+      val nStop = T.stopwordCount(w, Seq("the", "a"))
+      val lfLen = when(nT >= 30 && nT <= 90, "good")
+        .when(nT < 15, "bad").otherwise(lit(null).cast("string"))
+      val lfTtr = when(nD * 5 >= nT * 3, "good")
+        .when(nD * 5 <= nT * 2, "bad").otherwise(lit(null).cast("string"))
+      val lfStop = when(nStop >= 2, "good").when(nStop === 0, "bad")
+        .otherwise(lit(null).cast("string"))
+      t(s, dir, "documents")
+        .select(Q.majorityVote(Seq(lfLen, lfTtr, lfStop)).as("label"),
+          size(array_compact(array(lfLen, lfTtr, lfStop))).as("n_votes"))
+        .groupBy(col("label"), col("n_votes"))
+        .agg(count(lit(1)).as("n_docs"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4264,6 +4298,62 @@ object SparkEntry {
          | lang, CAST(count(*) AS BIGINT) AS n_docs,
          | CAST(count(DISTINCT cid) AS BIGINT) AS n_clusters
          |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    // q147 twin: same flags, the funnel unrolled as four UNION ALL
+    // stage rows over one flagged scan.
+    "q147_curation_waterfall" ->
+      """WITH f AS (SELECT
+        | CASE WHEN n_chars > 0 THEN 1 ELSE 0 END AS f1,
+        | CASE WHEN len(string_split(text, ' ')) >= 30 THEN 1 ELSE 0 END
+        |  AS f2,
+        | CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS f3,
+        | CASE WHEN len(string_split(text, ' ')) <= 90 THEN 1 ELSE 0 END
+        |  AS f4
+        | FROM documents),
+        |s AS (
+        | SELECT 1 AS stage, 'nonempty' AS rule,
+        |  CAST(count(*) AS BIGINT) AS n_in,
+        |  CAST(sum(f1) AS BIGINT) AS n_out FROM f
+        | UNION ALL SELECT 2, 'min_tokens', CAST(sum(f1) AS BIGINT),
+        |  CAST(sum(f1 * f2) AS BIGINT) FROM f
+        | UNION ALL SELECT 3, 'english', CAST(sum(f1 * f2) AS BIGINT),
+        |  CAST(sum(f1 * f2 * f3) AS BIGINT) FROM f
+        | UNION ALL SELECT 4, 'max_tokens', CAST(sum(f1 * f2 * f3)
+        |   AS BIGINT),
+        |  CAST(sum(f1 * f2 * f3 * f4) AS BIGINT) FROM f)
+        |SELECT stage, rule, n_in, n_out, n_in - n_out AS n_removed,
+        | CAST(n_out AS DOUBLE) / CAST(n_in AS DOUBLE) AS survival_rate
+        |FROM s""".stripMargin,
+
+    // q148 twin: the three labeling functions in SQL; with K=3 the
+    // plurality + smallest-label tie-break reduces to b >= g → 'bad'.
+    "q148_weak_labels" ->
+      """WITH v AS (SELECT
+        | len(string_split(text, ' ')) AS nt,
+        | len(list_distinct(string_split(text, ' '))) AS nd,
+        | len(list_filter(string_split(text, ' '),
+        |   w -> w = 'the' OR w = 'a')) AS ns
+        | FROM documents),
+        |lf AS (SELECT
+        | CASE WHEN nt >= 30 AND nt <= 90 THEN 'good'
+        |  WHEN nt < 15 THEN 'bad' END AS l1,
+        | CASE WHEN nd * 5 >= nt * 3 THEN 'good'
+        |  WHEN nd * 5 <= nt * 2 THEN 'bad' END AS l2,
+        | CASE WHEN ns >= 2 THEN 'good' WHEN ns = 0 THEN 'bad' END AS l3
+        | FROM v),
+        |c AS (SELECT
+        | (CASE WHEN l1 = 'good' THEN 1 ELSE 0 END +
+        |  CASE WHEN l2 = 'good' THEN 1 ELSE 0 END +
+        |  CASE WHEN l3 = 'good' THEN 1 ELSE 0 END) AS g,
+        | (CASE WHEN l1 = 'bad' THEN 1 ELSE 0 END +
+        |  CASE WHEN l2 = 'bad' THEN 1 ELSE 0 END +
+        |  CASE WHEN l3 = 'bad' THEN 1 ELSE 0 END) AS b
+        | FROM lf)
+        |SELECT CASE WHEN g + b = 0 THEN NULL
+        |  WHEN b >= g THEN 'bad' ELSE 'good' END AS label,
+        | CAST(g + b AS INT) AS n_votes,
+        | CAST(count(*) AS BIGINT) AS n_docs
+        |FROM c GROUP BY 1, 2""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

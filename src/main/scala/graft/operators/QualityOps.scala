@@ -106,4 +106,57 @@ object QualityOps {
         sum(when(col("__n") < k, 1L).otherwise(0L)).as("n_violating"),
         sum(when(col("__n") < k, col("__n")).otherwise(0L))
           .as("rows_at_risk"))
+
+  /** Curation-waterfall census — the ordered filter-funnel report every
+    * corpus release ships: stage i's predicate is applied to stage
+    * i−1's SURVIVORS, so each row answers "how many docs did THIS rule
+    * remove, given everything before it already ran" (the q101 audit
+    * reports rule hits independently; attribution of removals needs the
+    * order). ONE corpus scan computes every stage flag; the ordered
+    * cumulative AND is a map-side running conjunction over a ×stages
+    * literal explode; one bounded aggregate (stages × nothing) follows.
+    * Counts exact; survival_rate is one final division. */
+  def curationWaterfall(df: DataFrame,
+                        stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val flagged = df.select(stages.map { case (n, c) =>
+      when(c, 1L).otherwise(0L).as(s"__f_$n") }: _*)
+    val rows = flagged.select(explode(array(stages.indices.map { i =>
+      val before = stages.take(i).map(s => col(s"__f_${s._1}"))
+        .foldLeft(lit(1L))((a, b) => a * b)
+      val after = before * col(s"__f_${stages(i)._1}")
+      struct(lit(i + 1).as("stage"), lit(stages(i)._1).as("rule"),
+        before.as("n_in"), after.as("n_out"))
+    }: _*)).as("__s"))
+    rows.groupBy(col("__s.stage").as("stage"), col("__s.rule").as("rule"))
+      .agg(sum(col("__s.n_in")).as("n_in"),
+        sum(col("__s.n_out")).as("n_out"))
+      .withColumn("n_removed", col("n_in") - col("n_out"))
+      .withColumn("survival_rate",
+        col("n_out").cast("double") / col("n_in").cast("double"))
+  }
+
+  /** Weak-supervision majority vote (the Snorkel label-model shape,
+    * Ratner et al. 2017, arXiv:1711.10160, reduced to its deterministic
+    * core): K labeling functions each emit a label or NULL (abstain);
+    * a row's final label is the plurality of non-abstaining votes, ties
+    * broken by the lexicographically smallest winning label, rows with
+    * zero votes labeled NULL. Pure map-side expression — the vote
+    * array folds per row, no shuffle until the caller aggregates. */
+  def majorityVote(votes: Seq[Column]): Column = {
+    require(votes.nonEmpty, "need at least one labeling function")
+    val arr = array_compact(array(votes: _*))
+    // per-row plurality: for each distinct candidate, its count; winner =
+    // max (count, reverse-lex label) — all inside one expression tree.
+    val cands = array_distinct(arr)
+    val best = aggregate(cands,
+      struct(lit(0L).as("c"), lit(null).cast("string").as("l")),
+      (acc, cand) => {
+        val c = size(filter(arr, v => v === cand)).cast("long")
+        when(c > acc.getField("c") ||
+          (c === acc.getField("c") && cand < acc.getField("l")),
+          struct(c.as("c"), cand.as("l"))).otherwise(acc)
+      })
+    best.getField("l")
+  }
 }

@@ -182,4 +182,42 @@ class GovernanceSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](
       SampleOps.temporalSplitLabel(col("us"), lit(150L), -1L))
   }
+
+  test("curationWaterfall: each stage counts only prior survivors; " +
+    "removal attribution follows the order") {
+    // 10 rows: 2 fail A; of the 8 left, 3 fail B.
+    val df = (1 to 10).map(i => (i, i > 2, i <= 5 || i > 8))
+      .toDF("id", "a", "b")
+    val out = QualityOps.curationWaterfall(df,
+        Seq("ruleA" -> col("a"), "ruleB" -> col("b")))
+      .collect().map(r => r.getInt(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getDouble(5))).toMap
+    assert(out(1) == (("ruleA", 10L, 8L, 2L, 0.8)))
+    // survivors of A: ids 3..10; B keeps 3,4,5,9,10 → 5
+    assert(out(2) == (("ruleB", 8L, 5L, 3L, 5.0 / 8.0)))
+    // ORDER matters: swapped stages attribute removals differently
+    val sw = QualityOps.curationWaterfall(df,
+        Seq("ruleB" -> col("b"), "ruleA" -> col("a")))
+      .collect().map(r => r.getInt(0) -> r.getLong(4)).toMap
+    assert(sw(1) == 3L && sw(2) == 2L)
+  }
+
+  test("majorityVote: plurality, smallest-label tie-break, abstains " +
+    "don't count, all-abstain is null") {
+    val df = Seq(
+      ("p", "x", "x", "y"),    // x wins 2-1
+      ("t", "x", "y", null),   // 1-1 tie → smallest label wins → x
+      ("a", null, null, null), // all abstain → null
+      ("o", null, "z", null))  // single vote wins
+      .toDF("id", "v1", "v2", "v3")
+    val out = df.select(col("id"),
+        QualityOps.majorityVote(Seq(col("v1"), col("v2"), col("v3")))
+          .as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("p") == "x")
+    assert(out("t") == "x")
+    assert(out("a") == null)
+    assert(out("o") == "z")
+  }
 }
