@@ -566,6 +566,39 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("CartesianProduct"), s"degraded plan:\n$p")
   }
 
+  test("q138 dup-span removal / q141 contamination matrix: span and " +
+    "shingle joins stay equi-joins — never all-pairs") {
+    for (q <- Seq("q138_dup_span_removal", "q141_contamination_matrix")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q degraded to all-pairs:\n$p")
+    }
+  }
+
+  test("q142 binary phash: band + both verify sides read the " +
+    "checkpointed hash table — the byte-window pass runs once") {
+    val p = plan("q142_binary_phash_neardup")
+    assert(!p.contains("FileScan"),
+      s"branches must read the checkpoint, not re-hash the corpus:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"band join degraded to all-pairs:\n$p")
+  }
+
+  test("q145 point-in-time join: the as-of lookup is the merge-scan — " +
+    "zero join operators, windows share the user exchange") {
+    val p = plan("q145_pit_join")
+    assert(!p.contains("Join"), s"pit join must not materialize pairs:\n$p")
+  }
+
+  test("q147 waterfall: one corpus scan feeds every stage (the funnel " +
+    "is a map-side conjunction, not per-stage scans)") {
+    val f = formatted("q147_curation_waterfall")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans <= 1, s"expected one flagged scan, got $scans:\n$f")
+  }
+
   test("q137 dsir: every branch reads the checkpointed feature-count " +
     "table (ONE corpus expansion); log-ratio table broadcasts; the only " +
     "nested-loops are the two 1-row totals cross joins") {
