@@ -1150,6 +1150,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"))
     }),
 
+    // L132: deadline funnel — q75's greedy walk with a 1-day
+    // per-transition conversion window (the attribution-window
+    // semantics); spec/oracle replay the same greedy recursion.
+    "q149_funnel_deadline" -> ((s, dir) =>
+      An.funnelWithin(t(s, dir, "events"), col("user_id"), col("ts"), Seq(
+        "signup" -> (col("event_type") === "signup"),
+        "click" -> (col("event_type") === "click"),
+        "purchase" -> (col("event_type") === "purchase")),
+        maxGapUs = 86400000000L)),
+
+    // L133: deterministic hash-bootstrap confidence band — 32 exact
+    // integer resamples of per-flag total quantity, p05/p50/p95.
+    "q150_bootstrap_ci" -> ((s, dir) =>
+      An.hashBootstrap(t(s, dir, "lineitem"), col("l_returnflag"),
+          concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
+          col("l_quantity"), b = 32)
+        .withColumnRenamed("grp", "l_returnflag")),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4354,6 +4372,48 @@ object SparkEntry {
         | CAST(g + b AS INT) AS n_votes,
         | CAST(count(*) AS BIGINT) AS n_docs
         |FROM c GROUP BY 1, 2""".stripMargin,
+
+    // q149 twin: q75's frontier CTEs with the deadline condition on each
+    // transition.
+    "q149_funnel_deadline" ->
+      """WITH f1 AS (SELECT user_id, min(epoch_us(ts)) AS t
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |f2 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN f1 ON e.user_id = f1.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > f1.t
+        |   AND epoch_us(e.ts) <= f1.t + 86400000000 GROUP BY 1),
+        |f3 AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t
+        |  FROM events e JOIN f2 ON e.user_id = f2.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f2.t
+        |   AND epoch_us(e.ts) <= f2.t + 86400000000 GROUP BY 1),
+        |n AS (
+        |  SELECT 1 AS step, 'signup' AS step_label,
+        |    (SELECT count(*) FROM f1) AS n_actors
+        |  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM f2)
+        |  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM f3))
+        |SELECT step, step_label, n_actors,
+        | CAST(n_actors AS DOUBLE) /
+        |  CAST((SELECT count(*) FROM f1) AS DOUBLE) AS frac_of_entry
+        |FROM n""".stripMargin,
+
+    // q150 twin: same hash multiplicities, exact integer resample sums,
+    // same interpolated quantiles.
+    "q150_bootstrap_ci" ->
+      s"""WITH r AS (SELECT l_returnflag AS grp,
+         |  CAST(l_quantity AS BIGINT) AS v,
+         |  CAST(l_orderkey AS VARCHAR) || '_' ||
+         |   CAST(l_linenumber AS VARCHAR) AS id
+         | FROM lineitem),
+         |e AS (SELECT grp, v, b,
+         |  CAST(${hx("'bs' || b || ':' || id", 8)} % 3 AS BIGINT) AS w
+         | FROM r, (SELECT unnest(generate_series(0, 31)) AS b) bb),
+         |m AS (SELECT grp, b, CAST(sum(w * v) AS BIGINT) AS mt
+         | FROM e GROUP BY 1, 2)
+         |SELECT grp AS l_returnflag, CAST(count(*) AS BIGINT)
+         |  AS n_resamples,
+         | quantile_cont(mt, 0.05) AS p05, quantile_cont(mt, 0.5) AS p50,
+         | quantile_cont(mt, 0.95) AS p95
+         |FROM m GROUP BY 1""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -80,10 +80,34 @@ object AnalyticsOps {
     * the pipeline, not the corpus). */
   def funnel(events: DataFrame, actor: Column, ts: Column,
              steps: Seq[(String, Column)],
-             checkpointFrontiers: Boolean = false): DataFrame = {
+             checkpointFrontiers: Boolean = false): DataFrame =
+    funnelImpl(events, actor, ts, steps, None, checkpointFrontiers)
+
+  /** [[funnel]] with a per-transition DEADLINE: step k counts only when
+    * it happens within `maxGapUs` of the actor's step-(k−1) frontier —
+    * the attribution/conversion-window semantics product analytics runs
+    * ("purchased within 24 h of clicking"). Same GREEDY earliest-first
+    * contract as [[funnel]], now explicit because it bites: the walk
+    * extends the EARLIEST qualifying frontier, so an actor whose earliest
+    * step-1 has no step-2 inside the window counts as not converting even
+    * if a later step-1 occurrence would have (the standard first-touch
+    * funnel definition — an optimal-alignment variant is a different,
+    * quadratic operator). Oracle replays the identical greedy recursion. */
+  def funnelWithin(events: DataFrame, actor: Column, ts: Column,
+                   steps: Seq[(String, Column)], maxGapUs: Long,
+                   checkpointFrontiers: Boolean = false): DataFrame = {
+    require(maxGapUs > 0, s"maxGapUs must be positive, got $maxGapUs")
+    funnelImpl(events, actor, ts, steps, Some(maxGapUs),
+      checkpointFrontiers)
+  }
+
+  private def funnelImpl(events: DataFrame, actor: Column, ts: Column,
+                         steps: Seq[(String, Column)],
+                         maxGapUs: Option[Long],
+                         checkpointFrontiers: Boolean): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     // Frontier k: (actor, earliest step-k time among events after the
-    // actor's frontier-(k-1) time).
+    // actor's frontier-(k-1) time — and within the deadline, if any).
     val frontiers = steps.foldLeft(List.empty[DataFrame]) {
       case (acc, (_, pred)) =>
         val stepEv = events.filter(pred)
@@ -94,7 +118,8 @@ object AnalyticsOps {
           case prev :: _ => stepEv
             .join(prev.select(col("__actor"), col("__t").as("__prev")),
               "__actor")
-            .filter(col("__us") > col("__prev"))
+            .filter(maxGapUs.foldLeft(col("__us") > col("__prev"))(
+              (c, w) => c && col("__us") <= col("__prev") + w))
             .groupBy(col("__actor")).agg(min(col("__us")).as("__t"))
         }
         (if (checkpointFrontiers) f.localCheckpoint(true) else f) :: acc
@@ -1018,5 +1043,39 @@ object AnalyticsOps {
           (col("n") * col("n_agree") - col("pe_num")).cast("double")
             / (col("n") * col("n") - col("pe_num")).cast("double"))
           .as("kappa"))
+  }
+
+  /** Deterministic hash-bootstrap confidence band for a grouped integer
+    * metric: `b` resamples where row r's replicate multiplicity in
+    * resample i is `hash32("bs<i>:" + id) mod 3` ∈ {0,1,2} — mean 1,
+    * variance 2/3, a bounded integer surrogate for the Poisson(1)
+    * multiplicity of the classic online bootstrap (Oza & Russell 2001;
+    * bounded so the weight is a pure hash expression and every resample
+    * metric an EXACT integer — no RNG state, no float weights,
+    * partition-invariant, replayable). Understates spread by ~√(2/3);
+    * a census-grade error bar, not an inference substitute.
+    *
+    * Shape: ONE ×b explode over the metric rows → per-(group, resample)
+    * exact weighted sums (combinable) → per-group interpolated
+    * p05/p50/p95 over the b-sized resample table. The explode multiplies
+    * the SCAN, not the shuffle: partial aggregation folds each
+    * partition's b×groups cells before the exchange, so the shuffle
+    * carries b×groups rows at any corpus size. */
+  def hashBootstrap(df: DataFrame, group: Column, id: Column,
+                    value: Column, b: Int): DataFrame = {
+    require(b >= 2, s"need >= 2 resamples, got $b")
+    val rows = df.select(group.as("grp"), id.cast("string").as("__id"),
+        value.cast("long").as("__v"))
+      .select(col("grp"), col("__v"),
+        posexplode(array((0 until b).map(i =>
+          pmod(TextOps.hash32(concat(lit(s"bs$i:"), col("__id"))),
+            lit(3L))): _*)).as(Seq("__b", "__w")))
+    val res = rows.groupBy(col("grp"), col("__b"))
+      .agg(sum(col("__w") * col("__v")).as("__m"))
+    res.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_resamples"),
+        percentile(col("__m"), lit(0.05)).as("p05"),
+        percentile(col("__m"), lit(0.5)).as("p50"),
+        percentile(col("__m"), lit(0.95)).as("p95"))
   }
 }

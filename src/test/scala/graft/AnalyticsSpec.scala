@@ -606,4 +606,51 @@ class AnalyticsSpec extends AnyFunSuite {
     // kappa = (4*2 - 4)/(16 - 4) = 4/12
     assert(out.getAs[Double]("kappa") == 4.0 / 12.0)
   }
+
+  test("funnelWithin: deadline cuts late transitions; greedy earliest-" +
+    "first contract means a later qualifying step-1 does NOT rescue") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    def ev(u: Long, t: Long, e: String) = (u, t, e)
+    val rows = Seq(
+      // u1 converts inside the window (s1@0, s2@50)
+      ev(1, 0, "s1"), ev(1, 50, "s2"),
+      // u2's only s2 is past the window
+      ev(2, 0, "s1"), ev(2, 200, "s2"),
+      // u3: earliest s1@0 has no s2 in window; later s1@150 would have
+      // (s2@170) — greedy walks from the EARLIEST frontier, so no convert
+      ev(3, 0, "s1"), ev(3, 150, "s1"), ev(3, 170, "s2"))
+      .toDF("u", "us", "e")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("e"))
+    val out = AnalyticsOps.funnelWithin(rows, col("u"), col("ts"),
+        Seq("s1" -> (col("e") === "s1"), "s2" -> (col("e") === "s2")),
+        maxGapUs = 100L)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(out(1) == 3L && out(2) == 1L) // only u1 converts
+    // sanity: the undeadlined funnel converts u2 and u3 as well
+    val loose = AnalyticsOps.funnel(rows, col("u"), col("ts"),
+        Seq("s1" -> (col("e") === "s1"), "s2" -> (col("e") === "s2")))
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(loose(2) == 3L)
+    assertThrows[IllegalArgumentException](
+      AnalyticsOps.funnelWithin(rows, col("u"), col("ts"),
+        Seq("s1" -> (col("e") === "s1")), maxGapUs = 0L))
+  }
+
+  test("hashBootstrap: exact integer resamples, partition-invariant, " +
+    "band brackets the point estimate for ordinary data") {
+    val df = (1 to 300).map(i => ("g", i.toLong, i % 7 + 1L))
+      .toDF("k", "id", "v")
+    val a = AnalyticsOps.hashBootstrap(df, col("k"), col("id"), col("v"),
+      b = 16).head
+    val b = AnalyticsOps.hashBootstrap(df.repartition(13), col("k"),
+      col("id"), col("v"), b = 16).head
+    assert(a == b, "resample metrics must not depend on partitioning")
+    val total = (1 to 300).map(i => i % 7 + 1L).sum.toDouble
+    assert(a.getLong(1) == 16L)
+    val (p05, p50, p95) = (a.getDouble(2), a.getDouble(3), a.getDouble(4))
+    assert(p05 <= p50 && p50 <= p95)
+    // mean multiplicity 1 → the band straddles the point estimate
+    assert(p05 < total && total < p95,
+      s"band [$p05, $p95] misses the point estimate $total")
+  }
 }
