@@ -1168,6 +1168,15 @@ object SparkEntry {
           col("l_quantity"), b = 32)
         .withColumnRenamed("grp", "l_returnflag")),
 
+    // L134: multi-touch linear attribution — q117's equal-credit
+    // sibling: 2-day lookback, fixed-point credit shares, interval-join
+    // candidate generation (1-day bins).
+    "q151_linear_attribution" -> ((s, dir) =>
+      An.linearAttribution(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        col("event_type") === "purchase",
+        lookbackMicros = 172800000000L, binWidthUs = 86400000000L)),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4414,6 +4423,34 @@ object SparkEntry {
          | quantile_cont(mt, 0.05) AS p05, quantile_cont(mt, 0.5) AS p50,
          | quantile_cont(mt, 0.95) AS p95
          |FROM m GROUP BY 1""".stripMargin,
+
+    // q151 twin: the naive interval predicate (the binned join is only a
+    // plan device), same pmod-identity integer credit division.
+    "q151_linear_attribution" ->
+      """WITH e AS (SELECT user_id AS a, epoch_us(ts) AS us, event_id,
+        |  event_type FROM events
+        | WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+        |t AS (SELECT a, us, event_type AS ch FROM e
+        | WHERE event_type <> 'purchase'),
+        |c AS (SELECT a, us, event_id AS cid FROM e
+        | WHERE event_type = 'purchase'),
+        |j AS (SELECT c.cid, t.ch FROM t JOIN c ON t.a = c.a
+        | AND t.us >= c.us - 172800000000 AND t.us < c.us),
+        |cc AS (SELECT cid, ch, CAST(count(*) AS BIGINT) AS n
+        | FROM j GROUP BY 1, 2),
+        |tot AS (SELECT cid, CAST(sum(n) AS BIGINT) AS nt
+        | FROM cc GROUP BY 1),
+        |cr AS (SELECT ch, cc.cid, n,
+        |  n * CAST((1000000000000 - (1000000000000 % nt)) / nt AS BIGINT)
+        |   AS fp
+        | FROM cc JOIN tot ON cc.cid = tot.cid
+        | UNION ALL SELECT 'unattributed', cid, 0, 1000000000000
+        | FROM c WHERE cid NOT IN (SELECT cid FROM tot))
+        |SELECT ch AS channel,
+        | CAST(count(DISTINCT cid) AS BIGINT) AS n_conversions,
+        | CAST(sum(n) AS BIGINT) AS n_touchpoints,
+        | CAST(sum(fp) AS DOUBLE) / 1000000000000.0 AS credit
+        |FROM cr GROUP BY 1""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -1045,6 +1045,59 @@ object AnalyticsOps {
           .as("kappa"))
   }
 
+  /** Multi-touch LINEAR attribution — [[lastTouchAttribution]]'s
+    * equal-credit sibling: every touch in the conversion's lookback
+    * window (strictly before it) shares the conversion's credit equally.
+    * Credit is FIXED-POINT: each touch earns `scale div n_touches`
+    * (exact integer division via the pmod identity, identical in both
+    * engines; the ≤ n−1 remainder units are dropped — documented, never
+    * redistributed nondeterministically), so channel credits are exact
+    * long sums and ONE final division renders the double. Conversions
+    * with no window touch credit 'unattributed' in full.
+    *
+    * Shape: touches probe the conversions' lookback intervals through
+    * [[graft.operators.TimeOps.intervalJoin]] (equi join on (actor,
+    * time-bin) — never an unbounded range join); per-(conversion,
+    * channel) counts and the per-conversion total share one
+    * conversion-keyed exchange; the no-touch remainder is a broadcast
+    * anti-join on the credited-conversion id set. */
+  def linearAttribution(events: DataFrame, actor: Column, ts: Column,
+                        tie: Column, touchChannel: Column,
+                        isConversion: Column, lookbackMicros: Long,
+                        binWidthUs: Long,
+                        scale: Long = 1000000000000L): DataFrame = {
+    val ev = events.select(actor.as("__a"), ts.as("__ts"), tie.as("__tie"),
+        touchChannel.as("__ch"), isConversion.as("__conv"))
+      .filter(col("__a").isNotNull && col("__ts").isNotNull)
+    val touches = ev.filter(!col("__conv") && col("__ch").isNotNull)
+      .select(col("__a"), col("__ts"), col("__ch"))
+    val convs = ev.filter(col("__conv"))
+      .select(col("__a"), col("__tie").as("__cid"),
+        timestamp_micros(unix_micros(col("__ts")) - lookbackMicros)
+          .as("__start"),
+        col("__ts").as("__end"))
+    val joined = TimeOps.intervalJoin(touches, "__ts", convs,
+      "__start", "__end", Seq("__a"), binWidthUs)
+    val cc = joined.groupBy(col("__cid"), col("__ch"))
+      .agg(count(lit(1)).as("__n"))
+    val wc = Window.partitionBy(col("__cid"))
+    val credited = cc.withColumn("__nt", sum(col("__n")).over(wc))
+      .select(col("__ch"), col("__cid"), col("__n"),
+        (col("__n") * ((lit(scale) - pmod(lit(scale), col("__nt"))) /
+          col("__nt")).cast("long")).as("__fp"))
+    val unattr = convs.join(
+        broadcast(credited.select(col("__cid")).distinct()),
+        Seq("__cid"), "left_anti")
+      .select(lit("unattributed").as("__ch"), col("__cid"),
+        lit(0L).as("__n"), lit(scale).as("__fp"))
+    credited.unionByName(unattr)
+      .groupBy(col("__ch").as("channel"))
+      .agg(countDistinct(col("__cid")).as("n_conversions"),
+        sum(col("__n")).as("n_touchpoints"),
+        (sum(col("__fp")).cast("double") / lit(scale.toDouble))
+          .as("credit"))
+  }
+
   /** Deterministic hash-bootstrap confidence band for a grouped integer
     * metric: `b` resamples where row r's replicate multiplicity in
     * resample i is `hash32("bs<i>:" + id) mod 3` ∈ {0,1,2} — mean 1,

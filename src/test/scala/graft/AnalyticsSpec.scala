@@ -636,6 +636,38 @@ class AnalyticsSpec extends AnyFunSuite {
         Seq("s1" -> (col("e") === "s1")), maxGapUs = 0L))
   }
 
+  test("linearAttribution: equal credit inside the window, touch at " +
+    "conversion instant excluded, no-touch converts unattributed, " +
+    "3-way split drops the remainder deterministically") {
+    import org.apache.spark.sql.functions.timestamp_micros
+    val rows = Seq(
+      (1L, 10L, 101L, "A", false), (1L, 20L, 102L, "B", false),
+      (1L, 30L, 103L, "X", true),            // A, B share 50/50
+      (2L, 10L, 201L, "A", false),
+      (2L, 500L, 202L, "X", true),           // touch outside 100-window
+      (3L, 40L, 301L, "X", true),            // no touches at all
+      (4L, 5L, 401L, "A", false), (4L, 6L, 402L, "A", false),
+      (4L, 7L, 403L, "B", false),
+      (4L, 50L, 404L, "X", true),            // 3 touches → 1/3 each
+      (5L, 60L, 501L, "A", false),
+      (5L, 60L, 502L, "X", true))            // same-instant touch excluded
+      .toDF("u", "us", "eid", "ch", "conv")
+      .select(col("u"), timestamp_micros(col("us")).as("ts"), col("eid"),
+        col("ch"), col("conv"))
+    val out = AnalyticsOps.linearAttribution(rows, col("u"), col("ts"),
+        col("eid"), col("ch"), col("conv"),
+        lookbackMicros = 100L, binWidthUs = 50L)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    val third = (1000000000000L / 3L).toDouble / 1e12
+    // A: u1 half + u4 two thirds; B: u1 half + u4 one third
+    assert(out("A") == ((2L, 3L, 0.5 + 2 * third)))
+    assert(out("B") == ((2L, 2L, 0.5 + third)))
+    // u2 (outside window), u3 (no touch), u5 (same-instant) unattributed
+    assert(out("unattributed") == ((3L, 0L, 3.0)))
+    assert(!out.contains("X"))
+  }
+
   test("hashBootstrap: exact integer resamples, partition-invariant, " +
     "band brackets the point estimate for ordinary data") {
     val df = (1 to 300).map(i => ("g", i.toLong, i % 7 + 1L))
