@@ -5,9 +5,9 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.operators.{AnalyticsOps => An, CleanseOps => C, DedupOps => D, GraphOps => G,
-  MultimodalOps => M, QualityOps => Q, RelationalOps => R, SampleOps => Sam,
-  SketchOps => Sk, TextOps => T, TimeOps => Ti, VectorOps => Vec,
-  VizPrep => V}
+  LayoutOps => L, MultimodalOps => M, QualityOps => Q, RelationalOps => R,
+  SampleOps => Sam, SketchOps => Sk, TextOps => T, TimeOps => Ti,
+  VectorOps => Vec, VizPrep => V}
 import graft.sources.{CatalogOps => Cat}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
@@ -1176,6 +1176,27 @@ object SparkEntry {
         col("event_id"), col("event_type"),
         col("event_type") === "purchase",
         lookbackMicros = 172800000000L, binWidthUs = 86400000000L)),
+
+    // L90b: zone-map pruning effectiveness census — simulate three write
+    // layouts (arrival order, single-dim value sort, z-order on
+    // (value, user)) into 64 files and count which a value-range scan
+    // could skip from min/max stats alone.
+    "q152_zone_map_pruning" -> ((s, dir) => {
+      val ev = t(s, dir, "events").filter(col("value").isNotNull)
+      val ext = ev.agg(min(col("value")).as("__vlo"),
+        max(col("value")).as("__vhi"),
+        min(col("user_id")).as("__ulo"), max(col("user_id")).as("__uhi"))
+      val df = ev.crossJoin(broadcast(ext))
+      val zkey = L.zOrderKey(Seq(
+        L.normalizeLinear(col("value"), col("__vlo"), col("__vhi"), 8),
+        L.normalizeLinear(col("user_id"), col("__ulo"), col("__uhi"), 8)),
+        8)
+      L.zoneMapPruneCensus(df, Seq(
+        "arrival" -> Seq(col("event_id")),
+        "value_sort" -> Seq(col("value"), col("event_id")),
+        "zorder" -> Seq(zkey, col("event_id"))),
+        col("value"), predLo = 100.0, predHi = 120.0, nFiles = 64)
+    }),
 
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
@@ -4451,6 +4472,44 @@ object SparkEntry {
         | CAST(sum(n) AS BIGINT) AS n_touchpoints,
         | CAST(sum(fp) AS DOUBLE) / 1000000000000.0 AS credit
         |FROM cr GROUP BY 1""".stripMargin,
+
+    // q152 twin: same normalize/interleave arithmetic (generated from
+    // the same loops), same ntile file cuts, same min/max zone maps.
+    "q152_zone_map_pruning" -> {
+      def nrm(v: String, lo: String, hi: String): String =
+        s"least(greatest(CAST(floor((CAST($v AS DOUBLE) - $lo) / " +
+          s"($hi - $lo) * 256.0) AS BIGINT), 0), 255)"
+      val zk = (0 until 8).flatMap(i => Seq(
+        s"(((zv >> $i) & 1) << ${i * 2})",
+        s"(((zu >> $i) & 1) << ${i * 2 + 1})")).mkString(" | ")
+      s"""WITH v AS (SELECT event_id, user_id, value FROM events
+         |  WHERE value IS NOT NULL),
+         |ext AS (SELECT min(value) AS vlo, max(value) AS vhi,
+         |  CAST(min(user_id) AS DOUBLE) AS ulo,
+         |  CAST(max(user_id) AS DOUBLE) AS uhi FROM v),
+         |d AS (SELECT v.*, vlo, vhi, ulo, uhi FROM v CROSS JOIN ext),
+         |k AS (SELECT value, event_id,
+         |  ${nrm("value", "vlo", "vhi")} AS zv,
+         |  ${nrm("user_id", "ulo", "uhi")} AS zu FROM d),
+         |k2 AS (SELECT value, event_id, ($zk) AS zk FROM k),
+         |f AS (
+         | SELECT 'arrival' AS layout, value,
+         |  ntile(64) OVER (ORDER BY event_id) AS f FROM k2
+         | UNION ALL SELECT 'value_sort', value,
+         |  ntile(64) OVER (ORDER BY value, event_id) FROM k2
+         | UNION ALL SELECT 'zorder', value,
+         |  ntile(64) OVER (ORDER BY zk, event_id) FROM k2),
+         |s AS (SELECT layout, f, min(value) AS lo, max(value) AS hi
+         |  FROM f GROUP BY 1, 2),
+         |g AS (SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+         |  CAST(sum(CASE WHEN hi < 100.0 OR lo > 120.0 THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_prunable
+         |  FROM s GROUP BY 1)
+         |SELECT layout, n_files, n_prunable,
+         | CAST(n_prunable AS DOUBLE) / CAST(n_files AS DOUBLE)
+         |  AS prune_frac
+         |FROM g""".stripMargin
+    },
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

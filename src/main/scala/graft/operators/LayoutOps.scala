@@ -63,4 +63,43 @@ object LayoutOps {
         lit(0L)),
       lit(cells - 1))
   }
+
+  /** Zone-map pruning effectiveness census — the MEASUREMENT behind the
+    * layout claims above: simulate writing the table under several
+    * candidate orderings (each a total order — include a unique
+    * tie-break), cut the ordered stream into `nFiles` equal "files"
+    * (parquet row-group stand-ins), record each file's min/max zone map
+    * for the probe column, and count how many files a range predicate
+    * [predLo, predHi] could SKIP. Run before committing a layout: the
+    * answer is the fraction of the corpus every future scan with that
+    * predicate shape never reads.
+    *
+    * The census sorts the corpus per layout (ntile over a global order)
+    * because that IS the simulated write — the production write path is
+    * `repartitionByRange(n, key).sortWithinPartitions(key)` (parallel
+    * range sort, one layout shuffle amortized over every pruned scan);
+    * ntile is the oracle-stable stand-in for its file boundaries. Null
+    * probe values are excluded (they carry no zone-map information).
+    * Counts exact; prune_frac one final division. */
+  def zoneMapPruneCensus(df: org.apache.spark.sql.DataFrame,
+                         layouts: Seq[(String, Seq[Column])],
+                         value: Column, predLo: Double, predHi: Double,
+                         nFiles: Int): org.apache.spark.sql.DataFrame = {
+    require(layouts.nonEmpty, "need at least one layout")
+    require(nFiles >= 2, s"need >= 2 files, got $nFiles")
+    import org.apache.spark.sql.expressions.Window
+    layouts.map { case (name, ord) =>
+      val files = df.filter(value.isNotNull)
+        .select(value.cast("double").as("__v"),
+          ntile(nFiles).over(Window.orderBy(ord: _*)).as("__f"))
+      files.groupBy(col("__f"))
+        .agg(min(col("__v")).as("__lo"), max(col("__v")).as("__hi"))
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("__hi") < predLo || col("__lo") > predHi, 1L)
+            .otherwise(0L)).as("n_prunable"))
+        .select(lit(name).as("layout"), col("n_files"), col("n_prunable"),
+          (col("n_prunable").cast("double") / col("n_files").cast("double"))
+            .as("prune_frac"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -75,4 +75,25 @@ class LayoutSpec extends AnyFunSuite {
     assert(out(100.0) == 15L)  // top edge joins the last cell
     assert(out(120.0) == 15L && out(-5.0) == 0L, "overshoot clamps")
   }
+
+  test("zoneMapPruneCensus: a sorted layout prunes the slice-disjoint " +
+    "files; a shuffled layout prunes none; null probes excluded") {
+    // 1..400 sorted into 8 files of 50 → predicate [101,150] touches
+    // exactly file 3; hash-scramble order spreads the range everywhere.
+    val df = (1 to 400).map(i => (i.toLong, i.toDouble))
+      .toDF("id", "v")
+      .union(Seq((999L, Double.NaN)).toDF("id", "v")
+        .select(col("id"), lit(null).cast("double").as("v")))
+    val out = LayoutOps.zoneMapPruneCensus(df, Seq(
+        "sorted" -> Seq(col("v"), col("id")),
+        "scrambled" -> Seq(graft.operators.TextOps.hash32(
+          col("id").cast("string")), col("id"))),
+        col("v"), predLo = 101.0, predHi = 150.0, nFiles = 8)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out("sorted") == ((8L, 7L)))
+    assert(out("scrambled")._2 == 0L,
+      "a scrambled layout should have no prunable file for a mid-range " +
+        s"predicate, got ${out("scrambled")._2}")
+  }
 }
