@@ -1198,6 +1198,21 @@ object SparkEntry {
         col("value"), predLo = 100.0, predHi = 120.0, nFiles = 64)
     }),
 
+    // L135: k-core peel of the co-purchase graph (q109's edges,
+    // distinct), k pinned at the initial p10 degree, 3 peel rounds.
+    "q153_kcore" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("src"), col("y.pk").as("dst"))
+      val out = G.kCorePeel(e, "src", "dst", rounds = 3, q = 0.1)
+      pp.unpersist(blocking = false)
+      out
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4509,6 +4524,31 @@ object SparkEntry {
          | CAST(n_prunable AS DOUBLE) / CAST(n_files AS DOUBLE)
          |  AS prune_frac
          |FROM g""".stripMargin
+    },
+
+    // q153 twin: the same peel unrolled round by round (generated from
+    // the same rounds constant); k from the same initial-degree
+    // quantile.
+    "q153_kcore" -> {
+      val roundCtes = (1 to 3).map { r =>
+        s"""k$r AS (SELECT u FROM (SELECT u, count(*) AS n
+           |  FROM s${r - 1} GROUP BY 1), kt WHERE n >= k),
+           |s$r AS (SELECT s${r - 1}.u, s${r - 1}.v FROM s${r - 1}
+           |  JOIN k$r x ON s${r - 1}.u = x.u
+           |  JOIN k$r y ON s${r - 1}.v = y.u)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM pp x
+         |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+         |s0 AS (SELECT a AS u, b AS v FROM e
+         |  UNION ALL SELECT b, a FROM e),
+         |kt AS (SELECT CAST(ceil(quantile_cont(n, 0.1)) AS BIGINT) AS k
+         |  FROM (SELECT u, count(*) AS n FROM s0 GROUP BY 1)),
+         |$roundCtes
+         |SELECT u AS node, CAST(count(*) AS BIGINT) AS degree,
+         | (SELECT k FROM kt) AS k
+         |FROM s3 GROUP BY 1""".stripMargin
     },
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's

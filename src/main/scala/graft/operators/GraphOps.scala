@@ -343,4 +343,55 @@ object GraphOps {
           (lit(3.0) * col("n_triangles").cast("double")) /
             col("n_wedges").cast("double")).otherwise(lit(0.0)))
   }
+
+  /** Degree-quantile-pinned k-core peel — the cohesion filter for
+    * co-occurrence and near-dup graphs: iteratively remove vertices
+    * whose degree falls below k, where k = ceil(initial-degree
+    * quantile `q`) (pinned ONCE from the unpeeled graph, so the
+    * threshold adapts to corpus density while the peel itself is the
+    * classic k-core cascade). Runs a FIXED `rounds` peels — the oracle
+    * unrolls the identical rounds; convergence on a given corpus is a
+    * spec assertion (rounds vs rounds+1 equal), not an unbounded loop.
+    *
+    * Shape: symmetric edge list persisted PRE-HASHED on `u` (the
+    * [[pageRank]] discipline) — each round is one degree aggregate on
+    * the cached layout plus two semi-joins against the
+    * node-cardinality keep-list; each round's survivor edges are
+    * eagerly checkpointed so lineage stays flat. Returns survivors as
+    * (node, degree-after-peel, k). */
+  def kCorePeel(edges: DataFrame, src: String, dst: String,
+                rounds: Int, q: Double): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
+    val e0 = edges
+      .select(least(col(src), col(dst)).cast("long").as("a"),
+        greatest(col(src), col(dst)).cast("long").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    val sym0 = e0.select(col("a").as("u"), col("b").as("v"))
+      .union(e0.select(col("b").as("u"), col("a").as("v")))
+      .repartition(col("u"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kTab = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+      .agg(ceil(percentile(col("__n"), lit(q))).cast("long").as("k"))
+      .localCheckpoint(true)
+    var sym = sym0
+    for (_ <- 1 to rounds) {
+      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+        .crossJoin(broadcast(kTab))
+        .filter(col("__n") >= col("k"))
+        .select(col("u"))
+      sym = sym
+        .join(keep, Seq("u"), "left_semi")
+        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
+        .repartition(col("u"))
+        .localCheckpoint(true)
+    }
+    val out = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("degree"))
+      .crossJoin(broadcast(kTab))
+      .select(col("node"), col("degree"), col("k"))
+      .localCheckpoint(true)
+    sym0.unpersist(blocking = false)
+    out
+  }
 }

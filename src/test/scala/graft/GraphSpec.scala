@@ -249,4 +249,22 @@ class GraphSpec extends AnyFunSuite {
     sweep.clear()
     assert(sweep.size == 0)
   }
+
+  test("kCorePeel: pendant peels, the clique core survives with its " +
+    "degrees; extra rounds are a no-op once stable") {
+    import graft.operators.GraphOps
+    // 4-clique {1,2,3,4} plus pendant 5-1. Degrees [4,3,3,3,1];
+    // quantile_cont(0.25) lands on 3 → k=3: node 5 peels round 1, the
+    // clique is stable (node 1 drops to degree 3 — still >= k).
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (1L, 5L)).toDF("src", "dst")
+    def run(r: Int) = GraphOps.kCorePeel(edges, "src", "dst",
+        rounds = r, q = 0.25)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2)))
+      .toMap
+    val out = run(2)
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out.values.forall(_ == ((3L, 3L))), s"got $out")
+    assert(run(3) == out, "stable core must not change with more rounds")
+  }
 }
