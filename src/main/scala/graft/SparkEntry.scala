@@ -1213,6 +1213,38 @@ object SparkEntry {
       out
     }),
 
+    // L136: behavioral trigram patterns — per-user ordered event-type
+    // 3-sequences (two leads on ONE user window), global top-20.
+    "q154_event_trigrams" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("e1"),
+          lead(col("event_type"), 1).over(w).as("e2"),
+          lead(col("event_type"), 2).over(w).as("e3"))
+        .filter(col("e2").isNotNull && col("e3").isNotNull)
+        .groupBy(col("e1"), col("e2"), col("e3"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("e1"), col("e2"), col("e3"))
+        .limit(20)
+    }),
+
+    // L137: Wilson score intervals — per event type, the share of
+    // events with value > 100 with its 95% Wilson band (the error bar
+    // a rate census ships; sqrt is the only non-arithmetic op).
+    "q155_wilson_rates" -> ((s, dir) => {
+      val agg = t(s, dir, "events").filter(col("value").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("value") > 100.0, 1L).otherwise(0L))
+            .as("n_success"))
+      val (lo, hi) = An.wilsonBounds(col("n_success"), col("n"), 1.96)
+      agg.select(col("event_type"), col("n"), col("n_success"),
+        (col("n_success").cast("double") / col("n").cast("double"))
+          .as("p_hat"),
+        lo.as("wilson_lo"), hi.as("wilson_hi"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4550,6 +4582,42 @@ object SparkEntry {
          | (SELECT k FROM kt) AS k
          |FROM s3 GROUP BY 1""".stripMargin
     },
+
+    // q154 twin: same two leads on one user window, same top-20 tie
+    // order.
+    "q154_event_trigrams" ->
+      """WITH s AS (SELECT user_id, event_type AS e1,
+        |  lead(event_type, 1) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS e2,
+        |  lead(event_type, 2) OVER (PARTITION BY user_id
+        |    ORDER BY epoch_us(ts), event_id) AS e3
+        | FROM events)
+        |SELECT e1, e2, e3, CAST(count(*) AS BIGINT) AS n
+        |FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+        |GROUP BY 1, 2, 3 ORDER BY n DESC, e1, e2, e3 LIMIT 20""".stripMargin,
+
+    // q155 twin: wilsonBounds mirrored token-for-token (every literal
+    // CAST to DOUBLE — DuckDB parses bare decimals as DECIMAL).
+    "q155_wilson_rates" ->
+      """WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN value > 100.0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS s
+        | FROM events WHERE value IS NOT NULL GROUP BY 1),
+        |b AS (SELECT event_type, n, s,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  CAST(n AS DOUBLE) AS nd,
+        |  CAST(1.96 AS DOUBLE) AS zc,
+        |  CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz FROM a),
+        |c AS (SELECT event_type, n, s, p,
+        |  CAST(1.0 AS DOUBLE) + zz / nd AS denom,
+        |  p + zz / (CAST(2.0 AS DOUBLE) * nd) AS center,
+        |  zc * sqrt((p * (CAST(1.0 AS DOUBLE) - p)) / nd +
+        |    zz / ((CAST(4.0 AS DOUBLE) * nd) * nd)) AS margin FROM b)
+        |SELECT event_type, n, s AS n_success, p AS p_hat,
+        | greatest((center - margin) / denom, CAST(0.0 AS DOUBLE))
+        |  AS wilson_lo,
+        | least((center + margin) / denom, CAST(1.0 AS DOUBLE))
+        |  AS wilson_hi FROM c""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -1098,6 +1098,30 @@ object AnalyticsOps {
           .as("credit"))
   }
 
+  /** Wilson score interval for a proportion (Wilson 1927; the interval
+    * Agresti–Coull approximates) — the error bar a rate census ships:
+    * unlike the naive Wald interval it never leaves [0, 1] and behaves
+    * at small n or extreme p. Deterministic by construction: counts are
+    * exact longs, p is one int/int division, and the only non-arithmetic
+    * op is `sqrt` (IEEE correctly-rounded everywhere); the expression
+    * sequence is FIXED and mirrored token-for-token in the oracle.
+    * Returns (lo, hi) columns for `s` successes of `n` trials. */
+  def wilsonBounds(s: Column, n: Column, z: Double): (Column, Column) = {
+    val zc = lit(z).cast("double")
+    val zz = zc * zc
+    val nd = n.cast("double")
+    val p = s.cast("double") / nd
+    val denom = lit(1.0) + zz / nd
+    val center = p + zz / (lit(2.0) * nd)
+    val margin = zc * sqrt((p * (lit(1.0) - p)) / nd +
+      zz / ((lit(4.0) * nd) * nd))
+    // The mathematical interval never leaves [0,1]; the FLOATING-POINT
+    // one can dip an ulp outside at p ∈ {0, 1} (center−margin rounds to
+    // −3e−17 at p=0). Clamp — mirrored in the oracle.
+    (greatest((center - margin) / denom, lit(0.0)),
+      least((center + margin) / denom, lit(1.0)))
+  }
+
   /** Deterministic hash-bootstrap confidence band for a grouped integer
     * metric: `b` resamples where row r's replicate multiplicity in
     * resample i is `hash32("bs<i>:" + id) mod 3` ∈ {0,1,2} — mean 1,

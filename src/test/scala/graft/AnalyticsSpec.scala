@@ -668,6 +668,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!out.contains("X"))
   }
 
+  test("wilsonBounds: textbook value at 8/10, never leaves [0,1] at " +
+    "the extremes, degenerate n=1 stays finite") {
+    val df = Seq((8L, 10L), (0L, 5L), (5L, 5L), (1L, 1L))
+      .toDF("s", "n")
+    val (lo, hi) = AnalyticsOps.wilsonBounds(col("s"), col("n"), 1.96)
+    val out = df.select(col("s"), col("n"), lo.as("lo"), hi.as("hi"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val (l8, h8) = out((8L, 10L))
+    assert(math.abs(l8 - 0.4901) < 0.001 && math.abs(h8 - 0.9433) < 0.001,
+      s"8/10 Wilson should be ~[0.490, 0.943], got [$l8, $h8]")
+    out.values.foreach { case (l, h) =>
+      assert(l >= 0.0 && h <= 1.0 && l <= h, s"bounds escaped: [$l, $h]")
+    }
+    val (l0, h0) = out((0L, 5L))
+    assert(l0 == 0.0 && h0 > 0.0 && h0 < 0.6)
+    val (l5, h5) = out((5L, 5L))
+    assert(h5 == 1.0 && l5 < 1.0 && l5 > 0.4)
+  }
+
   test("hashBootstrap: exact integer resamples, partition-invariant, " +
     "band brackets the point estimate for ordinary data") {
     val df = (1 to 300).map(i => ("g", i.toLong, i % 7 + 1L))
