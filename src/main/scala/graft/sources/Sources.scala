@@ -54,4 +54,31 @@ object Sources {
         ArrayType(rowSchema)).as("rows"))
       .select(explode(col("rows")).as("r"))
       .select(col("r.*"))
+
+  /** NDJSON (JSON-lines) scan with an explicit schema — the export
+    * format crawler/API dumps actually arrive in: one JSON object per
+    * line, splittable (unlike the whole-doc envelope above), so a
+    * 100 TB dump parallelizes by line ranges. No inference pass; corrupt
+    * lines land in `_corrupt_record` when the schema includes it
+    * (PERMISSIVE — ingest audits count them rather than dying). */
+  def ndjson(spark: SparkSession, path: String,
+             schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
+  /** Columnar interchange scan/write: ORC round-trip. Spark's built-in
+    * ORC source keeps the same pushdown/pruning contract as parquet
+    * (PushedFilters + ReadSchema — spec-asserted), so a lake that
+    * standardized on ORC slots into every operator here unchanged. */
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite").orc(path)
+
+  def orc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  /** Schema-evolution parquet scan: union the schemas of heterogeneous
+    * parquet files written over a table's lifetime (`mergeSchema` —
+    * columns absent in older files read as null). The ingest contract
+    * for append-only lakes whose producers add columns over time. */
+  def parquetMerged(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
 }
