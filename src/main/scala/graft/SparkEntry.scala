@@ -1245,6 +1245,46 @@ object SparkEntry {
         lo.as("wilson_lo"), hi.as("wilson_hi"))
     }),
 
+    // L138: Benford first-digit audit — the fraud/synthetic-data screen:
+    // first significant digit of integer cents via pure STRING ops (no
+    // log10, no float formatting), observed share vs the Benford
+    // expectation from literal probabilities.
+    "q156_benford" -> ((s, dir) => {
+      val cents = floor(col("value") * 100.0).cast("long")
+      val digit = substring(cents.cast("string"), 1, 1).cast("int")
+      val obs = t(s, dir, "events")
+        .filter(col("value").isNotNull && col("value") > 0.0)
+        .select(digit.as("digit"))
+        .groupBy(col("digit")).agg(count(lit(1)).as("n_obs"))
+      val tot = obs.agg(sum(col("n_obs")).as("__n"))
+      // log10(1 + 1/d) as shared literals — computed once HERE, pasted
+      // into the oracle from the same constant list.
+      val pLit = benfordP.foldLeft(lit(0.0).cast("double")) { case (acc, (d, p)) =>
+        when(col("digit") === d, lit(p)).otherwise(acc) }
+      obs.crossJoin(broadcast(tot))
+        .select(col("digit"), col("n_obs"),
+          (col("n_obs").cast("double") / col("__n").cast("double"))
+            .as("obs_share"),
+          pLit.as("benford_p"),
+          ((col("n_obs").cast("double") / col("__n").cast("double")) /
+            pLit).as("ratio"))
+    }),
+
+    // L139: sequence-continuity audit — are each order's line numbers
+    // the contiguous run 1..n? The integrity check CDC pipelines run:
+    // per order max vs count vs min detects gaps/offsets in one
+    // combinable aggregate; census by anomaly class.
+    "q157_sequence_audit" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("__n"), min(col("l_linenumber")).as("__lo"),
+          max(col("l_linenumber")).as("__hi"))
+        .select(when(col("__lo") === 1 && col("__hi") === col("__n"),
+            "contiguous")
+          .when(col("__lo") =!= 1, "offset_start")
+          .otherwise("gapped").as("status"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_orders"))),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -2164,6 +2204,12 @@ object SparkEntry {
     * oracle so the two sides can never drift. */
   private val searchPhrases = Seq(
     (1L, "table part"), (2L, "fast key scan"), (3L, "value table"))
+
+  /** q156's Benford expectations log10(1 + 1/d) — computed ONCE here;
+    * the oracle receives the same doubles as shortest-round-trip string
+    * literals, so both engines compare against identical constants. */
+  private val benfordP: Seq[(Int, Double)] =
+    (1 to 9).map(d => d -> math.log10(1.0 + 1.0 / d))
 
   /** IVF geometry for q34 — cell count, Lloyd training iterations, and
     * probe depth for the test corpus; [[graft.operators.VectorOps
@@ -4618,6 +4664,39 @@ object SparkEntry {
         |  AS wilson_lo,
         | least((center + margin) / denom, CAST(1.0 AS DOUBLE))
         |  AS wilson_hi FROM c""".stripMargin,
+
+    // q156 twin: same string-op digit extraction (floor, not CAST —
+    // DuckDB's double→int CAST rounds), Benford constants pasted from
+    // the same Scala list.
+    "q156_benford" -> {
+      // Quoted string literals: DuckDB parses a bare 17-digit decimal
+      // literal as DECIMAL before casting (losing the shortest-repr
+      // round trip); VARCHAR→DOUBLE parses directly.
+      val pCase = benfordP.map { case (d, p) =>
+        s"WHEN $d THEN CAST('$p' AS DOUBLE)" }.mkString(" ")
+      s"""WITH v AS (SELECT CAST(substr(CAST(CAST(floor(value * 100.0)
+         |   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+         | FROM events WHERE value IS NOT NULL AND value > 0.0),
+         |o AS (SELECT digit, CAST(count(*) AS BIGINT) AS n_obs
+         | FROM v GROUP BY 1),
+         |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS n FROM o)
+         |SELECT digit, n_obs,
+         | CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS obs_share,
+         | (CASE digit $pCase END) AS benford_p,
+         | (CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)) /
+         |  (CASE digit $pCase END) AS ratio
+         |FROM o CROSS JOIN t""".stripMargin
+    },
+
+    // q157 twin: one combinable aggregate, same anomaly classes.
+    "q157_sequence_audit" ->
+      """WITH a AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n,
+        |  min(l_linenumber) AS lo, max(l_linenumber) AS hi
+        | FROM lineitem GROUP BY 1)
+        |SELECT CASE WHEN lo = 1 AND hi = n THEN 'contiguous'
+        |  WHEN lo <> 1 THEN 'offset_start' ELSE 'gapped' END AS status,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM a GROUP BY 1""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l
