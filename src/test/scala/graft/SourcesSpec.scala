@@ -60,8 +60,11 @@ class SourcesSpec extends AnyFunSuite {
     Seq((2L, 7.5)).toDF("id", "y").write.mode("append").parquet(dir)
     val df = Sources.parquetMerged(spark, dir)
     assert(df.columns.toSet == Set("id", "x", "y"))
+    // Access by name: mergeSchema's field order follows file listing
+    // order, which is not stable across filesystems.
     val rows = df.collect().map(r =>
-      r.getLong(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+      r.getAs[Long]("id") ->
+        (Option(r.getAs[String]("x")), Option(r.getAs[Any]("y")))).toMap
     assert(rows(1L)._1.contains("x1") && rows(1L)._2.isEmpty)
     assert(rows(2L)._1.isEmpty && rows(2L)._2.contains(7.5))
     // Without mergeSchema the scan pins ONE file's schema — the evolved
