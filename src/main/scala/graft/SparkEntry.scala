@@ -1285,6 +1285,104 @@ object SparkEntry {
           .otherwise("gapped").as("status"))
         .groupBy(col("status")).agg(count(lit(1)).as("n_orders"))),
 
+    // L140: per-language source concentration — HHI, effective source
+    // count (1/HHI), top-source share. The mixture-health audit run
+    // before any source-weighted sample (q62/q140); entropy is
+    // deliberately absent (data-dependent ln has no cross-engine
+    // rounding guarantee — 1/HHI carries the same signal).
+    "q158_source_concentration" -> ((s, dir) =>
+      An.concentrationCensus(t(s, dir, "documents"), col("lang"),
+          col("source"))
+        .withColumnRenamed("grp", "lang")),
+
+    // L141: cross-document boilerplate census — word bigrams appearing
+    // in ≥6% of documents are template text (the C4 screen's
+    // corpus-frequency complement to q59/q70's within-doc repetition);
+    // docs censused by the decile of their boilerplate-gram fraction.
+    "q159_boilerplate" -> ((s, dir) =>
+      T.boilerplateCensus(t(s, dir, "documents"), col("doc_id"),
+        T.tokens(col("text")), n = 2, minDocPct = 6)),
+
+    // L142: content-addressed fingerprint census — sha256 over
+    // (lang, normalized text) as the stable document identity a
+    // content-addressed store keys on, plus the 8-hex short-id birthday
+    // check. Only counts cross the engine boundary (hash-string
+    // formatting never does), so the census is encoding-proof.
+    "q160_content_fingerprint" -> ((s, dir) => {
+      val h = sha2(concat_ws("\u001f", col("lang"),
+        lower(trim(col("text")))), 256)
+      t(s, dir, "documents")
+        .select(h.as("__h"))
+        .groupBy(col("__h")).agg(count(lit(1)).as("__c"))
+        .agg(sum(col("__c")).as("n_docs"), count(lit(1)).as("n_hashes"),
+          sum(when(col("__c") > 1, col("__c")).otherwise(0L))
+            .as("n_dup_docs"),
+          sum(when(col("__c") > 1, 1L).otherwise(0L)).as("n_dup_groups"),
+          max(col("__c")).as("max_group"),
+          countDistinct(substring(col("__h"), 1, 8)).as("n_short_ids"))
+        .withColumn("short_collisions",
+          col("n_hashes") - col("n_short_ids"))
+    }),
+
+    // L143: winsorized mean of event value per type — robust location
+    // with DISCRETE order-statistic bounds at p05/p95 (integer ranks,
+    // corpus elements — never an interpolated float blend), exact
+    // decimal clamp-sum, one final division.
+    "q161_winsorized_mean" -> ((s, dir) =>
+      An.winsorizedMean(t(s, dir, "events"), col("event_type"),
+          col("value"), Seq(col("event_id")), pLo = 5, pHi = 95)
+        .withColumnRenamed("grp", "event_type")),
+
+    // L144: Fleiss' kappa of the q148 weak-labeler panel — does the
+    // panel agree beyond chance? Abstain is its own category so every
+    // item keeps a full 3-rater panel. Three integer sums, one double
+    // division (formula in AnalyticsOps.fleissKappa).
+    "q162_fleiss_kappa" -> ((s, dir) => {
+      val w = T.tokens(col("text"))
+      val nT = size(w)
+      val nD = size(array_distinct(w))
+      val nStop = T.stopwordCount(w, Seq("the", "a"))
+      val lfLen = when(nT >= 30 && nT <= 90, "good")
+        .when(nT < 15, "bad").otherwise(lit(null).cast("string"))
+      val lfTtr = when(nD * 5 >= nT * 3, "good")
+        .when(nD * 5 <= nT * 2, "bad").otherwise(lit(null).cast("string"))
+      val lfStop = when(nStop >= 2, "good").when(nStop === 0, "bad")
+        .otherwise(lit(null).cast("string"))
+      An.fleissKappa(
+        t(s, dir, "documents").select(lfLen.as("l1"), lfTtr.as("l2"),
+          lfStop.as("l3")),
+        Seq(col("l1"), col("l2"), col("l3")), Seq("good", "bad"))
+    }),
+
+    // L145: session-stats census by entry event type — q38's sessions
+    // rolled up to the product questions (bounce rate, mean depth).
+    // The entry event comes from a combinable min_by over the total
+    // (us, event_id) order — NOT a second rank window, which would need
+    // its own (user, session) exchange on top of sessionize's user
+    // exchange; the groupBy's partial aggregation folds sessions
+    // map-side instead.
+    "q163_session_stats" -> ((s, dir) => {
+      val sess = Ti.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+        30L * 60 * 1000000, Seq(col("ts"), col("event_id")))
+      sess.select(col("user_id"), col("session_idx"), col("event_type"),
+          unix_micros(col("ts")).as("__us"), col("event_id"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("__n"),
+          (max(col("__us")) - min(col("__us"))).as("__dur"),
+          min_by(col("event_type"),
+            struct(col("__us"), col("event_id"))).as("entry_type"))
+        .groupBy(col("entry_type"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_bounce"),
+          sum(col("__n")).as("n_events"), max(col("__dur")).as("max_dur_us"))
+        .select(col("entry_type"), col("n_sessions"), col("n_bounce"),
+          col("n_events"), col("max_dur_us"),
+          (col("n_bounce").cast("double") / col("n_sessions").cast("double"))
+            .as("bounce_rate"),
+          (col("n_events").cast("double") / col("n_sessions").cast("double"))
+            .as("avg_depth"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4697,6 +4795,162 @@ object SparkEntry {
         |  WHEN lo <> 1 THEN 'offset_start' ELSE 'gapped' END AS status,
         | CAST(count(*) AS BIGINT) AS n_orders
         |FROM a GROUP BY 1""".stripMargin,
+
+    // q158 twin: integer Σnᵢ² in DECIMAL(18,0) products (DuckDB errors
+    // past width 38 on a (38,0)×(38,0); 18+18 stays inside), the same
+    // three final divisions.
+    "q158_source_concentration" ->
+      """WITH c AS (SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+        | FROM documents GROUP BY 1, 2),
+        |a AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_units,
+        |  CAST(sum(n) AS BIGINT) AS n_rows,
+        |  CAST(sum(CAST(n AS DECIMAL(18,0)) * CAST(n AS DECIMAL(18,0)))
+        |   AS DECIMAL(38,0)) AS s2,
+        |  max(n) AS top FROM c GROUP BY 1)
+        |SELECT lang, n_units, n_rows,
+        | CAST(s2 AS DOUBLE) /
+        |  (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi,
+        | (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) /
+        |  CAST(s2 AS DOUBLE) AS eff_units,
+        | CAST(top AS DOUBLE) / CAST(n_rows AS DOUBLE) AS top_share
+        |FROM a""".stripMargin,
+
+    // q159 twin: bigram shingles (sqlShingles3's expression at n=2),
+    // distinct (doc, gram) pairs, integer df·100 ≥ 6·N threshold,
+    // integer-division decile.
+    "q159_boilerplate" ->
+      s"""WITH tok AS (SELECT doc_id, string_split(text,' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT doc_id, list_distinct([array_to_string(w[i:i+1],
+         |   ' ') for i in generate_series(1, len(w)-1)]) AS sl FROM tok),
+         |p AS (SELECT DISTINCT doc_id, unnest(sl) AS g FROM shl),
+         |nd AS (SELECT count(DISTINCT doc_id) AS n FROM p),
+         |f AS (SELECT g, CAST(count(*) AS BIGINT) AS df FROM p
+         |  GROUP BY 1),
+         |d AS (SELECT p.doc_id, CAST(count(*) AS BIGINT) AS s,
+         |  CAST(sum(CASE WHEN f.df * 100 >= 6 * nd.n THEN 1 ELSE 0 END)
+         |   AS BIGINT) AS b
+         |  FROM p JOIN f USING (g) CROSS JOIN nd GROUP BY 1)
+         |SELECT CAST((b * 10) // s AS INT) AS decile,
+         | CAST(count(*) AS BIGINT) AS n_docs,
+         | CAST(sum(s) AS BIGINT) AS n_grams,
+         | CAST(sum(b) AS BIGINT) AS n_boiler_grams
+         |FROM d GROUP BY 1""".stripMargin,
+
+    // q160 twin: sha256 over the same (lang, 0x1F, normalized text)
+    // preimage; only counts are compared, so digest formatting can
+    // never hash-diverge.
+    "q160_content_fingerprint" ->
+      """WITH h AS (SELECT sha256(lang || chr(31) || lower(trim(text)))
+        |  AS h FROM documents),
+        |g AS (SELECT h, CAST(count(*) AS BIGINT) AS c FROM h GROUP BY 1)
+        |SELECT CAST(sum(c) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_hashes,
+        | CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT)
+        |  AS n_dup_docs,
+        | CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_dup_groups,
+        | max(c) AS max_group,
+        | CAST(count(DISTINCT substr(h, 1, 8)) AS BIGINT) AS n_short_ids,
+        | CAST(count(*) - count(DISTINCT substr(h, 1, 8)) AS BIGINT)
+        |  AS short_collisions
+        |FROM g""".stripMargin,
+
+    // q161 twin: identical integer rank arithmetic, the decimal
+    // clamp-sum through the VARCHAR round-trip (the q51 convention for
+    // DECIMAL(18,4) → DOUBLE).
+    "q161_winsorized_mean" ->
+      """WITH r AS (SELECT event_type AS g, value AS v, event_id,
+        |  row_number() OVER (PARTITION BY event_type
+        |    ORDER BY value, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY event_type) AS n
+        | FROM events WHERE value IS NOT NULL),
+        |b AS (SELECT g, max(n) AS n,
+        |  max(CASE WHEN rn = ((n - 1) * 5) // 100 + 1 THEN v END) AS lo,
+        |  max(CASE WHEN rn = ((n - 1) * 95) // 100 + 1 THEN v END) AS hi
+        | FROM r GROUP BY 1)
+        |SELECT r.g AS event_type, CAST(max(b.n) AS BIGINT) AS n,
+        | max(b.lo) AS lo, max(b.hi) AS hi,
+        | CAST(CAST(sum(CAST(greatest(least(r.v, b.hi), b.lo)
+        |     AS DECIMAL(18,4))) AS VARCHAR) AS DOUBLE) /
+        |  CAST(max(b.n) AS DOUBLE) AS winsorized_mean
+        |FROM r JOIN b USING (g) GROUP BY 1""".stripMargin,
+
+    // q162 twin: q148's labeler CTEs; N, S = Σ(c_g²+c_b²+c_n²) and the
+    // category totals as HUGEINT integers (DuckDB's DECIMAL caps
+    // products at width 38; int128 carries the same exact values),
+    // assembled into P̄/Pₑ/κ with one double division each (formula in
+    // AnalyticsOps.fleissKappa).
+    "q162_fleiss_kappa" ->
+      """WITH v AS (SELECT
+        | len(string_split(text, ' ')) AS nt,
+        | len(list_distinct(string_split(text, ' '))) AS nd,
+        | len(list_filter(string_split(text, ' '),
+        |   w -> w = 'the' OR w = 'a')) AS ns
+        | FROM documents),
+        |lf AS (SELECT
+        | CASE WHEN nt >= 30 AND nt <= 90 THEN 'good'
+        |  WHEN nt < 15 THEN 'bad' END AS l1,
+        | CASE WHEN nd * 5 >= nt * 3 THEN 'good'
+        |  WHEN nd * 5 <= nt * 2 THEN 'bad' END AS l2,
+        | CASE WHEN ns >= 2 THEN 'good' WHEN ns = 0 THEN 'bad' END AS l3
+        | FROM v),
+        |c AS (SELECT
+        | (CASE WHEN l1 = 'good' THEN 1 ELSE 0 END +
+        |  CASE WHEN l2 = 'good' THEN 1 ELSE 0 END +
+        |  CASE WHEN l3 = 'good' THEN 1 ELSE 0 END) AS cg,
+        | (CASE WHEN l1 = 'bad' THEN 1 ELSE 0 END +
+        |  CASE WHEN l2 = 'bad' THEN 1 ELSE 0 END +
+        |  CASE WHEN l3 = 'bad' THEN 1 ELSE 0 END) AS cb,
+        | (CASE WHEN l1 IS NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN l2 IS NULL THEN 1 ELSE 0 END +
+        |  CASE WHEN l3 IS NULL THEN 1 ELSE 0 END) AS cn
+        | FROM lf),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS N,
+        |  CAST(sum(cg*cg + cb*cb + cn*cn) AS HUGEINT) AS S,
+        |  CAST(sum(cg) AS HUGEINT) AS tg,
+        |  CAST(sum(cb) AS HUGEINT) AS tb,
+        |  CAST(sum(cn) AS HUGEINT) AS tn
+        | FROM c)
+        |SELECT CAST(N AS BIGINT) AS n_items, 3 AS n_raters,
+        | CAST(S - 3*N AS DOUBLE) / CAST(3*N * 2 AS DOUBLE) AS p_bar,
+        | CAST(tg*tg + tb*tb + tn*tn AS DOUBLE) /
+        |  CAST((3*N) * (3*N) AS DOUBLE) AS p_e,
+        | CAST(3*N * (S - 3*N) - 2 * (tg*tg + tb*tb + tn*tn) AS DOUBLE) /
+        |  CAST(2 * ((3*N) * (3*N) - (tg*tg + tb*tb + tn*tn)) AS DOUBLE)
+        |  AS kappa
+        |FROM a""".stripMargin,
+
+    // q163 twin: q38's session CTEs with event_id carried for the
+    // rank-1 entry row, rolled up to the same census.
+    "q163_session_stats" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, event_id, event_type, us,
+        |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM x),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id,
+        |   session_idx ORDER BY us, event_id) AS rn FROM s),
+        |ses AS (SELECT user_id, session_idx,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  max(us) - min(us) AS dur,
+        |  max(CASE WHEN rn = 1 THEN event_type END) AS entry_type
+        | FROM r GROUP BY 1, 2)
+        |SELECT entry_type, CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_bounce,
+        | CAST(sum(n) AS BIGINT) AS n_events,
+        | max(dur) AS max_dur_us,
+        | CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS bounce_rate,
+        | CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_depth
+        |FROM ses GROUP BY 1""".stripMargin,
 
     // q125 twin: q22's marker scoring CTEs produce labeler B; kappa's
     // po/pe carried as exact integer numerators (n·agree − Σ r_l·c_l

@@ -1155,4 +1155,144 @@ object AnalyticsOps {
         percentile(col("__m"), lit(0.5)).as("p50"),
         percentile(col("__m"), lit(0.95)).as("p95"))
   }
+
+  /** Concentration census: how concentrated are `unit`s within each
+    * `group` — the mixture-health check a training-data pipeline runs
+    * before a source-weighted sample (one dominant source inside a
+    * language slice skews everything downstream). Per group: distinct
+    * unit count, Herfindahl–Hirschman index (Σ shareᵢ², exact as the
+    * integer Σnᵢ² over N²), its inverse (the "effective number of
+    * units"), and the top unit's share. All rationals over integer
+    * counts — entropy is deliberately NOT used (data-dependent `ln` has
+    * no cross-engine rounding guarantee; 1/HHI carries the same signal).
+    *
+    * Shape: one combinable groupBy(group, unit), one combinable
+    * groupBy(group) rollup — shuffle volume is the (group, unit) domain,
+    * never corpus rows. Σnᵢ² in decimal(38,0): nᵢ up to 2³¹ squares past
+    * int64. */
+  def concentrationCensus(df: DataFrame, group: Column,
+                          unit: Column): DataFrame = {
+    val cnt = df.groupBy(group.as("grp"), unit.as("__u"))
+      .agg(count(lit(1)).as("__n"))
+    val dec = col("__n").cast("decimal(38,0)")
+    cnt.groupBy(col("grp"))
+      .agg(count(lit(1)).as("n_units"), sum(col("__n")).as("n_rows"),
+        sum(dec * dec).as("__s2"), max(col("__n")).as("__top"))
+      .select(col("grp"), col("n_units"), col("n_rows"),
+        (col("__s2").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows").cast("double")))
+          .as("hhi"),
+        ((col("n_rows").cast("double") * col("n_rows").cast("double")) /
+          col("__s2").cast("double")).as("eff_units"),
+        (col("__top").cast("double") / col("n_rows").cast("double"))
+          .as("top_share"))
+  }
+
+  /** Fleiss' kappa (Fleiss 1971) for a fixed panel of raters — the
+    * chance-corrected agreement of the weak-supervision labeler panel
+    * (the q148 vote only reports the OUTCOME; kappa reports whether the
+    * raters agree beyond chance, the first diagnostic when a label model
+    * underperforms). `labels` are the per-item rater verdicts (null =
+    * abstain, modeled as its own category so every item keeps a full
+    * panel of n = labels.size ratings, which the statistic requires).
+    *
+    * Everything reduces to three integer sums over items — N, S = ΣᵢΣⱼ
+    * nᵢⱼ², and per-category column totals Cⱼ — assembled into kappa =
+    * (3N(S−nN)·… ) with ONE double division at the end:
+    *   P̄  = (S − nN) / (nN(n−1)),   Pₑ = ΣCⱼ² / (nN)²,
+    *   κ  = (nN(S − nN) − (n−1)ΣCⱼ²) / ((n−1)((nN)² − ΣCⱼ²)).
+    * Decimal(38,0) carries the products exactly (N ≤ 1e12 rows is still
+    * inside 38 digits for N²·n²). Shape: one map-side projection of the
+    * per-item category counts, one combinable global aggregate — a
+    * single scan, no shuffle beyond the 1-row reduce. */
+  def fleissKappa(df: DataFrame, labels: Seq[Column],
+                  categories: Seq[String]): DataFrame = {
+    require(labels.size >= 2, "kappa needs >= 2 raters")
+    val n = labels.size
+    // Per-item count of raters voting category c (null labels land in
+    // the abstain category added below).
+    def catCount(c: Option[String]): Column =
+      labels.map { l =>
+        val hit = c match {
+          case Some(v) => l === lit(v)
+          case None    => l.isNull
+        }
+        when(hit, 1).otherwise(0)
+      }.reduce(_ + _)
+    val cats = categories.map(Some(_)) :+ None
+    val counted = df.select(cats.zipWithIndex.map { case (c, i) =>
+      catCount(c).cast("decimal(38,0)").as(s"__c$i")
+    }: _*)
+    val sqSum = cats.indices.map(i => col(s"__c$i") * col(s"__c$i"))
+      .reduce(_ + _)
+    val agg = counted.agg(
+      count(lit(1)).cast("decimal(38,0)").as("__N"),
+      sum(sqSum).as("__S") +:
+        cats.indices.map(i => sum(col(s"__c$i")).as(s"__t$i")): _*)
+    val bigN = col("__N")
+    val s = col("__S")
+    val sumC2 = cats.indices.map(i => col(s"__t$i") * col(s"__t$i"))
+      .reduce(_ + _)
+    val nn = lit(n).cast("decimal(38,0)")
+    val nN = nn * bigN
+    agg.select(
+      bigN.cast("long").as("n_items"), lit(n).as("n_raters"),
+      ((s - nN).cast("double") /
+        (nN * (nn - lit(1).cast("decimal(38,0)"))).cast("double"))
+        .as("p_bar"),
+      (sumC2.cast("double") / (nN * nN).cast("double")).as("p_e"),
+      ((nN * (s - nN) - (nn - lit(1).cast("decimal(38,0)")) * sumC2)
+        .cast("double") /
+        ((nn - lit(1).cast("decimal(38,0)")) * (nN * nN - sumC2))
+          .cast("double")).as("kappa"))
+  }
+
+  /** Winsorized mean per group — the robust location estimate a quality
+    * census ships when a heavy tail would dominate a plain mean. Bounds
+    * are DISCRETE order statistics (the value at integer rank
+    * ⌊(n−1)·p/100⌋+1 under a total (value, tiebreak) order) rather than
+    * interpolated quantiles: an interpolated bound is a data-dependent
+    * float blend whose last-ulp behavior differs across engines, while a
+    * rank is an integer and the value at it a corpus element. Values are
+    * clamped to [lo, hi] and averaged exactly (decimal(18,4) sum — the
+    * corpus's 2-decimal doubles are exact there — one double division).
+    *
+    * Shape: one window (rank + count per group), one combinable group
+    * aggregate reading the bound values off their rank rows via
+    * conditional max, one AQE-sized join back (groups × 1 rows), one
+    * combinable clamped-sum aggregate. The per-group rank sort puts
+    * each group's value multiset on one reducer — the q72/q76
+    * bounded-group monitoring regime (documented trade: exact order
+    * statistics for BOUNDED group cardinality; unbounded groups or a
+    * global winsorize belong to the sketch path, q69/L88). */
+  def winsorizedMean(df: DataFrame, group: Column, value: Column,
+                     tiebreak: Seq[Column], pLo: Int, pHi: Int): DataFrame = {
+    require(0 <= pLo && pLo < pHi && pHi <= 100, s"bad bounds $pLo/$pHi")
+    val base = df.select(Seq(group.as("grp"), value.as("__v")) ++
+        tiebreak.zipWithIndex.map { case (c, i) => c.as(s"__t$i") }: _*)
+      .filter(col("__v").isNotNull)
+    val w = Window.partitionBy(col("grp"))
+      .orderBy(col("__v").asc +:
+        tiebreak.indices.map(i => col(s"__t$i").asc): _*)
+    val ranked = base.select(col("grp"), col("__v"),
+      row_number().over(w).as("__rn"),
+      count(lit(1)).over(Window.partitionBy(col("grp"))).as("__n"))
+    // Integer division (SQL `div`, not Column `/` which is a double
+    // Divide) — the rank must be an exact integer on both engines.
+    val loRank = expr(s"(__n - 1) * $pLo div 100 + 1")
+    val hiRank = expr(s"(__n - 1) * $pHi div 100 + 1")
+    val bounds = ranked.groupBy(col("grp"))
+      .agg(max(col("__n")).as("n"),
+        max(when(col("__rn") === loRank, col("__v"))).as("lo"),
+        max(when(col("__rn") === hiRank, col("__v"))).as("hi"))
+    ranked.join(bounds, "grp")
+      .groupBy(col("grp"))
+      .agg(max(col("n")).as("n"), max(col("lo")).as("lo"),
+        max(col("hi")).as("hi"),
+        sum(greatest(least(col("__v"), col("hi")), col("lo"))
+          .cast("decimal(18,4)")).as("__s"))
+      .select(col("grp"), col("n"), col("lo"), col("hi"),
+        (col("__s").cast("double") / col("n").cast("double"))
+          .as("winsorized_mean"))
+  }
 }

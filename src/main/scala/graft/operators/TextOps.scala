@@ -669,4 +669,44 @@ object TextOps {
       .select(col("doc_id"), col("is_target"), col("n_tokens"),
         (col("__s") + col("n_tokens") * col("__norm")).as("dsir_score"))
   }
+
+  /** Cross-document boilerplate census — the C4-style screen for
+    * templated spans (headers, navigation, legal footers) that repeat
+    * ACROSS documents rather than within one (q59/q70/q138 measure
+    * within-doc repetition; this is the corpus-frequency complement).
+    * A word n-gram is boilerplate when it appears in at least
+    * `minDocPct`% of documents (integer comparison df·100 ≥ pct·N — the
+    * threshold scales with the corpus, no magic absolute count). Each
+    * doc then reports the fraction of its DISTINCT n-grams that are
+    * boilerplate, bucketed into 11 integer deciles (⌊10·b/s⌋, exact —
+    * bucket 10 = fully templated) and censused.
+    *
+    * Shape: one shingle explode → distinct (doc, gram) pairs (the
+    * combinable distinct-aggregate shuffle a df count needs anyway) →
+    * gram document-frequencies (combinable) joined back on gram — an
+    * equi-join on the exploded table, NOT a second corpus scan
+    * (localCheckpoint pins the pair table so both the df aggregate and
+    * the join read one materialization) → per-doc boolean counts →
+    * bounded census. Output is ≤ 11 rows regardless of corpus size. */
+  def boilerplateCensus(docs: DataFrame, id: Column, words: Column,
+                        n: Int, minDocPct: Int): DataFrame = {
+    require(n >= 1 && minDocPct >= 1 && minDocPct <= 100,
+      s"bad n=$n minDocPct=$minDocPct")
+    val pairs = docs
+      .select(id.as("doc_id"), explode(wordShingles(words, n)).as("__g"))
+      .distinct()
+      .localCheckpoint()
+    val nDocs = pairs.agg(countDistinct(col("doc_id")).as("__nd"))
+    val dfreq = pairs.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__df"))
+    pairs.join(dfreq, "__g")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__s"),
+        sum(when(col("__df") * 100 >= lit(minDocPct) * col("__nd"), 1L)
+          .otherwise(0L)).as("__b"))
+      .groupBy(expr("CAST((__b * 10) div __s AS INT)").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__s")).as("n_grams"),
+        sum(col("__b")).as("n_boiler_grams"))
+  }
 }

@@ -705,4 +705,75 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p05 < total && total < p95,
       s"band [$p05, $p95] misses the point estimate $total")
   }
+
+  test("concentrationCensus: hand-computed HHI, effective units, and " +
+    "top share; a monopoly group reads hhi=1") {
+    val df = Seq(("en", "a"), ("en", "a"), ("en", "a"), ("en", "b"),
+      ("fr", "x")).toDF("lang", "src")
+    val out = AnalyticsOps.concentrationCensus(df, col("lang"), col("src"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    // en: shares 3/4 and 1/4 → HHI = 9/16 + 1/16 = 0.625
+    val (u, n, hhi, eff, top) = out("en")
+    assert(u == 2 && n == 4)
+    assert(hhi == 0.625 && eff == 1.6 && top == 0.75)
+    val (_, _, hhiF, effF, topF) = out("fr")
+    assert(hhiF == 1.0 && effF == 1.0 && topF == 1.0)
+  }
+
+  test("fleissKappa reproduces the Fleiss (1971) worked example " +
+    "(14 raters, 5 categories, 10 items, kappa ~ 0.210)") {
+    // Fleiss 1971, Table 1 — the de-facto cross-implementation fixture.
+    val table = Seq(
+      Seq(0, 0, 0, 0, 14), Seq(0, 2, 6, 4, 2), Seq(0, 0, 3, 5, 6),
+      Seq(0, 3, 9, 2, 0), Seq(2, 2, 8, 1, 1), Seq(7, 7, 0, 0, 0),
+      Seq(3, 2, 6, 3, 0), Seq(2, 5, 3, 2, 2), Seq(6, 5, 2, 1, 0),
+      Seq(0, 2, 2, 3, 7))
+    // Expand each item's count row into 14 per-rater label columns.
+    val cats = Seq("c1", "c2", "c3", "c4", "c5")
+    val rows = table.map { counts =>
+      val labels = counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)(cats(i)) }
+      (labels(0), labels(1), labels(2), labels(3), labels(4), labels(5),
+        labels(6), labels(7), labels(8), labels(9), labels(10),
+        labels(11), labels(12), labels(13))
+    }
+    val df = rows.toDF((1 to 14).map(i => s"r$i"): _*)
+    val out = AnalyticsOps.fleissKappa(df,
+      (1 to 14).map(i => col(s"r$i")), cats).head
+    assert(out.getLong(0) == 10L && out.getInt(1) == 14)
+    assert(math.abs(out.getDouble(2) - 0.378) < 0.001, s"p_bar ${out}")
+    assert(math.abs(out.getDouble(3) - 0.213) < 0.001, s"p_e ${out}")
+    assert(math.abs(out.getDouble(4) - 0.2099) < 0.001, s"kappa ${out}")
+  }
+
+  test("fleissKappa: null labels form the abstain category and keep " +
+    "the panel complete; perfect agreement reads kappa 1") {
+    val perfect = Seq(("g", "g"), ("b", "b"), (null, null))
+      .toDF("l1", "l2")
+    val k = AnalyticsOps.fleissKappa(perfect, Seq(col("l1"), col("l2")),
+      Seq("g", "b")).head.getDouble(4)
+    assert(k == 1.0, s"perfect agreement must be exactly 1, got $k")
+  }
+
+  test("winsorizedMean: discrete-rank bounds clamp the tails; nulls " +
+    "drop; an all-equal group is its own mean") {
+    // 20 values 1..20 → loRank=(19*5)div 100+1=1 → lo=1;
+    // hiRank=(19*95) div 100+1=19 → hi=19; clamped sum = 209.
+    val df = ((1 to 20).map(i => ("a", i.toDouble, i.toLong)) ++
+      Seq(("b", 7.0, 1L), ("b", 7.0, 2L)))
+      .toDF("g", "v", "id")
+      .union(Seq(("a", null.asInstanceOf[java.lang.Double], 98L))
+        .toDF("g", "v", "id"))
+    val out = AnalyticsOps.winsorizedMean(df, col("g"), col("v"),
+        Seq(col("id")), 5, 95)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val (n, lo, hi, m) = out("a")
+    assert(n == 20 && lo == 1.0 && hi == 19.0)
+    assert(m == 209.0 / 20.0, s"clamped mean, got $m")
+    assert(out("b") == ((2L, 7.0, 7.0, 7.0)))
+  }
 }

@@ -1417,4 +1417,36 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(one.length == 1 && one.head.getDouble(3) == 5.0 &&
       one.head.getDouble(4) == 5.0)
   }
+
+  test("boilerplateCensus: a bigram shared by every doc is boilerplate " +
+    "at any threshold; unique bigrams are not; deciles are exact " +
+    "integer division") {
+    // 4 docs, each starts with the template 'copy right' and continues
+    // uniquely → every doc: 1 boilerplate bigram of its distinct set.
+    val docs = Seq(
+      (1L, "copy right alpha beta"),   // grams: copy-right, right-alpha, alpha-beta → 1/3 → decile 3
+      (2L, "copy right gamma delta"),  // 1/3 → 3
+      (3L, "copy right epsilon"),      // copy-right, right-epsilon → 1/2 → 5
+      (4L, "copy right"))              // 1/1 → 10
+      .toDF("doc_id", "text")
+    val out = T.boilerplateCensus(docs, col("doc_id"),
+        T.tokens(col("text")), n = 2, minDocPct = 90)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    // 'copy right' df=4 of 4 docs → 100% ≥ 90% → boilerplate; all other
+    // bigrams df=1 (25% < 90%).
+    assert(out(3) == ((2L, 6L, 2L)), s"deciles: $out")
+    assert(out(5) == ((1L, 2L, 1L)))
+    assert(out(10) == ((1L, 1L, 1L)))
+    assert(out.keySet == Set(3, 5, 10))
+    // Threshold scales with the corpus: at 100% the shared bigram is
+    // still in every doc; doubling the corpus with docs lacking it
+    // drops it below any >50% bar.
+    val out2 = T.boilerplateCensus(
+      docs.union(Seq((5L, "x y"), (6L, "y z"), (7L, "z w"),
+        (8L, "w x")).toDF("doc_id", "text")),
+      col("doc_id"), T.tokens(col("text")), n = 2, minDocPct = 90)
+      .collect().map(r => r.getInt(0)).toSet
+    assert(out2 == Set(0), s"no gram survives 90% of 8 docs: $out2")
+  }
 }

@@ -612,4 +612,54 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the corpus-side fold must never shuffle-join:\n$p")
   }
+
+  test("q158 concentration: two combinable aggregates, no join, one " +
+    "corpus scan") {
+    val f = formatted("q158_source_concentration")
+    assert(!f.contains("Join"), s"pure rollup must not join:\n$f")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$f")
+    assert(shuffles(f) <= 2,
+      s"(lang,source) + lang rollup exchanges only, got ${shuffles(f)}:\n$f")
+  }
+
+  test("q159 boilerplate: df aggregate and the df join both read the " +
+    "checkpointed (doc, gram) pairs — the shingle explode runs once") {
+    val p = plan("q159_boilerplate")
+    assert(!p.contains("FileScan"),
+      s"branches must read the checkpoint, not re-shingle the corpus:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"gram df join must stay an equi-join:\n$p")
+  }
+
+  test("q160 fingerprint: one corpus scan into the hash groupBy") {
+    val f = formatted("q160_content_fingerprint")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$f")
+    assert(!f.contains("Join"), s"census must not join:\n$f")
+  }
+
+  test("q161 winsorize: rank window and count window share one " +
+    "exchange+sort; the 5-row bounds join never shuffles the ranked side") {
+    val f = formatted("q161_winsorized_mean")
+    val sorts = "Sort \\(".r.findAllIn(f).length
+    assert(sorts <= 1, s"both windows must reuse one sort, got $sorts:\n$f")
+    assert(!f.contains("SortMergeJoin"),
+      s"bounds join must be broadcast/AQE-small, not SMJ:\n$f")
+  }
+
+  test("q163 session stats: min_by entry adds NO exchange beyond " +
+    "sessionize's user shuffle + the census — and no third window") {
+    val f = formatted("q163_session_stats")
+    // min_by(struct) plans as a SortAggregate whose sort is in-partition
+    // (group keys prefix the window order) — the pin is on EXCHANGES:
+    // a rank-window formulation would shuffle on (user, session).
+    assert(shuffles(f) <= 2,
+      s"user exchange + census only, got ${shuffles(f)}:\n$f")
+    val windows = "Window \\(".r.findAllIn(f).length
+    assert(windows <= 2,
+      s"sessionize's lag+running-sum windows only, got $windows:\n$f")
+    val scans = "events\\.parquet".r.findAllIn(f).length
+    assert(scans == 1, s"expected 1 events scan, got $scans:\n$f")
+  }
 }
