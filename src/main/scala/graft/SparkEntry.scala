@@ -1383,6 +1383,79 @@ object SparkEntry {
             .as("avg_depth"))
     }),
 
+    // L146: RFM actor segmentation — recency/frequency/monetary coded
+    // 1-4 against exact discrete quartiles (histogram + cumulative
+    // count; never an interpolated float threshold, whose last-ulp
+    // placement could flip boundary actors cross-engine), censused by
+    // code cell with exact integer-cents mass.
+    "q164_rfm_segments" -> ((s, dir) =>
+      An.rfmSegments(t(s, dir, "events"), col("user_id"), col("ts"),
+        col("value"))),
+
+    // L147: distribution-shape census — per-source skewness and excess
+    // kurtosis of document length from exact SHIFTED power sums
+    // (Σ(x−⌊mean⌋)ᵏ in decimal — raw Σx⁴ assemblies overflow width 38
+    // near n≈1e10; the shift is the 100-TB safety), one pinned-order
+    // double assembly per statistic.
+    "q165_source_moments" -> ((s, dir) =>
+      An.shapeMoments(t(s, dir, "documents"), col("source"),
+          col("n_chars"))
+        .withColumnRenamed("grp", "source")),
+
+    // L148: local clustering-coefficient census over the co-purchase
+    // graph (q109's edges — basket-width-bounded, never cartesian) —
+    // closed co-purchase pockets vs open hubs, per-node coefficients
+    // bucketed by integer division (no per-node float crosses the
+    // engine boundary; degree-1 nodes census as -1).
+    "q166_clustering_census" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      val out = G.localClusteringCensus(e, "id_a", "id_b")
+      pp.unpersist(blocking = false)
+      out
+    }),
+
+    // L149: revenue concentration — the Pareto question ("what share of
+    // revenue sits above the p50/p90/p99 customer?") with exact
+    // discrete-rank thresholds and integer-cents mass, one double
+    // division per share.
+    "q167_revenue_concentration" -> ((s, dir) => {
+      // Checkpoint the customer rollup: the threshold pass and the tail
+      // sums both branch from it — without the pin each branch replays
+      // the orders scan (customer-cardinality materialization).
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+          .as("cents"))
+        .localCheckpoint()
+      val th = An.discreteQuantiles(cust, col("cents"),
+        Seq(("t50", 1, 2), ("t90", 9, 10), ("t99", 99, 100)))
+      cust.crossJoin(broadcast(th))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("cents")).as("total_cents"),
+          max(col("t50")).as("t50_cents"), max(col("t90")).as("t90_cents"),
+          max(col("t99")).as("t99_cents"),
+          sum(when(col("cents") > col("t50"), col("cents")).otherwise(0L))
+            .as("__a50"),
+          sum(when(col("cents") > col("t90"), col("cents")).otherwise(0L))
+            .as("__a90"),
+          sum(when(col("cents") > col("t99"), col("cents")).otherwise(0L))
+            .as("__a99"))
+        .select(col("n_customers"), col("total_cents"), col("t50_cents"),
+          col("t90_cents"), col("t99_cents"),
+          (col("__a50").cast("double") / col("total_cents").cast("double"))
+            .as("share_above_p50"),
+          (col("__a90").cast("double") / col("total_cents").cast("double"))
+            .as("share_above_p90"),
+          (col("__a99").cast("double") / col("total_cents").cast("double"))
+            .as("share_above_p99"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -4920,6 +4993,132 @@ object SparkEntry {
         |  CAST(2 * ((3*N) * (3*N) - (tg*tg + tb*tb + tn*tn)) AS DOUBLE)
         |  AS kappa
         |FROM a""".stripMargin,
+
+    // q164 twin: same per-actor rollup, the same histogram/cumsum
+    // discrete quartiles per metric (cum·den ≥ n·num integer
+    // comparisons), same 1 + Σ(v > qᵢ) coding.
+    "q164_rfm_segments" -> {
+      def quartiles(metric: String): String =
+        s"""(SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+           |  min(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+           |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+           | FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           |    sum(c) OVER () AS n
+           |   FROM (SELECT $metric AS v, count(*) AS c FROM u
+           |     GROUP BY 1)))""".stripMargin
+      s"""WITH pa AS (SELECT user_id, max(epoch_us(ts)) AS last_us,
+         |  CAST(count(*) AS BIGINT) AS f,
+         |  CAST(sum(CAST(floor(coalesce(value, 0.0) * 100.0) AS BIGINT))
+         |   AS BIGINT) AS m_cents
+         | FROM events GROUP BY 1),
+         |h AS (SELECT max(last_us) AS hz FROM pa),
+         |u AS (SELECT f, m_cents,
+         |  (h.hz - pa.last_us) // 86400000000 AS r_days FROM pa, h),
+         |rq AS ${quartiles("r_days")},
+         |fq AS ${quartiles("f")},
+         |mq AS ${quartiles("m_cents")},
+         |coded AS (SELECT m_cents,
+         |  1 + (CASE WHEN r_days > rq.q1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r_days > rq.q2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN r_days > rq.q3 THEN 1 ELSE 0 END) AS r_code,
+         |  1 + (CASE WHEN f > fq.q1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN f > fq.q2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN f > fq.q3 THEN 1 ELSE 0 END) AS f_code,
+         |  1 + (CASE WHEN m_cents > mq.q1 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN m_cents > mq.q2 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN m_cents > mq.q3 THEN 1 ELSE 0 END) AS m_code
+         | FROM u, rq, fq, mq)
+         |SELECT CAST(r_code AS INT) AS r_code, CAST(f_code AS INT)
+         |  AS f_code, CAST(m_code AS INT) AS m_code,
+         | CAST(count(*) AS BIGINT) AS n_actors,
+         | CAST(sum(m_cents) AS BIGINT) AS cell_cents
+         |FROM coded GROUP BY 1, 2, 3""".stripMargin
+    },
+
+    // q165 twin: the same ⌊mean⌋ shift, HUGEINT power sums (exact
+    // int128 — DuckDB's DECIMAL caps products at width 38), the same
+    // pinned-order double assembly.
+    "q165_source_moments" ->
+      """WITH s0 AS (SELECT source, CAST(count(*) AS BIGINT) AS n0,
+        |  CAST(sum(n_chars) AS BIGINT) AS sx FROM documents GROUP BY 1),
+        |sh AS (SELECT source, sx // n0 AS c FROM s0),
+        |y AS (SELECT d.source, sh.c,
+        |  CAST(d.n_chars - sh.c AS HUGEINT) AS y
+        | FROM documents d JOIN sh USING (source)),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS n, max(c) AS c,
+        |  CAST(sum(y) AS HUGEINT) AS s1, CAST(sum(y*y) AS HUGEINT) AS s2,
+        |  CAST(sum(y*y*y) AS HUGEINT) AS s3,
+        |  CAST(sum(y*y*y*y) AS HUGEINT) AS s4
+        | FROM y GROUP BY 1),
+        |d AS (SELECT source, n, CAST(n AS DOUBLE) AS nd,
+        |  CAST(c AS DOUBLE) AS cd, CAST(s1 AS DOUBLE) AS s1,
+        |  CAST(s2 AS DOUBLE) AS s2, CAST(s3 AS DOUBLE) AS s3,
+        |  CAST(s4 AS DOUBLE) AS s4 FROM a),
+        |m AS (SELECT source, n, cd + s1 / nd AS mean,
+        |  (nd * s2 - s1 * s1) / (nd * nd) AS m2,
+        |  (nd * nd * s3 - 3.0 * nd * s1 * s2 + 2.0 * s1 * s1 * s1) /
+        |   (nd * nd * nd) AS m3,
+        |  (nd * nd * nd * s4 - 4.0 * nd * nd * s1 * s3 +
+        |   6.0 * nd * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1) /
+        |   (nd * nd * nd * nd) AS m4
+        | FROM d)
+        |SELECT source, n, mean, m2,
+        | m3 / (m2 * sqrt(m2)) AS skewness,
+        | m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+        |FROM m""".stripMargin,
+
+    // q166 twin: q153's co-purchase edge CTEs, q84's canonical a<b<c
+    // triangle enumeration kept as corner ROWS, unnested to per-node
+    // counts, the same integer-division bucket census.
+    "q166_clustering_census" ->
+      s"""WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+         |  FROM lineitem),
+         |pairs AS (SELECT x.pk AS id_a, y.pk AS id_b FROM pp x
+         |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+         |e AS (SELECT DISTINCT least(id_a, id_b) AS u,
+         |  greatest(id_a, id_b) AS v FROM pairs WHERE id_a <> id_b),
+         |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+         |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+         | GROUP BY 1),
+         |t3 AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c FROM e e1
+         |  JOIN e e2 ON e2.u = e1.v
+         |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |tn AS (SELECT node, CAST(count(*) AS BIGINT) AS tri
+         |  FROM (SELECT unnest([a, b, c]) AS node FROM t3) GROUP BY 1),
+         |jcl AS (SELECT deg.node, deg.d, coalesce(tn.tri, 0) AS tri
+         |  FROM deg LEFT JOIN tn USING (node))
+         |SELECT CASE WHEN d < 2 THEN -1
+         |  ELSE CAST((tri * 2 * 10) // (d * (d - 1)) AS INT) END
+         |  AS bucket,
+         | CAST(count(*) AS BIGINT) AS n_nodes,
+         | CAST(sum(d) AS BIGINT) AS sum_deg,
+         | CAST(sum(tri) AS BIGINT) AS sum_tri
+         |FROM jcl GROUP BY 1""".stripMargin,
+
+    // q167 twin: same integer-cents rollup, same histogram/cumsum
+    // discrete thresholds, same strictly-above tail sums.
+    "q167_revenue_concentration" ->
+      """WITH cu AS (SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |hh AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |   sum(c) OVER () AS n
+        |  FROM (SELECT cents AS v, count(*) AS c FROM cu GROUP BY 1)),
+        |t AS (SELECT min(CASE WHEN cum * 2 >= n THEN v END) AS t50,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS t90,
+        |  min(CASE WHEN cum * 100 >= n * 99 THEN v END) AS t99 FROM hh)
+        |SELECT CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(cents) AS BIGINT) AS total_cents,
+        | max(t.t50) AS t50_cents, max(t.t90) AS t90_cents,
+        | max(t.t99) AS t99_cents,
+        | CAST(sum(CASE WHEN cents > t.t50 THEN cents ELSE 0 END)
+        |   AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS share_above_p50,
+        | CAST(sum(CASE WHEN cents > t.t90 THEN cents ELSE 0 END)
+        |   AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS share_above_p90,
+        | CAST(sum(CASE WHEN cents > t.t99 THEN cents ELSE 0 END)
+        |   AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS share_above_p99
+        |FROM cu, t""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

@@ -1247,6 +1247,130 @@ object AnalyticsOps {
           .cast("double")).as("kappa"))
   }
 
+  /** Exact lower discrete quantiles of an INTEGER metric, by value
+    * histogram + cumulative count — the scalable global order statistic
+    * (no global row sort: the shuffle is the value histogram and the
+    * single-partition window runs over DISTINCT VALUES only, bounded by
+    * the metric's value domain, not the corpus). Each requested rank is
+    * an exact integer fraction num/den; the returned value is the
+    * smallest v whose cumulative count reaches ⌈N·num/den⌉
+    * (cum·den ≥ N·num — integer comparison, no division, the
+    * [[weightedMedian]] discipline). Returns ONE row with a column per
+    * requested name — built to crossJoin(broadcast(...)) back onto the
+    * metric table. */
+  def discreteQuantiles(df: DataFrame, value: Column,
+                        qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) =>
+      n >= 0 && d > 0 && n <= d }, s"ranks must be fractions in [0,1]: $qs")
+    val ord = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val hist = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(ord))
+      .withColumn("__n", sum(col("__c")).over(all))
+    hist.agg(
+      min(when(col("__cum") * qs.head._3 >= col("__n") * qs.head._2,
+        col("__v"))).as(qs.head._1),
+      qs.tail.map { case (name, num, den) =>
+        min(when(col("__cum") * den >= col("__n") * num, col("__v")))
+          .as(name)
+      }: _*)
+  }
+
+  /** RFM (recency / frequency / monetary) segmentation — the classic
+    * actor-lifecycle census: per actor, days since last event (against
+    * the CORPUS's max day — reproducible, backfill-safe, the
+    * [[churnCensus]] horizon), event count, and exact integer-cents
+    * monetary total; each coded 1-4 against its own exact discrete
+    * quartiles ([[discreteQuantiles]] — never an interpolated float
+    * threshold, whose last-ulp placement differs across engines and
+    * flips boundary actors); censused by (r, f, m) code cell.
+    *
+    * Scale: one combinable groupBy(actor), eagerly checkpointed — the
+    * three quantile passes, the horizon, and the census all branch from
+    * the actor table, and without the checkpoint each branch would
+    * replay the corpus scan+aggregate (the q119/q137 lesson; the
+    * materialization is actor-cardinality, far below corpus scale).
+    * Each quartile table broadcasts back as one row; the census is ≤64
+    * cells. Code direction is raw (low r_code = recent, high f/m_code =
+    * heavy) — consumers label segments, the census just counts cells. */
+  def rfmSegments(events: DataFrame, actor: Column, ts: Column,
+                  value: Column): DataFrame = {
+    val peractor = events
+      .select(actor.as("__a"), unix_micros(ts).as("__us"),
+        coalesce(value, lit(0.0)).as("__val"))
+      .groupBy(col("__a"))
+      .agg(max(col("__us")).as("__last"), count(lit(1)).as("f"),
+        sum(floor(col("__val") * 100.0).cast("long")).as("m_cents"))
+      .localCheckpoint()
+    val horizon = peractor.agg(max(col("__last")).as("__h"))
+    val u = peractor.crossJoin(broadcast(horizon))
+      .withColumn("r_days",
+        expr("(__h - __last) div 86400000000").cast("long"))
+      .localCheckpoint()
+    val quart = Seq(("q1", 1, 4), ("q2", 1, 2), ("q3", 3, 4))
+    def codes(metric: String, out: String)(d: DataFrame): DataFrame = {
+      val t = discreteQuantiles(u, col(metric), quart)
+        .select(col("q1").as(s"__${out}1"), col("q2").as(s"__${out}2"),
+          col("q3").as(s"__${out}3"))
+      d.crossJoin(broadcast(t))
+        .withColumn(out, lit(1) +
+          when(col(metric) > col(s"__${out}1"), 1).otherwise(0) +
+          when(col(metric) > col(s"__${out}2"), 1).otherwise(0) +
+          when(col(metric) > col(s"__${out}3"), 1).otherwise(0))
+    }
+    val coded = codes("m_cents", "m_code")(
+      codes("f", "f_code")(codes("r_days", "r_code")(u)))
+    coded.groupBy(col("r_code"), col("f_code"), col("m_code"))
+      .agg(count(lit(1)).as("n_actors"), sum(col("m_cents")).as("cell_cents"))
+  }
+
+  /** Per-group skewness and excess kurtosis of an integer metric from
+    * EXACT shifted power sums — the distribution-shape census quality
+    * monitoring runs beside [[profile]]'s min/max. Pass 1 takes each
+    * group's integer mean floor c (one combinable aggregate); pass 2
+    * accumulates Σyᵏ, k ≤ 4, for y = x − c in decimal(38,0) — the
+    * shift keeps Σy⁴ ≤ n·range⁴ and every |Σy| ≤ n·range, far inside
+    * width 38 at any corpus size (raw Σx⁴ terms like S1⁴ overflow 38
+    * digits near n ≈ 1e10; the shift is what makes the op
+    * 100-TB-safe). Central moments are shift-invariant, so the final
+    * assembly — a SINGLE pinned-order double expression, the file's
+    * oracle-parity discipline — is exact in the integers it starts
+    * from:
+    *   m2 = (n·S2 − S1²)/n²,
+    *   m3 = (n²·S3 − 3n·S1·S2 + 2·S1³)/n³,
+    *   m4 = (n³·S4 − 4n²·S1·S3 + 6n·S1²·S2 − 3·S1⁴)/n⁴,
+    *   skew = m3/(m2·√m2), kurtosis_excess = m4/(m2·m2) − 3. */
+  def shapeMoments(df: DataFrame, group: Column, value: Column): DataFrame = {
+    val rows = df.select(group.as("grp"), value.cast("long").as("__x"))
+      .filter(col("__x").isNotNull)
+    val shift = rows.groupBy(col("grp"))
+      .agg(expr("sum(__x) div count(1)").as("__c"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val y = dec(col("__x") - col("__c"))
+    val agg = rows.join(shift, "grp")
+      .groupBy(col("grp"))
+      .agg(count(lit(1)).as("n"), max(col("__c")).as("__cc"),
+        sum(y).as("__s1"), sum(y * y).as("__s2"),
+        sum(y * y * y).as("__s3"), sum(y * y * y * y).as("__s4"))
+    val nD = col("n").cast("double")
+    val (s1, s2, s3, s4) = (col("__s1").cast("double"),
+      col("__s2").cast("double"), col("__s3").cast("double"),
+      col("__s4").cast("double"))
+    val m2 = (nD * s2 - s1 * s1) / (nD * nD)
+    val m3 = (nD * nD * s3 - lit(3.0) * nD * s1 * s2 +
+      lit(2.0) * s1 * s1 * s1) / (nD * nD * nD)
+    val m4 = (nD * nD * nD * s4 - lit(4.0) * nD * nD * s1 * s3 +
+      lit(6.0) * nD * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
+      (nD * nD * nD * nD)
+    agg.select(col("grp"), col("n"),
+      (col("__cc").cast("double") + s1 / nD).as("mean"),
+      m2.as("m2"), (m3 / (m2 * sqrt(m2))).as("skewness"),
+      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+  }
+
   /** Winsorized mean per group — the robust location estimate a quality
     * census ships when a heavy tail would dominate a plain mean. Bounds
     * are DISCRETE order statistics (the value at integer rank

@@ -394,4 +394,59 @@ object GraphOps {
     sym0.unpersist(blocking = false)
     out
   }
+
+  /** Local clustering-coefficient census — the per-node shape
+    * complement to [[triangleStats]]'s one global coefficient: how many
+    * nodes live in closed neighborhoods (cliquish dup families, tight
+    * co-purchase pockets) vs open hubs. Each node's coefficient
+    * 2·T_v/(deg_v·(deg_v−1)) buckets by INTEGER division into 11 cells
+    * (bucket 10 = fully closed; degree-1 nodes, whose coefficient is
+    * undefined, census as bucket −1), so no per-node float ever crosses
+    * the engine boundary.
+    *
+    * Enumeration is [[triangleStats]]'s degree-ordered wedge expansion
+    * (max out-degree O(√edges) — no hub wedge explosion) with the
+    * closing join kept INNER instead of semi so each triangle emits its
+    * three corners once; a single explode + count yields exact per-node
+    * triangle counts, joined to the degree table on node id and folded
+    * to the ≤12-row census. */
+  def localClusteringCensus(pairs: DataFrame, a: String,
+                            b: String): DataFrame = {
+    val e = pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ranked = e
+      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+    val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
+    val o = ranked.select(
+      when(uFirst, col("u")).otherwise(col("v")).as("s"),
+      when(uFirst, col("v")).otherwise(col("u")).as("d"),
+      when(uFirst, struct(col("dv").as("rd"), col("v").as("rn")))
+        .otherwise(struct(col("du").as("rd"), col("u").as("rn"))).as("dr"))
+    val wedges = o.as("e1").join(o.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.dr") < col("e2.dr"))
+      .select(col("e1.s").as("c0"), col("e1.d").as("x"), col("e2.d").as("y"))
+    val triNodes = wedges.join(
+        o.select(col("s").as("x"), col("d").as("y")), Seq("x", "y"))
+      .select(explode(array(col("c0"), col("x"), col("y"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    val census = deg.join(triNodes, Seq("node"), "left")
+      .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
+      .select(when(col("deg") < 2, lit(-1))
+        .otherwise(expr("CAST((tri * 2 * 10) div (deg * (deg - 1)) AS INT)"))
+        .as("bucket"), col("deg"), col("tri"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
+        sum(col("tri")).as("sum_tri"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    census
+  }
 }

@@ -757,6 +757,62 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(k == 1.0, s"perfect agreement must be exactly 1, got $k")
   }
 
+  test("discreteQuantiles: exact ceil-rank order statistics over a " +
+    "value histogram, duplicates weighted, one row out") {
+    val df = ((1 to 10) ++ Seq(5, 5)).map(v => Tuple1(v.toLong))
+      .toDF("v") // 12 rows; value 5 has multiplicity 3
+    val out = AnalyticsOps.discreteQuantiles(df, col("v"),
+      Seq(("p25", 1, 4), ("p50", 1, 2), ("p90", 9, 10), ("max", 1, 1)))
+      .head
+    // N=12: p25 → cum ≥ 3 → v=3; p50 → cum ≥ 6 → v=5 (cum at 5 is 7);
+    // p90 → cum ≥ 10.8 i.e. cum*10 ≥ 108 → v=9; max → v=10.
+    assert(out.getLong(0) == 3L && out.getLong(1) == 5L &&
+      out.getLong(2) == 9L && out.getLong(3) == 10L, s"got $out")
+  }
+
+  test("rfmSegments: codes stay in 1..4, the heaviest spender lands " +
+    "m_code 4, cents mass is conserved") {
+    val rows = (1 to 40).flatMap { u =>
+      // actor u has u events of value u at day u (recency spread)
+      (1 to u).map(i => (u.toLong, u.toLong * 86400000000L + i, u * 1.0))
+    }
+    val df = rows.toDF("user_id", "us", "value")
+      .select(col("user_id"), timestamp_micros(col("us")).as("ts"),
+        col("value"))
+    val out = AnalyticsOps.rfmSegments(df, col("user_id"), col("ts"),
+      col("value")).collect()
+    assert(out.map(_.getLong(3)).sum == 40L, "all actors censused")
+    val totalCents = rows.map(r => math.floor(r._3 * 100).toLong).sum
+    assert(out.map(_.getLong(4)).sum == totalCents, "cents conserved")
+    out.foreach { r =>
+      for (i <- 0 to 2)
+        assert(r.getInt(i) >= 1 && r.getInt(i) <= 4, s"code range: $r")
+    }
+    // actor 40: most events (40×40.0) → heaviest m and f, most recent
+    val heavy = out.filter(r => r.getInt(1) == 4 && r.getInt(2) == 4)
+    assert(heavy.nonEmpty, "a (f=4, m=4) cell must exist")
+  }
+
+  test("shapeMoments: symmetric data reads skew 0 and the uniform " +
+    "kurtosis; the integer shift leaves the statistics invariant") {
+    val base = Seq(1L, 2L, 3L, 4L, 5L)
+    val df = (base.map(("a", _)) ++ base.map(v => ("b", v + 1000000L)))
+      .toDF("g", "x")
+    val out = AnalyticsOps.shapeMoments(df, col("g"), col("x"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    val (n, mean, m2, skew, kurt) = out("a")
+    assert(n == 5 && mean == 3.0 && m2 == 2.0)
+    assert(skew == 0.0, s"symmetric data must read 0 skew, got $skew")
+    // m4 = (16+1+0+1+16)/5 = 6.8; kurtosis = 6.8/4 - 3 = -1.3
+    assert(math.abs(kurt - (-1.3)) < 1e-12, s"kurtosis $kurt")
+    val (_, meanB, m2B, skewB, kurtB) = out("b")
+    assert(meanB == 1000003.0 && m2B == 2.0 && skewB == 0.0 &&
+      math.abs(kurtB - (-1.3)) < 1e-12,
+      "shift invariance: location must not change shape statistics")
+  }
+
   test("winsorizedMean: discrete-rank bounds clamp the tails; nulls " +
     "drop; an all-equal group is its own mean") {
     // 20 values 1..20 → loRank=(19*5)div 100+1=1 → lo=1;

@@ -267,4 +267,30 @@ class GraphSpec extends AnyFunSuite {
     assert(out.values.forall(_ == ((3L, 3L))), s"got $out")
     assert(run(3) == out, "stable core must not change with more rounds")
   }
+
+  test("localClusteringCensus: triangle corners credit all three " +
+    "nodes; degree-1 nodes census as bucket -1; buckets are exact " +
+    "integer division") {
+    import graft.operators.GraphOps
+    // Triangle {1,2,3} with pendant 4-1: node 1 has deg 3 + 1 triangle
+    // → 2·1·10 div (3·2) = 3; nodes 2,3 have deg 2 + 1 triangle → 10;
+    // node 4 deg 1 → -1. Duplicate/reversed input edges must not
+    // change anything.
+    val edges = Seq((1L, 2L), (2L, 1L), (2L, 3L), (1L, 3L), (4L, 1L))
+      .toDF("a", "b")
+    val out = GraphOps.localClusteringCensus(edges, "a", "b")
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out == Map(
+      -1 -> ((1L, 1L, 0L)),
+      3  -> ((1L, 3L, 1L)),
+      10 -> ((2L, 4L, 2L))), s"got $out")
+    // A 4-clique is fully closed: every node deg 3, 3 triangles each
+    // → 2·3·10 div (3·2) = 10 for all 4 nodes.
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)).toDF("a", "b")
+    val c4 = GraphOps.localClusteringCensus(k4, "a", "b")
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(c4 == Map(10 -> 4L), s"got $c4")
+  }
 }

@@ -648,6 +648,39 @@ class PlanShapeSpec extends AnyFunSuite {
       s"bounds join must be broadcast/AQE-small, not SMJ:\n$f")
   }
 
+  test("q164 rfm: quantile passes, horizon, and census all read the " +
+    "checkpointed actor table — the events corpus is scanned once, at " +
+    "checkpoint time") {
+    val p = plan("q164_rfm_segments")
+    assert(!p.contains("FileScan"),
+      s"branches must read the checkpoint, not re-scan events:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"1-row quartile tables must broadcast:\n$p")
+  }
+
+  test("q165 moments: the shift join is the standardize two-pass " +
+    "shape — two document scans, never more, no cartesian") {
+    val f = formatted("q165_source_moments")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans == 2, s"shift pass + power-sum pass only, got $scans:\n$f")
+    assert(!f.contains("CartesianProduct"))
+  }
+
+  test("q166 clustering census: wedge expansion and closure are " +
+    "equi-joins, never all-pairs") {
+    val p = plan("q166_clustering_census")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"triangle joins degraded to all-pairs:\n$p")
+  }
+
+  test("q167 concentration: threshold pass and tail sums read the " +
+    "checkpointed customer rollup — one orders scan") {
+    val p = plan("q167_revenue_concentration")
+    assert(!p.contains("FileScan"),
+      s"branches must read the checkpoint, not re-scan orders:\n$p")
+  }
+
   test("q163 session stats: min_by entry adds NO exchange beyond " +
     "sessionize's user shuffle + the census — and no third window") {
     val f = formatted("q163_session_stats")
