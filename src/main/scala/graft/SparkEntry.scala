@@ -1456,6 +1456,62 @@ object SparkEntry {
             .as("share_above_p99"))
     }),
 
+    // L150: dedup threshold yield curve — for each candidate Jaccard
+    // threshold, how many pairs fire and how many docs the keep-min rule
+    // would drop (id_b is always the pair loser). THE artifact a dedup
+    // rollout decision reads; computed over the q25 candidate set at
+    // threshold 0 (banding bounds candidates — recall below ~0.5 is the
+    // documented LSH trade, same geometry as q25).
+    "q168_dedup_yield_curve" -> ((s, dir) =>
+      nearDupSweep.pairs(
+          s"worddup3:0.0:$dir:${s.sparkContext.applicationId}",
+          spread(s, t(s, dir, "documents"))
+            .select(col("doc_id"), col("text")),
+          "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.0,
+          Some(D.wordKernels(col("text"), 3)))
+        .select(col("id_b"), col("jaccard"),
+          explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
+            .as("threshold"))
+        .filter(col("jaccard") >= col("threshold"))
+        .groupBy(col("threshold"))
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("id_b")).as("n_docs_removed"))),
+
+    // L151: inter-arrival time stats — per event type, the gap between
+    // an actor's consecutive same-type events (the cadence census rate
+    // limiting and anomaly thresholds are tuned from); exact integer
+    // gaps, q72's bounded-group interpolated percentiles.
+    "q169_interarrival_stats" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(unix_micros(col("ts")), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_type"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          percentile(col("gap_us"), lit(0.5)).as("p50_us"),
+          percentile(col("gap_us"), lit(0.9)).as("p90_us"),
+          percentile(col("gap_us"), lit(0.99)).as("p99_us"))
+    }),
+
+    // L152: degree assortativity of the co-purchase graph — do popular
+    // parts co-occur with popular parts? One number, exact integer
+    // sufficient statistics (GraphOps.degreeAssortativity).
+    "q170_degree_assortativity" -> ((s, dir) => {
+      val pp = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val e = pp.as("x").join(pp.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+      val out = G.degreeAssortativity(e, "id_a", "id_b")
+      pp.unpersist(blocking = false)
+      out
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -5119,6 +5175,62 @@ object SparkEntry {
         | CAST(sum(CASE WHEN cents > t.t99 THEN cents ELSE 0 END)
         |   AS DOUBLE) / CAST(sum(cents) AS DOUBLE) AS share_above_p99
         |FROM cu, t""".stripMargin,
+
+    // q168 twin: q25's candidate CTEs WITHOUT the 0.8 floor, the same
+    // double-literal thresholds (CAST — DuckDB parses bare decimals as
+    // DECIMAL), inner join drops empty thresholds on both engines.
+    "q168_dedup_yield_curve" ->
+      s"""WITH $sqlWordNearDupCtes,
+         |p AS (SELECT ida AS id_a, idb AS id_b,
+         |  CAST(inter AS DOUBLE) / CAST(tot - inter AS DOUBLE)
+         |   AS jaccard FROM j),
+         |th AS (SELECT unnest([CAST(0.5 AS DOUBLE), CAST(0.6 AS DOUBLE),
+         |  CAST(0.7 AS DOUBLE), CAST(0.8 AS DOUBLE),
+         |  CAST(0.9 AS DOUBLE)]) AS threshold)
+         |SELECT th.threshold, CAST(count(*) AS BIGINT) AS n_pairs,
+         | CAST(count(DISTINCT id_b) AS BIGINT) AS n_docs_removed
+         |FROM p JOIN th ON p.jaccard >= th.threshold
+         |GROUP BY 1""".stripMargin,
+
+    // q169 twin: same keyed lag window, quantile_cont percentiles (the
+    // q72 parity).
+    "q169_interarrival_stats" ->
+      """WITH g AS (SELECT event_type,
+        |  epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |   (PARTITION BY user_id, event_type ORDER BY ts, event_id)
+        |   AS gap_us
+        | FROM events)
+        |SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
+        | quantile_cont(gap_us, 0.5) AS p50_us,
+        | quantile_cont(gap_us, 0.9) AS p90_us,
+        | quantile_cont(gap_us, 0.99) AS p99_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+
+    // q170 twin: q153's co-purchase edges, symmetric endpoint-degree
+    // list, HUGEINT sufficient statistics, one double division.
+    "q170_degree_assortativity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e0 AS (SELECT x.pk AS a, y.pk AS b FROM pp x
+        |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+        |e AS (SELECT DISTINCT least(a, b) AS u, greatest(a, b) AS v
+        |  FROM e0 WHERE a <> b),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        | GROUP BY 1),
+        |ends AS (SELECT du.d AS x, dv.d AS y FROM e
+        |  JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+        |s AS (SELECT x, y FROM ends UNION ALL SELECT y, x FROM ends),
+        |a AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(x) AS HUGEINT) AS sx,
+        |  CAST(sum(x*y) AS HUGEINT) AS sxy,
+        |  CAST(sum(x*x) AS HUGEINT) AS sxx FROM s),
+        |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
+        |SELECT nn.n_nodes, CAST(n AS BIGINT) // 2 AS n_edges,
+        | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_degree,
+        | CAST(n * sxy - sx * sx AS DOUBLE) /
+        |  CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+        |FROM a, nn""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

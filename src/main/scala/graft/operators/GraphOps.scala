@@ -449,4 +449,54 @@ object GraphOps {
     deg.unpersist(blocking = false)
     census
   }
+
+  /** Degree assortativity — the Pearson correlation of endpoint degrees
+    * over the (symmetrized) edge list: do heavy nodes attach to heavy
+    * nodes (r > 0, social-graph shape) or to leaves (r < 0, hub-spoke
+    * shape)? The one-number structural summary that decides whether
+    * hub-aware strategies (salting, k-core, degree-ordered enumeration)
+    * will matter on a given graph.
+    *
+    * On the symmetric list the x and y marginals coincide, so r reduces
+    * to (n·Σxy − (Σx)²)/(n·Σx² − (Σx)²) — exact decimal(38,0) integer
+    * sufficient statistics (the correlation/standardize discipline), ONE
+    * double division. `mean_degree` is the EDGE-END mean (the
+    * degree-biased Σd²/Σd marginal the correlation is taken over), not
+    * the node mean. Shape: dedup edges, one degree aggregate, two
+    * equi-joins to attach endpoint degrees, one global reduce. */
+  def degreeAssortativity(pairs: DataFrame, a: String,
+                          b: String): DataFrame = {
+    val e = pairs
+      .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("node"))
+      .union(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ends = e
+      .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
+      .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
+    val sym = ends.select(col("du").as("x"), col("dv").as("y"))
+      .union(ends.select(col("dv").as("x"), col("du").as("y")))
+    val D38 = "decimal(38,0)"
+    val stats = sym.agg(count(lit(1)).cast(D38).as("__n"),
+      sum(col("x").cast(D38)).as("__sx"),
+      sum((col("x").cast(D38)) * (col("y").cast(D38))).as("__sxy"),
+      sum((col("x").cast(D38)) * (col("x").cast(D38))).as("__sxx"))
+    val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    val out = stats.crossJoin(nNodes)
+      .select(col("n_nodes"),
+        expr("CAST(__n AS BIGINT) div 2").as("n_edges"),
+        (col("__sx").cast("double") / col("__n").cast("double"))
+          .as("mean_degree"),
+        ((col("__n") * col("__sxy") - col("__sx") * col("__sx"))
+          .cast("double") /
+          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
+            .cast("double")).as("assortativity"))
+      .localCheckpoint(true)
+    e.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
 }

@@ -293,4 +293,20 @@ class GraphSpec extends AnyFunSuite {
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(c4 == Map(10 -> 4L), s"got $c4")
   }
+
+  test("degreeAssortativity: a star graph is maximally disassortative " +
+    "(-1); a regular graph's denominator degenerates to 0/0") {
+    import graft.operators.GraphOps
+    // Star 1-{2,3,4,5}: every edge joins deg 4 to deg 1 → r = -1.
+    val star = Seq((1L, 2L), (1L, 3L), (1L, 4L), (1L, 5L)).toDF("a", "b")
+    val s = GraphOps.degreeAssortativity(star, "a", "b").head
+    assert(s.getLong(0) == 5 && s.getLong(1) == 4)
+    // edge-END mean degree (degree-biased): (4·4 + 4·1)/8 = 2.5
+    assert(s.getDouble(2) == 2.5, s"end-mean degree, got $s")
+    assert(s.getDouble(3) == -1.0, s"star must read -1, got $s")
+    // Path 1-2-3-4: degrees [1,2,2,1]; hand-computed r = -0.5.
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
+    val p = GraphOps.degreeAssortativity(path, "a", "b").head
+    assert(p.getDouble(3) == -0.5, s"path r, got $p")
+  }
 }

@@ -681,6 +681,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"branches must read the checkpoint, not re-scan orders:\n$p")
   }
 
+  test("q168 yield curve: the threshold explode runs on the " +
+    "checkpointed pair set — no corpus rescan, no shingle recompute") {
+    val p = plan("q168_dedup_yield_curve")
+    assert(!p.contains("FileScan"),
+      s"curve must read the sweep checkpoint, not rebuild pairs:\n$p")
+  }
+
+  test("q169 interarrival: lag window and percentile agg — one keyed " +
+    "exchange each, no join") {
+    val f = formatted("q169_interarrival_stats")
+    assert(!f.contains("Join"), s"cadence census must not join:\n$f")
+    assert(shuffles(f) <= 2,
+      s"(user,type) window + type agg only, got ${shuffles(f)}:\n$f")
+  }
+
+  test("q170 assortativity: degree joins are equi-joins; the only " +
+    "nested-loop is the 1-row stats x nodes cross join") {
+    val p = plan("q170_degree_assortativity")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbounded cartesian:\n$p")
+    assert(p.linesIterator.count(_.contains("BroadcastNestedLoopJoin")) <= 1,
+      s"only the 1-row totals cross join may nest:\n$p")
+  }
+
   test("q163 session stats: min_by entry adds NO exchange beyond " +
     "sessionize's user shuffle + the census — and no third window") {
     val f = formatted("q163_session_stats")
