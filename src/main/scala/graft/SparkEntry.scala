@@ -1512,6 +1512,45 @@ object SparkEntry {
       out
     }),
 
+    // L153: product-quantization ADC top-k — the store-compression leg
+    // of the ANN triad (IVF q34 prunes the search space, int8 q65
+    // shrinks the scan, PQ shrinks the STORE to M codes/vector).
+    // Codebooks train per subspace on the deterministic hash-sample
+    // (pqCodebooks); encoding is a map-side argmin per subspace; each
+    // query builds M distance TABLES once and scores candidates with
+    // map lookups — no float vector math per pair.
+    "q171_pq_adc_topk" -> ((s, dir) =>
+      pqAdcRanked(s, dir)
+        .filter(col("rank") <= PqAdcK)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), col("adc_d2"))),
+
+    // L154: PQ shortlist + EXACT re-rank — the production PQ serving
+    // shape (ADC is the coarse ranker; a 50-candidate shortlist is then
+    // re-scored with exact L2 on raw vectors — ~2.5% of the corpus at
+    // this sf). The ApproxSpec gate measures the recall this recovers
+    // over raw ADC (q171's 1-bit/dim quantization is deliberately lossy
+    // on the isotropic corpus).
+    "q172_pq_rerank_topk" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val short = pqAdcRanked(s, dir)
+        .filter(col("rank") <= PqShortlist)
+        .select(col("query_id"), col("neighbor_id"))
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("d2"), col("neighbor_id"))
+      short
+        .join(e.select(col("vec_id").as("query_id"),
+          col("embedding").as("__qv")), "query_id")
+        .join(e.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("__cv")), "neighbor_id")
+        .select(col("query_id"), col("neighbor_id"),
+          Vec.dist2(col("__qv"), col("__cv")).as("d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= PqAdcK)
+        .select(col("query_id"), col("neighbor_id"),
+          col("rank").cast("int").as("rank"), col("d2"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -2517,6 +2556,7 @@ object SparkEntry {
     centroidSweep.clear()
     componentSweep.clear()
     bpeSweep.clear()
+    pqSweep.clear()
   }
 
   /** The shared word-3-shingle, 0.8-threshold near-dup pair build over
@@ -2735,6 +2775,82 @@ object SparkEntry {
         Vec.kmeansTrainArrays(trainSet, seed, iters)
       })
 
+  /** Product-quantization geometry (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): EmbDims=64
+    * split into M=4 subspaces of 16 dims, K=16 codes each — a vector
+    * compresses to 4 small codes (here longs; 4 BYTES in a production
+    * layout, a 64× cut vs float32), and queries score candidates from
+    * per-subspace distance tables without touching raw vectors. The
+    * third leg of the ANN story: IVF prunes WHERE to look (q34), int8
+    * shrinks the scan 4× (q65), PQ shrinks the STORE to codes (q171). */
+  private val PqM = 4
+  private val PqSubDims = 16
+  private val PqCodes = 16
+  private val PqIters = 2
+  private val PqSalt = "pq"
+  private val PqAdcK = 3
+  private val PqShortlist = 50
+
+  /** Session sweep for the per-subspace PQ codebooks — the
+    * [[trainedCentroids]] regime, M codebooks per (corpus, geometry). */
+  private val pqSweep = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[Vec.LocalCentroids]]()
+
+  /** Per-subspace PQ codebooks (driver-held, M × K × subDims floats):
+    * ONE bounded collect fetches seeds (vec_id < K) and the
+    * deterministic hash-sample, then M in-process Lloyd trainings run
+    * on the SLICED subvectors ([[graft.operators.VectorOps
+    * .kmeansTrainArrays]] — the FAISS shape; the oracle replays each
+    * subspace's chain CTE-for-CTE). */
+  private def pqCodebooks(s: SparkSession,
+                          dir: String): Seq[Vec.LocalCentroids] =
+    pqSweep.computeIfAbsent(
+      s"pq:$PqM:$PqCodes:$PqIters:$dir:${s.sparkContext.applicationId}",
+      _ => {
+        val rows = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") < PqCodes).as("__seed"),
+            (Sam.sampleBucket(col("vec_id"), PqSalt, IvfTrainDenom)
+              < IvfTrainNum).as("__train"))
+          .filter(col("__seed") || col("__train"))
+          .collect().toSeq
+        (0 until PqM).map { sub =>
+          val o = sub * PqSubDims
+          val seed = rows.filter(_.getBoolean(2))
+            .map(r => (r.getLong(0),
+              r.getSeq[Float](1).slice(o, o + PqSubDims).toArray))
+            .sortBy(_._1)
+          val trainSet = rows.filter(_.getBoolean(3))
+            .map(_.getSeq[Float](1).slice(o, o + PqSubDims).toArray)
+          Vec.kmeansTrainArrays(trainSet, seed, PqIters)
+        }
+      })
+
+  /** q171/q172 shared: every (query, candidate) pair ADC-scored and
+    * ranked — codes via map-side per-subspace argmin, per-query distance
+    * TABLES via [[graft.operators.VectorOps.distMapExpr]], scoring is M
+    * map lookups + an add chain (no float vector math per pair), rank by
+    * (adc_d2, neighbor_id). */
+  private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
+    val books = pqCodebooks(s, dir)
+    val e = t(s, dir, "embeddings")
+    def subVec(i: Int) =
+      slice(col("embedding"), i * PqSubDims + 1, PqSubDims)
+    val enc = e.select(col("vec_id") +: (0 until PqM).map(i =>
+      Vec.nearestCellExpr(subVec(i), books(i)).as(s"code$i")): _*)
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("query_id") +: (0 until PqM).map(i =>
+        Vec.distMapExpr(subVec(i), books(i)).as(s"__dt$i")): _*)
+    val adc = (0 until PqM).map(i =>
+      element_at(col(s"__dt$i"), col(s"code$i"))).reduce(_ + _)
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc_d2"), col("neighbor_id"))
+    broadcast(q).join(enc, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adc_d2"))
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** q34/q49 shared: IVF-flat ANN with TRAINED centroids — seeds
     * (vec_id < cells) refined by `iters` Lloyd iterations
     * ([[graft.operators.VectorOps.kmeansTrain]], VERDICT r5 #1: the
@@ -2802,6 +2918,17 @@ object SparkEntry {
   /** DuckDB twin of VectorOps.dist2 — same operation order. */
   private def sqlDist2(a: String, b: String): String =
     s"((${sqlDot(a, a)}) - (2.0 * ${sqlDot(a, b)})) + (${sqlDot(b, b)})"
+
+  /** [[sqlDot]]/[[sqlDist2]] at an arbitrary dimensionality (the PQ
+    * subspace twins — the 64-dim versions keep their name for the
+    * existing oracle strings). */
+  private def sqlDotN(a: String, b: String, n: Int): String =
+    s"list_reduce([CAST($a[i] AS DOUBLE)*CAST($b[i] AS DOUBLE) " +
+      s"for i in generate_series(1,$n)], (x,y) -> x+y)"
+
+  private def sqlDist2N(a: String, b: String, n: Int): String =
+    s"((${sqlDotN(a, a, n)}) - (2.0 * ${sqlDotN(a, b, n)})) + " +
+      s"(${sqlDotN(b, b, n)})"
 
   /** DuckDB twin of VectorOps.planeWeight + planeBit for plane p. */
   private def sqlPlaneProj(v: String, p: Int): String =
@@ -2924,6 +3051,103 @@ object SparkEntry {
        |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT) AS "rank",
        | cosine
        |FROM r WHERE rnk <= 3""".stripMargin
+
+  /** DuckDB twin of [[pqCodebooks]] + the ADC pipeline shared by
+    * q171/q172: per subspace, the [[sqlIvfTrainCtes]] Lloyd chain on
+    * SLICED subvectors (same seeds vec_id < K, same hash-sample with
+    * the pq salt, same FLOAT-cast means), then per-subspace corpus
+    * encodings (argmin by (d2, cid)), per-(query, cid) distance tables,
+    * and the ADC sum in the same left-assoc order as the Spark
+    * `.reduce(_ + _)`; ends at the ranked CTE `r`. */
+  private lazy val sqlPqCtes: String = {
+    val d = PqSubDims
+    def sl(v: String, sub: Int): String =
+      s"$v[${sub * d + 1}:${(sub + 1) * d}]"
+    val sample =
+      s"""pq_train AS (SELECT vec_id, embedding FROM embeddings
+         |  WHERE ${hx(s"'$PqSalt' || CAST(vec_id AS VARCHAR)", 8)}
+         |   % $IvfTrainDenom < $IvfTrainNum)""".stripMargin
+    val chains = (0 until PqM).map { sub =>
+      val seed =
+        s"""pc${sub}_0 AS (SELECT vec_id AS cid, ${sl("embedding", sub)}
+           |  AS cv FROM embeddings WHERE vec_id < $PqCodes)""".stripMargin
+      val steps = (1 to PqIters).map { i =>
+        s"""pa${sub}_$i AS (SELECT sv, cid AS cell_id FROM (
+           |  SELECT ${sl("e.embedding", sub)} AS sv, c.cid,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${sqlDist2N(sl("e.embedding", sub), "c.cv", d)},
+           |     c.cid) AS cr
+           |  FROM pq_train e CROSS JOIN pc${sub}_${i - 1} c) WHERE cr = 1),
+           |pm${sub}_$i AS (SELECT cell_id, dim,
+           |  avg(CAST(x AS DOUBLE)) AS m
+           | FROM (SELECT cell_id, unnest(sv) AS x,
+           |   unnest(generate_series(1, len(sv))) AS dim
+           |  FROM pa${sub}_$i) GROUP BY cell_id, dim),
+           |pc${sub}_$i AS (SELECT cell_id AS cid,
+           |  list(CAST(m AS FLOAT) ORDER BY dim) AS cv
+           | FROM pm${sub}_$i GROUP BY cell_id)""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+    val encs = (0 until PqM).map { sub =>
+      s"""en$sub AS (SELECT vec_id, cid AS code$sub FROM (
+         |  SELECT e.vec_id, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlDist2N(sl("e.embedding", sub), "c.cv", d)},
+         |     c.cid) AS cr
+         |  FROM embeddings e CROSS JOIN pc${sub}_$PqIters c)
+         | WHERE cr = 1)""".stripMargin
+    }
+    val enc =
+      s"""enc AS (SELECT en0.vec_id, code0, code1, code2, code3
+         | FROM en0 JOIN en1 USING (vec_id) JOIN en2 USING (vec_id)
+         |  JOIN en3 USING (vec_id))""".stripMargin
+    val qds = (0 until PqM).map { sub =>
+      s"""qd$sub AS (SELECT q.vec_id AS query_id, c.cid,
+         |  ${sqlDist2N(sl("q.embedding", sub), "c.cv", d)} AS d2
+         | FROM embeddings q CROSS JOIN pc${sub}_$PqIters c
+         | WHERE q.vec_id < 20)""".stripMargin
+    }
+    s"""$sample,
+       |${chains.mkString(",\n")},
+       |${encs.mkString(",\n")},
+       |$enc,
+       |${qds.mkString(",\n")},
+       |sc AS (SELECT t0.query_id, a.vec_id AS neighbor_id,
+       |  ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc_d2
+       | FROM enc a
+       |  JOIN qd0 t0 ON t0.cid = a.code0
+       |  JOIN qd1 t1 ON t1.query_id = t0.query_id AND t1.cid = a.code1
+       |  JOIN qd2 t2 ON t2.query_id = t0.query_id AND t2.cid = a.code2
+       |  JOIN qd3 t3 ON t3.query_id = t0.query_id AND t3.cid = a.code3
+       | WHERE t0.query_id <> a.vec_id),
+       |r AS (SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rnk
+       | FROM sc)""".stripMargin
+  }
+
+  /** q171 twin: pure ADC top-3. */
+  private lazy val sqlPqAdcTopK: String =
+    s"""WITH $sqlPqCtes
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", adc_d2
+       |FROM r WHERE rnk <= $PqAdcK""".stripMargin
+
+  /** q172 twin: ADC shortlist (rnk ≤ PqShortlist) re-ranked by EXACT
+    * dist² on the raw vectors — the production PQ serving shape. */
+  private lazy val sqlPqRerankTopK: String =
+    s"""WITH $sqlPqCtes,
+       |short AS (SELECT query_id, neighbor_id FROM r
+       |  WHERE rnk <= $PqShortlist),
+       |ex AS (SELECT s.query_id, s.neighbor_id,
+       |  ${sqlDist2("q.embedding", "c.embedding")} AS d2
+       | FROM short s
+       |  JOIN embeddings q ON q.vec_id = s.query_id
+       |  JOIN embeddings c ON c.vec_id = s.neighbor_id),
+       |rr AS (SELECT query_id, neighbor_id, d2, row_number() OVER (
+       |  PARTITION BY query_id ORDER BY d2, neighbor_id) AS rnk
+       | FROM ex)
+       |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", d2
+       |FROM rr WHERE rnk <= $PqAdcK""".stripMargin
 
   /** DuckDB twin of DedupOps.minhashExpr for all K permutations. */
   private val sqlMinhashCols: String = (0 until D.K)
@@ -5231,6 +5455,12 @@ object SparkEntry {
         | CAST(n * sxy - sx * sx AS DOUBLE) /
         |  CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
         |FROM a, nn""".stripMargin,
+
+    // q171/q172 twins: the generated per-subspace Lloyd chains + ADC
+    // pipeline ([[sqlPqCtes]]), finished as pure ADC top-3 or as the
+    // shortlist + exact re-rank.
+    "q171_pq_adc_topk" -> sqlPqAdcTopK,
+    "q172_pq_rerank_topk" -> sqlPqRerankTopK,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

@@ -297,6 +297,17 @@ object VectorOps {
   def nearestCellExpr(vec: Column, cents: LocalCentroids): Column =
     array_min(scoredArray(vec, cents)).getField("cid")
 
+  /** cid → dist² lookup map for `vec` against driver-held centroids —
+    * the per-query DISTANCE TABLE of PQ/ADC scoring (Jégou et al. 2011):
+    * built once per query row as a map-side expression, then each
+    * candidate's quantized distance is m map lookups + an add chain, no
+    * float vector math per pair. Same [[dist2]] op order as
+    * [[nearestCellExpr]], so the table entries are bit-identical to the
+    * oracle's join-computed distances. */
+  def distMapExpr(vec: Column, cents: LocalCentroids): Column =
+    map_from_entries(transform(scoredArray(vec, cents),
+      s => struct(s.getField("cid"), s.getField("d2"))))
+
   /** The `probes` nearest cell ids for a QUERY vector, as an array —
     * `array_sort` over (d2, cid) structs replays the oracle's
     * row_number-over-(d2, cid) probe selection. Map-side; explode the

@@ -94,4 +94,40 @@ class ApproxSpec extends AnyFunSuite {
     assert(merged == whole,
       s"shard-merged estimate $merged != whole-corpus $whole")
   }
+
+  test("PQ recall gate: the shortlist+exact-rerank pipeline (q172) " +
+    "recovers what raw ADC (q171) loses to 1-bit/dim quantization on " +
+    "the isotropic corpus — both floors measured, like the IVF gate") {
+    val big = "/root/testdata/sf0.1"
+    def top3(name: String): Map[Long, Set[Long]] =
+      SparkEntry.queries(name)(spark, big)
+        .select(col("query_id"), col("neighbor_id")).collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    val adc = top3("q171_pq_adc_topk")
+    val rr = top3("q172_pq_rerank_topk")
+    val e = Tables(spark, big, "embeddings")
+    val q = e.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val d2 = expr("aggregate(zip_with(qv, embedding, (a, b) -> " +
+      "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * " +
+      "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+    val exact = broadcast(q).join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"), d2.as("d"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (k, rs) => k -> rs.map(_.getLong(1)).toSet }
+    def recall(got: Map[Long, Set[Long]]): Double =
+      got.map { case (k, s) => (s intersect exact(k)).size }
+        .sum.toDouble / (20 * 3)
+    val (ra, rb) = (recall(adc), recall(rr))
+    info(s"recall@3 vs exact L2: raw ADC $ra, shortlist+rerank $rb")
+    // Raw ADC at 4 bits/subspace on structureless 64-dim noise is the
+    // documented lossy floor; the 2.5%-of-corpus shortlist + exact
+    // rerank is the serving shape and must recover most of it.
+    assert(rb >= 0.5, s"rerank recall collapsed: $rb")
+    assert(rb >= ra, "rerank must never lose to raw ADC")
+  }
 }

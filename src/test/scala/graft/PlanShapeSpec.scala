@@ -705,6 +705,22 @@ class PlanShapeSpec extends AnyFunSuite {
       s"only the 1-row totals cross join may nest:\n$p")
   }
 
+  test("q171 PQ/ADC: encoding and distance tables are map-side " +
+    "expressions — the only join is the 20-query broadcast pair scan") {
+    val p = plan("q171_pq_adc_topk")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query side must broadcast over the encoded corpus:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"codes/tables must never shuffle-join:\n$p")
+  }
+
+  test("q172 PQ rerank: the raw-vector fetch joins on ids (equi), " +
+    "never an all-pairs scan") {
+    val p = plan("q172_pq_rerank_topk")
+    assert(!p.contains("CartesianProduct"),
+      s"rerank must fetch shortlist vectors by id:\n$p")
+  }
+
   test("q163 session stats: min_by entry adds NO exchange beyond " +
     "sessionize's user shuffle + the census — and no third window") {
     val f = formatted("q163_session_stats")
