@@ -4978,9 +4978,11 @@ object SparkEntry {
          |  CAST(l_orderkey AS VARCHAR) || '_' ||
          |   CAST(l_linenumber AS VARCHAR) AS id
          | FROM lineitem),
+         |h AS (SELECT grp, v, ${hx("id", 8)} AS h FROM r),
          |e AS (SELECT grp, v, b,
-         |  CAST(${hx("'bs' || b || ':' || id", 8)} % 3 AS BIGINT) AS w
-         | FROM r, (SELECT unnest(generate_series(0, 31)) AS b) bb),
+         |  CAST((((2*b + 1) * h + 1000003*b) % 2147483647) % 3
+         |   AS BIGINT) AS w
+         | FROM h, (SELECT unnest(generate_series(0, 31)) AS b) bb),
          |m AS (SELECT grp, b, CAST(sum(w * v) AS BIGINT) AS mt
          | FROM e GROUP BY 1, 2)
          |SELECT grp AS l_returnflag, CAST(count(*) AS BIGINT)

@@ -17,22 +17,32 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    val df = spark.read.parquet(s"$dir/$name.parquet")
-    // The corpus has shipped events.ts under three parquet encodings across
-    // regenerations: TIMESTAMP(NANOS) (read as a nanos bigint under
-    // spark.sql.legacy.parquet.nanosAsLong, set in Session), timestamp[us]
-    // with isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and plain
-    // timestamp[us] UTC. Normalize all three to TimestampType so downstream
-    // unix_micros(ts) always analyzes. Session TZ is pinned UTC, so the
-    // NTZ->LTZ cast preserves wall-clock and matches the DuckDB oracle,
-    // which reads the same parquet as naive timestamps. Nanos use integer
-    // division (a double division would lose precision at 1.7e18 ns).
-    if (name == "events") df.schema("ts").dataType match {
-      case LongType         => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
+  /** Normalize one timestamp-bearing column to TimestampType across the
+    * three parquet encodings the driver's regenerations have shipped:
+    * TIMESTAMP(NANOS) (read as a nanos bigint under
+    * spark.sql.legacy.parquet.nanosAsLong, set in Session), timestamp[us]
+    * with isAdjustedToUTC=false (read as TIMESTAMP_NTZ), and plain
+    * timestamp[us] UTC. Session TZ is pinned UTC, so the NTZ->LTZ cast
+    * preserves wall-clock and matches the DuckDB oracle, which reads the
+    * same parquet as naive timestamps. Nanos use integer division (a
+    * double division would lose precision at 1.7e18 ns). */
+  private def normalizeTs(df: DataFrame, c: String): DataFrame =
+    df.schema(c).dataType match {
+      case LongType =>
+        df.withColumn(c, timestamp_micros(expr(s"$c div 1000")))
+      case TimestampNTZType => df.withColumn(c, col(c).cast(TimestampType))
       case _                => df
     }
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    // events.ts broke the whole event-time family in r8 when a
+    // regeneration switched its encoding; orders.o_orderdate and
+    // lineitem.l_shipdate carry the same hazard (year()/to_date() fail
+    // analysis on a nanos bigint), so all three go through the seam.
+    if (name == "events") normalizeTs(df, "ts")
+    else if (name == "orders") normalizeTs(df, "o_orderdate")
+    else if (name == "lineitem") normalizeTs(df, "l_shipdate")
     // Same hazard class for embeddings: the engine's native kernels
     // (dot_f32, lsh_bucket_f32, i8_quantize) require array<float> — the
     // corpus's documented encoding. A regeneration that re-encodes the

@@ -1124,13 +1124,19 @@ object AnalyticsOps {
 
   /** Deterministic hash-bootstrap confidence band for a grouped integer
     * metric: `b` resamples where row r's replicate multiplicity in
-    * resample i is `hash32("bs<i>:" + id) mod 3` ∈ {0,1,2} — mean 1,
-    * variance 2/3, a bounded integer surrogate for the Poisson(1)
-    * multiplicity of the classic online bootstrap (Oza & Russell 2001;
-    * bounded so the weight is a pure hash expression and every resample
-    * metric an EXACT integer — no RNG state, no float weights,
-    * partition-invariant, replayable). Understates spread by ~√(2/3);
-    * a census-grade error bar, not an inference substitute.
+    * resample i is `((aᵢ·h + bᵢ) mod P) mod 3` ∈ {0,1,2} over ONE
+    * md5-prefix row hash h and the MinHash affine family
+    * (aᵢ = 2i+1, bᵢ = 1000003·i, P = 2³¹−1) — mean 1, variance 2/3, a
+    * bounded integer surrogate for the Poisson(1) multiplicity of the
+    * classic online bootstrap (Oza & Russell 2001; a pure hash
+    * expression, so every resample metric is an EXACT integer — no RNG
+    * state, no float weights, partition-invariant, replayable). One md5
+    * per ROW, not per (row, resample): the first cut hashed
+    * "bs<i>:"+id per resample and the 32 digests per row made this the
+    * single most expensive query in the suite (27s at sf0.1 → ~2s);
+    * the affine re-mix preserves every stated property. Understates
+    * spread by ~√(2/3); a census-grade error bar, not an inference
+    * substitute.
     *
     * Shape: ONE ×b explode over the metric rows → per-(group, resample)
     * exact weighted sums (combinable) → per-group interpolated
@@ -1141,11 +1147,13 @@ object AnalyticsOps {
   def hashBootstrap(df: DataFrame, group: Column, id: Column,
                     value: Column, b: Int): DataFrame = {
     require(b >= 2, s"need >= 2 resamples, got $b")
-    val rows = df.select(group.as("grp"), id.cast("string").as("__id"),
+    val h = TextOps.hash32(id.cast("string"))
+    val rows = df.select(group.as("grp"), h.as("__h"),
         value.cast("long").as("__v"))
       .select(col("grp"), col("__v"),
         posexplode(array((0 until b).map(i =>
-          pmod(TextOps.hash32(concat(lit(s"bs$i:"), col("__id"))),
+          pmod(pmod(lit(DedupOps.aCoef(i)) * col("__h") +
+            lit(DedupOps.bCoef(i)), lit(TextOps.HashPrime)),
             lit(3L))): _*)).as(Seq("__b", "__w")))
     val res = rows.groupBy(col("grp"), col("__b"))
       .agg(sum(col("__w") * col("__v")).as("__m"))

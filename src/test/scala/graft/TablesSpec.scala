@@ -95,4 +95,24 @@ class TablesSpec extends AnyFunSuite {
     assert(df.schema("embedding").dataType
       .asInstanceOf[ArrayType].elementType == FloatType)
   }
+
+  test("orders.o_orderdate and lineitem.l_shipdate go through the same " +
+    "ts seam: a nanos-bigint regeneration must not break year()") {
+    // o_orderdate as nanos bigint (the encoding that would break
+    // year()/to_date() at analysis time the way r8's events.ts did).
+    val dir = Files.createTempDirectory("tables_spec_").toString
+    Seq((1L, micros * 1000L)).toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$dir/orders.parquet")
+    val o = Tables(spark, dir, "orders")
+    assert(o.schema("o_orderdate").dataType == TimestampType)
+    assert(o.select(year(col("o_orderdate"))).head.getInt(0) == 2023)
+    // l_shipdate as NTZ micros
+    Seq((1L, micros)).toDF("l_orderkey", "us")
+      .select(col("l_orderkey"),
+        timestamp_micros(col("us")).cast(TimestampNTZType).as("l_shipdate"))
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val l = Tables(spark, dir, "lineitem")
+    assert(l.schema("l_shipdate").dataType == TimestampType)
+    assert(l.select(year(col("l_shipdate"))).head.getInt(0) == 2023)
+  }
 }
