@@ -1511,6 +1511,92 @@ object SparkEntry {
           col("rank").cast("int").as("rank"), col("d2"))
     }),
 
+    // L155: session-depth conversion census — do deeper sessions
+    // convert? q38's sessions bucketed by depth (1..4, 5+), with
+    // purchase-conversion share per bucket; one combinable per-session
+    // aggregate on sessionize's exchange, then a ≤5-row census.
+    "q173_session_conversion" -> ((s, dir) =>
+      Ti.sessionize(t(s, dir, "events"), Seq("user_id"), "ts",
+          30L * 60 * 1000000, Seq(col("ts"), col("event_id")))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("__n"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0))
+            .as("__conv"))
+        .groupBy(least(col("__n"), lit(5L)).as("depth_bucket"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("__conv")).cast("long").as("n_converted"))
+        .withColumn("conversion_rate",
+          col("n_converted").cast("double") /
+            col("n_sessions").cast("double"))),
+
+    // L156: rolling trend — per event type, the 7-day trailing OLS
+    // slope of daily event counts (q77 fits ONE line per group; this is
+    // the per-day monitoring variant). x = epoch day ordinal, exact
+    // integer windowed sufficient statistics over a days×types table,
+    // one double division per row.
+    "q174_rolling_slope" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("__d"))
+        .agg(count(lit(1)).as("__y"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("__d"))
+        .rangeBetween(-6, 0)
+      val D38 = "decimal(38,0)"
+      val dec = (c: Column) => c.cast(D38)
+      val st = daily.select(col("event_type"), col("__d"), col("__y"),
+        count(lit(1)).over(w).as("__k"),
+        sum(dec(col("__y"))).over(w).as("__sy"),
+        sum(dec(col("__d"))).over(w).as("__sx"),
+        sum(dec(col("__d")) * dec(col("__y"))).over(w).as("__sxy"),
+        sum(dec(col("__d")) * dec(col("__d"))).over(w).as("__sxx"))
+      st.select(col("event_type"), col("__d").as("day_ord"),
+        col("__y").as("n_events"), col("__k").as("n_days"),
+        when(col("__k") > 1 &&
+          (dec(col("__k")) * col("__sxx") - col("__sx") * col("__sx"))
+            =!= lit(0).cast(D38),
+          (dec(col("__k")) * col("__sxy") - col("__sx") * col("__sy"))
+            .cast("double") /
+            (dec(col("__k")) * col("__sxx") - col("__sx") * col("__sx"))
+              .cast("double")).as("slope_7d"))
+    }),
+
+    // L157: burstiness (Fano factor) — per event type, daily-count
+    // variance-to-mean ratio (F=1 Poisson baseline; F>1 bursty). One
+    // exact rational per group: F = n(nΣy²−(Σy)²) / (n(n−1)Σy).
+    "q175_fano_burstiness" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("__d"))
+        .agg(count(lit(1)).as("__y"))
+      val D38 = "decimal(38,0)"
+      val dec = (c: Column) => c.cast(D38)
+      daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(dec(col("__y"))).as("__sy"),
+          sum(dec(col("__y")) * dec(col("__y"))).as("__syy"))
+        .select(col("event_type"), col("n_days"),
+          col("__sy").cast("long").as("n_events"),
+          (col("__sy").cast("double") / col("n_days").cast("double"))
+            .as("mean_daily"),
+          when(col("n_days") > 1,
+            (dec(col("n_days")) *
+              (dec(col("n_days")) * col("__syy") - col("__sy") * col("__sy")))
+              .cast("double") /
+              (dec(col("n_days")) * dec(col("n_days") - 1) * col("__sy"))
+                .cast("double")).as("fano"))
+    }),
+
+    // L158: Gini coefficient of customer revenue — the inequality
+    // complement to q158's HHI and q167's top-share report; exact
+    // tied-rank identity over the cents histogram
+    // (AnalyticsOps.giniCoefficient).
+    "q176_revenue_gini" -> ((s, dir) =>
+      An.giniCoefficient(
+        t(s, dir, "orders")
+          .groupBy(col("o_custkey"))
+          .agg(sum(floor(col("o_totalprice") * 100.0).cast("long"))
+            .as("cents")),
+        col("cents"))),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -5453,6 +5539,95 @@ object SparkEntry {
     // shortlist + exact re-rank.
     "q171_pq_adc_topk" -> sqlPqAdcTopK,
     "q172_pq_rerank_topk" -> sqlPqRerankTopK,
+
+    // q173 twin: q38's session CTEs, per-session depth + conversion
+    // flag, ≤5-row census.
+    "q173_session_conversion" ->
+      """WITH x AS (SELECT user_id, event_id, event_type,
+        |  epoch_us(ts) AS us,
+        |  lag(epoch_us(ts)) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id) AS prev
+        | FROM events),
+        |s AS (SELECT user_id, event_type, us,
+        |  sum(CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |      THEN 1 ELSE 0 END)
+        |    OVER (PARTITION BY user_id ORDER BY us, event_id
+        |          ROWS UNBOUNDED PRECEDING) AS session_idx
+        | FROM x),
+        |ses AS (SELECT user_id, session_idx,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS conv
+        | FROM s GROUP BY 1, 2)
+        |SELECT least(n, 5) AS depth_bucket,
+        | CAST(count(*) AS BIGINT) AS n_sessions,
+        | CAST(sum(conv) AS BIGINT) AS n_converted,
+        | CAST(sum(conv) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS conversion_rate
+        |FROM ses GROUP BY 1""".stripMargin,
+
+    // q174 twin: same day-ordinal integer division, same RANGE frame,
+    // HUGEINT windowed sufficient statistics, same degenerate guard.
+    "q174_rolling_slope" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, d, y,
+        |  CAST(count(*) OVER w AS BIGINT) AS k,
+        |  CAST(sum(y) OVER w AS HUGEINT) AS sy,
+        |  CAST(sum(d) OVER w AS HUGEINT) AS sx,
+        |  CAST(sum(d * y) OVER w AS HUGEINT) AS sxy,
+        |  CAST(sum(d * d) OVER w AS HUGEINT) AS sxx
+        | FROM daily
+        | WINDOW w AS (PARTITION BY event_type ORDER BY d
+        |   RANGE BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT event_type, d AS day_ord, y AS n_events, k AS n_days,
+        | CASE WHEN k > 1 AND k * sxx - sx * sx <> 0
+        |  THEN CAST(k * sxy - sx * sy AS DOUBLE) /
+        |   CAST(k * sxx - sx * sx AS DOUBLE) END AS slope_7d
+        |FROM st""".stripMargin,
+
+    // q175 twin: same daily table, one exact rational per group.
+    "q175_fano_burstiness" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS d,
+        |  CAST(count(*) AS BIGINT) AS y
+        | FROM events GROUP BY 1, 2),
+        |a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS HUGEINT) AS sy,
+        |  CAST(sum(y * y) AS HUGEINT) AS syy
+        | FROM daily GROUP BY 1)
+        |SELECT event_type, n AS n_days, CAST(sy AS BIGINT) AS n_events,
+        | CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_daily,
+        | CASE WHEN n > 1
+        |  THEN CAST(n * (n * syy - sy * sy) AS DOUBLE) /
+        |   CAST(n * (n - 1) * sy AS DOUBLE) END AS fano
+        |FROM a""".stripMargin,
+
+    // q176 twin: the same tied-rank histogram identity
+    // Σ v·c·(2p + c − N) in HUGEINT, one double division.
+    "q176_revenue_gini" ->
+      """WITH cu AS (SELECT o_custkey,
+        |  CAST(sum(CAST(floor(o_totalprice * 100.0) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM orders GROUP BY 1),
+        |h AS (SELECT v, c, cum, n FROM (
+        |  SELECT v, c, sum(c) OVER (ORDER BY v) AS cum,
+        |   sum(c) OVER () AS n
+        |  FROM (SELECT cents AS v, CAST(count(*) AS BIGINT) AS c
+        |    FROM cu WHERE cents >= 0 GROUP BY 1))),
+        |a AS (SELECT CAST(max(n) AS BIGINT) AS n_units,
+        |  CAST(sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT)) AS HUGEINT)
+        |   AS s,
+        |  CAST(sum(CAST(v AS HUGEINT) * CAST(c AS HUGEINT) *
+        |   (2 * CAST(cum - c AS HUGEINT) + CAST(c AS HUGEINT)
+        |    - CAST(n AS HUGEINT))) AS HUGEINT) AS g
+        | FROM h)
+        |SELECT n_units, CAST(s AS BIGINT) AS total,
+        | CAST(g AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(s AS DOUBLE))
+        |  AS gini
+        |FROM a""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

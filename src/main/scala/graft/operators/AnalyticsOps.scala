@@ -1379,6 +1379,38 @@ object AnalyticsOps {
       (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
   }
 
+  /** Exact Gini coefficient of a nonnegative INTEGER metric, from its
+    * value histogram — the inequality complement to [[concentrationCensus]]
+    * (HHI asks "how few units hold the mass"; Gini asks "how unevenly is
+    * it spread across ALL units"). For a tied-value histogram (v, c) with
+    * p units strictly below v, the sorted-rank identity
+    * Σᵢ(2i−N−1)xᵢ collapses to Σ_v v·c·(2p + c − N) — exact decimal
+    * integers via one cumulative-count window over DISTINCT values (the
+    * [[discreteQuantiles]] shape: the single-partition window is
+    * value-domain-bounded, never corpus-sized), one double division.
+    * Returns (n_units, total, gini). */
+  def giniCoefficient(df: DataFrame, value: Column): DataFrame = {
+    val ord = Window.orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    val D38 = "decimal(38,0)"
+    val hist = df.select(value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull && col("__v") >= 0)
+      .groupBy(col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(ord))
+      .withColumn("__n", sum(col("__c")).over(all))
+    val p = (col("__cum") - col("__c")).cast(D38)
+    val (v, c, n) = (col("__v").cast(D38), col("__c").cast(D38),
+      col("__n").cast(D38))
+    hist.agg(max(col("__n")).as("n_units"),
+        sum(col("__v").cast(D38) * col("__c").cast(D38)).as("__s"),
+        sum(v * c * (p * lit(2).cast(D38) + c - n)).as("__g"))
+      .select(col("n_units"), col("__s").cast("long").as("total"),
+        (col("__g").cast("double") /
+          (col("n_units").cast("double") * col("__s").cast("double")))
+          .as("gini"))
+  }
+
   /** Winsorized mean per group — the robust location estimate a quality
     * census ships when a heavy tail would dominate a plain mean. Bounds
     * are DISCRETE order statistics (the value at integer rank

@@ -813,6 +813,23 @@ class AnalyticsSpec extends AnyFunSuite {
       "shift invariance: location must not change shape statistics")
   }
 
+  test("giniCoefficient: perfect equality reads 0, hand-computed " +
+    "inequality matches the sorted-rank identity, monopoly approaches " +
+    "(n-1)/n") {
+    def gini(vals: Seq[Long]): (Long, Long, Double) = {
+      val r = AnalyticsOps.giniCoefficient(
+        vals.map(Tuple1(_)).toDF("v"), col("v")).head
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    }
+    assert(gini(Seq(5L, 5L, 5L)) == ((3L, 15L, 0.0)))
+    // [1,1,2]: Σ(2i−N−1)x = −2+0+4 = 2; G = 2/(3·4)
+    val (_, _, g) = gini(Seq(1L, 2L, 1L))
+    assert(g == 2.0 / 12.0, s"got $g")
+    // one unit holds everything: G = (n−1)/n with zeros present
+    val (_, _, gm) = gini(Seq(0L, 0L, 0L, 100L))
+    assert(gm == 0.75, s"monopoly of 4 must read 3/4, got $gm")
+  }
+
   test("winsorizedMean: discrete-rank bounds clamp the tails; nulls " +
     "drop; an all-equal group is its own mean") {
     // 20 values 1..20 → loRank=(19*5)div 100+1=1 → lo=1;
