@@ -1511,6 +1511,54 @@ object SparkEntry {
           col("rank").cast("int").as("rank"), col("d2"))
     }),
 
+    // L159: IVFPQ — the complete FAISS index shape: the trained coarse
+    // quantizer (q34's cells) prunes WHERE to look, PQ codes on the
+    // RESIDUAL v − centroid(cell) compress the store, and the candidate
+    // path is an EQUI-join on cell_id (q171's flat-PQ broadcast pair
+    // scan becomes bucket-bounded work — the geometry that scales to
+    // 100 TB stores). Per (query, probed cell): residual distance
+    // tables; per candidate: M map lookups.
+    "q177_ivfpq_topk" -> ((s, dir) => {
+      val coarse = trainedCentroids(s, dir, IvfCells, IvfTrainIters)
+      val books = ivfpqBooks(s, dir)
+      val e = t(s, dir, "embeddings")
+      val cmap = Vec.centroidVecMapExpr(coarse)
+      def subArr(c: Column, i: Int) =
+        slice(c, i * PqSubDims + 1, PqSubDims)
+      val enc = e
+        .select(col("vec_id"),
+          Vec.nearestCellExpr(col("embedding"), coarse).as("cell_id"),
+          col("embedding"))
+        .withColumn("__res",
+          Vec.residualExpr(col("embedding"), element_at(cmap, col("cell_id"))))
+        .select(Seq(col("vec_id"), col("cell_id")) ++
+          (0 until PqM).map(i =>
+            Vec.nearestCellExpr(subArr(col("__res"), i), books(i))
+              .as(s"code$i")): _*)
+      val probed = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("query_id"), col("embedding").as("__qv"),
+          explode(Vec.probeCellsExpr(col("embedding"), coarse, IvfProbes))
+            .as("cell_id"))
+        .withColumn("__qres",
+          Vec.residualExpr(col("__qv"), element_at(cmap, col("cell_id"))))
+        .select(Seq(col("query_id"), col("cell_id")) ++
+          (0 until PqM).map(i =>
+            Vec.distMapExpr(subArr(col("__qres"), i), books(i))
+              .as(s"__dt$i")): _*)
+      val adc = (0 until PqM).map(i =>
+        element_at(col(s"__dt$i"), col(s"code$i"))).reduce(_ + _)
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc_d2"), col("neighbor_id"))
+      probed.join(enc, Seq("cell_id"))
+        .filter(col("query_id") =!= col("vec_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          col("cell_id"), adc.as("adc_d2"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= PqAdcK)
+        .select(col("query_id"), col("neighbor_id"), col("cell_id"),
+          col("rank").cast("int").as("rank"), col("adc_d2"))
+    }),
+
     // L155: session-depth conversion census — do deeper sessions
     // convert? q38's sessions bucketed by depth (1..4, 5+), with
     // purchase-conversion share per bucket; one combinable per-session
@@ -2902,6 +2950,48 @@ object SparkEntry {
         }
       })
 
+  private val IvfPqSalt = "ivfpq"
+
+  /** IVFPQ residual codebooks (Jégou et al. 2011 §IV): the coarse
+    * quantizer handles WHERE (q34's trained cells), PQ encodes the
+    * RESIDUAL v − centroid(cell) — residuals cluster far tighter than
+    * raw vectors, so the same 4×16-code budget spends its resolution
+    * where the data actually is. Training: one bounded collect (seeds +
+    * hash-sample), driver-side coarse assignment replaying the
+    * distributed argmin exactly ([[graft.operators.VectorOps
+    * .nearestCidLocal]]), float residuals, then M in-process Lloyd
+    * chains on the sliced residual subvectors. */
+  private def ivfpqBooks(s: SparkSession,
+                         dir: String): Seq[Vec.LocalCentroids] =
+    pqSweep.computeIfAbsent(
+      s"ivfpq:$IvfCells:$PqM:$PqCodes:$PqIters:$dir:" +
+        s.sparkContext.applicationId,
+      _ => {
+        val coarse = trainedCentroids(s, dir, IvfCells, IvfTrainIters)
+        val byCid = coarse.toMap
+        val rows = t(s, dir, "embeddings")
+          .select(col("vec_id"), col("embedding"),
+            (col("vec_id") < PqCodes).as("__seed"),
+            (Sam.sampleBucket(col("vec_id"), IvfPqSalt, IvfTrainDenom)
+              < IvfTrainNum).as("__train"))
+          .filter(col("__seed") || col("__train"))
+          .collect().toSeq
+        def residual(v: Array[Float]): Array[Float] = {
+          val c = byCid(Vec.nearestCidLocal(v, coarse))
+          Array.tabulate(v.length)(i => v(i) - c(i))
+        }
+        val res = rows.map(r => (r.getLong(0),
+          residual(r.getSeq[Float](1).toArray),
+          r.getBoolean(2), r.getBoolean(3)))
+        (0 until PqM).map { sub =>
+          val o = sub * PqSubDims
+          val seed = res.filter(_._3)
+            .map(r => (r._1, r._2.slice(o, o + PqSubDims))).sortBy(_._1)
+          val trainSet = res.filter(_._4).map(_._2.slice(o, o + PqSubDims))
+          Vec.kmeansTrainArrays(trainSet, seed, PqIters)
+        }
+      })
+
   /** q171/q172 shared: every (query, candidate) pair ADC-scored and
     * ranked — codes via map-side per-subspace argmin, per-query distance
     * TABLES via [[graft.operators.VectorOps.distMapExpr]], scoring is M
@@ -3224,6 +3314,102 @@ object SparkEntry {
        | FROM ex)
        |SELECT query_id, neighbor_id, CAST(rnk AS INT) AS "rank", d2
        |FROM rr WHERE rnk <= $PqAdcK""".stripMargin
+
+  /** DuckDB twin of [[ivfpqBooks]] + the q177 pipeline: the q34 coarse
+    * chain, FLOAT[] residual comprehensions (single-precision subtract,
+    * bit-identical to residualExpr's zip_with), per-subspace Lloyd
+    * chains on sliced residuals, cell-equi candidate generation, and
+    * the same left-assoc ADC sum. */
+  private lazy val sqlIvfPqTopK: String = {
+    val d = PqSubDims
+    def rsl(v: String, sub: Int): String =
+      s"$v[${sub * d + 1}:${(sub + 1) * d}]"
+    val chains = (0 until PqM).map { sub =>
+      val seed =
+        s"""rc${sub}_0 AS (SELECT vec_id AS cid, ${rsl("r", sub)} AS cv
+           |  FROM res WHERE vec_id < $PqCodes)""".stripMargin
+      val steps = (1 to PqIters).map { i =>
+        s"""ra${sub}_$i AS (SELECT sv, cid AS cell_id FROM (
+           |  SELECT ${rsl("e.r", sub)} AS sv, c.cid,
+           |   row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY ${sqlDist2N(rsl("e.r", sub), "c.cv", d)},
+           |     c.cid) AS cr
+           |  FROM rtrain e CROSS JOIN rc${sub}_${i - 1} c) WHERE cr = 1),
+           |rm${sub}_$i AS (SELECT cell_id, dim,
+           |  avg(CAST(x AS DOUBLE)) AS m
+           | FROM (SELECT cell_id, unnest(sv) AS x,
+           |   unnest(generate_series(1, len(sv))) AS dim
+           |  FROM ra${sub}_$i) GROUP BY cell_id, dim),
+           |rc${sub}_$i AS (SELECT cell_id AS cid,
+           |  list(CAST(m AS FLOAT) ORDER BY dim) AS cv
+           | FROM rm${sub}_$i GROUP BY cell_id)""".stripMargin
+      }
+      (seed +: steps).mkString(",\n")
+    }
+    val encs = (0 until PqM).map { sub =>
+      s"""rn$sub AS (SELECT vec_id, cell_id, cid AS code$sub FROM (
+         |  SELECT e.vec_id, e.cell_id, c.cid, row_number() OVER (
+         |    PARTITION BY e.vec_id
+         |    ORDER BY ${sqlDist2N(rsl("e.r", sub), "c.cv", d)},
+         |     c.cid) AS cr
+         |  FROM res e CROSS JOIN rc${sub}_$PqIters c) WHERE cr = 1)""".stripMargin
+    }
+    val qds = (0 until PqM).map { sub =>
+      s"""qd$sub AS (SELECT qr.query_id, qr.cell_id, b.cid,
+         |  ${sqlDist2N(rsl("qr.r", sub), "b.cv", d)} AS d2
+         | FROM qres qr CROSS JOIN rc${sub}_$PqIters b)""".stripMargin
+    }
+    s"""WITH ${sqlIvfTrainCtes(IvfTrainIters)},
+       |cent AS (SELECT cid, cv FROM cent$IvfTrainIters),
+       |asg AS (SELECT vec_id, embedding, cid AS cell_id FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid, row_number() OVER (
+       |    PARTITION BY e.vec_id
+       |    ORDER BY ${sqlDist2("e.embedding", "c.cv")}, c.cid) AS cr
+       |  FROM embeddings e CROSS JOIN cent c) WHERE cr = 1),
+       |res AS (SELECT a.vec_id, a.cell_id,
+       |  [a.embedding[i] - c.cv[i] for i in
+       |   generate_series(1, $EmbDims)] AS r
+       | FROM asg a JOIN cent c ON c.cid = a.cell_id),
+       |rtrain AS (SELECT vec_id, r FROM res
+       |  WHERE ${hx(s"'$IvfPqSalt' || CAST(vec_id AS VARCHAR)", 8)}
+       |   % $IvfTrainDenom < $IvfTrainNum),
+       |${chains.mkString(",\n")},
+       |${encs.mkString(",\n")},
+       |encx AS (SELECT rn0.vec_id, rn0.cell_id, code0, code1, code2,
+       |  code3 FROM rn0 JOIN rn1 USING (vec_id) JOIN rn2 USING (vec_id)
+       |  JOIN rn3 USING (vec_id)),
+       |probes AS (SELECT query_id, cid AS cell_id FROM (
+       |  SELECT q.vec_id AS query_id, c.cid, row_number() OVER (
+       |    PARTITION BY q.vec_id
+       |    ORDER BY ${sqlDist2("q.embedding", "c.cv")}, c.cid) AS pr
+       |  FROM embeddings q CROSS JOIN cent c WHERE q.vec_id < 20)
+       | WHERE pr <= $IvfProbes),
+       |qres AS (SELECT p.query_id, p.cell_id,
+       |  [q.embedding[i] - c.cv[i] for i in
+       |   generate_series(1, $EmbDims)] AS r
+       | FROM probes p JOIN embeddings q ON q.vec_id = p.query_id
+       |  JOIN cent c ON c.cid = p.cell_id),
+       |${qds.mkString(",\n")},
+       |sc AS (SELECT p.query_id, a.vec_id AS neighbor_id, a.cell_id,
+       |  ((t0.d2 + t1.d2) + t2.d2) + t3.d2 AS adc_d2
+       | FROM encx a
+       |  JOIN probes p ON p.cell_id = a.cell_id
+       |  JOIN qd0 t0 ON t0.query_id = p.query_id
+       |   AND t0.cell_id = a.cell_id AND t0.cid = a.code0
+       |  JOIN qd1 t1 ON t1.query_id = p.query_id
+       |   AND t1.cell_id = a.cell_id AND t1.cid = a.code1
+       |  JOIN qd2 t2 ON t2.query_id = p.query_id
+       |   AND t2.cell_id = a.cell_id AND t2.cid = a.code2
+       |  JOIN qd3 t3 ON t3.query_id = p.query_id
+       |   AND t3.cell_id = a.cell_id AND t3.cid = a.code3
+       | WHERE p.query_id <> a.vec_id),
+       |rr AS (SELECT query_id, neighbor_id, cell_id, adc_d2,
+       |  row_number() OVER (PARTITION BY query_id
+       |   ORDER BY adc_d2, neighbor_id) AS rnk FROM sc)
+       |SELECT query_id, neighbor_id, cell_id, CAST(rnk AS INT)
+       |  AS "rank", adc_d2
+       |FROM rr WHERE rnk <= $PqAdcK""".stripMargin
+  }
 
   /** DuckDB twin of DedupOps.minhashExpr for all K permutations. */
   private val sqlMinhashCols: String = (0 until D.K)
@@ -5539,6 +5725,10 @@ object SparkEntry {
     // shortlist + exact re-rank.
     "q171_pq_adc_topk" -> sqlPqAdcTopK,
     "q172_pq_rerank_topk" -> sqlPqRerankTopK,
+
+    // q177 twin: the generated coarse + residual chains + cell-equi ADC
+    // pipeline ([[sqlIvfPqTopK]]).
+    "q177_ivfpq_topk" -> sqlIvfPqTopK,
 
     // q173 twin: q38's session CTEs, per-session depth + conversion
     // flag, ≤5-row census.

@@ -297,6 +297,43 @@ object VectorOps {
   def nearestCellExpr(vec: Column, cents: LocalCentroids): Column =
     array_min(scoredArray(vec, cents)).getField("cid")
 
+  /** cid → centroid-VECTOR lookup map (array-valued) — the coarse-cell
+    * table IVFPQ reads map-side to form residuals (v − centroid[cell])
+    * without a join. K×dims floats as one constant-folded literal, the
+    * [[centroidsLit]] codegen-cache discipline. */
+  def centroidVecMapExpr(cents: LocalCentroids): Column =
+    map_from_entries(array(cents.map { case (cid, cv) =>
+      struct(lit(cid), typedlit(cv.toSeq)) }: _*))
+
+  /** Elementwise single-precision residual v − c — float subtract, the
+    * exact op the oracle's FLOAT[] comprehension performs, so residuals
+    * are bit-identical cross-engine before any codebook math sees them. */
+  def residualExpr(vec: Column, cent: Column): Column =
+    zip_with(vec, cent, (a, b) => a - b)
+
+  /** Driver-side nearest-centroid id for one vector, replaying
+    * [[kmeansTrainArrays]]' assignment exactly (same (vv − 2·v·c) + c·c
+    * double-fold sequence, same (d2, cid) tie-break) — IVFPQ's residual
+    * TRAINING assigns its sample on the driver with this, so the
+    * residuals it trains on equal the ones the distributed encode (and
+    * the oracle's argmin CTE) produce. */
+  def nearestCidLocal(v: Array[Float], cents: LocalCentroids): Long = {
+    def dotDD(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+      acc
+    }
+    val vv = dotDD(v, v)
+    var best = Double.MaxValue; var bestCid = Long.MaxValue
+    cents.foreach { case (cid, cv) =>
+      val d2 = (vv - 2.0 * dotDD(v, cv)) + dotDD(cv, cv)
+      if (d2 < best || (d2 == best && cid < bestCid)) {
+        best = d2; bestCid = cid
+      }
+    }
+    bestCid
+  }
+
   /** cid → dist² lookup map for `vec` against driver-held centroids —
     * the per-query DISTANCE TABLE of PQ/ADC scoring (Jégou et al. 2011):
     * built once per query row as a map-side expression, then each

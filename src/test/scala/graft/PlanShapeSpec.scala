@@ -721,6 +721,14 @@ class PlanShapeSpec extends AnyFunSuite {
       s"rerank must fetch shortlist vectors by id:\n$p")
   }
 
+  test("q177 IVFPQ: candidates come from a cell_id EQUI-join — flat " +
+    "PQ's all-pairs broadcast scan is gone") {
+    val p = plan("q177_ivfpq_topk")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"IVFPQ candidate generation must join on cell_id:\n$p")
+  }
+
   test("q163 session stats: min_by entry adds NO exchange beyond " +
     "sessionize's user shuffle + the census — and no third window") {
     val f = formatted("q163_session_stats")
