@@ -1645,6 +1645,38 @@ object SparkEntry {
             .as("cents")),
         col("cents"))),
 
+    // L161: k-step absorption probability — "will a user in state s
+    // convert within 8 transitions?", the forward-looking companion to
+    // q92's one-step matrix; scaled-integer rounds (the pageRank
+    // discipline), oracle-unrolled.
+    "q178_absorption" -> ((s, dir) =>
+      An.absorptionProbability(t(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_type"), col("event_id"),
+        absorbing = "purchase", steps = 8)),
+
+    // L162: time-to-convert distribution — for users whose earliest
+    // purchase follows their earliest signup (q75's two-step greedy
+    // semantics), the signup→purchase delay in whole seconds, summarized
+    // by exact discrete quantiles (the histogram-cumsum path — no
+    // corpus sort, no interpolated float boundary).
+    "q179_time_to_convert" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+      val f1 = ev.filter(col("event_type") === "signup")
+        .groupBy(col("user_id")).agg(min(unix_micros(col("ts"))).as("t1"))
+      val delays = ev.join(f1, "user_id")
+        .filter(col("event_type") === "purchase" &&
+          unix_micros(col("ts")) > col("t1"))
+        .groupBy(col("user_id"))
+        .agg((min(unix_micros(col("ts"))) - max(col("t1"))).as("__dus"))
+        .select(expr("__dus div 1000000").as("delay_s"))
+        .localCheckpoint()
+      val qs = An.discreteQuantiles(delays, col("delay_s"),
+        Seq(("p25_s", 1, 4), ("p50_s", 1, 2), ("p75_s", 3, 4),
+          ("p90_s", 9, 10)))
+      delays.agg(count(lit(1)).as("n_converters"))
+        .crossJoin(broadcast(qs))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -5818,6 +5850,64 @@ object SparkEntry {
         | CAST(g AS DOUBLE) / (CAST(n_units AS DOUBLE) * CAST(s AS DOUBLE))
         |  AS gini
         |FROM a""".stripMargin,
+
+    // q178 twin: the same transition counts, the 8 scaled-integer
+    // rounds unrolled (HUGEINT Σn·p, floor //, absorbing state pinned).
+    "q178_absorption" -> {
+      val rounds = (1 to 8).map { i =>
+        s"""m$i AS (SELECT tr.from_state AS state,
+           |  CAST(sum(CAST(tr.n AS HUGEINT) * CAST(p.p AS HUGEINT))
+           |   AS HUGEINT) AS mm
+           | FROM tr JOIN p${i - 1} p ON p.state = tr.to_state
+           | GROUP BY 1),
+           |p$i AS (SELECT st.state,
+           |  CASE WHEN st.state = 'purchase' THEN 1000000000
+           |   ELSE coalesce(CAST(m.mm // od.n_from AS BIGINT), 0)
+           |  END AS p
+           | FROM st LEFT JOIN m$i m ON m.state = st.state
+           |  LEFT JOIN od ON od.from_state = st.state)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH o AS (SELECT event_type AS from_state,
+         |  lead(event_type) OVER (PARTITION BY user_id
+         |   ORDER BY epoch_us(ts), event_id) AS to_state
+         | FROM events),
+         |tr AS (SELECT from_state, to_state, CAST(count(*) AS BIGINT)
+         |  AS n FROM o
+         | WHERE to_state IS NOT NULL AND from_state <> 'purchase'
+         | GROUP BY 1, 2),
+         |st AS (SELECT DISTINCT state FROM (
+         |  SELECT from_state AS state FROM tr
+         |  UNION ALL SELECT to_state FROM tr)),
+         |od AS (SELECT from_state, CAST(sum(n) AS BIGINT) AS n_from
+         |  FROM tr GROUP BY 1),
+         |p0 AS (SELECT state, CASE WHEN state = 'purchase'
+         |  THEN 1000000000 ELSE 0 END AS p FROM st),
+         |$rounds
+         |SELECT state, CAST(p AS BIGINT) AS p_absorb_scaled,
+         | CAST(p AS DOUBLE) / CAST(1000000000 AS DOUBLE) AS p_absorb
+         |FROM p8""".stripMargin
+    },
+
+    // q179 twin: q75's two-step frontier, whole-second delays, the
+    // histogram-cumsum discrete quantiles.
+    "q179_time_to_convert" ->
+      """WITH f1 AS (SELECT user_id, min(epoch_us(ts)) AS t1
+        |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+        |d AS (SELECT (min(epoch_us(e.ts)) - max(f1.t1)) // 1000000
+        |   AS delay_s
+        | FROM events e JOIN f1 ON e.user_id = f1.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > f1.t1
+        | GROUP BY e.user_id),
+        |hh AS (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+        |   sum(c) OVER () AS n
+        |  FROM (SELECT delay_s AS v, count(*) AS c FROM d GROUP BY 1)),
+        |q AS (SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS p25_s,
+        |  min(CASE WHEN cum * 2 >= n THEN v END) AS p50_s,
+        |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS p75_s,
+        |  min(CASE WHEN cum * 10 >= n * 9 THEN v END) AS p90_s FROM hh)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_converters,
+        | p25_s, p50_s, p75_s, p90_s
+        |FROM q""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

@@ -467,6 +467,65 @@ object AnalyticsOps {
         (col("n").cast("double") / col("n_from").cast("double")).as("p"))
   }
 
+  /** k-step absorption probability over the behavioral Markov chain —
+    * "what is the chance a user in state s converts within `steps`
+    * transitions?", the forward-looking question [[transitionMatrix]]'s
+    * one-step probabilities feed. The absorbing state's probability is
+    * pinned at 1; everything else iterates
+    * pₖ(s) = (Σₜ c(s,t)·pₖ₋₁(t)) div out(s) in SCALED INTEGERS
+    * (probabilities in 1/scale units, floor division — the pageRank
+    * discipline, so k rounds are exact, order-independent, and the
+    * oracle unrolls them CTE-for-CTE; each round loses < 1 scale unit to
+    * the floor).
+    *
+    * Scale: one corpus window+count builds the transition table
+    * (states² rows); the k rounds then join state-cardinality frames —
+    * corpus-independent. */
+  def absorptionProbability(events: DataFrame, actor: Column, ts: Column,
+                            state: Column, tiebreak: Column,
+                            absorbing: String, steps: Int,
+                            scale: Long = 1000000000L): DataFrame = {
+    require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
+    val w = Window.partitionBy(col("__a"))
+      .orderBy(col("__us"), col("__tb"))
+    val pairs = events.select(actor.as("__a"), unix_micros(ts).as("__us"),
+        tiebreak.as("__tb"), state.as("from_state"))
+      .withColumn("to_state", lead(col("from_state"), 1).over(w))
+      .filter(col("to_state").isNotNull)
+      // transitions out of the absorbing state don't exist in the model
+      .filter(col("from_state") =!= absorbing)
+      .groupBy(col("from_state"), col("to_state"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    val states = pairs.select(col("from_state").as("state"))
+      .union(pairs.select(col("to_state"))).distinct()
+      .localCheckpoint()
+    val outDeg = pairs.groupBy(col("from_state"))
+      .agg(sum(col("n")).as("n_from"))
+    def pinned(p: DataFrame): DataFrame =
+      p.withColumn("p", when(col("state") === absorbing, scale)
+        .otherwise(col("p")))
+    var pk = pinned(states.withColumn("p", lit(0L)))
+    for (_ <- 1 to steps) {
+      val mass = pairs
+        .join(pk.select(col("state").as("to_state"), col("p")), "to_state")
+        .groupBy(col("from_state"))
+        // decimal product: Σ n·p reaches transitions×scale, past int64
+        // on a large corpus (the pageRank overflow-guard class)
+        .agg(sum(col("n").cast("decimal(38,0)") *
+          col("p").cast("decimal(38,0)")).as("__m"))
+        .join(outDeg, "from_state")
+        .select(col("from_state").as("state"),
+          expr("CAST(__m div n_from AS BIGINT)").as("p"))
+      pk = pinned(states
+        .join(mass, Seq("state"), "left")
+        .select(col("state"), coalesce(col("p"), lit(0L)).as("p")))
+    }
+    pk.select(col("state"), col("p").as("p_absorb_scaled"),
+      (col("p").cast("double") / lit(scale).cast("double"))
+        .as("p_absorb"))
+  }
+
   /** Pairwise audience overlap between segments — |A∩B|, |A|, |B| and
     * Jaccard for every segment pair, the "which cohorts are the same
     * people" screen (segments = event types, traffic sources, feature

@@ -267,4 +267,66 @@ object StreamOps {
       }
       .option("checkpointLocation", checkpointDir)
       .start()
+
+  final case class HHEvent(grp: String, item: String)
+  final case class HHState(counters: Map[String, Long], n_seen: Long)
+  final case class HHRow(grp: String, item: String, est_count: Long,
+                         n_seen: Long)
+
+  /** L160: streaming heavy hitters — Misra–Gries summaries (Misra &
+    * Gries 1982) in per-group state: at most `k` counters per group
+    * whatever the stream length, with the classic guarantee that every
+    * item of true frequency > N/(k+1) HOLDS a counter and each counter
+    * undercounts by at most N/(k+1). The bounded-memory "top items right
+    * now" a feed monitor serves — a streaming groupBy(item) would hold
+    * state per DISTINCT ITEM (unbounded on an open vocabulary); this
+    * holds k counters per group, full stop.
+    *
+    * flatMapGroupsWithState in Update mode emits each group's current
+    * counter table per trigger (plus the running N so consumers can form
+    * the error bound). Batch-order determinism: within a batch the
+    * iterator's arrival order decides WHICH below-threshold items hold
+    * counters (never the guarantee itself); the spec feeds a
+    * single-partition ordered stream and pins exact equality against a
+    * driver-side replay, plus the frequency guarantee against exact
+    * batch counts. */
+  def heavyHitters(events: Dataset[HHEvent], k: Int): Dataset[HHRow] = {
+    require(k >= 1, s"need k >= 1 counters, got $k")
+    implicit val outEnc = Encoders.product[HHRow]
+    events.groupByKey(_.grp)(Encoders.STRING)
+      .flatMapGroupsWithState[HHState, HHRow](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (grp, es, state: GroupState[HHState]) =>
+          var m = state.getOption.map(_.counters)
+            .getOrElse(Map.empty[String, Long])
+          var n = state.getOption.map(_.n_seen).getOrElse(0L)
+          es.foreach { e =>
+            n += 1
+            m.get(e.item) match {
+              case Some(c) => m = m.updated(e.item, c + 1)
+              case None if m.size < k => m = m.updated(e.item, 1L)
+              case None =>
+                // decrement-all step: every counter pays one, zeros drop
+                m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+            }
+          }
+          state.update(HHState(m, n))
+          m.iterator.map { case (item, c) => HHRow(grp, item, c, n) }
+      }(Encoders.product[HHState], outEnc)
+  }
+
+  /** Driver-side Misra–Gries replay (test reference only) — the same
+    * fold [[heavyHitters]] runs in state, for pinning the streamed
+    * result exactly on an ordered feed. */
+  def misraGriesReference(items: Seq[String], k: Int): Map[String, Long] = {
+    var m = Map.empty[String, Long]
+    items.foreach { it =>
+      m.get(it) match {
+        case Some(c) => m = m.updated(it, c + 1)
+        case None if m.size < k => m = m.updated(it, 1L)
+        case None => m = m.view.mapValues(_ - 1).filter(_._2 > 0).toMap
+      }
+    }
+    m
+  }
 }

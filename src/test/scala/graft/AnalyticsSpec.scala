@@ -813,6 +813,26 @@ class AnalyticsSpec extends AnyFunSuite {
       "shift invariance: location must not change shape statistics")
   }
 
+  test("absorptionProbability: hand-computed two-state chain, absorbing " +
+    "state pinned at 1, scaled-integer rounds exact") {
+    // A→P, A→B, B→P, B→A (one each): p1(A)=p1(B)=S/2; p2 = 3S/4.
+    val rows = Seq(
+      (1L, 0L, "A"), (1L, 1L, "P"),
+      (2L, 0L, "A"), (2L, 1L, "B"),
+      (3L, 0L, "B"), (3L, 1L, "P"),
+      (4L, 0L, "B"), (4L, 1L, "A"))
+      .toDF("u", "us", "st")
+      .select(col("u"), col("us"), timestamp_micros(col("us")).as("ts"),
+        col("st"))
+    def run(steps: Int) = AnalyticsOps.absorptionProbability(rows,
+        col("u"), col("ts"), col("st"), col("us"), "P", steps)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(run(1) == Map("A" -> 500000000L, "B" -> 500000000L,
+      "P" -> 1000000000L))
+    assert(run(2) == Map("A" -> 750000000L, "B" -> 750000000L,
+      "P" -> 1000000000L))
+  }
+
   test("giniCoefficient: perfect equality reads 0, hand-computed " +
     "inequality matches the sorted-rank identity, monopoly approaches " +
     "(n-1)/n") {

@@ -332,4 +332,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.table(s"$db.ev_rollup").collect().toSet == before,
       "replaying epoch 0 must not change the table")
   }
+
+  test("heavyHitters: Misra-Gries state holds <= k counters, matches " +
+    "the driver replay on an ordered feed, and keeps the frequency " +
+    "guarantee across batches") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.HHEvent
+    val k = 3
+    // skewed feed: 'a' dominates, 'b' frequent, c..h noise
+    val feed1 = Seq("a", "b", "a", "c", "a", "d", "b", "a", "e", "a")
+    val feed2 = Seq("f", "a", "b", "g", "a", "h", "b", "a", "c", "a")
+    val input = MemoryStream[HHEvent]
+    val q = StreamOps.heavyHitters(input.toDS, k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode("update").start()
+    try {
+      input.addData(feed1.map(HHEvent("g1", _)): _*)
+      q.processAllAvailable()
+      input.addData(feed2.map(HHEvent("g1", _)): _*)
+      q.processAllAvailable()
+      // latest snapshot = rows with the max n_seen
+      val t = spark.table("hh")
+      val latest = t.filter(col("n_seen") ===
+          t.agg(max("n_seen")).head.getLong(0))
+        .select("item", "est_count")
+        .as[(String, Long)].collect().toMap
+      assert(latest.size <= k, s"state must hold <= $k counters: $latest")
+      val ref = StreamOps.misraGriesReference(feed1 ++ feed2, k)
+      assert(latest == ref,
+        s"ordered single-partition feed must replay exactly: " +
+          s"$latest vs $ref")
+      // MG guarantee: true count 'a'=8 > N/(k+1)=5 → 'a' holds a counter
+      // undercounting by at most N/(k+1)
+      val n = (feed1 ++ feed2).size
+      assert(latest.contains("a"))
+      assert(latest("a") >= 8L - n / (k + 1) && latest("a") <= 8L)
+    } finally q.stop()
+  }
 }
