@@ -1433,12 +1433,7 @@ object SparkEntry {
     // threshold 0 (banding bounds candidates — recall below ~0.5 is the
     // documented LSH trade, same geometry as q25).
     "q168_dedup_yield_curve" -> ((s, dir) =>
-      nearDupSweep.pairs(
-          s"worddup3:0.0:$dir:${s.sparkContext.applicationId}",
-          spread(s, t(s, dir, "documents"))
-            .select(col("doc_id"), col("text")),
-          "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.0,
-          Some(D.wordKernels(col("text"), 3)))
+      wordCandidatePairs(s, dir)
         .select(col("id_b"), col("jaccard"),
           explode(array(Seq(0.5, 0.6, 0.7, 0.8, 0.9).map(lit): _*))
             .as("threshold"))
@@ -2715,18 +2710,27 @@ object SparkEntry {
     copurchaseSweep.clear()
   }
 
-  /** The shared word-3-shingle, 0.8-threshold near-dup pair build over
-    * `documents` — first caller in a session pays the build, the rest
-    * read the checkpointed pairs. Keyed by the context's applicationId
-    * (unique per SparkContext, which owns the checkpoint's lifetime) —
-    * an identity hash would be reusable after GC and could serve a
-    * checkpoint of a STOPPED context to a colliding later session. */
-  private def wordNearDupPairs(s: SparkSession, dir: String): DataFrame =
+  /** ALL verified word-3-shingle candidate pairs (threshold 0 — the
+    * banding bounds candidates; every pair carries its exact Jaccard).
+    * ONE build per session serves the whole family: the q25/q61/q66
+    * 0.8-dedup consumers FILTER this set (identical rows — same
+    * candidates, same verify) and q168's yield curve reads it whole.
+    * Keyed by the context's applicationId (unique per SparkContext,
+    * which owns the checkpoint's lifetime) — an identity hash would be
+    * reusable after GC and could serve a checkpoint of a STOPPED
+    * context to a colliding later session. */
+  private def wordCandidatePairs(s: SparkSession, dir: String): DataFrame =
     nearDupSweep.pairs(
-      s"worddup3:0.8:$dir:${s.sparkContext.applicationId}",
+      s"worddup3:0.0:$dir:${s.sparkContext.applicationId}",
       spread(s, t(s, dir, "documents")).select(col("doc_id"), col("text")),
-      "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.8,
+      "doc_id", T.wordShinglesMulti(T.tokens(col("text")), 3), 0.0,
       Some(D.wordKernels(col("text"), 3)))
+
+  /** The 0.8-threshold near-dup pairs — a filter over
+    * [[wordCandidatePairs]], so the q25 family and the q168 yield curve
+    * share one candidate build + verify per session. */
+  private def wordNearDupPairs(s: SparkSession, dir: String): DataFrame =
+    wordCandidatePairs(s, dir).filter(col("jaccard") >= 0.8)
 
   /** The shared component labels over [[wordNearDupPairs]] — q61, q66,
     * q102, and q106 all cluster the SAME pair graph, and the components
