@@ -1672,6 +1672,58 @@ object SparkEntry {
         .crossJoin(broadcast(qs))
     }),
 
+    // L163: Heaps'-law vocabulary growth — per source, token count N
+    // and vocabulary size V, plus ONE global Heaps exponent β from OLS
+    // over (ilog2 N, ilog2 V) points across sources (the q143 Zipf
+    // discipline: transcendentals quantized to exact integer floor-log2,
+    // integer sufficient statistics, one double division). The corpus
+    // statistic that predicts vocabulary at 100 TB from a sample.
+    "q180_heaps_law" -> ((s, dir) => {
+      val tok = t(s, dir, "documents")
+        .select(col("source"), explode(T.tokens(col("text"))).as("__t"))
+        .groupBy(col("source"), col("__t"))
+        .agg(count(lit(1)).as("__n"))
+        .groupBy(col("source"))
+        .agg(sum(col("__n")).as("n_tokens"), count(lit(1)).as("n_types"))
+        .localCheckpoint()
+      val pts = tok.select(
+        T.ilog2(col("n_tokens")).cast("long").as("__x"),
+        T.ilog2(col("n_types")).cast("long").as("__y"))
+      val st = pts.agg(count(lit(1)).as("__k"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      val den = col("__k") * col("__sxx") - col("__sx") * col("__sx")
+      val num = col("__k") * col("__sxy") - col("__sx") * col("__sy")
+      val beta = st.select(when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("heaps_beta"))
+      tok.crossJoin(broadcast(beta))
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          (col("n_types").cast("double") / col("n_tokens").cast("double"))
+            .as("ttr"),
+          col("heaps_beta"))
+    }),
+
+    // L164: stopword-density drift — per source, the stopword token
+    // share with its 95% Wilson band (q155's error-bar discipline on
+    // q21's quality signal): the screen that catches a source whose
+    // text register shifted (scraped boilerplate, code, another
+    // language) even when mean length looks fine.
+    "q181_stopword_density" -> ((s, dir) => {
+      val w = T.tokens(col("text"))
+      val agg = t(s, dir, "documents")
+        .select(col("source"), size(w).cast("long").as("__nt"),
+          T.stopwordCount(w, Stopwords).cast("long").as("__ns"))
+        .groupBy(col("source"))
+        .agg(sum(col("__nt")).as("n_tokens"), sum(col("__ns")).as("n_stop"))
+      val (lo, hi) = An.wilsonBounds(col("n_stop"), col("n_tokens"), 1.96)
+      agg.select(col("source"), col("n_tokens"), col("n_stop"),
+        (col("n_stop").cast("double") / col("n_tokens").cast("double"))
+          .as("stop_share"),
+        lo.as("wilson_lo"), hi.as("wilson_hi"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -5912,6 +5964,55 @@ object SparkEntry {
         |SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_converters,
         | p25_s, p50_s, p75_s, p90_s
         |FROM q""".stripMargin,
+
+    // q180 twin: same per-source (N, V), same integer floor-log2
+    // points, same global OLS with one division.
+    "q180_heaps_law" ->
+      """WITH tv AS (SELECT source,
+        |  CAST(sum(c) AS BIGINT) AS n_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_types
+        | FROM (SELECT source, t, count(*) AS c
+        |   FROM (SELECT source, unnest(string_split(text, ' ')) AS t
+        |     FROM documents)
+        |   GROUP BY 1, 2) tt
+        | GROUP BY source),
+        |pts AS (SELECT CAST(length(bin(n_tokens)) - 1 AS BIGINT) AS x,
+        |  CAST(length(bin(n_types)) - 1 AS BIGINT) AS y FROM tv),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx FROM pts),
+        |b AS (SELECT CASE WHEN k * sxx - sx * sx <> 0
+        |  THEN CAST(k * sxy - sx * sy AS DOUBLE) /
+        |   CAST(k * sxx - sx * sx AS DOUBLE) END AS heaps_beta FROM st)
+        |SELECT tv.source, tv.n_tokens, tv.n_types,
+        | CAST(tv.n_types AS DOUBLE) / CAST(tv.n_tokens AS DOUBLE) AS ttr,
+        | b.heaps_beta
+        |FROM tv, b""".stripMargin,
+
+    // q181 twin: q21's stopword filter rolled to source level, q155's
+    // Wilson expression sequence token-for-token.
+    "q181_stopword_density" ->
+      s"""WITH a AS (SELECT source,
+         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n,
+         |  CAST(sum(len(list_filter(string_split(text, ' '),
+         |    x -> list_contains($sqlStopwords, x)))) AS BIGINT) AS s
+         | FROM documents GROUP BY 1),
+         |b AS (SELECT source, n, s,
+         |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         |  CAST(n AS DOUBLE) AS nd,
+         |  CAST(1.96 AS DOUBLE) AS zc,
+         |  CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz FROM a),
+         |c AS (SELECT source, n, s, p,
+         |  CAST(1.0 AS DOUBLE) + zz / nd AS denom,
+         |  p + zz / (CAST(2.0 AS DOUBLE) * nd) AS center,
+         |  zc * sqrt((p * (CAST(1.0 AS DOUBLE) - p)) / nd +
+         |    zz / ((CAST(4.0 AS DOUBLE) * nd) * nd)) AS margin FROM b)
+         |SELECT source, n AS n_tokens, s AS n_stop, p AS stop_share,
+         | greatest((center - margin) / denom, CAST(0.0 AS DOUBLE))
+         |  AS wilson_lo,
+         | least((center + margin) / denom, CAST(1.0 AS DOUBLE))
+         |  AS wilson_hi FROM c""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.
