@@ -174,14 +174,16 @@ class LlmOpsSpec extends AnyFunSuite {
       (5L, (200 to 240).map(i => s"v$i").mkString(" "))).toDF("doc_id", "text")
     spark.catalog.clearCache()
     SparkEntry.clearSessionSweeps()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n = D.withContainmentPairs(docs, "doc_id",
       D.wordKernels(col("text"), 3), 0.6)(_.count())
     assert(n == 1L)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "withContainmentPairs must leave no CacheManager entries")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"withContainmentPairs must leave no new cache entries: $leaked")
     D.containmentPairs(docs, "doc_id", D.wordKernels(col("text"), 3), 0.6)
       .count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     spark.catalog.clearCache()
   }
 
@@ -194,16 +196,18 @@ class LlmOpsSpec extends AnyFunSuite {
     // blocks survive clearCache by design and would fail the
     // no-persistent-RDDs assertion below.
     SparkEntry.clearSessionSweeps()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n = D.withNearDupPairs(docs, "doc_id",
       T.wordShingles(T.tokens(col("text")), 3), 0.8)(_.count())
     assert(n == 1L)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "withNearDupPairs must leave no CacheManager entries")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"withNearDupPairs must leave no new cache entries: $leaked")
     // The raw entry point persists (documented session-cache semantics) —
     // callers own release via clearCache or the tracked handle.
     D.nearDupPairs(docs, "doc_id",
       T.wordShingles(T.tokens(col("text")), 3), 0.8).count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     spark.catalog.clearCache()
   }
 
@@ -1193,12 +1197,18 @@ class LlmOpsSpec extends AnyFunSuite {
     val kn = D.wordKernels(col("text"), 3)
     spark.catalog.clearCache()
     SparkEntry.clearSessionSweeps()
+    // Diff against a snapshot, not global emptiness: localCheckpoint
+    // RDDs from EARLIER suites linger in getPersistentRDDs until the
+    // ContextCleaner GCs them, and a global assertion flakes on suite
+    // order (seen r9: a TextOps checkpoint from a prior test).
+    val before = spark.sparkContext.getPersistentRDDs.keySet
     val n = D.withPrefixFilterPairs(docs, "doc_id", kn, 1, 2)(_.count())
     assert(n == 1L)
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
-      "withPrefixFilterPairs must leave no CacheManager entries")
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.isEmpty,
+      s"withPrefixFilterPairs must leave no new cache entries: $leaked")
     D.prefixFilterPairs(docs, "doc_id", kn, 1, 2).count()
-    assert(spark.sparkContext.getPersistentRDDs.nonEmpty)
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- before).nonEmpty)
     spark.catalog.clearCache()
   }
 
