@@ -1724,6 +1724,38 @@ object SparkEntry {
         lo.as("wilson_lo"), hi.as("wilson_hi"))
     }),
 
+    // L165: cohort LTV triangle — per acquisition-month cohort, the
+    // CUMULATIVE revenue per customer at each month-since-acquisition
+    // (the lifetime-value curve; q74 counts actors, this follows the
+    // money). Integer month ordinals (year·12+month — no interval
+    // arithmetic to diverge on), exact cents, the cumulative window
+    // runs over the cohort×months table (bounded), one division per
+    // cell.
+    "q182_cohort_ltv" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .as("__m"),
+        floor(col("o_totalprice") * 100.0).cast("long").as("__cents"))
+      val cohort = o.groupBy(col("o_custkey"))
+        .agg(min(col("__m")).as("__cm"))
+      val cells = o.join(cohort, "o_custkey")
+        .groupBy(col("__cm"), (col("__m") - col("__cm")).as("months_since"))
+        .agg(sum(col("__cents")).as("__rev"),
+          countDistinct(col("o_custkey")).as("n_active"))
+      val wCum = Window.partitionBy(col("__cm")).orderBy(col("months_since"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy(col("__cm"))
+      cells
+        .withColumn("cum_cents", sum(col("__rev")).over(wCum))
+        .withColumn("cohort_size",
+          max(when(col("months_since") === 0, col("n_active"))).over(wAll))
+        .select(col("__cm").as("cohort_month"), col("months_since"),
+          col("n_active"), col("__rev").as("rev_cents"), col("cum_cents"),
+          col("cohort_size"),
+          (col("cum_cents").cast("double") /
+            col("cohort_size").cast("double")).as("ltv_cents_per_customer"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -6013,6 +6045,31 @@ object SparkEntry {
          |  AS wilson_lo,
          | least((center + margin) / denom, CAST(1.0 AS DOUBLE))
          |  AS wilson_hi FROM c""".stripMargin,
+
+    // q182 twin: same integer month ordinals, same cumulative frame,
+    // same day-0 cohort-size read-off.
+    "q182_cohort_ltv" ->
+      """WITH o AS (SELECT o_custkey,
+        |  CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+        |  CAST(floor(o_totalprice * 100.0) AS BIGINT) AS cents
+        | FROM orders),
+        |c AS (SELECT o_custkey, min(m) AS cm FROM o GROUP BY 1),
+        |cell AS (SELECT c.cm, o.m - c.cm AS months_since,
+        |  CAST(sum(o.cents) AS BIGINT) AS rev,
+        |  CAST(count(DISTINCT o.o_custkey) AS BIGINT) AS n_active
+        | FROM o JOIN c ON c.o_custkey = o.o_custkey GROUP BY 1, 2),
+        |k AS (SELECT cm, months_since, n_active, rev,
+        |  CAST(sum(rev) OVER (PARTITION BY cm ORDER BY months_since
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+        |  CAST(max(CASE WHEN months_since = 0 THEN n_active END)
+        |    OVER (PARTITION BY cm) AS BIGINT) AS cohort_size
+        | FROM cell)
+        |SELECT cm AS cohort_month, CAST(months_since AS INT)
+        |  AS months_since, n_active, rev AS rev_cents, cum_cents,
+        | cohort_size,
+        | CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
+        |  AS ltv_cents_per_customer
+        |FROM k""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.
