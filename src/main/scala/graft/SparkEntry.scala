@@ -1756,6 +1756,38 @@ object SparkEntry {
             col("cohort_size").cast("double")).as("ltv_cents_per_customer"))
     }),
 
+    // L166: segment-migration matrix — each actor's monetary quartile
+    // (q164's exact discrete thresholds, computed PER PERIOD) in the
+    // first vs second half of the corpus window, censused as the 4×4
+    // migration matrix plus appeared/disappeared margins. The question
+    // a retention team asks after any intervention: who moved tiers?
+    "q183_segment_migration" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+          floor(coalesce(col("value"), lit(0.0)) * 100.0).cast("long")
+            .as("__c"))
+        .localCheckpoint()
+      val mid = ev.agg(expr("(min(__us) + max(__us)) div 2").as("__mid"))
+      val quart = Seq(("q1", 1, 4), ("q2", 1, 2), ("q3", 3, 4))
+      def period(cmp: Column => Column, out: String): DataFrame = {
+        val p = ev.crossJoin(broadcast(mid)).filter(cmp(col("__us")))
+          .groupBy(col("user_id")).agg(sum(col("__c")).as("__m"))
+          .localCheckpoint()
+        val th = An.discreteQuantiles(p, col("__m"), quart)
+        p.crossJoin(broadcast(th))
+          .select(col("user_id"), (lit(1) +
+            when(col("__m") > col("q1"), 1).otherwise(0) +
+            when(col("__m") > col("q2"), 1).otherwise(0) +
+            when(col("__m") > col("q3"), 1).otherwise(0)).as(out))
+      }
+      val a = period(u => u < col("__mid"), "code_a")
+      val b = period(u => u >= col("__mid"), "code_b")
+      a.join(b, Seq("user_id"), "full_outer")
+        .groupBy(coalesce(col("code_a"), lit(0)).as("code_a"),
+          coalesce(col("code_b"), lit(0)).as("code_b"))
+        .agg(count(lit(1)).as("n_actors"))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -6070,6 +6102,36 @@ object SparkEntry {
         | CAST(cum_cents AS DOUBLE) / CAST(cohort_size AS DOUBLE)
         |  AS ltv_cents_per_customer
         |FROM k""".stripMargin,
+
+    // q183 twin: same midpoint split, the q164 quartile CTEs per
+    // period, full-outer census with 0 = absent-in-period margins.
+    "q183_segment_migration" -> {
+      def periodCtes(p: String, cond: String): String =
+        s"""$p AS (SELECT user_id,
+           |  CAST(sum(CAST(floor(coalesce(value, 0.0) * 100.0)
+           |    AS BIGINT)) AS BIGINT) AS m
+           | FROM events, mid WHERE $cond GROUP BY 1),
+           |${p}q AS (SELECT min(CASE WHEN cum * 4 >= n THEN v END) AS q1,
+           |  min(CASE WHEN cum * 2 >= n THEN v END) AS q2,
+           |  min(CASE WHEN cum * 4 >= n * 3 THEN v END) AS q3
+           | FROM (SELECT v, sum(c) OVER (ORDER BY v) AS cum,
+           |    sum(c) OVER () AS n
+           |   FROM (SELECT m AS v, count(*) AS c FROM $p GROUP BY 1))),
+           |${p}c AS (SELECT user_id,
+           |  1 + (CASE WHEN m > q1 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN m > q2 THEN 1 ELSE 0 END)
+           |    + (CASE WHEN m > q3 THEN 1 ELSE 0 END) AS code
+           | FROM $p, ${p}q)""".stripMargin
+      s"""WITH mid AS (SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2
+         |   AS m FROM events),
+         |${periodCtes("pa", "epoch_us(ts) < mid.m")},
+         |${periodCtes("pb", "epoch_us(ts) >= mid.m")}
+         |SELECT CAST(coalesce(pac.code, 0) AS INT) AS code_a,
+         | CAST(coalesce(pbc.code, 0) AS INT) AS code_b,
+         | CAST(count(*) AS BIGINT) AS n_actors
+         |FROM pac FULL OUTER JOIN pbc USING (user_id)
+         |GROUP BY 1, 2""".stripMargin
+    },
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.
