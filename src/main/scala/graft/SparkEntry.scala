@@ -1788,6 +1788,24 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_actors"))
     }),
 
+    // L167: bucketed graph serving — the write-once-shuffle strategy
+    // applied to the co-purchase graph: the symmetric edge list lands
+    // BUCKETED BY NODE (the write pays the one exchange), and every
+    // degree-style read after is exchange-free (plan-pinned zero
+    // shuffles before the top-k) — the layout a graph-serving store
+    // keeps at 100 TB so per-node reads never re-shuffle the edges.
+    "q184_bucketed_degrees" -> ((s, dir) => {
+      val db = "graft_rollups"
+      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+      val e = coPurchaseEdges(s, dir)
+      val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"))
+        .union(e.select(col("id_b").as("node"), col("id_a").as("peer")))
+      Cat.writeBucketed(sym, db, "copurchase_sym", Seq("node"), 8)
+      s.table(s"$db.copurchase_sym")
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+        .orderBy(col("degree").desc, col("node")).limit(20)
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -6132,6 +6150,20 @@ object SparkEntry {
          |FROM pac FULL OUTER JOIN pbc USING (user_id)
          |GROUP BY 1, 2""".stripMargin
     },
+
+    // q184 twin: plain degree count over the same edges — the bucketed
+    // layout must be read-invisible.
+    "q184_bucketed_degrees" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |  greatest(x.pk, y.pk) AS v FROM pp x
+        |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        | GROUP BY 1)
+        |SELECT node, degree FROM deg
+        |ORDER BY degree DESC, node LIMIT 20""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

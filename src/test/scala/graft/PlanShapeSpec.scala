@@ -729,6 +729,13 @@ class PlanShapeSpec extends AnyFunSuite {
       s"IVFPQ candidate generation must join on cell_id:\n$p")
   }
 
+  test("q184 bucketed degrees: the read path is EXCHANGE-FREE — " +
+    "bucketing paid the shuffle at write time") {
+    val f = formatted("q184_bucketed_degrees")
+    assert(shuffles(f) == 0,
+      s"bucketed groupBy(node) must not re-shuffle, got ${shuffles(f)}:\n$f")
+  }
+
   test("q163 session stats: min_by entry adds NO exchange beyond " +
     "sessionize's user shuffle + the census — and no third window") {
     val f = formatted("q163_session_stats")
