@@ -335,4 +335,71 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("discreteQuantiles equals the sorted-list ceil-rank element on " +
+    "random multisets, for every requested fraction") {
+    import graft.operators.AnalyticsOps
+    val gen = Gen.listOfN(40, Gen.chooseNum(-50L, 50L))
+    val qs = Seq(("p10", 1, 10), ("p25", 1, 4), ("p50", 1, 2),
+      ("p75", 3, 4), ("p99", 99, 100))
+    forAll(gen, n = 4) { vals =>
+      val out = AnalyticsOps.discreteQuantiles(
+        vals.map(Tuple1(_)).toDF("v"), col("v"), qs).head
+      val sorted = vals.sorted
+      qs.zipWithIndex.foreach { case ((name, num, den), i) =>
+        val k = (sorted.size.toLong * num + den - 1) / den // ceil rank
+        val expect = sorted((math.max(k, 1L) - 1L).toInt)
+        assert(out.getLong(i) == expect,
+          s"$name over $sorted: got ${out.getLong(i)}, want $expect")
+      }
+    }
+  }
+
+  test("giniCoefficient equals the brute-force sorted-rank formula on " +
+    "random nonnegative multisets") {
+    import graft.operators.AnalyticsOps
+    val gen = Gen.listOfN(30, Gen.chooseNum(0L, 100L))
+      .suchThat(_.sum > 0)
+    forAll(gen, n = 4) { vals =>
+      val g = AnalyticsOps.giniCoefficient(
+        vals.map(Tuple1(_)).toDF("v"), col("v")).head.getDouble(2)
+      val sorted = vals.sorted
+      val n = sorted.size
+      val s = sorted.sum
+      val num = sorted.zipWithIndex
+        .map { case (x, i) => (2L * (i + 1) - n - 1).toDouble * x }.sum
+      val expect = num / (n.toDouble * s.toDouble)
+      assert(math.abs(g - expect) < 1e-12,
+        s"gini over $sorted: got $g, want $expect")
+    }
+  }
+
+  test("shapeMoments matches a driver-side moment computation on random " +
+    "integer samples and is invariant under constant shift") {
+    import graft.operators.AnalyticsOps
+    val gen = Gen.listOfN(25, Gen.chooseNum(0L, 1000L))
+      .suchThat(v => v.distinct.size > 1)
+    forAll(gen, n = 3) { vals =>
+      val df = (vals.map(("a", _)) ++ vals.map(v => ("b", v + 777L)))
+        .toDF("g", "x")
+      val out = AnalyticsOps.shapeMoments(df, col("g"), col("x"))
+        .collect().map(r => r.getString(0) ->
+          (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val n = vals.size.toDouble
+      val mean = vals.sum.toDouble / n
+      val m2 = vals.map(v => math.pow(v - mean, 2)).sum / n
+      val m3 = vals.map(v => math.pow(v - mean, 3)).sum / n
+      val m4 = vals.map(v => math.pow(v - mean, 4)).sum / n
+      val (gm, gm2, gskew, gkurt) = out("a")
+      assert(math.abs(gm - mean) < 1e-9 && math.abs(gm2 - m2) < 1e-6)
+      assert(math.abs(gskew - m3 / (m2 * math.sqrt(m2))) < 1e-9)
+      assert(math.abs(gkurt - (m4 / (m2 * m2) - 3.0)) < 1e-9)
+      val (bm, bm2, bskew, bkurt) = out("b")
+      assert(math.abs(bm - (mean + 777.0)) < 1e-9)
+      assert(math.abs(bm2 - gm2) < 1e-6 && math.abs(bskew - gskew) < 1e-9 &&
+        math.abs(bkurt - gkurt) < 1e-9,
+        "shift invariance on random data")
+    }
+  }
 }
