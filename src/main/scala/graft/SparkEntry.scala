@@ -1806,6 +1806,35 @@ object SparkEntry {
         .orderBy(col("degree").desc, col("node")).limit(20)
     }),
 
+    // L168: degree-distribution power-law fit — is the co-purchase
+    // graph scale-free? ilog2-binned degree histogram with a global OLS
+    // slope over (ilog2 degree, ilog2 node-count) — the L117/Zipf/Heaps
+    // quantization discipline (no libm on data); completes the graph
+    // census family (q84 shape, q166 local structure, q170 mixing,
+    // q185 tail).
+    "q185_degree_powerlaw" -> ((s, dir) => {
+      val e = coPurchaseEdges(s, dir)
+      val hist = e.select(col("id_a").as("node"))
+        .union(e.select(col("id_b").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+        .groupBy(T.ilog2(col("__d")).cast("long").as("log2_degree"))
+        .agg(count(lit(1)).as("n_nodes"), min(col("__d")).as("min_degree"),
+          max(col("__d")).as("max_degree"))
+        .localCheckpoint()
+      val pts = hist.select(col("log2_degree").as("__x"),
+        T.ilog2(col("n_nodes")).cast("long").as("__y"))
+      val st = pts.agg(count(lit(1)).as("__k"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"))
+      val den = col("__k") * col("__sxx") - col("__sx") * col("__sx")
+      val num = col("__k") * col("__sxy") - col("__sx") * col("__sy")
+      val slope = st.select(when(den === 0, lit(null).cast("double"))
+        .otherwise(num.cast("double") / den.cast("double"))
+        .as("powerlaw_slope"))
+      hist.crossJoin(broadcast(slope))
+    }),
+
     // L108: inter-labeler agreement — Cohen's kappa between the declared
     // document language and the q22 marker-n-gram prediction, exact
     // integer po/pe numerators, one double division.
@@ -6164,6 +6193,35 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT node, degree FROM deg
         |ORDER BY degree DESC, node LIMIT 20""".stripMargin,
+
+    // q185 twin: q153's edges, same integer floor-log2 binning, same
+    // global OLS with one division.
+    "q185_degree_powerlaw" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |  greatest(x.pk, y.pk) AS v FROM pp x
+        |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+        |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM
+        |  (SELECT u AS node FROM e UNION ALL SELECT v FROM e)
+        | GROUP BY 1),
+        |h AS (SELECT CAST(length(bin(d)) - 1 AS BIGINT) AS log2_degree,
+        |  CAST(count(*) AS BIGINT) AS n_nodes,
+        |  min(d) AS min_degree, max(d) AS max_degree
+        | FROM deg GROUP BY 1),
+        |pts AS (SELECT log2_degree AS x,
+        |  CAST(length(bin(n_nodes)) - 1 AS BIGINT) AS y FROM h),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |  CAST(sum(x*y) AS BIGINT) AS sxy,
+        |  CAST(sum(x*x) AS BIGINT) AS sxx FROM pts),
+        |b AS (SELECT CASE WHEN k * sxx - sx * sx <> 0
+        |  THEN CAST(k * sxy - sx * sy AS DOUBLE) /
+        |   CAST(k * sxx - sx * sx AS DOUBLE) END AS powerlaw_slope
+        | FROM st)
+        |SELECT h.log2_degree, h.n_nodes, h.min_degree, h.max_degree,
+        | b.powerlaw_slope
+        |FROM h, b""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.
