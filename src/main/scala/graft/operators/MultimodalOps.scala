@@ -98,26 +98,32 @@ object MultimodalOps {
 
   // ------------------------------------------------- real pure-JVM decode
 
-  /** Real decoder for the codec-free container formats a bare JVM can
-    * parse end-to-end — binary PPM (P6) images and 16-bit PCM WAV audio —
+  /** Real decoder for the formats a bare JVM can parse end-to-end —
+    * binary PPM (P6) by hand, PNG/BMP/GIF through the JDK's own
+    * `javax.imageio` (no third-party codec: ImageIO's PNG/BMP/GIF
+    * readers ship in every JRE), and 16-bit PCM WAV audio by RIFF walk —
     * dispatched on magic bytes, anything else falling back to `fallback`
-    * (the stub by default, which the remaining modalities keep until a
-    * codec library is wired into the seam).
+    * (the stub by default, which genuinely codec-less formats — JPEG on
+    * a stripped headless JRE, video containers, proprietary audio — keep
+    * until a codec library is wired into the seam).
     *
     * Decoded shapes (documented so downstream features are interpretable):
-    *  - PPM:  checksum = sum of all RGB sample bytes; features =
-    *    [width, height, maxval, mean_r, mean_g, mean_b, mean_luma, 0]
-    *    (means in [0, maxval], luma = (r+g+b)/3).
+    *  - PPM / PNG / BMP / GIF: checksum = sum of all RGB sample bytes;
+    *    features = [width, height, maxval(255 for ImageIO), mean_r,
+    *    mean_g, mean_b, mean_luma, 0] (means in [0, maxval],
+    *    luma = (r+g+b)/3) — one feature contract across all image paths.
     *  - WAV:  checksum = sum of |sample| over all int16 PCM samples;
     *    features = [sample_rate, channels, n_samples, mean_abs, rms,
     *    peak, 0, 0].
     * Malformed payloads (bad magic is dispatched away; truncated bodies,
-    * zero dimensions) fall back rather than throw — at scale one corrupt
-    * asset must not kill a 10^9-row decode stage. */
+    * zero dimensions, ImageIO parse failures) fall back rather than
+    * throw — at scale one corrupt asset must not kill a 10^9-row decode
+    * stage. */
   def pureJvmDecoder(fallback: RawAsset => DecodedAsset = stubDecoder)
   : RawAsset => DecodedAsset = { a =>
     val c = Option(a.content).getOrElse(Array.emptyByteArray)
     (if (isPpm(c)) decodePpm(a, c) else if (isWav(c)) decodeWav(a, c)
+     else if (isPng(c) || isBmp(c) || isGif(c)) decodeImageIo(a, c)
      else None).getOrElse(fallback(a))
   }
 
@@ -128,6 +134,55 @@ object MultimodalOps {
   private def isWav(c: Array[Byte]): Boolean =
     c.length >= 12 && new String(c, 0, 4, "US-ASCII") == "RIFF" &&
       new String(c, 8, 4, "US-ASCII") == "WAVE"
+
+  private def isPng(c: Array[Byte]): Boolean =
+    c.length >= 8 && (c(0) & 0xff) == 0x89 && c(1) == 'P' &&
+      c(2) == 'N' && c(3) == 'G'
+
+  private def isBmp(c: Array[Byte]): Boolean =
+    c.length >= 2 && c(0) == 'B' && c(1) == 'M'
+
+  private def isGif(c: Array[Byte]): Boolean =
+    c.length >= 6 && new String(c, 0, 4, "US-ASCII") == "GIF8"
+
+  /** PNG/BMP/GIF via the JDK's bundled ImageIO readers: decode to ARGB,
+    * accumulate exact integer channel sums, emit the PPM feature contract
+    * (maxval reported as 255 — ImageIO normalizes to 8-bit channels).
+    * Any parse failure (truncated stream, exotic subformat) returns None
+    * → fallback; alpha is ignored (RGB features only). */
+  private def decodeImageIo(a: RawAsset,
+                            c: Array[Byte]): Option[DecodedAsset] =
+    try {
+      Option(javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(c))).flatMap { img =>
+        val w = img.getWidth
+        val h = img.getHeight
+        if (w <= 0 || h <= 0) None
+        else {
+          var (sr, sg, sb, sum) = (0L, 0L, 0L, 0L)
+          // Row-buffered bulk getRGB: one int[] per row, never w*h at once
+          // (a 1e4×1e4 scan would otherwise allocate 400 MB per asset).
+          val row = new Array[Int](w)
+          var y = 0
+          while (y < h) {
+            img.getRGB(0, y, w, 1, row, 0, w)
+            var x = 0
+            while (x < w) {
+              val p = row(x)
+              val r = (p >> 16) & 0xff; val g = (p >> 8) & 0xff
+              val b = p & 0xff
+              sr += r; sg += g; sb += b; sum += r + g + b
+              x += 1
+            }
+            y += 1
+          }
+          val n = (w.toLong * h).toFloat
+          Some(DecodedAsset(a.asset_id, a.modality, c.length, sum,
+            Array(w.toFloat, h.toFloat, 255f, sr / n, sg / n, sb / n,
+              sum / (3f * n), 0f)))
+        }
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** P6 header: "P6" <ws> width <ws> height <ws> maxval <single ws>, with
     * '#'-to-EOL comments allowed between tokens; then width*height*3

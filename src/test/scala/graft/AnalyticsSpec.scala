@@ -169,22 +169,51 @@ class AnalyticsSpec extends AnyFunSuite {
   }
 
   test("robustOutliers: outliers cannot drag the median threshold; nulls dropped") {
-    // 9 values at 10.0 +- 1, one wild outlier at 1000, one null
-    val vals = Seq(9.0, 9.5, 10.0, 10.0, 10.0, 10.5, 10.5, 11.0, 11.0, 1000.0)
-      .map(v => ("a", Option(v))) :+ (("a", None: Option[Double]))
+    // integer metric (callers quantize): 9 values at 100 +- 10 (tenths),
+    // one wild outlier at 10000, one null
+    val vals = Seq(90L, 95L, 100L, 100L, 100L, 105L, 105L, 110L, 110L,
+      10000L).map(v => ("a", Option(v))) :+ (("a", None: Option[Long]))
     val df = vals.toDF("g", "v")
     val r = AnalyticsOps.robustOutliers(df, col("g"), col("v")).head
     assert(r.getAs[Long]("n_total") == 10L)    // null dropped
-    assert(r.getAs[Double]("med") == 10.25)    // outlier-immune (interpolated)
-    assert(r.getAs[Double]("mad") == 0.5)
-    assert(r.getAs[Long]("n_outliers") == 1L)  // only the 1000
+    assert(r.getAs[Double]("med") == 102.5)    // outlier-immune (interpolated)
+    // deviations: [2.5×5, 7.5×3, 12.5, 9897.5] -> median dev = (5+15)/2/2
+    assert(r.getAs[Double]("mad") == 5.0)
+    assert(r.getAs[Long]("n_outliers") == 1L)  // only the 10000
   }
 
   test("robustOutliers: constant group has mad 0 and every deviation flags") {
-    val df = Seq(("c", 5.0), ("c", 5.0), ("c", 7.0)).toDF("g", "v")
+    val df = Seq(("c", 5L), ("c", 5L), ("c", 7L)).toDF("g", "v")
     val r = AnalyticsOps.robustOutliers(df, col("g"), col("v")).head
     // med=5, deviations (0,0,2), mad=0 -> any nonzero deviation is an outlier
     assert(r.getAs[Double]("mad") == 0.0 && r.getAs[Long]("n_outliers") == 1L)
+  }
+
+  test("groupedQuantilesCont matches quantile_cont semantics: exact at " +
+    "integer positions, interpolated between ranks, n=1 group total") {
+    // sorted [10, 20, 30, 40, 100]: p50 h=2 -> 30 exact;
+    // p90 h=3.6 -> 40 + 0.6*60 = 76; p99 h=3.96 -> 40 + 0.96*60 = 97.6
+    val df = (Seq(10L, 20L, 30L, 40L, 100L).map(("a", _)) :+ ("b", 7L))
+      .toDF("g", "v")
+    val out = AnalyticsOps.groupedQuantilesCont(df, col("g"), col("v"),
+        Seq(("p50", 1, 2), ("p90", 9, 10), ("p99", 99, 100)))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = out("a")
+    assert(a.getAs[Long]("n") == 5L)
+    assert(a.getAs[Double]("p50") == 30.0)
+    assert(a.getAs[Double]("p90") == 40.0 + 0.6 * 60.0)
+    assert(a.getAs[Double]("p99") == 40.0 + 0.96 * 60.0)
+    // single-row group: every quantile is the value itself
+    val b = out("b")
+    assert(b.getAs[Long]("n") == 1L && b.getAs[Double]("p50") == 7.0 &&
+      b.getAs[Double]("p99") == 7.0)
+    // ties collapse into histogram cells but ranks still interpolate:
+    // [1,1,1,3]: p50 h=1.5 -> 1; p90 h=2.7 -> 1 + 0.7*2 = 2.4
+    val ties = AnalyticsOps.groupedQuantilesCont(
+      Seq(("t", 1L), ("t", 1L), ("t", 1L), ("t", 3L)).toDF("g", "v"),
+      col("g"), col("v"), Seq(("p50", 1, 2), ("p90", 9, 10))).head
+    assert(ties.getAs[Double]("p50") == 1.0)
+    assert(ties.getAs[Double]("p90") == 1.0 + 0.7 * 2.0)
   }
 
   test("trend: recovers an exact line and drops degenerate-x groups") {
@@ -811,6 +840,13 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(meanB == 1000003.0 && m2B == 2.0 && skewB == 0.0 &&
       math.abs(kurtB - (-1.3)) < 1e-12,
       "shift invariance: location must not change shape statistics")
+    // A constant group has m2 = 0 exactly; skew/kurtosis must read null,
+    // never an engine-divergent 0/0 NaN (ADVICE r9).
+    val const = AnalyticsOps.shapeMoments(
+      Seq(("c", 7L), ("c", 7L), ("c", 7L)).toDF("g", "x"),
+      col("g"), col("x")).head
+    assert(const.getDouble(3) == 0.0 && const.isNullAt(4) &&
+      const.isNullAt(5), s"constant group must read null shape, got $const")
   }
 
   test("absorptionProbability: hand-computed two-state chain, absorbing " +

@@ -308,5 +308,11 @@ class GraphSpec extends AnyFunSuite {
     val path = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("a", "b")
     val p = GraphOps.degreeAssortativity(path, "a", "b").head
     assert(p.getDouble(3) == -0.5, s"path r, got $p")
+    // Triangle: regular (every degree 2) → the variance term is exactly
+    // 0 in the decimal integers; the coefficient must read null, never
+    // an engine-divergent 0/0 NaN (ADVICE r9).
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val t = GraphOps.degreeAssortativity(tri, "a", "b").head
+    assert(t.isNullAt(3), s"regular graph must read null, got $t")
   }
 }

@@ -94,6 +94,55 @@ class MultimodalSpec extends AnyFunSuite {
     assert(f(5) == 400f)                       // peak
   }
 
+  /** 2x2 image encoded by the JDK's own ImageIO writer for `fmt`:
+    * red, green, blue, white (channel sums 510/510/510, total 1530) —
+    * except GIF, whose JDK writer QUANTIZES through a heuristic palette
+    * (white comes back blue on this fixture), so GIF gets a uniform red
+    * image any palette round-trips exactly (sum 1020, means 255/0/0). */
+  private def imageFixture(fmt: String): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(2, 2,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    if (fmt == "gif") (0 to 1).foreach(y =>
+      (0 to 1).foreach(x => img.setRGB(x, y, 0xff0000)))
+    else {
+      img.setRGB(0, 0, 0xff0000); img.setRGB(1, 0, 0x00ff00)
+      img.setRGB(0, 1, 0x0000ff); img.setRGB(1, 1, 0xffffff)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos),
+      s"JDK ships no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("pureJvmDecoder decodes real PNG/BMP/GIF end-to-end through " +
+    "javax.imageio: dimensions, channel means, the PPM feature contract") {
+    for (fmt <- Seq("png", "bmp", "gif")) {
+      val bytes = imageFixture(fmt)
+      val out = MultimodalOps.decodePartitions(
+        Seq(RawAsset(9L, "image", bytes)).toDS,
+        MultimodalOps.pureJvmDecoder()).head
+      assert(out.n_bytes == bytes.length, s"$fmt n_bytes")
+      val (sum, means) =
+        if (fmt == "gif") (1020L, (255f, 0f, 0f))
+        else (1530L, (127.5f, 127.5f, 127.5f))
+      assert(out.checksum == sum, s"$fmt checksum was ${out.checksum}")
+      val f = out.features
+      assert((f(0), f(1), f(2)) == (2f, 2f, 255f), s"$fmt header features")
+      assert((f(3), f(4), f(5)) == means,
+        s"$fmt channel means were ${f.toSeq}")
+      assert(f(6) == (sum / 12f), s"$fmt mean luma")
+    }
+    // PNG magic with a truncated body: ImageIO throws inside, the seam
+    // must fall back to the stub, never propagate.
+    val corrupt = imageFixture("png").take(20)
+    val fb = MultimodalOps.decodePartitions(
+      Seq(RawAsset(10L, "image", corrupt)).toDS,
+      MultimodalOps.pureJvmDecoder()).head
+    assert(fb.checksum == MultimodalOps.stubDecoder(
+      RawAsset(10L, "image", corrupt)).checksum,
+      "corrupt PNG must take the stub path")
+  }
+
   test("pureJvmDecoder falls back to the stub for unknown or truncated " +
     "payloads") {
     val truncatedPpm = ppmFixture.take(14) // header, body missing

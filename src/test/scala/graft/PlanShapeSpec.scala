@@ -750,4 +750,19 @@ class PlanShapeSpec extends AnyFunSuite {
     val scans = "events\\.parquet".r.findAllIn(f).length
     assert(scans == 1, s"expected 1 events scan, got $scans:\n$f")
   }
+
+  test("q76/q127/q169: NO exact percentile aggregate anywhere in the " +
+    "plan — the order statistics run the bounded value-histogram route") {
+    // Spark's Percentile buffers the whole (value -> count) multiset of a
+    // group inside ONE aggregation buffer; over a raw-domain metric that
+    // state grows with the corpus (the r9 `weak` list). These three plans
+    // must stay on the histogram + cumulative-count route, whose reducer
+    // state is bounded by the value domain.
+    for (q <- Seq("q76_robust_outliers", "q127_tukey_fences",
+        "q169_interarrival_stats")) {
+      val p = plan(q)
+      assert(!p.toLowerCase.contains("percentile"),
+        s"$q still carries an exact-percentile buffer:\n$p")
+    }
+  }
 }
