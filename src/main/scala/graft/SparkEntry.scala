@@ -4,11 +4,12 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnalyticsOps => An, CleanseOps => C, DedupOps => D, GraphOps => G,
+import graft.operators.{AnalyticsOps => An, CheckpointMemo, CleanseOps => C,
+  DedupOps => D, GraphOps => G,
   LayoutOps => L, MultimodalOps => M, QualityOps => Q, RelationalOps => R,
   SampleOps => Sam, SketchOps => Sk, TextOps => T, TimeOps => Ti,
   VectorOps => Vec, VizPrep => V}
-import graft.sources.{CatalogOps => Cat}
+import graft.sources.{CatalogOps => Cat, Sources => Src}
 
 /** Driver contract — one named query per operator in SURVEY.md §2, each with
   * a DuckDB-oracle ANSI-SQL twin in [[oracleSql]].
@@ -615,9 +616,11 @@ object SparkEntry {
     // transfer) so 3 damped iterations are exact, order-independent, and
     // hash-identical to the oracle's unrolled CTE chain. Top 20 hubs.
     "q109_pagerank" -> ((s, dir) =>
-      // Edges from the session-swept co-purchase build shared with
-      // q153/q166/q170 — one lineitem scan + self-join per session.
-      G.pageRank(coPurchaseEdges(s, dir), "id_a", "id_b",
+      // Edges from the bucketed symmetric co-purchase table shared with
+      // q153/q166/q170/q184/q185 — one lineitem scan + self-join + ONE
+      // bucketBy(node) write shuffle per session; each iteration's join
+      // and the degree aggregate ride the bucket layout.
+      G.pageRankSym(coPurchaseSymTable(s, dir), "node", "peer",
           iters = 3, scale = 1000000000L)
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part"), col("rank"),
@@ -1190,10 +1193,10 @@ object SparkEntry {
         col("value"), predLo = 100.0, predHi = 120.0, nFiles = 64)
     }),
 
-    // L135: k-core peel of the co-purchase graph (q109's edges,
-    // distinct), k pinned at the initial p10 degree, 3 peel rounds.
+    // L135: k-core peel of the co-purchase graph (q109's bucketed
+    // symmetric table), k pinned at the initial p10 degree, 3 rounds.
     "q153_kcore" -> ((s, dir) =>
-      G.kCorePeel(coPurchaseEdges(s, dir), "id_a", "id_b",
+      G.kCorePeelSym(coPurchaseSymTable(s, dir), "node", "peer",
         rounds = 3, q = 0.1)),
 
     // L136: behavioral trigram patterns — per-user ordered event-type
@@ -1394,7 +1397,9 @@ object SparkEntry {
     // bucketed by integer division (no per-node float crosses the
     // engine boundary; degree-1 nodes census as -1).
     "q166_clustering_census" -> ((s, dir) =>
-      G.localClusteringCensus(coPurchaseEdges(s, dir), "id_a", "id_b")),
+      G.localClusteringCensusCanon(coPurchaseSymTable(s, dir)
+        .filter(col("node") < col("peer"))
+        .select(col("node").as("u"), col("peer").as("v")))),
 
     // L149: revenue concentration — the Pareto question ("what share of
     // revenue sits above the p50/p90/p99 customer?") with exact
@@ -1476,7 +1481,9 @@ object SparkEntry {
     // parts co-occur with popular parts? One number, exact integer
     // sufficient statistics (GraphOps.degreeAssortativity).
     "q170_degree_assortativity" -> ((s, dir) =>
-      G.degreeAssortativity(coPurchaseEdges(s, dir), "id_a", "id_b")),
+      G.degreeAssortativityCanon(coPurchaseSymTable(s, dir)
+        .filter(col("node") < col("peer"))
+        .select(col("node").as("u"), col("peer").as("v")))),
 
     // L153: product-quantization ADC top-k — the store-compression leg
     // of the ANN triad (IVF q34 prunes the search space, int8 q65
@@ -1805,17 +1812,10 @@ object SparkEntry {
     // degree-style read after is exchange-free (plan-pinned zero
     // shuffles before the top-k) — the layout a graph-serving store
     // keeps at 100 TB so per-node reads never re-shuffle the edges.
-    "q184_bucketed_degrees" -> ((s, dir) => {
-      val db = "graft_rollups"
-      s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-      val e = coPurchaseEdges(s, dir)
-      val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"))
-        .union(e.select(col("id_b").as("node"), col("id_a").as("peer")))
-      Cat.writeBucketed(sym, db, "copurchase_sym", Seq("node"), 8)
-      s.table(s"$db.copurchase_sym")
+    "q184_bucketed_degrees" -> ((s, dir) =>
+      coPurchaseSymTable(s, dir)
         .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-        .orderBy(col("degree").desc, col("node")).limit(20)
-    }),
+        .orderBy(col("degree").desc, col("node")).limit(20)),
 
     // L168: degree-distribution power-law fit — is the co-purchase
     // graph scale-free? ilog2-binned degree histogram with a global OLS
@@ -1824,9 +1824,9 @@ object SparkEntry {
     // census family (q84 shape, q166 local structure, q170 mixing,
     // q185 tail).
     "q185_degree_powerlaw" -> ((s, dir) => {
-      val e = coPurchaseEdges(s, dir)
-      val hist = e.select(col("id_a").as("node"))
-        .union(e.select(col("id_b").as("node")))
+      // Degrees read straight off the bucketed symmetric table — the
+      // groupBy(node) rides the bucket layout, zero exchange.
+      val hist = coPurchaseSymTable(s, dir)
         .groupBy(col("node")).agg(count(lit(1)).as("__d"))
         .groupBy(T.ilog2(col("__d")).cast("long").as("log2_degree"))
         .agg(count(lit(1)).as("n_nodes"), min(col("__d")).as("min_degree"),
@@ -1844,6 +1844,35 @@ object SparkEntry {
         .otherwise(num.cast("double") / den.cast("double"))
         .as("powerlaw_slope"))
       hist.crossJoin(broadcast(slope))
+    }),
+
+    // S9 as a HASH-CHECKED query (VERDICT r9 #4, previously spec-only):
+    // the events table exported once per session as an NDJSON feed with
+    // every 97th line deterministically truncated (the corrupt-line rate
+    // real crawler/API dumps arrive with), audit-read back through the
+    // single-pass text + from_json route (Sources.ndjsonAudited — no
+    // cache workaround, splittable): per-type stats over good rows, the
+    // corrupt census alongside. The DuckDB twin reads the SAME feed as
+    // raw lines and json_valid-splits them.
+    "q186_ndjson_audit" -> ((s, dir) => {
+      val path = ndjsonFeed(s, dir)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("event_type",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("user_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cents",
+          org.apache.spark.sql.types.LongType)))
+      val rows = Src.ndjsonAudited(s, path, schema)
+      val corrupt = rows
+        .agg(sum(when(col("_corrupt_record").isNotNull, 1L).otherwise(0L))
+          .as("n_corrupt"))
+      rows.filter(col("_corrupt_record").isNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("cents")).as("sum_cents"))
+        .crossJoin(broadcast(corrupt))
     }),
 
     // L108: inter-labeler agreement — Cohen's kappa between the declared
@@ -2819,24 +2848,36 @@ object SparkEntry {
 
   /** Session sweep for the near-dup component labels shared by q61, q66,
     * q102, q106 — see [[nearDupComponents]]. */
-  private val componentSweep = new G.LabelSweep
+  private val componentSweep = new CheckpointMemo
 
-  /** Session sweep for the distinct co-purchase edge list shared by
-    * q109/q153/q166/q170 — each graph query was independently paying the
-    * lineitem scan + per-order self-join + distinct (the heaviest common
-    * prefix in the suite). [[graft.operators.VectorOps.CentroidSweep]]
-    * is the String→checkpointed-DataFrame memo this needs (name aside);
-    * checkpoint blocks release via its clear(). */
-  private val copurchaseSweep = new Vec.CentroidSweep
+  /** Session memo for the BUCKETED symmetric co-purchase edge table —
+    * q184's write-once-shuffle layout promoted to the serving store for
+    * the WHOLE graph family (q109/q153/q166/q170/q184/q185): the
+    * `bucketBy(node)` write pays the one exchange, and every consumer
+    * reads the table back pre-distributed on the node id — per-node
+    * degree aggregates and the per-iteration pageRank/k-core joins ride
+    * the bucket layout with zero re-shuffle, and the canonical (u < v)
+    * pair list falls out of a MAP-SIDE filter instead of each query
+    * re-paying least/greatest + distinct over the edge list.
+    * Memoized per (dir, applicationId) — ADVICE r9: the un-memoized
+    * q184 write re-paid the DROP + shuffle write on every invocation —
+    * and the table name carries a dir hash so two corpora sharing the
+    * warehouse never clobber each other. Values are table handles, not
+    * checkpoints: clear() just drops the memo (blocks live in the
+    * warehouse, rewritten on next access after a Bench round reset). */
+  private val copurchaseSymMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** The distinct canonical (id_a < id_b) co-purchase pair list —
-    * parts sharing an order, fan-out bounded by basket width (never
-    * cartesian). First caller pays the build; later graph queries read
-    * the checkpointed ~|E| rows (their internal least/greatest+distinct
-    * normalization re-runs on E rows, not on the corpus). */
-  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    copurchaseSweep.centroids(
-      s"copurchase:$dir:${s.sparkContext.applicationId}", {
+  private def coPurchaseSymTable(s: SparkSession, dir: String): DataFrame =
+    copurchaseSymMemo.computeIfAbsent(
+      s"copurchase_sym:$dir:${s.sparkContext.applicationId}", { _ =>
+        val db = "graft_rollups"
+        s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+        val table = "copurchase_sym_" +
+          java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+        // Distinct canonical (id_a < id_b) co-purchase pairs: parts
+        // sharing an order, fan-out bounded by basket width (never
+        // cartesian) — ONE lineitem scan + self-join per session.
         val pp = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
@@ -2845,9 +2886,46 @@ object SparkEntry {
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
           .distinct()
-          .localCheckpoint(true)
+        val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"))
+          .union(e.select(col("id_b").as("node"), col("id_a").as("peer")))
+        Cat.writeBucketed(sym, db, table, Seq("node"), 8)
         pp.unpersist(blocking = false)
-        e
+        s.table(s"$db.$table")
+      })
+
+  /** The distinct canonical (id_a < id_b) co-purchase pair list, read
+    * EXCHANGE-FREE off the bucketed symmetric table (the reversed
+    * orientation is exactly the node > peer half, so a map-side filter
+    * recovers the canonical set — no distinct, no least/greatest). */
+  private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
+    coPurchaseSymTable(s, dir)
+      .filter(col("node") < col("peer"))
+      .select(col("node").as("id_a"), col("peer").as("id_b"))
+
+  /** Session memo for q186's NDJSON feed export: the events table dumped
+    * once per (dir, session) as line-JSON — event_id/type/user plus
+    * exact integer cents — with every 97th line truncated to 10 bytes
+    * (deterministic stand-in for the corrupt-line rate real crawler/API
+    * dumps carry). The path is FIXED because the static [[oracleSql]]
+    * twin must name it; the driver runs one Verify at a time, so the
+    * cross-session overwrite race is theoretical (same trade as the
+    * warehouse tables). */
+  private val ndjsonFeedMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val NdjsonFeedDir = "/tmp/graft_ndjson_feed"
+
+  private def ndjsonFeed(s: SparkSession, dir: String): String =
+    ndjsonFeedMemo.computeIfAbsent(
+      s"ndjson:$dir:${s.sparkContext.applicationId}", { _ =>
+        val json = to_json(struct(col("event_id"), col("event_type"),
+          col("user_id"),
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long")
+            .as("cents")))
+        val line = when(pmod(col("event_id"), lit(97)) === 0,
+          substring(json, 1, 10)).otherwise(json)
+        t(s, dir, "events").select(line.as("value"))
+          .write.mode("overwrite").text(NdjsonFeedDir)
+        s"$NdjsonFeedDir/part-*"
       })
 
   /** Session sweep for the TRAINED IVF centroids shared by q34 and q49's
@@ -2881,7 +2959,7 @@ object SparkEntry {
     componentSweep.clear()
     bpeSweep.clear()
     pqSweep.clear()
-    copurchaseSweep.clear()
+    copurchaseSymMemo.clear()
   }
 
   /** ALL verified word-3-shingle candidate pairs (threshold 0 — the
@@ -2913,8 +2991,8 @@ object SparkEntry {
     * loop rather than reusing a plan. First caller runs it; the rest
     * read the loop's checkpointed (node, label) rows. */
   private def nearDupComponents(s: SparkSession, dir: String): DataFrame =
-    componentSweep.labels(
-      s"wordcc:$dir:${s.sparkContext.applicationId}",
+    componentSweep(
+      s"wordcc:$dir:${s.sparkContext.applicationId}")(
       G.connectedComponents(wordNearDupPairs(s, dir), "id_a", "id_b"))
 
   /** q27/q49 shared: brute-force exact cosine top-k for the 20 query
@@ -6306,6 +6384,27 @@ object SparkEntry {
         |SELECT h.log2_degree, h.n_nodes, h.min_degree, h.max_degree,
         | b.powerlaw_slope
         |FROM h, b""".stripMargin,
+
+    // q186 twin: the SAME feed files Spark wrote, read as raw lines
+    // (delimiter '|' never occurs in the exported fields, quoting
+    // disabled so the JSON quotes pass through), split by json_valid —
+    // exactly the from_json PERMISSIVE corrupt boundary — then the same
+    // per-type integer-cents stats + corrupt census.
+    "q186_ndjson_audit" ->
+      """WITH l AS (SELECT line FROM read_csv(
+        |  '/tmp/graft_ndjson_feed/part-*',
+        |  columns={'line': 'VARCHAR'}, delim='|', quote='',
+        |  header=false)),
+        |g AS (SELECT json_extract_string(line, '$.event_type')
+        |   AS event_type,
+        |  CAST(json_extract_string(line, '$.cents') AS BIGINT) AS cents
+        | FROM l WHERE json_valid(line)),
+        |c AS (SELECT CAST(sum(CASE WHEN NOT json_valid(line)
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_corrupt FROM l)
+        |SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(g.cents) AS BIGINT) AS sum_cents, c.n_corrupt
+        |FROM g, c
+        |GROUP BY 1, c.n_corrupt""".stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

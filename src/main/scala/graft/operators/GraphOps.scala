@@ -189,8 +189,8 @@ object GraphOps {
 
   /** The cluster rollup half of [[dupClusters]], over an ALREADY-COMPUTED
     * (node, label) assignment — so a session that shares one
-    * [[connectedComponents]] run across consumers ([[LabelSweep]]) pays
-    * the fixpoint loop once and each consumer only its own rollup. */
+    * [[connectedComponents]] run across consumers ([[CheckpointMemo]])
+    * pays the fixpoint loop once and each consumer only its own rollup. */
   def dupClustersFromLabels(labels: DataFrame): DataFrame =
     labels
       .groupBy(col("label"))
@@ -198,25 +198,6 @@ object GraphOps {
         concat_ws(",", transform(sort_array(collect_list(col("node"))),
           _.cast("string"))).as("members"))
       .select(col("label").as("cluster_id"), col("n_members"), col("members"))
-
-  /** Session-sweep memo for a component-label frame — the NearDupSweep
-    * contract for [[connectedComponents]] output: the fixpoint loop runs
-    * iterative ACTIONS at build time (one count per round), so every
-    * caller re-running it pays the whole loop, not a plan reuse. The
-    * labels frame is already localCheckpoint'ed by the loop; clear()
-    * releases those blocks. Key discipline: edge-set identity + owning
-    * session (applicationId). */
-  final class LabelSweep {
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-    def labels(key: String, compute: => DataFrame): DataFrame =
-      memo.computeIfAbsent(key, _ => compute)
-    def clear(): Unit = {
-      memo.values.forEach(GraphOps.releaseCheckpoint)
-      memo.clear()
-    }
-    def size: Int = memo.size
-  }
 
   /** PageRank over an undirected edge list, in SCALED-INTEGER arithmetic
     * so the result is exact, order-independent, and engine-reproducible:

@@ -224,33 +224,6 @@ object VectorOps {
     if (iters == 0) trained else trained.localCheckpoint(true)
   }
 
-  /** Session-sweep handle for TRAINED centroids: ONE k-means training run
-    * shared by every consumer of the same (corpus, geometry) within a
-    * session — the [[graft.operators.DedupOps.NearDupSweep]] lifecycle
-    * applied to [[kmeansTrain]]'s output (VERDICT r6 #1: q34 and q49's
-    * ivf row each retrained from scratch, paying the `iters` full-corpus
-    * Lloyd passes twice per suite; a production index build trains once
-    * and every probe path reads the same centroids).
-    *
-    * The memo holds [[kmeansTrain]]'s already-localCheckpoint'ed frame
-    * (K rows of K×dims floats — tiny), so a memo hit returns the
-    * materialized centroids with zero jobs and survives an unrelated
-    * `spark.catalog.clearCache()`. Key discipline: the key must identify
-    * the BUILD — corpus + cells + iters + the owning SparkContext (a
-    * checkpoint is only valid inside the session that created it).
-    * `clear()` releases the checkpoint blocks; the next call retrains. */
-  final class CentroidSweep {
-    private val memo =
-      new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
-    def centroids(key: String, train: => DataFrame): DataFrame =
-      memo.computeIfAbsent(key, _ => train)
-    def clear(): Unit = {
-      memo.values.forEach(GraphOps.releaseCheckpoint)
-      memo.clear()
-    }
-    def size: Int = memo.size
-  }
-
   // ------------------------------------------------- driver-held centroids
 
   /** A trained centroid set held on the DRIVER: (cell id, centroid
@@ -428,7 +401,7 @@ object VectorOps {
   }
 
   /** Session-sweep memo for [[kmeansTrainLocal]] output — the
-    * [[CentroidSweep]] contract for driver-held centroid sets. Plain
+    * [[CheckpointMemo]] contract for driver-held centroid sets. Plain
     * objects: nothing to checkpoint or release, a memo hit costs zero
     * jobs, and `spark.catalog.clearCache()` cannot touch it. Key
     * discipline is the same: corpus + geometry + owning session. */

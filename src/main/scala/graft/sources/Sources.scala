@@ -65,6 +65,27 @@ object Sources {
              schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** NDJSON audit scan — the single-pass form an ingest AUDIT needs:
+    * read the dump as raw text lines (splittable), parse each with
+    * `from_json` in PERMISSIVE mode, and surface malformed lines in
+    * `_corrupt_record` alongside the parsed columns. Unlike [[ndjson]]'s
+    * file-source corrupt capture, this form has NO
+    * only-the-corrupt-column query restriction (the Spark 2.3 rule that
+    * forces a cache() workaround), so corrupt censuses and good-row
+    * aggregates both run straight off the text scan — no cache, no
+    * second format pass, 100-TB-shaped. */
+  def ndjsonAudited(spark: SparkSession, path: String,
+                    schema: StructType): DataFrame = {
+    val full =
+      if (schema.fieldNames.contains("_corrupt_record")) schema
+      else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    spark.read.text(path)
+      .select(from_json(col("value"), full,
+        Map("mode" -> "PERMISSIVE",
+          "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
+      .select(col("j.*"))
+  }
+
   /** Columnar interchange scan/write: ORC round-trip. Spark's built-in
     * ORC source keeps the same pushdown/pruning contract as parquet
     * (PushedFilters + ReadSchema — spec-asserted), so a lake that

@@ -228,14 +228,14 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
-  test("LabelSweep: one components run per (key, session); " +
+  test("CheckpointMemo: one components run per (key, session); " +
     "dupClustersFromLabels equals dupClusters on the shared labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
-    val sweep = new G.LabelSweep
+    val sweep = new graft.operators.CheckpointMemo
     var runs = 0
     def compute = { runs += 1; G.connectedComponents(edges, "a", "b") }
-    val l1 = sweep.labels("k", compute)
-    val l2 = sweep.labels("k", compute)
+    val l1 = sweep("k")(compute)
+    val l2 = sweep("k")(compute)
     assert((l2 eq l1) && runs == 1,
       "second consumer must reuse the first components run")
     val viaShared = G.dupClustersFromLabels(l1)

@@ -552,27 +552,27 @@ class LlmOpsSpec extends AnyFunSuite {
       c1.map { case (c, v) => c -> v.toSeq })
   }
 
-  test("CentroidSweep: one training run per (key, session), clear() " +
+  test("CheckpointMemo: one training run per (key, session), clear() " +
     "forces a retrain (VERDICT r6 #1)") {
     val vecs = Seq(
       (0L, Seq(0f, 0f)), (1L, Seq(1f, 0f)), (2L, Seq(0f, 1f)),
       (3L, Seq(10f, 10f)), (4L, Seq(11f, 10f)), (5L, Seq(10f, 11f)))
       .toDF("vec_id", "embedding")
     val init = Seq((0L, Seq(2f, 2f)), (1L, Seq(8f, 8f))).toDF("cid", "cv")
-    val sweep = new Vec.CentroidSweep
+    val sweep = new graft.operators.CheckpointMemo
     var trainings = 0
     def train = {
       trainings += 1
       Vec.kmeansTrain(vecs, "vec_id", "embedding", init, "cid", "cv", 2)
     }
-    val c1 = sweep.centroids("k1", train)
+    val c1 = sweep("k1")(train)
     // the returned plan is the MATERIALIZED checkpoint kmeansTrain took —
     // a memo hit replays zero Lloyd passes
     assert(c1.queryExecution.analyzed.collect {
       case r: org.apache.spark.sql.execution.LogicalRDD => r }.nonEmpty,
       "sweep centroids must be checkpoint-backed")
     // second consumer (q49's ivf row after q34): same build, no retrain
-    val c2 = sweep.centroids("k1", train)
+    val c2 = sweep("k1")(train)
     assert((c2 eq c1) && trainings == 1,
       "second consumer must reuse the first training run")
     assert(c1.as[(Long, Seq[Float])].collect().toMap ==
@@ -583,7 +583,7 @@ class LlmOpsSpec extends AnyFunSuite {
     // clear() releases and empties: next call retrains
     sweep.clear()
     assert(sweep.size == 0)
-    val c3 = sweep.centroids("k1", train)
+    val c3 = sweep("k1")(train)
     assert(!(c3 eq c1) && trainings == 2 && c3.count() == 2L)
     sweep.clear()
   }

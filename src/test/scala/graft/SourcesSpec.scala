@@ -38,6 +38,29 @@ class SourcesSpec extends AnyFunSuite {
     df.unpersist()
   }
 
+  test("ndjsonAudited: single-pass text + from_json audit scan — " +
+    "corrupt lines captured, good rows parsed, NO cache workaround") {
+    val dir = tmpDir("ndjson_audit")
+    val f = new java.io.PrintWriter(s"$dir/part.jsonl")
+    f.println("""{"id": 1, "name": "a"}""")
+    f.println("""{"id": 2, "name": "b"}""")
+    f.println("""{"id": broken!!!""")
+    f.println("""{"id": 4, "name": "d"}""")
+    f.close()
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("name", StringType)))
+    val df = Sources.ndjsonAudited(spark, s"$dir/part.jsonl", schema)
+    // the file-source restriction this form exists to avoid: a
+    // corrupt-only aggregate runs UNCACHED straight off the text scan
+    assert(df.filter(col("_corrupt_record").isNotNull).count() == 1)
+    assert(df.filter(col("_corrupt_record").isNull)
+      .agg(sum(col("id"))).head.getLong(0) == 7L)
+    val corrupt = df.filter(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record")).head.getString(0)
+    assert(corrupt.startsWith("""{"id": broken"""),
+      s"corrupt capture must carry the raw line, got $corrupt")
+  }
+
   test("ORC round-trip preserves rows and keeps the parquet pushdown " +
     "contract (PushedFilters reach the ORC scan)") {
     val dir = tmpDir("orc") + "/t"
