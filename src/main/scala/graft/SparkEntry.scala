@@ -1846,6 +1846,111 @@ object SparkEntry {
       hist.crossJoin(broadcast(slope))
     }),
 
+    // Item-item co-occurrence kNN — the serving artifact a recommender
+    // reads ("customers who bought X also bought ..."): per part, top-3
+    // peers by damped co-occurrence w/√(s(a)·s(b)) (cosine-style
+    // normalization so promiscuous hub items don't dominate every
+    // list), read entirely off the WEIGHTED bucketed table: weighted
+    // degrees are an exchange-free groupBy(node), the score is one
+    // pinned-order double over exact integers, top-3 is one
+    // group-partitioned window. (s(a)·s(b) stays a long: weighted
+    // degrees cap near 1e9 at 100 TB, the product inside 2⁶³.)
+    "q187_item_similarity" -> ((s, dir) => {
+      val sym = coPurchaseSymTable(s, dir)
+      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val scored = sym
+        .join(wdeg, "node")
+        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
+          "peer")
+        .select(col("node"), col("peer"),
+          (col("w").cast("double") /
+            sqrt((col("__s") * col("__sp")).cast("double"))).as("score"))
+      R.topKPerGroup(scored, Seq("node"),
+          Seq(col("score").desc, col("peer")), 3, "rank")
+        .select(col("node"), col("rank"), col("peer"), col("score"))
+    }),
+
+    // Order→ship latency quantiles — the SLA census per order priority:
+    // one orderkey equi-join (fact-fact, hash-partitioned both sides,
+    // AQE-sized), gaps as exact integer DAYS (µs difference floor-div —
+    // the non-negativity filter runs on the RAW µs so truncating and
+    // flooring division can never disagree), then interpolated
+    // p50/p90/p99 off the bounded groupedQuantilesCont histogram (the
+    // day domain is calendar-bounded, never corpus-sized).
+    "q188_ship_latency_quantiles" -> ((s, dir) => {
+      val gaps = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .filter(unix_micros(col("l_shipdate")) >=
+          unix_micros(col("o_orderdate")))
+        .select(col("o_orderpriority"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate)) " +
+            "div 86400000000").as("gap_days"))
+      An.groupedQuantilesCont(gaps, col("o_orderpriority"),
+          col("gap_days"),
+          Seq(("p50_days", 1, 2), ("p90_days", 9, 10),
+            ("p99_days", 99, 100)))
+        .select(col("grp").as("o_orderpriority"), col("n").as("n_items"),
+          col("p50_days"), col("p90_days"), col("p99_days"))
+    }),
+
+    // BFS reachability layers — how much of the co-purchase graph sits
+    // within k hops of its smallest part id: a bounded-horizon frontier
+    // walk (4 rounds of semi-join + anti-join off the bucketed table),
+    // censused by distance with the unreached remainder as dist −1. The
+    // graph-traversal capability (distance, not just components) the
+    // family lacked; the DuckDB twin is a bounded recursive CTE.
+    "q189_bfs_layers" -> ((s, dir) =>
+      G.bfsLayersSym(coPurchaseSymTable(s, dir), "node", "peer",
+          rounds = 4)
+        .orderBy(col("dist"))),
+
+    // Feature-store snapshot — the per-actor training-feature row an ML
+    // pipeline materializes at a cut timestamp: recency in days against
+    // the CORPUS horizon (backfill-safe, the q164 convention),
+    // multi-window activity counts (7d/30d), and 30-day monetary in
+    // exact integer cents. ONE combinable groupBy(actor) + a 1-row
+    // horizon broadcast — no windows, no per-actor sort; the raw-µs
+    // recency difference is non-negative by construction so floor and
+    // truncating division agree.
+    "q190_feature_snapshot" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), unix_micros(col("ts")).as("__us"),
+          coalesce((col("value").cast("decimal(12,2)") * lit(100))
+            .cast("long"), lit(0L)).as("__cents"))
+      val horizon = ev.agg(max(col("__us")).as("__h"))
+      ev.crossJoin(broadcast(horizon))
+        .groupBy(col("user_id"))
+        .agg(max(col("__us")).as("__last"), max(col("__h")).as("__hh"),
+          count(lit(1)).as("n_total"),
+          sum(when(col("__us") > col("__h") - lit(604800000000L), 1L)
+            .otherwise(0L)).as("n_7d"),
+          sum(when(col("__us") > col("__h") - lit(2592000000000L), 1L)
+            .otherwise(0L)).as("n_30d"),
+          sum(when(col("__us") > col("__h") - lit(2592000000000L),
+            col("__cents")).otherwise(0L)).as("cents_30d"))
+        .select(col("user_id"),
+          expr("(__hh - __last) div 86400000000").as("r_days"),
+          col("n_total"), col("n_7d"), col("n_30d"), col("cents_30d"))
+    }),
+
+    // Personalized PageRank over the co-purchase graph — the teleport
+    // mass pinned to a deterministic seed segment (every 50th part id):
+    // the "rank relative to MY interests" a recommender serves, in the
+    // same scaled-integer arithmetic as q109 so 3 iterations are exact
+    // and the oracle unrolls them CTE-for-CTE. Top 20 by personalized
+    // rank.
+    "q191_personalized_pagerank" -> ((s, dir) =>
+      G.personalizedPageRankSym(coPurchaseSymTable(s, dir), "node",
+          "peer", n => pmod(n, lit(50L)) === 0, iters = 3,
+          scale = 1000000000L)
+        .orderBy(col("rank").desc, col("node").asc).limit(20)
+        .select(col("node").as("part"), col("rank"),
+          col("outdeg").as("degree"))),
+
     // S9 as a HASH-CHECKED query (VERDICT r9 #4, previously spec-only):
     // the events table exported once per session as an NDJSON feed with
     // every 97th line deterministically truncated (the corrupt-line rate
@@ -2875,9 +2980,13 @@ object SparkEntry {
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         val table = "copurchase_sym_" +
           java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
-        // Distinct canonical (id_a < id_b) co-purchase pairs: parts
-        // sharing an order, fan-out bounded by basket width (never
-        // cartesian) — ONE lineitem scan + self-join per session.
+        // Canonical (id_a < id_b) co-purchase pairs: parts sharing an
+        // order, fan-out bounded by basket width (never cartesian) —
+        // ONE lineitem scan + self-join per session. The groupBy keeps
+        // the co-occurrence COUNT w (number of shared orders) instead
+        // of distinct-dropping it: same rows, same shuffle, and the
+        // table doubles as the WEIGHTED graph the similarity/serving
+        // queries (q187) read; topology consumers just ignore w.
         val pp = t(s, dir, "lineitem")
           .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
           .distinct()
@@ -2885,9 +2994,11 @@ object SparkEntry {
         val e = pp.as("x").join(pp.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-          .distinct()
-        val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"))
-          .union(e.select(col("id_b").as("node"), col("id_a").as("peer")))
+          .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("w"))
+        val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"),
+            col("w"))
+          .union(e.select(col("id_b").as("node"), col("id_a").as("peer"),
+            col("w")))
         Cat.writeBucketed(sym, db, table, Seq("node"), 8)
         pp.unpersist(blocking = false)
         s.table(s"$db.$table")
@@ -6384,6 +6495,155 @@ object SparkEntry {
         |SELECT h.log2_degree, h.n_nodes, h.min_degree, h.max_degree,
         | b.powerlaw_slope
         |FROM h, b""".stripMargin,
+
+    // q187 twin: the same weighted pair build (count, not distinct),
+    // symmetric weighted degrees, the identical w/√(s_a·s_b) double,
+    // row_number top-3 with the same (score desc, peer) tiebreak.
+    "q187_item_similarity" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |wd AS (SELECT node, CAST(sum(w) AS BIGINT) AS s
+        |  FROM sym GROUP BY 1),
+        |sc AS (SELECT sym.node, sym.peer,
+        |  CAST(sym.w AS DOUBLE) / sqrt(CAST(da.s * db.s AS DOUBLE))
+        |   AS score
+        | FROM sym JOIN wd da ON da.node = sym.node
+        |  JOIN wd db ON db.node = sym.peer),
+        |r AS (SELECT node, peer, score,
+        |  row_number() OVER (PARTITION BY node
+        |    ORDER BY score DESC, peer) AS rank
+        | FROM sc)
+        |SELECT node, CAST(rank AS INT) AS rank, peer, score
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q188 twin: same join, same raw-µs non-negativity guard before the
+    // floor division, the q169 histogram-interpolation pattern.
+    "q188_ship_latency_quantiles" ->
+      """WITH g AS (SELECT o.o_orderpriority AS grp,
+        |  (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |   // 86400000000 AS v
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | WHERE epoch_us(l.l_shipdate) >= epoch_us(o.o_orderdate)),
+        |h AS (SELECT grp, v, CAST(count(*) AS BIGINT) AS c
+        | FROM g GROUP BY 1, 2),
+        |cw AS (SELECT grp, v, c,
+        |  sum(c) OVER (PARTITION BY grp ORDER BY v) AS cum,
+        |  sum(c) OVER (PARTITION BY grp) AS n FROM h),
+        |a AS (SELECT grp, CAST(max(n) AS BIGINT) AS n,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 2 THEN v END) AS lo1,
+        |  min(CASE WHEN cum > ((n - 1) * 1) // 2 + 1 THEN v END) AS hi1,
+        |  min(CASE WHEN cum > ((n - 1) * 9) // 10 THEN v END) AS lo2,
+        |  min(CASE WHEN cum > ((n - 1) * 9) // 10 + 1 THEN v END) AS hi2,
+        |  min(CASE WHEN cum > ((n - 1) * 99) // 100 THEN v END) AS lo3,
+        |  min(CASE WHEN cum > ((n - 1) * 99) // 100 + 1 THEN v END) AS hi3
+        | FROM cw GROUP BY 1)
+        |SELECT grp AS o_orderpriority, n AS n_items,
+        | CASE WHEN ((n - 1) * 1) % 2 = 0 THEN CAST(lo1 AS DOUBLE)
+        |  ELSE CAST(lo1 AS DOUBLE) +
+        |   (CAST(((n - 1) * 1) % 2 AS DOUBLE) / 2.0) *
+        |   (CAST(hi1 AS DOUBLE) - CAST(lo1 AS DOUBLE)) END AS p50_days,
+        | CASE WHEN ((n - 1) * 9) % 10 = 0 THEN CAST(lo2 AS DOUBLE)
+        |  ELSE CAST(lo2 AS DOUBLE) +
+        |   (CAST(((n - 1) * 9) % 10 AS DOUBLE) / 10.0) *
+        |   (CAST(hi2 AS DOUBLE) - CAST(lo2 AS DOUBLE)) END AS p90_days,
+        | CASE WHEN ((n - 1) * 99) % 100 = 0 THEN CAST(lo3 AS DOUBLE)
+        |  ELSE CAST(lo3 AS DOUBLE) +
+        |   (CAST(((n - 1) * 99) % 100 AS DOUBLE) / 100.0) *
+        |   (CAST(hi3 AS DOUBLE) - CAST(lo3 AS DOUBLE)) END AS p99_days
+        |FROM a""".stripMargin,
+
+    // q189 twin: bounded recursive CTE — UNION (not UNION ALL) dedups
+    // (node, dist) pairs so the walk is ≤ nodes×(rounds+1) rows; the
+    // true BFS distance is min(dist) per node, the same min-node seed.
+    "q189_bfs_layers" ->
+      """WITH RECURSIVE pp AS (SELECT DISTINCT l_orderkey AS ok,
+        |  l_partkey AS pk FROM lineitem),
+        |e AS (SELECT DISTINCT least(x.pk, y.pk) AS u,
+        |  greatest(x.pk, y.pk) AS v FROM pp x
+        |  JOIN pp y ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT u AS node, v AS peer FROM e
+        |  UNION ALL SELECT v, u FROM e),
+        |nodes AS (SELECT DISTINCT node FROM sym),
+        |walk(node, dist) AS (
+        |  SELECT (SELECT min(node) FROM nodes), 0
+        |  UNION
+        |  SELECT sym.peer, walk.dist + 1
+        |  FROM walk JOIN sym ON sym.node = walk.node
+        |  WHERE walk.dist < 4),
+        |d AS (SELECT node, min(dist) AS dist FROM walk GROUP BY 1),
+        |c AS (SELECT CAST(dist AS INT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_nodes FROM d GROUP BY 1),
+        |u AS (SELECT CAST(-1 AS INT) AS dist,
+        |  CAST(count(*) AS BIGINT) AS n_nodes FROM nodes
+        | WHERE node NOT IN (SELECT node FROM d)
+        | HAVING count(*) > 0)
+        |SELECT dist, n_nodes FROM c
+        |UNION ALL SELECT dist, n_nodes FROM u
+        |ORDER BY dist""".stripMargin,
+
+    // q190 twin: same corpus horizon, same integer-µs window constants,
+    // same cents coalesce; all exact integers.
+    "q190_feature_snapshot" ->
+      """WITH h AS (SELECT max(epoch_us(ts)) AS h FROM events),
+        |e AS (SELECT user_id, epoch_us(ts) AS us,
+        |  coalesce(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT),
+        |   0) AS cents
+        | FROM events)
+        |SELECT e.user_id,
+        | (max(h.h) - max(e.us)) // 86400000000 AS r_days,
+        | CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN e.us > h.h - 604800000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_7d,
+        | CAST(sum(CASE WHEN e.us > h.h - 2592000000000
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS n_30d,
+        | CAST(sum(CASE WHEN e.us > h.h - 2592000000000
+        |   THEN e.cents ELSE 0 END) AS BIGINT) AS cents_30d
+        |FROM e, h GROUP BY 1""".stripMargin,
+
+    // q191 twin: q109's unrolled scaled-integer chain with the teleport
+    // term gated on the same seed predicate (node % 50 = 0; part ids are
+    // positive so % matches pmod).
+    "q191_personalized_pagerank" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT DISTINCT x.pk AS a, y.pk AS b FROM pp x JOIN pp y
+        |  ON x.ok = y.ok AND x.pk < y.pk),
+        |sym AS (SELECT a AS u, b AS v FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS outdeg,
+        |  u % 50 = 0 AS is_seed
+        |  FROM sym GROUP BY 1, 3),
+        |r0 AS (SELECT node,
+        |  CAST(CASE WHEN is_seed THEN 1000000000 ELSE 0 END AS BIGINT)
+        |   AS rank, outdeg, is_seed FROM deg),
+        |m1 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r0 r ON s.u = r.node GROUP BY 1),
+        |r1 AS (SELECT d.node,
+        |  CAST(CASE WHEN d.is_seed THEN 150000000 ELSE 0 END
+        |   + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg, d.is_seed FROM deg d JOIN m1 m ON d.node = m.node),
+        |m2 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r1 r ON s.u = r.node GROUP BY 1),
+        |r2 AS (SELECT d.node,
+        |  CAST(CASE WHEN d.is_seed THEN 150000000 ELSE 0 END
+        |   + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg, d.is_seed FROM deg d JOIN m2 m ON d.node = m.node),
+        |m3 AS (SELECT s.v AS node,
+        |  CAST(sum(r.rank // r.outdeg) AS BIGINT) AS mass
+        | FROM sym s JOIN r2 r ON s.u = r.node GROUP BY 1),
+        |r3 AS (SELECT d.node,
+        |  CAST(CASE WHEN d.is_seed THEN 150000000 ELSE 0 END
+        |   + (85 * m.mass) // 100 AS BIGINT) AS rank,
+        |  d.outdeg, d.is_seed FROM deg d JOIN m3 m ON d.node = m.node)
+        |SELECT node AS part, rank, outdeg AS degree FROM r3
+        |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
 
     // q186 twin: the SAME feed files Spark wrote, read as raw lines
     // (delimiter '|' never occurs in the exported fields, quoting

@@ -493,6 +493,109 @@ object GraphOps {
     census
   }
 
+  /** PERSONALIZED PageRank over an already-symmetrized distinct edge
+    * list — [[pageRank]]'s scaled-integer discipline with the teleport
+    * mass restricted to a SEED set (the "random surfer who always
+    * returns to their interests" ranking a recommender serves per
+    * user/topic segment): rank₀ = scale on seeds, 0 elsewhere; each
+    * iteration rank′ = (seed ? (15·scale) div 100 : 0) +
+    * (85·mass) div 100. Total mass stays ≤ nSeeds·scale ≤ nNodes·scale,
+    * so [[pageRank]]'s overflow bound applies unchanged; every rank is
+    * an exact long, so k iterations hash-verify against an unrolled SQL
+    * twin. Same per-iteration shape: one equi-join + one combinable
+    * sum, riding the input's hash distribution on `src`. */
+  def personalizedPageRankSym(symEdges: DataFrame, src: String,
+                              dst: String, isSeed: Column => Column,
+                              iters: Int = 3,
+                              scale: Long = 1000000000L): DataFrame = {
+    val sym = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .withColumn("is_seed", isSeed(col("node")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count()
+    require(nNodes == 0 ||
+      scale <= Long.MaxValue / 85L / math.max(nNodes, 1L),
+      s"personalizedPageRank: 85 * $nNodes * scale $scale overflows long")
+    require(nNodes == 0 || deg.filter(col("is_seed")).limit(1).count() > 0,
+      "personalizedPageRank: empty seed set — every rank would be 0")
+    val teleport = (15L * scale) / 100L
+    var ranks = deg.select(col("node"),
+      when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"),
+      col("outdeg"))
+    for (_ <- 1 to iters) {
+      val mass = sym.join(ranks, sym("u") === ranks("node"))
+        .select(col("v").as("node"), expr("rank div outdeg").as("contrib"))
+        .groupBy(col("node")).agg(sum(col("contrib")).as("mass"))
+      ranks = deg.join(mass, "node")
+        .select(col("node"),
+          (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
+            expr("(85 * mass) div 100")).as("rank"),
+          col("outdeg"))
+    }
+    val out = ranks.localCheckpoint(true)
+    sym.unpersist(blocking = false)
+    deg.unpersist(blocking = false)
+    out
+  }
+
+  /** BFS distance-layer census from a deterministic seed (the MINIMUM
+    * node id — engine-independent, so a SQL recursive-CTE oracle lands
+    * on the same seed) over an ALREADY-SYMMETRIZED distinct edge list.
+    * Runs a FIXED `rounds` of frontier expansion — each round one
+    * left-semi equi-join (edges ⋈ frontier on the node id) + one
+    * anti-join against the visited set, both hash-partitioned, with a
+    * per-round localCheckpoint keeping lineage flat (the
+    * [[connectedComponents]] discipline); the oracle unrolls the same
+    * horizon, and nodes beyond it census as dist −1 ("unreached") —
+    * a bounded-round reachability probe, not an unbounded traversal.
+    * Returns (dist, n_nodes): one row per non-empty layer 0..rounds
+    * plus the −1 row when unreached nodes remain. */
+  def bfsLayersSym(symEdges: DataFrame, src: String, dst: String,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    val sym = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seed = nodes.agg(min(col("node")).as("node"))
+    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var visited = seed.withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = visited
+    var d = 0
+    while (d < rounds) {
+      d += 1
+      val next = sym
+        .join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+        .select(col("v").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("dist", lit(d))
+        .localCheckpoint(true)
+      val grown = visited.union(next).localCheckpoint(true)
+      // visited/frontier blocks stay live until the loop ends — rounds
+      // are ≤ 8 and each frame is node-cardinality, so deferred release
+      // beats aliasing bugs (frontier aliases round-0 visited).
+      stale += visited; stale += next
+      visited = grown
+      frontier = next
+    }
+    val unreached = nodes.join(visited, Seq("node"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).as("dist"), col("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    val out = visited.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .union(unreached)
+      .localCheckpoint(true)
+    (stale :+ visited).foreach(releaseCheckpoint)
+    sym.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    out
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the (symmetrized) edge list: do heavy nodes attach to heavy
     * nodes (r > 0, social-graph shape) or to leaves (r < 0, hub-spoke

@@ -228,6 +228,38 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("personalizedPageRankSym: hand-computed two-node chain — teleport " +
+    "lands only on seeds; empty seed set is rejected") {
+    import graft.operators.GraphOps
+    val sym = Seq((1L, 2L), (2L, 1L)).toDF("node", "peer")
+    // scale 100, seed {1}: r0=(100,0); r1=(15,85); r2=(15+72, 0+12)
+    val out = GraphOps.personalizedPageRankSym(sym, "node", "peer",
+        n => n === 1L, iters = 2, scale = 100L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 87L, 2L -> 12L), s"got $out")
+    intercept[IllegalArgumentException] {
+      GraphOps.personalizedPageRankSym(sym, "node", "peer",
+        _ => lit(false), iters = 1, scale = 100L)
+    }
+  }
+
+  test("bfsLayersSym: layers from the min-id seed, bounded horizon, " +
+    "unreached remainder censused as dist -1") {
+    import graft.operators.GraphOps
+    // Path 1-2-3-4-5 plus a disconnected pair 10-11; symmetric input.
+    val canon = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val sym = (canon ++ canon.map(_.swap)).toDF("node", "peer")
+    val out = GraphOps.bfsLayersSym(sym, "node", "peer", rounds = 2)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // seed 1; dist 0:{1}, 1:{2}, 2:{3}; unreached {4,5,10,11}
+    assert(out == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, -1 -> 4L), s"got $out")
+    // full reach: horizon covers the path; only the pair stays out
+    val full = GraphOps.bfsLayersSym(sym, "node", "peer", rounds = 5)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(full == Map(0 -> 1L, 1 -> 1L, 2 -> 1L, 3 -> 1L, 4 -> 1L,
+      -1 -> 2L), s"got $full")
+  }
+
   test("CheckpointMemo: one components run per (key, session); " +
     "dupClustersFromLabels equals dupClusters on the shared labels") {
     val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")

@@ -688,12 +688,16 @@ class PlanShapeSpec extends AnyFunSuite {
       s"curve must read the sweep checkpoint, not rebuild pairs:\n$p")
   }
 
-  test("q169 interarrival: lag window and percentile agg — one keyed " +
-    "exchange each, no join") {
+  test("q169 interarrival: three keyed exchanges exactly — lag window, " +
+    "value histogram, cumulative window — no join") {
     val f = formatted("q169_interarrival_stats")
     assert(!f.contains("Join"), s"cadence census must not join:\n$f")
-    assert(shuffles(f) <= 2,
-      s"(user,type) window + type agg only, got ${shuffles(f)}:\n$f")
+    // The bounded-state quantile regime: (user,type) lag window, then
+    // the (type, gap_ms) value-HISTOGRAM aggregate (state ≤ distinct
+    // quantized gaps, never row count), then the (type) cumulative-count
+    // window the interpolation reads. Each needs its own key.
+    assert(shuffles(f) <= 3,
+      s"lag window + histogram agg + cum window only, got ${shuffles(f)}:\n$f")
   }
 
   test("q170 assortativity: degree joins are equi-joins; the only " +
