@@ -1951,6 +1951,84 @@ object SparkEntry {
         .select(col("node").as("part"), col("rank"),
           col("outdeg").as("degree"))),
 
+    // Per-customer recommendations — the serving JOIN a recommender
+    // actually runs: customer purchase history ⋈ the item-kNN table
+    // (q187's top-3-per-part artifact, NOT the full edge list — the
+    // kNN cap is what bounds fan-out to |history|·k when a hub item
+    // has 10⁶ co-purchase neighbors at 100 TB), already-bought
+    // candidates anti-joined away, scored by the EXACT integer
+    // co-occurrence sum Σw (doubles never cross an aggregation
+    // boundary: the damped double only ORDERS the kNN edges, same as
+    // q187, and the oracle replays the identical arithmetic), top-5
+    // per customer by (score desc, part asc).
+    "q192_user_recommendations" -> ((s, dir) => {
+      val sym = coPurchaseSymTable(s, dir)
+      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val scored = sym
+        .join(wdeg, "node")
+        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
+          "peer")
+        .select(col("node"), col("peer"), col("w"),
+          (col("w").cast("double") /
+            sqrt((col("__s") * col("__sp")).cast("double"))).as("__sc"))
+      val knn = R.topKPerGroup(scored, Seq("node"),
+          Seq(col("__sc").desc, col("peer")), 3, "rank")
+        .select(col("node"), col("peer"), col("w"))
+      val bought = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
+        .distinct()
+      val cand = bought.join(knn, bought("part") === knn("node"))
+        .groupBy(col("cust"), col("peer"))
+        .agg(sum(col("w")).as("score"), count(lit(1)).as("n_paths"))
+      val fresh = cand.join(
+        bought.select(col("cust"), col("part").as("peer")),
+        Seq("cust", "peer"), "left_anti")
+      R.topKPerGroup(fresh, Seq("cust"),
+          Seq(col("score").desc, col("peer")), 5, "rank")
+        .select(col("cust").as("c_custkey"), col("rank"),
+          col("peer").as("part"), col("score"), col("n_paths"))
+    }),
+
+    // Retention triangle — the cohort × age matrix every growth
+    // dashboard starts from: users cohorted by first-activity week
+    // (absolute epoch weeks — integer µs floor-div, no calendar
+    // library), n_active = users from that cohort active age weeks
+    // later. All exact integers off one distinct (user, week) frame;
+    // the rate is ONE final division. Cohort sizes are a weeks-count
+    // table — broadcast back onto the triangle.
+    "q193_retention_triangle" -> ((s, dir) => {
+      val uw = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 604800000000").as("wk"))
+        .distinct()
+      val first = uw.groupBy(col("user_id")).agg(min(col("wk")).as("fw"))
+      val coh = first.groupBy(col("fw"))
+        .agg(count(lit(1)).as("cohort_size"))
+      uw.join(first, "user_id")
+        .groupBy(col("fw"), (col("wk") - col("fw")).as("age_weeks"))
+        .agg(count(lit(1)).as("n_active"))
+        .join(broadcast(coh), "fw")
+        .select(col("fw").as("cohort_week"), col("age_weeks"),
+          col("n_active"), col("cohort_size"),
+          (col("n_active").cast("double") /
+            col("cohort_size").cast("double")).as("retention"))
+    }),
+
+    // l-diversity census — the attribute-disclosure audit k-anonymity
+    // (q116) can't see: a block where every member shares one sensitive
+    // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
+    // (segment, nation); sensitive = the integer balance bucket; the
+    // l=1 census row is the exposure. Exact distinct via the class ×
+    // sensitive expansion — both shuffles block-bounded.
+    "q194_l_diversity" -> ((s, dir) =>
+      Q.lDiversityCensus(t(s, dir, "customer"),
+        Seq(col("c_mktsegment"), col("c_nationkey")),
+        floor(col("c_acctbal") / 1000).cast("long"))),
+
     // S9 as a HASH-CHECKED query (VERDICT r9 #4, previously spec-only):
     // the events table exported once per session as an NDJSON feed with
     // every 97th line deterministically truncated (the corrupt-line rate
@@ -6644,6 +6722,76 @@ object SparkEntry {
         |  d.outdeg, d.is_seed FROM deg d JOIN m3 m ON d.node = m.node)
         |SELECT node AS part, rank, outdeg AS degree FROM r3
         |ORDER BY rank DESC, node LIMIT 20""".stripMargin,
+
+    // q192 twin: q187's weighted kNN CTEs with w carried through, the
+    // same distinct purchase history, anti-join as null-extended left
+    // join, exact integer Σw scoring, the identical (score desc, peer)
+    // top-5 tiebreak.
+    "q192_user_recommendations" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |wd AS (SELECT node, CAST(sum(w) AS BIGINT) AS s
+        |  FROM sym GROUP BY 1),
+        |sc AS (SELECT sym.node, sym.peer, sym.w,
+        |  CAST(sym.w AS DOUBLE) / sqrt(CAST(da.s * db.s AS DOUBLE))
+        |   AS score
+        | FROM sym JOIN wd da ON da.node = sym.node
+        |  JOIN wd db ON db.node = sym.peer),
+        |knn AS (SELECT node, peer, w FROM (
+        |  SELECT node, peer, w, row_number() OVER (PARTITION BY node
+        |    ORDER BY score DESC, peer) AS rn FROM sc)
+        | WHERE rn <= 3),
+        |bought AS (SELECT DISTINCT o.o_custkey AS cust,
+        |  l.l_partkey AS part
+        | FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |cand AS (SELECT b.cust, k.peer,
+        |  CAST(sum(k.w) AS BIGINT) AS score,
+        |  CAST(count(*) AS BIGINT) AS n_paths
+        | FROM bought b JOIN knn k ON k.node = b.part GROUP BY 1, 2),
+        |fresh AS (SELECT c.cust, c.peer, c.score, c.n_paths
+        | FROM cand c LEFT JOIN bought b2
+        |  ON b2.cust = c.cust AND b2.part = c.peer
+        | WHERE b2.cust IS NULL),
+        |r AS (SELECT cust, peer, score, n_paths,
+        |  row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, peer) AS rank FROM fresh)
+        |SELECT cust AS c_custkey, CAST(rank AS INT) AS rank,
+        | peer AS part, score, n_paths
+        |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q193 twin: the same absolute epoch-week integers, distinct
+    // (user, week) frame, min-week cohorts, one final division.
+    "q193_retention_triangle" ->
+      """WITH uw AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 604800000000 AS wk FROM events),
+        |f AS (SELECT user_id, min(wk) AS fw FROM uw GROUP BY 1),
+        |coh AS (SELECT fw, CAST(count(*) AS BIGINT) AS cohort_size
+        |  FROM f GROUP BY 1),
+        |a AS (SELECT f.fw, uw.wk - f.fw AS age_weeks,
+        |  CAST(count(*) AS BIGINT) AS n_active
+        | FROM uw JOIN f USING (user_id) GROUP BY 1, 2)
+        |SELECT a.fw AS cohort_week, a.age_weeks, a.n_active,
+        | coh.cohort_size,
+        | CAST(a.n_active AS DOUBLE) / CAST(coh.cohort_size AS DOUBLE)
+        |  AS retention
+        |FROM a JOIN coh ON coh.fw = a.fw""".stripMargin,
+
+    // q194 twin: same blocks, same integer bucket, same two-level
+    // census; sums cast back to BIGINT (DuckDB widens to HUGEINT).
+    "q194_l_diversity" ->
+      """WITH b AS (SELECT c_mktsegment, c_nationkey,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT CAST(floor(c_acctbal / 1000) AS BIGINT))
+        |   AS BIGINT) AS l
+        | FROM customer GROUP BY 1, 2)
+        |SELECT l, CAST(count(*) AS BIGINT) AS n_blocks,
+        | CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM b GROUP BY 1""".stripMargin,
 
     // q186 twin: the SAME feed files Spark wrote, read as raw lines
     // (delimiter '|' never occurs in the exported fields, quoting

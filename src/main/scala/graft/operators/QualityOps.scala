@@ -107,6 +107,24 @@ object QualityOps {
         sum(when(col("__n") < k, col("__n")).otherwise(0L))
           .as("rows_at_risk"))
 
+  /** l-diversity census over the same equivalence-class frame as
+    * [[kAnonymityViolations]]: per quasi-identifier block, l = the
+    * number of DISTINCT sensitive values its members carry — k-anonymity
+    * alone leaves a block re-identifiable by ATTRIBUTE when everyone in
+    * it shares one sensitive value (the homogeneity attack l-diversity
+    * exists to name). Censused by l (n_blocks, n_rows), so the l=1 row
+    * IS the attribute-disclosure exposure. Two combinable shuffles
+    * (classes expand by sensitive for the exact distinct, then the
+    * block-cardinality census); output bounded by the sensitive-value
+    * domain, never row-scale. */
+  def lDiversityCensus(df: DataFrame, quasi: Seq[Column],
+                       sensitive: Column): DataFrame =
+    df.groupBy(quasi: _*)
+      .agg(count(lit(1)).as("__n"),
+        count_distinct(sensitive).as("l"))
+      .groupBy(col("l"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("__n")).as("n_rows"))
+
   /** Curation-waterfall census — the ordered filter-funnel report every
     * corpus release ships: stage i's predicate is applied to stage
     * i−1's SURVIVORS, so each row answers "how many docs did THIS rule

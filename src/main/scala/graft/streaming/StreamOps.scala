@@ -268,6 +268,48 @@ object StreamOps {
       .option("checkpointLocation", checkpointDir)
       .start()
 
+  final case class FeatEvent(user_id: Long, ts: Timestamp, cents: Long)
+  final case class FeatState(last_us: Long, n_total: Long,
+                             cents_total: Long)
+  final case class FeatRow(user_id: Long, last_us: Long, n_total: Long,
+                           cents_total: Long)
+
+  /** Streaming feature-store maintenance — the ONLINE half of the q190
+    * snapshot: per-actor lifetime features (recency anchor in exact µs,
+    * event count, integer-cents total) held in mapGroupsWithState and
+    * re-emitted as the actor's CURRENT row whenever a batch touches them
+    * — exactly the upsert stream a KV feature store (the serving side of
+    * training/serving skew control) applies. State is ONE fixed-width
+    * row per actor — bounded by actor cardinality, never stream length;
+    * every feature is an associative fold (max, +), so the streamed
+    * state is the batch aggregate of the prefix, which the spec pins
+    * (streamed == batch groupBy on the same feed — the oracle-boundary
+    * discipline for streaming ops). Overflow is a crash, not a wrap
+    * (Math.addExact): a corrupted lifetime-cents feature silently
+    * poisons every model trained on it. */
+  def maintainFeatures(events: Dataset[FeatEvent]): Dataset[FeatRow] = {
+    implicit val outEnc = Encoders.product[FeatRow]
+    events.groupByKey(_.user_id)(Encoders.scalaLong)
+      .mapGroupsWithState[FeatState, FeatRow](GroupStateTimeout.NoTimeout) {
+        case (uid, es, state: GroupState[FeatState]) =>
+          var last = state.getOption.map(_.last_us).getOrElse(Long.MinValue)
+          var n = state.getOption.map(_.n_total).getOrElse(0L)
+          var c = state.getOption.map(_.cents_total).getOrElse(0L)
+          es.foreach { e =>
+            // Timestamp → exact µs: ms epoch (nanos already truncated to
+            // ms inside getTime) + the sub-ms µs remainder.
+            val us = Math.addExact(
+              Math.multiplyExact(e.ts.getTime, 1000L),
+              (e.ts.getNanos / 1000L) % 1000L)
+            if (us > last) last = us
+            n += 1
+            c = Math.addExact(c, e.cents)
+          }
+          state.update(FeatState(last, n, c))
+          FeatRow(uid, last, n, c)
+      }(Encoders.product[FeatState], outEnc)
+  }
+
   final case class HHEvent(grp: String, item: String)
   final case class HHState(counters: Map[String, Long], n_seen: Long)
   final case class HHRow(grp: String, item: String, est_count: Long,

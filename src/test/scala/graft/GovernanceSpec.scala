@@ -60,6 +60,22 @@ class GovernanceSpec extends AnyFunSuite {
       Seq(col("seg"), col("nat")), 1).collect().isEmpty)
   }
 
+  test("lDiversity: a k-anonymous block with one shared sensitive value " +
+    "lands in the l=1 census row (homogeneity exposure)") {
+    // block (a,1): 4 rows, sensitive {10} only — k-anonymous at 4, l=1
+    // block (a,2): 3 rows, sensitive {10,20}  — l=2
+    // block (b,1): 2 rows, sensitive {10,30}  — l=2
+    val df = (Seq.fill(4)(("a", 1, 10L)) ++
+      Seq(("a", 2, 10L), ("a", 2, 20L), ("a", 2, 10L),
+        ("b", 1, 10L), ("b", 1, 30L))).toDF("seg", "nat", "sv")
+    val out = QualityOps.lDiversityCensus(df,
+        Seq(col("seg"), col("nat")), col("sv"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == Map(1L -> (1L, 4L), 2L -> (2L, 5L)),
+      s"census rows (l -> (n_blocks, n_rows)) wrong: $out")
+  }
+
   test("dupKeys: one row per duplicated key with multiplicity") {
     val df = Seq(("a", 1), ("a", 2), ("b", 1), ("b", 1), ("b", 2), ("c", 1))
       .toDF("k", "sub")

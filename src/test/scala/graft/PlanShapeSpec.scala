@@ -839,4 +839,47 @@ class PlanShapeSpec extends AnyFunSuite {
         s"$q still carries an exact-percentile buffer:\n$p")
     }
   }
+
+  test("q187/q192 recommendation serving: every join is an equi-join — " +
+    "the kNN cap, not a pair scan, bounds candidate fan-out") {
+    for (q <- Seq("q187_item_similarity", "q192_user_recommendations")) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$q must never widen to a non-equi join:\n$p")
+    }
+    // kNN side reads the bucketed table only; q192 scans lineitem exactly
+    // once more — for the purchase HISTORY, never to rebuild the graph.
+    assert(!plan("q187_item_similarity").contains("lineitem"),
+      "q187 must read the bucketed table, not rescan lineitem")
+    val scans = "lineitem".r
+      .findAllIn(formatted("q192_user_recommendations")).length
+    assert(scans >= 1,
+      "q192 reads lineitem for the purchase history")
+    assert(!plan("q192_user_recommendations").contains("ok#"),
+      "q192 must not re-run the per-order self-join (graph comes from " +
+        "the bucketed table)")
+  }
+
+  test("q190 feature snapshot: ONE keyed exchange (the actor groupBy); " +
+    "the horizon attaches as a 1-row broadcast") {
+    val f = formatted("q190_feature_snapshot")
+    // two exchanges: the 1-row horizon max's global agg + the actor
+    // groupBy — nothing per-actor beyond the single combinable pass.
+    assert(shuffles(f) <= 2,
+      s"per-actor features must be one combinable groupBy plus the " +
+        s"horizon reduce, got ${shuffles(f)}:\n$f")
+    assert(f.contains("BroadcastNestedLoopJoin") ||
+      f.contains("BroadcastExchange"),
+      s"horizon must broadcast:\n$f")
+  }
+
+  test("q193 retention triangle: cohort sizes broadcast onto the " +
+    "triangle — no shuffle join against the weeks-cardinality table") {
+    val p = plan("q193_retention_triangle")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("fw")),
+      s"cohort-size join must broadcast on fw:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }

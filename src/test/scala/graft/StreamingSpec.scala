@@ -333,6 +333,50 @@ class StreamingSpec extends AnyFunSuite {
       "replaying epoch 0 must not change the table")
   }
 
+  test("maintainFeatures: streamed per-actor state == batch aggregate " +
+    "on the same feed; later batches upsert, untouched actors are not " +
+    "re-emitted") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.FeatEvent
+    val b1 = Seq(FeatEvent(1L, ts(1), 100L), FeatEvent(2L, ts(2), 50L),
+      FeatEvent(1L, ts(3), 25L))
+    val b2 = Seq(FeatEvent(1L, ts(5), 7L), FeatEvent(3L, ts(4), 900L))
+    val input = MemoryStream[FeatEvent]
+    val q = StreamOps.maintainFeatures(input.toDS)
+      .writeStream.format("memory").queryName("feat")
+      .outputMode("update").start()
+    try {
+      input.addData(b1: _*)
+      q.processAllAvailable()
+      val afterB1 = spark.table("feat")
+        .as[StreamOps.FeatRow].collect().map(r => r.user_id -> r).toMap
+      assert(afterB1(1L).n_total == 2 && afterB1(1L).cents_total == 125L)
+      assert(afterB1(2L).n_total == 1)
+      input.addData(b2: _*)
+      q.processAllAvailable()
+      // Update mode: batch 2 emits ONLY the touched actors (1 and 3) —
+      // actor 2's row count stays 1.
+      val all = spark.table("feat").as[StreamOps.FeatRow].collect()
+      assert(all.count(_.user_id == 2L) == 1,
+        "untouched actor must not re-emit")
+      // Latest row per actor == the batch groupBy over the whole feed.
+      val latest = all.groupBy(_.user_id).map { case (u, rs) =>
+        u -> rs.maxBy(_.n_total) }
+      val batch = (b1 ++ b2).toDS().toDF()
+        .groupBy(col("user_id"))
+        .agg(max(unix_micros(col("ts"))).as("last_us"),
+          count(lit(1)).as("n_total"), sum(col("cents")).as("cents_total"))
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      batch.foreach { case (u, (lus, n, c)) =>
+        val got = latest(u)
+        assert(got.last_us == lus && got.n_total == n &&
+          got.cents_total == c,
+          s"actor $u: streamed $got != batch ($lus, $n, $c)")
+      }
+    } finally q.stop()
+  }
+
   test("heavyHitters: Misra-Gries state holds <= k counters, matches " +
     "the driver replay on an ordered feed, and keeps the frequency " +
     "guarantee across batches") {
