@@ -23,7 +23,10 @@ object Probe {
       else Seq("q121_bpe_segment", "q122_lm_novelty", "q123_rrf_fusion",
         "q124_temporal_split", "q125_label_agreement")
     names.foreach { n =>
-      val df = SparkEntry.queries(n)(spark, sfDir)
+      var df: DataFrame = null
+      // eager-localCheckpoint queries do their work HERE, not at
+      // materialize — time construction separately
+      time(s"$n (construct)", { df = SparkEntry.queries(n)(spark, sfDir) })
       val plan = df.queryExecution.executedPlan.toString
       val scans = "FileScan|BatchScan".r.findAllIn(plan).size
       val exch = "Exchange".r.findAllIn(plan).size

@@ -1974,6 +1974,10 @@ object SparkEntry {
       val knn = R.topKPerGroup(scored, Seq("node"),
           Seq(col("__sc").desc, col("peer")), 3, "rank")
         .select(col("node"), col("peer"), col("w"))
+      // Checkpoint the history frame: the candidate join AND the
+      // already-bought anti-join both read it — without the pin each
+      // replays the lineitem⋈orders scan + distinct (two corpus scans
+      // for one history-cardinality frame).
       val bought = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(t(s, dir, "orders")
@@ -1981,6 +1985,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
+        .localCheckpoint(true)
       val cand = bought.join(knn, bought("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_paths"))
@@ -3077,7 +3082,13 @@ object SparkEntry {
             col("w"))
           .union(e.select(col("id_b").as("node"), col("id_a").as("peer"),
             col("w")))
-        Cat.writeBucketed(sym, db, table, Seq("node"), 8)
+        // 32 buckets = the local core count: bucket-riding stages (q166's
+        // wedge expansion, the per-iteration pageRank joins) inherit the
+        // bucket count as their parallelism, and 8 buckets left 3/4 of
+        // the cores idle on the heaviest query (q166 9.7s → with 32
+        // buckets the family's exchange-free reads keep full width). On
+        // a cluster this constant is sized to executor-cores × executors.
+        Cat.writeBucketed(sym, db, table, Seq("node"), 32)
         pp.unpersist(blocking = false)
         s.table(s"$db.$table")
       })

@@ -27,6 +27,14 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphOps {
 
+  /** Edge-count ceiling for broadcasting the adjacency-array table in
+    * [[localClusteringCensusCanon]] (Σ array cells = |E| longs, so ~20M
+    * edges ≈ a few hundred MB of hashed relation — comfortable on the
+    * 128 GiB local driver and a typical cluster executor). Past it the
+    * two attach joins fall back to AQE-sized shuffles; the intersect
+    * kernel is unchanged either way. */
+  private val ClosureBroadcastMaxEdges = 20000000L
+
   /** Release the executor blocks behind a `localCheckpoint`ed DataFrame.
     * `Dataset.unpersist` is a NO-OP for these (it consults the
     * CacheManager, which has no entry for a LogicalRDD-backed plan — the
@@ -452,32 +460,60 @@ object GraphOps {
       .union(e.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("deg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Degrees BROADCAST onto the edge list: the degree table is
+    // node-cardinality (~|V|, the catalog) while the edge list is
+    // corpus-scale (~|E|) — shuffling |E| twice to attach two ints is
+    // the wrong side of both joins. When |V| outgrows the broadcast
+    // budget, drop the hint and the joins fall back to shuffles sized
+    // by AQE — the hint is the local-knowledge override, not a new plan
+    // shape.
     val ranked = e
-      .join(deg.select(col("node").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("node").as("v"), col("deg").as("dv")), "v")
+      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+        "u")
+      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+        "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
-    // Persist the oriented list: three branches read it (both wedge
-    // sides + the closure probe), and without the pin each re-runs the
-    // two degree joins over the full edge list (~3× the build, measured
-    // 20s → 8s at sf0.1 on the co-purchase graph).
+    // Degree-ordered orientation (s ranks below d by (deg, node)): max
+    // out-degree is O(√E), which bounds the adjacency arrays and the
+    // per-edge intersection cost below.
     val o = ranked.select(
       when(uFirst, col("u")).otherwise(col("v")).as("s"),
-      when(uFirst, col("v")).otherwise(col("u")).as("d"),
-      when(uFirst, struct(col("dv").as("rd"), col("v").as("rn")))
-        .otherwise(struct(col("du").as("rd"), col("u").as("rn"))).as("dr"))
+      when(uFirst, col("v")).otherwise(col("u")).as("d"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // shuffle_hash: both joins build their hash table from the
-    // EDGE-sized side (≤|E| rows) and STREAM the wedge side — a
-    // sort-merge plan would sort the Σoutdeg² wedge stream (41M rows on
-    // the sf0.1 co-purchase graph) twice for nothing.
-    val wedges = o.as("e1").join(o.as("e2").hint("shuffle_hash"),
-        col("e1.s") === col("e2.s") && col("e1.dr") < col("e2.dr"))
-      .select(col("e1.s").as("c0"), col("e1.d").as("x"), col("e2.d").as("y"))
-    val triNodes = wedges.join(
-        o.select(col("s").as("x"), col("d").as("y")).hint("shuffle_hash"),
-        Seq("x", "y"))
-      .select(explode(array(col("c0"), col("x"), col("y"))).as("node"))
-      .groupBy(col("node")).agg(count(lit(1)).as("tri"))
+    // EDGE-ITERATOR triangle counting (compact-forward): per-node
+    // out-neighbor ARRAYS, one join to attach both endpoint arrays to
+    // each oriented edge, then a map-side array_intersect — each
+    // triangle {a,b,c} (rank a<b<c) is found exactly once, at edge
+    // (a,b), as c ∈ N⁺(a)∩N⁺(b). The earlier wedge-join formulation
+    // materialized the Σoutdeg² wedge stream as JOIN ROWS (41M at
+    // sf0.1; 8.3s of the query's 10s just moving them); here the same
+    // Σoutdeg² work runs inside one codegen'd hash-intersect kernel and
+    // the only exploded rows are the triangle CREDITS (2 endpoint rows
+    // + |intersection| witness rows per closing edge — output-scale,
+    // not wedge-scale). Arrays broadcast when |E| fits the budget
+    // (Σ array cells = |E| longs); past it the attach joins fall back
+    // to shuffles sized by AQE.
+    val adj = o.groupBy(col("s").as("node"))
+      .agg(collect_list(col("d")).as("nbrs"))
+    val adjSide: DataFrame => DataFrame =
+      if (o.count() <= ClosureBroadcastMaxEdges) broadcast(_) else identity
+    val pairs = o
+      .join(adjSide(adj.select(col("node").as("s"), col("nbrs").as("nu"))),
+        "s")
+      .join(adjSide(adj.select(col("node").as("d"), col("nbrs").as("nv"))),
+        "d")
+    val triNodes = pairs
+      .select(col("s"), col("d"),
+        array_intersect(col("nu"), col("nv")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(explode(concat(
+        array(
+          struct(col("s").as("node"), size(col("ws")).cast("long").as("c")),
+          struct(col("d").as("node"), size(col("ws")).cast("long").as("c"))),
+        transform(col("ws"),
+          w => struct(w.as("node"), lit(1L).as("c"))))).as("x"))
+      .select(col("x.node").as("node"), col("x.c").as("c"))
+      .groupBy(col("node")).agg(sum(col("c")).as("tri"))
     val census = deg.join(triNodes, Seq("node"), "left")
       .select(col("deg"), coalesce(col("tri"), lit(0L)).as("tri"))
       .select(when(col("deg") < 2, lit(-1))

@@ -813,15 +813,18 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!serve.exists(_.contains("lineitem")),
         "the co-purchase build must not re-scan lineitem:\n" +
           serve.filter(_.contains("lineitem")).mkString("\n---\n"))
-      // q166's wedge stream (joins carrying the dr ordering struct) must
-      // stay on shuffle-hash plans — a sort-merge join would sort the
-      // Σoutdeg² wedge stream twice (measured 20s → 8s at sf0.1).
-      assert(serve.exists(_.contains("ShuffledHashJoin")),
-        "q166 must keep its shuffle_hash wedge joins")
-      val smjOnWedge = serve.flatMap(_.linesIterator)
-        .filter(l => l.contains("SortMergeJoin") && l.contains("dr#"))
-      assert(smjOnWedge.isEmpty,
-        s"wedge joins regressed to sort-merge:\n${smjOnWedge.mkString("\n")}")
+      // q166 is edge-iterator now: the Σoutdeg² intersection work runs
+      // inside array_intersect, and the wedge stream must NEVER
+      // re-appear as join rows — no join may carry the adjacency-array
+      // columns to a sort (the arrays attach via broadcast at this |E|).
+      assert(serve.exists(_.contains("array_intersect")),
+        "q166 must count triangles via the array_intersect kernel")
+      val sortedArrays = serve.flatMap(_.linesIterator)
+        .filter(l => l.contains("Sort ") &&
+          (l.contains("nu#") || l.contains("nv#")))
+      assert(sortedArrays.isEmpty,
+        s"adjacency arrays must not be sorted for a merge join:\n" +
+          sortedArrays.mkString("\n"))
     }
   }
 
@@ -848,15 +851,16 @@ class PlanShapeSpec extends AnyFunSuite {
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q must never widen to a non-equi join:\n$p")
     }
-    // kNN side reads the bucketed table only; q192 scans lineitem exactly
-    // once more — for the purchase HISTORY, never to rebuild the graph.
+    // kNN side reads the bucketed table only; q192's purchase history
+    // sits behind its localCheckpoint (the lineitem scan runs once, at
+    // checkpoint time), so the served plan re-scans NOTHING.
     assert(!plan("q187_item_similarity").contains("lineitem"),
       "q187 must read the bucketed table, not rescan lineitem")
-    val scans = "lineitem".r
-      .findAllIn(formatted("q192_user_recommendations")).length
-    assert(scans >= 1,
-      "q192 reads lineitem for the purchase history")
-    assert(!plan("q192_user_recommendations").contains("ok#"),
+    val p192 = plan("q192_user_recommendations")
+    assert(!p192.contains("lineitem"),
+      "q192's history must serve from its checkpoint, not re-scan " +
+        "lineitem per consumer")
+    assert(!p192.contains("ok#"),
       "q192 must not re-run the per-order self-join (graph comes from " +
         "the bucketed table)")
   }
