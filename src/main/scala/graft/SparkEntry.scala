@@ -1855,20 +1855,9 @@ object SparkEntry {
     // pinned-order double over exact integers, top-3 is one
     // group-partitioned window. (s(a)·s(b) stays a long: weighted
     // degrees cap near 1e9 at 100 TB, the product inside 2⁶³.)
-    "q187_item_similarity" -> ((s, dir) => {
-      val sym = coPurchaseSymTable(s, dir)
-      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
-      val scored = sym
-        .join(wdeg, "node")
-        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
-          "peer")
-        .select(col("node"), col("peer"),
-          (col("w").cast("double") /
-            sqrt((col("__s") * col("__sp")).cast("double"))).as("score"))
-      R.topKPerGroup(scored, Seq("node"),
-          Seq(col("score").desc, col("peer")), 3, "rank")
-        .select(col("node"), col("rank"), col("peer"), col("score"))
-    }),
+    "q187_item_similarity" -> ((s, dir) =>
+      itemKnnTable(s, dir)
+        .select(col("node"), col("rank"), col("peer"), col("score"))),
 
     // Order→ship latency quantiles — the SLA census per order priority:
     // one orderkey equi-join (fact-fact, hash-partitioned both sides,
@@ -1962,18 +1951,8 @@ object SparkEntry {
     // q187, and the oracle replays the identical arithmetic), top-5
     // per customer by (score desc, part asc).
     "q192_user_recommendations" -> ((s, dir) => {
-      val sym = coPurchaseSymTable(s, dir)
-      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
-      val scored = sym
-        .join(wdeg, "node")
-        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
-          "peer")
-        .select(col("node"), col("peer"), col("w"),
-          (col("w").cast("double") /
-            sqrt((col("__s") * col("__sp")).cast("double"))).as("__sc"))
-      val knn = R.topKPerGroup(scored, Seq("node"),
-          Seq(col("__sc").desc, col("peer")), 3, "rank")
-        .select(col("node"), col("peer"), col("w"))
+      val knn = itemKnnTable(s, dir).select(col("node"), col("peer"),
+        col("w"))
       // Checkpoint the history frame: the candidate join AND the
       // already-bought anti-join both read it — without the pin each
       // replays the lineitem⋈orders scan + distinct (two corpus scans
@@ -3152,6 +3131,32 @@ object SparkEntry {
         .orderBy(col("merge_rank")).collect()
         .map(r => (r.getString(1), r.getString(2))).toSeq)
 
+  /** Session memo for the item-kNN serving table (q187's artifact): the
+    * top-3 damped-co-occurrence peers per part, w carried for exact
+    * integer re-scoring. Built once per (dir, session) off the bucketed
+    * co-purchase table; q187 serves it directly and q192's
+    * recommendation join reads it as its candidate generator — one
+    * artifact, every consumer, the production index discipline. */
+  private val itemKnnSweep = new CheckpointMemo
+
+  private def itemKnnTable(s: SparkSession, dir: String): DataFrame =
+    itemKnnSweep(s"itemknn:$dir:${s.sparkContext.applicationId}") {
+      val sym = coPurchaseSymTable(s, dir)
+      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val scored = sym
+        .join(wdeg, "node")
+        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
+          "peer")
+        .select(col("node"), col("peer"), col("w"),
+          (col("w").cast("double") /
+            sqrt((col("__s") * col("__sp")).cast("double"))).as("score"))
+      R.topKPerGroup(scored, Seq("node"),
+          Seq(col("score").desc, col("peer")), 3, "rank")
+        .select(col("node"), col("rank"), col("peer"), col("w"),
+          col("score"))
+        .localCheckpoint(true)
+    }
+
   /** Harness lifecycle hook (Bench round boundaries, tests). */
   def clearSessionSweeps(): Unit = {
     nearDupSweep.clear()
@@ -3159,6 +3164,7 @@ object SparkEntry {
     componentSweep.clear()
     bpeSweep.clear()
     pqSweep.clear()
+    itemKnnSweep.clear()
     copurchaseSymMemo.clear()
   }
 

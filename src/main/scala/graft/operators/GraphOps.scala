@@ -35,6 +35,13 @@ object GraphOps {
     * kernel is unchanged either way. */
   private val ClosureBroadcastMaxEdges = 20000000L
 
+  /** Node-count ceiling for broadcasting per-iteration rank/mass tables
+    * in the PageRank family: 10M (long, long, long) rows ≈ 240 MB
+    * hashed. The iteration joins attach node-cardinality state to the
+    * corpus-scale edge list — broadcast keeps the edge list from
+    * re-shuffling every round; past the budget AQE shuffles apply. */
+  private val RankBroadcastMaxNodes = 10000000L
+
   /** Release the executor blocks behind a `localCheckpoint`ed DataFrame.
     * `Dataset.unpersist` is a NO-OP for these (it consults the
     * CacheManager, which has no entry for a LogicalRDD-backed plan — the
@@ -281,15 +288,22 @@ object GraphOps {
     require(nNodes == 0 || scale <= Long.MaxValue / 85L / math.max(nNodes, 1L),
       s"pageRank: 85 * $nNodes nodes * scale $scale overflows long — lower scale")
     val teleport = (15L * scale) / 100L
+    // Rank tables are NODE-cardinality; the edge list is corpus-scale.
+    // Broadcasting ranks each iteration keeps the persisted edge list
+    // where it sits (no per-iteration |E| shuffle — only the combinable
+    // mass partials move); past the node budget the joins fall back to
+    // AQE-sized shuffles.
+    val bcast: DataFrame => DataFrame =
+      if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
     var ranks = deg.select(col("node"), lit(scale).as("rank"), col("outdeg"))
     for (_ <- 1 to iters) {
-      val mass = sym.join(ranks, sym("u") === ranks("node"))
+      val mass = sym.join(bcast(ranks), sym("u") === ranks("node"))
         .select(col("v").as("node"),
           expr("rank div outdeg").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("mass"))
       // Inner join is total: symmetrization gives every node both an
       // out-edge (it's in deg) and an in-edge (its peers contribute).
-      ranks = deg.join(mass, "node")
+      ranks = deg.join(bcast(mass), "node")
         .select(col("node"),
           (lit(teleport) + expr("(85 * mass) div 100")).as("rank"),
           col("outdeg"))
@@ -404,21 +418,31 @@ object GraphOps {
                         q: Double): DataFrame = {
     require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
-    val kTab = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+    val deg0 = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val kTab = deg0
       .agg(ceil(percentile(col("__n"), lit(q))).cast("long").as("k"))
       .localCheckpoint(true)
+    // Survivor sets are node-cardinality; broadcasting them makes both
+    // semi-joins map-side, so each round's edge frame keeps the
+    // partitioning it arrived with (bucketed on u) — no per-round
+    // repartition, no |E| shuffle. Past the node budget the semi-joins
+    // fall back to AQE shuffles.
+    val bcast: DataFrame => DataFrame =
+      if (deg0.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
     var sym = sym0
-    for (_ <- 1 to rounds) {
-      val keep = sym.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+    for (r <- 1 to rounds) {
+      val keep = (if (r == 1) deg0
+        else sym.groupBy(col("u")).agg(count(lit(1)).as("__n")))
         .crossJoin(broadcast(kTab))
         .filter(col("__n") >= col("k"))
         .select(col("u"))
       sym = sym
-        .join(keep, Seq("u"), "left_semi")
-        .join(keep.select(col("u").as("v")), Seq("v"), "left_semi")
-        .repartition(col("u"))
+        .join(bcast(keep), Seq("u"), "left_semi")
+        .join(bcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint(true)
     }
+    deg0.unpersist(blocking = false)
     val out = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))
       .crossJoin(broadcast(kTab))
@@ -558,14 +582,18 @@ object GraphOps {
     require(nNodes == 0 || deg.filter(col("is_seed")).limit(1).count() > 0,
       "personalizedPageRank: empty seed set — every rank would be 0")
     val teleport = (15L * scale) / 100L
+    // Same broadcast regime as [[pageRankCore]]: node-cardinality rank
+    // state attaches to the corpus-scale edge list map-side.
+    val bcast: DataFrame => DataFrame =
+      if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
     var ranks = deg.select(col("node"),
       when(col("is_seed"), lit(scale)).otherwise(lit(0L)).as("rank"),
       col("outdeg"))
     for (_ <- 1 to iters) {
-      val mass = sym.join(ranks, sym("u") === ranks("node"))
+      val mass = sym.join(bcast(ranks), sym("u") === ranks("node"))
         .select(col("v").as("node"), expr("rank div outdeg").as("contrib"))
         .groupBy(col("node")).agg(sum(col("contrib")).as("mass"))
-      ranks = deg.join(mass, "node")
+      ranks = deg.join(bcast(mass), "node")
         .select(col("node"),
           (when(col("is_seed"), lit(teleport)).otherwise(lit(0L)) +
             expr("(85 * mass) div 100")).as("rank"),
@@ -598,6 +626,11 @@ object GraphOps {
     val nodes = sym.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val seed = nodes.agg(min(col("node")).as("node"))
+    // Frontier and visited sets are node-cardinality; broadcast keeps
+    // the per-round semi/anti joins map-side against the edge list
+    // (same regime as the PageRank family; AQE shuffles past budget).
+    val bcast: DataFrame => DataFrame =
+      if (nodes.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
     val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var visited = seed.withColumn("dist", lit(0)).localCheckpoint(true)
     var frontier = visited
@@ -605,9 +638,10 @@ object GraphOps {
     while (d < rounds) {
       d += 1
       val next = sym
-        .join(frontier.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(bcast(frontier.select(col("node").as("u"))), Seq("u"),
+          "left_semi")
         .select(col("v").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
+        .join(bcast(visited), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
       val grown = visited.union(next).localCheckpoint(true)
