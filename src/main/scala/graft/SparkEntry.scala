@@ -2002,6 +2002,87 @@ object SparkEntry {
             col("cohort_size").cast("double")).as("retention"))
     }),
 
+    // Incremental kNN maintenance — the index-refresh shape a serving
+    // store runs when a DELTA of orders lands (every 37th order, the
+    // delta-sided discipline of q85): a damped score w/√(s_n·s_p) is
+    // stale exactly where w or an endpoint degree changed, so the
+    // affected set is the delta-touched parts PLUS their one-hop
+    // neighbors, and the kNN recompute reads only edges INCIDENT to
+    // that set — maintenance cost proportional to the delta's
+    // neighborhood, never |V|. Result rows are bit-identical to the
+    // full rebuild restricted to the affected set (the twin IS that
+    // restriction).
+    "q195_incremental_knn" -> ((s, dir) => {
+      val sym = coPurchaseSymTable(s, dir)
+      val deltaParts = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(37L)) === 0)
+        .select(col("l_partkey").as("node")).distinct()
+        .localCheckpoint(true)
+      val affected = sym
+        .join(broadcast(deltaParts.select(col("node").as("peer"))),
+          Seq("peer"), "left_semi")
+        .select(col("node"))
+        .union(deltaParts).distinct()
+        .localCheckpoint(true)
+      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val scored = sym
+        .join(broadcast(affected), Seq("node"), "left_semi")
+        .join(wdeg, "node")
+        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
+          "peer")
+        .select(col("node"), col("peer"),
+          (col("w").cast("double") /
+            sqrt((col("__s") * col("__sp")).cast("double"))).as("score"))
+      R.topKPerGroup(scored, Seq("node"),
+          Seq(col("score").desc, col("peer")), 3, "rank")
+        .select(col("node"), col("rank"), col("peer"), col("score"))
+    }),
+
+    // A/B experiment readout — users deterministically split by id
+    // parity, conversion = any purchase event; the two-proportion
+    // z-statistic every experimentation platform prints, assembled from
+    // four exact integers with the division/sqrt order pinned
+    // identically in the twin. One combinable actor pass + a 1-row
+    // reduce.
+    "q196_ab_readout" -> ((s, dir) => {
+      val users = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"), col("conv"))
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_ctl"),
+          sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+            .as("conv_ctl"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_trt"),
+          sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+            .as("conv_trt"))
+        .select(col("n_ctl"), col("conv_ctl"), col("n_trt"),
+          col("conv_trt"),
+          when(col("n_ctl") > 0, col("conv_ctl").cast("double") /
+            col("n_ctl").cast("double")).as("rate_ctl"),
+          when(col("n_trt") > 0, col("conv_trt").cast("double") /
+            col("n_trt").cast("double")).as("rate_trt"))
+        .select(col("*"),
+          (col("rate_trt") - col("rate_ctl")).as("abs_lift"),
+          // Degenerate-variance guard (the shapeMoments discipline): an
+          // empty arm or an all-/never-converting experiment reads null,
+          // identically on both engines — and the when() also keeps
+          // Spark's fused agg+project codegen from tripping ANSI
+          // DIVIDE_BY_ZERO on the initial buffer row.
+          when(col("n_ctl") > 0 && col("n_trt") > 0 &&
+              col("conv_ctl") + col("conv_trt") > 0 &&
+              col("conv_ctl") + col("conv_trt") < col("n_ctl") + col("n_trt"),
+            (col("rate_trt") - col("rate_ctl")) /
+              sqrt(((col("conv_ctl") + col("conv_trt")).cast("double") /
+                  (col("n_ctl") + col("n_trt")).cast("double")) *
+                (lit(1.0) -
+                  (col("conv_ctl") + col("conv_trt")).cast("double") /
+                    (col("n_ctl") + col("n_trt")).cast("double")) *
+                (lit(1.0) / col("n_ctl").cast("double") +
+                  lit(1.0) / col("n_trt").cast("double")))).as("z_score"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -6797,6 +6878,75 @@ object SparkEntry {
         | CAST(a.n_active AS DOUBLE) / CAST(coh.cohort_size AS DOUBLE)
         |  AS retention
         |FROM a JOIN coh ON coh.fw = a.fw""".stripMargin,
+
+    // q195 twin: the full weighted kNN build literally RESTRICTED to the
+    // affected set — which is the invariant the incremental path must
+    // hold (identical rows, delta-proportional work on the engine side).
+    "q195_incremental_knn" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |dp AS (SELECT DISTINCT l_partkey AS node FROM lineitem
+        | WHERE l_orderkey % 37 = 0),
+        |aff AS (SELECT DISTINCT node FROM sym
+        |  WHERE peer IN (SELECT node FROM dp)
+        | UNION SELECT node FROM dp),
+        |wd AS (SELECT node, CAST(sum(w) AS BIGINT) AS s
+        |  FROM sym GROUP BY 1),
+        |sc AS (SELECT sym.node, sym.peer,
+        |  CAST(sym.w AS DOUBLE) / sqrt(CAST(da.s * db.s AS DOUBLE))
+        |   AS score
+        | FROM sym JOIN wd da ON da.node = sym.node
+        |  JOIN wd db ON db.node = sym.peer
+        | WHERE sym.node IN (SELECT node FROM aff)),
+        |r AS (SELECT node, peer, score,
+        |  row_number() OVER (PARTITION BY node
+        |    ORDER BY score DESC, peer) AS rank FROM sc)
+        |SELECT node, CAST(rank AS INT) AS rank, peer, score
+        |FROM r WHERE rank <= 3""".stripMargin,
+
+    // q196 twin: identical four integers, identical division/sqrt
+    // assembly order for the doubles.
+    "q196_ab_readout" ->
+      """WITH u AS (SELECT user_id,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS conv
+        | FROM events GROUP BY 1),
+        |a AS (SELECT user_id % 2 AS arm, conv FROM u),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_ctl,
+        |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |   AS conv_ctl,
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_trt,
+        |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |   AS conv_trt
+        | FROM a),
+        |r AS (SELECT s.*,
+        |  CASE WHEN n_ctl > 0 THEN
+        |   CAST(conv_ctl AS DOUBLE) / CAST(n_ctl AS DOUBLE) END
+        |   AS rate_ctl,
+        |  CASE WHEN n_trt > 0 THEN
+        |   CAST(conv_trt AS DOUBLE) / CAST(n_trt AS DOUBLE) END
+        |   AS rate_trt
+        | FROM s)
+        |SELECT r.*, rate_trt - rate_ctl AS abs_lift,
+        | CASE WHEN n_ctl > 0 AND n_trt > 0
+        |   AND conv_ctl + conv_trt > 0
+        |   AND conv_ctl + conv_trt < n_ctl + n_trt THEN
+        |  (rate_trt - rate_ctl) / sqrt(
+        |   (CAST(conv_ctl + conv_trt AS DOUBLE) /
+        |    CAST(n_ctl + n_trt AS DOUBLE)) *
+        |   (1.0 - CAST(conv_ctl + conv_trt AS DOUBLE) /
+        |    CAST(n_ctl + n_trt AS DOUBLE)) *
+        |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
+        |  END AS z_score
+        |FROM r""".stripMargin,
 
     // q194 twin: same blocks, same integer bucket, same two-level
     // census; sums cast back to BIGINT (DuckDB widens to HUGEINT).
