@@ -2083,6 +2083,30 @@ object SparkEntry {
                   lit(1.0) / col("n_trt").cast("double")))).as("z_score"))
     }),
 
+    // Small-file compaction planner — the metadata-side ops query every
+    // lake runs: census ROWS PER FILE over an over-partitioned hive tree
+    // (input_file_name groupBy — map-side partials, file-cardinality
+    // output), then NEXT-FIT bin-packing by cumulative rows in path
+    // order: bin = (cum − rows) div target. The plan a compactor
+    // executes; the DuckDB twin globs the SAME files with
+    // filename=true. The single-partition window runs over FILE
+    // metadata (40 leaves here; file counts, not row counts, at
+    // 100 TB — and a lake's file census is exactly the thing that must
+    // fit in one place for a compactor to plan at all).
+    "q197_compaction_plan" -> ((s, dir) => {
+      val path = partFilesExport(s, dir)
+      val files = s.read.parquet(path)
+        .select(regexp_replace(input_file_name(),
+          lit("^.*graft_part_files/"), lit("")).as("f"))
+        .groupBy(col("f")).agg(count(lit(1)).as("n"))
+      files
+        .withColumn("cum",
+          sum(col("n")).over(Window.orderBy(col("f"))))
+        .select((expr("(cum - n) div 4000")).as("bin"), col("n"))
+        .groupBy(col("bin"))
+        .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -3173,6 +3197,30 @@ object SparkEntry {
   private val ndjsonFeedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val NdjsonFeedDir = "/tmp/graft_ndjson_feed"
+
+  /** Session memo for q197's hive-partitioned export: events laid out
+    * under event_type=X/day_bucket=Y leaves (the over-partitioned tree
+    * every data lake grows), one file per leaf via the pre-write
+    * repartition on the partition keys. Fixed path for the same reason
+    * as [[NdjsonFeedDir]]: the static oracle must glob the same
+    * files. */
+  private val partFilesMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val PartFilesDir = "/tmp/graft_part_files"
+
+  private def partFilesExport(s: SparkSession, dir: String): String =
+    partFilesMemo.computeIfAbsent(
+      s"partfiles:$dir:${s.sparkContext.applicationId}", { _ =>
+        t(s, dir, "events")
+          .select(col("event_id"), col("event_type"),
+            pmod(expr("unix_micros(ts) div 86400000000"), lit(8L))
+              .as("day_bucket"))
+          .repartition(col("event_type"), col("day_bucket"))
+          .write.mode("overwrite")
+          .partitionBy("event_type", "day_bucket")
+          .parquet(PartFilesDir)
+        PartFilesDir
+      })
 
   private def ndjsonFeed(s: SparkSession, dir: String): String =
     ndjsonFeedMemo.computeIfAbsent(
@@ -6947,6 +6995,22 @@ object SparkEntry {
         |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
         |  END AS z_score
         |FROM r""".stripMargin,
+
+    // q197 twin: the SAME files Spark exported, globbed with
+    // filename=true, the same relative-path normalization, the same
+    // next-fit cumulative bin arithmetic.
+    "q197_compaction_plan" ->
+      """WITH f AS (SELECT
+        |  regexp_replace(filename, '^.*graft_part_files/', '') AS f,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM read_parquet('/tmp/graft_part_files/*/*/*.parquet',
+        |   filename=true)
+        | GROUP BY 1),
+        |c AS (SELECT f, n, sum(n) OVER (ORDER BY f) AS cum FROM f)
+        |SELECT CAST((cum - n) // 4000 AS BIGINT) AS bin,
+        | CAST(count(*) AS BIGINT) AS n_files,
+        | CAST(sum(n) AS BIGINT) AS n_rows
+        |FROM c GROUP BY 1""".stripMargin,
 
     // q194 twin: same blocks, same integer bucket, same two-level
     // census; sums cast back to BIGINT (DuckDB widens to HUGEINT).

@@ -189,6 +189,43 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("localClusteringCensus equals the brute-force per-node triangle " +
+    "count on random graphs (pins the edge-iterator rewrite)") {
+    import graft.operators.GraphOps
+    val gEdges = for {
+      n <- Gen.choose(4, 18)
+      m <- Gen.choose(3, 50)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.choose(1, n); b <- Gen.choose(1, n)
+      } yield (a.toLong, b.toLong))
+    } yield es
+    forAll(gEdges, n = 5) { es =>
+      val out = GraphOps.localClusteringCensus(es.toDF("a", "b"), "a", "b")
+        .collect()
+        .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      val und = es.filter(e => e._1 != e._2)
+        .map { case (a, b) => (a min b, a max b) }.toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2))
+      val adj = nodes.map(v => v -> und.collect {
+        case (a, b) if a == v => b
+        case (a, b) if b == v => a
+      }).toMap
+      val expect = nodes.toSeq.map { v =>
+        val d = adj(v).size.toLong
+        val t = adj(v).toSeq.combinations(2).count {
+          case Seq(x, y) => und.contains((x min y, x max y))
+          case _ => false
+        }.toLong
+        val bucket = if (d < 2) -1 else ((t * 2 * 10) / (d * (d - 1))).toInt
+        (bucket, d, t)
+      }.groupBy(_._1).map { case (b, rs) =>
+        b -> (rs.size.toLong, rs.map(_._2).sum, rs.map(_._3).sum)
+      }
+      assert(out == expect, s"census mismatch on $und: $out vs $expect")
+    }
+  }
+
   test("nfc_normalize: identity on ASCII, idempotent, and agrees with " +
     "the JDK reference on random unicode") {
     import java.text.Normalizer
