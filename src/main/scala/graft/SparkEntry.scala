@@ -2107,6 +2107,103 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_files"), sum(col("n")).as("n_rows"))
     }),
 
+    // Offline recommender evaluation — the holdout readout that decides
+    // whether q192's serving join ships: train the item-kNN on the BASE
+    // orders only (every-37th held out, the q195 delta), recommend
+    // top-5 per customer from base history, score against what those
+    // customers ACTUALLY bought in the held-out orders. Reported as a
+    // precision-at-rank census (rank → n_recs, n_hits, hit_rate): all
+    // integers + one division per rank row — no mean-of-doubles NDCG
+    // whose summation order diverges cross-engine; any discounted
+    // metric derives from these five rows.
+    "q198_rec_eval" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+      val ords = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+      val ppB = li.filter(pmod(col("ok"), lit(37L)) =!= 0).distinct()
+        .localCheckpoint(true)
+      val e = ppB.as("x").join(ppB.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("w"))
+      val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"),
+          col("w"))
+        .union(e.select(col("id_b").as("node"), col("id_a").as("peer"),
+          col("w")))
+        .localCheckpoint(true)
+      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val scored = sym
+        .join(wdeg, "node")
+        .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
+          "peer")
+        .select(col("node"), col("peer"), col("w"),
+          (col("w").cast("double") /
+            sqrt((col("__s") * col("__sp")).cast("double"))).as("__sc"))
+      val knn = R.topKPerGroup(scored, Seq("node"),
+          Seq(col("__sc").desc, col("peer")), 3, "rank")
+        .select(col("node"), col("peer"), col("w"))
+      val boughtB = ppB
+        .join(ords, col("ok") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("pk").as("part"))
+        .distinct()
+        .localCheckpoint(true)
+      val cand = boughtB.join(knn, boughtB("part") === knn("node"))
+        .groupBy(col("cust"), col("peer"))
+        .agg(sum(col("w")).as("score"))
+      val recs = R.topKPerGroup(
+        cand.join(boughtB.select(col("cust"), col("part").as("peer")),
+          Seq("cust", "peer"), "left_anti"),
+        Seq("cust"), Seq(col("score").desc, col("peer")), 5, "rank")
+      val deltaBuy = li.filter(pmod(col("ok"), lit(37L)) === 0)
+        .join(ords, col("ok") === col("o_orderkey"))
+        .select(col("o_custkey").as("cust"), col("pk").as("part"))
+        .distinct()
+      recs.join(deltaBuy,
+          recs("cust") === deltaBuy("cust") &&
+            recs("peer") === deltaBuy("part"), "left_outer")
+        .select(recs("rank"),
+          when(deltaBuy("cust").isNotNull, 1L).otherwise(0L).as("hit"))
+        .groupBy(col("rank"))
+        .agg(count(lit(1)).as("n_recs"), sum(col("hit")).as("n_hits"))
+        .select(col("rank"), col("n_recs"), col("n_hits"),
+          (col("n_hits").cast("double") / col("n_recs").cast("double"))
+            .as("hit_rate"))
+    }),
+
+    // Embedding-space drift — did the vector distribution move between
+    // two corpus halves? Cells are the 8-dim SIGN CUBE (256 cells, a
+    // training-free LSH code both engines compute bit-identically from
+    // the raw floats), halves split by vec_id parity; the statistic is
+    // the total-variation distance assembled from EXACT integer
+    // cross-products Σ|c_a·N_b − c_b·N_a| (one division at the end —
+    // never a sum of per-cell doubles, whose order diverges). The
+    // index-health monitor an embedding store runs per ingest batch.
+    "q199_embedding_drift" -> ((s, dir) => {
+      val cellBits = (0 until 8).map { i =>
+        when(element_at(col("embedding"), i + 1) > 0f,
+          lit(1L << (7 - i))).otherwise(lit(0L))
+      }.reduce(_ + _)
+      val cells = t(s, dir, "embeddings")
+        .select(pmod(col("vec_id"), lit(2L)).as("half"),
+          cellBits.as("cell"))
+        .groupBy(col("cell"))
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+      val all = Window.partitionBy()
+      cells
+        .withColumn("na", sum(col("ca")).over(all))
+        .withColumn("nb", sum(col("cb")).over(all))
+        .agg(count(lit(1)).as("n_cells"),
+          max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
+          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+            .as("__x"))
+        .select(col("n_cells"), col("n_a"), col("n_b"),
+          (col("__x").cast("double") /
+            (lit(2.0) * col("n_a").cast("double") *
+              col("n_b").cast("double"))).as("tvd"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -6995,6 +7092,84 @@ object SparkEntry {
         |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
         |  END AS z_score
         |FROM r""".stripMargin,
+
+    // q198 twin: the q192 pipeline CTE-for-CTE with the base-orders
+    // filter threaded through, the held-out purchases as the scoring
+    // join, the same per-rank integers + one division.
+    "q198_rec_eval" ->
+      """WITH li AS (SELECT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |ppb AS (SELECT DISTINCT ok, pk FROM li WHERE ok % 37 <> 0),
+        |e AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM ppb x JOIN ppb y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |wd AS (SELECT node, CAST(sum(w) AS BIGINT) AS s
+        |  FROM sym GROUP BY 1),
+        |sc AS (SELECT sym.node, sym.peer, sym.w,
+        |  CAST(sym.w AS DOUBLE) / sqrt(CAST(da.s * db.s AS DOUBLE))
+        |   AS score
+        | FROM sym JOIN wd da ON da.node = sym.node
+        |  JOIN wd db ON db.node = sym.peer),
+        |knn AS (SELECT node, peer, w FROM (
+        |  SELECT node, peer, w, row_number() OVER (PARTITION BY node
+        |    ORDER BY score DESC, peer) AS rn FROM sc)
+        | WHERE rn <= 3),
+        |bb AS (SELECT DISTINCT o.o_custkey AS cust, li.pk AS part
+        |  FROM li JOIN orders o ON li.ok = o.o_orderkey
+        | WHERE li.ok % 37 <> 0),
+        |cand AS (SELECT b.cust, k.peer,
+        |  CAST(sum(k.w) AS BIGINT) AS score
+        | FROM bb b JOIN knn k ON k.node = b.part GROUP BY 1, 2),
+        |fresh AS (SELECT c.cust, c.peer, c.score
+        | FROM cand c LEFT JOIN bb b2
+        |  ON b2.cust = c.cust AND b2.part = c.peer
+        | WHERE b2.cust IS NULL),
+        |r5 AS (SELECT cust, peer, rank FROM (
+        |  SELECT cust, peer, score, row_number() OVER (PARTITION BY cust
+        |    ORDER BY score DESC, peer) AS rank FROM fresh)
+        | WHERE rank <= 5),
+        |dl AS (SELECT DISTINCT o.o_custkey AS cust, li.pk AS part
+        |  FROM li JOIN orders o ON li.ok = o.o_orderkey
+        | WHERE li.ok % 37 = 0),
+        |h AS (SELECT r5.rank,
+        |  CASE WHEN d.cust IS NOT NULL THEN 1 ELSE 0 END AS hit
+        | FROM r5 LEFT JOIN dl d
+        |  ON d.cust = r5.cust AND d.part = r5.peer)
+        |SELECT CAST(rank AS INT) AS rank,
+        | CAST(count(*) AS BIGINT) AS n_recs,
+        | CAST(sum(hit) AS BIGINT) AS n_hits,
+        | CAST(sum(hit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS hit_rate
+        |FROM h GROUP BY 1""".stripMargin,
+
+    // q199 twin: the same 8-bit sign-cube cells (dim 1 is the MSB), the
+    // same exact integer cross-products, one final division.
+    "q199_embedding_drift" ->
+      """WITH c AS (SELECT vec_id % 2 AS half,
+        |  (CASE WHEN embedding[1] > 0 THEN 128 ELSE 0 END) +
+        |  (CASE WHEN embedding[2] > 0 THEN 64 ELSE 0 END) +
+        |  (CASE WHEN embedding[3] > 0 THEN 32 ELSE 0 END) +
+        |  (CASE WHEN embedding[4] > 0 THEN 16 ELSE 0 END) +
+        |  (CASE WHEN embedding[5] > 0 THEN 8 ELSE 0 END) +
+        |  (CASE WHEN embedding[6] > 0 THEN 4 ELSE 0 END) +
+        |  (CASE WHEN embedding[7] > 0 THEN 2 ELSE 0 END) +
+        |  (CASE WHEN embedding[8] > 0 THEN 1 ELSE 0 END) AS cell
+        | FROM embeddings),
+        |g AS (SELECT cell,
+        |  CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS ca,
+        |  CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS cb
+        | FROM c GROUP BY 1),
+        |t_ AS (SELECT CAST(sum(ca) AS BIGINT) AS na,
+        |  CAST(sum(cb) AS BIGINT) AS nb FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS n_cells,
+        | max(t_.na) AS n_a, max(t_.nb) AS n_b,
+        | CAST(sum(abs(g.ca * t_.nb - g.cb * t_.na)) AS DOUBLE) /
+        |  (2.0 * CAST(max(t_.na) AS DOUBLE) *
+        |   CAST(max(t_.nb) AS DOUBLE)) AS tvd
+        |FROM g, t_""".stripMargin,
 
     // q197 twin: the SAME files Spark exported, globbed with
     // filename=true, the same relative-path normalization, the same
