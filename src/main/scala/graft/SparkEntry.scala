@@ -648,9 +648,24 @@ object SparkEntry {
     // L94: association rules on order baskets — co-purchased part pairs
     // seen in ≥ 3 orders expand to directed rules with support /
     // confidence / lift (exact-int numerators, one division each).
-    "q111_assoc_rules" -> ((s, dir) =>
-      An.associationRules(t(s, dir, "lineitem"), col("l_orderkey"),
-        col("l_partkey"), minCount = 3L)),
+    "q111_assoc_rules" -> ((s, dir) => {
+      // Pair counts come off the maintained co-purchase artifact (the
+      // canonical half of the bucketed table IS the co-basket count
+      // table) — the per-query (order, part) self-join is gone; only
+      // the basket-membership marginals still read lineitem.
+      val m = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull).distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = m.select(col("__b")).distinct()
+        .agg(count(lit(1)).as("__n"))
+      val ic = m.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
+      val pairs = coPurchaseSymTable(s, dir)
+        .filter(col("node") < col("peer") && col("w") >= 3L)
+        .select(col("node").as("__a"), col("peer").as("__c"),
+          col("w").as("__cab"))
+      An.rulesFromCooccurrence(pairs, n, ic)
+    }),
 
     // L96: containment near-dup — asymmetric |A∩B|/min(|A|,|B|) over
     // word-3-shingle hash sets catches a small doc embedded in a larger

@@ -1082,8 +1082,21 @@ object AnalyticsOps {
       .groupBy(col("x.__i").as("__a"), col("y.__i").as("__c"))
       .agg(count(lit(1)).as("__cab"))
       .filter(col("__cab") >= minCount)
+    rulesFromCooccurrence(pairs, n, ic)
+  }
+
+  /** [[associationRules]]' scoring tail over an ALREADY-COUNTED
+    * canonical pair table (`__a < __c`, `__cab` = co-basket count,
+    * min-count already applied) — the entry point for callers whose
+    * co-occurrence counts live in a maintained artifact (the bucketed
+    * co-purchase table) instead of being re-derived by a per-query
+    * self-join. `n` is the 1-row basket count; `ic` the per-item
+    * basket-membership marginals. */
+  def rulesFromCooccurrence(pairs: DataFrame, n: DataFrame,
+                            ic: DataFrame): DataFrame = {
     val rules = pairs.select(col("__a"), col("__c"), col("__cab"))
-      .union(pairs.select(col("__c"), col("__a"), col("__cab")))
+      .union(pairs.select(col("__c").as("__a"), col("__a").as("__c"),
+        col("__cab")))
     rules
       .join(ic.select(col("__i").as("__a"), col("__ci").as("__ca")), "__a")
       .join(ic.select(col("__i").as("__c"), col("__ci").as("__cc")), "__c")
