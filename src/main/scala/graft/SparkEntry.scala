@@ -2219,6 +2219,38 @@ object SparkEntry {
               col("n_b").cast("double"))).as("tvd"))
     }),
 
+    // Corpus release manifest — the one-page artifact a dataset release
+    // ships: every document routed through the curation gate (validity
+    // + quality window), exact-dup groups collapsed to their min-id
+    // keeper, survivors split train/val/test by deterministic id
+    // residue, and each split summarized as counts + an ORDER-INVARIANT
+    // release fingerprint (bit_xor over 60-bit sha256 prefixes — the
+    // same manifest recomputes bit-identically from any replica, in any
+    // row order, which is the whole point of a manifest). One corpus
+    // scan + one hash-group keeper join.
+    "q200_release_manifest" -> ((s, dir) => {
+      val h = sha2(concat(col("lang"), lit("\u001f"),
+        lower(trim(col("text")))), 256)
+      val flagged = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), h.as("__h"),
+          (col("text").isNotNull && length(trim(col("text"))) > 0 &&
+            col("lang").isNotNull &&
+            col("n_chars").between(20, 100000)).as("__ok"))
+      val keeper = flagged.filter(col("__ok"))
+        .groupBy(col("__h")).agg(min(col("doc_id")).as("__keep"))
+      flagged.join(keeper, Seq("__h"), "left")
+        .select(col("n_chars"), col("__h"),
+          when(!col("__ok"), lit("_rejected"))
+            .when(col("doc_id") =!= col("__keep"), lit("_rejected"))
+            .when(pmod(col("doc_id"), lit(10L)) < 8, lit("train"))
+            .when(pmod(col("doc_id"), lit(10L)) === 8, lit("val"))
+            .otherwise(lit("test")).as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_chars"),
+          bit_xor(expr("CAST(conv(substring(__h, 1, 15), 16, 10) " +
+            "AS BIGINT)")).as("fingerprint"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7107,6 +7139,31 @@ object SparkEntry {
         |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
         |  END AS z_score
         |FROM r""".stripMargin,
+
+    // q200 twin: same gate, same min-id keeper, same residue split, the
+    // fingerprint as bit_xor over the same 60-bit sha256 prefixes
+    // (DuckDB parses the 0x literal; Spark conv's base-16 read — both
+    // land on the identical long).
+    "q200_release_manifest" ->
+      """WITH f AS (SELECT doc_id, n_chars,
+        |  sha256(lang || chr(31) || lower(trim(text))) AS h,
+        |  (text IS NOT NULL AND length(trim(text)) > 0
+        |   AND lang IS NOT NULL
+        |   AND n_chars BETWEEN 20 AND 100000) AS ok
+        | FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keep FROM f WHERE ok GROUP BY 1),
+        |t_ AS (SELECT f.n_chars, f.h,
+        |  CASE WHEN NOT f.ok THEN '_rejected'
+        |       WHEN f.doc_id <> k.keep THEN '_rejected'
+        |       WHEN f.doc_id % 10 < 8 THEN 'train'
+        |       WHEN f.doc_id % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        | FROM f LEFT JOIN k ON k.h = f.h)
+        |SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(n_chars) AS BIGINT) AS n_chars,
+        | bit_xor(CAST('0x' || substr(h, 1, 15) AS BIGINT))
+        |  AS fingerprint
+        |FROM t_ GROUP BY 1""".stripMargin,
 
     // q198 twin: the q192 pipeline CTE-for-CTE with the base-orders
     // filter threaded through, the held-out purchases as the scoring
