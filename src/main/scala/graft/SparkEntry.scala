@@ -2251,6 +2251,35 @@ object SparkEntry {
             "AS BIGINT)")).as("fingerprint"))
     }),
 
+    // Watermark-sizing audit — the number a streaming deployment needs
+    // BEFORE it picks `withWatermark`: how late does event time arrive
+    // relative to ARRIVAL order (event_id is the ingest sequence)?
+    // Per type, lateness = running-max(event time over everything that
+    // arrived before me) − my event time, censused by floor-log2
+    // millisecond bucket (ilog2 — exact integers, the Zipf/Heaps
+    // quantization discipline) with in-order arrivals as bucket −1.
+    // Read the p99 bucket off this census and you have the watermark
+    // delay that bounds state while dropping <1% of late data. One
+    // arrival-ordered window per type, one bounded census.
+    "q201_watermark_audit" -> ((s, dir) => {
+      val w = Window.partitionBy(col("event_type")).orderBy(col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val late = t(s, dir, "events")
+        .select(col("event_type"), col("event_id"),
+          unix_micros(col("ts")).as("__us"))
+        .select(col("event_type"),
+          (max(col("__us")).over(w) - col("__us")).as("__late_us"))
+        .select(col("event_type"),
+          when(col("__late_us").isNull || col("__late_us") <= 0, lit(-1))
+            .otherwise(T.ilog2(expr("__late_us div 1000") + 1))
+            .as("bucket"),
+          col("__late_us"))
+      late.groupBy(col("event_type"), col("bucket"))
+        .agg(count(lit(1)).as("n_events"),
+          max(expr("CASE WHEN __late_us > 0 THEN __late_us div 1000 " +
+            "ELSE 0 END")).as("max_late_ms"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7139,6 +7168,26 @@ object SparkEntry {
         |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
         |  END AS z_score
         |FROM r""".stripMargin,
+
+    // q201 twin: the same arrival-ordered running max (ROWS ... 1
+    // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
+    "q201_watermark_audit" ->
+      """WITH e AS (SELECT event_type, event_id, epoch_us(ts) AS us
+        |  FROM events),
+        |l AS (SELECT event_type,
+        |  max(us) OVER (PARTITION BY event_type ORDER BY event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) - us
+        |   AS late_us
+        | FROM e),
+        |b AS (SELECT event_type,
+        |  CASE WHEN late_us IS NULL OR late_us <= 0 THEN -1
+        |   ELSE CAST(length(bin(late_us // 1000 + 1)) - 1 AS INT)
+        |   END AS bucket,
+        |  late_us FROM l)
+        |SELECT event_type, bucket, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(max(CASE WHEN late_us > 0 THEN late_us // 1000 ELSE 0 END)
+        |  AS BIGINT) AS max_late_ms
+        |FROM b GROUP BY 1, 2""".stripMargin,
 
     // q200 twin: same gate, same min-id keeper, same residue split, the
     // fingerprint as bit_xor over the same 60-bit sha256 prefixes
