@@ -2039,9 +2039,15 @@ object SparkEntry {
         .select(col("node"))
         .union(deltaParts).distinct()
         .localCheckpoint(true)
+      // Delta parts are delta-bounded, but the 1-hop closure can
+      // approach |V| on a dense graph — broadcast only while it fits
+      // (10M nodes, the GraphOps rank budget); past that the semi-join
+      // rides an AQE shuffle.
+      val affSide =
+        if (affected.count() <= 10000000L) broadcast(affected) else affected
       val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
       val scored = sym
-        .join(broadcast(affected), Seq("node"), "left_semi")
+        .join(affSide, Seq("node"), "left_semi")
         .join(wdeg, "node")
         .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
           "peer")

@@ -487,14 +487,15 @@ object GraphOps {
     // Degrees BROADCAST onto the edge list: the degree table is
     // node-cardinality (~|V|, the catalog) while the edge list is
     // corpus-scale (~|E|) — shuffling |E| twice to attach two ints is
-    // the wrong side of both joins. When |V| outgrows the broadcast
-    // budget, drop the hint and the joins fall back to shuffles sized
-    // by AQE — the hint is the local-knowledge override, not a new plan
-    // shape.
+    // the wrong side of both joins. Count-guarded like the PageRank
+    // family: past the node budget both joins fall back to AQE-sized
+    // shuffles.
+    val degSide: DataFrame => DataFrame =
+      if (deg.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
     val ranked = e
-      .join(broadcast(deg.select(col("node").as("u"), col("deg").as("du"))),
+      .join(degSide(deg.select(col("node").as("u"), col("deg").as("du"))),
         "u")
-      .join(broadcast(deg.select(col("node").as("v"), col("deg").as("dv"))),
+      .join(degSide(deg.select(col("node").as("v"), col("deg").as("dv"))),
         "v")
     val uFirst = struct(col("du"), col("u")) < struct(col("dv"), col("v"))
     // Degree-ordered orientation (s ranks below d by (deg, node)): max

@@ -310,6 +310,59 @@ object StreamOps {
       }(Encoders.product[FeatState], outEnc)
   }
 
+  final case class FeatUpsert(user_id: Long, last_us: Long, n_total: Long,
+                              cents_total: Long, tombstone: Boolean)
+
+  /** [[maintainFeatures]] with EVENT-TIME TTL EVICTION — the variant an
+    * open actor universe requires: NoTimeout state grows with every
+    * actor ever seen, and at 100 TB "ever seen" is unbounded. Here each
+    * actor's state carries a timeout at (last event time + ttl); once
+    * the WATERMARK passes it, the group times out, state is removed,
+    * and a TOMBSTONE row is emitted — the DELETE a KV feature store
+    * applies downstream, so serving-side staleness is bounded by the
+    * same ttl. State is therefore bounded by the ACTIVE actor set
+    * within the ttl horizon, not by lifetime cardinality. A re-appearing
+    * actor starts from zero — the documented semantics of evicting
+    * lifetime features (the alternative, re-hydrating from the offline
+    * store, is a serving-side concern). */
+  def maintainFeaturesTtl(events: Dataset[FeatEvent], watermark: String,
+                          ttlMs: Long): Dataset[FeatUpsert] = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    implicit val outEnc = Encoders.product[FeatUpsert]
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)(Encoders.scalaLong)
+      .flatMapGroupsWithState[FeatState, FeatUpsert](
+        OutputMode.Update(), GroupStateTimeout.EventTimeTimeout) {
+        case (uid, es, state: GroupState[FeatState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.single(FeatUpsert(uid, 0L, 0L, 0L, tombstone = true))
+          } else {
+            var last = state.getOption.map(_.last_us)
+              .getOrElse(Long.MinValue)
+            var n = state.getOption.map(_.n_total).getOrElse(0L)
+            var c = state.getOption.map(_.cents_total).getOrElse(0L)
+            es.foreach { e =>
+              val us = Math.addExact(
+                Math.multiplyExact(e.ts.getTime, 1000L),
+                (e.ts.getNanos / 1000L) % 1000L)
+              if (us > last) last = us
+              n += 1
+              c = Math.addExact(c, e.cents)
+            }
+            state.update(FeatState(last, n, c))
+            // Timeout must land strictly past the current watermark
+            // (late stragglers arrive with event time already behind
+            // it); clamping keeps them from throwing instead of
+            // evicting next trigger.
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs + 1,
+                last / 1000L + ttlMs))
+            Iterator.single(FeatUpsert(uid, last, n, c, tombstone = false))
+          }
+      }(Encoders.product[FeatState], outEnc)
+  }
+
   final case class HHEvent(grp: String, item: String)
   final case class HHState(counters: Map[String, Long], n_seen: Long)
   final case class HHRow(grp: String, item: String, est_count: Long,

@@ -377,6 +377,41 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maintainFeaturesTtl: watermark past last-event+ttl evicts state " +
+    "with a tombstone; a re-appearing actor starts from zero") {
+    implicit val sc = spark.sqlContext
+    import graft.streaming.StreamOps.{FeatEvent, FeatUpsert}
+    val input = MemoryStream[FeatEvent]
+    val q = StreamOps.maintainFeaturesTtl(input.toDS,
+        watermark = "0 seconds", ttlMs = 10 * 60 * 1000L)
+      .writeStream.format("memory").queryName("featttl")
+      .outputMode("update").start()
+    try {
+      // batch 1: two actors at 10:01/10:02
+      input.addData(FeatEvent(1L, ts(1), 100L), FeatEvent(2L, ts(2), 50L))
+      q.processAllAvailable()
+      // batch 2: a third actor 40 min later — advances the watermark to
+      // 10:41, past both actors' (last + 10 min) timeouts
+      input.addData(FeatEvent(3L, ts(41), 7L))
+      q.processAllAvailable()
+      // batch 3: any data triggers the pending event-time timeouts
+      input.addData(FeatEvent(3L, ts(42), 1L))
+      q.processAllAvailable()
+      val rows = spark.table("featttl").as[FeatUpsert].collect()
+      val tombs = rows.filter(_.tombstone).map(_.user_id).toSet
+      assert(tombs == Set(1L, 2L),
+        s"idle actors must evict with tombstones, got $tombs")
+      // actor 1 re-appears: lifetime features restart from zero
+      input.addData(FeatEvent(1L, ts(43), 9L))
+      q.processAllAvailable()
+      val re = spark.table("featttl").as[FeatUpsert].collect()
+        .filter(r => r.user_id == 1L && !r.tombstone)
+        .maxBy(_.last_us)
+      assert(re.n_total == 1 && re.cents_total == 9L,
+        s"re-appearing actor must start fresh, got $re")
+    } finally q.stop()
+  }
+
   test("heavyHitters: Misra-Gries state holds <= k counters, matches " +
     "the driver replay on an ordered feed, and keeps the frequency " +
     "guarantee across batches") {
