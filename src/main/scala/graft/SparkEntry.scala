@@ -2286,6 +2286,148 @@ object SparkEntry {
             "ELSE 0 END")).as("max_late_ms"))
     }),
 
+    // ——— The TPC-H classics (adapted to this corpus's columns) — the
+    // recognizable star-join yardstick, run in the repo's exact-integer
+    // discipline: money in cents, discount/tax in basis points (both
+    // via round() — DuckDB's double→int CAST rounds while Spark's
+    // truncates, so the explicit round() is what keeps the engines on
+    // the same integer), every sum exact, one division or double-cast
+    // per output column. ———
+
+    // TPC-H Q1: pricing summary report. disc_price/charge accumulate as
+    // exact integers (charge in decimal(38,0) — its e8-scaled rows pass
+    // 2⁶³ at corpus scale), then ONE double cast each.
+    "q202_tpch_q1" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate <= TIMESTAMP'1998-09-02 00:00:00'"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("dbp"),
+          expr("CAST(round(l_tax * 10000) AS BIGINT)").as("tbp"))
+      l.groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("qty")).as("sum_qty"),
+          sum(col("cents")).as("sum_base_cents"),
+          sum(col("cents") * (lit(10000L) - col("dbp")))
+            .as("sum_disc_price_e4"),
+          sum(col("cents").cast("decimal(38,0)") *
+            (lit(10000L) - col("dbp")).cast("decimal(38,0)") *
+            (lit(10000L) + col("tbp")).cast("decimal(38,0)"))
+            .cast("double").as("sum_charge_e8"),
+          sum(col("dbp")).as("__sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"), col("sum_qty"),
+          col("sum_base_cents"), col("sum_disc_price_e4"),
+          col("sum_charge_e8"),
+          (col("sum_qty").cast("double") /
+            col("count_order").cast("double")).as("avg_qty"),
+          (col("sum_base_cents").cast("double") /
+            col("count_order").cast("double")).as("avg_cents"),
+          (col("__sd").cast("double") /
+            col("count_order").cast("double")).as("avg_disc_bp"),
+          col("count_order"))
+    }),
+
+    // TPC-H Q3: shipping-priority top-10 (o_orderpriority stands in for
+    // the missing o_shippriority), tie-broken (revenue desc, orderdate,
+    // orderkey).
+    "q203_tpch_q3" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate < TIMESTAMP'1998-03-15 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate > TIMESTAMP'1998-03-15 00:00:00'"))
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+        .agg(sum(col("rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderdate"),
+          col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5: local-supplier volume in ASIA for 1996 — the 6-table
+    // star join with the c_nationkey = s_nationkey locality predicate.
+    "q204_tpch_q5" -> ((s, dir) => {
+      val asia = t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")
+            .filter(col("r_name") === "ASIA").select(col("r_regionkey"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP'1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP'1997-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("rev")).as("revenue_e4"))
+    }),
+
+    // TPC-H Q6: forecasting revenue change — one pushed-down filter +
+    // one exact integer sum, the minimal scan-dominated query.
+    "q205_tpch_q6" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP'1996-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP'1997-01-01 00:00:00'") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+          .as("revenue_e4"), count(lit(1)).as("n_lines"))),
+
+    // TPC-H Q10: returned-item reporting — top-20 customers by revenue
+    // lost to returns in 1997Q4, tie-broken by custkey.
+    "q206_tpch_q10" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP'1997-10-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP'1998-01-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+              col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("rev")).as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7174,6 +7316,98 @@ object SparkEntry {
         |   (1.0 / CAST(n_ctl AS DOUBLE) + 1.0 / CAST(n_trt AS DOUBLE)))
         |  END AS z_score
         |FROM r""".stripMargin,
+
+    // q202-q206 twins: the TPC-H classics with the identical integer
+    // scaling (round() before every double→int — DuckDB's bare CAST
+    // rounds, Spark's truncates), HUGEINT accumulation for the charge
+    // column, one division/double-cast per output.
+    "q202_tpch_q1" ->
+      """WITH l AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(round(l_quantity) AS BIGINT) AS qty,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+        |  CAST(round(l_discount * 10000) AS BIGINT) AS dbp,
+        |  CAST(round(l_tax * 10000) AS BIGINT) AS tbp
+        | FROM lineitem
+        | WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'),
+        |a AS (SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(qty) AS BIGINT) AS sum_qty,
+        |  CAST(sum(cents) AS BIGINT) AS sum_base_cents,
+        |  CAST(sum(cents * (10000 - dbp)) AS BIGINT)
+        |   AS sum_disc_price_e4,
+        |  CAST(sum(CAST(cents AS HUGEINT) * (10000 - dbp) *
+        |   (10000 + tbp)) AS DOUBLE) AS sum_charge_e8,
+        |  CAST(sum(dbp) AS BIGINT) AS sd,
+        |  CAST(count(*) AS BIGINT) AS count_order
+        | FROM l GROUP BY 1, 2)
+        |SELECT l_returnflag, l_linestatus, sum_qty, sum_base_cents,
+        | sum_disc_price_e4, sum_charge_e8,
+        | CAST(sum_qty AS DOUBLE) / CAST(count_order AS DOUBLE)
+        |  AS avg_qty,
+        | CAST(sum_base_cents AS DOUBLE) / CAST(count_order AS DOUBLE)
+        |  AS avg_cents,
+        | CAST(sd AS DOUBLE) / CAST(count_order AS DOUBLE)
+        |  AS avg_disc_bp,
+        | count_order
+        |FROM a""".stripMargin,
+
+    "q203_tpch_q3" ->
+      """SELECT l.l_orderkey, o.o_orderdate, o.o_orderpriority,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |WHERE c.c_mktsegment = 'BUILDING'
+        | AND o.o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        | AND l.l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue_e4 DESC, o.o_orderdate, l.l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q204_tpch_q5" ->
+      """SELECT n.n_name,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | AND c.c_nationkey = s.s_nationkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |WHERE r.r_name = 'ASIA'
+        | AND o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q205_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |  CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+        |  AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        | AND l_discount BETWEEN 0.05 AND 0.07
+        | AND l_quantity < 24""".stripMargin,
+
+    "q206_tpch_q10" ->
+      """SELECT c.c_custkey, c.c_name, c.c_acctbal, n.n_name,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |WHERE l.l_returnflag = 'R'
+        | AND o.o_orderdate >= TIMESTAMP '1997-10-01 00:00:00'
+        | AND o.o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1, 2, 3, 4
+        |ORDER BY revenue_e4 DESC, c.c_custkey
+        |LIMIT 20""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

@@ -878,6 +878,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"horizon must broadcast:\n$f")
   }
 
+  test("TPC-H family: Q6's predicates reach the parquet scan; Q5/Q10 " +
+    "broadcast every dimension; Q1 scans lineitem exactly once") {
+    val f6 = formatted("q205_tpch_q6")
+    assert(f6.contains("PushedFilters:") &&
+      (f6.contains("IsNotNull(l_discount)") ||
+        f6.contains("GreaterThanOrEqual(l_discount") ||
+        f6.contains("LessThan(l_quantity")),
+      s"Q6's scan must carry pushed predicates:\n$f6")
+    assert(!f6.contains("Join"), s"Q6 is scan+agg only:\n$f6")
+    for (q <- Seq("q204_tpch_q5", "q206_tpch_q10")) {
+      val p = plan(q)
+      for (dimKey <- Seq("n_nationkey"))
+        assert(!p.linesIterator.exists(l =>
+          (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+            && l.contains(dimKey)),
+          s"$q: the nation dim join took a shuffle path:\n$p")
+    }
+    val f1 = formatted("q202_tpch_q1")
+    assert("lineitem".r.findAllIn(f1).length == 1,
+      s"Q1 reads lineitem once:\n$f1")
+  }
+
   test("q193 retention triangle: cohort sizes broadcast onto the " +
     "triangle — no shuffle join against the weeks-cardinality table") {
     val p = plan("q193_retention_triangle")
