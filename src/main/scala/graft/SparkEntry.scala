@@ -2428,6 +2428,116 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // TPC-H Q4 (adapted): order-priority checking — orders in 1996Q1
+    // with at least one LATE line (shipped > 60 days after the order
+    // date; the corpus has no commit/receipt dates), as a left-semi
+    // join whose condition spans both sides. The EXISTS-subquery shape.
+    "q207_tpch_q4" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .filter(expr("o_orderdate >= TIMESTAMP'1996-01-01 00:00:00'") &&
+          expr("o_orderdate < TIMESTAMP'1996-04-01 00:00:00'"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          col("o_orderpriority"))
+      val l = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_shipdate"))
+      o.join(l, col("o_orderkey") === col("l_orderkey") &&
+          unix_micros(col("l_shipdate")) >
+            unix_micros(col("o_orderdate")) + lit(5184000000000L),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // TPC-H Q7: volume shipping between two nations — revenue per
+    // (supplier nation, customer nation, ship year) for the
+    // NATION_1/NATION_2 pair, both directions.
+    "q208_tpch_q7" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          year(col("l_shipdate")).as("l_year"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter((col("s_nationkey") === 1 && col("c_nationkey") === 2) ||
+          (col("s_nationkey") === 2 && col("c_nationkey") === 1))
+        .groupBy(col("s_nationkey").as("supp_nation"),
+          col("c_nationkey").as("cust_nation"), col("l_year"))
+        .agg(sum(col("rev")).as("revenue_e4"))),
+
+    // TPC-H Q14: promo revenue share for one ship month — exact integer
+    // numerator and denominator, the share as ONE division.
+    "q209_tpch_q14" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP'1996-03-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP'1996-04-01 00:00:00'"))
+        .select(col("l_partkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", col("rev"))
+            .otherwise(0L)).as("promo_rev_e4"),
+          sum(col("rev")).as("total_rev_e4"))
+        .select(col("promo_rev_e4"), col("total_rev_e4"),
+          (lit(100.0) * col("promo_rev_e4").cast("double") /
+            col("total_rev_e4").cast("double")).as("promo_pct"))),
+
+    // TPC-H Q18: large-volume customers — orders whose total quantity
+    // exceeds 250, with customer detail, top-20 by (totalprice desc,
+    // orderdate, orderkey). The HAVING-subquery membership shape as a
+    // semi-join against the aggregated order list.
+    "q210_tpch_q18" -> ((s, dir) => {
+      val big = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+        .filter(col("sum_qty") > 250)
+      t(s, dir, "orders")
+        .join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_name")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(20)
+    }),
+
+    // TPC-H Q19: discounted revenue under brand/size/quantity bracket
+    // disjunctions — the multi-predicate pushdown shape.
+    "q211_tpch_q19" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_quantity"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#4" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#17" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#8" && col("p_size").between(1, 50) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(col("rev")).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7408,6 +7518,76 @@ object SparkEntry {
         |GROUP BY 1, 2, 3, 4
         |ORDER BY revenue_e4 DESC, c.c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q207_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        | AND o.o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        | AND EXISTS (SELECT 1 FROM lineitem l
+        |  WHERE l.l_orderkey = o.o_orderkey
+        |   AND epoch_us(l.l_shipdate) >
+        |    epoch_us(o.o_orderdate) + 5184000000000)
+        |GROUP BY 1""".stripMargin,
+
+    "q208_tpch_q7" ->
+      """SELECT s.s_nationkey AS supp_nation,
+        | c.c_nationkey AS cust_nation,
+        | year(l.l_shipdate) AS l_year,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |WHERE (s.s_nationkey = 1 AND c.c_nationkey = 2)
+        | OR (s.s_nationkey = 2 AND c.c_nationkey = 1)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q209_tpch_q14" ->
+      """WITH l AS (SELECT l_partkey,
+        |  CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)) AS rev
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
+        |a AS (SELECT
+        |  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev ELSE 0 END)
+        |   AS BIGINT) AS promo_rev_e4,
+        |  CAST(sum(l.rev) AS BIGINT) AS total_rev_e4
+        | FROM l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT promo_rev_e4, total_rev_e4,
+        | 100.0 * CAST(promo_rev_e4 AS DOUBLE) /
+        |  CAST(total_rev_e4 AS DOUBLE) AS promo_pct
+        |FROM a""".stripMargin,
+
+    "q210_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+        |  CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+        |   AS sum_qty
+        | FROM lineitem GROUP BY 1
+        | HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 250)
+        |SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+        | o.o_totalprice, big.sum_qty
+        |FROM orders o
+        |JOIN big ON o.o_orderkey = big.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 20""".stripMargin,
+
+    "q211_tpch_q19" ->
+      """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
+        |   AND l.l_quantity BETWEEN 1 AND 21)
+        | OR (p.p_brand = 'Brand#17' AND p.p_size BETWEEN 1 AND 30
+        |   AND l.l_quantity BETWEEN 10 AND 30)
+        | OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 1 AND 50
+        |   AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
