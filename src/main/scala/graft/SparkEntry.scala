@@ -2538,6 +2538,111 @@ object SparkEntry {
         .agg(sum(col("rev")).as("revenue_e4"),
           count(lit(1)).as("n_lines"))),
 
+    // TPC-H Q8: national market share — NATION_1's share of PROMO-part
+    // revenue sold into ASIA, by order year; numerator and denominator
+    // exact integers, the share ONE division per year row.
+    "q212_tpch_q8" -> ((s, dir) => {
+      val asiaCust = t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region")
+                .filter(col("r_name") === "ASIA")
+                .select(col("r_regionkey"))),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_type") === "PROMO").select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(asiaCust, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_year"))
+        .agg(sum(col("rev")).as("total_e4"),
+          sum(when(col("s_nationkey") === 1, col("rev")).otherwise(0L))
+            .as("nation1_e4"))
+        .select(col("o_year"), col("total_e4"), col("nation1_e4"),
+          (col("nation1_e4").cast("double") /
+            col("total_e4").cast("double")).as("mkt_share"))
+    }),
+
+    // TPC-H Q15: top supplier — revenue per supplier over one quarter,
+    // the max-revenue supplier(s) via a 1-row broadcast max (exact
+    // integer ties surface ALL maximal suppliers, as the spec demands).
+    "q213_tpch_q15" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP'1996-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP'1996-04-01 00:00:00'"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) -
+            expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+          .as("total_rev_e4"))
+      rev.crossJoin(broadcast(rev.agg(max(col("total_rev_e4"))
+          .as("__mx"))))
+        .filter(col("total_rev_e4") === col("__mx"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+    }),
+
+    // TPC-H Q17: small-quantity-order revenue — Brand#4 lines below
+    // 20% of their part's average quantity. The fractional threshold
+    // becomes the EXACT integer predicate 5·qty·n < Σqty (multiply
+    // through by 5n — no 0.2·avg double ever exists to disagree on).
+    "q214_tpch_q17" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") === "Brand#4")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_partkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)")
+            .as("cents"))
+      val stats = l.groupBy(col("p_partkey").as("__pk"))
+        .agg(sum(col("qty")).as("__sq"), count(lit(1)).as("__n"))
+      l.join(stats, col("p_partkey") === col("__pk"))
+        .filter(lit(5L) * col("qty") * col("__n") < col("__sq"))
+        .agg(sum(col("cents")).as("small_qty_cents"),
+          count(lit(1)).as("n_lines"))
+    }),
+
+    // TPC-H Q22 (adapted): lapsed prospective customers — above-average
+    // balance (the average over positive balances, as the EXACT integer
+    // predicate cents·n > Σcents) with NO orders in the corpus's final
+    // window (every customer here has ordered at least once, so the
+    // classic never-ordered predicate is vacuous); censused per nation.
+    // Balances carried as integer cents so no double sums across rows.
+    "q215_tpch_q22" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("CAST(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+      val pos = c.filter(col("bal_cents") > 0)
+        .agg(sum(col("bal_cents")).as("__s"), count(lit(1)).as("__n"))
+      c.crossJoin(broadcast(pos))
+        .filter(col("bal_cents") * col("__n") > col("__s"))
+        .join(t(s, dir, "orders")
+            .filter(expr("o_orderdate >= TIMESTAMP'2000-01-01 00:00:00'"))
+            .select(col("o_custkey")).distinct(),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          sum(col("bal_cents")).as("total_bal_cents"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7588,6 +7693,74 @@ object SparkEntry {
         |   AND l.l_quantity BETWEEN 10 AND 30)
         | OR (p.p_brand = 'Brand#8' AND p.p_size BETWEEN 1 AND 50
         |   AND l.l_quantity BETWEEN 20 AND 40)""".stripMargin,
+
+    "q212_tpch_q8" ->
+      """SELECT year(o.o_orderdate) AS o_year,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS total_e4,
+        | CAST(sum(CASE WHEN s.s_nationkey = 1 THEN
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |  ELSE 0 END) AS BIGINT) AS nation1_e4,
+        | CAST(sum(CASE WHEN s.s_nationkey = 1 THEN
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |  ELSE 0 END) AS DOUBLE) /
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS DOUBLE) AS mkt_share
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        | AND p.p_type = 'PROMO'
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        | AND r.r_name = 'ASIA'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |GROUP BY 1""".stripMargin,
+
+    "q213_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |   AS BIGINT) AS total_rev_e4
+        | FROM lineitem
+        | WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        | GROUP BY 1)
+        |SELECT s.s_suppkey, s.s_name, rev.total_rev_e4
+        |FROM rev JOIN supplier s ON rev.l_suppkey = s.s_suppkey
+        |WHERE rev.total_rev_e4 = (SELECT max(total_rev_e4) FROM rev)
+        |""".stripMargin,
+
+    "q214_tpch_q17" ->
+      """WITH l AS (SELECT l.l_partkey AS pk,
+        |  CAST(round(l.l_quantity) AS BIGINT) AS qty,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) AS cents
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | WHERE p.p_brand = 'Brand#4'),
+        |st AS (SELECT pk, CAST(sum(qty) AS BIGINT) AS sq,
+        |  CAST(count(*) AS BIGINT) AS n FROM l GROUP BY 1)
+        |SELECT CAST(sum(l.cents) AS BIGINT) AS small_qty_cents,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM l JOIN st ON l.pk = st.pk
+        |WHERE 5 * l.qty * st.n < st.sq""".stripMargin,
+
+    "q215_tpch_q22" ->
+      """WITH c AS (SELECT c_custkey, c_nationkey,
+        |  CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+        | FROM customer),
+        |pos AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS s,
+        |  CAST(count(*) AS BIGINT) AS n FROM c WHERE bal_cents > 0)
+        |SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_custs,
+        | CAST(sum(c.bal_cents) AS BIGINT) AS total_bal_cents
+        |FROM c, pos
+        |WHERE c.bal_cents * pos.n > pos.s
+        | AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
+        |   WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
