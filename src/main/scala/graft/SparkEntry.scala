@@ -2643,6 +2643,22 @@ object SparkEntry {
           sum(col("bal_cents")).as("total_bal_cents"))
     }),
 
+    // TPC-H Q13: customer order-count distribution — the left join that
+    // must KEEP zero-order customers (an inner join silently drops the
+    // c_count=0 bucket, the classic Q13 trap), counting only
+    // non-excluded orders (the 5-LOW class stands in for the spec's
+    // comment-pattern exclusion), then the distribution census.
+    "q216_tpch_q13" -> ((s, dir) =>
+      t(s, dir, "customer").select(col("c_custkey"))
+        .join(t(s, dir, "orders")
+            .filter(col("o_orderpriority") =!= "5-LOW")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7761,6 +7777,16 @@ object SparkEntry {
         | AND c.c_custkey NOT IN (SELECT o_custkey FROM orders
         |   WHERE o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
         |GROUP BY 1""".stripMargin,
+
+    "q216_tpch_q13" ->
+      """WITH cc AS (SELECT c.c_custkey,
+        |  CAST(count(o.o_orderkey) AS BIGINT) AS c_count
+        | FROM customer c LEFT JOIN orders o
+        |  ON c.c_custkey = o.o_custkey
+        |   AND o.o_orderpriority <> '5-LOW'
+        | GROUP BY 1)
+        |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+        |FROM cc GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
