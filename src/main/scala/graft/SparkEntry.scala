@@ -2659,6 +2659,21 @@ object SparkEntry {
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))),
 
+    // L169: weighted label-propagation communities over the co-purchase
+    // graph — the DENSITY structure the component/k-core family can't
+    // see (the co-purchase graph is one giant component; LPA splits it
+    // into basket-cohesive clusters). Three deterministic synchronous
+    // rounds (max-weight label, tie → min id) off the SAME bucketed
+    // artifact the rest of the graph family serves from; reported as
+    // the top-20 community census. [[GraphOps.labelPropagationSym]].
+    "q217_label_propagation" -> ((s, dir) =>
+      G.labelPropagationSym(coPurchaseSymTable(s, dir),
+          "node", "peer", "w", 3)
+        .groupBy(col("lbl").as("community"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community"))
+        .limit(20)),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7787,6 +7802,38 @@ object SparkEntry {
         | GROUP BY 1)
         |SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
         |FROM cc GROUP BY 1""".stripMargin,
+
+    // q217 twin: three synchronous LPA rounds unrolled as CTEs — the
+    // same co-purchase sym derivation as the q195 twin, each round one
+    // neighbor-label tally + the (sum DESC, lbl ASC) argmax the Spark
+    // max-of-struct computes.
+    "q217_label_propagation" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b, CAST(count(*) AS BIGINT) AS w
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer, w FROM e
+        |  UNION ALL SELECT b, a, w FROM e),
+        |l0 AS (SELECT DISTINCT node, node AS lbl FROM sym),
+        |t1 AS (SELECT s.node, l.lbl, CAST(sum(s.w) AS BIGINT) AS sw
+        |  FROM sym s JOIN l0 l ON l.node = s.peer GROUP BY 1, 2),
+        |l1 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+        |   OVER (PARTITION BY node ORDER BY sw DESC, lbl) AS rn FROM t1)
+        |  WHERE rn = 1),
+        |t2 AS (SELECT s.node, l.lbl, CAST(sum(s.w) AS BIGINT) AS sw
+        |  FROM sym s JOIN l1 l ON l.node = s.peer GROUP BY 1, 2),
+        |l2 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+        |   OVER (PARTITION BY node ORDER BY sw DESC, lbl) AS rn FROM t2)
+        |  WHERE rn = 1),
+        |t3 AS (SELECT s.node, l.lbl, CAST(sum(s.w) AS BIGINT) AS sw
+        |  FROM sym s JOIN l2 l ON l.node = s.peer GROUP BY 1, 2),
+        |l3 AS (SELECT node, lbl FROM (SELECT node, lbl, row_number()
+        |   OVER (PARTITION BY node ORDER BY sw DESC, lbl) AS rn FROM t3)
+        |  WHERE rn = 1)
+        |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM l3 GROUP BY 1
+        |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

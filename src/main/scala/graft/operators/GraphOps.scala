@@ -667,6 +667,65 @@ object GraphOps {
     out
   }
 
+  /** Weighted synchronous label propagation (Raghavan, Albert & Kumara,
+    * "Near linear time algorithm to detect community structures in
+    * large-scale networks", Phys. Rev. E 76, 2007) over a SYMMETRIC
+    * weighted edge list — the community detector that complements the
+    * component/k-core/PageRank family: components find connectivity,
+    * LPA finds DENSITY (which parts of one giant component cluster
+    * together). Returns one (node, lbl) row per node after `iters`
+    * synchronous rounds; nodes sharing `lbl` are one community.
+    *
+    * Determinism (the oracle contract): every node starts labeled with
+    * its own id; each round every node simultaneously adopts the label
+    * with the LARGEST total incident edge weight among its neighbors,
+    * ties broken by the SMALLEST label — a pure function of the input,
+    * unlike the randomized asynchronous original. The argmax is the
+    * combinable max-of-struct (s, −lbl) aggregate, not a window sort.
+    *
+    * Scale: per round one equi-join attaching the node-cardinality
+    * label table to the corpus-scale edge list (broadcast under the
+    * [[RankBroadcastMaxNodes]] budget — the edge list never re-shuffles)
+    * plus two partial-aggregable groupBys; labels localCheckpoint per
+    * round (bounded plan, dead rounds released). Fixed `iters`, not a
+    * fixpoint: LPA label-flip counts decay geometrically on clustered
+    * graphs and the synchronous update can 2-cycle on bipartite-ish
+    * subgraphs, so a bounded round count IS the termination rule. */
+  def labelPropagationSym(symEdges: DataFrame, src: String, dst: String,
+                          weight: String, iters: Int = 3): DataFrame = {
+    val sym = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"),
+        col(weight).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = sym.select(col("u").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = nodes.count() // one scalar; also materializes sym
+    val bcast: DataFrame => DataFrame =
+      if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    val stale = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    for (_ <- 1 to iters) {
+      // Neighbor-label tally for node u = labels of its peers v weighted
+      // by w; (node, lbl) partials combine map-side before the shuffle.
+      val tally = sym.join(bcast(labels), sym("v") === labels("node"))
+        .select(sym("u").as("node"), col("lbl"), col("w"))
+        .groupBy(col("node"), col("lbl")).agg(sum(col("w")).as("s"))
+      // max weight, tie → min label: lexicographic max of (s, −lbl).
+      // Labels are node ids (≥ 0 by the graph builders' contract), so
+      // the negation cannot overflow.
+      val next = tally.groupBy(col("node"))
+        .agg(max(struct(col("s"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("lbl"))
+        .localCheckpoint(true)
+      stale += next
+      labels = next
+    }
+    stale.dropRight(1).foreach(releaseCheckpoint)
+    sym.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
+
   /** Degree assortativity — the Pearson correlation of endpoint degrees
     * over the (symmetrized) edge list: do heavy nodes attach to heavy
     * nodes (r > 0, social-graph shape) or to leaves (r < 0, hub-spoke

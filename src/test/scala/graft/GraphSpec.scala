@@ -347,4 +347,36 @@ class GraphSpec extends AnyFunSuite {
     val t = GraphOps.degreeAssortativity(tri, "a", "b").head
     assert(t.isNullAt(3), s"regular graph must read null, got $t")
   }
+
+  test("labelPropagationSym: two weight-cohesive cliques joined by a " +
+    "weak bridge split into two communities; ties break to min label") {
+    // Cliques {1,2,3} and {10,11,12} with internal weight 5, bridged by
+    // a weight-1 edge 3-10. Round 1: every node adopts its min neighbor
+    // (weights tie inside a clique) → {1,2,3}→1-ish, {10,11,12}→10-ish;
+    // by round 3 each clique is uniform and the weak bridge never
+    // outweighs the 2×5 internal mass.
+    def sym(es: Seq[(Long, Long, Long)]) =
+      (es ++ es.map(e => (e._2, e._1, e._3))).toDF("n", "p", "w")
+    val g = sym(Seq((1L, 2L, 5L), (1L, 3L, 5L), (2L, 3L, 5L),
+      (10L, 11L, 5L), (10L, 12L, 5L), (11L, 12L, 5L), (3L, 10L, 1L)))
+    val labels = G.labelPropagationSym(g, "n", "p", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(labels(1) == 1L && labels(2) == 1L && labels(3) == 1L,
+      s"left clique, got $labels")
+    assert(labels(10) == 10L && labels(11) == 10L && labels(12) == 10L,
+      s"right clique, got $labels")
+
+    // Deterministic tie-break on a pure triangle (all tallies tie every
+    // round): hand-traced synchronous rounds give l1={1→2,2→1,3→1},
+    // l2=l3={all→1} — min label wins and the state is stable by round 3.
+    val tri3 = sym(Seq((1L, 2L, 7L), (2L, 3L, 7L), (1L, 3L, 7L)))
+    val l1 = G.labelPropagationSym(tri3, "n", "p", "w", 1)
+      .as[(Long, Long)].collect().toMap
+    assert(l1 == Map(1L -> 2L, 2L -> 1L, 3L -> 1L),
+      s"round-1 synchronous fixture, got $l1")
+    val l3 = G.labelPropagationSym(tri3, "n", "p", "w", 3)
+      .as[(Long, Long)].collect().toMap
+    assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"triangle must be uniform by round 3, got $l3")
+  }
 }
