@@ -2674,6 +2674,21 @@ object SparkEntry {
         .orderBy(col("n_nodes").desc, col("community"))
         .limit(20)),
 
+    // Skyline / Pareto frontier (Börzsönyi et al., ICDE 2001) — the
+    // multi-objective SELECT the top-k family can't express: parts no
+    // other part beats on BOTH price (cheaper) and size (bigger). The
+    // domain-bounded two-phase shape (per-cents frontier → running-max
+    // over the price domain → membership join) — never the O(n²)
+    // dominance self-join. [[RelationalOps.skylineMinMax]];
+    // property-pinned against brute-force dominance in PropertySpec.
+    "q218_skyline" -> ((s, dir) =>
+      R.skylineMinMax(
+        t(s, dir, "part").select(col("p_partkey"),
+          expr("CAST(round(p_retailprice * 100) AS BIGINT)")
+            .as("price_cents"),
+          col("p_size")),
+        col("price_cents"), col("p_size"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7834,6 +7849,25 @@ object SparkEntry {
         |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
         |FROM l3 GROUP BY 1
         |ORDER BY n_nodes DESC, community LIMIT 20""".stripMargin,
+
+    // q218 twin: the same two-phase skyline — per-price frontier,
+    // strict-predecessor running max over the price domain, membership
+    // join; ties on both axes kept on both engines.
+    "q218_skyline" ->
+      """WITH p AS (SELECT p_partkey,
+        |  CAST(round(p_retailprice * 100) AS BIGINT) AS price_cents,
+        |  p_size FROM part),
+        |f AS (SELECT price_cents, max(p_size) AS msize
+        |  FROM p GROUP BY 1),
+        |s AS (SELECT price_cents, msize, max(msize)
+        |   OVER (ORDER BY price_cents
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS run
+        |  FROM f),
+        |sky AS (SELECT price_cents, msize FROM s
+        |  WHERE run IS NULL OR msize > run)
+        |SELECT p.p_partkey, p.price_cents, p.p_size
+        |FROM p JOIN sky ON p.price_cents = sky.price_cents
+        | AND p.p_size = sky.msize""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

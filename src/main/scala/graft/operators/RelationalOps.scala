@@ -268,4 +268,58 @@ object RelationalOps {
         .filter(col(rn) > lo).drop(rn)
     }
   }
+
+  /** Domain-size ceiling for broadcasting the skyline pair set in
+    * [[skylineMinMax]]: 10M (long, long) rows ≈ 160 MB hashed — the
+    * [[GraphOps]] rank-table budget. Past it the membership join rides
+    * an AQE shuffle. */
+  private val SkylineBroadcastMaxRows = 10000000L
+
+  /** 2-D skyline (Pareto frontier): the rows for which no other row is
+    * at-least-as-good on BOTH axes and strictly better on one —
+    * `minimize` smaller-is-better, `maximize` bigger-is-better (flip a
+    * sign to change direction). The classic "Skyline operator"
+    * (Börzsönyi, Kossmann & Stocker, ICDE 2001), phrased for Spark as
+    * bounded aggregation instead of the paper's block-nested-loop.
+    *
+    * Shape — NO all-pairs dominance join and no corpus-scale global
+    * sort: (1) reduce to the per-value frontier `minimize → max(
+    * maximize)` (one combinable shuffle, output cardinality = the
+    * DISTINCT `minimize` domain, corpus-independent for the discretized
+    * measures this engine uses — cents, sizes, counts); (2) one
+    * running-max window over that domain-sized table marks the values
+    * whose best `maximize` beats every strictly-better `minimize`
+    * (RANGE .. -1 = strict, so equal-`minimize` rows never dominate
+    * each other through the frame); (3) rows re-attach by membership
+    * join against the checkpointed skyline pair set (broadcast under
+    * [[SkylineBroadcastMaxRows]]). Ties on both axes are mutually
+    * non-dominating and ALL kept — the standard skyline contract.
+    *
+    * `minimize` must be integral: the strict-predecessor frame is the
+    * value-range [-∞, v−1], which is only "every strictly smaller
+    * value" on integer domains (the cents/basis-point discipline —
+    * doubles would need a window over a second sort anyway). */
+  def skylineMinMax(df: DataFrame, minimize: Column,
+                    maximize: Column): DataFrame = {
+    val front = df.groupBy(minimize.as("__sk_min"))
+      .agg(max(maximize).as("__sk_max"))
+    require({
+      import org.apache.spark.sql.types._
+      Seq(LongType, IntegerType, ShortType, ByteType)
+        .contains(front.schema("__sk_min").dataType)
+    }, "skylineMinMax: minimize axis must be integral (cents/size/count " +
+      "discipline) — the strict-predecessor RANGE frame is value-based")
+    val strictlyCheaper = Window.orderBy(col("__sk_min"))
+      .rangeBetween(Window.unboundedPreceding, -1)
+    val sky = front
+      .withColumn("__sk_run", max(col("__sk_max")).over(strictlyCheaper))
+      .filter(col("__sk_run").isNull || col("__sk_max") > col("__sk_run"))
+      .select(col("__sk_min"), col("__sk_max"))
+      .localCheckpoint(true)
+    val skySide =
+      if (sky.count() <= SkylineBroadcastMaxRows) broadcast(sky) else sky
+    df.join(skySide,
+        minimize === col("__sk_min") && maximize === col("__sk_max"))
+      .drop("__sk_min", "__sk_max")
+  }
 }

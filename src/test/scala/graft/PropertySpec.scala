@@ -439,4 +439,34 @@ class PropertySpec extends AnyFunSuite {
         "shift invariance on random data")
     }
   }
+
+  test("skylineMinMax equals brute-force dominance filtering on random " +
+    "points (duplicates and axis ties included)") {
+    // Narrow ranges force collisions on each axis AND full duplicates —
+    // the tie semantics (mutually non-dominating rows all kept) is the
+    // part a hand example misses.
+    val pts = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 12L), Gen.choose(0, 12)))
+    forAll(pts, n = 5) { data =>
+      val df = data.zipWithIndex
+        .map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("id", "x", "y")
+      val got = R.skylineMinMax(df, col("x"), col("y"))
+        .as[(Long, Long, Int)].collect().toSet
+      val expect = data.zipWithIndex.collect {
+        case ((x, y), i) if !data.exists { case (qx, qy) =>
+          qx <= x && qy >= y && (qx < x || qy > y) } =>
+          (i.toLong, x, y)
+      }.toSet
+      assert(got == expect, s"skyline diverged from brute force on $data")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("skylineMinMax rejects a non-integral minimize axis") {
+    val df = Seq((1.5, 2)).toDF("x", "y")
+    intercept[IllegalArgumentException] {
+      R.skylineMinMax(df, col("x"), col("y"))
+    }
+  }
 }
