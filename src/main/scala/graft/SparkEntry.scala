@@ -2689,6 +2689,45 @@ object SparkEntry {
           col("p_size")),
         col("price_cents"), col("p_size"))),
 
+    // Incremental JOIN-view maintenance — the delta algebra q91's
+    // aggregate rollup doesn't exercise: when BOTH sides of a stored
+    // join view V = O ⋈ C receive an insert batch, the maintenance
+    // reads are delta-sided only — ΔV = ΔO ⋈ C ∪ O_old ⋈ ΔC (the
+    // ΔO ⋈ ΔC cross term rides inside ΔO ⋈ C) — never a re-join of
+    // the two full inputs. Batches: every-37th order + every-41st
+    // customer; the view is per-(nation, status) exact-cents revenue;
+    // the merged partials must equal the DuckDB full recompute — the
+    // IVM correctness theorem AS the oracle check. ΔC attaches to the
+    // corpus-scale old-orders side broadcast (count-guarded: a batch
+    // is delta-bounded by construction).
+    "q219_ivm_join_view" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(col("o_orderkey"),
+        col("o_custkey"), col("o_orderstatus"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"))
+      val c = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_nationkey"))
+      val oldO = o.filter(pmod(col("o_orderkey"), lit(37L)) =!= 0)
+      val dO = o.filter(pmod(col("o_orderkey"), lit(37L)) === 0)
+      val oldC = c.filter(pmod(col("c_custkey"), lit(41L)) =!= 0)
+      val dC = c.filter(pmod(col("c_custkey"), lit(41L)) === 0)
+        .localCheckpoint(true)
+      val dCSide = if (dC.count() <= 10000000L) broadcast(dC) else dC
+      def viewAgg(df: DataFrame): DataFrame =
+        df.groupBy(col("c_nationkey"), col("o_orderstatus"))
+          .agg(sum(col("cents")).as("sum_cents"),
+            count(lit(1)).as("n_orders"))
+      val base = viewAgg(oldO.join(oldC,
+        col("o_custkey") === col("c_custkey")))
+      val deltaNew = viewAgg(dO.join(c,
+        col("o_custkey") === col("c_custkey")))
+      val deltaDim = viewAgg(oldO.join(dCSide,
+        col("o_custkey") === col("c_custkey")))
+      base.unionByName(deltaNew).unionByName(deltaDim)
+        .groupBy(col("c_nationkey"), col("o_orderstatus"))
+        .agg(sum(col("sum_cents")).as("sum_cents"),
+          sum(col("n_orders")).as("n_orders"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7868,6 +7907,17 @@ object SparkEntry {
         |SELECT p.p_partkey, p.price_cents, p.p_size
         |FROM p JOIN sky ON p.price_cents = sky.price_cents
         | AND p.p_size = sky.msize""".stripMargin,
+
+    // q219 twin: the FULL recompute — merge-maintained must equal
+    // rebuilt-from-base exactly (integer cents, so no summation-order
+    // hazard across the three partial unions).
+    "q219_ivm_join_view" ->
+      """SELECT c.c_nationkey, o.o_orderstatus,
+        | CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+        |  AS BIGINT) AS sum_cents,
+        | CAST(count(*) AS BIGINT) AS n_orders
+        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
