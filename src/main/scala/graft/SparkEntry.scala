@@ -2728,6 +2728,18 @@ object SparkEntry {
           sum(col("n_orders")).as("n_orders"))
     }),
 
+    // L170: greedy maximum-coverage source selection — the submodular
+    // curation question ("which 4 corpora buy the most content
+    // diversity?") over word-3-gram coverage, the q39/q25 shingle
+    // semantics. Four deterministic greedy rounds (max new shingles,
+    // tie → min source); the covered set stays distributed, one argmax
+    // row collects per round. [[SampleOps.greedyCoverageSelect]].
+    "q220_coverage_select" -> ((s, dir) =>
+      Sam.greedyCoverageSelect(
+        t(s, dir, "documents").select(col("source"),
+          explode(T.wordShingles(split(col("text"), " "), 3)).as("sh")),
+        col("source"), col("sh"), 4)),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7918,6 +7930,63 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_orders
         |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         |GROUP BY 1, 2""".stripMargin,
+
+    // q220 twin: four greedy maximum-coverage rounds unrolled — the
+    // q39 word-3-gram shingle semantics, each round a 0-gain-keeping
+    // left join over unselected sources, the (gain DESC, source ASC)
+    // argmax, and the cumulative distinct-coverage count.
+    "q220_coverage_select" ->
+      s"""WITH tok AS (SELECT source, string_split(text,' ') AS w
+         |  FROM documents),
+         |shl AS (SELECT source, $sqlShingles3 AS sl FROM tok),
+         |us AS (SELECT DISTINCT source, sh FROM
+         |  (SELECT source, unnest(sl) AS sh FROM shl)),
+         |un AS (SELECT DISTINCT source FROM us),
+         |g1 AS (SELECT u.source, CAST(coalesce(r.g, 0) AS BIGINT) AS g
+         |  FROM un u LEFT JOIN (SELECT source, count(*) AS g
+         |    FROM us GROUP BY 1) r ON u.source = r.source),
+         |p1 AS (SELECT source, g FROM g1 ORDER BY g DESC, source LIMIT 1),
+         |c1 AS (SELECT DISTINCT sh FROM us
+         |  WHERE source IN (SELECT source FROM p1)),
+         |g2 AS (SELECT u.source, CAST(coalesce(r.g, 0) AS BIGINT) AS g
+         |  FROM (SELECT source FROM un
+         |    WHERE source NOT IN (SELECT source FROM p1)) u
+         |  LEFT JOIN (SELECT source, count(*) AS g FROM us
+         |    WHERE sh NOT IN (SELECT sh FROM c1) GROUP BY 1) r
+         |  ON u.source = r.source),
+         |p2 AS (SELECT source, g FROM g2 ORDER BY g DESC, source LIMIT 1),
+         |s2 AS (SELECT source FROM p1 UNION ALL SELECT source FROM p2),
+         |c2 AS (SELECT DISTINCT sh FROM us
+         |  WHERE source IN (SELECT source FROM s2)),
+         |g3 AS (SELECT u.source, CAST(coalesce(r.g, 0) AS BIGINT) AS g
+         |  FROM (SELECT source FROM un
+         |    WHERE source NOT IN (SELECT source FROM s2)) u
+         |  LEFT JOIN (SELECT source, count(*) AS g FROM us
+         |    WHERE sh NOT IN (SELECT sh FROM c2) GROUP BY 1) r
+         |  ON u.source = r.source),
+         |p3 AS (SELECT source, g FROM g3 ORDER BY g DESC, source LIMIT 1),
+         |s3 AS (SELECT source FROM s2 UNION ALL SELECT source FROM p3),
+         |c3 AS (SELECT DISTINCT sh FROM us
+         |  WHERE source IN (SELECT source FROM s3)),
+         |g4 AS (SELECT u.source, CAST(coalesce(r.g, 0) AS BIGINT) AS g
+         |  FROM (SELECT source FROM un
+         |    WHERE source NOT IN (SELECT source FROM s3)) u
+         |  LEFT JOIN (SELECT source, count(*) AS g FROM us
+         |    WHERE sh NOT IN (SELECT sh FROM c3) GROUP BY 1) r
+         |  ON u.source = r.source),
+         |p4 AS (SELECT source, g FROM g4 ORDER BY g DESC, source LIMIT 1),
+         |s4 AS (SELECT source FROM s3 UNION ALL SELECT source FROM p4),
+         |c4 AS (SELECT DISTINCT sh FROM us
+         |  WHERE source IN (SELECT source FROM s4))
+         |SELECT CAST(1 AS INT) AS round, source AS unit, g AS gain,
+         | (SELECT CAST(count(*) AS BIGINT) FROM c1) AS covered_total
+         | FROM p1
+         |UNION ALL SELECT CAST(2 AS INT), source, g,
+         | (SELECT CAST(count(*) AS BIGINT) FROM c2) FROM p2
+         |UNION ALL SELECT CAST(3 AS INT), source, g,
+         | (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3
+         |UNION ALL SELECT CAST(4 AS INT), source, g,
+         | (SELECT CAST(count(*) AS BIGINT) FROM c4) FROM p4""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

@@ -354,4 +354,61 @@ object SampleOps {
         floor(lit(budget) * (col("weight") / col("__tw"))).cast("long")
           .as("alloc_tokens"))
   }
+
+  /** Greedy maximum-coverage source selection — the submodular data-
+    * curation step (Nemhauser, Wolsey & Fisher 1978 give the (1−1/e)
+    * guarantee the greedy enjoys; coverage/facility-location objectives
+    * are the standard formulation for "which corpora buy the most
+    * DIVERSITY per added source"). `pairs` is a (unit, item) relation —
+    * e.g. source → distinct content shingle; each round selects the
+    * unit adding the most NOT-YET-COVERED items, ties → min unit.
+    * Returns one row per round: (round, unit, gain, covered_total).
+    *
+    * Scale posture: the covered-item set is corpus-scale and stays
+    * DISTRIBUTED — per round one left_anti join against the persisted
+    * (unit, item) relation plus one combinable count per unit; only the
+    * single argmax row is collected per round (the BPE-argmax regime —
+    * rounds × 1 row, never item data). Units with zero uncovered items
+    * keep a 0-gain row via the unit-list left join, so the argmax is
+    * total as long as any unit is unselected. */
+  def greedyCoverageSelect(pairs: DataFrame, unit: Column, item: Column,
+                           rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 64,
+      s"greedyCoverageSelect: rounds=$rounds out of [1, 64] — each round " +
+        "is a distributed pass; an unbounded loop is a driver hot loop")
+    val spark = pairs.sparkSession
+    val us = pairs.select(unit.cast("string").as("u"), item.as("it"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val allUnits = us.select(col("u")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nUnits = allUnits.count() // one scalar; also materializes us
+    val selected = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Int, String, Long, Long)]
+    for (r <- 1 to rounds if selected.size < nUnits) {
+      val covered =
+        if (selected.isEmpty) null
+        else us.filter(col("u").isin(selected.toSeq: _*))
+          .select(col("it")).distinct()
+      val uncovered =
+        if (covered == null) us
+        else us.join(covered, Seq("it"), "left_anti")
+      val gains = allUnits
+        .filter(!col("u").isin(selected.toSeq: _*))
+        .join(uncovered.groupBy(col("u")).agg(count(lit(1)).as("g")),
+          Seq("u"), "left_outer")
+        .select(col("u"), coalesce(col("g"), lit(0L)).as("g"))
+      // ONE bounded row crosses to the driver per round.
+      val top = gains.orderBy(col("g").desc, col("u")).limit(1).head
+      selected += top.getString(0)
+      val coveredTotal = us.filter(col("u").isin(selected.toSeq: _*))
+        .select(col("it")).distinct().count()
+      out += ((r, top.getString(0), top.getLong(1), coveredTotal))
+    }
+    us.unpersist(blocking = false)
+    allUnits.unpersist(blocking = false)
+    import spark.implicits._
+    out.toSeq.toDF("round", "unit", "gain", "covered_total")
+  }
 }

@@ -469,4 +469,39 @@ class PropertySpec extends AnyFunSuite {
       R.skylineMinMax(df, col("x"), col("y"))
     }
   }
+
+  test("greedyCoverageSelect equals a driver-side greedy reference " +
+    "(0-gain units kept, early stop past the unit count)") {
+    import graft.operators.SampleOps
+    val pairs = Gen.listOfN(60,
+      Gen.zip(Gen.choose(1, 6).map(u => s"u$u"), Gen.choose(1, 25)))
+    forAll(pairs, n = 3) { data =>
+      val df = data.toDF("u", "it")
+      val got = SampleOps
+        .greedyCoverageSelect(df, col("u"), col("it"), 3)
+        .as[(Int, String, Long, Long)].collect().toSeq
+      // Driver-side greedy: max new items, tie → lexicographic min unit.
+      val byUnit = data.distinct.groupBy(_._1)
+        .view.mapValues(_.map(_._2).toSet).toMap
+      var covered = Set.empty[Int]
+      var selected = Set.empty[String]
+      val expect = (1 to 3).flatMap { r =>
+        val cands = byUnit.keySet.diff(selected).toSeq
+          .map(u => (u, (byUnit(u) -- covered).size.toLong))
+        if (cands.isEmpty) None else {
+          val (u, g) = cands.minBy { case (u, g) => (-g, u) }
+          selected += u; covered ++= byUnit(u)
+          Some((r, u, g, covered.size.toLong))
+        }
+      }
+      assert(got == expect, s"greedy diverged on $data")
+      spark.catalog.clearCache()
+    }
+    // More rounds than units: stops after exhausting the units.
+    val tiny = Seq(("a", 1), ("b", 1), ("b", 2)).toDF("u", "it")
+    val rows = SampleOps.greedyCoverageSelect(tiny, col("u"), col("it"), 10)
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(rows == Seq((1, "b", 2L, 2L), (2, "a", 0L, 2L)),
+      s"early stop fixture, got $rows")
+  }
 }
