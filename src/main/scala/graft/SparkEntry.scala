@@ -2144,14 +2144,27 @@ object SparkEntry {
         .select(col("o_orderkey"), col("o_custkey"))
       val ppB = li.filter(pmod(col("ok"), lit(37L)) =!= 0).distinct()
         .localCheckpoint(true)
-      val e = ppB.as("x").join(ppB.as("y"),
+      // Base-trained co-occurrence WITHOUT re-joining the full pair set:
+      // orders partition every co-purchase pair, so w_base = w_full −
+      // w_delta — the q219 delta algebra applied to the similarity
+      // graph. w_full is the session's bucketed artifact; only the
+      // 1/37-sized holdout pays a self-join. Pairs living exclusively
+      // in held-out orders subtract to 0 and drop.
+      val dPairs = li.filter(pmod(col("ok"), lit(37L)) === 0).distinct()
+        .localCheckpoint(true)
+      val de = dPairs.as("x").join(dPairs.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("w"))
-      val sym = e.select(col("id_a").as("node"), col("id_b").as("peer"),
-          col("w"))
-        .union(e.select(col("id_b").as("node"), col("id_a").as("peer"),
-          col("w")))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("dw"))
+      val dsym = de.select(col("id_a").as("node"), col("id_b").as("peer"),
+          col("dw"))
+        .union(de.select(col("id_b").as("node"), col("id_a").as("peer"),
+          col("dw")))
+      val sym = coPurchaseSymTable(s, dir)
+        .join(dsym, Seq("node", "peer"), "left_outer")
+        .select(col("node"), col("peer"),
+          (col("w") - coalesce(col("dw"), lit(0L))).as("w"))
+        .filter(col("w") > 0)
         .localCheckpoint(true)
       val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
       val scored = sym
