@@ -2753,6 +2753,56 @@ object SparkEntry {
           explode(T.wordShingles(split(col("text"), " "), 3)).as("sh")),
         col("source"), col("sh"), 4)),
 
+    // CUPED-adjusted experiment readout (Deng, Xu, Kohavi & Walker,
+    // WSDM 2013) — q196's readout with the variance-reduction step
+    // every mature experimentation platform applies: per-user PRE-period
+    // spend (the covariate X) regresses out of the POST-period metric Y
+    // via θ = cov(X,Y)/var(X), pooled across arms. θ rides the q108
+    // integer-sufficient-statistic discipline (decimal(38,0) cross
+    // terms, ONE double division); the adjusted means assemble from
+    // exact per-arm integers in a pinned operation order. Period split
+    // = the q183 integer-midpoint rule (replayable, no wall clock);
+    // degenerate var(X)=0 reads null on both engines.
+    "q221_cuped_readout" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), col("cents"))
+            .otherwise(0L)).as("x"),
+          sum(when(col("us") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          col("x"), col("y"))
+        .localCheckpoint(true) // two consumers: pooled θ + per-arm stats
+      val g = per.agg(count(lit(1)).as("n"),
+        sum(col("x").cast(D)).as("sx"), sum(col("y").cast(D)).as("sy"),
+        sum(col("x").cast(D) * col("x").cast(D)).as("sxx"),
+        sum(col("x").cast(D) * col("y").cast(D)).as("sxy"))
+      val arm = per.groupBy(col("arm")).agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sum_x_cents"), sum(col("y")).as("sum_y_cents"))
+      val num = (col("n").cast(D) * col("sxy")
+        - col("sx") * col("sy")).cast("double")
+      val den = (col("n").cast(D) * col("sxx")
+        - col("sx") * col("sx")).cast("double")
+      val meanY = col("sum_y_cents").cast("double") /
+        col("n_users").cast("double")
+      val meanX = col("sum_x_cents").cast("double") /
+        col("n_users").cast("double")
+      val meanXAll = col("sx").cast("double") / col("n").cast("double")
+      arm.crossJoin(broadcast(g))
+        .select(col("arm"), col("n_users"), col("sum_x_cents"),
+          col("sum_y_cents"), meanY.as("mean_y"),
+          when(den > 0.0, num / den).as("theta"),
+          when(den > 0.0, meanY - (num / den) * (meanX - meanXAll))
+            .as("mean_y_cuped"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8000,6 +8050,46 @@ object SparkEntry {
          | (SELECT CAST(count(*) AS BIGINT) FROM c3) FROM p3
          |UNION ALL SELECT CAST(4 AS INT), source, g,
          | (SELECT CAST(count(*) AS BIGINT) FROM c4) FROM p4""".stripMargin,
+
+    // q221 twin: identical integer sufficient statistics (HUGEINT =
+    // the decimal(38,0) twin), identical double assembly order for θ
+    // and the adjusted means, identical midpoint rule.
+    "q221_cuped_readout" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id % 2 AS arm,
+        |  CAST(sum(CASE WHEN us < mid THEN cents ELSE 0 END)
+        |   AS BIGINT) AS x,
+        |  CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |   AS BIGINT) AS y
+        | FROM ev, m GROUP BY user_id),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+        |  sum(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy
+        | FROM per),
+        |a AS (SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(x) AS BIGINT) AS sum_x_cents,
+        |  CAST(sum(y) AS BIGINT) AS sum_y_cents
+        | FROM per GROUP BY 1),
+        |d AS (SELECT a.arm, a.n_users, a.sum_x_cents, a.sum_y_cents,
+        |  CAST(CAST(n AS HUGEINT) * sxy - sx * sy AS DOUBLE) AS num,
+        |  CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE) AS den,
+        |  CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mxall
+        | FROM a, g)
+        |SELECT arm, n_users, sum_x_cents, sum_y_cents,
+        | CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+        | CASE WHEN den > 0.0 THEN num / den END AS theta,
+        | CASE WHEN den > 0.0 THEN
+        |  CAST(sum_y_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |   - (num / den) *
+        |    (CAST(sum_x_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |     - mxall) END AS mean_y_cuped
+        |FROM d""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
