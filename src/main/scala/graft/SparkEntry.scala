@@ -2803,6 +2803,117 @@ object SparkEntry {
             .as("mean_y_cuped"))
     }),
 
+    // Qini / uplift-by-decile readout (Radcliffe, "Using control groups
+    // to target on predicted lift", 2007) — the targeting-model audit
+    // that completes the q196/q221 experimentation family: rank users by
+    // a pre-period activity score, cut into deciles, and read cumulative
+    // incremental conversions (treatment minus scaled control) down the
+    // ranking. Deciles are VALUE-CUT from a score histogram (the
+    // discreteQuantiles discipline) — no global row sort, no ntile over
+    // an unpartitioned window; after the one per-user shuffle everything
+    // runs at (score, arm) granularity, which is bounded by the score
+    // domain. All counts exact BIGINT; uplift/Qini assemble with pinned
+    // double division order, null-guarded on empty arms.
+    "q222_qini_deciles" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") < col("mid"), 1L).otherwise(0L))
+            .as("score"),
+          max(when(col("us") >= col("mid") &&
+              col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          col("score"), col("conv"))
+      // (score, arm) cells — the corpus is never re-joined; two
+      // consumers (histogram + decile rollup) share the checkpoint.
+      val cell = per.groupBy(col("score"), col("arm"))
+        .agg(count(lit(1)).as("n"), sum(col("conv")).as("c"))
+        .localCheckpoint(true)
+      // Value-cut decile per score: floor(10 * cum_before / total). The
+      // windows run over the DISTINCT-SCORE histogram (bounded domain),
+      // not the user set.
+      val hw = Window.orderBy(col("score").desc)
+      val dec = cell.groupBy(col("score")).agg(sum(col("n")).as("nv"))
+        .select(col("score"),
+          coalesce(sum(col("nv")).over(
+            hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("cb"),
+          sum(col("nv")).over(
+            hw.rowsBetween(Window.unboundedPreceding,
+              Window.unboundedFollowing)).as("nt"))
+        .select(col("score"),
+          expr("(10 * cb) div nt").cast("long").as("decile"))
+      val byDec = cell.join(broadcast(dec), "score")
+        .groupBy(col("decile"))
+        .agg(sum(when(col("arm") === 1L, col("n")).otherwise(0L))
+            .as("n_t"),
+          sum(when(col("arm") === 0L, col("n")).otherwise(0L)).as("n_c"),
+          sum(when(col("arm") === 1L, col("c")).otherwise(0L))
+            .as("conv_t"),
+          sum(when(col("arm") === 0L, col("c")).otherwise(0L))
+            .as("conv_c"))
+      val cw = Window.orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, 0) // ≤ 10 rows
+      byDec.select(col("decile"), col("n_t"), col("n_c"),
+          col("conv_t"), col("conv_c"),
+          sum(col("n_t")).over(cw).as("cn_t"),
+          sum(col("n_c")).over(cw).as("cn_c"),
+          sum(col("conv_t")).over(cw).as("cc_t"),
+          sum(col("conv_c")).over(cw).as("cc_c"))
+        .select(col("decile"), col("n_t"), col("n_c"), col("conv_t"),
+          col("conv_c"), col("cn_t"), col("cn_c"), col("cc_t"),
+          col("cc_c"),
+          when(col("n_t") > 0L && col("n_c") > 0L,
+            col("conv_t").cast("double") / col("n_t").cast("double") -
+              col("conv_c").cast("double") / col("n_c").cast("double"))
+            .as("uplift"),
+          when(col("cn_c") > 0L,
+            col("cc_t").cast("double") -
+              col("cc_c").cast("double") * col("cn_t").cast("double") /
+                col("cn_c").cast("double")).as("qini"))
+    }),
+
+    // Chi-squared test of independence (source × lang over documents) —
+    // the categorical-association audit next to Cramér-adjacent
+    // contingency (q86) and drift TVD (q79): exact BIGINT cell counts
+    // and margins, expected counts via ONE double division from an
+    // exact decimal(38,0) margin product, per-cell contribution
+    // (o−e)²/e as pinned double ops, and the χ² TOTAL folded in sorted
+    // cell order (the sqlDot discipline: list_reduce twin, 0.0 seed)
+    // so partial-aggregation order can never perturb the sum. The cell
+    // frame is the only shuffle; margins and the total ride broadcasts.
+    "q223_chi2_independence" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val o = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("o"))
+        .localCheckpoint(true) // margins + cells + total share it
+      val r = o.groupBy(col("source")).agg(sum(col("o")).as("r"))
+      val c = o.groupBy(col("lang")).agg(sum(col("o")).as("c"))
+      val nDf = o.agg(sum(col("o")).as("n"))
+      val e = (col("r").cast(D) * col("c").cast(D)).cast("double") /
+        col("n").cast("double")
+      val dv = col("o").cast("double") - col("e")
+      val k = o.join(broadcast(r), "source").join(broadcast(c), "lang")
+        .crossJoin(broadcast(nDf))
+        .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
+          e.as("e"))
+        .withColumn("contrib", dv * dv / col("e"))
+        .localCheckpoint(true) // consumed by the total and the output
+      val tot = k.agg(
+        expr("aggregate(array_sort(collect_list(struct(source, lang, " +
+          "contrib))), 0.0D, (acc, x) -> acc + x.contrib)").as("chi2"),
+        ((countDistinct(col("source")) - 1L) *
+          (countDistinct(col("lang")) - 1L)).as("dof"))
+      k.crossJoin(broadcast(tot))
+        .select(col("source"), col("lang"), col("o"), col("r"), col("c"),
+          col("e"), col("contrib"), col("chi2"), col("dof"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8090,6 +8201,87 @@ object SparkEntry {
         |    (CAST(sum_x_cents AS DOUBLE) / CAST(n_users AS DOUBLE)
         |     - mxall) END AS mean_y_cuped
         |FROM d""".stripMargin,
+
+    // q222 twin: identical midpoint split, identical value-cut decile
+    // rule ((10*cum_before) // total over the score histogram), exact
+    // BIGINT counts, and the same pinned division order for uplift and
+    // Qini. `//` floors and Spark's `div` truncates — identical on the
+    // nonnegative counts here.
+    "q222_qini_deciles" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id % 2 AS arm,
+        |  CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS score,
+        |  CAST(max(CASE WHEN us >= mid AND event_type = 'purchase'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        | FROM ev, m GROUP BY user_id),
+        |cell AS (SELECT score, arm, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(conv) AS BIGINT) AS c FROM per GROUP BY 1, 2),
+        |hist AS (SELECT score, CAST(sum(n) AS BIGINT) AS nv
+        | FROM cell GROUP BY 1),
+        |dec AS (SELECT score,
+        |  (10 * COALESCE(CAST(sum(nv) OVER (ORDER BY score DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |     AS BIGINT), 0))
+        |   // CAST(sum(nv) OVER () AS BIGINT) AS decile
+        | FROM hist),
+        |byd AS (SELECT decile,
+        |  CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT)
+        |   AS n_t,
+        |  CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT)
+        |   AS n_c,
+        |  CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT)
+        |   AS conv_t,
+        |  CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT)
+        |   AS conv_c
+        | FROM cell JOIN dec USING (score) GROUP BY 1),
+        |cum AS (SELECT decile, n_t, n_c, conv_t, conv_c,
+        |  CAST(sum(n_t) OVER w AS BIGINT) AS cn_t,
+        |  CAST(sum(n_c) OVER w AS BIGINT) AS cn_c,
+        |  CAST(sum(conv_t) OVER w AS BIGINT) AS cc_t,
+        |  CAST(sum(conv_c) OVER w AS BIGINT) AS cc_c
+        | FROM byd WINDOW w AS (ORDER BY decile
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT decile, n_t, n_c, conv_t, conv_c, cn_t, cn_c, cc_t, cc_c,
+        | CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |  CAST(conv_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(conv_c AS DOUBLE) / CAST(n_c AS DOUBLE) END AS uplift,
+        | CASE WHEN cn_c > 0 THEN
+        |  CAST(cc_t AS DOUBLE)
+        |   - CAST(cc_c AS DOUBLE) * CAST(cn_t AS DOUBLE)
+        |    / CAST(cn_c AS DOUBLE) END AS qini
+        |FROM cum""".stripMargin,
+
+    // q223 twin: exact BIGINT cells/margins, HUGEINT margin product
+    // (= decimal(38,0)), identical (o−e)²/e assembly, and the χ² total
+    // folded via list_reduce over cells listed in (source, lang) order —
+    // the same sorted fold as Spark's aggregate(array_sort(...), 0.0D)
+    // (0.0 + x == x for the nonnegative first contribution).
+    "q223_chi2_independence" ->
+      """WITH o AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+        |  FROM documents
+        |  WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |r AS (SELECT source, CAST(sum(o) AS BIGINT) AS r
+        | FROM o GROUP BY 1),
+        |c AS (SELECT lang, CAST(sum(o) AS BIGINT) AS c FROM o GROUP BY 1),
+        |n AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM o),
+        |k AS (SELECT o.source, o.lang, o.o, r.r, c.c,
+        |  CAST(CAST(r.r AS HUGEINT) * CAST(c.c AS HUGEINT) AS DOUBLE)
+        |   / CAST(n.n AS DOUBLE) AS e
+        | FROM o JOIN r USING (source) JOIN c USING (lang), n),
+        |kk AS (SELECT *,
+        |  (CAST(o AS DOUBLE) - e) * (CAST(o AS DOUBLE) - e) / e
+        |   AS contrib FROM k),
+        |t AS (SELECT
+        |  list_reduce(list(contrib ORDER BY source, lang),
+        |   (x, y) -> x + y) AS chi2,
+        |  CAST((count(DISTINCT source) - 1) * (count(DISTINCT lang) - 1)
+        |   AS BIGINT) AS dof
+        | FROM kk)
+        |SELECT kk.source, kk.lang, kk.o, kk.r, kk.c, kk.e, kk.contrib,
+        | t.chi2, t.dof FROM kk, t""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
