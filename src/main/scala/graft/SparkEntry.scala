@@ -2914,6 +2914,87 @@ object SparkEntry {
           col("e"), col("contrib"), col("chi2"), col("dof"))
     }),
 
+    // Priority sampling (Duffield, Lund & Thorup, JACM 2007) — weighted
+    // sampling WITHOUT replacement with near-optimal subset-sum
+    // variance: priority q = w/u with u uniform from the doc_id hash,
+    // keep the top-k by q, and estimate with Horvitz-Thompson weight
+    // max(w, τ) where τ is the (k+1)-th priority. Chosen over the
+    // textbook A-ES scheme (key u^(1/w)) because the priority needs ONE
+    // IEEE division — bit-stable across engines — where A-ES needs ln(),
+    // which this repo bans as not bit-identical cross-engine (q156
+    // precedent). Top-(k+1) runs as TakeOrdered (per-partition heaps +
+    // driver merge of k+1 rows, no global sort, no single-reducer
+    // window); ties break on doc_id.
+    "q224_priority_sample" -> ((s, dir) => {
+      val k = 100
+      val d = t(s, dir, "documents").filter(col("n_chars") > 0L)
+        .select(col("doc_id"), col("n_chars"),
+          (col("n_chars").cast("double") /
+            (conv(substring(md5(concat(lit("prio:"),
+              col("doc_id").cast("string"))), 1, 12), 16, 10)
+              .cast("long") + 1L).cast("double")).as("q"))
+      val top = d.orderBy(col("q").desc, col("doc_id")).limit(k + 1)
+        .localCheckpoint(true) // consumers: τ + the k-sample
+      val tauDf = top.agg(min(col("q")).as("tau"))
+      top.orderBy(col("q").desc, col("doc_id")).limit(k)
+        .crossJoin(broadcast(tauDf))
+        .select(col("doc_id"), col("n_chars"), col("q").as("priority"),
+          col("tau"),
+          greatest(col("n_chars").cast("double"), col("tau"))
+            .as("ht_weight"))
+    }),
+
+    // Fellegi-Sunter record-linkage scoring (JASA 1969) — the
+    // probabilistic step the blocked fuzzy matcher (q80) stops short
+    // of: candidate pairs from (source, lang) blocks, per-field
+    // agreement on a length bucket and the leading token, and the
+    // match ODDS Π m/u (agree) vs (1−m)/(1−u) (disagree). u-probs are
+    // estimated from the corpus EXACTLY — Σ n_v(n_v−1) / N(N−1) in
+    // decimal(38,0) — and the odds stay a product of divisions in
+    // fixed order (no log-weights: ln is not bit-stable cross-engine,
+    // so the classic log2 weight sum is deliberately re-expressed as
+    // odds). Blocked self-join (the L59 discipline) + two tiny
+    // broadcast u-stats; top-200 by odds via TakeOrdered.
+    "q225_fs_linkage" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val base = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull &&
+          col("text").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("lang"),
+          expr("n_chars div 100").as("f1"),
+          element_at(split(col("text"), " "), 1).as("f2"))
+        .localCheckpoint(true) // consumers: u1, u2, both join sides
+      val nDf = base.agg(count(lit(1)).as("nn"))
+      def uStat(f: String, out: String): DataFrame =
+        base.groupBy(col(f)).agg(count(lit(1)).as("nv"))
+          .agg(sum(col("nv").cast(D) * (col("nv") - 1L).cast(D))
+            .as("num"))
+          .crossJoin(broadcast(nDf))
+          .select((col("num").cast("double") /
+            (col("nn").cast(D) * (col("nn") - 1L).cast(D))
+              .cast("double")).as(out))
+      val a = base.select(col("doc_id").as("a_id"), col("source"),
+        col("lang"), col("f1").as("a_f1"), col("f2").as("a_f2"))
+      val b = base.select(col("doc_id").as("b_id"), col("source"),
+        col("lang"), col("f1").as("b_f1"), col("f2").as("b_f2"))
+      a.join(b, Seq("source", "lang")).filter(col("a_id") < col("b_id"))
+        .crossJoin(broadcast(uStat("f1", "u1")))
+        .crossJoin(broadcast(uStat("f2", "u2")))
+        .select(col("a_id"), col("b_id"), col("source"), col("lang"),
+          when(col("a_f1") === col("b_f1"), 1L).otherwise(0L)
+            .as("agree_len"),
+          when(col("a_f2") === col("b_f2"), 1L).otherwise(0L)
+            .as("agree_tok"),
+          col("u1"), col("u2"))
+        .select(col("a_id"), col("b_id"), col("source"), col("lang"),
+          col("agree_len"), col("agree_tok"), col("u1"), col("u2"),
+          (when(col("agree_len") === 1L, lit(0.9) / col("u1"))
+            .otherwise(lit(0.1) / (lit(1.0) - col("u1"))) *
+            when(col("agree_tok") === 1L, lit(0.9) / col("u2"))
+              .otherwise(lit(0.1) / (lit(1.0) - col("u2")))).as("odds"))
+        .orderBy(col("odds").desc, col("a_id"), col("b_id")).limit(200)
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8282,6 +8363,63 @@ object SparkEntry {
         | FROM kk)
         |SELECT kk.source, kk.lang, kk.o, kk.r, kk.c, kk.e, kk.contrib,
         | t.chi2, t.dof FROM kk, t""".stripMargin,
+
+    // q224 twin: the same 48-bit md5 hash (hx idiom), the same single
+    // division w/(h+1), the same (q DESC, doc_id) top-(k+1) and τ rule.
+    "q224_priority_sample" ->
+      """WITH d AS (SELECT doc_id, n_chars,
+        |  CAST(n_chars AS DOUBLE) /
+        |   CAST(CAST(('0x' || substr(md5('prio:' ||
+        |     CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1
+        |    AS DOUBLE) AS q
+        | FROM documents WHERE n_chars > 0),
+        |top AS (SELECT * FROM d ORDER BY q DESC, doc_id LIMIT 101),
+        |tau AS (SELECT min(q) AS tau FROM top),
+        |s AS (SELECT * FROM top ORDER BY q DESC, doc_id LIMIT 100)
+        |SELECT s.doc_id, s.n_chars, s.q AS priority, tau.tau,
+        | greatest(CAST(s.n_chars AS DOUBLE), tau.tau) AS ht_weight
+        |FROM s, tau""".stripMargin,
+
+    // q225 twin: identical blocks, identical exact-HUGEINT u-prob
+    // estimation, identical fixed-order odds product (CASE factors
+    // multiplied left to right), same (odds DESC, a, b) top-200.
+    "q225_fs_linkage" ->
+      """WITH base AS (SELECT doc_id, source, lang,
+        |  n_chars // 100 AS f1, split_part(text, ' ', 1) AS f2
+        | FROM documents
+        | WHERE source IS NOT NULL AND lang IS NOT NULL
+        |  AND text IS NOT NULL AND n_chars IS NOT NULL),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM base),
+        |u1 AS (SELECT
+        |  CAST(sum(CAST(nv AS HUGEINT) * CAST(nv - 1 AS HUGEINT))
+        |    AS DOUBLE) /
+        |  CAST((SELECT CAST(nn AS HUGEINT) * CAST(nn - 1 AS HUGEINT)
+        |    FROM n) AS DOUBLE) AS u1
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS nv
+        |   FROM base GROUP BY f1)),
+        |u2 AS (SELECT
+        |  CAST(sum(CAST(nv AS HUGEINT) * CAST(nv - 1 AS HUGEINT))
+        |    AS DOUBLE) /
+        |  CAST((SELECT CAST(nn AS HUGEINT) * CAST(nn - 1 AS HUGEINT)
+        |    FROM n) AS DOUBLE) AS u2
+        | FROM (SELECT CAST(count(*) AS BIGINT) AS nv
+        |   FROM base GROUP BY f2)),
+        |p AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  a.source, a.lang,
+        |  CAST(CASE WHEN a.f1 = b.f1 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS agree_len,
+        |  CAST(CASE WHEN a.f2 = b.f2 THEN 1 ELSE 0 END AS BIGINT)
+        |   AS agree_tok, u1.u1, u2.u2
+        | FROM base a JOIN base b
+        |  ON a.source = b.source AND a.lang = b.lang
+        |   AND a.doc_id < b.doc_id, u1, u2)
+        |SELECT a_id, b_id, source, lang, agree_len, agree_tok, u1, u2,
+        | (CASE WHEN agree_len = 1 THEN CAST(0.9 AS DOUBLE) / u1
+        |   ELSE CAST(0.1 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u1) END)
+        |  * (CASE WHEN agree_tok = 1 THEN CAST(0.9 AS DOUBLE) / u2
+        |   ELSE CAST(0.1 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u2) END)
+        |  AS odds
+        |FROM p ORDER BY odds DESC, a_id, b_id LIMIT 200""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
