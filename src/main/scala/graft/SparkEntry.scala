@@ -2995,6 +2995,56 @@ object SparkEntry {
         .orderBy(col("odds").desc, col("a_id"), col("b_id")).limit(200)
     }),
 
+    // Mann-Kendall trend test (Mann 1945; Kendall 1975) per event type
+    // over the daily-volume series — the nonparametric monotone-trend
+    // audit next to the OLS rolling slope (q174) and CUSUM (q83):
+    // S = Σ sign(n_j − n_i) over day pairs i<j, tie-corrected variance
+    // Var S = (n(n−1)(2n+5) − Σ t(t−1)(2t+5))/18, z with the ±1
+    // continuity correction, and Kendall's τ_a. Everything up to the
+    // two final divisions is EXACT (BIGINT sign sums, decimal(38,0)
+    // variance numerator); sqrt is IEEE-exact so z is bit-stable. The
+    // pair join runs per event type over the DAILY aggregate — a
+    // domain-bounded O(days²) per type, never over raw events — and
+    // the checkpointed daily frame feeds all three consumers.
+    "q226_mann_kendall" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // consumers: pair join ×2, ties, n_days
+      val sDf = daily.as("a").join(daily.as("b"),
+          col("a.event_type") === col("b.event_type") &&
+            col("a.day") < col("b.day"))
+        .groupBy(col("a.event_type").as("event_type"))
+        .agg(sum(when(col("b.n") > col("a.n"), 1L)
+          .when(col("b.n") < col("a.n"), -1L).otherwise(0L)).as("s"))
+      val nd = daily.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"))
+      val ties = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("tcnt"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("tcnt").cast(D) * (col("tcnt") - 1L).cast(D) *
+          (lit(2L) * col("tcnt") + 5L).cast(D)).as("tie_term"))
+      val varS = (((col("n_days").cast(D) *
+        (col("n_days") - 1L).cast(D) *
+        (lit(2L) * col("n_days") + 5L).cast(D)) - col("tie_term"))
+        .cast("double") / lit(18.0)).as("var_s")
+      nd.join(ties, "event_type").join(sDf, "event_type")
+        .select(col("event_type"), col("n_days"), col("s"), varS)
+        .select(col("event_type"), col("n_days"), col("s"), col("var_s"),
+          when(col("var_s") > 0.0,
+            when(col("s") > 0L,
+              (col("s") - 1L).cast("double") / sqrt(col("var_s")))
+              .when(col("s") < 0L,
+                (col("s") + 1L).cast("double") / sqrt(col("var_s")))
+              .otherwise(lit(0.0))).as("z"),
+          when(col("n_days") > 1L, col("s").cast("double") /
+            ((col("n_days").cast(D) * (col("n_days") - 1L).cast(D))
+              .cast("double") / lit(2.0))).as("tau_a"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8420,6 +8470,43 @@ object SparkEntry {
         |   ELSE CAST(0.1 AS DOUBLE) / (CAST(1.0 AS DOUBLE) - u2) END)
         |  AS odds
         |FROM p ORDER BY odds DESC, a_id, b_id LIMIT 200""".stripMargin,
+
+    // q226 twin: identical daily grouping (naive-UTC date), identical
+    // exact S and HUGEINT tie-corrected variance numerator, identical
+    // /18.0 division, ±1 continuity z, and τ_a assembly order.
+    "q226_mann_kendall" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |sp AS (SELECT a.event_type,
+        |  CAST(sum(CASE WHEN b.n > a.n THEN 1
+        |   WHEN b.n < a.n THEN -1 ELSE 0 END) AS BIGINT) AS s
+        | FROM daily a JOIN daily b
+        |  ON a.event_type = b.event_type AND a.day < b.day
+        | GROUP BY 1),
+        |nd AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days
+        | FROM daily GROUP BY 1),
+        |ties AS (SELECT event_type,
+        |  sum(CAST(tcnt AS HUGEINT) * CAST(tcnt - 1 AS HUGEINT) *
+        |   CAST(2 * tcnt + 5 AS HUGEINT)) AS tie_term
+        | FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS tcnt
+        |   FROM daily GROUP BY 1, 2) GROUP BY 1),
+        |v AS (SELECT nd.event_type, nd.n_days, sp.s,
+        |  CAST(CAST(n_days AS HUGEINT) * CAST(n_days - 1 AS HUGEINT) *
+        |    CAST(2 * n_days + 5 AS HUGEINT) - tie_term AS DOUBLE)
+        |   / 18.0 AS var_s
+        | FROM nd JOIN ties USING (event_type)
+        |  JOIN sp USING (event_type))
+        |SELECT event_type, n_days, s, var_s,
+        | CASE WHEN var_s > 0.0 THEN
+        |  CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+        |   WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+        |   ELSE 0.0 END END AS z,
+        | CASE WHEN n_days > 1 THEN CAST(s AS DOUBLE) /
+        |  (CAST(CAST(n_days AS HUGEINT) * CAST(n_days - 1 AS HUGEINT)
+        |    AS DOUBLE) / 2.0) END AS tau_a
+        |FROM v""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
