@@ -3045,6 +3045,125 @@ object SparkEntry {
               .cast("double") / lit(2.0))).as("tau_a"))
     }),
 
+    // Pettitt change-point test (Pettitt 1979) per event type — the
+    // rank-based WHERE to q83's CUSUM WHEN-did-it-drift: U_t =
+    // Σ_{i≤t, j>t} sign(x_j − x_i), change point = argmax |U_t|, K =
+    // max |U_t|. Computed WITHOUT the O(n²)-per-t triple loop via the
+    // prefix identity U_t = −Σ_{i≤t} s_i with s_i = below(x_i) −
+    // above(x_i) (the within-prefix pair sum cancels by antisymmetry):
+    // one bounded value histogram gives s per value, one broadcast
+    // join tags each day, one per-type cumulative window reads U. The
+    // ENTIRE statistic is integer arithmetic — no doubles anywhere —
+    // so the cross-engine hash cannot drift. Argmax ties break to the
+    // earliest day.
+    "q227_pettitt_changepoint" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(true) // consumers: value histogram + day tag
+      val vw = Window.partitionBy(col("event_type")).orderBy(col("n"))
+      val hist = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("event_type"), col("n"),
+          coalesce(sum(col("cnt")).over(
+            vw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            .as("below"),
+          sum(col("cnt")).over(vw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("tot"),
+          col("cnt"))
+        .select(col("event_type"), col("n"),
+          (col("below") - (col("tot") - col("below") - col("cnt")))
+            .as("s_val"))
+      val u = daily.join(broadcast(hist), Seq("event_type", "n"))
+        .select(col("event_type"), col("day"),
+          (lit(-1L) * sum(col("s_val")).over(
+            Window.partitionBy(col("event_type")).orderBy(col("day"))
+              .rowsBetween(Window.unboundedPreceding, 0))).as("u"))
+        .localCheckpoint(true) // consumers: K + argmax day
+      val k = u.groupBy(col("event_type"))
+        .agg(max(abs(col("u"))).as("k_stat"),
+          count(lit(1)).as("n_days"))
+      u.join(broadcast(k), "event_type")
+        .filter(abs(col("u")) === col("k_stat"))
+        .groupBy(col("event_type"), col("k_stat"), col("n_days"))
+        .agg(min(col("day")).as("change_day"))
+        .select(col("event_type"), col("n_days"), col("k_stat"),
+          col("change_day"))
+    }),
+
+    // Spearman rank correlation (per source, n_chars vs token count) —
+    // the monotone-association twin of q108's Pearson: average ranks
+    // come from the bounded VALUE HISTOGRAM (rank×2 = 2·below + t + 1,
+    // an exact integer — the ×2 keeps half-ranks out of floating
+    // point), broadcast back onto the scan, then the q108
+    // integer-sufficient-statistic discipline (decimal(38,0) cross
+    // terms, one double division against an IEEE sqrt). No global row
+    // sort anywhere: ranking is histogram arithmetic, so the plan
+    // survives a corpus 100× wider.
+    "q228_spearman_rank" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val base = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars").as("v1"),
+          size(T.tokens(col("text"))).cast("long").as("v2"))
+        .localCheckpoint(true) // consumers: two histograms + the scan
+      def rankMap(v: String): DataFrame = {
+        val w = Window.partitionBy(col("source")).orderBy(col(v))
+        base.groupBy(col("source"), col(v)).agg(count(lit(1)).as("t"))
+          .select(col("source"), col(v),
+            (lit(2L) * coalesce(sum(col("t")).over(
+              w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+              col("t") + 1L).as(s"r_$v"))
+      }
+      val ranked = base
+        .join(broadcast(rankMap("v1")), Seq("source", "v1"))
+        .join(broadcast(rankMap("v2")), Seq("source", "v2"))
+      val g = ranked.groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("r_v1").cast(D)).as("s1"),
+        sum(col("r_v2").cast(D)).as("s2"),
+        sum(col("r_v1").cast(D) * col("r_v1").cast(D)).as("s11"),
+        sum(col("r_v2").cast(D) * col("r_v2").cast(D)).as("s22"),
+        sum(col("r_v1").cast(D) * col("r_v2").cast(D)).as("s12"))
+      val f1 = (col("n_docs").cast(D) * col("s11") -
+        col("s1") * col("s1")).cast("double")
+      val f2 = (col("n_docs").cast(D) * col("s22") -
+        col("s2") * col("s2")).cast("double")
+      g.select(col("source"), col("n_docs"),
+        when(f1 > 0.0 && f2 > 0.0,
+          (col("n_docs").cast(D) * col("s12") -
+            col("s1") * col("s2")).cast("double") / sqrt(f1 * f2))
+          .as("rho_spearman"))
+    }),
+
+    // Simpson diversity index per source (Simpson, Nature 1949) — the
+    // log-free concentration reading the corpus-mix monitors need
+    // (exact entropy is banned: ln isn't bit-stable cross-engine):
+    // λ = Σ nᵢ(nᵢ−1)/(N(N−1)) is the probability two draws WITHOUT
+    // replacement share a language — exact integers up to one double
+    // division — and 1−λ is the diversity. Two tiny aggregates; the
+    // language histogram is the only shuffle.
+    "q229_simpson_diversity" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val lam = col("num").cast("double") /
+        (col("nn").cast(D) * (col("nn") - 1L).cast(D)).cast("double")
+      t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("lang").isNotNull)
+        .groupBy(col("source"), col("lang"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("lang")).as("n_langs"),
+          sum(col("c")).as("nn"),
+          sum(col("c").cast(D) * (col("c") - 1L).cast(D)).as("num"))
+        .select(col("source"), col("n_langs"), col("nn").as("n_docs"),
+          when(col("nn") > 1L, lam).as("simpson_lambda"),
+          when(col("nn") > 1L, lit(1.0) - lam).as("diversity"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8507,6 +8626,102 @@ object SparkEntry {
         |  (CAST(CAST(n_days AS HUGEINT) * CAST(n_days - 1 AS HUGEINT)
         |    AS DOUBLE) / 2.0) END AS tau_a
         |FROM v""".stripMargin,
+
+    // q227 twin: identical prefix identity (all-integer), identical
+    // histogram below/above windows and earliest-day argmax.
+    "q227_pettitt_changepoint" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, n,
+        |  CAST(COALESCE(sum(cnt) OVER (PARTITION BY event_type
+        |    ORDER BY n ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS BIGINT) AS below,
+        |  CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+        |   AS tot, cnt
+        | FROM (SELECT event_type, n, CAST(count(*) AS BIGINT) AS cnt
+        |   FROM daily GROUP BY 1, 2)),
+        |sv AS (SELECT event_type, n,
+        |  below - (tot - below - cnt) AS s_val FROM h),
+        |u AS (SELECT d.event_type, d.day,
+        |  -1 * CAST(sum(s_val) OVER (PARTITION BY d.event_type
+        |    ORDER BY d.day ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND CURRENT ROW) AS BIGINT) AS u
+        | FROM daily d JOIN sv
+        |  ON d.event_type = sv.event_type AND d.n = sv.n),
+        |k AS (SELECT event_type, CAST(max(abs(u)) AS BIGINT) AS k_stat,
+        |  CAST(count(*) AS BIGINT) AS n_days FROM u GROUP BY 1)
+        |SELECT u.event_type, k.n_days, k.k_stat,
+        | CAST(min(u.day) AS BIGINT) AS change_day
+        |FROM u JOIN k ON u.event_type = k.event_type
+        | AND abs(u.u) = k.k_stat
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q228 twin: identical doubled average ranks off the per-source
+    // value histograms, HUGEINT sufficient statistics, identical
+    // num / sqrt(f1 * f2) assembly with positive-variance guards.
+    "q228_spearman_rank" ->
+      """WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v1,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS v2
+        | FROM documents WHERE source IS NOT NULL
+        |  AND text IS NOT NULL AND n_chars IS NOT NULL),
+        |r1 AS (SELECT source, v1,
+        |  2 * CAST(COALESCE(sum(t) OVER (PARTITION BY source
+        |    ORDER BY v1 ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r_v1
+        | FROM (SELECT source, v1, CAST(count(*) AS BIGINT) AS t
+        |   FROM base GROUP BY 1, 2)),
+        |r2 AS (SELECT source, v2,
+        |  2 * CAST(COALESCE(sum(t) OVER (PARTITION BY source
+        |    ORDER BY v2 ROWS BETWEEN UNBOUNDED PRECEDING
+        |    AND 1 PRECEDING), 0) AS BIGINT) + t + 1 AS r_v2
+        | FROM (SELECT source, v2, CAST(count(*) AS BIGINT) AS t
+        |   FROM base GROUP BY 1, 2)),
+        |j AS (SELECT b.source, r1.r_v1, r2.r_v2 FROM base b
+        | JOIN r1 ON b.source = r1.source AND b.v1 = r1.v1
+        | JOIN r2 ON b.source = r2.source AND b.v2 = r2.v2),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(CAST(r_v1 AS HUGEINT)) AS s1,
+        |  sum(CAST(r_v2 AS HUGEINT)) AS s2,
+        |  sum(CAST(r_v1 AS HUGEINT) * CAST(r_v1 AS HUGEINT)) AS s11,
+        |  sum(CAST(r_v2 AS HUGEINT) * CAST(r_v2 AS HUGEINT)) AS s22,
+        |  sum(CAST(r_v1 AS HUGEINT) * CAST(r_v2 AS HUGEINT)) AS s12
+        | FROM j GROUP BY 1)
+        |SELECT source, n_docs,
+        | CASE WHEN
+        |   CAST(CAST(n_docs AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+        |    > 0.0
+        |  AND
+        |   CAST(CAST(n_docs AS HUGEINT) * s22 - s2 * s2 AS DOUBLE)
+        |    > 0.0
+        |  THEN CAST(CAST(n_docs AS HUGEINT) * s12 - s1 * s2 AS DOUBLE)
+        |   / sqrt(
+        |    CAST(CAST(n_docs AS HUGEINT) * s11 - s1 * s1 AS DOUBLE)
+        |    * CAST(CAST(n_docs AS HUGEINT) * s22 - s2 * s2 AS DOUBLE))
+        |  END AS rho_spearman
+        |FROM g""".stripMargin,
+
+    // q229 twin: identical exact pair-collision count and the single
+    // double division; same N>1 degenerate guard.
+    "q229_simpson_diversity" ->
+      """WITH c AS (SELECT source, lang, CAST(count(*) AS BIGINT) AS c
+        | FROM documents
+        | WHERE source IS NOT NULL AND lang IS NOT NULL GROUP BY 1, 2),
+        |g AS (SELECT source,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(sum(c) AS BIGINT) AS n_docs,
+        |  sum(CAST(c AS HUGEINT) * CAST(c - 1 AS HUGEINT)) AS num
+        | FROM c GROUP BY 1)
+        |SELECT source, n_langs, n_docs,
+        | CASE WHEN n_docs > 1 THEN CAST(num AS DOUBLE) /
+        |  CAST(CAST(n_docs AS HUGEINT) * CAST(n_docs - 1 AS HUGEINT)
+        |   AS DOUBLE) END AS simpson_lambda,
+        | CASE WHEN n_docs > 1 THEN CAST(1.0 AS DOUBLE)
+        |  - CAST(num AS DOUBLE) /
+        |   CAST(CAST(n_docs AS HUGEINT) * CAST(n_docs - 1 AS HUGEINT)
+        |    AS DOUBLE) END AS diversity
+        |FROM g""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
