@@ -1,0 +1,152 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins closed-form identities of the round-10 statistical-query family
+  * (q222-q229) on constructed inputs — the oracle twin proves Spark and
+  * DuckDB agree, these prove they agree on the RIGHT answer: Qini on a
+  * pure-treatment-effect corpus, χ² = 0 under exact independence,
+  * priority-sample threshold admission, Mann-Kendall / Pettitt on known
+  * monotone and step series, Spearman ±1 on monotone pairs, and the
+  * Simpson collision identity.
+  */
+class StatQuerySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def dirWith(events: Option[DataFrame] = None,
+                      documents: Option[DataFrame] = None): String = {
+    val dir = Files.createTempDirectory("stat_query_spec_").toString
+    events.foreach(_.write.mode("overwrite").parquet(s"$dir/events.parquet"))
+    documents.foreach(
+      _.write.mode("overwrite").parquet(s"$dir/documents.parquet"))
+    dir
+  }
+
+  private def evDf(rows: (Long, Long, Long, String, java.lang.Double)*) =
+    rows.toDF("event_id", "us", "user_id", "event_type", "value")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), col("value"),
+        lit("{}").as("props"))
+
+  private def docDf(rows: (Long, String, String, String, Long)*) =
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+
+  private val Day = 86400000000L
+
+  test("q222 qini: pure treatment effect reads uplift 1.0, qini = conv_t") {
+    // 8 users, identical pre-period score; odd ids (arm 1) purchase in
+    // the post period, even ids only view — a clean causal lift.
+    val rows = (1L to 8L).flatMap { u =>
+      Seq((u * 10L, 0L, u, "view", null: java.lang.Double)) ++
+        (if (u % 2 == 1) Seq((u * 10L + 1L, 3L * Day, u, "purchase",
+          java.lang.Double.valueOf(1.0)))
+         else Seq((u * 10L + 1L, 3L * Day, u, "view",
+           null: java.lang.Double)))
+    }
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val out = SparkEntry.queries("q222_qini_deciles")(spark, dir).collect()
+    assert(out.length == 1) // one score value -> one value-cut decile
+    val r = out.head
+    assert(r.getAs[Long]("decile") == 0L)
+    assert(r.getAs[Long]("n_t") == 4L && r.getAs[Long]("n_c") == 4L)
+    assert(r.getAs[Long]("conv_t") == 4L && r.getAs[Long]("conv_c") == 0L)
+    assert(r.getAs[Double]("uplift") == 1.0)
+    assert(r.getAs[Double]("qini") == 4.0)
+  }
+
+  test("q223 chi2: an exactly independent 2x2 table reads chi2 = 0") {
+    val docs = for (s <- Seq("A", "B"); l <- Seq("en", "de"); i <- 1 to 5)
+      yield (s.hashCode.toLong * 100 + l.hashCode % 10 + i,
+        "t", l, s, 1L)
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val out =
+      SparkEntry.queries("q223_chi2_independence")(spark, dir).collect()
+    assert(out.length == 4)
+    out.foreach { r =>
+      assert(r.getAs[Double]("e") == 5.0)
+      assert(r.getAs[Double]("contrib") == 0.0)
+      assert(r.getAs[Double]("chi2") == 0.0)
+      assert(r.getAs[Long]("dof") == 1L)
+    }
+  }
+
+  test("q224 priority sample: every kept priority clears tau and the " +
+    "HT weight dominates the raw weight") {
+    val docs = (1L to 150L).map(i => (i, "t", "en", "s", 10L + i % 7))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val q = SparkEntry.queries("q224_priority_sample")(spark, dir)
+    val out = q.collect()
+    assert(out.length == 100)
+    val tau = out.head.getAs[Double]("tau")
+    assert(tau > 0.0)
+    out.foreach { r =>
+      assert(r.getAs[Double]("priority") >= tau)
+      assert(r.getAs[Double]("ht_weight") >=
+        r.getAs[Long]("n_chars").toDouble)
+      assert(r.getAs[Double]("ht_weight") >= tau)
+    }
+    // deterministic: a second run selects the identical id set
+    val again = SparkEntry.queries("q224_priority_sample")(spark, dir)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(again == out.map(_.getAs[Long]("doc_id")).toSet)
+  }
+
+  test("q226 mann-kendall: strictly increasing dailies read tau_a = 1") {
+    // one event on day 0, two on day 1, ... five on day 4: S = C(5,2)
+    val rows = for (d <- 0L to 4L; i <- 0L to d)
+      yield (d * 100 + i, d * Day + i, 1L, "x", null: java.lang.Double)
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r = SparkEntry.queries("q226_mann_kendall")(spark, dir).head
+    assert(r.getAs[Long]("n_days") == 5L)
+    assert(r.getAs[Long]("s") == 10L)
+    assert(r.getAs[Double]("tau_a") == 1.0)
+    assert(r.getAs[Double]("z") > 0.0)
+  }
+
+  test("q227 pettitt: a clean step series localizes the boundary day " +
+    "with K = m*h") {
+    // days 0-3 at one event/day, days 4-9 at three events/day:
+    // K = 4*6 = 24 at the last low day (day 3).
+    val rows = (for (d <- 0L to 3L) yield Seq((d, d * Day, 1L, "x",
+        null: java.lang.Double))).flatten ++
+      (for (d <- 4L to 9L; i <- 0L until 3L)
+        yield (d * 10 + i, d * Day + i, 1L, "x", null: java.lang.Double))
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r =
+      SparkEntry.queries("q227_pettitt_changepoint")(spark, dir).head
+    assert(r.getAs[Long]("n_days") == 10L)
+    assert(r.getAs[Long]("k_stat") == 24L)
+    assert(r.getAs[Long]("change_day") == 3L)
+  }
+
+  test("q228 spearman: monotone-up reads +1, monotone-down reads -1") {
+    // source "up": token count rises with n_chars; "dn": falls.
+    val up = (1L to 5L).map(i =>
+      (i, Seq.fill(i.toInt)("w").mkString(" "), "en", "up", i * 10))
+    val dn = (1L to 5L).map(i =>
+      (100 + i, Seq.fill(6 - i.toInt)("w").mkString(" "), "en", "dn",
+        i * 10))
+    val dir = dirWith(documents = Some(docDf((up ++ dn): _*)))
+    val out = SparkEntry.queries("q228_spearman_rank")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Double]("rho_spearman")).toMap
+    assert(out("up") == 1.0)
+    assert(out("dn") == -1.0)
+  }
+
+  test("q229 simpson: two equal languages read lambda 1/3") {
+    val docs = Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
+      (3L, "t", "de", "s", 1L), (4L, "t", "de", "s", 1L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val r = SparkEntry.queries("q229_simpson_diversity")(spark, dir).head
+    assert(r.getAs[Long]("n_langs") == 2L)
+    assert(r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("simpson_lambda") == 4.0 / 12.0)
+    assert(r.getAs[Double]("diversity") == 1.0 - 4.0 / 12.0)
+  }
+}
