@@ -3164,6 +3164,152 @@ object SparkEntry {
           when(col("nn") > 1L, lit(1.0) - lam).as("diversity"))
     }),
 
+    // Welch's unequal-variance t-test (Welch 1947) on post-period spend
+    // between the q196 arms — the significance readout the experiment
+    // family was missing: per-arm means and variances from ONE
+    // conditional aggregate over the per-user frame (decimal(38,0)
+    // sufficient statistics), t and the Welch-Satterthwaite dof
+    // assembled in pinned double order against IEEE sqrt — no
+    // transcendental anywhere, so the statistic is bit-stable. One
+    // per-user shuffle; everything after is a single row.
+    "q230_welch_ttest" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") >= col("mid"), col("cents"))
+          .otherwise(0L)).as("y"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"), col("y"))
+      def side(a: Int, n: String, sy: String, syy: String) = Seq(
+        sum(when(col("arm") === a.toLong, 1L).otherwise(0L)).as(n),
+        sum(when(col("arm") === a.toLong, col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as(sy),
+        sum(when(col("arm") === a.toLong,
+          col("y").cast(D) * col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as(syy))
+      val aggs = side(1, "n_t", "sy_t", "syy_t") ++
+        side(0, "n_c", "sy_c", "syy_c")
+      val g = per.agg(aggs.head, aggs.tail: _*)
+      def mean(n: String, sy: String) =
+        col(sy).cast("double") / col(n).cast("double")
+      // s²/n = (n·Σy² − (Σy)²) / (n·(n−1)) / n, each step pinned
+      def sem2(n: String, sy: String, syy: String) =
+        (col(n).cast(D) * col(syy) - col(sy) * col(sy)).cast("double") /
+          (col(n).cast(D) * (col(n) - 1L).cast(D)).cast("double") /
+          col(n).cast("double")
+      val vT = sem2("n_t", "sy_t", "syy_t")
+      val vC = sem2("n_c", "sy_c", "syy_c")
+      g.select(col("n_t"), col("n_c"),
+          mean("n_t", "sy_t").as("mean_t"),
+          mean("n_c", "sy_c").as("mean_c"),
+          vT.as("sem2_t"), vC.as("sem2_c"))
+        .select(col("n_t"), col("n_c"), col("mean_t"), col("mean_c"),
+          when(col("n_t") > 1L && col("n_c") > 1L &&
+            col("sem2_t") + col("sem2_c") > 0.0,
+            (col("mean_t") - col("mean_c")) /
+              sqrt(col("sem2_t") + col("sem2_c"))).as("t_stat"),
+          when(col("n_t") > 1L && col("n_c") > 1L &&
+            col("sem2_t") + col("sem2_c") > 0.0,
+            (col("sem2_t") + col("sem2_c")) *
+              (col("sem2_t") + col("sem2_c")) /
+              (col("sem2_t") * col("sem2_t") /
+                (col("n_t") - 1L).cast("double") +
+                col("sem2_c") * col("sem2_c") /
+                  (col("n_c") - 1L).cast("double"))).as("dof_welch"))
+    }),
+
+    // One-way ANOVA F (Fisher) — does mean document length differ by
+    // source? Group sufficient statistics in decimal(38,0); SSB's
+    // Σ (Σy)²/n_j group terms fold in SORTED source order (the q223
+    // χ² discipline) so the double sum is order-invariant; SST from
+    // exact totals; F = (SSB/(k−1)) / (SSW/(N−k)) in pinned order.
+    // One bounded group aggregate — the scan is the only corpus pass.
+    "q231_anova_oneway" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val g = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_j"),
+          sum(col("n_chars").cast(D)).as("s_j"),
+          sum(col("n_chars").cast(D) * col("n_chars").cast(D))
+            .as("ss_j"))
+        .select(col("source"), col("n_j"), col("s_j"), col("ss_j"),
+          ((col("s_j") * col("s_j")).cast("double") /
+            col("n_j").cast("double")).as("term"))
+      val tot = g.agg(sum(col("n_j")).as("nn"),
+        sum(col("s_j")).as("s"), sum(col("ss_j")).as("ss"),
+        countDistinct(col("source")).as("k"),
+        expr("aggregate(array_sort(collect_list(struct(source, term)))" +
+          ", 0.0D, (acc, x) -> acc + x.term)").as("sum_terms"))
+      val sst = col("ss").cast("double") -
+        (col("s") * col("s")).cast("double") / col("nn").cast("double")
+      val ssb = col("sum_terms") -
+        (col("s") * col("s")).cast("double") / col("nn").cast("double")
+      tot.select(col("k"), col("nn").as("n_docs"), ssb.as("ssb"),
+          (sst - ssb).as("ssw"))
+        .select(col("k"), col("n_docs"), col("ssb"), col("ssw"),
+          when(col("k") > 1L && col("n_docs") > col("k") &&
+            col("ssw") > 0.0,
+            (col("ssb") / (col("k") - 1L).cast("double")) /
+              (col("ssw") / (col("n_docs") - col("k")).cast("double")))
+            .as("f_stat"))
+    }),
+
+    // Kruskal-Wallis H (1952) — the rank-based ANOVA for when length
+    // distributions are skewed: GLOBAL doubled average ranks off the
+    // bounded n_chars value histogram (q228's rank discipline), per-
+    // source rank sums in decimal(38,0), group terms (ΣR)²/n folded in
+    // sorted source order, the exact-integer tie correction
+    // 1 − Σ(t³−t)/(N³−N), and H = H₀/C — every division pinned, no
+    // transcendental. The histogram window runs over distinct lengths
+    // (domain-bounded), never over rows.
+    "q232_kruskal_wallis" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val base = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars").as("v"))
+        .localCheckpoint(true) // consumers: histogram + rank join
+      val hw = Window.orderBy(col("v"))
+      val hist = base.groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+        .select(col("v"), col("cnt"),
+          (lit(2L) * coalesce(sum(col("cnt")).over(
+            hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("cnt") + 1L).as("r2"))
+        .localCheckpoint(true) // consumers: rank join + tie term
+      val grp = base.join(broadcast(hist.select(col("v"), col("r2"))),
+          Seq("v"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_j"), sum(col("r2").cast(D)).as("sr2"))
+        // (ΣR)²/n with doubled ranks: (Σr2)²/(4n)
+        .select(col("source"), col("n_j"),
+          ((col("sr2") * col("sr2")).cast("double") /
+            (col("n_j") * 4L).cast("double")).as("term"))
+      val ties = hist.agg(sum(col("cnt").cast(D) * col("cnt").cast(D) *
+        col("cnt").cast(D) - col("cnt").cast(D)).as("tie_num"))
+      val tot = grp.agg(sum(col("n_j")).as("nn"),
+        countDistinct(col("source")).as("k"),
+        expr("aggregate(array_sort(collect_list(struct(source, term)))" +
+          ", 0.0D, (acc, x) -> acc + x.term)").as("sum_terms"))
+      val h0 = lit(12.0) * col("sum_terms") /
+        (col("nn").cast(D) * (col("nn") + 1L).cast(D)).cast("double") -
+        (lit(3L) * (col("nn") + 1L)).cast("double")
+      val corr = lit(1.0) - col("tie_num").cast("double") /
+        (col("nn").cast(D) * col("nn").cast(D) * col("nn").cast(D) -
+          col("nn").cast(D)).cast("double")
+      tot.crossJoin(broadcast(ties))
+        .select(col("k"), col("nn").as("n_docs"), h0.as("h0"),
+          corr.as("tie_correction"))
+        .select(col("k"), col("n_docs"), col("h0"),
+          col("tie_correction"),
+          when(col("tie_correction") > 0.0,
+            col("h0") / col("tie_correction")).as("h_stat"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8722,6 +8868,133 @@ object SparkEntry {
         |   CAST(CAST(n_docs AS HUGEINT) * CAST(n_docs - 1 AS HUGEINT)
         |    AS DOUBLE) END AS diversity
         |FROM g""".stripMargin,
+
+    // q230 twin: identical midpoint split, HUGEINT sufficient stats,
+    // identical pinned sem² division chain and Welch-Satterthwaite
+    // assembly against IEEE sqrt.
+    "q230_welch_ttest" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id % 2 AS arm,
+        |  CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |   AS BIGINT) AS y
+        | FROM ev, m GROUP BY user_id),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_t,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT)
+        |   ELSE CAST(0 AS HUGEINT) END) AS sy_t,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) *
+        |   CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS syy_t,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_c,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT)
+        |   ELSE CAST(0 AS HUGEINT) END) AS sy_c,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) *
+        |   CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS syy_c
+        | FROM per),
+        |d AS (SELECT n_t, n_c,
+        |  CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE) AS mean_t,
+        |  CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE) AS mean_c,
+        |  CAST(CAST(n_t AS HUGEINT) * syy_t - sy_t * sy_t AS DOUBLE)
+        |   / CAST(CAST(n_t AS HUGEINT) * CAST(n_t - 1 AS HUGEINT)
+        |      AS DOUBLE)
+        |   / CAST(n_t AS DOUBLE) AS sem2_t,
+        |  CAST(CAST(n_c AS HUGEINT) * syy_c - sy_c * sy_c AS DOUBLE)
+        |   / CAST(CAST(n_c AS HUGEINT) * CAST(n_c - 1 AS HUGEINT)
+        |      AS DOUBLE)
+        |   / CAST(n_c AS DOUBLE) AS sem2_c
+        | FROM g)
+        |SELECT n_t, n_c, mean_t, mean_c,
+        | CASE WHEN n_t > 1 AND n_c > 1 AND sem2_t + sem2_c > 0.0 THEN
+        |  (mean_t - mean_c) / sqrt(sem2_t + sem2_c) END AS t_stat,
+        | CASE WHEN n_t > 1 AND n_c > 1 AND sem2_t + sem2_c > 0.0 THEN
+        |  (sem2_t + sem2_c) * (sem2_t + sem2_c) /
+        |   (sem2_t * sem2_t / CAST(n_t - 1 AS DOUBLE)
+        |    + sem2_c * sem2_c / CAST(n_c - 1 AS DOUBLE))
+        |  END AS dof_welch
+        |FROM d""".stripMargin,
+
+    // q231 twin: identical HUGEINT group stats, group terms folded in
+    // source order (list_reduce = the sorted-fold twin), identical
+    // SST/SSB/SSW and F assembly.
+    "q231_anova_oneway" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+        |  sum(CAST(n_chars AS HUGEINT)) AS s_j,
+        |  sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |   AS ss_j
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |gt AS (SELECT source, n_j, s_j, ss_j,
+        |  CAST(s_j * s_j AS DOUBLE) / CAST(n_j AS DOUBLE) AS term
+        | FROM g),
+        |tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |  sum(s_j) AS s, sum(ss_j) AS ss,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS k,
+        |  list_reduce(list(term ORDER BY source), (x, y) -> x + y)
+        |   AS sum_terms
+        | FROM gt),
+        |d AS (SELECT k, nn AS n_docs,
+        |  sum_terms - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE)
+        |   AS ssb,
+        |  (CAST(ss AS DOUBLE)
+        |    - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   - (sum_terms - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   AS ssw
+        | FROM tot)
+        |SELECT k, n_docs, ssb, ssw,
+        | CASE WHEN k > 1 AND n_docs > k AND ssw > 0.0 THEN
+        |  (ssb / CAST(k - 1 AS DOUBLE))
+        |   / (ssw / CAST(n_docs - k AS DOUBLE)) END AS f_stat
+        |FROM d""".stripMargin,
+
+    // q232 twin: identical doubled global ranks off the length
+    // histogram, HUGEINT rank sums and tie numerator, group terms
+    // folded in source order, identical H₀ and tie-correction
+    // assembly.
+    "q232_kruskal_wallis" ->
+      """WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |h0 AS (SELECT v, CAST(count(*) AS BIGINT) AS cnt
+        | FROM base GROUP BY 1),
+        |hist AS (SELECT v, cnt,
+        |  2 * CAST(COALESCE(sum(cnt) OVER (ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + cnt + 1 AS r2
+        | FROM h0),
+        |grp AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+        |  sum(CAST(r2 AS HUGEINT)) AS sr2
+        | FROM base JOIN hist USING (v) GROUP BY 1),
+        |gt AS (SELECT source, n_j,
+        |  CAST(sr2 * sr2 AS DOUBLE) / CAST(n_j * 4 AS DOUBLE) AS term
+        | FROM grp),
+        |ties AS (SELECT sum(CAST(cnt AS HUGEINT) * CAST(cnt AS HUGEINT)
+        |   * CAST(cnt AS HUGEINT) - CAST(cnt AS HUGEINT)) AS tie_num
+        | FROM hist),
+        |tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS k,
+        |  list_reduce(list(term ORDER BY source), (x, y) -> x + y)
+        |   AS sum_terms
+        | FROM gt),
+        |d AS (SELECT k, nn AS n_docs,
+        |  12.0 * sum_terms /
+        |    CAST(CAST(nn AS HUGEINT) * CAST(nn + 1 AS HUGEINT)
+        |     AS DOUBLE)
+        |   - CAST(3 * (nn + 1) AS DOUBLE) AS h0s,
+        |  1.0 - CAST(tie_num AS DOUBLE) /
+        |   CAST(CAST(nn AS HUGEINT) * CAST(nn AS HUGEINT) *
+        |     CAST(nn AS HUGEINT) - CAST(nn AS HUGEINT) AS DOUBLE)
+        |   AS tie_correction
+        | FROM tot, ties)
+        |SELECT k, n_docs, h0s AS h0, tie_correction,
+        | CASE WHEN tie_correction > 0.0 THEN h0s / tie_correction
+        |  END AS h_stat
+        |FROM d""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

@@ -139,6 +139,50 @@ class StatQuerySpec extends AnyFunSuite {
     assert(out("dn") == -1.0)
   }
 
+  test("q230 welch: hand-computed two-arm spend reads t and dof exactly") {
+    // treated (odd ids) post spends {200, 400} cents, control {100, 300}:
+    // means 300/200, sem² 10000 each, t = 100/√20000, Welch dof = 2.
+    val rows = Seq(
+      (1L, 0L, 1L, "view", null: java.lang.Double),
+      (2L, 0L, 2L, "view", null: java.lang.Double),
+      (3L, 0L, 3L, "view", null: java.lang.Double),
+      (4L, 0L, 4L, "view", null: java.lang.Double),
+      (11L, 3L * Day, 1L, "purchase", java.lang.Double.valueOf(2.0)),
+      (12L, 3L * Day, 2L, "purchase", java.lang.Double.valueOf(1.0)),
+      (13L, 3L * Day, 3L, "purchase", java.lang.Double.valueOf(4.0)),
+      (14L, 3L * Day, 4L, "purchase", java.lang.Double.valueOf(3.0)))
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r = SparkEntry.queries("q230_welch_ttest")(spark, dir).head
+    assert(r.getAs[Long]("n_t") == 2L && r.getAs[Long]("n_c") == 2L)
+    assert(r.getAs[Double]("mean_t") == 300.0)
+    assert(r.getAs[Double]("mean_c") == 200.0)
+    assert(r.getAs[Double]("t_stat") == 100.0 / math.sqrt(20000.0))
+    assert(r.getAs[Double]("dof_welch") == 2.0)
+  }
+
+  test("q231 anova: the textbook two-group example reads F = 8") {
+    // A lengths {10,20}, B {30,40}: SSB=400, SSW=100, F=(400/1)/(100/2)=8
+    val docs = Seq((1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 20L),
+      (3L, "t", "en", "B", 30L), (4L, "t", "en", "B", 40L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val r = SparkEntry.queries("q231_anova_oneway")(spark, dir).head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("ssb") == 400.0)
+    assert(r.getAs[Double]("ssw") == 100.0)
+    assert(r.getAs[Double]("f_stat") == 8.0)
+  }
+
+  test("q232 kruskal-wallis: tie-free ranks read the closed-form H") {
+    // ranks A={1,2}, B={3,4}: H = 12*(4.5+24.5)/(4*5) - 3*5 = 2.4, C=1
+    val docs = Seq((1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 20L),
+      (3L, "t", "en", "B", 30L), (4L, "t", "en", "B", 40L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val r = SparkEntry.queries("q232_kruskal_wallis")(spark, dir).head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_docs") == 4L)
+    assert(r.getAs[Double]("tie_correction") == 1.0)
+    assert(r.getAs[Double]("h_stat") == 12.0 * 29.0 / 20.0 - 15.0)
+  }
+
   test("q229 simpson: two equal languages read lambda 1/3") {
     val docs = Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
       (3L, "t", "de", "s", 1L), (4L, "t", "de", "s", 1L))
