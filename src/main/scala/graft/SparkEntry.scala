@@ -3310,6 +3310,185 @@ object SparkEntry {
             col("h0") / col("tie_correction")).as("h_stat"))
     }),
 
+    // Cochran-Mantel-Haenszel common odds ratio (1959) — the
+    // confounder-adjusted A/B readout: stratify users by capped
+    // pre-period activity (Simpson's-paradox insurance the pooled q196
+    // table can't give), then OR_MH = Σ aᵢdᵢ/nᵢ / Σ bᵢcᵢ/nᵢ with
+    // exact-integer cell products, each stratum's term ONE double
+    // division, and both sums folded in stratum order (the q223
+    // discipline). The crude pooled OR rides along to expose the
+    // confounding. One per-user shuffle; strata are capped at 4.
+    "q233_cmh_odds_ratio" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(least(sum(when(col("us") < col("mid"), 1L).otherwise(0L)),
+            lit(3L)).as("stratum"),
+          max(when(col("us") >= col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"),
+          col("stratum"), col("conv"))
+      val cells = per.groupBy(col("stratum")).agg(
+        sum(when(col("arm") === 1L && col("conv") === 1L, 1L)
+          .otherwise(0L)).as("a"),
+        sum(when(col("arm") === 1L && col("conv") === 0L, 1L)
+          .otherwise(0L)).as("b"),
+        sum(when(col("arm") === 0L && col("conv") === 1L, 1L)
+          .otherwise(0L)).as("c"),
+        sum(when(col("arm") === 0L && col("conv") === 0L, 1L)
+          .otherwise(0L)).as("d"),
+        count(lit(1)).as("n"))
+      val terms = cells.select(col("stratum"), col("a"), col("b"),
+        col("c"), col("d"), col("n"),
+        ((col("a") * col("d")).cast("double") / col("n").cast("double"))
+          .as("num_t"),
+        ((col("b") * col("c")).cast("double") / col("n").cast("double"))
+          .as("den_t"))
+      terms.agg(count(lit(1)).as("n_strata"),
+          sum(col("a")).as("aa"), sum(col("b")).as("bb"),
+          sum(col("c")).as("cc"), sum(col("d")).as("dd"),
+          expr("aggregate(array_sort(collect_list(struct(stratum, " +
+            "num_t))), 0.0D, (acc, x) -> acc + x.num_t)").as("mh_num"),
+          expr("aggregate(array_sort(collect_list(struct(stratum, " +
+            "den_t))), 0.0D, (acc, x) -> acc + x.den_t)").as("mh_den"))
+        .select(col("n_strata"), col("aa"), col("bb"), col("cc"),
+          col("dd"),
+          when(col("mh_den") > 0.0, col("mh_num") / col("mh_den"))
+            .as("or_mh"),
+          when(col("bb") > 0L && col("cc") > 0L,
+            (col("aa") * col("dd")).cast("double") /
+              (col("bb") * col("cc")).cast("double")).as("or_crude"))
+    }),
+
+    // Neyman optimal allocation (1934) — how a fixed sampling budget
+    // should split across sources: n_h ∝ N_h·S_h. Per-stratum S_h from
+    // decimal(38,0) sufficient stats against IEEE sqrt, Σw folded in
+    // source order, fractional seats floor()ed (floor is exact on both
+    // engines) and the remainder distributed largest-fraction-first
+    // (ties to the lexicographically first source) — the whole
+    // allocation integer-deterministic. Windows run over the
+    // source-bounded stratum table only.
+    "q234_neyman_allocation" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val B = 1000L
+      val g = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_h"),
+          sum(col("n_chars").cast(D)).as("s_h"),
+          sum(col("n_chars").cast(D) * col("n_chars").cast(D))
+            .as("ss_h"))
+        .select(col("source"), col("n_h"),
+          when(col("n_h") > 1L,
+            col("n_h").cast("double") * sqrt(
+              (col("n_h").cast(D) * col("ss_h") -
+                col("s_h") * col("s_h")).cast("double") /
+                (col("n_h").cast(D) * (col("n_h") - 1L).cast(D))
+                  .cast("double"))).otherwise(lit(0.0)).as("w"))
+        .localCheckpoint(true) // consumers: Σw fold + the seat table
+      val sw = g.agg(expr("aggregate(array_sort(collect_list(struct(" +
+        "source, w))), 0.0D, (acc, x) -> acc + x.w)").as("sum_w"))
+      val frac = g.crossJoin(broadcast(sw))
+        .select(col("source"), col("n_h"),
+          when(col("sum_w") > 0.0,
+            lit(B.toDouble) * col("w") / col("sum_w"))
+            .otherwise(lit(0.0)).as("frac"))
+        .select(col("source"), col("n_h"), col("frac"),
+          floor(col("frac")).cast("long").as("base"))
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val wRank = Window.orderBy((col("frac") - col("base")).desc,
+        col("source"))
+      frac.select(col("source"), col("n_h"), col("frac"), col("base"),
+          (lit(B) - sum(col("base")).over(wAll)).as("leftover"),
+          row_number().over(wRank).cast("long").as("rk"))
+        .select(col("source"), col("n_h"), col("frac"),
+          (col("base") + when(col("rk") <= col("leftover"), 1L)
+            .otherwise(0L)).as("n_alloc"))
+    }),
+
+    // Chapman capture-recapture (1951) — how many duplicate pairs did
+    // BOTH detectors miss? Two independent dup detectors (exact text
+    // hash; a (lang, n_chars, 24-char-prefix) metadata block), their
+    // pair lists intersected, and the nearly-unbiased Chapman
+    // estimate N̂ = (n₁+1)(n₂+1)/(m+1) − 1 of the TRUE dup-pair
+    // population — the residual-risk number a dedup pipeline reports.
+    // Both detectors are hash-blocked (no all-pairs anywhere);
+    // arithmetic is exact integers to one division.
+    "q235_capture_recapture" -> ((s, dir) => {
+      val base = t(s, dir, "documents")
+        .filter(col("text").isNotNull && col("lang").isNotNull &&
+          col("n_chars").isNotNull)
+        .select(col("doc_id"), md5(col("text")).as("h_exact"),
+          concat_ws("", col("lang"), col("n_chars").cast("string"),
+            substring(col("text"), 1, 24)).as("h_block"))
+        .localCheckpoint(true) // consumers: both detectors
+      def pairsBy(c: String): DataFrame = {
+        val l = base.select(col(c).as("k"), col("doc_id").as("a_id"))
+        val r = base.select(col(c).as("k"), col("doc_id").as("b_id"))
+        l.join(r, Seq("k")).filter(col("a_id") < col("b_id"))
+          .select(col("a_id"), col("b_id"))
+      }
+      val p1 = pairsBy("h_exact").localCheckpoint(true)
+      val p2 = pairsBy("h_block").localCheckpoint(true)
+      val n1 = p1.agg(count(lit(1)).as("n1"))
+      val n2 = p2.agg(count(lit(1)).as("n2"))
+      val m = p1.join(p2, Seq("a_id", "b_id"))
+        .agg(count(lit(1)).as("m"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .select(col("n1"), col("n2"), col("m"),
+          (((col("n1") + 1L) * (col("n2") + 1L)).cast("double") /
+            (col("m") + 1L).cast("double") - lit(1.0))
+            .as("chapman_total"))
+    }),
+
+    // Jackknife variance over hash buckets (Quenouille/Tukey) — the
+    // cluster-robust standard error for the conversion-rate ratio
+    // metric (per-row binomial SEs lie when users correlate): 20
+    // deterministic user-hash buckets, leave-one-bucket-out
+    // θ₋ᵢ = (S−sᵢ)/(N−nᵢ), and Var = (B−1)/B · Σ(θ₋ᵢ − θ̄)² with both
+    // bucket folds in bucket order (q223 discipline). The bucket
+    // table is 20 rows — every double op after the one per-user
+    // shuffle runs on it.
+    "q236_jackknife_se" -> ((s, dir) => {
+      val per = t(s, dir, "events").groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("conv"))
+        .select(Sam.sampleBucket(col("user_id"), "jk", 20).as("bkt"),
+          col("conv"))
+      val b = per.groupBy(col("bkt"))
+        .agg(count(lit(1)).as("n_i"), sum(col("conv")).as("s_i"))
+        .localCheckpoint(true) // consumers: totals + pseudo-values
+      val tot = b.agg(sum(col("n_i")).as("nn"), sum(col("s_i")).as("ss"),
+        count(lit(1)).as("nb"))
+      val loo = b.crossJoin(broadcast(tot))
+        .select(col("bkt"), col("nb"), col("nn"), col("ss"),
+          ((col("ss") - col("s_i")).cast("double") /
+            (col("nn") - col("n_i")).cast("double")).as("theta_i"))
+        .localCheckpoint(true) // consumers: mean fold + variance fold
+      val mDf = loo.agg((expr("aggregate(array_sort(collect_list(" +
+        "struct(bkt, theta_i))), 0.0D, (acc, x) -> acc + x.theta_i)") /
+        first(col("nb")).cast("double")).as("theta_bar"))
+      loo.crossJoin(broadcast(mDf))
+        .select(col("bkt"), col("nb"), col("nn"), col("ss"),
+          col("theta_bar"),
+          ((col("theta_i") - col("theta_bar")) *
+            (col("theta_i") - col("theta_bar"))).as("dev2"))
+        .agg(first(col("nb")).as("n_buckets"),
+          first(col("nn")).as("n_users"),
+          first(col("ss")).as("n_converters"),
+          (first(col("ss")).cast("double") /
+            first(col("nn")).cast("double")).as("theta_hat"),
+          sqrt((first(col("nb")) - 1L).cast("double") /
+            first(col("nb")).cast("double") *
+            expr("aggregate(array_sort(collect_list(struct(bkt, " +
+              "dev2))), 0.0D, (acc, x) -> acc + x.dev2)"))
+            .as("se_jackknife"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -8994,6 +9173,142 @@ object SparkEntry {
         |SELECT k, n_docs, h0s AS h0, tie_correction,
         | CASE WHEN tie_correction > 0.0 THEN h0s / tie_correction
         |  END AS h_stat
+        |FROM d""".stripMargin,
+
+    // q233 twin: identical capped-activity strata, exact 2×2 cells,
+    // per-stratum terms as one division each, both MH sums folded in
+    // stratum order (list_reduce), identical crude-OR assembly.
+    "q233_cmh_odds_ratio" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id % 2 AS arm,
+        |  least(CAST(sum(CASE WHEN us < mid THEN 1 ELSE 0 END)
+        |   AS BIGINT), 3) AS stratum,
+        |  CAST(max(CASE WHEN us >= mid AND event_type = 'purchase'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        | FROM ev, m GROUP BY user_id),
+        |cells AS (SELECT stratum,
+        |  CAST(sum(CASE WHEN arm = 1 AND conv = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS a,
+        |  CAST(sum(CASE WHEN arm = 1 AND conv = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN arm = 0 AND conv = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN arm = 0 AND conv = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS d,
+        |  CAST(count(*) AS BIGINT) AS n
+        | FROM per GROUP BY 1),
+        |terms AS (SELECT stratum, a, b, c, d, n,
+        |  CAST(a * d AS DOUBLE) / CAST(n AS DOUBLE) AS num_t,
+        |  CAST(b * c AS DOUBLE) / CAST(n AS DOUBLE) AS den_t
+        | FROM cells)
+        |SELECT CAST(count(*) AS BIGINT) AS n_strata,
+        | CAST(sum(a) AS BIGINT) AS aa, CAST(sum(b) AS BIGINT) AS bb,
+        | CAST(sum(c) AS BIGINT) AS cc, CAST(sum(d) AS BIGINT) AS dd,
+        | CASE WHEN list_reduce(list(den_t ORDER BY stratum),
+        |   (x, y) -> x + y) > 0.0 THEN
+        |  list_reduce(list(num_t ORDER BY stratum), (x, y) -> x + y) /
+        |  list_reduce(list(den_t ORDER BY stratum), (x, y) -> x + y)
+        |  END AS or_mh,
+        | CASE WHEN CAST(sum(b) AS BIGINT) > 0
+        |   AND CAST(sum(c) AS BIGINT) > 0 THEN
+        |  CAST(CAST(sum(a) AS BIGINT) * CAST(sum(d) AS BIGINT)
+        |    AS DOUBLE)
+        |   / CAST(CAST(sum(b) AS BIGINT) * CAST(sum(c) AS BIGINT)
+        |    AS DOUBLE) END AS or_crude
+        |FROM terms""".stripMargin,
+
+    // q234 twin: identical HUGEINT stratum stats, IEEE-sqrt weights,
+    // source-ordered Σw fold, exact floor seats and the same
+    // largest-fraction-first remainder rule with source tiebreak.
+    "q234_neyman_allocation" ->
+      """WITH g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_h,
+        |  sum(CAST(n_chars AS HUGEINT)) AS s_h,
+        |  sum(CAST(n_chars AS HUGEINT) * CAST(n_chars AS HUGEINT))
+        |   AS ss_h
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+        |w AS (SELECT source, n_h,
+        |  CASE WHEN n_h > 1 THEN CAST(n_h AS DOUBLE) * sqrt(
+        |    CAST(CAST(n_h AS HUGEINT) * ss_h - s_h * s_h AS DOUBLE) /
+        |    CAST(CAST(n_h AS HUGEINT) * CAST(n_h - 1 AS HUGEINT)
+        |     AS DOUBLE)) ELSE 0.0 END AS w
+        | FROM g),
+        |sw AS (SELECT list_reduce(list(w ORDER BY source),
+        |  (x, y) -> x + y) AS sum_w FROM w),
+        |f AS (SELECT source, n_h,
+        |  CASE WHEN sum_w > 0.0 THEN 1000.0 * w / sum_w
+        |   ELSE 0.0 END AS frac
+        | FROM w, sw),
+        |fb AS (SELECT source, n_h, frac,
+        |  CAST(floor(frac) AS BIGINT) AS base FROM f),
+        |r AS (SELECT source, n_h, frac, base,
+        |  1000 - CAST(sum(base) OVER () AS BIGINT) AS leftover,
+        |  CAST(row_number() OVER (ORDER BY frac - base DESC, source)
+        |   AS BIGINT) AS rk
+        | FROM fb)
+        |SELECT source, n_h, frac,
+        | base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS n_alloc
+        |FROM r""".stripMargin,
+
+    // q235 twin: identical detectors (md5 text hash; lang+len+prefix
+    // block), a.doc_id < b.doc_id pair orientation, exact counts,
+    // identical Chapman assembly.
+    "q235_capture_recapture" ->
+      """WITH base AS (SELECT doc_id, md5(text) AS h_exact,
+        |  lang || CAST(n_chars AS VARCHAR) || substr(text, 1, 24)
+        |   AS h_block
+        | FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL
+        |  AND n_chars IS NOT NULL),
+        |p1 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM base a JOIN base b
+        |  ON a.h_exact = b.h_exact AND a.doc_id < b.doc_id),
+        |p2 AS (SELECT a.doc_id AS a_id, b.doc_id AS b_id
+        | FROM base a JOIN base b
+        |  ON a.h_block = b.h_block AND a.doc_id < b.doc_id),
+        |n1 AS (SELECT CAST(count(*) AS BIGINT) AS n1 FROM p1),
+        |n2 AS (SELECT CAST(count(*) AS BIGINT) AS n2 FROM p2),
+        |mm AS (SELECT CAST(count(*) AS BIGINT) AS m
+        | FROM p1 JOIN p2 USING (a_id, b_id))
+        |SELECT n1, n2, m,
+        | CAST((n1 + 1) * (n2 + 1) AS DOUBLE) / CAST(m + 1 AS DOUBLE)
+        |  - CAST(1.0 AS DOUBLE) AS chapman_total
+        |FROM n1, n2, mm""".stripMargin,
+
+    // q236 twin: the same 20 md5 user buckets (hx % 20), exact bucket
+    // stats, leave-one-out thetas as single divisions, both folds in
+    // bucket order, identical (B−1)/B variance and sqrt assembly.
+    "q236_jackknife_se" ->
+      """WITH per AS (SELECT user_id,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+        |   END) AS BIGINT) AS conv
+        | FROM events GROUP BY 1),
+        |pb AS (SELECT CAST(('0x' || substr(md5('jk' ||
+        |   CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 20 AS bkt,
+        |  conv FROM per),
+        |b AS (SELECT bkt, CAST(count(*) AS BIGINT) AS n_i,
+        |  CAST(sum(conv) AS BIGINT) AS s_i FROM pb GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n_i) AS BIGINT) AS nn,
+        |  CAST(sum(s_i) AS BIGINT) AS ss,
+        |  CAST(count(*) AS BIGINT) AS nb FROM b),
+        |loo AS (SELECT bkt, nb, nn, ss,
+        |  CAST(ss - s_i AS DOUBLE) / CAST(nn - n_i AS DOUBLE)
+        |   AS theta_i
+        | FROM b, tot),
+        |mb AS (SELECT list_reduce(list(theta_i ORDER BY bkt),
+        |   (x, y) -> x + y) / CAST(max(nb) AS DOUBLE) AS theta_bar
+        | FROM loo),
+        |d AS (SELECT bkt, nb, nn, ss, theta_bar,
+        |  (theta_i - theta_bar) * (theta_i - theta_bar) AS dev2
+        | FROM loo, mb)
+        |SELECT max(nb) AS n_buckets, max(nn) AS n_users,
+        | max(ss) AS n_converters,
+        | CAST(max(ss) AS DOUBLE) / CAST(max(nn) AS DOUBLE)
+        |  AS theta_hat,
+        | sqrt(CAST(max(nb) - 1 AS DOUBLE) / CAST(max(nb) AS DOUBLE) *
+        |  list_reduce(list(dev2 ORDER BY bkt), (x, y) -> x + y))
+        |  AS se_jackknife
         |FROM d""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1

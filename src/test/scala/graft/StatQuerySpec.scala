@@ -183,6 +183,72 @@ class StatQuerySpec extends AnyFunSuite {
     assert(r.getAs[Double]("h_stat") == 12.0 * 29.0 / 20.0 - 15.0)
   }
 
+  test("q233 cmh: per-stratum null effects read OR_MH = 1 exactly") {
+    // stratum 0 (no pre events): 2/4 convert in each arm (OR 1);
+    // stratum 1 (one pre event): 3/4 convert in each arm (OR 1).
+    val pre = (9L to 16L).map(u => (900L + u, 0L, u, "view",
+      null: java.lang.Double))
+    val post = (1L to 16L).map { u =>
+      val converts = (u <= 8 && (u == 1 || u == 2 || u == 3 || u == 4)) ||
+        (u > 8 && u != 15 && u != 16)
+      (u, 3L * Day, u, if (converts) "purchase" else "view",
+        if (converts) java.lang.Double.valueOf(1.0)
+        else null: java.lang.Double)
+    }
+    val dir = dirWith(events = Some(evDf((pre ++ post): _*)))
+    val r = SparkEntry.queries("q233_cmh_odds_ratio")(spark, dir).head
+    assert(r.getAs[Long]("n_strata") == 2L)
+    assert(r.getAs[Long]("aa") == 5L && r.getAs[Long]("bb") == 3L)
+    assert(r.getAs[Long]("cc") == 5L && r.getAs[Long]("dd") == 3L)
+    assert(r.getAs[Double]("or_mh") == 1.0)
+    assert(r.getAs[Double]("or_crude") == 1.0)
+  }
+
+  test("q234 neyman: a zero-variance stratum gets zero allocation") {
+    val docs = Seq((1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 10L),
+      (3L, "t", "en", "B", 10L), (4L, "t", "en", "B", 20L),
+      (5L, "t", "en", "B", 30L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val out = SparkEntry.queries("q234_neyman_allocation")(spark, dir)
+      .collect().map(r => r.getAs[String]("source") ->
+        r.getAs[Long]("n_alloc")).toMap
+    assert(out("A") == 0L)
+    assert(out("B") == 1000L)
+  }
+
+  test("q235 chapman: one exact pair, two block pairs, one overlap " +
+    "reads N-hat = 2") {
+    val sameText = "the very same duplicated text body here"
+    val p = "shared twenty-four-char "
+    val docs = Seq(
+      (1L, sameText, "en", "s", sameText.length.toLong),
+      (2L, sameText, "en", "s", sameText.length.toLong),
+      (3L, p + "tail one", "en", "s", 40L),
+      (4L, p + "tail two", "en", "s", 40L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val r =
+      SparkEntry.queries("q235_capture_recapture")(spark, dir).head
+    assert(r.getAs[Long]("n1") == 1L)
+    assert(r.getAs[Long]("n2") == 2L)
+    assert(r.getAs[Long]("m") == 1L)
+    assert(r.getAs[Double]("chapman_total") == 2.0)
+  }
+
+  test("q236 jackknife: theta-hat is the exact conversion rate and " +
+    "the SE is finite and nonnegative") {
+    val rows = (1L to 40L).map { u =>
+      (u, u * 1000L, u, if (u % 4 == 0) "purchase" else "view",
+        null: java.lang.Double)
+    }
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r = SparkEntry.queries("q236_jackknife_se")(spark, dir).head
+    assert(r.getAs[Long]("n_users") == 40L)
+    assert(r.getAs[Long]("n_converters") == 10L)
+    assert(r.getAs[Double]("theta_hat") == 0.25)
+    val se = r.getAs[Double]("se_jackknife")
+    assert(se >= 0.0 && !se.isNaN && !se.isInfinite)
+  }
+
   test("q229 simpson: two equal languages read lambda 1/3") {
     val docs = Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
       (3L, "t", "de", "s", 1L), (4L, "t", "de", "s", 1L))
