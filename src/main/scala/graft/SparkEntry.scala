@@ -3489,6 +3489,149 @@ object SparkEntry {
             .as("se_jackknife"))
     }),
 
+    // Effect-size panel for the A/B readout — the magnitudes that
+    // belong NEXT to q230's significance: risk difference, relative
+    // risk, odds ratio (conversion), Cohen's d on post-spend (pooled
+    // SD, decimal stats + IEEE sqrt), and the probability-of-
+    // superiority AUC from doubled average ranks over the ilog2-
+    // bucketed spend distribution (log-bounded domain — the q169
+    // lesson applied: never rank raw cents). Everything exact up to
+    // pinned divisions; one per-user shuffle.
+    "q237_effect_sizes" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        col("event_type"),
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("us") >= col("mid"), col("cents"))
+            .otherwise(0L)).as("y"),
+          max(when(col("us") >= col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .select(pmod(col("user_id"), lit(2L)).as("arm"), col("y"),
+          col("conv"),
+          T.ilog2(col("y") + 1L).cast("long").as("yb"))
+        .localCheckpoint(true) // consumers: moments + the rank table
+      val g = per.agg(
+        sum(when(col("arm") === 1L, 1L).otherwise(0L)).as("n_t"),
+        sum(when(col("arm") === 0L, 1L).otherwise(0L)).as("n_c"),
+        sum(when(col("arm") === 1L, col("conv")).otherwise(0L))
+          .as("x_t"),
+        sum(when(col("arm") === 0L, col("conv")).otherwise(0L))
+          .as("x_c"),
+        sum(when(col("arm") === 1L, col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as("sy_t"),
+        sum(when(col("arm") === 0L, col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as("sy_c"),
+        sum(when(col("arm") === 1L, col("y").cast(D) * col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as("syy_t"),
+        sum(when(col("arm") === 0L, col("y").cast(D) * col("y").cast(D))
+          .otherwise(lit(0L).cast(D))).as("syy_c"))
+      // doubled average ranks over the ilog2-bucket histogram; R1 =
+      // Σ ranks of the TREATED arm (doubled) → AUC without a raw sort
+      val hw = Window.orderBy(col("yb"))
+      val hist = per.groupBy(col("yb"))
+        .agg(count(lit(1)).as("t"))
+        .select(col("yb"),
+          (lit(2L) * coalesce(sum(col("t")).over(
+            hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("t") + 1L).as("r2"))
+      val r1 = per.filter(col("arm") === 1L)
+        .join(broadcast(hist), Seq("yb"))
+        .agg(sum(col("r2").cast(D)).as("r2_t"))
+      val pT = col("x_t").cast("double") / col("n_t").cast("double")
+      val pC = col("x_c").cast("double") / col("n_c").cast("double")
+      val mT = col("sy_t").cast("double") / col("n_t").cast("double")
+      val mC = col("sy_c").cast("double") / col("n_c").cast("double")
+      // pooled variance from exact partials:
+      // ((n_t·syy_t − sy_t²)/n_t + (n_c·syy_c − sy_c²)/n_c) / (n−2)
+      val ssT = (col("n_t").cast(D) * col("syy_t") -
+        col("sy_t") * col("sy_t")).cast("double") /
+        col("n_t").cast("double")
+      val ssC = (col("n_c").cast(D) * col("syy_c") -
+        col("sy_c") * col("sy_c")).cast("double") /
+        col("n_c").cast("double")
+      g.crossJoin(broadcast(r1))
+        .select(col("n_t"), col("n_c"), col("x_t"), col("x_c"),
+          when(col("n_t") > 0L && col("n_c") > 0L, pT - pC)
+            .as("risk_diff"),
+          when(col("x_c") > 0L && col("n_t") > 0L, pT / pC)
+            .as("relative_risk"),
+          when(col("x_t") < col("n_t") && col("x_c") > 0L,
+            (col("x_t") * (col("n_c") - col("x_c"))).cast("double") /
+              ((col("n_t") - col("x_t")) * col("x_c")).cast("double"))
+            .as("odds_ratio"),
+          when(col("n_t") > 1L && col("n_c") > 1L &&
+            (ssT + ssC) > 0.0,
+            (mT - mC) / sqrt((ssT + ssC) /
+              (col("n_t") + col("n_c") - 2L).cast("double")))
+            .as("cohens_d"),
+          // AUC = (R1/2 − n_t(n_t+1)/2) / (n_t·n_c), doubled-rank form:
+          // (R2_t − n_t(n_t+1)) / (2·n_t·n_c)
+          when(col("n_t") > 0L && col("n_c") > 0L,
+            (col("r2_t") - (col("n_t").cast(D) *
+              (col("n_t") + 1L).cast(D))).cast("double") /
+              (lit(2L).cast(D) * col("n_t").cast(D) *
+                col("n_c").cast(D)).cast("double")).as("auc_bucketed"))
+    }),
+
+    // Friedman test (1937) — do the event types keep a consistent
+    // daily-volume ORDERING across days (blocks)? The repeated-
+    // measures rank test next to Kendall's W territory: the complete
+    // day×type grid (absent cells count 0 — a missing type that day IS
+    // the lowest volume), within-day doubled average ranks off each
+    // day's k-row histogram, per-type rank sums in decimal(38,0), and
+    // χ²_F = 12·Σ(R_j)²/(n·k·(k+1)) − 3·n·(k+1) with the Σ(R_j)²
+    // fold in type order. Day and type domains are both bounded; the
+    // grid is their product.
+    "q238_friedman" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          datediff(to_date(col("ts")), to_date(lit("1970-01-01")))
+            .cast("long").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true) // consumers: grid axes + the fill join
+      val days = daily.select(col("day")).distinct()
+      val types = daily.select(col("event_type")).distinct()
+      val grid = days.crossJoin(types)
+        .join(daily, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val dw = Window.partitionBy(col("day")).orderBy(col("cnt"))
+      val ranked = grid.groupBy(col("day"), col("cnt"))
+        .agg(collect_list(col("event_type")).as("ets"),
+          count(lit(1)).as("t"))
+        .select(col("day"), col("cnt"), col("t"), col("ets"),
+          (lit(2L) * coalesce(sum(col("t")).over(
+            dw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("t") + 1L).as("r2"))
+        .select(col("day"), explode(col("ets")).as("event_type"),
+          col("r2"))
+      val perType = ranked.groupBy(col("event_type"))
+        .agg(sum(col("r2").cast(D)).as("sr2"),
+          count(lit(1)).as("n_days"))
+        .select(col("event_type"), col("n_days"),
+          ((col("sr2") * col("sr2")).cast("double") / lit(4.0))
+            .as("rj2"))
+      perType.agg(count(lit(1)).as("k"),
+          max(col("n_days")).as("n_days"),
+          expr("aggregate(array_sort(collect_list(struct(event_type, " +
+            "rj2))), 0.0D, (acc, x) -> acc + x.rj2)").as("sum_rj2"))
+        .select(col("k"), col("n_days"),
+          when(col("k") > 1L && col("n_days") > 0L,
+            lit(12.0) * col("sum_rj2") /
+              (col("n_days").cast(D) * col("k").cast(D) *
+                (col("k") + 1L).cast(D)).cast("double") -
+              (lit(3L) * col("n_days") * (col("k") + 1L))
+                .cast("double")).as("chi2_friedman"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -9310,6 +9453,123 @@ object SparkEntry {
         |  list_reduce(list(dev2 ORDER BY bkt), (x, y) -> x + y))
         |  AS se_jackknife
         |FROM d""".stripMargin,
+
+    // q237 twin: identical midpoint/arm machinery, HUGEINT moment
+    // partials, identical pinned assemblies for every effect size, and
+    // the same ilog2(y+1)-bucket doubled ranks feeding the AUC.
+    "q237_effect_sizes" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type,
+        |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id % 2 AS arm,
+        |  CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |   AS BIGINT) AS y,
+        |  CAST(max(CASE WHEN us >= mid AND event_type = 'purchase'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS conv
+        | FROM ev, m GROUP BY user_id),
+        |pb AS (SELECT arm, y, conv,
+        |  CAST(length(bin(y + 1)) - 1 AS BIGINT) AS yb FROM per),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_t,
+        |  CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS n_c,
+        |  CAST(sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS BIGINT)
+        |   AS x_t,
+        |  CAST(sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS BIGINT)
+        |   AS x_c,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT)
+        |   ELSE CAST(0 AS HUGEINT) END) AS sy_t,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT)
+        |   ELSE CAST(0 AS HUGEINT) END) AS sy_c,
+        |  sum(CASE WHEN arm = 1 THEN CAST(y AS HUGEINT) *
+        |   CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS syy_t,
+        |  sum(CASE WHEN arm = 0 THEN CAST(y AS HUGEINT) *
+        |   CAST(y AS HUGEINT) ELSE CAST(0 AS HUGEINT) END) AS syy_c
+        | FROM pb),
+        |h AS (SELECT yb, CAST(count(*) AS BIGINT) AS t
+        | FROM pb GROUP BY 1),
+        |hr AS (SELECT yb,
+        |  2 * CAST(COALESCE(sum(t) OVER (ORDER BY yb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + t + 1 AS r2
+        | FROM h),
+        |r1 AS (SELECT sum(CAST(r2 AS HUGEINT)) AS r2_t
+        | FROM pb JOIN hr USING (yb) WHERE arm = 1)
+        |SELECT n_t, n_c, x_t, x_c,
+        | CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |  CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |   - CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE)
+        |  END AS risk_diff,
+        | CASE WHEN x_c > 0 AND n_t > 0 THEN
+        |  (CAST(x_t AS DOUBLE) / CAST(n_t AS DOUBLE))
+        |   / (CAST(x_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |  END AS relative_risk,
+        | CASE WHEN x_t < n_t AND x_c > 0 THEN
+        |  CAST(x_t * (n_c - x_c) AS DOUBLE)
+        |   / CAST((n_t - x_t) * x_c AS DOUBLE) END AS odds_ratio,
+        | CASE WHEN n_t > 1 AND n_c > 1 AND
+        |   (CAST(CAST(n_t AS HUGEINT) * syy_t - sy_t * sy_t AS DOUBLE)
+        |     / CAST(n_t AS DOUBLE)
+        |    + CAST(CAST(n_c AS HUGEINT) * syy_c - sy_c * sy_c
+        |       AS DOUBLE) / CAST(n_c AS DOUBLE)) > 0.0 THEN
+        |  (CAST(sy_t AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |    - CAST(sy_c AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |   / sqrt(
+        |    (CAST(CAST(n_t AS HUGEINT) * syy_t - sy_t * sy_t
+        |       AS DOUBLE) / CAST(n_t AS DOUBLE)
+        |     + CAST(CAST(n_c AS HUGEINT) * syy_c - sy_c * sy_c
+        |        AS DOUBLE) / CAST(n_c AS DOUBLE))
+        |     / CAST(n_t + n_c - 2 AS DOUBLE)) END AS cohens_d,
+        | CASE WHEN n_t > 0 AND n_c > 0 THEN
+        |  CAST(r2_t - CAST(n_t AS HUGEINT) * CAST(n_t + 1 AS HUGEINT)
+        |    AS DOUBLE)
+        |   / CAST(CAST(2 AS HUGEINT) * CAST(n_t AS HUGEINT) *
+        |     CAST(n_c AS HUGEINT) AS DOUBLE) END AS auc_bucketed
+        |FROM g, r1""".stripMargin,
+
+    // q238 twin: identical complete grid (absent cells = 0), per-day
+    // doubled average ranks, HUGEINT rank sums, type-ordered fold and
+    // the same χ²_F assembly.
+    "q238_friedman" ->
+      """WITH daily AS (SELECT event_type,
+        |  CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+        |  CAST(count(*) AS BIGINT) AS cnt
+        | FROM events GROUP BY 1, 2),
+        |grid AS (SELECT t.event_type, d.day, COALESCE(x.cnt, 0) AS cnt
+        | FROM (SELECT DISTINCT day FROM daily) d
+        | CROSS JOIN (SELECT DISTINCT event_type FROM daily) t
+        | LEFT JOIN daily x
+        |  ON x.event_type = t.event_type AND x.day = d.day),
+        |hr AS (SELECT day, cnt, CAST(count(*) AS BIGINT) AS t
+        | FROM grid GROUP BY 1, 2),
+        |hr2 AS (SELECT day, cnt,
+        |  2 * CAST(COALESCE(sum(t) OVER (PARTITION BY day ORDER BY cnt
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + t + 1 AS r2
+        | FROM hr),
+        |ranked AS (SELECT g.event_type, g.day, h.r2
+        | FROM grid g JOIN hr2 h ON g.day = h.day AND g.cnt = h.cnt),
+        |pt AS (SELECT event_type, sum(CAST(r2 AS HUGEINT)) AS sr2,
+        |  CAST(count(*) AS BIGINT) AS n_days FROM ranked GROUP BY 1),
+        |pj AS (SELECT event_type, n_days,
+        |  CAST(sr2 * sr2 AS DOUBLE) / 4.0 AS rj2 FROM pt),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS k,
+        |  CAST(max(n_days) AS BIGINT) AS n_days,
+        |  list_reduce(list(rj2 ORDER BY event_type), (x, y) -> x + y)
+        |   AS sum_rj2
+        | FROM pj)
+        |SELECT k, n_days,
+        | CASE WHEN k > 1 AND n_days > 0 THEN
+        |  12.0 * sum_rj2 /
+        |    CAST(CAST(n_days AS HUGEINT) * CAST(k AS HUGEINT) *
+        |     CAST(k + 1 AS HUGEINT) AS DOUBLE)
+        |   - CAST(3 * n_days * (k + 1) AS DOUBLE)
+        |  END AS chi2_friedman
+        |FROM tot""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

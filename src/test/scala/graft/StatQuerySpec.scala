@@ -249,6 +249,42 @@ class StatQuerySpec extends AnyFunSuite {
     assert(se >= 0.0 && !se.isNaN && !se.isInfinite)
   }
 
+  test("q237 effect sizes: hand-computed 2x4 arms read RD/RR/OR and " +
+    "the bucketed AUC exactly") {
+    // treated (odd): converts 1→200c, 3→400c; 5,7 don't. control
+    // (even): 2→100c; 4,6,8 don't. RD=0.25, RR=2, OR=3; ilog2 buckets
+    // give R2_t=42 → AUC=(42-20)/32.
+    val pre = (1L to 8L).map(u => (800L + u, 0L, u, "view",
+      null: java.lang.Double))
+    val post = Seq(
+      (1L, 3L * Day, 1L, "purchase", java.lang.Double.valueOf(2.0)),
+      (3L, 3L * Day, 3L, "purchase", java.lang.Double.valueOf(4.0)),
+      (2L, 3L * Day, 2L, "purchase", java.lang.Double.valueOf(1.0)))
+    val dir = dirWith(events = Some(evDf((pre ++ post): _*)))
+    val r = SparkEntry.queries("q237_effect_sizes")(spark, dir).head
+    assert(r.getAs[Long]("n_t") == 4L && r.getAs[Long]("n_c") == 4L)
+    assert(r.getAs[Long]("x_t") == 2L && r.getAs[Long]("x_c") == 1L)
+    assert(r.getAs[Double]("risk_diff") == 0.25)
+    assert(r.getAs[Double]("relative_risk") == 2.0)
+    assert(r.getAs[Double]("odds_ratio") == 3.0)
+    assert(r.getAs[Double]("cohens_d") > 0.0)
+    assert(r.getAs[Double]("auc_bucketed") == (42.0 - 20.0) / 32.0)
+  }
+
+  test("q238 friedman: a perfectly consistent ordering reads the " +
+    "k=2 maximum chi2 = n(k-1) = 3") {
+    // type a beats type b on every one of 3 days
+    val rows = (for (d <- 0L to 2L; i <- 0L until 2L)
+      yield (d * 10 + i, d * Day + i, 1L, "a", null: java.lang.Double)) ++
+      (for (d <- 0L to 2L)
+        yield (d * 10 + 9, d * Day + 9, 1L, "b", null: java.lang.Double))
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r = SparkEntry.queries("q238_friedman")(spark, dir).head
+    assert(r.getAs[Long]("k") == 2L)
+    assert(r.getAs[Long]("n_days") == 3L)
+    assert(r.getAs[Double]("chi2_friedman") == 3.0)
+  }
+
   test("q229 simpson: two equal languages read lambda 1/3") {
     val docs = Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
       (3L, "t", "de", "s", 1L), (4L, "t", "de", "s", 1L))
