@@ -908,4 +908,51 @@ class PlanShapeSpec extends AnyFunSuite {
       s"cohort-size join must broadcast on fw:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q224/q225 top-k: the global ranking runs as TakeOrdered " +
+    "(per-partition heaps), never a full Sort + GlobalLimit") {
+    for (q <- Seq("q224_priority_sample", "q225_fs_linkage")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject in:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no cartesian allowed:\n$p")
+    }
+  }
+
+  test("q222 qini deciles: value-cut assignment — no ntile/global row " +
+    "ranking, no corpus cartesian") {
+    val p = plan("q222_qini_deciles")
+    assert(!p.toLowerCase.contains("ntile"),
+      s"decile cut must come from the histogram, not ntile:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q235 capture-recapture: no cartesian in the final plan, and " +
+    "the detectors' pair joins are equi-joins on the block key") {
+    // the p1/p2 localCheckpoints truncate the detector lineage out of
+    // the FINAL plan, so assert the detector shape on an un-checkpointed
+    // replica of the pair generator, then the overlap on the real query
+    val p = plan("q235_capture_recapture")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+    import org.apache.spark.sql.functions._
+    val base = Tables(spark, sf, "documents")
+      .filter(col("text").isNotNull && col("lang").isNotNull &&
+        col("n_chars").isNotNull)
+      .select(col("doc_id"), md5(col("text")).as("h_exact"))
+    val l = base.select(col("h_exact").as("k"), col("doc_id").as("a_id"))
+    val r = base.select(col("h_exact").as("k"), col("doc_id").as("b_id"))
+    val pairs = l.join(r, Seq("k")).filter(col("a_id") < col("b_id"))
+    val pp = pairs.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case x => x.toString
+    }
+    assert(pp.linesIterator.exists(ln =>
+      (ln.contains("ShuffledHashJoin") || ln.contains("SortMergeJoin") ||
+        ln.contains("BroadcastHashJoin")) && ln.contains("k#")),
+      s"detector pair join must be an equi-join on the hash key:\n$pp")
+    assert(!pp.contains("CartesianProduct") &&
+      !pp.contains("BroadcastNestedLoopJoin"),
+      s"detector must not go nested-loop:\n$pp")
+  }
 }
