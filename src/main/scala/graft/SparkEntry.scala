@@ -3632,6 +3632,72 @@ object SparkEntry {
                 .cast("double")).as("chi2_friedman"))
     }),
 
+    // Sample-size planner — the question asked BEFORE q196/q230 can
+    // run: how many users per arm to detect a 1/2/5/10% lift on the
+    // spend metric at α=.05, power=.8? n = 2(z_α/2+z_β)²σ²/δ² with the
+    // z-constant folded to ONE shared literal (2·(1.959963984540054 +
+    // 0.8416212335729143)² = 15.697759468698177 — the Benford
+    // paste-the-literal discipline; erf/quantile functions are
+    // transcendental and banned), σ² from exact decimal(38,0) corpus
+    // moments, δ = mean·pct/100 pinned, ceil() exact on both engines.
+    "q239_samplesize_planner" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val per = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase" &&
+            col("value").isNotNull,
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
+          .otherwise(lit(0L))).as("y"))
+      val g = per.agg(count(lit(1)).as("n_users"),
+        sum(col("y").cast(D)).as("sy"),
+        sum(col("y").cast(D) * col("y").cast(D)).as("syy"))
+      val d = g.select(col("n_users"),
+        (col("sy").cast("double") / col("n_users").cast("double"))
+          .as("baseline_mean"),
+        ((col("n_users").cast(D) * col("syy") - col("sy") * col("sy"))
+          .cast("double") /
+          (col("n_users").cast(D) * (col("n_users") - 1L).cast(D))
+            .cast("double")).as("variance"))
+      val delta = col("baseline_mean") *
+        col("mde_pct").cast("double") / lit(100.0)
+      d.select(col("n_users"), col("baseline_mean"), col("variance"),
+          explode(array(lit(1L), lit(2L), lit(5L), lit(10L)))
+            .as("mde_pct"))
+        .select(col("mde_pct"), col("n_users"), col("baseline_mean"),
+          col("variance"),
+          when(col("n_users") > 1L && col("baseline_mean") > 0.0 &&
+            col("variance") > 0.0,
+            ceil(lit(15.697759468698177) * col("variance") /
+              (delta * delta))).as("n_required_per_arm"))
+    }),
+
+    // Good-Turing unseen-mass estimate (Good 1953) — what fraction of
+    // the NEXT crawl's tokens will be words this corpus has never
+    // seen? p₀ = N₁/N (singleton mass), with the Turing-smoothed
+    // singleton probability 2·N₂/N₁/N riding along — the vocabulary-
+    // saturation reading Heaps' law (q180) fits and this measures.
+    // Exact integers to single divisions; the (source, token) census
+    // is the only corpus-scale shuffle.
+    "q240_good_turing" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("text").isNotNull)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("source"), col("w")).agg(count(lit(1)).as("c"))
+      tf.groupBy(col("source")).agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n1"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n2"))
+        .select(col("source"), col("n_tokens"), col("vocab"),
+          col("n1"), col("n2"),
+          when(col("n_tokens") > 0L,
+            col("n1").cast("double") / col("n_tokens").cast("double"))
+            .as("p_unseen"),
+          when(col("n1") > 0L && col("n_tokens") > 0L,
+            (lit(2L) * col("n2")).cast("double") /
+              col("n1").cast("double") /
+              col("n_tokens").cast("double")).as("p1_turing"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -9570,6 +9636,63 @@ object SparkEntry {
         |   - CAST(3 * n_days * (k + 1) AS DOUBLE)
         |  END AS chi2_friedman
         |FROM tot""".stripMargin,
+
+    // q239 twin: the identical 15.697759468698177 literal (both sides
+    // parse the same decimal text to the same double), HUGEINT
+    // moments, pinned δ and ceil() — exact on both engines.
+    "q239_samplesize_planner" ->
+      """WITH per AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'purchase'
+        |    AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   ELSE 0 END) AS BIGINT) AS y
+        | FROM events GROUP BY 1),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+        |  sum(CAST(y AS HUGEINT)) AS sy,
+        |  sum(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+        | FROM per),
+        |d AS (SELECT n_users,
+        |  CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE)
+        |   AS baseline_mean,
+        |  CAST(CAST(n_users AS HUGEINT) * syy - sy * sy AS DOUBLE) /
+        |   CAST(CAST(n_users AS HUGEINT) *
+        |    CAST(n_users - 1 AS HUGEINT) AS DOUBLE) AS variance
+        | FROM g),
+        |m AS (SELECT CAST(unnest([1, 2, 5, 10]) AS BIGINT) AS mde_pct)
+        |SELECT mde_pct, n_users, baseline_mean, variance,
+        | CASE WHEN n_users > 1 AND baseline_mean > 0.0
+        |   AND variance > 0.0 THEN
+        |  CAST(ceil(15.697759468698177 * variance /
+        |   ((baseline_mean * CAST(mde_pct AS DOUBLE) / 100.0)
+        |    * (baseline_mean * CAST(mde_pct AS DOUBLE) / 100.0)))
+        |   AS BIGINT) END AS n_required_per_arm
+        |FROM d, m""".stripMargin,
+
+    // q240 twin: identical token census and exact singleton/doubleton
+    // counts; identical single-division assemblies.
+    "q240_good_turing" ->
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' '))
+        |   AS w
+        | FROM documents
+        | WHERE source IS NOT NULL AND text IS NOT NULL),
+        |tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+        | FROM tok GROUP BY 1, 2)
+        |SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens,
+        | CAST(count(*) AS BIGINT) AS vocab,
+        | CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        | CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+        | CASE WHEN CAST(sum(c) AS BIGINT) > 0 THEN
+        |  CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS DOUBLE)
+        |   / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) END AS p_unseen,
+        | CASE WHEN CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |    AS BIGINT) > 0 AND CAST(sum(c) AS BIGINT) > 0 THEN
+        |  CAST(2 * CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END)
+        |     AS BIGINT) AS DOUBLE)
+        |   / CAST(CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS DOUBLE)
+        |   / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) END AS p1_turing
+        |FROM tf GROUP BY source""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
