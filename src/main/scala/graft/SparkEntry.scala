@@ -3698,6 +3698,145 @@ object SparkEntry {
               col("n_tokens").cast("double")).as("p1_turing"))
     }),
 
+    // McNemar's test (1947) — did the SAME users change conversion
+    // behavior across the midpoint? The paired 2×2 the independent-
+    // samples tests (q230/q233) can't express: only the discordant
+    // cells b (converted→lapsed) and c (lapsed→converted) carry
+    // information. χ² = (b−c)²/(b+c) and the continuity-corrected
+    // (|b−c|−1)²/(b+c) — exact integers to one division each. One
+    // per-user shuffle, four-cell output.
+    "q241_mcnemar" -> ((s, dir) => {
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"), col("event_type"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg(max(when(col("us") < col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("pre"),
+          max(when(col("us") >= col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("post"))
+      per.agg(
+          sum(when(col("pre") === 1L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("both_conv"),
+          sum(when(col("pre") === 1L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("pre") === 0L && col("post") === 1L, 1L)
+            .otherwise(0L)).as("c"),
+          sum(when(col("pre") === 0L && col("post") === 0L, 1L)
+            .otherwise(0L)).as("neither"))
+        .select(col("both_conv"), col("b"), col("c"), col("neither"),
+          when(col("b") + col("c") > 0L,
+            ((col("b") - col("c")) * (col("b") - col("c")))
+              .cast("double") / (col("b") + col("c")).cast("double"))
+            .as("chi2_mcnemar"),
+          when(col("b") + col("c") > 0L,
+            ((abs(col("b") - col("c")) - 1L) *
+              (abs(col("b") - col("c")) - 1L)).cast("double") /
+              (col("b") + col("c")).cast("double"))
+            .as("chi2_mcnemar_cc"))
+    }),
+
+    // Wilcoxon signed-rank (1945) on the paired pre→post spend deltas
+    // — the magnitude-aware paired test next to q241's sign-only view:
+    // zero deltas drop (the classic rule), magnitudes quantize to
+    // ilog2 buckets (the q237 discipline — NEVER rank raw cents; the
+    // quantization is the operator's documented resolution), doubled
+    // average ranks off the ≤64-bucket histogram, W⁺ exact in
+    // decimal(38,0), and the normal-approx z from exact integer
+    // numerator A = 2W⁺ − n(n+1) against IEEE sqrt.
+    "q242_wilcoxon_signed_rank" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val ev = t(s, dir, "events").select(col("user_id"),
+        expr("unix_micros(ts)").as("us"),
+        when(col("event_type") === "purchase" && col("value").isNotNull,
+          (col("value").cast("decimal(12,2)") * lit(100)).cast("long"))
+          .otherwise(lit(0L)).as("cents"))
+      val midDf = ev.agg(expr("(min(us) + max(us)) div 2").as("mid"))
+      val per = ev.crossJoin(broadcast(midDf))
+        .groupBy(col("user_id"))
+        .agg((sum(when(col("us") >= col("mid"), col("cents"))
+          .otherwise(0L)) -
+          sum(when(col("us") < col("mid"), col("cents"))
+            .otherwise(0L))).as("d"))
+        .filter(col("d") =!= 0L)
+        .select(col("d"), T.ilog2(abs(col("d"))).cast("long").as("mb"))
+        .localCheckpoint(true) // consumers: histogram + rank join
+      val hw = Window.orderBy(col("mb"))
+      val hist = per.groupBy(col("mb")).agg(count(lit(1)).as("t"))
+        .select(col("mb"),
+          (lit(2L) * coalesce(sum(col("t")).over(
+            hw.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) +
+            col("t") + 1L).as("r2"))
+      val g = per.join(broadcast(hist), Seq("mb"))
+        .agg(count(lit(1)).as("n_eff"),
+          sum(when(col("d") > 0L, col("r2").cast(D))
+            .otherwise(lit(0L).cast(D))).as("w2_plus"))
+      // A = 2W⁺ − n(n+1) (exact); z = (A/4) / sqrt(n(n+1)(2n+1)/24)
+      val a = lit(2L).cast(D) * col("w2_plus") -
+        col("n_eff").cast(D) * (col("n_eff") + 1L).cast(D)
+      g.select(col("n_eff"),
+        (col("w2_plus").cast("double") / lit(2.0)).as("w_plus"),
+        when(col("n_eff") > 1L,
+          a.cast("double") / lit(4.0) /
+            sqrt((col("n_eff").cast(D) * (col("n_eff") + 1L).cast(D) *
+              (lit(2L) * col("n_eff") + 1L).cast(D)).cast("double") /
+              lit(24.0))).as("z_approx"))
+    }),
+
+    // Brown-Forsythe / Levene variance-equality test (1974) — are the
+    // per-source length SPREADS equal (the assumption q231's ANOVA
+    // rests on)? Median-centered: each source's lower median comes off
+    // the bounded value histogram (integer order statistic — no
+    // percentile state), deviations |x − med| are EXACT INTEGERS, and
+    // the one-way F on those deviations reuses the q231 discipline
+    // (decimal stats, source-ordered folds). Two bounded shuffles +
+    // one broadcast median join.
+    "q243_brown_forsythe" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val base = t(s, dir, "documents")
+        .filter(col("source").isNotNull && col("n_chars").isNotNull)
+        .select(col("source"), col("n_chars").as("v"))
+        .localCheckpoint(true) // consumers: median histogram + devs
+      val mw = Window.partitionBy(col("source")).orderBy(col("v"))
+      val med = base.groupBy(col("source"), col("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("source"), col("v"),
+          sum(col("cnt")).over(
+            mw.rowsBetween(Window.unboundedPreceding, 0)).as("cum"),
+          sum(col("cnt")).over(mw.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing))
+            .as("tot"))
+        .filter(lit(2L) * col("cum") >= col("tot"))
+        .groupBy(col("source")).agg(min(col("v")).as("med"))
+      val dev = base.join(broadcast(med), Seq("source"))
+        .select(col("source"), abs(col("v") - col("med")).as("z"))
+      val g = dev.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_j"), sum(col("z").cast(D)).as("s_j"),
+          sum(col("z").cast(D) * col("z").cast(D)).as("ss_j"))
+        .select(col("source"), col("n_j"), col("s_j"), col("ss_j"),
+          ((col("s_j") * col("s_j")).cast("double") /
+            col("n_j").cast("double")).as("term"))
+      val tot = g.agg(sum(col("n_j")).as("nn"), sum(col("s_j")).as("s"),
+        sum(col("ss_j")).as("ss"),
+        countDistinct(col("source")).as("k"),
+        expr("aggregate(array_sort(collect_list(struct(source, term)))" +
+          ", 0.0D, (acc, x) -> acc + x.term)").as("sum_terms"))
+      val sst = col("ss").cast("double") -
+        (col("s") * col("s")).cast("double") / col("nn").cast("double")
+      val ssb = col("sum_terms") -
+        (col("s") * col("s")).cast("double") / col("nn").cast("double")
+      tot.select(col("k"), col("nn").as("n_docs"), ssb.as("ssb"),
+          (sst - ssb).as("ssw"))
+        .select(col("k"), col("n_docs"), col("ssb"), col("ssw"),
+          when(col("k") > 1L && col("n_docs") > col("k") &&
+            col("ssw") > 0.0,
+            (col("ssb") / (col("k") - 1L).cast("double")) /
+              (col("ssw") / (col("n_docs") - col("k")).cast("double")))
+            .as("f_bf"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -9693,6 +9832,122 @@ object SparkEntry {
         |      AS BIGINT) AS DOUBLE)
         |   / CAST(CAST(sum(c) AS BIGINT) AS DOUBLE) END AS p1_turing
         |FROM tf GROUP BY source""".stripMargin,
+
+    // q241 twin: identical midpoint pairing, exact discordant cells,
+    // identical plain and continuity-corrected assemblies.
+    "q241_mcnemar" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us, event_type
+        |  FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id,
+        |  CAST(max(CASE WHEN us < mid AND event_type = 'purchase'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS pre,
+        |  CAST(max(CASE WHEN us >= mid AND event_type = 'purchase'
+        |   THEN 1 ELSE 0 END) AS BIGINT) AS post
+        | FROM ev, m GROUP BY user_id),
+        |g AS (SELECT
+        |  CAST(sum(CASE WHEN pre = 1 AND post = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS both_conv,
+        |  CAST(sum(CASE WHEN pre = 1 AND post = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS b,
+        |  CAST(sum(CASE WHEN pre = 0 AND post = 1 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS c,
+        |  CAST(sum(CASE WHEN pre = 0 AND post = 0 THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS neither
+        | FROM per)
+        |SELECT both_conv, b, c, neither,
+        | CASE WHEN b + c > 0 THEN
+        |  CAST((b - c) * (b - c) AS DOUBLE) / CAST(b + c AS DOUBLE)
+        |  END AS chi2_mcnemar,
+        | CASE WHEN b + c > 0 THEN
+        |  CAST((abs(b - c) - 1) * (abs(b - c) - 1) AS DOUBLE)
+        |   / CAST(b + c AS DOUBLE) END AS chi2_mcnemar_cc
+        |FROM g""".stripMargin,
+
+    // q242 twin: identical zero-drop rule, identical ilog2 magnitude
+    // buckets and doubled ranks, HUGEINT W⁺ halved to the same double,
+    // identical exact-integer z numerator against IEEE sqrt.
+    "q242_wilcoxon_signed_rank" ->
+      """WITH ev AS (SELECT user_id, epoch_us(ts) AS us,
+        |  CASE WHEN event_type = 'purchase' AND value IS NOT NULL
+        |   THEN CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT)
+        |   ELSE 0 END AS cents
+        | FROM events),
+        |m AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+        |per AS (SELECT user_id,
+        |  CAST(sum(CASE WHEN us >= mid THEN cents ELSE 0 END)
+        |    - sum(CASE WHEN us < mid THEN cents ELSE 0 END)
+        |   AS BIGINT) AS d
+        | FROM ev, m GROUP BY user_id),
+        |pf AS (SELECT d, CAST(length(bin(abs(d))) - 1 AS BIGINT) AS mb
+        | FROM per WHERE d <> 0),
+        |h AS (SELECT mb, CAST(count(*) AS BIGINT) AS t
+        | FROM pf GROUP BY 1),
+        |hr AS (SELECT mb,
+        |  2 * CAST(COALESCE(sum(t) OVER (ORDER BY mb
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS BIGINT) + t + 1 AS r2
+        | FROM h),
+        |g AS (SELECT CAST(count(*) AS BIGINT) AS n_eff,
+        |  sum(CASE WHEN d > 0 THEN CAST(r2 AS HUGEINT)
+        |   ELSE CAST(0 AS HUGEINT) END) AS w2_plus
+        | FROM pf JOIN hr USING (mb))
+        |SELECT n_eff, CAST(w2_plus AS DOUBLE) / 2.0 AS w_plus,
+        | CASE WHEN n_eff > 1 THEN
+        |  CAST(CAST(2 AS HUGEINT) * w2_plus
+        |    - CAST(n_eff AS HUGEINT) * CAST(n_eff + 1 AS HUGEINT)
+        |   AS DOUBLE) / 4.0 /
+        |  sqrt(CAST(CAST(n_eff AS HUGEINT) *
+        |    CAST(n_eff + 1 AS HUGEINT) *
+        |    CAST(2 * n_eff + 1 AS HUGEINT) AS DOUBLE) / 24.0)
+        |  END AS z_approx
+        |FROM g""".stripMargin,
+
+    // q243 twin: identical lower-median order statistic off the
+    // per-source histogram, exact integer deviations, and the q231
+    // F assembly over them (source-ordered folds).
+    "q243_brown_forsythe" ->
+      """WITH base AS (SELECT source, CAST(n_chars AS BIGINT) AS v
+        | FROM documents
+        | WHERE source IS NOT NULL AND n_chars IS NOT NULL),
+        |hc AS (SELECT source, v, CAST(count(*) AS BIGINT) AS cnt
+        | FROM base GROUP BY 1, 2),
+        |mc AS (SELECT source, v,
+        |  CAST(sum(cnt) OVER (PARTITION BY source ORDER BY v
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS BIGINT) AS cum,
+        |  CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS tot
+        | FROM hc),
+        |med AS (SELECT source, CAST(min(v) AS BIGINT) AS med
+        | FROM mc WHERE 2 * cum >= tot GROUP BY 1),
+        |dev AS (SELECT b.source, abs(b.v - med.med) AS z
+        | FROM base b JOIN med ON b.source = med.source),
+        |g AS (SELECT source, CAST(count(*) AS BIGINT) AS n_j,
+        |  sum(CAST(z AS HUGEINT)) AS s_j,
+        |  sum(CAST(z AS HUGEINT) * CAST(z AS HUGEINT)) AS ss_j
+        | FROM dev GROUP BY 1),
+        |gt AS (SELECT source, n_j, s_j, ss_j,
+        |  CAST(s_j * s_j AS DOUBLE) / CAST(n_j AS DOUBLE) AS term
+        | FROM g),
+        |tot AS (SELECT CAST(sum(n_j) AS BIGINT) AS nn,
+        |  sum(s_j) AS s, sum(ss_j) AS ss,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS k,
+        |  list_reduce(list(term ORDER BY source), (x, y) -> x + y)
+        |   AS sum_terms
+        | FROM gt),
+        |d AS (SELECT k, nn AS n_docs,
+        |  sum_terms - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE)
+        |   AS ssb,
+        |  (CAST(ss AS DOUBLE)
+        |    - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   - (sum_terms - CAST(s * s AS DOUBLE) / CAST(nn AS DOUBLE))
+        |   AS ssw
+        | FROM tot)
+        |SELECT k, n_docs, ssb, ssw,
+        | CASE WHEN k > 1 AND n_docs > k AND ssw > 0.0 THEN
+        |  (ssb / CAST(k - 1 AS DOUBLE))
+        |   / (ssw / CAST(n_docs - k AS DOUBLE)) END AS f_bf
+        |FROM d""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.

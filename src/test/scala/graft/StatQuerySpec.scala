@@ -285,6 +285,60 @@ class StatQuerySpec extends AnyFunSuite {
     assert(r.getAs[Double]("chi2_friedman") == 3.0)
   }
 
+  test("q241 mcnemar: discordant cells 3 vs 1 read chi2 1.0, cc 0.25") {
+    // both: u1,u2; b (pre only): u3,u4,u5; c (post only): u6;
+    // neither: u7,u8
+    def pre(u: Long, i: Long) = (u * 100 + i, 0L + i, u, "purchase",
+      java.lang.Double.valueOf(1.0))
+    def post(u: Long, i: Long) = (u * 100 + 50 + i, 3L * Day + i, u,
+      "purchase", java.lang.Double.valueOf(1.0))
+    def anchor(u: Long) = Seq(
+      (u * 100 + 98, 1L, u, "view", null: java.lang.Double),
+      (u * 100 + 99, 3L * Day, u, "view", null: java.lang.Double))
+    val rows = Seq(pre(1, 1), post(1, 1), pre(2, 2), post(2, 2),
+      pre(3, 3), pre(4, 4), pre(5, 5), post(6, 6)) ++
+      (1L to 8L).flatMap(anchor)
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r = SparkEntry.queries("q241_mcnemar")(spark, dir).head
+    assert(r.getAs[Long]("both_conv") == 2L)
+    assert(r.getAs[Long]("b") == 3L && r.getAs[Long]("c") == 1L)
+    assert(r.getAs[Long]("neither") == 2L)
+    assert(r.getAs[Double]("chi2_mcnemar") == 1.0)
+    assert(r.getAs[Double]("chi2_mcnemar_cc") == 0.25)
+  }
+
+  test("q242 wilcoxon: bucketed ranks on +300,+500,-100 read " +
+    "W+ = 5 and the closed-form z") {
+    // u4's zero delta drops; |d| buckets: 100->6, 300/500 -> 8 (tied,
+    // doubled avg rank 5); W2+ = 10 -> W+ = 5; z = 2/sqrt(3.5)
+    val rows = Seq(
+      (11L, 3L * Day, 1L, "purchase", java.lang.Double.valueOf(3.0)),
+      (12L, 3L * Day, 2L, "purchase", java.lang.Double.valueOf(5.0)),
+      (13L, 0L, 3L, "purchase", java.lang.Double.valueOf(1.0)),
+      (14L, 0L, 4L, "purchase", java.lang.Double.valueOf(2.0)),
+      (15L, 3L * Day, 4L, "purchase", java.lang.Double.valueOf(2.0)),
+      (16L, 0L, 1L, "view", null: java.lang.Double),
+      (17L, 0L, 2L, "view", null: java.lang.Double),
+      (18L, 3L * Day, 3L, "view", null: java.lang.Double))
+    val dir = dirWith(events = Some(evDf(rows: _*)))
+    val r =
+      SparkEntry.queries("q242_wilcoxon_signed_rank")(spark, dir).head
+    assert(r.getAs[Long]("n_eff") == 3L)
+    assert(r.getAs[Double]("w_plus") == 5.0)
+    assert(r.getAs[Double]("z_approx") == 2.0 / math.sqrt(3.5))
+  }
+
+  test("q243 brown-forsythe: identical per-source spreads read F = 0") {
+    val docs = Seq((1L, "t", "en", "A", 10L), (2L, "t", "en", "A", 20L),
+      (3L, "t", "en", "A", 30L), (4L, "t", "en", "B", 10L),
+      (5L, "t", "en", "B", 20L), (6L, "t", "en", "B", 30L))
+    val dir = dirWith(documents = Some(docDf(docs: _*)))
+    val r = SparkEntry.queries("q243_brown_forsythe")(spark, dir).head
+    assert(r.getAs[Long]("k") == 2L && r.getAs[Long]("n_docs") == 6L)
+    assert(r.getAs[Double]("ssb") == 0.0)
+    assert(r.getAs[Double]("f_bf") == 0.0)
+  }
+
   test("q229 simpson: two equal languages read lambda 1/3") {
     val docs = Seq((1L, "t", "en", "s", 1L), (2L, "t", "en", "s", 1L),
       (3L, "t", "de", "s", 1L), (4L, "t", "de", "s", 1L))
