@@ -3837,6 +3837,367 @@ object SparkEntry {
             .as("f_bf"))
     }),
 
+    // TPC-H Q12 (adapted): shipping-priority audit. The corpus has no
+    // l_shipmode/commit/receipt dates, so the Q12 grouping key becomes
+    // the lateness bucket (shipped > 60 days after the order date, the
+    // q207 rule) and the CASE-sum splits lines by order priority class.
+    // One join, one combinable two-way conditional sum.
+    "q244_tpch_q12" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(expr("l_shipdate >= TIMESTAMP'1997-01-01 00:00:00'") &&
+          expr("l_shipdate < TIMESTAMP'1998-01-01 00:00:00'"))
+        .select(col("l_orderkey"), col("l_shipdate"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(
+          when(unix_micros(col("l_shipdate")) >
+              unix_micros(col("o_orderdate")) + lit(5184000000000L),
+            "LATE").otherwise("ONTIME").as("ship_bucket"),
+          col("o_orderpriority"))
+        .groupBy(col("ship_bucket"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            1L).otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"),
+            0L).otherwise(1L)).as("low_line_count"))),
+
+    // TPC-H Q21 (adapted): suppliers who kept orders waiting — late
+    // lines (q207's 60-day rule) on finished multi-supplier orders
+    // where NO other supplier in the order was also late. The classic
+    // EXISTS + NOT-EXISTS pair, expressed as a left-semi then a
+    // left-anti join on (orderkey, ≠suppkey); counts qualifying LINES
+    // per supplier as the spec does. All three probe sides are
+    // order-bounded; the supplier/nation dim is broadcast.
+    "q245_tpch_q21" -> ((s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val lines = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      val late = lines
+        .filter(unix_micros(col("l_shipdate")) >
+          unix_micros(col("o_orderdate")) + lit(5184000000000L))
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_3")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name")))
+      val others = lines
+        .select(col("l_orderkey").as("o2_orderkey"),
+          col("l_suppkey").as("o2_suppkey"))
+        .distinct()
+      val lateOthers = late
+        .select(col("l_orderkey").as("o3_orderkey"),
+          col("l_suppkey").as("o3_suppkey"))
+        .distinct()
+      late
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .join(others, col("l_orderkey") === col("o2_orderkey") &&
+          col("l_suppkey") =!= col("o2_suppkey"), "left_semi")
+        .join(lateOthers, col("l_orderkey") === col("o3_orderkey") &&
+          col("l_suppkey") =!= col("o3_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    }),
+
+    // TPC-H Q16 (adapted): parts/supplier relationship — distinct
+    // supplier count per (brand, type, size) over the OBSERVED
+    // part-supplier pairs (the corpus has no partsupp table; distinct
+    // lineitem pairs stand in), excluding one brand, one type, sizes
+    // outside the probe list, and "complaint" suppliers (negative
+    // account balance stands in for the comment scan). Anti-join +
+    // broadcast dim + distinct-count, all key-bounded.
+    "q246_tpch_q16" -> ((s, dir) => {
+      val ps = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey"))
+        .distinct()
+      val badSupp = t(s, dir, "supplier")
+        .filter(col("s_acctbal") < 0)
+        .select(col("s_suppkey"))
+      ps.join(broadcast(badSupp),
+          col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_brand") =!= "Brand#13" &&
+              col("p_type") =!= "PROMO" &&
+              col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+            .select(col("p_partkey"), col("p_brand"), col("p_type"),
+              col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // TPC-H Q11 (adapted): important stock — per-part revenue value
+    // routed through NATION_7 suppliers, kept when the part's share
+    // exceeds TWICE the average share (TPC-H scales its 0.0001
+    // fraction by 1/SF for the same reason: a fixed fraction returns
+    // nothing once the part count outgrows it; 2× the mean is
+    // scale-invariant). The global scalar is a 1-row broadcast; the
+    // share test stays exact — decimal(38,0) cross-products, never a
+    // double division (value·n_parts vs 2·total overflows bigint at
+    // corpus scale).
+    "q247_tpch_q11" -> ((s, dir) => {
+      val natSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_7")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val v = t(s, dir, "lineitem")
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("value_e2"))
+      v.join(broadcast(v.agg(sum(col("value_e2")).as("total_e2"),
+          count(lit(1)).as("n_parts"))))
+        .filter(col("value_e2").cast("decimal(38,0)") * col("n_parts") >
+          col("total_e2").cast("decimal(38,0)") * lit(2L))
+        .select(col("l_partkey").as("p_partkey"), col("value_e2"))
+    }),
+
+    // TPC-H Q9 (adapted): product-type profit. No partsupp supplycost
+    // exists, so cost = retail price × quantity; no o_orderdate join —
+    // the ship year groups directly. amount stays an exact integer at
+    // the e4 scale: ext_cents·(10000−disc_e4) − retail_cents·10000·qty.
+    "q248_tpch_q9" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%red%"))
+            .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"),
+          year(col("l_shipdate")).as("o_year"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")) -
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)") *
+              lit(10000L) *
+              expr("CAST(round(l_quantity) AS BIGINT)")).as("amount"))
+        .groupBy(col("nation"), col("o_year"))
+        .agg(sum(col("amount")).as("profit_e4"))),
+
+    // TPC-H Q2 (adapted): minimum-cost supplier — for EUROPE suppliers
+    // and STANDARD size-15 parts, the cheapest observed line price in
+    // cents per (part, supplier) stands in for ps_supplycost, and the
+    // correlated-min subquery keeps exactly the suppliers achieving
+    // each part's regional minimum. Exact integer min; dims broadcast;
+    // deterministic 5-key order + limit → TakeOrdered.
+    "q249_tpch_q2" -> ((s, dir) => {
+      val euSupp = broadcast(t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .join(broadcast(t(s, dir, "region")
+                .filter(col("r_name") === "EUROPE")
+                .select(col("r_regionkey"))),
+              col("n_regionkey") === col("r_regionkey"))
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+          col("n_name")))
+      val cost = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_size") === 15 && col("p_type") === "STANDARD")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cost_e2"))
+      val minCost = cost.groupBy(col("l_partkey").as("mc_partkey"))
+        .agg(min(col("cost_e2")).as("min_cost_e2"))
+      cost
+        .join(minCost, col("l_partkey") === col("mc_partkey") &&
+          col("cost_e2") === col("min_cost_e2"))
+        .join(euSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_acctbal"), col("s_name"), col("n_name"),
+          col("l_partkey").as("p_partkey"), col("cost_e2"))
+        .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+          col("p_partkey"))
+        .limit(100)
+    }),
+
+    // TPC-H Q20 (adapted): part-promotion suppliers — NATION_1
+    // suppliers who shipped MORE THAN HALF of their lifetime volume of
+    // some "blue" part during 1997 (availqty has no source table, so
+    // the lifetime-total-vs-year comparison replaces availqty > ½·year
+    // — same two-aggregate correlated shape). Exact integer halving
+    // test; the supplier probe is a left-semi join.
+    "q250_tpch_q20" -> ((s, dir) => {
+      val concentrated = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .filter(col("p_name").like("%blue%"))
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("qty"),
+          year(col("l_shipdate")).as("yr"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("qty")).as("qty_total"),
+          sum(when(col("yr") === 1997, col("qty")).otherwise(0L))
+            .as("qty_1997"))
+        .filter(col("qty_1997") * lit(2L) > col("qty_total"))
+        .select(col("l_suppkey"))
+        .distinct()
+      t(s, dir, "supplier")
+        .join(broadcast(t(s, dir, "nation")
+            .filter(col("n_name") === "NATION_1")
+            .select(col("n_nationkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(concentrated, col("s_suppkey") === col("l_suppkey"),
+          "left_semi")
+        .select(col("s_name"), col("s_acctbal"))
+    }),
+
+    // Range-partition planner: pick 7 split points over o_totalprice
+    // that divide the table into 8 near-equal range partitions — the
+    // planning step before a range-partitioned write at 100 TB. The
+    // key is quantized to whole dollars (exact: cents div 100), so the
+    // cumulative pass runs over a BOUNDED value histogram (the
+    // discrete-quantile discipline), never the raw rows; the 7 target
+    // ranks join the histogram as a tiny cross product.
+    "q251_range_partition_plan" -> ((s, dir) => {
+      val h = t(s, dir, "orders")
+        .select(expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("d"))
+        .groupBy(col("d"))
+        .agg(count(lit(1)).as("cnt"))
+      val c = h.withColumn("cum",
+        sum(col("cnt")).over(Window.orderBy(col("d"))))
+      val n = c.agg(max(col("cum")).as("n"))
+      s.range(1, 8).select(col("id").as("split_id"))
+        .join(broadcast(n))
+        .select(col("split_id"),
+          expr("(n * split_id + 7) div 8").as("target"))
+        .join(c, col("cum") >= col("target"))
+        .groupBy(col("split_id"))
+        .agg(min(struct(col("d"), col("cum"))).as("b"))
+        .select(col("split_id"), col("b.d").as("boundary_dollar"),
+          col("b.cum").as("rows_le"))
+    }),
+
+    // HITS hubs/authorities on the bipartite order-part graph, two
+    // synchronous iterations unrolled: a1 = in-degree, h1 = Σ a1 over
+    // the order's parts, a2 = Σ h1 over the part's orders. All exact
+    // integers (no per-round normalization — the ranking is invariant
+    // to the scale factor), each round one equi-join + one combinable
+    // sum; top-20 via orderBy+limit → TakeOrdered.
+    "q252_hits" -> ((s, dir) => {
+      val e = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint()
+      val a1 = e.groupBy(col("pk")).agg(count(lit(1)).as("auth1"))
+      val h1 = e.join(a1, "pk").groupBy(col("ok"))
+        .agg(sum(col("auth1")).as("hub1"))
+      e.join(h1, "ok").groupBy(col("pk"))
+        .agg(sum(col("hub1")).as("auth2"))
+        .join(a1, "pk")
+        .select(col("pk").as("p_partkey"), col("auth1"), col("auth2"))
+        .orderBy(col("auth2").desc, col("p_partkey"))
+        .limit(20)
+    }),
+
+    // Exact ROC AUC of "discount predicts returns" — the Mann-Whitney
+    // U over a BOUNDED score histogram (disc_e4, ≤ 10001 values) with
+    // doubled average ranks for ties (exact integers; the q228/q242
+    // rank discipline). Sufficient stats go through decimal(38,0) so a
+    // trillion-row corpus can't overflow the rank sum; ONE double
+    // division at the end on both engines.
+    "q253_auc" -> ((s, dir) => {
+      val h = t(s, dir, "lineitem")
+        .select(expr("CAST(round(l_discount * 10000) AS BIGINT)")
+            .as("v"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("pos"))
+        .groupBy(col("v"))
+        .agg(sum(col("pos")).as("np"),
+          (count(lit(1)) - sum(col("pos"))).as("nn"))
+      val below = coalesce(
+        sum(col("np") + col("nn")).over(Window.orderBy(col("v"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      h.withColumn("below", below)
+        .agg(
+          sum((col("np") * (lit(2L) * col("below") + col("np") +
+            col("nn") + lit(1L))).cast("decimal(38,0)")).as("r2"),
+          sum(col("np")).cast("decimal(38,0)").as("npos"),
+          sum(col("nn")).cast("decimal(38,0)").as("nneg"))
+        .select(col("npos").cast("long").as("n_pos"),
+          col("nneg").cast("long").as("n_neg"),
+          ((col("r2") - col("npos") * (col("npos") + lit(1)))
+            .cast("double") /
+            (lit(2) * col("npos") * col("nneg")).cast("double"))
+            .as("auc"))
+    }),
+
+    // ANALYZE-style statistics collector over orders: per column, row
+    // count, null count, exact NDV, and canonical min/max (bigints for
+    // keys, cents for money, epoch-µs for timestamps, raw for strings
+    // — never a double→string format, which diverges across engines).
+    // ONE scan: all 18 aggregates in a single agg (the multi-distinct
+    // expand), then a 6-way stack unpivot — no per-column rescan.
+    "q254_stats_collect" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .agg(
+          count(lit(1)).as("n"),
+          sum(when(col("o_orderkey").isNull, 1L).otherwise(0L))
+            .as("nul_ok"),
+          countDistinct(col("o_orderkey")).as("ndv_ok"),
+          min(col("o_orderkey")).as("min_ok"),
+          max(col("o_orderkey")).as("max_ok"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("nul_ck"),
+          countDistinct(col("o_custkey")).as("ndv_ck"),
+          min(col("o_custkey")).as("min_ck"),
+          max(col("o_custkey")).as("max_ck"),
+          sum(when(col("o_orderstatus").isNull, 1L).otherwise(0L))
+            .as("nul_st"),
+          countDistinct(col("o_orderstatus")).as("ndv_st"),
+          min(col("o_orderstatus")).as("min_st"),
+          max(col("o_orderstatus")).as("max_st"),
+          sum(when(col("o_totalprice").isNull, 1L).otherwise(0L))
+            .as("nul_tp"),
+          countDistinct(expr(
+            "CAST(round(o_totalprice * 100) AS BIGINT)")).as("ndv_tp"),
+          min(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("min_tp"),
+          max(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("max_tp"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("nul_od"),
+          countDistinct(col("o_orderdate")).as("ndv_od"),
+          min(unix_micros(col("o_orderdate"))).as("min_od"),
+          max(unix_micros(col("o_orderdate"))).as("max_od"),
+          sum(when(col("o_orderpriority").isNull, 1L).otherwise(0L))
+            .as("nul_op"),
+          countDistinct(col("o_orderpriority")).as("ndv_op"),
+          min(col("o_orderpriority")).as("min_op"),
+          max(col("o_orderpriority")).as("max_op"))
+        .selectExpr("n", """stack(6,
+          'o_orderkey', nul_ok, ndv_ok, CAST(min_ok AS STRING),
+            CAST(max_ok AS STRING),
+          'o_custkey', nul_ck, ndv_ck, CAST(min_ck AS STRING),
+            CAST(max_ck AS STRING),
+          'o_orderstatus', nul_st, ndv_st, min_st, max_st,
+          'o_totalprice', nul_tp, ndv_tp, CAST(min_tp AS STRING),
+            CAST(max_tp AS STRING),
+          'o_orderdate', nul_od, ndv_od, CAST(min_od AS STRING),
+            CAST(max_od AS STRING),
+          'o_orderpriority', nul_op, ndv_op, min_op, max_op)
+          AS (col_name, n_nulls, ndv, min_val, max_val)""")
+        .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
+          col("ndv"), col("min_val"), col("max_val"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -9948,6 +10309,220 @@ object SparkEntry {
         |  (ssb / CAST(k - 1 AS DOUBLE))
         |   / (ssw / CAST(n_docs - k AS DOUBLE)) END AS f_bf
         |FROM d""".stripMargin,
+
+    "q244_tpch_q12" ->
+      """SELECT CASE WHEN epoch_us(l.l_shipdate) >
+        |   epoch_us(o.o_orderdate) + 5184000000000
+        |  THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        | CAST(sum(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH')
+        |  THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        | AND l.l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q245_tpch_q21" ->
+      """SELECT s.s_name, CAST(count(*) AS BIGINT) AS numwait
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | AND n.n_name = 'NATION_3'
+        |JOIN lineitem l1 ON l1.l_suppkey = s.s_suppkey
+        |JOIN orders o ON o.o_orderkey = l1.l_orderkey
+        | AND o.o_orderstatus = 'F'
+        |WHERE epoch_us(l1.l_shipdate) >
+        |  epoch_us(o.o_orderdate) + 5184000000000
+        | AND EXISTS (SELECT 1 FROM lineitem l2
+        |  WHERE l2.l_orderkey = l1.l_orderkey
+        |   AND l2.l_suppkey <> l1.l_suppkey)
+        | AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |  WHERE l3.l_orderkey = l1.l_orderkey
+        |   AND l3.l_suppkey <> l1.l_suppkey
+        |   AND epoch_us(l3.l_shipdate) >
+        |    epoch_us(o.o_orderdate) + 5184000000000)
+        |GROUP BY 1
+        |ORDER BY numwait DESC, s_name
+        |LIMIT 100""".stripMargin,
+
+    "q246_tpch_q16" ->
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+        |SELECT p.p_brand, p.p_type, p.p_size,
+        | CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+        |FROM ps
+        |JOIN part p ON ps.l_partkey = p.p_partkey
+        |WHERE p.p_brand <> 'Brand#13' AND p.p_type <> 'PROMO'
+        | AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+        | AND ps.l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+        |   WHERE s_acctbal < 0)
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q247_tpch_q11" ->
+      """WITH v AS (SELECT l.l_partkey,
+        |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |   AS value_e2
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |  AND n.n_name = 'NATION_7'
+        | GROUP BY 1)
+        |SELECT l_partkey AS p_partkey,
+        | CAST(value_e2 AS BIGINT) AS value_e2
+        |FROM v
+        |WHERE value_e2 * (SELECT count(*) FROM v) >
+        | 2 * (SELECT sum(value_e2) FROM v)""".stripMargin,
+
+    "q248_tpch_q9" ->
+      """SELECT n.n_name AS nation,
+        | CAST(year(l.l_shipdate) AS INT) AS o_year,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) -
+        |   CAST(round(p.p_retailprice * 100) AS BIGINT) * 10000 *
+        |   CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS profit_e4
+        |FROM lineitem l
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        | AND p.p_name LIKE '%red%'
+        |JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q249_tpch_q2" ->
+      """WITH eu AS (SELECT s.s_suppkey, s.s_name, s.s_acctbal, n.n_name
+        | FROM supplier s
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  AND r.r_name = 'EUROPE'),
+        |cost AS (SELECT l.l_partkey, l.l_suppkey,
+        |  min(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |   AS cost_e2
+        | FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND p.p_size = 15 AND p.p_type = 'STANDARD'
+        | JOIN eu ON l.l_suppkey = eu.s_suppkey
+        | GROUP BY 1, 2),
+        |mc AS (SELECT l_partkey AS pk, min(cost_e2) AS m
+        | FROM cost GROUP BY 1)
+        |SELECT eu.s_acctbal, eu.s_name, eu.n_name,
+        | c.l_partkey AS p_partkey, c.cost_e2
+        |FROM cost c
+        |JOIN mc ON c.l_partkey = mc.pk AND c.cost_e2 = mc.m
+        |JOIN eu ON c.l_suppkey = eu.s_suppkey
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        |LIMIT 100""".stripMargin,
+
+    "q250_tpch_q20" ->
+      """WITH q AS (SELECT l.l_suppkey
+        | FROM lineitem l
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        |  AND p.p_name LIKE '%blue%'
+        | GROUP BY l.l_partkey, l.l_suppkey
+        | HAVING sum(CASE WHEN year(l.l_shipdate) = 1997
+        |   THEN CAST(round(l.l_quantity) AS BIGINT)
+        |   ELSE 0 END) * 2 >
+        |  sum(CAST(round(l.l_quantity) AS BIGINT)))
+        |SELECT s.s_name, s.s_acctbal
+        |FROM supplier s
+        |JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | AND n.n_name = 'NATION_1'
+        |WHERE s.s_suppkey IN (SELECT l_suppkey FROM q)""".stripMargin,
+
+    // q251 twin: same bounded dollar histogram, same monotone
+    // cumulative (min d ⇒ min cum, so min/min replaces the struct-min).
+    "q251_range_partition_plan" ->
+      """WITH h AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |   // 100 AS d, count(*) AS cnt
+        | FROM orders GROUP BY 1),
+        |c AS (SELECT d, sum(cnt) OVER (ORDER BY d) AS cum FROM h),
+        |n AS (SELECT max(cum) AS n FROM c),
+        |tg AS (SELECT i AS split_id, (n.n * i + 7) // 8 AS target
+        | FROM range(1, 8) t(i), n)
+        |SELECT tg.split_id,
+        | CAST(min(c.d) AS BIGINT) AS boundary_dollar,
+        | CAST(min(c.cum) AS BIGINT) AS rows_le
+        |FROM tg JOIN c ON c.cum >= tg.target
+        |GROUP BY 1""".stripMargin,
+
+    "q252_hits" ->
+      """WITH e AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |a1 AS (SELECT pk, CAST(count(*) AS BIGINT) AS auth1
+        | FROM e GROUP BY 1),
+        |h1 AS (SELECT e.ok, CAST(sum(a1.auth1) AS BIGINT) AS hub1
+        | FROM e JOIN a1 ON e.pk = a1.pk GROUP BY 1),
+        |a2 AS (SELECT e.pk, CAST(sum(h1.hub1) AS BIGINT) AS auth2
+        | FROM e JOIN h1 ON e.ok = h1.ok GROUP BY 1)
+        |SELECT a2.pk AS p_partkey, a1.auth1, a2.auth2
+        |FROM a2 JOIN a1 ON a2.pk = a1.pk
+        |ORDER BY auth2 DESC, p_partkey
+        |LIMIT 20""".stripMargin,
+
+    // q253 twin: identical doubled-average-rank algebra over the same
+    // bounded disc_e4 histogram; HUGEINT carries what decimal(38,0)
+    // carries on the Spark side, one double division at the end.
+    "q253_auc" ->
+      """WITH h AS (SELECT CAST(round(l_discount * 10000) AS BIGINT)
+        |   AS v,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS np,
+        |  sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS nn
+        | FROM lineitem GROUP BY 1),
+        |c AS (SELECT v, np, nn,
+        |  coalesce(sum(np + nn) OVER (ORDER BY v
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |   AS below
+        | FROM h),
+        |a AS (SELECT sum(np * (2 * below + np + nn + 1)) AS r2,
+        |  sum(np) AS npos, sum(nn) AS nneg FROM c)
+        |SELECT CAST(npos AS BIGINT) AS n_pos,
+        | CAST(nneg AS BIGINT) AS n_neg,
+        | CAST(r2 - npos * (npos + 1) AS DOUBLE) /
+        |  CAST(2 * npos * nneg AS DOUBLE) AS auc
+        |FROM a""".stripMargin,
+
+    "q254_stats_collect" ->
+      """WITH o AS (SELECT * FROM orders)
+        |SELECT 'o_orderkey' AS col_name,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_nulls,
+        | CAST(count(DISTINCT o_orderkey) AS BIGINT) AS ndv,
+        | CAST(min(o_orderkey) AS VARCHAR) AS min_val,
+        | CAST(max(o_orderkey) AS VARCHAR) AS max_val FROM o
+        |UNION ALL
+        |SELECT 'o_custkey', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(count(DISTINCT o_custkey) AS BIGINT),
+        | CAST(min(o_custkey) AS VARCHAR),
+        | CAST(max(o_custkey) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderstatus', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(count(DISTINCT o_orderstatus) AS BIGINT),
+        | min(o_orderstatus), max(o_orderstatus) FROM o
+        |UNION ALL
+        |SELECT 'o_totalprice', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(count(DISTINCT CAST(round(o_totalprice * 100) AS BIGINT))
+        |  AS BIGINT),
+        | CAST(min(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  AS VARCHAR),
+        | CAST(max(CAST(round(o_totalprice * 100) AS BIGINT))
+        |  AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderdate', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(count(DISTINCT o_orderdate) AS BIGINT),
+        | CAST(min(epoch_us(o_orderdate)) AS VARCHAR),
+        | CAST(max(epoch_us(o_orderdate)) AS VARCHAR) FROM o
+        |UNION ALL
+        |SELECT 'o_orderpriority', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(count(DISTINCT o_orderpriority) AS BIGINT),
+        | min(o_orderpriority), max(o_orderpriority) FROM o""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
