@@ -955,4 +955,44 @@ class PlanShapeSpec extends AnyFunSuite {
       !pp.contains("BroadcastNestedLoopJoin"),
       s"detector must not go nested-loop:\n$pp")
   }
+
+  test("q245 waiting suppliers: the EXISTS/NOT-EXISTS pair runs as a " +
+    "left-semi then a left-anti join, top-k as TakeOrdered, no cartesian") {
+    val p = plan("q245_tpch_q21")
+    assert(p.contains("LeftSemi"), s"EXISTS must be a semi-join:\n$p")
+    assert(p.contains("LeftAnti"), s"NOT EXISTS must be an anti-join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrdered:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
+
+  test("q249/q252 top-k: correlated-min supplier and HITS rankings run " +
+    "as TakeOrdered, never a full global sort") {
+    for (q <- Seq("q249_tpch_q2", "q252_hits")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject in:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no cartesian allowed:\n$p")
+    }
+  }
+
+  test("q248 profit rollup: every dimension join broadcasts — the " +
+    "lineitem fact stream is never shuffled for a dim") {
+    val p = plan("q248_tpch_q9")
+    for (dimKey <- Seq("p_partkey", "s_suppkey", "n_nationkey"))
+      assert(!p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+          && l.contains(dimKey)),
+        s"q248: dim join on $dimKey took a shuffle path:\n$p")
+  }
+
+  test("q254 stats collector: ONE orders scan feeds all 18 aggregates " +
+    "(multi-distinct expand, no per-column rescan)") {
+    val f = formatted("q254_stats_collect")
+    assert("orders\\.parquet".r.findAllIn(f).length == 1,
+      s"q254 must read orders exactly once:\n$f")
+    assert(f.contains("Expand"),
+      s"exact multi-NDV in one pass runs through Expand:\n$f")
+  }
 }
