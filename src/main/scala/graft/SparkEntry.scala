@@ -4198,6 +4198,152 @@ object SparkEntry {
         .select(col("col_name"), col("n").as("n_rows"), col("n_nulls"),
           col("ndv"), col("min_val"), col("max_val"))),
 
+    // LISTAGG / top-k-per-group report: each nation's top-5 parts by
+    // exact revenue as ONE ordered comma-joined label column (the
+    // GROUP_CONCAT surface). The per-group ranking is the q63 two-level
+    // salted top-k — each (nation, salt) keeps its 5 best structs, the
+    // merge sorts ≤ 32×5 — so no nation ever funnels its whole part
+    // domain through one reducer's row_number sort.
+    "q255_nation_top_parts" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) -
+            expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+          .as("rev_e4"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+      rev
+        .groupBy(col("n_name"),
+          pmod(col("l_partkey"), lit(32)).as("__salt"))
+        .agg(slice(sort_array(collect_list(struct(
+          (-col("rev_e4")).as("negrev"), col("l_partkey").as("pk"),
+          col("p_name").as("p_name"), col("rev_e4").as("rev_e4")))),
+          1, 5).as("top"))
+        .groupBy(col("n_name"))
+        .agg(slice(sort_array(flatten(collect_list(col("top")))), 1, 5)
+          .as("top5"))
+        .select(col("n_name"), expr("array_join(transform(top5, " +
+          "x -> concat(x.p_name, ':', CAST(x.rev_e4 AS STRING))), ',')")
+          .as("top_parts"))
+    }),
+
+    // Link prediction on the co-purchase graph: common-neighbor counts
+    // from a DEGREE-CAPPED wedge expansion (centers with degree ≤ 64 —
+    // hubs carry no signal and their d² wedge fan-out is the classic
+    // scale-killer), candidates anti-joined against existing edges,
+    // Jaccard = cn/(deg_a+deg_b−cn) as ONE double division over exact
+    // integers. Reads the session's bucketed symmetric table: the
+    // center join and both degree reads ride the node buckets
+    // exchange-free; top-20 via TakeOrdered.
+    "q256_link_prediction" -> ((s, dir) => {
+      val sym = coPurchaseSymTable(s, dir)
+        .select(col("node"), col("peer"))
+      val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val low = sym.join(deg.filter(col("deg") <= 64).select(col("node")),
+        "node")
+      val cn = low.as("x").join(low.as("y"),
+          col("x.node") === col("y.node") &&
+            col("x.peer") < col("y.peer"))
+        .select(col("x.peer").as("a"), col("y.peer").as("b"))
+        .groupBy(col("a"), col("b"))
+        .agg(count(lit(1)).as("common_neighbors"))
+      cn.join(coPurchaseEdges(s, dir),
+          col("a") === col("id_a") && col("b") === col("id_b"),
+          "left_anti")
+        .join(deg.select(col("node").as("a"), col("deg").as("deg_a")),
+          "a")
+        .join(deg.select(col("node").as("b"), col("deg").as("deg_b")),
+          "b")
+        .select(col("a").as("id_a"), col("b").as("id_b"),
+          col("common_neighbors"), col("deg_a"), col("deg_b"),
+          (col("common_neighbors").cast("double") /
+            (col("deg_a") + col("deg_b") - col("common_neighbors"))
+              .cast("double")).as("jaccard"))
+        .orderBy(col("common_neighbors").desc, col("id_a"), col("id_b"))
+        .limit(20)
+    }),
+
+    // Ratio-to-report: each supplier nation's revenue share of its
+    // REGION's total — the percent-of-total window surface. Exact e4
+    // integers up to the single share division; the window partitions
+    // are region-bounded (≤ 5 rows of 25), ranked deterministically.
+    "q257_ratio_to_report" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"),
+              col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+          (lit(10000L) -
+            expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+          .as("rev_e4"))
+      val wr = Window.partitionBy(col("r_name"))
+      rev
+        .withColumn("region_e4", sum(col("rev_e4")).over(wr))
+        .withColumn("rank_in_region", rank().over(
+          wr.orderBy(col("rev_e4").desc, col("n_name"))).cast("long"))
+        .select(col("r_name"), col("n_name"), col("rev_e4"),
+          col("rank_in_region"),
+          (col("rev_e4").cast("double") /
+            col("region_e4").cast("double")).as("share_of_region"))
+    }),
+
+    // Consistent-hash shard rebalance planner (64 → 96 shards): how
+    // many documents move under naive modulo vs a hash ring — the
+    // movement bound (≈ new/total vs ≈ 1−1/k') that decides whether a
+    // 100 TB resharding is an append or a full rewrite. The ring is a
+    // 96-element CONSTANT-FOLDED array expression probed map-side per
+    // row (sort_array(filter(ring, pos ≥ key))[0] with wraparound) —
+    // zero expansion, zero shuffle before the 1-row global count.
+    // Doc keys and ring positions are 60-bit md5 prefixes, identical
+    // on both engines.
+    "q258_shard_rebalance" -> ((s, dir) => {
+      def hpos(sql: String): String =
+        s"CAST(conv(substring(md5($sql), 1, 15), 16, 10) AS BIGINT)"
+      val ring = (0 until 96).map(i =>
+        s"named_struct('rpos', ${hpos(s"'shard:$i'")}, 'shard', $i)")
+        .mkString("array(", ", ", ")")
+      def assign(arr: String): String =
+        s"""coalesce(
+           | try_element_at(sort_array(filter($arr, x -> x.rpos >= kpos)), 1),
+           | try_element_at(sort_array($arr), 1)).shard""".stripMargin
+      t(s, dir, "documents")
+        .select(expr(
+          hpos("concat('doc:', CAST(doc_id AS STRING))")).as("kpos"))
+        .withColumn("ring", expr(ring))
+        .withColumn("ring64",
+          expr("filter(ring, x -> x.shard < 64)"))
+        .select(col("kpos"),
+          expr(assign("ring")).as("s96"),
+          expr(assign("ring64")).as("s64"),
+          pmod(col("kpos"), lit(64L)).as("m64"),
+          pmod(col("kpos"), lit(96L)).as("m96"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("m64") =!= col("m96"), 1L).otherwise(0L))
+            .as("moved_naive"),
+          sum(when(col("s64") =!= col("s96"), 1L).otherwise(0L))
+            .as("moved_ring"))
+        .select(col("n_docs"), col("moved_naive"), col("moved_ring"),
+          (col("moved_naive").cast("double") /
+            col("n_docs").cast("double")).as("naive_frac"),
+          (col("moved_ring").cast("double") /
+            col("n_docs").cast("double")).as("ring_frac"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -10523,6 +10669,113 @@ object SparkEntry {
         |  AS BIGINT),
         | CAST(count(DISTINCT o_orderpriority) AS BIGINT),
         | min(o_orderpriority), max(o_orderpriority) FROM o""".stripMargin,
+
+    // q255 twin: the window row_number is the oracle's luxury — the
+    // Spark side ranks via the salted two-level top-k; same
+    // (rev DESC, partkey) order, same ':'-joined labels.
+    "q255_nation_top_parts" ->
+      """WITH rev AS (SELECT n.n_name, l.l_partkey, p.p_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |   AS BIGINT) AS rev_e4
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1, 2, 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY n_name
+        |  ORDER BY rev_e4 DESC, l_partkey) AS rn FROM rev)
+        |SELECT n_name,
+        | string_agg(p_name || ':' || CAST(rev_e4 AS VARCHAR), ','
+        |  ORDER BY rn) AS top_parts
+        |FROM rk WHERE rn <= 5
+        |GROUP BY 1""".stripMargin,
+
+    // q256 twin: the q217 co-purchase derivation, then the same
+    // degree-capped wedge count, existing-edge anti, and one Jaccard
+    // division.
+    "q256_link_prediction" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b
+        |  FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |sym AS (SELECT a AS node, b AS peer FROM e
+        |  UNION ALL SELECT b, a FROM e),
+        |deg AS (SELECT node, count(*) AS deg FROM sym GROUP BY 1),
+        |low AS (SELECT s.node, s.peer FROM sym s
+        |  JOIN deg d ON s.node = d.node AND d.deg <= 64),
+        |wed AS (SELECT x.peer AS a, y.peer AS b, count(*) AS cn
+        |  FROM low x JOIN low y ON x.node = y.node AND x.peer < y.peer
+        | GROUP BY 1, 2),
+        |cand AS (SELECT w.a, w.b, w.cn FROM wed w
+        |  WHERE NOT EXISTS (SELECT 1 FROM e
+        |   WHERE e.a = w.a AND e.b = w.b))
+        |SELECT c.a AS id_a, c.b AS id_b,
+        | CAST(c.cn AS BIGINT) AS common_neighbors,
+        | CAST(da.deg AS BIGINT) AS deg_a,
+        | CAST(db.deg AS BIGINT) AS deg_b,
+        | CAST(c.cn AS DOUBLE) /
+        |  CAST(da.deg + db.deg - c.cn AS DOUBLE) AS jaccard
+        |FROM cand c
+        |JOIN deg da ON c.a = da.node
+        |JOIN deg db ON c.b = db.node
+        |ORDER BY common_neighbors DESC, id_a, id_b
+        |LIMIT 20""".stripMargin,
+
+    "q257_ratio_to_report" ->
+      """WITH rev AS (SELECT r.r_name, n.n_name,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |   AS BIGINT) AS rev_e4
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2)
+        |SELECT r_name, n_name, rev_e4,
+        | CAST(rank() OVER (PARTITION BY r_name
+        |  ORDER BY rev_e4 DESC, n_name) AS BIGINT) AS rank_in_region,
+        | CAST(rev_e4 AS DOUBLE) /
+        |  CAST(sum(rev_e4) OVER (PARTITION BY r_name) AS DOUBLE)
+        |  AS share_of_region
+        |FROM rev""".stripMargin,
+
+    // q258 twin: the ring is a 96-row CTE; the per-doc successor runs
+    // as min-over-join (the oracle's luxury — the Spark side probes a
+    // constant-folded array map-side). Same 60-bit md5 positions.
+    "q258_shard_rebalance" ->
+      """WITH ring AS (SELECT i AS shard,
+        |  CAST(('0x' || substr(md5('shard:' || CAST(i AS VARCHAR)),
+        |   1, 15)) AS BIGINT) AS rpos
+        | FROM range(0, 96) t(i)),
+        |k AS (SELECT doc_id, CAST(('0x' || substr(md5('doc:' ||
+        |   CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS kpos
+        | FROM documents),
+        |a AS (SELECT k.doc_id,
+        |  coalesce(min(CASE WHEN r.rpos >= k.kpos AND r.shard < 64
+        |    THEN CAST(r.rpos AS HUGEINT) * 96 + r.shard END),
+        |   min(CASE WHEN r.shard < 64
+        |    THEN CAST(r.rpos AS HUGEINT) * 96 + r.shard END)) % 96
+        |   AS s64,
+        |  coalesce(min(CASE WHEN r.rpos >= k.kpos
+        |    THEN CAST(r.rpos AS HUGEINT) * 96 + r.shard END),
+        |   min(CAST(r.rpos AS HUGEINT) * 96 + r.shard)) % 96 AS s96,
+        |  min(k.kpos) % 64 AS m64, min(k.kpos) % 96 AS m96
+        | FROM k CROSS JOIN ring r
+        | GROUP BY k.doc_id),
+        |g AS (SELECT count(*) AS n_docs,
+        |  sum(CASE WHEN m64 <> m96 THEN 1 ELSE 0 END) AS moved_naive,
+        |  sum(CASE WHEN s64 <> s96 THEN 1 ELSE 0 END) AS moved_ring
+        | FROM a)
+        |SELECT CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(moved_naive AS BIGINT) AS moved_naive,
+        | CAST(moved_ring AS BIGINT) AS moved_ring,
+        | CAST(moved_naive AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |  AS naive_frac,
+        | CAST(moved_ring AS DOUBLE) / CAST(n_docs AS DOUBLE)
+        |  AS ring_frac
+        |FROM g""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
