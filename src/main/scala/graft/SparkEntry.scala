@@ -4344,6 +4344,103 @@ object SparkEntry {
             col("n_docs").cast("double")).as("ring_frac"))
     }),
 
+    // Seasonal decomposition (STL-style, moving-average flavor): daily
+    // revenue → centered 7-day trend → per-weekday seasonal index.
+    // Numerators stay EXACT integers all the way: the detrended value
+    // is 7·day − Σ₇(window) in cents (never trend-as-double), summed
+    // per weekday, ONE division by 7·n at the end. The global window
+    // runs over the BOUNDED daily domain (the q226 Mann-Kendall
+    // regime), weekday = epoch-day mod 7 (pure arithmetic — engine
+    // dayofweek conventions never agree).
+    "q259_seasonal_decompose" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .select(to_date(col("ts")).as("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("d"))
+        .agg(sum(col("c")).as("day_cents"))
+      val w7 = Window.orderBy(col("d")).rowsBetween(-3, 3)
+      daily
+        .withColumn("s7", sum(col("day_cents")).over(w7))
+        .withColumn("n7", count(lit(1)).over(w7))
+        .filter(col("n7") === 7)
+        .withColumn("dow",
+          pmod(expr("datediff(d, DATE'1970-01-01')"), lit(7)).cast("int"))
+        .groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(lit(7L) * col("day_cents") - col("s7")).as("num"))
+        .select(col("dow"), col("n_days"),
+          (col("num").cast("double") /
+            (lit(7L) * col("n_days")).cast("double"))
+            .as("seasonal_cents"))
+    }),
+
+    // Functional-dependency discovery (profiling sweep): does A
+    // determine B? For each candidate FD, the LHS-group census reports
+    // distinct LHS, distinct (LHS,RHS) pairs, and the number of LHS
+    // groups with >1 RHS (0 ⇒ the FD holds). Each candidate is one
+    // key-bounded shuffle + a 1-row rollup; the Metanome-style
+    // primitive behind PK/denormalization inference on unknown data.
+    "q260_fd_discovery" -> ((s, dir) => {
+      def fd(df: DataFrame, name: String, lhs: Seq[Column],
+          rhs: Column): DataFrame =
+        df.groupBy(lhs: _*)
+          .agg(countDistinct(rhs).as("k"))
+          .agg(count(lit(1)).as("n_lhs"), sum(col("k")).as("n_pairs"),
+            sum(when(col("k") > 1, 1L).otherwise(0L))
+              .as("n_violating_lhs"))
+          .select(lit(name).as("fd"), col("n_lhs"), col("n_pairs"),
+            col("n_violating_lhs"),
+            when(col("n_violating_lhs") === 0L, 1L).otherwise(0L)
+              .as("holds"))
+      fd(t(s, dir, "orders"), "orders: o_orderkey -> o_custkey",
+          Seq(col("o_orderkey")), col("o_custkey"))
+        .union(fd(t(s, dir, "orders"),
+          "orders: o_custkey -> o_orderpriority",
+          Seq(col("o_custkey")), col("o_orderpriority")))
+        .union(fd(t(s, dir, "customer"), "customer: c_custkey -> c_name",
+          Seq(col("c_custkey")), col("c_name")))
+        .union(fd(t(s, dir, "customer"),
+          "customer: c_nationkey -> c_mktsegment",
+          Seq(col("c_nationkey")), col("c_mktsegment")))
+        .union(fd(t(s, dir, "lineitem"),
+          "lineitem: (l_orderkey, l_linenumber) -> l_partkey",
+          Seq(col("l_orderkey"), col("l_linenumber")), col("l_partkey")))
+    }),
+
+    // Inclusion-dependency discovery (FK inference): is every distinct
+    // child value present in the parent column? Distinct child keys
+    // (key-domain bounded) anti-joined against the parent — the
+    // containment census that finds joinable columns in an unprofiled
+    // lake. n_missing = 0 ⇒ the IND (candidate FK) holds.
+    "q261_ind_discovery" -> ((s, dir) => {
+      def ind(child: DataFrame, ck: String, parent: DataFrame,
+          pk: String, name: String): DataFrame = {
+        val cd = child.select(col(ck).as("__v")).distinct()
+        val miss = cd.join(parent.select(col(pk).as("__v")).distinct(),
+          Seq("__v"), "left_anti")
+        cd.agg(count(lit(1)).as("n_child_distinct"))
+          .join(miss.agg(count(lit(1)).as("n_missing")))
+          .select(lit(name).as("ind"), col("n_child_distinct"),
+            col("n_missing"),
+            when(col("n_missing") === 0L, 1L).otherwise(0L).as("holds"))
+      }
+      ind(t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey",
+          "orders.o_custkey <= customer.c_custkey")
+        .union(ind(t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey",
+          "lineitem.l_partkey <= part.p_partkey"))
+        .union(ind(t(s, dir, "customer"), "c_nationkey",
+          t(s, dir, "nation"), "n_nationkey",
+          "customer.c_nationkey <= nation.n_nationkey"))
+        .union(ind(t(s, dir, "orders"), "o_orderkey",
+          t(s, dir, "lineitem"), "l_orderkey",
+          "orders.o_orderkey <= lineitem.l_orderkey"))
+        .union(ind(t(s, dir, "supplier"), "s_nationkey",
+          t(s, dir, "nation"), "n_nationkey",
+          "supplier.s_nationkey <= nation.n_nationkey"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -10776,6 +10873,117 @@ object SparkEntry {
         | CAST(moved_ring AS DOUBLE) / CAST(n_docs AS DOUBLE)
         |  AS ring_frac
         |FROM g""".stripMargin,
+
+    // q259 twin: same integer detrend (7·day − Σ₇) over the same
+    // full-window days; weekday via epoch-day mod 7 on both engines.
+    "q259_seasonal_decompose" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS day_cents
+        | FROM events GROUP BY 1),
+        |win AS (SELECT d, day_cents,
+        |  sum(day_cents) OVER (ORDER BY d
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS s7,
+        |  count(*) OVER (ORDER BY d
+        |   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS n7
+        | FROM daily),
+        |f AS (SELECT
+        |  CAST(date_diff('day', DATE '1970-01-01', d) % 7 AS INT)
+        |   AS dow,
+        |  7 * day_cents - s7 AS det
+        | FROM win WHERE n7 = 7)
+        |SELECT dow, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(det) AS DOUBLE) / CAST(7 * count(*) AS DOUBLE)
+        |  AS seasonal_cents
+        |FROM f GROUP BY 1""".stripMargin,
+
+    "q260_fd_discovery" ->
+      """WITH f1 AS (SELECT count(*) AS n_lhs, sum(k) AS n_pairs,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v FROM
+        |  (SELECT o_orderkey, count(DISTINCT o_custkey) AS k
+        |   FROM orders GROUP BY 1)),
+        |f2 AS (SELECT count(*) AS n_lhs, sum(k) AS n_pairs,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v FROM
+        |  (SELECT o_custkey, count(DISTINCT o_orderpriority) AS k
+        |   FROM orders GROUP BY 1)),
+        |f3 AS (SELECT count(*) AS n_lhs, sum(k) AS n_pairs,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v FROM
+        |  (SELECT c_custkey, count(DISTINCT c_name) AS k
+        |   FROM customer GROUP BY 1)),
+        |f4 AS (SELECT count(*) AS n_lhs, sum(k) AS n_pairs,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v FROM
+        |  (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS k
+        |   FROM customer GROUP BY 1)),
+        |f5 AS (SELECT count(*) AS n_lhs, sum(k) AS n_pairs,
+        |  sum(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS v FROM
+        |  (SELECT l_orderkey, l_linenumber,
+        |    count(DISTINCT l_partkey) AS k
+        |   FROM lineitem GROUP BY 1, 2))
+        |SELECT 'orders: o_orderkey -> o_custkey' AS fd,
+        | CAST(n_lhs AS BIGINT) AS n_lhs, CAST(n_pairs AS BIGINT)
+        |  AS n_pairs, CAST(v AS BIGINT) AS n_violating_lhs,
+        | CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        | FROM f1
+        |UNION ALL SELECT 'orders: o_custkey -> o_orderpriority',
+        | CAST(n_lhs AS BIGINT), CAST(n_pairs AS BIGINT),
+        | CAST(v AS BIGINT),
+        | CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f2
+        |UNION ALL SELECT 'customer: c_custkey -> c_name',
+        | CAST(n_lhs AS BIGINT), CAST(n_pairs AS BIGINT),
+        | CAST(v AS BIGINT),
+        | CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f3
+        |UNION ALL SELECT 'customer: c_nationkey -> c_mktsegment',
+        | CAST(n_lhs AS BIGINT), CAST(n_pairs AS BIGINT),
+        | CAST(v AS BIGINT),
+        | CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f4
+        |UNION ALL SELECT
+        | 'lineitem: (l_orderkey, l_linenumber) -> l_partkey',
+        | CAST(n_lhs AS BIGINT), CAST(n_pairs AS BIGINT),
+        | CAST(v AS BIGINT),
+        | CAST(CASE WHEN v = 0 THEN 1 ELSE 0 END AS BIGINT) FROM f5""".stripMargin,
+
+    "q261_ind_discovery" ->
+      """WITH
+        |i1 AS (SELECT count(*) AS nc, sum(CASE WHEN p.c IS NULL
+        |   THEN 1 ELSE 0 END) AS miss FROM
+        |  (SELECT DISTINCT o_custkey AS v FROM orders) c LEFT JOIN
+        |  (SELECT DISTINCT c_custkey AS c FROM customer) p
+        |   ON c.v = p.c),
+        |i2 AS (SELECT count(*) AS nc, sum(CASE WHEN p.c IS NULL
+        |   THEN 1 ELSE 0 END) AS miss FROM
+        |  (SELECT DISTINCT l_partkey AS v FROM lineitem) c LEFT JOIN
+        |  (SELECT DISTINCT p_partkey AS c FROM part) p ON c.v = p.c),
+        |i3 AS (SELECT count(*) AS nc, sum(CASE WHEN p.c IS NULL
+        |   THEN 1 ELSE 0 END) AS miss FROM
+        |  (SELECT DISTINCT c_nationkey AS v FROM customer) c LEFT JOIN
+        |  (SELECT DISTINCT n_nationkey AS c FROM nation) p
+        |   ON c.v = p.c),
+        |i4 AS (SELECT count(*) AS nc, sum(CASE WHEN p.c IS NULL
+        |   THEN 1 ELSE 0 END) AS miss FROM
+        |  (SELECT DISTINCT o_orderkey AS v FROM orders) c LEFT JOIN
+        |  (SELECT DISTINCT l_orderkey AS c FROM lineitem) p
+        |   ON c.v = p.c),
+        |i5 AS (SELECT count(*) AS nc, sum(CASE WHEN p.c IS NULL
+        |   THEN 1 ELSE 0 END) AS miss FROM
+        |  (SELECT DISTINCT s_nationkey AS v FROM supplier) c LEFT JOIN
+        |  (SELECT DISTINCT n_nationkey AS c FROM nation) p
+        |   ON c.v = p.c)
+        |SELECT 'orders.o_custkey <= customer.c_custkey' AS ind,
+        | CAST(nc AS BIGINT) AS n_child_distinct,
+        | CAST(miss AS BIGINT) AS n_missing,
+        | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) AS holds
+        | FROM i1
+        |UNION ALL SELECT 'lineitem.l_partkey <= part.p_partkey',
+        | CAST(nc AS BIGINT), CAST(miss AS BIGINT),
+        | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) FROM i2
+        |UNION ALL SELECT 'customer.c_nationkey <= nation.n_nationkey',
+        | CAST(nc AS BIGINT), CAST(miss AS BIGINT),
+        | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) FROM i3
+        |UNION ALL SELECT 'orders.o_orderkey <= lineitem.l_orderkey',
+        | CAST(nc AS BIGINT), CAST(miss AS BIGINT),
+        | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) FROM i4
+        |UNION ALL SELECT 'supplier.s_nationkey <= nation.n_nationkey',
+        | CAST(nc AS BIGINT), CAST(miss AS BIGINT),
+        | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) FROM i5""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
