@@ -987,12 +987,14 @@ class PlanShapeSpec extends AnyFunSuite {
         s"q248: dim join on $dimKey took a shuffle path:\n$p")
   }
 
-  test("q254 stats collector: ONE orders scan feeds all 18 aggregates " +
-    "(multi-distinct expand, no per-column rescan)") {
+  test("q254 stats collector: six COLUMN-PRUNED hash-agg branches — " +
+    "no multi-distinct Expand, no corpus-wide SortAggregate") {
     val f = formatted("q254_stats_collect")
-    assert("orders\\.parquet".r.findAllIn(f).length == 1,
-      s"q254 must read orders exactly once:\n$f")
-    assert(f.contains("Expand"),
-      s"exact multi-NDV in one pass runs through Expand:\n$f")
+    assert("orders\\.parquet".r.findAllIn(f).length == 6,
+      s"q254 reads one pruned branch per column:\n$f")
+    assert(!f.contains("Expand"),
+      s"the Expand path forces a corpus-wide sort (string buffers):\n$f")
+    assert(f.contains("ReadSchema: struct<o_orderkey:bigint>"),
+      s"each branch's scan must prune to its single column:\n$f")
   }
 }
