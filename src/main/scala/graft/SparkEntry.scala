@@ -4421,6 +4421,103 @@ object SparkEntry {
           "supplier.s_nationkey <= nation.n_nationkey"))
     }),
 
+    // kNN label classification + confusion matrix: leave-one-out 5-NN
+    // majority vote over a BOUNDED eval sample (vec_id < 200 — the
+    // classifier-eval regime: the eval set is small by design, the
+    // corpus side is what scales), tie-broken (count desc, label asc)
+    // via one max-of-struct — no vote window. The confusion matrix is
+    // the standard embedding-quality gate before a corpus relabel.
+    "q262_knn_confusion" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label"))
+      val preds = Vec.cosineTopK(e.filter(col("vec_id") < 200), e,
+          "vec_id", "embedding", 5)
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab")), "neighbor_id")
+        .groupBy(col("query_id"), col("nlab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("cnt"), (-col("nlab")).as("neg"))).as("m"))
+        .select(col("query_id"),
+          (-col("m.neg")).cast("int").as("pred_label"))
+      preds
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+        .groupBy(col("true_label"), col("pred_label"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // Per-class precision/recall/F1 off the same 5-NN predictions:
+    // tp/fp/fn as exact integers; precision and recall are single
+    // divisions, and F1 uses the integer identity 2tp/(2tp+fp+fn) —
+    // never the (2·p·r)/(p+r) double chain, which rounds differently
+    // per engine. Classes with no predictions read null precision
+    // (guarded), not a division error.
+    "q263_knn_class_metrics" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label"))
+      val preds = Vec.cosineTopK(e.filter(col("vec_id") < 200), e,
+          "vec_id", "embedding", 5)
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab")), "neighbor_id")
+        .groupBy(col("query_id"), col("nlab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("cnt"), (-col("nlab")).as("neg"))).as("m"))
+        .select(col("query_id"),
+          (-col("m.neg")).cast("int").as("pred_label"))
+        .join(lab.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), "query_id")
+      val byTrue = preds.groupBy(col("true_label").as("class"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("tp"))
+      val byPred = preds.groupBy(col("pred_label").as("class"))
+        .agg(count(lit(1)).as("n_pred"))
+      byTrue.join(byPred, Seq("class"), "full_outer")
+        .select(col("class"),
+          coalesce(col("tp"), lit(0L)).as("tp"),
+          (coalesce(col("n_pred"), lit(0L)) -
+            coalesce(col("tp"), lit(0L))).as("fp"),
+          (coalesce(col("n_true"), lit(0L)) -
+            coalesce(col("tp"), lit(0L))).as("fn"))
+        .select(col("class"), col("tp"), col("fp"), col("fn"),
+          when(col("tp") + col("fp") > 0L, col("tp").cast("double") /
+            (col("tp") + col("fp")).cast("double")).as("precision"),
+          when(col("tp") + col("fn") > 0L, col("tp").cast("double") /
+            (col("tp") + col("fn")).cast("double")).as("recall"),
+          when(lit(2L) * col("tp") + col("fp") + col("fn") > 0L,
+            (lit(2L) * col("tp")).cast("double") /
+              (lit(2L) * col("tp") + col("fp") + col("fn"))
+                .cast("double")).as("f1"))
+    }),
+
+    // Data-freshness audit: per event type, staleness against the
+    // corpus max timestamp and the last-7-days vs prior-7-days volume
+    // ratio — the ops gate before a training snapshot. The global max
+    // is a 1-row broadcast; everything else is one combinable pass in
+    // exact epoch-µs integers, divisions guarded and last.
+    "q264_freshness_audit" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("event_type"), unix_micros(col("ts")).as("us"))
+      val wk = 604800000000L
+      ev.join(broadcast(ev.agg(max(col("us")).as("gmax"))))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          max(col("us")).as("tmax"), max(col("gmax")).as("g"),
+          sum(when(col("us") > col("gmax") - lit(wk), 1L).otherwise(0L))
+            .as("n_last7"),
+          sum(when(col("us") <= col("gmax") - lit(wk) &&
+            col("us") > col("gmax") - lit(2L * wk), 1L).otherwise(0L))
+            .as("n_prior7"))
+        .select(col("event_type"), col("n_total"), col("n_last7"),
+          col("n_prior7"),
+          ((col("g") - col("tmax")).cast("double") /
+            lit(3.6e9)).as("staleness_hours"),
+          when(col("n_prior7") > 0L, col("n_last7").cast("double") /
+            col("n_prior7").cast("double")).as("wow_ratio"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -10964,6 +11061,87 @@ object SparkEntry {
         |UNION ALL SELECT 'supplier.s_nationkey <= nation.n_nationkey',
         | CAST(nc AS BIGINT), CAST(miss AS BIGINT),
         | CAST(CASE WHEN miss = 0 THEN 1 ELSE 0 END AS BIGINT) FROM i5""".stripMargin,
+
+    // q262/q263 twins: the q27 exact-cosine CTE, then the same
+    // (count DESC, label ASC) argmax and exact tp/fp/fn identities.
+    "q262_knn_confusion" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 200),
+         |r AS (SELECT query_id, neighbor_id, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |  AS rnk FROM s),
+         |v AS (SELECT r.query_id, e.label AS nlab, count(*) AS cnt
+         | FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         | WHERE r.rnk <= 5 GROUP BY 1, 2),
+         |p AS (SELECT query_id, nlab AS pred_label FROM
+         |  (SELECT query_id, nlab, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cnt DESC, nlab) AS rn
+         |   FROM v) WHERE rn = 1)
+         |SELECT e.label AS true_label,
+         | CAST(p.pred_label AS INT) AS pred_label,
+         | CAST(count(*) AS BIGINT) AS n
+         |FROM p JOIN embeddings e ON p.query_id = e.vec_id
+         |GROUP BY 1, 2""".stripMargin,
+
+    "q263_knn_class_metrics" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 200),
+         |r AS (SELECT query_id, neighbor_id, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |  AS rnk FROM s),
+         |v AS (SELECT r.query_id, e.label AS nlab, count(*) AS cnt
+         | FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         | WHERE r.rnk <= 5 GROUP BY 1, 2),
+         |p AS (SELECT query_id, nlab AS pred_label FROM
+         |  (SELECT query_id, nlab, row_number() OVER
+         |   (PARTITION BY query_id ORDER BY cnt DESC, nlab) AS rn
+         |   FROM v) WHERE rn = 1),
+         |j AS (SELECT p.query_id, p.pred_label, e.label AS true_label
+         | FROM p JOIN embeddings e ON p.query_id = e.vec_id),
+         |bt AS (SELECT true_label AS class, count(*) AS n_true,
+         |  sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+         |   AS tp FROM j GROUP BY 1),
+         |bp AS (SELECT pred_label AS class, count(*) AS n_pred
+         | FROM j GROUP BY 1),
+         |m AS (SELECT coalesce(bt.class, bp.class) AS class,
+         |  coalesce(bt.tp, 0) AS tp,
+         |  coalesce(bp.n_pred, 0) - coalesce(bt.tp, 0) AS fp,
+         |  coalesce(bt.n_true, 0) - coalesce(bt.tp, 0) AS fn
+         | FROM bt FULL OUTER JOIN bp ON bt.class = bp.class)
+         |SELECT CAST(class AS INT) AS class, CAST(tp AS BIGINT) AS tp,
+         | CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+         | CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) /
+         |  CAST(tp + fp AS DOUBLE) END AS precision,
+         | CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) /
+         |  CAST(tp + fn AS DOUBLE) END AS recall,
+         | CASE WHEN 2 * tp + fp + fn > 0 THEN CAST(2 * tp AS DOUBLE) /
+         |  CAST(2 * tp + fp + fn AS DOUBLE) END AS f1
+         |FROM m""".stripMargin,
+
+    "q264_freshness_audit" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+        |a AS (SELECT e.event_type, epoch_us(e.ts) AS us, g.gmax
+        | FROM events e CROSS JOIN g)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_total,
+        | CAST(sum(CASE WHEN us > gmax - 604800000000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_last7,
+        | CAST(sum(CASE WHEN us <= gmax - 604800000000
+        |   AND us > gmax - 1209600000000 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_prior7,
+        | CAST(max(gmax) - max(us) AS DOUBLE) / 3600000000.0
+        |  AS staleness_hours,
+        | CASE WHEN sum(CASE WHEN us <= gmax - 604800000000
+        |   AND us > gmax - 1209600000000 THEN 1 ELSE 0 END) > 0
+        |  THEN CAST(sum(CASE WHEN us > gmax - 604800000000
+        |    THEN 1 ELSE 0 END) AS DOUBLE) /
+        |   CAST(sum(CASE WHEN us <= gmax - 604800000000
+        |    AND us > gmax - 1209600000000 THEN 1 ELSE 0 END) AS DOUBLE)
+        |  END AS wow_ratio
+        |FROM a GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
