@@ -62,6 +62,29 @@ object StreamOps {
     keys.foldLeft(l.join(r, cond, "inner"))((df, k) => df.drop(r(k)))
   }
 
+  /** Stream-stream interval join, LEFT OUTER: same bounded state as
+    * [[joinWithinInterval]], but a left row with NO in-window match is
+    * emitted null-padded once the watermark passes the end of its match
+    * window (leftTs + maxDelaySec) — the "signup that never purchased"
+    * row a funnel needs without a second batch pass. Structured
+    * Streaming admits the outer side ONLY because the time bound
+    * exists: the bound is the proof a buffered row can never match
+    * again and may be finalized; an unbounded outer stream-stream join
+    * would hold state forever. Works on batch frames too (degenerates
+    * to a plain left-outer range join) — the spec pins stream == batch
+    * on one feed. */
+  def joinWithinIntervalOuter(left: DataFrame, right: DataFrame,
+                              keys: Seq[String], leftTs: String,
+                              rightTs: String, watermark: String,
+                              maxDelaySec: Long): DataFrame = {
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withWatermark(rightTs, watermark)
+    val cond = keys.map(k => l(k) === r(k)).reduce(_ && _) &&
+      r(rightTs) >= l(leftTs) &&
+      r(rightTs) <= l(leftTs) + expr(s"INTERVAL $maxDelaySec SECONDS")
+    keys.foldLeft(l.join(r, cond, "left_outer"))((df, k) => df.drop(r(k)))
+  }
+
   final case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Long, lastSeen: Long, n: Int,
                                 sum: Double)

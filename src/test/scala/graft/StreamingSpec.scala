@@ -169,6 +169,57 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched left rows " +
+    "surface null-padded once the watermark passes their window") {
+    implicit val sc = spark.sqlContext
+    val signups = MemoryStream[(Long, Timestamp)]
+    val purchases = MemoryStream[(Long, Timestamp, Double)]
+    val joined = StreamOps.joinWithinIntervalOuter(
+      signups.toDF.toDF("user_id", "signup_ts"),
+      purchases.toDF.toDF("user_id", "purchase_ts", "amount"),
+      Seq("user_id"), "signup_ts", "purchase_ts",
+      "30 minutes", 300)
+    val q = joined
+      .select(col("user_id"), col("purchase_ts"), col("amount"))
+      .writeStream.format("memory").queryName("iv_ljoin")
+      .outputMode("append").start()
+    val sData = Seq((1L, ts(1)), (2L, ts(10)))
+    val pData = Seq(
+      (1L, ts(3), 5.0),  // within 5 min of u1 signup -> matches
+      (3L, ts(12), 1.0)) // no signup -> never surfaces (left outer)
+    try {
+      signups.addData(sData: _*)
+      purchases.addData(pData: _*)
+      q.processAllAvailable()
+      // u2 is unmatched but NOT yet emittable: its window closes at
+      // ts(10)+5min and the watermark hasn't passed it. Advance both
+      // watermarks far beyond every window, then nudge once more so
+      // the finalized batch actually runs.
+      signups.addData((99L, ts(600)))
+      purchases.addData((98L, ts(600), 0.0))
+      q.processAllAvailable()
+      signups.addData((97L, ts(700)))
+      purchases.addData((96L, ts(700), 0.0))
+      q.processAllAvailable()
+      val streamed = spark.table("iv_ljoin")
+        .as[(Long, Option[Timestamp], Option[Double])].collect()
+        .filter(_._1 <= 2L).sortBy(_._1).toSeq
+      assert(streamed == Seq(
+        (1L, Some(ts(3)), Some(5.0)),
+        (2L, None, None)),
+        s"left-outer stream join emitted: $streamed")
+      // batch parity: the SAME call on batch frames
+      val batch = StreamOps.joinWithinIntervalOuter(
+          sData.toDF("user_id", "signup_ts"),
+          pData.toDF("user_id", "purchase_ts", "amount"),
+          Seq("user_id"), "signup_ts", "purchase_ts", "30 minutes", 300)
+        .select(col("user_id"), col("purchase_ts"), col("amount"))
+        .as[(Long, Option[Timestamp], Option[Double])].collect()
+        .sortBy(_._1).toSeq
+      assert(batch == streamed, s"batch $batch != streamed $streamed")
+    } finally q.stop()
+  }
+
   test("streaming sessionize matches batch TimeOps.sessionize on one feed") {
     implicit val sc = spark.sqlContext
     // Deterministic second-precision feed: 3 users x 40 events, gaps of
