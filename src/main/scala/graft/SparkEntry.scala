@@ -4518,6 +4518,124 @@ object SparkEntry {
             col("n_prior7").cast("double")).as("wow_ratio"))
     }),
 
+    // Sparse TF-cosine similarity join over word-trigram vectors:
+    // candidates from RARE shared shingles — rarity is the FRACTION
+    // df·100 ≤ n_docs (an absolute cap dies whenever the vocabulary
+    // saturates: this corpus has 31 words, so every unigram df scales
+    // with the corpus), narrowed further to each doc's 4 rarest
+    // shingles (the ppjoin prefix filter: every doc feeds ≤ 4 posting
+    // lists no matter how long it is). Then the EXACT full dot product
+    // per candidate pair: dots and squared norms are exact integer sums
+    // of trigram frequencies; cosine is dot / (√na²·√nb²) — IEEE sqrt
+    // and one division, same operand order both engines. Top-20 via
+    // TakeOrdered.
+    "q265_sparse_sim_join" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          explode(T.wordShinglesMulti(T.tokens(col("text")), 3))
+            .as("term"))
+        .groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val norm2 = tf.groupBy(col("doc_id"))
+        .agg(sum(col("tf") * col("tf")).as("n2"))
+      val nd = tf.select(col("doc_id")).distinct()
+        .agg(count(lit(1)).as("n_docs"))
+      val rare = tf.groupBy(col("term"))
+        .agg(count(lit(1)).as("df"))
+        .join(broadcast(nd))
+        .filter(col("df") * lit(100L) <= col("n_docs"))
+        .select(col("term"), col("df"))
+      val wsig = Window.partitionBy(col("doc_id"))
+        .orderBy(col("df"), col("term"))
+      val sig = tf.join(rare, "term")
+        .withColumn("__rk", row_number().over(wsig))
+        .filter(col("__rk") <= 4)
+        .select(col("doc_id"), col("term"))
+      val cand = sig.as("x").join(sig.as("y"),
+          col("x.term") === col("y.term") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val dot = cand
+        .join(tf.select(col("doc_id").as("a"), col("term"),
+          col("tf").as("tfa")), Seq("a"))
+        .join(tf.select(col("doc_id").as("b"), col("term"),
+          col("tf").as("tfb")), Seq("b", "term"))
+        .groupBy(col("a"), col("b"))
+        .agg(sum(col("tfa") * col("tfb")).as("dot"))
+      dot
+        .join(norm2.select(col("doc_id").as("a"), col("n2").as("na2")),
+          "a")
+        .join(norm2.select(col("doc_id").as("b"), col("n2").as("nb2")),
+          "b")
+        .select(col("a").as("doc_a"), col("b").as("doc_b"), col("dot"),
+          (col("dot").cast("double") /
+            (sqrt(col("na2").cast("double")) *
+              sqrt(col("nb2").cast("double")))).as("cosine"))
+        .orderBy(col("cosine").desc, col("doc_a"), col("doc_b"))
+        .limit(20)
+    }),
+
+    // Difference-in-differences readout: synthetic cohorts (user_id
+    // parity = treatment) around a cutoff date; the DiD estimate is
+    // (T,after − T,before) − (C,after − C,before) on per-cell means.
+    // Cell sums are exact integer cents; the four means are single
+    // divisions and the estimate is arithmetic on those four doubles —
+    // same operands, same order, both engines.
+    "q266_diff_in_diff" -> ((s, dir) => {
+      val cut = "TIMESTAMP'1996-07-01 00:00:00'"
+      val cells = t(s, dir, "events")
+        .select(
+          when(pmod(col("user_id"), lit(2)) === 1, lit("T"))
+            .otherwise(lit("C")).as("grp"),
+          when(expr(s"ts >= $cut"), lit("after")).otherwise(lit("before"))
+            .as("period"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy(col("grp"), col("period"))
+        .agg(count(lit(1)).as("n"), sum(col("c")).as("s"))
+        .select(col("grp"), col("period"), col("n"),
+          (col("s").cast("double") / col("n").cast("double"))
+            .as("mean_cents"))
+      val m = cells.groupBy()
+        .pivot(concat(col("grp"), lit("_"), col("period")),
+          Seq("T_after", "T_before", "C_after", "C_before"))
+        .agg(first(col("mean_cents")))
+      m.select(col("T_after"), col("T_before"), col("C_after"),
+          col("C_before"),
+          ((col("T_after") - col("T_before")) -
+            (col("C_after") - col("C_before"))).as("did_cents"))
+    }),
+
+    // Active-learning batch selection by vote-margin uncertainty: from
+    // the q262 5-NN votes, margin = (top vote − runner-up vote) — the
+    // 20 eval docs the classifier is least sure about, the batch a
+    // labeling run wants next. Margins are exact integers (no
+    // probability normalization needed for ranking); ascending
+    // TakeOrdered, ties by query id.
+    "q267_uncertainty_sampling" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val lab = e.select(col("vec_id"), col("label"))
+      Vec.cosineTopK(e.filter(col("vec_id") < 200), e,
+          "vec_id", "embedding", 5)
+        .join(lab.select(col("vec_id").as("neighbor_id"),
+          col("label").as("nlab")), "neighbor_id")
+        .groupBy(col("query_id"), col("nlab"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("query_id"))
+        .agg(sort_array(collect_list(struct(col("cnt"),
+          (-col("nlab")).as("neg"))), asc = false).as("vs"))
+        .select(col("query_id"),
+          (-col("vs")(0).getField("neg")).cast("int").as("top_label"),
+          col("vs")(0).getField("cnt").as("top_votes"),
+          coalesce(expr("try_element_at(vs, 2).cnt"), lit(0L))
+            .as("runner_votes"))
+        .withColumn("margin", col("top_votes") - col("runner_votes"))
+        .orderBy(col("margin"), col("query_id"))
+        .limit(20)
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11142,6 +11260,92 @@ object SparkEntry {
         |    AND us > gmax - 1209600000000 THEN 1 ELSE 0 END) AS DOUBLE)
         |  END AS wow_ratio
         |FROM a GROUP BY 1""".stripMargin,
+
+    // q265 twin: same trigram TF vectors, fractional rarity, 4-rarest
+    // prefix signature, exact integer dots, same √·√ denominator order.
+    "q265_sparse_sim_join" ->
+      """WITH tf AS (SELECT doc_id, term, count(*) AS tf FROM
+        |  (SELECT doc_id, unnest([array_to_string(w[i:i+2], ' ')
+        |     for i in generate_series(1, len(w) - 2)]) AS term
+        |   FROM (SELECT doc_id, string_split(text, ' ') AS w
+        |    FROM documents WHERE text IS NOT NULL))
+        | GROUP BY 1, 2),
+        |n2 AS (SELECT doc_id, sum(tf * tf) AS n2 FROM tf GROUP BY 1),
+        |nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tf),
+        |rare AS (SELECT term, c AS df FROM
+        |  (SELECT term, count(*) AS c FROM tf GROUP BY 1), nd
+        | WHERE c * 100 <= nd.n_docs),
+        |sig AS (SELECT doc_id, term FROM
+        |  (SELECT t.doc_id, t.term, row_number() OVER
+        |    (PARTITION BY t.doc_id ORDER BY r.df, t.term) AS rk
+        |   FROM tf t JOIN rare r ON t.term = r.term)
+        | WHERE rk <= 4),
+        |cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        | FROM sig x JOIN sig y
+        |  ON x.term = y.term AND x.doc_id < y.doc_id),
+        |dot AS (SELECT c.a, c.b, sum(ta.tf * tb.tf) AS dot
+        | FROM cand c JOIN tf ta ON ta.doc_id = c.a
+        | JOIN tf tb ON tb.doc_id = c.b AND tb.term = ta.term
+        | GROUP BY 1, 2)
+        |SELECT d.a AS doc_a, d.b AS doc_b, CAST(d.dot AS BIGINT) AS dot,
+        | CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) *
+        |  sqrt(CAST(nb.n2 AS DOUBLE))) AS cosine
+        |FROM dot d JOIN n2 na ON d.a = na.doc_id
+        |JOIN n2 nb ON d.b = nb.doc_id
+        |ORDER BY cosine DESC, doc_a, doc_b
+        |LIMIT 20""".stripMargin,
+
+    "q266_diff_in_diff" ->
+      """WITH cells AS (SELECT
+        |  CASE WHEN user_id % 2 = 1 THEN 'T' ELSE 'C' END AS grp,
+        |  CASE WHEN ts >= TIMESTAMP '1996-07-01 00:00:00'
+        |   THEN 'after' ELSE 'before' END AS period,
+        |  count(*) AS n, sum(CAST(round(value * 100) AS BIGINT)) AS s
+        | FROM events GROUP BY 1, 2),
+        |m AS (SELECT
+        |  max(CASE WHEN grp = 'T' AND period = 'after'
+        |   THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+        |   AS "T_after",
+        |  max(CASE WHEN grp = 'T' AND period = 'before'
+        |   THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+        |   AS "T_before",
+        |  max(CASE WHEN grp = 'C' AND period = 'after'
+        |   THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+        |   AS "C_after",
+        |  max(CASE WHEN grp = 'C' AND period = 'before'
+        |   THEN CAST(s AS DOUBLE) / CAST(n AS DOUBLE) END)
+        |   AS "C_before"
+        | FROM cells)
+        |SELECT "T_after", "T_before", "C_after", "C_before",
+        | ("T_after" - "T_before") - ("C_after" - "C_before")
+        |  AS did_cents
+        |FROM m""".stripMargin,
+
+    "q267_uncertainty_sampling" ->
+      s"""WITH s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |  ${sqlCosine("q.embedding", "c.embedding")} AS cosine
+         | FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+         | WHERE q.vec_id < 200),
+         |r AS (SELECT query_id, neighbor_id, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id)
+         |  AS rnk FROM s),
+         |v AS (SELECT r.query_id, e.label AS nlab, count(*) AS cnt
+         | FROM r JOIN embeddings e ON r.neighbor_id = e.vec_id
+         | WHERE r.rnk <= 5 GROUP BY 1, 2),
+         |o AS (SELECT query_id, nlab, cnt, row_number() OVER
+         |  (PARTITION BY query_id ORDER BY cnt DESC, nlab) AS rn
+         | FROM v),
+         |p AS (SELECT o1.query_id, o1.nlab AS top_label,
+         |  o1.cnt AS top_votes, coalesce(o2.cnt, 0) AS runner_votes
+         | FROM o o1 LEFT JOIN o o2 ON o1.query_id = o2.query_id
+         |  AND o2.rn = 2
+         | WHERE o1.rn = 1)
+         |SELECT query_id, CAST(top_label AS INT) AS top_label,
+         | CAST(top_votes AS BIGINT) AS top_votes,
+         | CAST(runner_votes AS BIGINT) AS runner_votes,
+         | CAST(top_votes - runner_votes AS BIGINT) AS margin
+         |FROM p ORDER BY margin, query_id
+         |LIMIT 20""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
