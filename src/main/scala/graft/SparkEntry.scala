@@ -4636,6 +4636,74 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // Quantile normalization (batch-effect removal): map each source's
+    // n_chars distribution onto the POOLED distribution — for every
+    // (source, value), the mapped value is the smallest pooled value
+    // whose cumulative fraction ≥ the source's, decided by the EXACT
+    // integer cross-product cum_pool·n_src ≥ cum_src·n_pool (never a
+    // fraction). Both sides are bounded value histograms (the discrete-
+    // quantile regime); the lookup is a histogram × histogram range
+    // join, domain-bounded on both sides.
+    "q268_quantile_normalize" -> ((s, dir) => {
+      val d = t(s, dir, "documents").filter(col("n_chars").isNotNull)
+      val src = d.groupBy(col("source"), col("n_chars").as("v"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum(col("cnt")).over(Window
+          .partitionBy(col("source")).orderBy(col("v"))))
+        .withColumn("n_src", sum(col("cnt")).over(Window
+          .partitionBy(col("source"))))
+      val pool = d.groupBy(col("n_chars").as("pv"))
+        .agg(count(lit(1)).as("pcnt"))
+        .withColumn("pcum", sum(col("pcnt")).over(Window.orderBy(col("pv"))))
+        .join(broadcast(d.agg(count(lit(1)).as("n_pool"))))
+      src.join(broadcast(pool),
+          col("pcum").cast("decimal(38,0)") * col("n_src") >=
+            col("cum").cast("decimal(38,0)") * col("n_pool"))
+        .groupBy(col("source"), col("v"))
+        .agg(min(col("pv")).as("mapped_v"))
+        .select(col("source"), col("v"), col("mapped_v"),
+          (col("mapped_v") - col("v")).as("shift"))
+    }),
+
+    // Negative-sampling yield for recommender training: 8 deterministic
+    // pseudo-random item candidates per customer (md5-slot hashing, the
+    // q258 position discipline), anti-joined against true interactions.
+    // The yield census — how many candidates collide with positives and
+    // must be resampled — is the planning number before a 100 TB
+    // negatives job. Zero shuffles before the candidate anti-join; the
+    // item-count scalar is a 1-row broadcast.
+    "q269_negative_sampling_yield" -> ((s, dir) => {
+      val nParts = broadcast(t(s, dir, "part")
+        .agg(max(col("p_partkey")).as("max_pk")))
+      val cand = t(s, dir, "customer").select(col("c_custkey"))
+        .join(nParts)
+        .select(col("c_custkey"), explode(expr(
+          """transform(sequence(0, 7), i -> named_struct(
+            | 'slot', i,
+            | 'item', CAST(conv(substring(md5(concat('neg:',
+            |    CAST(c_custkey AS STRING), ':', CAST(i AS STRING))),
+            |   1, 15), 16, 10) AS BIGINT) % (max_pk + 1)))""".stripMargin))
+          .as("c"))
+        .select(col("c_custkey"), col("c.slot").as("slot"),
+          col("c.item").as("item"))
+      val pos = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_partkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_custkey").as("c_custkey"),
+          col("l_partkey").as("item"))
+        .distinct()
+      val kept = cand.join(pos, Seq("c_custkey", "item"), "left_anti")
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .join(kept.agg(count(lit(1)).as("n_negatives")))
+        .select(col("n_candidates"), col("n_negatives"),
+          (col("n_candidates") - col("n_negatives"))
+            .as("n_collisions"),
+          (col("n_negatives").cast("double") /
+            col("n_candidates").cast("double")).as("yield_frac"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11346,6 +11414,50 @@ object SparkEntry {
          | CAST(top_votes - runner_votes AS BIGINT) AS margin
          |FROM p ORDER BY margin, query_id
          |LIMIT 20""".stripMargin,
+
+    // q268 twin: the same bounded histograms and the same exact
+    // cross-product quantile compare (HUGEINT carries decimal(38,0)).
+    "q268_quantile_normalize" ->
+      """WITH d AS (SELECT source, n_chars FROM documents
+        |  WHERE n_chars IS NOT NULL),
+        |src AS (SELECT source, v, cnt,
+        |  sum(cnt) OVER (PARTITION BY source ORDER BY v) AS cum,
+        |  sum(cnt) OVER (PARTITION BY source) AS n_src
+        | FROM (SELECT source, n_chars AS v, count(*) AS cnt
+        |   FROM d GROUP BY 1, 2)),
+        |pool AS (SELECT pv, sum(pcnt) OVER (ORDER BY pv) AS pcum
+        | FROM (SELECT n_chars AS pv, count(*) AS pcnt
+        |   FROM d GROUP BY 1)),
+        |np AS (SELECT count(*) AS n_pool FROM d)
+        |SELECT s.source, s.v, min(p.pv) AS mapped_v,
+        | min(p.pv) - s.v AS shift
+        |FROM src s, pool p, np
+        |WHERE p.pcum * s.n_src >= s.cum * np.n_pool
+        |GROUP BY s.source, s.v""".stripMargin,
+
+    // q269 twin: identical md5-slot candidates (60-bit positions, the
+    // q258 discipline), identical anti-join yield census.
+    "q269_negative_sampling_yield" ->
+      """WITH mp AS (SELECT max(p_partkey) AS max_pk FROM part),
+        |cand AS (SELECT c.c_custkey, t.i AS slot,
+        |  CAST(('0x' || substr(md5('neg:' ||
+        |    CAST(c.c_custkey AS VARCHAR) || ':' ||
+        |    CAST(t.i AS VARCHAR)), 1, 15)) AS BIGINT)
+        |   % (mp.max_pk + 1) AS item
+        | FROM customer c CROSS JOIN range(0, 8) t(i) CROSS JOIN mp),
+        |pos AS (SELECT DISTINCT o.o_custkey AS c_custkey,
+        |  l.l_partkey AS item
+        | FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey),
+        |kept AS (SELECT c.* FROM cand c
+        | WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |  WHERE p.c_custkey = c.c_custkey AND p.item = c.item))
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM cand)
+        |  AS n_candidates,
+        | (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_negatives,
+        | (SELECT CAST(count(*) AS BIGINT) FROM cand) -
+        |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_collisions,
+        | CAST((SELECT count(*) FROM kept) AS DOUBLE) /
+        |  CAST((SELECT count(*) FROM cand) AS DOUBLE) AS yield_frac""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
