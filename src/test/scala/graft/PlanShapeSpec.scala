@@ -997,4 +997,22 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(f.contains("ReadSchema: struct<o_orderkey:bigint>"),
       s"each branch's scan must prune to its single column:\n$f")
   }
+
+  test("q256/q265 candidate generators: TakeOrdered top-k, no cartesian " +
+    "— the wedge/posting joins stay equi-joins") {
+    for (q <- Seq("q256_link_prediction", "q265_sparse_sim_join")) {
+      val p = plan(q)
+      assert(p.contains("TakeOrderedAndProject"),
+        s"$q: expected TakeOrderedAndProject in:\n$p")
+      assert(!p.contains("CartesianProduct"),
+        s"$q: no cartesian allowed:\n$p")
+    }
+  }
+
+  test("q269 negative sampling: candidates anti-join the positives " +
+    "(LeftAnti), the item-count scalar broadcasts") {
+    val p = plan("q269_negative_sampling_yield")
+    assert(p.contains("LeftAnti"), s"yield needs the anti-join:\n$p")
+    assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
+  }
 }
