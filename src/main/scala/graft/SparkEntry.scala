@@ -4704,6 +4704,66 @@ object SparkEntry {
             col("n_candidates").cast("double")).as("yield_frac"))
     }),
 
+    // Seasonal-naive forecast backtest: predict each day's event count
+    // with the same weekday last week (lag-7 over the bounded daily
+    // grid), score MAE and WAPE per event type. Absolute errors are
+    // EXACT integers, so both metrics reduce to integer sums with ONE
+    // final division each — no per-day double accumulates anywhere.
+    // The standard sanity bar every fancy forecaster must beat.
+    "q270_forecast_backtest" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      daily
+        .withColumn("pred", lag(col("n"), 7).over(w))
+        .withColumn("pd", lag(col("d"), 7).over(w))
+        // only score days whose lag-7 row IS exactly 7 days back — a
+        // gap in the grid must not silently misalign the forecast
+        .filter(col("pred").isNotNull &&
+          expr("datediff(d, pd)") === 7)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"),
+          sum(abs(col("n") - col("pred"))).as("sae"),
+          sum(col("n")).as("actual_total"))
+        .select(col("event_type"), col("n_days"),
+          (col("sae").cast("double") / col("n_days").cast("double"))
+            .as("mae"),
+          (col("sae").cast("double") /
+            col("actual_total").cast("double")).as("wape"))
+    }),
+
+    // EXACT 1-D clustering into 64 price bands: for 1-D single-linkage,
+    // the optimal k-clustering is exactly "cut the k−1 largest gaps" —
+    // no iterative k-means needed. Runs on the WHOLE-DOLLAR value
+    // histogram (bounded by the price range, the q251 quantization
+    // discipline); the gap ranking and the running band id are windows
+    // over that bounded histogram, never over rows. Deterministic ties:
+    // (gap desc, value asc). Always 64 bands at any corpus scale — a
+    // fixed gap threshold either never fires on a dense lattice or
+    // fires everywhere on a sparse one.
+    "q271_price_bands" -> ((s, dir) => {
+      val pv = t(s, dir, "orders")
+        .groupBy(expr(
+          "CAST(round(o_totalprice * 100) AS BIGINT) div 100").as("d"))
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("d"))
+      val wg = Window.orderBy(col("gap").desc, col("d"))
+      pv
+        .withColumn("gap",
+          coalesce(col("d") - lag(col("d"), 1).over(w), lit(0L)))
+        .withColumn("grk", row_number().over(wg))
+        .withColumn("brk",
+          when(col("grk") <= 63 && col("gap") > 0L, 1L).otherwise(0L))
+        .withColumn("band", sum(col("brk")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy(col("band"))
+        .agg(min(col("d")).as("lo_dollars"),
+          max(col("d")).as("hi_dollars"),
+          sum(col("n_orders")).as("n_orders"),
+          count(lit(1)).as("n_distinct_values"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11458,6 +11518,45 @@ object SparkEntry {
         |  (SELECT CAST(count(*) AS BIGINT) FROM kept) AS n_collisions,
         | CAST((SELECT count(*) FROM kept) AS DOUBLE) /
         |  CAST((SELECT count(*) FROM cand) AS DOUBLE) AS yield_frac""".stripMargin,
+
+    "q270_forecast_backtest" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |lagged AS (SELECT event_type, d, n,
+        |  lag(n, 7) OVER (PARTITION BY event_type ORDER BY d) AS pred,
+        |  lag(d, 7) OVER (PARTITION BY event_type ORDER BY d) AS pd
+        | FROM daily),
+        |scored AS (SELECT * FROM lagged
+        | WHERE pred IS NOT NULL AND date_diff('day', pd, d) = 7)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+        | CAST(sum(abs(n - pred)) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS mae,
+        | CAST(sum(abs(n - pred)) AS DOUBLE) /
+        |  CAST(sum(n) AS DOUBLE) AS wape
+        |FROM scored GROUP BY 1""".stripMargin,
+
+    "q271_price_bands" ->
+      """WITH pv AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |   // 100 AS d, count(*) AS n_orders
+        | FROM orders GROUP BY 1),
+        |gp AS (SELECT d, n_orders,
+        |  coalesce(d - lag(d, 1) OVER (ORDER BY d), 0) AS gap
+        | FROM pv),
+        |rk AS (SELECT d, n_orders, gap,
+        |  row_number() OVER (ORDER BY gap DESC, d) AS grk
+        | FROM gp),
+        |g AS (SELECT d, n_orders,
+        |  sum(CASE WHEN grk <= 63 AND gap > 0 THEN 1 ELSE 0 END)
+        |   OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS band
+        | FROM rk)
+        |SELECT CAST(band AS BIGINT) AS band,
+        | CAST(min(d) AS BIGINT) AS lo_dollars,
+        | CAST(max(d) AS BIGINT) AS hi_dollars,
+        | CAST(sum(n_orders) AS BIGINT) AS n_orders,
+        | CAST(count(*) AS BIGINT) AS n_distinct_values
+        |FROM g GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
