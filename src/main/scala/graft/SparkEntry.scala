@@ -4764,6 +4764,66 @@ object SparkEntry {
           count(lit(1)).as("n_distinct_values"))
     }),
 
+    // MODE() per group — the ordered-set aggregate SQL grew late and
+    // engines leave ties undefined; here the mode of order priority per
+    // customer nation is pinned deterministic: (count desc, value asc)
+    // over the (nation × priority) census, which is dimension-bounded,
+    // so the ranking window never sees corpus-scale partitions.
+    "q272_mode_per_group" -> ((s, dir) => {
+      val cnts = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("n_name"))
+      cnts
+        .withColumn("rk", row_number().over(
+          w.orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .withColumn("n_total", sum(col("cnt")).over(w))
+        .filter(col("rk") === 1)
+        .select(col("n_name"),
+          col("o_orderpriority").as("mode_priority"),
+          col("cnt").as("n_mode"), col("n_total"),
+          (col("cnt").cast("double") / col("n_total").cast("double"))
+            .as("mode_share"))
+    }),
+
+    // Pareto concentration (the 80/20 readout): the smallest set of
+    // top customers covering ≥ 80% of revenue. Customers are never
+    // individually ranked — the descending cumulative runs over the
+    // DOLLAR-QUANTIZED per-customer revenue histogram (bounded by the
+    // revenue range, the q251 discipline), and the 80% crossing is the
+    // exact integer test cum_rev·5 ≥ total·4 in decimal(38,0).
+    "q273_pareto_concentration" -> ((s, dir) => {
+      val cr = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev"))
+      val h = cr.groupBy(expr("rev div 100").as("rd"))
+        .agg(count(lit(1)).as("n_cust"), sum(col("rev")).as("rev_sum"))
+      val w = Window.orderBy(col("rd").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      h
+        .withColumn("cum_cust", sum(col("n_cust")).over(w))
+        .withColumn("cum_rev", sum(col("rev_sum")).over(w))
+        .join(broadcast(cr.agg(sum(col("rev")).as("total_rev"),
+          count(lit(1)).as("total_cust"))))
+        .filter(col("cum_rev").cast("decimal(38,0)") * lit(5) >=
+          col("total_rev").cast("decimal(38,0)") * lit(4))
+        .agg(min(struct(col("cum_cust"), col("rd"), col("cum_rev"),
+          col("total_rev"), col("total_cust"))).as("x"))
+        .select(col("x.cum_cust").as("n_top_customers"),
+          col("x.rd").as("cutoff_dollars"),
+          (col("x.cum_cust").cast("double") /
+            col("x.total_cust").cast("double")).as("cust_frac"),
+          (col("x.cum_rev").cast("double") /
+            col("x.total_rev").cast("double")).as("rev_share"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11557,6 +11617,51 @@ object SparkEntry {
         | CAST(sum(n_orders) AS BIGINT) AS n_orders,
         | CAST(count(*) AS BIGINT) AS n_distinct_values
         |FROM g GROUP BY 1""".stripMargin,
+
+    "q272_mode_per_group" ->
+      """WITH cnts AS (SELECT n.n_name, o.o_orderpriority,
+        |  count(*) AS cnt
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |r AS (SELECT n_name, o_orderpriority, cnt,
+        |  row_number() OVER (PARTITION BY n_name
+        |   ORDER BY cnt DESC, o_orderpriority) AS rk,
+        |  sum(cnt) OVER (PARTITION BY n_name) AS n_total
+        | FROM cnts)
+        |SELECT n_name, o_orderpriority AS mode_priority,
+        | CAST(cnt AS BIGINT) AS n_mode,
+        | CAST(n_total AS BIGINT) AS n_total,
+        | CAST(cnt AS DOUBLE) / CAST(n_total AS DOUBLE) AS mode_share
+        |FROM r WHERE rk = 1""".stripMargin,
+
+    "q273_pareto_concentration" ->
+      """WITH cr AS (SELECT o_custkey,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev
+        | FROM orders GROUP BY 1),
+        |h AS (SELECT rev // 100 AS rd, count(*) AS n_cust,
+        |  sum(rev) AS rev_sum
+        | FROM cr GROUP BY 1),
+        |c AS (SELECT rd,
+        |  sum(n_cust) OVER (ORDER BY rd DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |   AS cum_cust,
+        |  sum(rev_sum) OVER (ORDER BY rd DESC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_rev
+        | FROM h),
+        |tt AS (SELECT sum(rev) AS total_rev, count(*) AS total_cust
+        | FROM cr)
+        |SELECT CAST(c.cum_cust AS BIGINT) AS n_top_customers,
+        | CAST(c.rd AS BIGINT) AS cutoff_dollars,
+        | CAST(c.cum_cust AS DOUBLE) / CAST(tt.total_cust AS DOUBLE)
+        |  AS cust_frac,
+        | CAST(c.cum_rev AS DOUBLE) / CAST(tt.total_rev AS DOUBLE)
+        |  AS rev_share
+        |FROM c, tt
+        |WHERE c.cum_rev * 5 >= tt.total_rev * 4
+        |ORDER BY c.cum_cust
+        |LIMIT 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
