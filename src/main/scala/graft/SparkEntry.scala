@@ -4824,6 +4824,55 @@ object SparkEntry {
             col("x.total_rev").cast("double")).as("rev_share"))
     }),
 
+    // Padding-waste census for length-bucketed batching: docs bucket by
+    // ilog2(token count); padding every doc in a bucket to the bucket
+    // max costs n·max − Σlen tokens — the number that decides between
+    // bucketed batching and exact-length packing (q57) at training
+    // time. All exact integers, one waste-fraction division per bucket.
+    "q274_padding_waste" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(size(T.tokens(col("text"))).cast("long").as("len"))
+        .filter(col("len") > 0L)
+        .groupBy(expr("length(bin(len)) - 1").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("len")).as("sum_tokens"),
+          max(col("len")).as("bucket_max"))
+        .select(col("bucket"), col("n_docs"), col("sum_tokens"),
+          col("bucket_max"),
+          (col("n_docs") * col("bucket_max") - col("sum_tokens"))
+            .as("padding_tokens"),
+          ((col("n_docs") * col("bucket_max") - col("sum_tokens"))
+            .cast("double") /
+            (col("n_docs") * col("bucket_max")).cast("double"))
+            .as("waste_frac"))),
+
+    // Epoch-shuffle quality audit: each epoch deterministically
+    // re-shards documents (md5 of "ep<e>:" + doc_id, mod 32 — the q258
+    // position discipline); a good shuffle spreads every epoch-0 shard
+    // ~uniformly over epoch-1 shards. The census reports, per epoch-0
+    // shard, how many epoch-1 shards it touches and its largest cell —
+    // a collapsed cell means consecutive epochs batch the same docs
+    // together. Map-side hashing, ONE (s0,s1) cell shuffle (≤ 1024
+    // cells), exact integers.
+    "q275_shuffle_quality" -> ((s, dir) => {
+      def shard(e: Int): Column = expr(
+        s"""CAST(conv(substring(md5(concat('ep$e:',
+           | CAST(doc_id AS STRING))), 1, 15), 16, 10) AS BIGINT) % 32"""
+          .stripMargin)
+      t(s, dir, "documents")
+        .select(shard(0).as("s0"), shard(1).as("s1"))
+        .groupBy(col("s0"), col("s1"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("s0"))
+        .agg(sum(col("n")).as("n_docs"),
+          count(lit(1)).as("n_s1_shards"),
+          max(col("n")).as("max_cell"), min(col("n")).as("min_cell"))
+        .select(col("s0"), col("n_docs"), col("n_s1_shards"),
+          col("max_cell"), col("min_cell"),
+          (col("max_cell").cast("double") * lit(32.0) /
+            col("n_docs").cast("double")).as("max_cell_skew"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11662,6 +11711,40 @@ object SparkEntry {
         |WHERE c.cum_rev * 5 >= tt.total_rev * 4
         |ORDER BY c.cum_cust
         |LIMIT 1""".stripMargin,
+
+    "q274_padding_waste" ->
+      """WITH l AS (SELECT CAST(len(string_split(text, ' ')) AS BIGINT)
+        |   AS len
+        | FROM documents WHERE text IS NOT NULL),
+        |b AS (SELECT length(bin(len)) - 1 AS bucket, count(*) AS n_docs,
+        |  sum(len) AS sum_tokens, max(len) AS bucket_max
+        | FROM l WHERE len > 0 GROUP BY 1)
+        |SELECT CAST(bucket AS INT) AS bucket,
+        | CAST(n_docs AS BIGINT) AS n_docs,
+        | CAST(sum_tokens AS BIGINT) AS sum_tokens,
+        | CAST(bucket_max AS BIGINT) AS bucket_max,
+        | CAST(n_docs * bucket_max - sum_tokens AS BIGINT)
+        |  AS padding_tokens,
+        | CAST(n_docs * bucket_max - sum_tokens AS DOUBLE) /
+        |  CAST(n_docs * bucket_max AS DOUBLE) AS waste_frac
+        |FROM b""".stripMargin,
+
+    "q275_shuffle_quality" ->
+      """WITH sh AS (SELECT
+        |  CAST(('0x' || substr(md5('ep0:' || CAST(doc_id AS VARCHAR)),
+        |   1, 15)) AS BIGINT) % 32 AS s0,
+        |  CAST(('0x' || substr(md5('ep1:' || CAST(doc_id AS VARCHAR)),
+        |   1, 15)) AS BIGINT) % 32 AS s1
+        | FROM documents),
+        |cells AS (SELECT s0, s1, count(*) AS n FROM sh GROUP BY 1, 2)
+        |SELECT CAST(s0 AS BIGINT) AS s0,
+        | CAST(sum(n) AS BIGINT) AS n_docs,
+        | CAST(count(*) AS BIGINT) AS n_s1_shards,
+        | CAST(max(n) AS BIGINT) AS max_cell,
+        | CAST(min(n) AS BIGINT) AS min_cell,
+        | (CAST(max(n) AS DOUBLE) * 32.0) / CAST(sum(n) AS DOUBLE)
+        |  AS max_cell_skew
+        |FROM cells GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
