@@ -4873,6 +4873,35 @@ object SparkEntry {
             col("n_docs").cast("double")).as("max_cell_skew"))
     }),
 
+    // NDCG@10 of the int8-quantized retrieval against the exact-cosine
+    // ideal: rel = membership in the exact top-10, discounts 1/log2(d+1)
+    // as PASTED literals shared verbatim with the twin (the Benford
+    // discipline — log2 is transcendental and banned), DCG folded in
+    // rank order (the sorted-fold discipline), IDCG the pasted constant.
+    // Completes the retrieval-eval shelf next to recall@3 (q49) and RRF
+    // (q123) with the graded-position metric.
+    "q276_ndcg" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      val ideal = Vec.cosineTopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val sys = Vec.i8TopK(e.filter(col("vec_id") < 20), e,
+          "vec_id", "embedding", 10)
+        .select(col("query_id"), col("neighbor_id"), col("rank"))
+      val dcg = sys
+        .join(ideal, Seq("query_id", "neighbor_id"), "left_semi")
+        .select(col("query_id"), col("rank").as("rnk"))
+        .select(col("query_id"), col("rnk"), expr(NdcgDiscCase).as("w"))
+        .groupBy(col("query_id"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(rnk, w)))" +
+          ", 0.0D, (acc, x) -> acc + x.w)").as("dcg"))
+      ideal.select(col("query_id")).distinct()
+        .join(dcg, Seq("query_id"), "left_outer")
+        .select(col("query_id"),
+          coalesce(col("dcg"), lit(0.0)).as("dcg"))
+        .withColumn("ndcg", col("dcg") / lit(4.543559338088346))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -6954,6 +6983,17 @@ object SparkEntry {
        |   chr(31) AS s FROM wc),
        |$steps""".stripMargin
   }
+
+  /** NDCG@10 position discounts 1/log2(d+1), PASTED literals shared
+    * verbatim by the q276 Spark expression and its twin (log2 is
+    * transcendental — computing it would diverge across engines). */
+  private val NdcgDiscCase: String =
+    """CAST(CASE rnk WHEN 1 THEN 1.0 WHEN 2 THEN 0.6309297535714575
+      | WHEN 3 THEN 0.5 WHEN 4 THEN 0.43067655807339306
+      | WHEN 5 THEN 0.38685280723454163 WHEN 6 THEN 0.3562071871080222
+      | WHEN 7 THEN 0.3333333333333333 WHEN 8 THEN 0.31546487678572877
+      | WHEN 9 THEN 0.3010299956639812 WHEN 10 THEN 0.2890648263178879
+      | END AS DOUBLE)""".stripMargin
 
   private def sqlI8TopKAt(k: Int): String =
     s"""WITH a AS (SELECT vec_id, embedding,
@@ -11745,6 +11785,26 @@ object SparkEntry {
         | (CAST(max(n) AS DOUBLE) * 32.0) / CAST(sum(n) AS DOUBLE)
         |  AS max_cell_skew
         |FROM cells GROUP BY 1""".stripMargin,
+
+    // q276 twin: same exact-ideal membership, same PASTED discounts
+    // (NdcgDiscCase verbatim), same rank-ordered list_reduce fold.
+    "q276_ndcg" ->
+      s"""WITH sysr AS (SELECT query_id, neighbor_id, "rank" AS rnk
+         | FROM (${sqlI8TopKAt(10)})),
+         |idl AS (SELECT query_id, neighbor_id
+         | FROM (${sqlAnnExact(10)})),
+         |m AS (SELECT s.query_id, s.rnk,
+         |  $NdcgDiscCase AS w
+         | FROM sysr s JOIN idl i ON s.query_id = i.query_id
+         |  AND s.neighbor_id = i.neighbor_id),
+         |d AS (SELECT query_id,
+         |  list_reduce(list(w ORDER BY rnk), (x, y) -> x + y) AS dcg
+         | FROM m GROUP BY 1),
+         |q AS (SELECT DISTINCT query_id FROM idl)
+         |SELECT q.query_id, coalesce(d.dcg, 0.0) AS dcg,
+         | coalesce(d.dcg, 0.0) / CAST(4.543559338088346 AS DOUBLE)
+         |  AS ndcg
+         |FROM q LEFT JOIN d ON q.query_id = d.query_id""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
