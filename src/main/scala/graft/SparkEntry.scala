@@ -4902,6 +4902,53 @@ object SparkEntry {
         .withColumn("ndcg", col("dcg") / lit(4.543559338088346))
     }),
 
+    // Time-weighted average (TWAP): each event's value holds until the
+    // user's next event; the average weights by holding duration. The
+    // cents × µs products overflow bigint at corpus scale, so the
+    // sufficient statistics run in decimal(38,0) (HUGEINT on the twin)
+    // with ONE double division at the end. The lead window partitions
+    // per user — never a global sort.
+    "q277_twap" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("us"))
+      t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("v"))
+        .withColumn("dt", lead(col("us"), 1).over(w) - col("us"))
+        .filter(col("dt").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_intervals"),
+          sum(col("v").cast("decimal(38,0)") * col("dt")).as("vw"),
+          sum(col("dt").cast("decimal(38,0)")).as("tw"))
+        .select(col("event_type"), col("n_intervals"),
+          (col("vw").cast("double") / col("tw").cast("double"))
+            .as("twap_cents"))
+    }),
+
+    // Record-days (high-water-mark) census: per event type, the days
+    // that set a new daily-revenue record, when the last record fell,
+    // and the longest drought between records — "time since record" is
+    // the ops trend signal CUSUM (q83) doesn't give directly. Running
+    // prior-max and the record-to-record gaps are exact integer windows
+    // over the bounded (type × day) grid.
+    "q278_record_days" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+      val rec = daily
+        .withColumn("prior_max", max(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, -1)))
+        .filter(col("prior_max").isNull || col("c") > col("prior_max"))
+      rec
+        .withColumn("prev_rec", lag(col("d"), 1).over(w))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_records"),
+          max(col("d")).cast("string").as("last_record_day"),
+          max(col("c")).as("record_cents"),
+          max(expr("datediff(d, prev_rec)")).as("max_drought_days"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11805,6 +11852,40 @@ object SparkEntry {
          | coalesce(d.dcg, 0.0) / CAST(4.543559338088346 AS DOUBLE)
          |  AS ndcg
          |FROM q LEFT JOIN d ON q.query_id = d.query_id""".stripMargin,
+
+    "q277_twap" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+        |  CAST(round(value * 100) AS BIGINT) AS v
+        | FROM events),
+        |d AS (SELECT event_type, v,
+        |  lead(us, 1) OVER (PARTITION BY user_id ORDER BY us) - us
+        |   AS dt
+        | FROM e)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_intervals,
+        | CAST(sum(CAST(v AS HUGEINT) * dt) AS DOUBLE) /
+        |  CAST(sum(CAST(dt AS HUGEINT)) AS DOUBLE) AS twap_cents
+        |FROM d WHERE dt IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    "q278_record_days" ->
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS c
+        | FROM events GROUP BY 1, 2),
+        |pm AS (SELECT event_type, d, c,
+        |  max(c) OVER (PARTITION BY event_type ORDER BY d
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |   AS prior_max
+        | FROM daily),
+        |rec AS (SELECT event_type, d, c,
+        |  lag(d, 1) OVER (PARTITION BY event_type ORDER BY d)
+        |   AS prev_rec
+        | FROM pm WHERE prior_max IS NULL OR c > prior_max)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_records,
+        | CAST(max(d) AS VARCHAR) AS last_record_day,
+        | CAST(max(c) AS BIGINT) AS record_cents,
+        | CAST(max(date_diff('day', prev_rec, d)) AS INT)
+        |  AS max_drought_days
+        |FROM rec GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
