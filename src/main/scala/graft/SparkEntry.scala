@@ -4949,6 +4949,48 @@ object SparkEntry {
           max(expr("datediff(d, prev_rec)")).as("max_drought_days"))
     }),
 
+    // Cold-start coverage: what fraction of the catalog can the
+    // co-purchase recommender serve at all? Items absent from the
+    // graph (never co-purchased) are the cold-start list every serving
+    // layer needs a fallback for. Reads the bucketed symmetric table's
+    // node set exchange-free; the catalog anti-join is the only
+    // shuffle.
+    "q279_cold_start_coverage" -> ((s, dir) => {
+      val inGraph = coPurchaseSymTable(s, dir)
+        .select(col("node")).distinct()
+      val catalog = t(s, dir, "part").select(col("p_partkey"))
+      val cold = catalog.join(inGraph,
+        col("p_partkey") === col("node"), "left_anti")
+      catalog.agg(count(lit(1)).as("n_parts"))
+        .join(cold.agg(count(lit(1)).as("n_cold")))
+        .select(col("n_parts"), (col("n_parts") - col("n_cold"))
+            .as("n_in_graph"), col("n_cold"),
+          ((col("n_parts") - col("n_cold")).cast("double") /
+            col("n_parts").cast("double")).as("coverage_frac"))
+    }),
+
+    // TTL retention planning: for each candidate retention window
+    // (1/3/7/14 days back from the corpus max — the feed spans ~30
+    // days), how many events and
+    // how much value would a purge delete — the census that sizes a
+    // 100 TB retention policy before anyone runs it. One combinable
+    // pass against a 1-row broadcast max; exact epoch-µs and cents.
+    "q280_ttl_retention_plan" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(unix_micros(col("ts")).as("us"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      val day = 86400000000L
+      val g = broadcast(ev.agg(max(col("us")).as("gmax")))
+      ev.join(g)
+        .join(broadcast(s.createDataFrame(Seq(
+            Tuple1(1L), Tuple1(3L), Tuple1(7L), Tuple1(14L)))
+          .toDF("ttl_days")))
+        .filter(col("us") < col("gmax") - col("ttl_days") * lit(day))
+        .groupBy(col("ttl_days"))
+        .agg(count(lit(1)).as("n_purged"),
+          sum(col("c")).as("purged_cents"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11886,6 +11928,35 @@ object SparkEntry {
         | CAST(max(date_diff('day', prev_rec, d)) AS INT)
         |  AS max_drought_days
         |FROM rec GROUP BY 1""".stripMargin,
+
+    "q279_cold_start_coverage" ->
+      """WITH pp AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk
+        |  FROM lineitem),
+        |e AS (SELECT x.pk AS a, y.pk AS b
+        | FROM pp x JOIN pp y ON x.ok = y.ok AND x.pk < y.pk
+        | GROUP BY 1, 2),
+        |nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+        |tot AS (SELECT count(*) AS n_parts FROM part),
+        |cold AS (SELECT count(*) AS n_cold FROM part
+        | WHERE p_partkey NOT IN (SELECT node FROM nodes))
+        |SELECT CAST(tot.n_parts AS BIGINT) AS n_parts,
+        | CAST(tot.n_parts - cold.n_cold AS BIGINT) AS n_in_graph,
+        | CAST(cold.n_cold AS BIGINT) AS n_cold,
+        | CAST(tot.n_parts - cold.n_cold AS DOUBLE) /
+        |  CAST(tot.n_parts AS DOUBLE) AS coverage_frac
+        |FROM tot, cold""".stripMargin,
+
+    "q280_ttl_retention_plan" ->
+      """WITH g AS (SELECT max(epoch_us(ts)) AS gmax FROM events),
+        |grid AS (SELECT * FROM (VALUES (1), (3), (7), (14))
+        |  t(ttl_days))
+        |SELECT CAST(grid.ttl_days AS BIGINT) AS ttl_days,
+        | CAST(count(*) AS BIGINT) AS n_purged,
+        | CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+        |  AS purged_cents
+        |FROM events e CROSS JOIN g CROSS JOIN grid
+        |WHERE epoch_us(e.ts) < g.gmax - grid.ttl_days * 86400000000
+        |GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
