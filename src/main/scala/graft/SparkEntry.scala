@@ -4991,6 +4991,76 @@ object SparkEntry {
           sum(col("c")).as("purged_cents"))
     }),
 
+    // Precedence-lift matrix: for every ordered event-type pair (A,B),
+    // how much more likely is B for users who did A FIRST —
+    // lift = (n_AB/n_A)/(n_B/n_users) computed as ONE division of exact
+    // decimal cross-products. Unlike q92's adjacent transitions this
+    // sees "ever after" ordering via each user's FIRST occurrence per
+    // type (≤ |types| rows/user, so the per-user pair join is
+    // type-domain-bounded, never events²).
+    "q281_precedence_matrix" -> ((s, dir) => {
+      val ft = t(s, dir, "events")
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(min(unix_micros(col("ts"))).as("fts"))
+        .localCheckpoint()
+      val byType = ft.groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_t"))
+      val nUsers = ft.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val ordered = ft.as("a").join(ft.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.event_type") =!= col("b.event_type") &&
+            col("a.fts") < col("b.fts"))
+        .groupBy(col("a.event_type").as("ante"),
+          col("b.event_type").as("cons"))
+        .agg(count(lit(1)).as("n_ordered"))
+      ordered
+        .join(broadcast(byType.select(col("event_type").as("ante"),
+          col("n_t").as("n_ante"))), "ante")
+        .join(broadcast(byType.select(col("event_type").as("cons"),
+          col("n_t").as("n_cons"))), "cons")
+        .join(broadcast(nUsers))
+        .select(col("ante"), col("cons"), col("n_ordered"),
+          col("n_ante"), col("n_cons"),
+          ((col("n_ordered").cast("decimal(38,0)") * col("n_users"))
+            .cast("double") /
+            (col("n_ante").cast("decimal(38,0)") * col("n_cons"))
+              .cast("double")).as("precedence_lift"))
+    }),
+
+    // Snowflake-cube stress query: the full dimension chain
+    // (region ← nation ← customer ← orders ← lineitem → part) rolled
+    // into a 3-D CUBE over (region, order year, part type) — 8 grouping
+    // sets from ONE fact pass, every dimension join a broadcast, the
+    // revenue exact e4 integers. The bench-shaped query that exercises
+    // join planning + grouping-set expansion together.
+    "q282_snowflake_cube" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey"),
+              year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")
+            .select(col("r_regionkey"), col("r_name"))),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .cube(col("r_name"), col("o_year"), col("p_type"))
+        .agg(sum(col("rev")).as("revenue_e4"),
+          count(lit(1)).as("n_lines"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -11957,6 +12027,43 @@ object SparkEntry {
         |FROM events e CROSS JOIN g CROSS JOIN grid
         |WHERE epoch_us(e.ts) < g.gmax - grid.ttl_days * 86400000000
         |GROUP BY 1""".stripMargin,
+
+    "q281_precedence_matrix" ->
+      """WITH ft AS (SELECT user_id, event_type,
+        |  min(epoch_us(ts)) AS fts
+        | FROM events GROUP BY 1, 2),
+        |bt AS (SELECT event_type, count(*) AS n_t FROM ft GROUP BY 1),
+        |nu AS (SELECT count(DISTINCT user_id) AS n_users FROM ft),
+        |o AS (SELECT a.event_type AS ante, b.event_type AS cons,
+        |  count(*) AS n_ordered
+        | FROM ft a JOIN ft b ON a.user_id = b.user_id
+        |  AND a.event_type <> b.event_type AND a.fts < b.fts
+        | GROUP BY 1, 2)
+        |SELECT o.ante, o.cons, CAST(o.n_ordered AS BIGINT) AS n_ordered,
+        | CAST(ba.n_t AS BIGINT) AS n_ante,
+        | CAST(bc.n_t AS BIGINT) AS n_cons,
+        | CAST(o.n_ordered * CAST(nu.n_users AS HUGEINT) AS DOUBLE) /
+        |  CAST(ba.n_t * CAST(bc.n_t AS HUGEINT) AS DOUBLE)
+        |  AS precedence_lift
+        |FROM o
+        |JOIN bt ba ON o.ante = ba.event_type
+        |JOIN bt bc ON o.cons = bc.event_type
+        |CROSS JOIN nu""".stripMargin,
+
+    "q282_snowflake_cube" ->
+      """SELECT r.r_name, CAST(year(o.o_orderdate) AS INT) AS o_year,
+        | p.p_type,
+        | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |  AS BIGINT) AS revenue_e4,
+        | CAST(count(*) AS BIGINT) AS n_lines
+        |FROM lineitem l
+        |JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |JOIN region r ON n.n_regionkey = r.r_regionkey
+        |JOIN part p ON l.l_partkey = p.p_partkey
+        |GROUP BY CUBE (1, 2, 3)""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
