@@ -5061,6 +5061,72 @@ object SparkEntry {
         .agg(sum(col("rev")).as("revenue_e4"),
           count(lit(1)).as("n_lines"))),
 
+    // Join-cardinality estimation audit (the System-R formula a CBO
+    // runs): per 64-bucket key histogram, est = n_a·n_b / max(ndv_a,
+    // ndv_b), folded in bucket order (sorted-fold discipline), against
+    // the TRUE join size — on the q51 skew-remapped key, where the
+    // uniform-within-bucket assumption underestimates hard. The audit
+    // that explains why a skewed join stalls even when the optimizer
+    // "sized" it.
+    "q283_join_cardinality_estimate" -> ((s, dir) => {
+      val skew = t(s, dir, "lineitem")
+        .select(when(pmod(col("l_suppkey"), lit(2)) === 0, lit(1L))
+          .otherwise(col("l_suppkey")).as("k"))
+      val sup = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+      def hist(df: DataFrame): DataFrame =
+        df.groupBy(pmod(col("k"), lit(64)).as("b"))
+          .agg(count(lit(1)).as("n"), countDistinct(col("k")).as("ndv"))
+      val est = hist(skew).as("a")
+        .join(hist(sup).as("bb"), col("a.b") === col("bb.b"))
+        .select(col("a.b").as("b"),
+          ((col("a.n") * col("bb.n")).cast("double") /
+            greatest(col("a.ndv"), col("bb.ndv")).cast("double"))
+            .as("est"))
+        .agg(expr("aggregate(array_sort(collect_list(struct(b, est)))" +
+          ", 0.0D, (acc, x) -> acc + x.est)").as("est_rows"))
+      val actual = skew.join(sup, "k")
+        .agg(count(lit(1)).as("actual_rows"))
+      est.join(actual)
+        .select(col("est_rows"), col("actual_rows"),
+          (col("actual_rows").cast("double") / col("est_rows"))
+            .as("underestimate_factor"))
+    }),
+
+    // Mergeable-statistics audit: combine per-partition stats (the two
+    // orderkey-parity halves) with the merge laws — counts add, nulls
+    // add, min/max take least/greatest — and emit them beside a full
+    // recompute. Equal rows prove the stats are safe to maintain
+    // incrementally instead of rescanned; exact NDV is deliberately
+    // absent (it does NOT merge — that's what sketches are for).
+    "q284_stats_merge" -> ((s, dir) => {
+      def half(p: Int): DataFrame = t(s, dir, "orders")
+        .filter(pmod(col("o_orderkey"), lit(2)) === p)
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("nulls"),
+          min(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("mn"),
+          max(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("mx"))
+      val merged = half(0).as("a").join(half(1).as("b"))
+        .select(lit("merged").as("src"),
+          (col("a.n") + col("b.n")).as("n_rows"),
+          (col("a.nulls") + col("b.nulls")).as("n_nulls"),
+          least(col("a.mn"), col("b.mn")).as("min_cents"),
+          greatest(col("a.mx"), col("b.mx")).as("max_cents"))
+      val full = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("o_custkey").isNull, 1L).otherwise(0L))
+            .as("n_nulls"),
+          min(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("min_cents"),
+          max(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("max_cents"))
+        .select(lit("recomputed").as("src"), col("n_rows"),
+          col("n_nulls"), col("min_cents"), col("max_cents"))
+      merged.union(full)
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12064,6 +12130,51 @@ object SparkEntry {
         |JOIN region r ON n.n_regionkey = r.r_regionkey
         |JOIN part p ON l.l_partkey = p.p_partkey
         |GROUP BY CUBE (1, 2, 3)""".stripMargin,
+
+    "q283_join_cardinality_estimate" ->
+      """WITH sk AS (SELECT CASE WHEN l_suppkey % 2 = 0 THEN 1
+        |   ELSE l_suppkey END AS k FROM lineitem),
+        |ha AS (SELECT k % 64 AS b, count(*) AS n,
+        |  count(DISTINCT k) AS ndv FROM sk GROUP BY 1),
+        |hb AS (SELECT s_suppkey % 64 AS b, count(*) AS n,
+        |  count(DISTINCT s_suppkey) AS ndv FROM supplier GROUP BY 1),
+        |eb AS (SELECT ha.b,
+        |  CAST(ha.n * hb.n AS DOUBLE) /
+        |   CAST(greatest(ha.ndv, hb.ndv) AS DOUBLE) AS est
+        | FROM ha JOIN hb ON ha.b = hb.b),
+        |e AS (SELECT list_reduce(list(est ORDER BY b),
+        |  (x, y) -> x + y) AS est_rows FROM eb),
+        |a AS (SELECT count(*) AS actual_rows
+        | FROM sk JOIN supplier s ON sk.k = s.s_suppkey)
+        |SELECT e.est_rows, CAST(a.actual_rows AS BIGINT) AS actual_rows,
+        | CAST(a.actual_rows AS DOUBLE) / e.est_rows
+        |  AS underestimate_factor
+        |FROM e, a""".stripMargin,
+
+    "q284_stats_merge" ->
+      """WITH h0 AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn,
+        |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+        | FROM orders WHERE o_orderkey % 2 = 0),
+        |h1 AS (SELECT count(*) AS n,
+        |  sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS nulls,
+        |  min(CAST(round(o_totalprice * 100) AS BIGINT)) AS mn,
+        |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+        | FROM orders WHERE o_orderkey % 2 = 1)
+        |SELECT 'merged' AS src,
+        | CAST(h0.n + h1.n AS BIGINT) AS n_rows,
+        | CAST(h0.nulls + h1.nulls AS BIGINT) AS n_nulls,
+        | CAST(least(h0.mn, h1.mn) AS BIGINT) AS min_cents,
+        | CAST(greatest(h0.mx, h1.mx) AS BIGINT) AS max_cents
+        |FROM h0, h1
+        |UNION ALL
+        |SELECT 'recomputed', CAST(count(*) AS BIGINT),
+        | CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT),
+        | CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
+        | CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |FROM orders""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
