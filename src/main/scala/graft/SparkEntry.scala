@@ -5127,6 +5127,43 @@ object SparkEntry {
       merged.union(full)
     }),
 
+    // Partition-backfill planner: which (event_type, hour) partitions
+    // are MISSING from each type's own [min, max] span, and how long is
+    // the worst contiguous hole — the work-list a backfill job consumes
+    // (q104's gap-fill fabricates values; this plans the job). The
+    // expected grid is a span-bounded sequence explode per type; holes
+    // become runs via the hour-minus-row_number islands trick, all
+    // exact integers; complete types still report a 0-hole row.
+    "q285_backfill_plan" -> ((s, dir) => {
+      val obs = t(s, dir, "events")
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("h"))
+        .distinct()
+      val span = obs.groupBy(col("event_type"))
+        .agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+          count(lit(1)).as("n_present"))
+      val missing = span
+        .select(col("event_type"),
+          explode(expr("sequence(h0, h1)")).as("h"))
+        .join(obs, Seq("event_type", "h"), "left_anti")
+      val w = Window.partitionBy(col("event_type")).orderBy(col("h"))
+      val holes = missing
+        .withColumn("grp", col("h") - row_number().over(w))
+        .groupBy(col("event_type"), col("grp"))
+        .agg(count(lit(1)).as("run_len"), min(col("h")).as("run_start"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("run_len")).as("miss"),
+          count(lit(1)).as("holes"),
+          max(col("run_len")).as("longest"),
+          min(col("run_start")).as("first_miss"))
+      span.join(holes, Seq("event_type"), "left_outer")
+        .select(col("event_type"), col("n_present"),
+          coalesce(col("miss"), lit(0L)).as("n_missing_hours"),
+          coalesce(col("holes"), lit(0L)).as("n_holes"),
+          coalesce(col("longest"), lit(0L)).as("longest_hole_hours"),
+          col("first_miss").as("first_missing_hour"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12175,6 +12212,30 @@ object SparkEntry {
         | CAST(min(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT),
         | CAST(max(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |FROM orders""".stripMargin,
+
+    "q285_backfill_plan" ->
+      """WITH obs AS (SELECT DISTINCT event_type,
+        |  epoch_us(ts) // 3600000000 AS h FROM events),
+        |span AS (SELECT event_type, min(h) AS h0, max(h) AS h1,
+        |  count(*) AS n_present FROM obs GROUP BY 1),
+        |miss AS (SELECT s.event_type, g.h FROM span s,
+        |  LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+        | WHERE NOT EXISTS (SELECT 1 FROM obs o
+        |  WHERE o.event_type = s.event_type AND o.h = g.h)),
+        |runs AS (SELECT event_type, grp, count(*) AS run_len,
+        |  min(h) AS run_start FROM
+        |  (SELECT event_type, h, h - row_number() OVER
+        |    (PARTITION BY event_type ORDER BY h) AS grp FROM miss)
+        | GROUP BY 1, 2),
+        |holes AS (SELECT event_type, sum(run_len) AS miss_n,
+        |  count(*) AS holes_n, max(run_len) AS longest,
+        |  min(run_start) AS first_miss FROM runs GROUP BY 1)
+        |SELECT s.event_type, CAST(s.n_present AS BIGINT) AS n_present,
+        | CAST(coalesce(h.miss_n, 0) AS BIGINT) AS n_missing_hours,
+        | CAST(coalesce(h.holes_n, 0) AS BIGINT) AS n_holes,
+        | CAST(coalesce(h.longest, 0) AS BIGINT) AS longest_hole_hours,
+        | CAST(h.first_miss AS BIGINT) AS first_missing_hour
+        |FROM span s LEFT JOIN holes h ON s.event_type = h.event_type""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
