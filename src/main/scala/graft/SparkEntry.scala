@@ -5164,6 +5164,81 @@ object SparkEntry {
           col("first_miss").as("first_missing_hour"))
     }),
 
+    // Simpson's-paradox detector: the q266 cohorts' conversion gap,
+    // overall AND within each first-seen-week stratum. The direction of
+    // every gap is the sign of the EXACT cross product conv_t·n_c −
+    // conv_c·n_t (decimal(38,0) — no rate subtraction crosses engines);
+    // a stratum row whose direction opposes the overall row IS the
+    // paradox, the audit every cohort readout needs before shipping.
+    "q286_simpson_detector" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) div 604800000000")).as("wk"),
+          max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .as("conv"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      def cells(key: Column): DataFrame = u.groupBy(key.as("stratum"))
+        .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("grp") === 1, col("conv")).otherwise(0L))
+            .as("conv_t"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_c"),
+          sum(when(col("grp") === 0, col("conv")).otherwise(0L))
+            .as("conv_c"))
+      val dirCol = {
+        val x = col("conv_t").cast("decimal(38,0)") * col("n_c") -
+          col("conv_c").cast("decimal(38,0)") * col("n_t")
+        when(x > 0, 1).when(x < 0, -1).otherwise(0)
+      }
+      cells(col("wk")).union(cells(lit(-1L)))
+        .select(col("stratum"), col("n_t"), col("conv_t"), col("n_c"),
+          col("conv_c"),
+          when(col("n_t") > 0L, col("conv_t").cast("double") /
+            col("n_t").cast("double")).as("rate_t"),
+          when(col("n_c") > 0L, col("conv_c").cast("double") /
+            col("n_c").cast("double")).as("rate_c"),
+          dirCol.as("direction"))
+    }),
+
+    // Tail-category lumping ("collapse to OTHER"): per supplier
+    // nation, part names holding < 2% of the nation's line volume fold
+    // into one OTHER row — the cardinality-control step before a
+    // categorical feature or a legend-bounded chart. The head test is
+    // RELATIVE — cnt·n_categories ≥ 2·total (2× the nation's average
+    // category share, exact integers): an absolute share cutoff lumps
+    // everything once the category count outgrows it (the q247/q265
+    // lesson). Totals ride a dimension-bounded window; the relabeled
+    // census re-aggregates in one more bounded shuffle.
+    "q287_tail_lumping" -> ((s, dir) => {
+      val cnts = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_name"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("n_name"), col("p_name"))
+        .agg(count(lit(1)).as("cnt"))
+      val wn = Window.partitionBy(col("n_name"))
+      cnts
+        .withColumn("tot", sum(col("cnt")).over(wn))
+        .withColumn("ncat", count(lit(1)).over(wn))
+        .select(col("n_name"),
+          when(col("cnt") * col("ncat") >= lit(2L) * col("tot"),
+            col("p_name")).otherwise(lit("OTHER")).as("category"),
+          col("cnt"), col("tot"))
+        .groupBy(col("n_name"), col("category"))
+        .agg(sum(col("cnt")).as("n_lines"),
+          count(lit(1)).as("n_lumped"),
+          max(col("tot")).as("tot"))
+        .select(col("n_name"), col("category"), col("n_lines"),
+          col("n_lumped"),
+          (col("n_lines").cast("double") / col("tot").cast("double"))
+            .as("share"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12236,6 +12311,58 @@ object SparkEntry {
         | CAST(coalesce(h.longest, 0) AS BIGINT) AS longest_hole_hours,
         | CAST(h.first_miss AS BIGINT) AS first_missing_hour
         |FROM span s LEFT JOIN holes h ON s.event_type = h.event_type""".stripMargin,
+
+    "q286_simpson_detector" ->
+      """WITH u AS (SELECT user_id,
+        |  min(epoch_us(ts) // 604800000000) AS wk,
+        |  max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |   AS conv,
+        |  user_id % 2 AS grp
+        | FROM events GROUP BY user_id),
+        |st AS (SELECT wk AS stratum,
+        |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN grp = 1 THEN conv ELSE 0 END) AS conv_t,
+        |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_c,
+        |  sum(CASE WHEN grp = 0 THEN conv ELSE 0 END) AS conv_c
+        | FROM u GROUP BY 1
+        | UNION ALL
+        | SELECT -1,
+        |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN grp = 1 THEN conv ELSE 0 END),
+        |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN grp = 0 THEN conv ELSE 0 END)
+        | FROM u)
+        |SELECT CAST(stratum AS BIGINT) AS stratum,
+        | CAST(n_t AS BIGINT) AS n_t, CAST(conv_t AS BIGINT) AS conv_t,
+        | CAST(n_c AS BIGINT) AS n_c, CAST(conv_c AS BIGINT) AS conv_c,
+        | CASE WHEN n_t > 0 THEN CAST(conv_t AS DOUBLE) /
+        |  CAST(n_t AS DOUBLE) END AS rate_t,
+        | CASE WHEN n_c > 0 THEN CAST(conv_c AS DOUBLE) /
+        |  CAST(n_c AS DOUBLE) END AS rate_c,
+        | CAST(CASE WHEN conv_t * CAST(n_c AS HUGEINT) >
+        |   conv_c * CAST(n_t AS HUGEINT) THEN 1
+        |  WHEN conv_t * CAST(n_c AS HUGEINT) <
+        |   conv_c * CAST(n_t AS HUGEINT) THEN -1
+        |  ELSE 0 END AS INT) AS direction
+        |FROM st""".stripMargin,
+
+    "q287_tail_lumping" ->
+      """WITH cnts AS (SELECT n.n_name, p.p_name, count(*) AS cnt
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1, 2),
+        |lab AS (SELECT n_name,
+        |  CASE WHEN cnt * count(*) OVER (PARTITION BY n_name) >=
+        |    2 * sum(cnt) OVER (PARTITION BY n_name)
+        |   THEN p_name ELSE 'OTHER' END AS category,
+        |  cnt, sum(cnt) OVER (PARTITION BY n_name) AS tot
+        | FROM cnts)
+        |SELECT n_name, category, CAST(sum(cnt) AS BIGINT) AS n_lines,
+        | CAST(count(*) AS BIGINT) AS n_lumped,
+        | CAST(sum(cnt) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
+        |FROM lab GROUP BY 1, 2""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
