@@ -5239,6 +5239,56 @@ object SparkEntry {
             .as("share"))
     }),
 
+    // Error-budget burn (SRE accounting): per day, error events vs the
+    // 25% budget, with the over-budget test and the cumulative burn
+    // both EXACT integers (err·4 vs total — no rate ever computed
+    // before the final display division). The running excess rides the
+    // bounded daily grid; a positive cumulative burn is the page.
+    "q288_error_budget" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .as("n_err"))
+      val w = Window.orderBy(col("d"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      daily
+        .withColumn("excess", col("n_err") * lit(4L) - col("n_total"))
+        .withColumn("cum_excess", sum(col("excess")).over(w))
+        .select(col("d").cast("string").as("day"), col("n_total"),
+          col("n_err"),
+          when(col("excess") > 0L, 1L).otherwise(0L).as("over_budget"),
+          col("cum_excess"),
+          (col("n_err").cast("double") / col("n_total").cast("double"))
+            .as("err_rate"))
+    }),
+
+    // Conformed-dimension audit: do the fact tables agree on who the
+    // customers ARE? The distinct key sets of orders.o_custkey and
+    // events.user_id full-outer-joined: only-in-orders, only-in-events,
+    // both, and the Jaccard agreement — the integration check before
+    // any cross-fact join is trusted. Key-domain-bounded distincts,
+    // one join, exact integers to a single division.
+    "q289_conformed_dim_audit" -> ((s, dir) => {
+      val a = t(s, dir, "orders").select(col("o_custkey").as("k"))
+        .distinct().withColumn("in_a", lit(1L))
+      val b = t(s, dir, "events").select(col("user_id").as("k"))
+        .distinct().withColumn("in_b", lit(1L))
+      a.join(b, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("in_a").isNotNull && col("in_b").isNull, 1L)
+            .otherwise(0L)).as("n_only_orders"),
+          sum(when(col("in_a").isNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_only_events"),
+          sum(when(col("in_a").isNotNull && col("in_b").isNotNull, 1L)
+            .otherwise(0L)).as("n_both"),
+          count(lit(1)).as("n_union"))
+        .select(col("n_only_orders"), col("n_only_events"),
+          col("n_both"), col("n_union"),
+          (col("n_both").cast("double") / col("n_union").cast("double"))
+            .as("jaccard"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12363,6 +12413,43 @@ object SparkEntry {
         | CAST(count(*) AS BIGINT) AS n_lumped,
         | CAST(sum(cnt) AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS share
         |FROM lab GROUP BY 1, 2""".stripMargin,
+
+    "q288_error_budget" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |  count(*) AS n_total,
+        |  sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |   AS n_err
+        | FROM events GROUP BY 1),
+        |x AS (SELECT d, n_total, n_err,
+        |  n_err * 4 - n_total AS excess FROM daily)
+        |SELECT CAST(d AS VARCHAR) AS day,
+        | CAST(n_total AS BIGINT) AS n_total,
+        | CAST(n_err AS BIGINT) AS n_err,
+        | CAST(CASE WHEN excess > 0 THEN 1 ELSE 0 END AS BIGINT)
+        |  AS over_budget,
+        | CAST(sum(excess) OVER (ORDER BY d
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |  AS cum_excess,
+        | CAST(n_err AS DOUBLE) / CAST(n_total AS DOUBLE) AS err_rate
+        |FROM x""".stripMargin,
+
+    "q289_conformed_dim_audit" ->
+      """WITH a AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        |b AS (SELECT DISTINCT user_id AS k FROM events),
+        |j AS (SELECT a.k AS ka, b.k AS kb
+        | FROM a FULL OUTER JOIN b ON a.k = b.k)
+        |SELECT
+        | CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_only_orders,
+        | CAST(sum(CASE WHEN ka IS NULL AND kb IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_only_events,
+        | CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        | CAST(count(*) AS BIGINT) AS n_union,
+        | CAST(sum(CASE WHEN ka IS NOT NULL AND kb IS NOT NULL
+        |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS jaccard
+        |FROM j""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
