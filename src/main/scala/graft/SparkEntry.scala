@@ -5289,6 +5289,59 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Rollup-lattice consistency audit: the monthly aggregate computed
+    // TWO ways — directly from the facts, and by re-aggregating the
+    // daily rollup — emitted side by side with their exact integer
+    // difference (must read 0 everywhere). The check that certifies an
+    // aggregate lattice (q91's materialized rollups) before dashboards
+    // trust the coarser grain.
+    "q290_rollup_lattice_audit" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(expr("date_trunc('DAY', ts)").as("d"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+      val viaDaily = daily
+        .groupBy(expr("date_trunc('MONTH', d)").as("m"))
+        .agg(sum(col("n")).as("n_via_daily"),
+          sum(col("c")).as("c_via_daily"))
+      val direct = t(s, dir, "events")
+        .groupBy(expr("date_trunc('MONTH', ts)").as("m"))
+        .agg(count(lit(1)).as("n_direct"),
+          sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c_direct"))
+      direct.join(viaDaily, Seq("m"), "full_outer")
+        .select(to_date(col("m")).cast("string").as("month"),
+          col("n_direct"),
+          col("n_via_daily"), col("c_direct"), col("c_via_daily"),
+          (coalesce(col("n_direct"), lit(0L)) -
+            coalesce(col("n_via_daily"), lit(0L))).as("n_diff"),
+          (coalesce(col("c_direct"), lit(0L)) -
+            coalesce(col("c_via_daily"), lit(0L))).as("c_diff"))
+    }),
+
+    // FK fan-out profile: children per parent for the two core
+    // relationships (orders/customer, lineitem/orders) — the join
+    // cardinality numbers a planner multiplies through an estimate and
+    // a skew triage reads first. Key-bounded rollups, exact integers,
+    // one avg division per row.
+    "q291_fanout_profile" -> ((s, dir) => {
+      def prof(name: String, child: DataFrame, key: Column): DataFrame =
+        child.groupBy(key.as("__k"))
+          .agg(count(lit(1)).as("fan"))
+          .agg(count(lit(1)).as("n_parents"),
+            sum(col("fan")).as("n_children"),
+            max(col("fan")).as("max_fanout"),
+            min(col("fan")).as("min_fanout"))
+          .select(lit(name).as("relationship"), col("n_parents"),
+            col("n_children"), col("max_fanout"), col("min_fanout"),
+            (col("n_children").cast("double") /
+              col("n_parents").cast("double")).as("avg_fanout"))
+      prof("orders_per_customer", t(s, dir, "orders"), col("o_custkey"))
+        .union(prof("lines_per_order", t(s, dir, "lineitem"),
+          col("l_orderkey")))
+        .union(prof("lines_per_part", t(s, dir, "lineitem"),
+          col("l_partkey")))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12450,6 +12503,55 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |  AS jaccard
         |FROM j""".stripMargin,
+
+    "q290_rollup_lattice_audit" ->
+      """WITH daily AS (SELECT date_trunc('day', ts) AS d,
+        |  count(*) AS n,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS c
+        | FROM events GROUP BY 1),
+        |vd AS (SELECT date_trunc('month', d) AS m,
+        |  sum(n) AS n_via_daily, sum(c) AS c_via_daily
+        | FROM daily GROUP BY 1),
+        |dr AS (SELECT date_trunc('month', ts) AS m,
+        |  count(*) AS n_direct,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS c_direct
+        | FROM events GROUP BY 1)
+        |SELECT CAST(CAST(dr.m AS DATE) AS VARCHAR) AS month,
+        | CAST(dr.n_direct AS BIGINT) AS n_direct,
+        | CAST(vd.n_via_daily AS BIGINT) AS n_via_daily,
+        | CAST(dr.c_direct AS BIGINT) AS c_direct,
+        | CAST(vd.c_via_daily AS BIGINT) AS c_via_daily,
+        | CAST(coalesce(dr.n_direct, 0) - coalesce(vd.n_via_daily, 0)
+        |  AS BIGINT) AS n_diff,
+        | CAST(coalesce(dr.c_direct, 0) - coalesce(vd.c_via_daily, 0)
+        |  AS BIGINT) AS c_diff
+        |FROM dr FULL OUTER JOIN vd ON dr.m = vd.m""".stripMargin,
+
+    "q291_fanout_profile" ->
+      """WITH p1 AS (SELECT count(*) AS np, sum(fan) AS nc,
+        |  max(fan) AS mx, min(fan) AS mn FROM
+        |  (SELECT o_custkey, count(*) AS fan FROM orders GROUP BY 1)),
+        |p2 AS (SELECT count(*) AS np, sum(fan) AS nc,
+        |  max(fan) AS mx, min(fan) AS mn FROM
+        |  (SELECT l_orderkey, count(*) AS fan FROM lineitem
+        |   GROUP BY 1)),
+        |p3 AS (SELECT count(*) AS np, sum(fan) AS nc,
+        |  max(fan) AS mx, min(fan) AS mn FROM
+        |  (SELECT l_partkey, count(*) AS fan FROM lineitem GROUP BY 1))
+        |SELECT 'orders_per_customer' AS relationship,
+        | CAST(np AS BIGINT) AS n_parents,
+        | CAST(nc AS BIGINT) AS n_children,
+        | CAST(mx AS BIGINT) AS max_fanout,
+        | CAST(mn AS BIGINT) AS min_fanout,
+        | CAST(nc AS DOUBLE) / CAST(np AS DOUBLE) AS avg_fanout FROM p1
+        |UNION ALL
+        |SELECT 'lines_per_order', CAST(np AS BIGINT),
+        | CAST(nc AS BIGINT), CAST(mx AS BIGINT), CAST(mn AS BIGINT),
+        | CAST(nc AS DOUBLE) / CAST(np AS DOUBLE) FROM p2
+        |UNION ALL
+        |SELECT 'lines_per_part', CAST(np AS BIGINT),
+        | CAST(nc AS BIGINT), CAST(mx AS BIGINT), CAST(mn AS BIGINT),
+        | CAST(nc AS DOUBLE) / CAST(np AS DOUBLE) FROM p3""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
