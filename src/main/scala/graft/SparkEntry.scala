@@ -5342,6 +5342,40 @@ object SparkEntry {
           col("l_partkey")))
     }),
 
+    // Attribution-window sensitivity sweep: how much does the reported
+    // click→purchase conversion move as the attribution window widens
+    // (1h / 6h / 24h / 72h)? Per user: first click, then the first
+    // purchase AT OR AFTER it; the sweep is a 4-row broadcast grid over
+    // exact epoch-µs gaps. The methodology audit that shows whether a
+    // "conversion lift" is really a window-choice artifact.
+    "q292_attribution_window_sweep" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("us")).as("fc"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id")
+        .filter(col("us") >= col("fc"))
+        .groupBy(col("user_id")).agg(min(col("us")).as("fp"))
+      val gaps = fc.join(fp, Seq("user_id"), "left_outer")
+        .select((col("fp") - col("fc")).as("gap_us"))
+      val hour = 3600000000L
+      gaps
+        .join(broadcast(s.createDataFrame(Seq(
+            Tuple1(1L), Tuple1(6L), Tuple1(24L), Tuple1(72L)))
+          .toDF("window_hours")))
+        .groupBy(col("window_hours"))
+        .agg(count(lit(1)).as("n_clicked"),
+          sum(when(col("gap_us").isNotNull &&
+            col("gap_us") <= col("window_hours") * lit(hour), 1L)
+            .otherwise(0L)).as("n_converted"))
+        .select(col("window_hours"), col("n_clicked"),
+          col("n_converted"),
+          (col("n_converted").cast("double") /
+            col("n_clicked").cast("double")).as("conv_rate"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12552,6 +12586,29 @@ object SparkEntry {
         |SELECT 'lines_per_part', CAST(np AS BIGINT),
         | CAST(nc AS BIGINT), CAST(mx AS BIGINT), CAST(mn AS BIGINT),
         | CAST(nc AS DOUBLE) / CAST(np AS DOUBLE) FROM p3""".stripMargin,
+
+    "q292_attribution_window_sweep" ->
+      """WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS fc
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (SELECT e.user_id, min(epoch_us(e.ts)) AS fp
+        | FROM events e JOIN fc ON e.user_id = fc.user_id
+        | WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fc.fc
+        | GROUP BY 1),
+        |g AS (SELECT fp.fp - fc.fc AS gap_us
+        | FROM fc LEFT JOIN fp ON fc.user_id = fp.user_id),
+        |grid AS (SELECT * FROM (VALUES (1), (6), (24), (72))
+        |  t(window_hours))
+        |SELECT CAST(grid.window_hours AS BIGINT) AS window_hours,
+        | CAST(count(*) AS BIGINT) AS n_clicked,
+        | CAST(sum(CASE WHEN g.gap_us IS NOT NULL AND
+        |   g.gap_us <= grid.window_hours * 3600000000
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+        | CAST(sum(CASE WHEN g.gap_us IS NOT NULL AND
+        |   g.gap_us <= grid.window_hours * 3600000000
+        |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS conv_rate
+        |FROM g CROSS JOIN grid
+        |GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
