@@ -5376,6 +5376,104 @@ object SparkEntry {
             col("n_clicked").cast("double")).as("conv_rate"))
     }),
 
+    // Weighted Jaccard between nations' part baskets: Σmin/Σmax over
+    // the count vectors — the multiplicity-aware similarity the binary
+    // shingle Jaccard (q25/q39) can't see. Only SHARED parts are ever
+    // joined: Σmax folds out of the per-nation totals as
+    // tot_a + tot_b − Σmin, so the pair pass is an equi-join on
+    // partkey, never a union-domain expansion. Exact integers, one
+    // division per pair.
+    "q293_weighted_jaccard" -> ((s, dir) => {
+      val v = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val tot = v.groupBy(col("n_name")).agg(sum(col("c")).as("tot"))
+      v.as("a").join(v.as("b"),
+          col("a.l_partkey") === col("b.l_partkey") &&
+            col("a.n_name") < col("b.n_name"))
+        .select(col("a.n_name").as("na"), col("b.n_name").as("nb"),
+          least(col("a.c"), col("b.c")).as("mn"))
+        .groupBy(col("na"), col("nb"))
+        .agg(sum(col("mn")).as("sum_min"))
+        .join(broadcast(tot.select(col("n_name").as("na"),
+          col("tot").as("tot_a"))), "na")
+        .join(broadcast(tot.select(col("n_name").as("nb"),
+          col("tot").as("tot_b"))), "nb")
+        .select(col("na"), col("nb"), col("sum_min"),
+          (col("tot_a") + col("tot_b") - col("sum_min")).as("sum_max"),
+          (col("sum_min").cast("double") /
+            (col("tot_a") + col("tot_b") - col("sum_min"))
+              .cast("double")).as("weighted_jaccard"))
+    }),
+
+    // Top-k movers report: the 1996 vs 1997 top-10 revenue parts,
+    // full-outer-joined into entered / dropped / moved rows with rank
+    // deltas — the BI "movers and shakers" readout. Each year's top-10
+    // is a TakeOrdered over the part-bounded revenue rollup; the rank
+    // window runs on 10 rows.
+    "q294_topk_movers" -> ((s, dir) => {
+      def topk(y: Int): DataFrame = {
+        val r = t(s, dir, "lineitem")
+          .filter(year(col("l_shipdate")) === y)
+          .groupBy(col("l_partkey"))
+          .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+          .orderBy(col("rev").desc, col("l_partkey"))
+          .limit(10)
+        r.withColumn("rk", row_number().over(
+          Window.orderBy(col("rev").desc, col("l_partkey"))).cast("long"))
+      }
+      topk(1996).select(col("l_partkey"), col("rk").as("rank_1996"),
+          col("rev").as("rev_1996"))
+        .join(topk(1997).select(col("l_partkey"),
+          col("rk").as("rank_1997"), col("rev").as("rev_1997")),
+          Seq("l_partkey"), "full_outer")
+        .select(col("l_partkey").as("p_partkey"), col("rank_1996"),
+          col("rank_1997"), col("rev_1996"), col("rev_1997"),
+          when(col("rank_1996").isNull, lit("entered"))
+            .when(col("rank_1997").isNull, lit("dropped"))
+            .otherwise(lit("stayed")).as("status"),
+          (coalesce(col("rank_1996"), lit(11L)) -
+            coalesce(col("rank_1997"), lit(11L))).as("rank_gain"))
+    }),
+
+    // Longest error-free streak: hours (from the span grid) with zero
+    // 'error' events, as islands — the availability figure next to
+    // q288's budget burn. The grid is span-bounded; the anti-join and
+    // both windows ride it, all exact integers.
+    "q295_error_free_streaks" -> ((s, dir) => {
+      val hours = t(s, dir, "events")
+        .select(expr("unix_micros(ts) div 3600000000").as("h"),
+          col("event_type"))
+      val span = hours.agg(min(col("h")).as("h0"), max(col("h")).as("h1"),
+        count(lit(1)).as("n_events"))
+      val errHours = hours.filter(col("event_type") === "error")
+        .select(col("h")).distinct()
+      val free = span
+        .select(explode(expr("sequence(h0, h1)")).as("h"))
+        .join(errHours, Seq("h"), "left_anti")
+      val w = Window.orderBy(col("h"))
+      free
+        .withColumn("grp", col("h") - row_number().over(w))
+        .groupBy(col("grp"))
+        .agg(count(lit(1)).as("len"), min(col("h")).as("start_h"))
+        .agg(count(lit(1)).as("n_streaks"),
+          sum(col("len")).as("n_error_free_hours"),
+          max(struct(col("len"), col("start_h"))).as("b"))
+        .select(col("n_streaks"), col("n_error_free_hours"),
+          col("b.len").as("longest_streak_hours"),
+          col("b.start_h").as("longest_streak_start_hour"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12609,6 +12707,77 @@ object SparkEntry {
         |  AS conv_rate
         |FROM g CROSS JOIN grid
         |GROUP BY 1""".stripMargin,
+
+    "q293_weighted_jaccard" ->
+      """WITH v AS (SELECT n.n_name, l.l_partkey, count(*) AS c
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |tot AS (SELECT n_name, sum(c) AS tot FROM v GROUP BY 1),
+        |sm AS (SELECT a.n_name AS na, b.n_name AS nb,
+        |  sum(least(a.c, b.c)) AS sum_min
+        | FROM v a JOIN v b ON a.l_partkey = b.l_partkey
+        |  AND a.n_name < b.n_name
+        | GROUP BY 1, 2)
+        |SELECT sm.na, sm.nb, CAST(sm.sum_min AS BIGINT) AS sum_min,
+        | CAST(ta.tot + tb.tot - sm.sum_min AS BIGINT) AS sum_max,
+        | CAST(sm.sum_min AS DOUBLE) /
+        |  CAST(ta.tot + tb.tot - sm.sum_min AS DOUBLE)
+        |  AS weighted_jaccard
+        |FROM sm
+        |JOIN tot ta ON sm.na = ta.n_name
+        |JOIN tot tb ON sm.nb = tb.n_name""".stripMargin,
+
+    "q294_topk_movers" ->
+      """WITH r96 AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |   AS BIGINT) AS rev
+        | FROM lineitem WHERE year(l_shipdate) = 1996
+        | GROUP BY 1 ORDER BY rev DESC, l_partkey LIMIT 10),
+        |t96 AS (SELECT l_partkey, rev, row_number() OVER
+        |  (ORDER BY rev DESC, l_partkey) AS rk FROM r96),
+        |r97 AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l_discount * 10000) AS BIGINT)))
+        |   AS BIGINT) AS rev
+        | FROM lineitem WHERE year(l_shipdate) = 1997
+        | GROUP BY 1 ORDER BY rev DESC, l_partkey LIMIT 10),
+        |t97 AS (SELECT l_partkey, rev, row_number() OVER
+        |  (ORDER BY rev DESC, l_partkey) AS rk FROM r97)
+        |SELECT coalesce(t96.l_partkey, t97.l_partkey) AS p_partkey,
+        | CAST(t96.rk AS BIGINT) AS rank_1996,
+        | CAST(t97.rk AS BIGINT) AS rank_1997,
+        | t96.rev AS rev_1996, t97.rev AS rev_1997,
+        | CASE WHEN t96.rk IS NULL THEN 'entered'
+        |  WHEN t97.rk IS NULL THEN 'dropped'
+        |  ELSE 'stayed' END AS status,
+        | CAST(coalesce(t96.rk, 11) - coalesce(t97.rk, 11) AS BIGINT)
+        |  AS rank_gain
+        |FROM t96 FULL OUTER JOIN t97
+        | ON t96.l_partkey = t97.l_partkey""".stripMargin,
+
+    "q295_error_free_streaks" ->
+      """WITH hours AS (SELECT epoch_us(ts) // 3600000000 AS h,
+        |  event_type FROM events),
+        |span AS (SELECT min(h) AS h0, max(h) AS h1 FROM hours),
+        |eh AS (SELECT DISTINCT h FROM hours
+        | WHERE event_type = 'error'),
+        |free AS (SELECT g.h FROM span s,
+        |  LATERAL (SELECT unnest(generate_series(s.h0, s.h1)) AS h) g
+        | WHERE NOT EXISTS (SELECT 1 FROM eh WHERE eh.h = g.h)),
+        |runs AS (SELECT grp, count(*) AS len, min(h) AS start_h FROM
+        |  (SELECT h, h - row_number() OVER (ORDER BY h) AS grp
+        |   FROM free)
+        | GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_streaks,
+        | CAST(sum(len) AS BIGINT) AS n_error_free_hours,
+        | CAST(max(len * 10000000 + start_h) // 10000000 AS BIGINT)
+        |  AS longest_streak_hours,
+        | CAST(max(len * 10000000 + start_h) % 10000000 AS BIGINT)
+        |  AS longest_streak_start_hour
+        |FROM runs""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
