@@ -5474,6 +5474,125 @@ object SparkEntry {
           col("b.start_h").as("longest_streak_start_hour"))
     }),
 
+    // Dedup impact report: corpus statistics BEFORE and AFTER exact
+    // dedup (keep-smallest-id per md5), side by side — rows, bytes,
+    // vocabulary, mean length. The before/after readout every dedup
+    // run ships with; mean is the only division, everything else exact.
+    "q296_dedup_impact" -> ((s, dir) => {
+      def stats(df: DataFrame, stage: String): DataFrame = {
+        val base = df.agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"))
+        val vocab = df
+          .select(explode(T.tokens(col("text"))).as("tok"))
+          .agg(countDistinct(col("tok")).as("vocab"))
+        base.join(vocab)
+          .select(lit(stage).as("stage"), col("n_docs"),
+            col("total_chars"), col("vocab"),
+            (col("total_chars").cast("double") /
+              col("n_docs").cast("double")).as("mean_chars"))
+      }
+      val d = t(s, dir, "documents").filter(col("text").isNotNull)
+      val kept = d.select(col("doc_id"), col("text"), col("n_chars"),
+          md5(col("text")).as("h"))
+        .groupBy(col("h"))
+        .agg(min(col("doc_id")).as("keep_id"))
+        .join(d.select(col("doc_id"), col("text"), col("n_chars")),
+          col("keep_id") === col("doc_id"))
+      stats(d, "before").union(stats(kept, "after_exact_dedup"))
+    }),
+
+    // Sample-ratio-mismatch (SRM) check: does the 50/50 cohort split
+    // actually hold, overall and per first-seen-week stratum? The
+    // 1-df chi-square (n_t − n_c)²/(n_t + n_c) has an exact integer
+    // numerator and ONE division; flag at the pasted 3.84 critical
+    // value. The experiment-health gate that runs BEFORE any readout
+    // (q196/q221/q286) is trusted.
+    "q297_srm_check" -> ((s, dir) => {
+      val u = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .agg(min(expr("unix_micros(ts) div 604800000000")).as("wk"))
+        .withColumn("grp", pmod(col("user_id"), lit(2)))
+      def cells(key: Column): DataFrame = u.groupBy(key.as("stratum"))
+        .agg(sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n_t"),
+          sum(when(col("grp") === 0, 1L).otherwise(0L)).as("n_c"))
+      cells(col("wk")).union(cells(lit(-1L)))
+        .select(col("stratum"), col("n_t"), col("n_c"),
+          (((col("n_t") - col("n_c")) * (col("n_t") - col("n_c")))
+            .cast("double") /
+            (col("n_t") + col("n_c")).cast("double")).as("srm_chi2"))
+        .withColumn("srm_flag",
+          when(col("srm_chi2") > 3.84, 1L).otherwise(0L))
+    }),
+
+    // Basket profile: the order-width distribution (lines per order)
+    // with each width's share of all lines and the ascending cumulative
+    // — the fact-table shape report behind basket-bounded self-join
+    // cost estimates (the co-purchase build's fan-out IS this curve).
+    // Windows ride the bounded width domain.
+    "q298_basket_profile" -> ((s, dir) => {
+      val widths = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("w"))
+        .groupBy(col("w"))
+        .agg(count(lit(1)).as("n_orders"))
+        .withColumn("n_lines", col("w") * col("n_orders"))
+      val tot = widths.agg(sum(col("n_lines")).as("total_lines"))
+      widths.join(broadcast(tot))
+        .withColumn("cum_lines", sum(col("n_lines")).over(
+          Window.orderBy(col("w"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .select(col("w").as("basket_width"), col("n_orders"),
+          col("n_lines"),
+          (col("n_lines").cast("double") /
+            col("total_lines").cast("double")).as("line_share"),
+          (col("cum_lines").cast("double") /
+            col("total_lines").cast("double")).as("cum_line_share"))
+    }),
+
+    // Growth accounting: per month, NEW customers (first order that
+    // month) vs RETURNING (active but not new) — the standard growth
+    // decomposition. First-month is one key-bounded rollup; activity
+    // one more; both exact.
+    "q299_growth_accounting" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          to_date(expr("date_trunc('MONTH', o_orderdate)")).as("m"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("m")).as("fm"))
+      val active = o.distinct()
+      active.join(first, "o_custkey")
+        .groupBy(col("m"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(when(col("m") === col("fm"), 1L).otherwise(0L))
+            .as("n_new"))
+        .select(col("m").cast("string").as("month"), col("n_active"),
+          col("n_new"), (col("n_active") - col("n_new"))
+            .as("n_returning"))
+    }),
+
+    // KPI scorecard: the one-row executive header — orders, customers,
+    // lines, revenue, AOV, lines/order, items/order — every ratio a
+    // single division over exact integer scalars from TWO fact rollups
+    // joined as 1-row broadcasts.
+    "q300_kpi_scorecard" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct(col("o_custkey")).as("n_customers"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("rev_cents"))
+      val l = t(s, dir, "lineitem")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("n_items"))
+      o.join(l)
+        .select(col("n_orders"), col("n_customers"), col("n_lines"),
+          col("n_items"), col("rev_cents"),
+          (col("rev_cents").cast("double") /
+            col("n_orders").cast("double")).as("aov_cents"),
+          (col("n_lines").cast("double") /
+            col("n_orders").cast("double")).as("lines_per_order"),
+          (col("n_items").cast("double") /
+            col("n_orders").cast("double")).as("items_per_order"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12778,6 +12897,107 @@ object SparkEntry {
         | CAST(max(len * 10000000 + start_h) % 10000000 AS BIGINT)
         |  AS longest_streak_start_hour
         |FROM runs""".stripMargin,
+
+    "q296_dedup_impact" ->
+      """WITH d AS (SELECT doc_id, text, n_chars FROM documents
+        |  WHERE text IS NOT NULL),
+        |kept AS (SELECT d.doc_id, d.text, d.n_chars FROM d
+        | JOIN (SELECT md5(text) AS h, min(doc_id) AS keep_id
+        |   FROM d GROUP BY 1) k ON d.doc_id = k.keep_id),
+        |b1 AS (SELECT count(*) AS n_docs, sum(n_chars) AS total_chars
+        | FROM d),
+        |v1 AS (SELECT count(DISTINCT tok) AS vocab FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM d)),
+        |b2 AS (SELECT count(*) AS n_docs, sum(n_chars) AS total_chars
+        | FROM kept),
+        |v2 AS (SELECT count(DISTINCT tok) AS vocab FROM
+        |  (SELECT unnest(string_split(text, ' ')) AS tok FROM kept))
+        |SELECT 'before' AS stage, CAST(b1.n_docs AS BIGINT) AS n_docs,
+        | CAST(b1.total_chars AS BIGINT) AS total_chars,
+        | CAST(v1.vocab AS BIGINT) AS vocab,
+        | CAST(b1.total_chars AS DOUBLE) / CAST(b1.n_docs AS DOUBLE)
+        |  AS mean_chars
+        |FROM b1, v1
+        |UNION ALL
+        |SELECT 'after_exact_dedup', CAST(b2.n_docs AS BIGINT),
+        | CAST(b2.total_chars AS BIGINT), CAST(v2.vocab AS BIGINT),
+        | CAST(b2.total_chars AS DOUBLE) / CAST(b2.n_docs AS DOUBLE)
+        |FROM b2, v2""".stripMargin,
+
+    "q297_srm_check" ->
+      """WITH u AS (SELECT user_id,
+        |  min(epoch_us(ts) // 604800000000) AS wk,
+        |  user_id % 2 AS grp
+        | FROM events GROUP BY user_id),
+        |st AS (SELECT wk AS stratum,
+        |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n_t,
+        |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS n_c
+        | FROM u GROUP BY 1
+        | UNION ALL
+        | SELECT -1,
+        |  sum(CASE WHEN grp = 1 THEN 1 ELSE 0 END),
+        |  sum(CASE WHEN grp = 0 THEN 1 ELSE 0 END)
+        | FROM u)
+        |SELECT CAST(stratum AS BIGINT) AS stratum,
+        | CAST(n_t AS BIGINT) AS n_t, CAST(n_c AS BIGINT) AS n_c,
+        | CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) /
+        |  CAST(n_t + n_c AS DOUBLE) AS srm_chi2,
+        | CAST(CASE WHEN CAST((n_t - n_c) * (n_t - n_c) AS DOUBLE) /
+        |   CAST(n_t + n_c AS DOUBLE) > 3.84 THEN 1 ELSE 0 END
+        |  AS BIGINT) AS srm_flag
+        |FROM st""".stripMargin,
+
+    "q298_basket_profile" ->
+      """WITH w AS (SELECT l_orderkey, count(*) AS w FROM lineitem
+        |  GROUP BY 1),
+        |h AS (SELECT w, count(*) AS n_orders, w * count(*) AS n_lines
+        | FROM w GROUP BY 1),
+        |tot AS (SELECT sum(n_lines) AS total_lines FROM h)
+        |SELECT CAST(h.w AS BIGINT) AS basket_width,
+        | CAST(h.n_orders AS BIGINT) AS n_orders,
+        | CAST(h.n_lines AS BIGINT) AS n_lines,
+        | CAST(h.n_lines AS DOUBLE) / CAST(tot.total_lines AS DOUBLE)
+        |  AS line_share,
+        | CAST(sum(h.n_lines) OVER (ORDER BY h.w
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) /
+        |  CAST(tot.total_lines AS DOUBLE) AS cum_line_share
+        |FROM h, tot""".stripMargin,
+
+    "q299_growth_accounting" ->
+      """WITH o AS (SELECT DISTINCT o_custkey,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS m
+        | FROM orders),
+        |f AS (SELECT o_custkey, min(m) AS fm FROM o GROUP BY 1)
+        |SELECT CAST(o.m AS VARCHAR) AS month,
+        | CAST(count(*) AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN o.m = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_new,
+        | CAST(count(*) -
+        |  sum(CASE WHEN o.m = f.fm THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_returning
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    "q300_kpi_scorecard" ->
+      """WITH o AS (SELECT count(*) AS n_orders,
+        |  count(DISTINCT o_custkey) AS n_customers,
+        |  sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_cents
+        | FROM orders),
+        |l AS (SELECT count(*) AS n_lines,
+        |  sum(CAST(round(l_quantity) AS BIGINT)) AS n_items
+        | FROM lineitem)
+        |SELECT CAST(o.n_orders AS BIGINT) AS n_orders,
+        | CAST(o.n_customers AS BIGINT) AS n_customers,
+        | CAST(l.n_lines AS BIGINT) AS n_lines,
+        | CAST(l.n_items AS BIGINT) AS n_items,
+        | CAST(o.rev_cents AS BIGINT) AS rev_cents,
+        | CAST(o.rev_cents AS DOUBLE) / CAST(o.n_orders AS DOUBLE)
+        |  AS aov_cents,
+        | CAST(l.n_lines AS DOUBLE) / CAST(o.n_orders AS DOUBLE)
+        |  AS lines_per_order,
+        | CAST(l.n_items AS DOUBLE) / CAST(o.n_orders AS DOUBLE)
+        |  AS items_per_order
+        |FROM o, l""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
