@@ -1015,4 +1015,27 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("LeftAnti"), s"yield needs the anti-join:\n$p")
     assert(!p.contains("CartesianProduct"), s"no cartesian:\n$p")
   }
+
+  test("q282 snowflake cube: grouping sets expand from ONE fact pass, " +
+    "every dimension join broadcasts") {
+    val p = plan("q282_snowflake_cube")
+    assert(p.contains("Expand"), s"CUBE runs through Expand:\n$p")
+    for (dimKey <- Seq("n_nationkey", "r_regionkey", "p_partkey"))
+      assert(!p.linesIterator.exists(l =>
+        (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+          && l.contains(dimKey)),
+        s"q282: dim join on $dimKey took a shuffle path:\n$p")
+  }
+
+  test("q293/q294: the weighted-Jaccard pair pass stays equi-join " +
+    "(no nested loop); the movers' top-10s run as TakeOrdered") {
+    val p293 = plan("q293_weighted_jaccard")
+    assert(!p293.contains("CartesianProduct") &&
+      !p293.contains("BroadcastNestedLoopJoin"),
+      s"q293 must never expand the union domain:\n$p293")
+    val p294 = plan("q294_topk_movers")
+    assert("TakeOrderedAndProject".r.findAllIn(p294).length >= 2,
+      s"q294: both period top-10s must be TakeOrdered:\n$p294")
+    assert(!p294.contains("CartesianProduct"), s"no cartesian:\n$p294")
+  }
 }
