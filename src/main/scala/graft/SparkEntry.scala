@@ -5593,6 +5593,70 @@ object SparkEntry {
             col("n_orders").cast("double")).as("items_per_order"))
     }),
 
+    // Vocabulary-size coverage curve: what fraction of all trigram
+    // occurrences do the top-k vocabulary entries cover, on a
+    // k ∈ {100, 1000, 5000, 20000} grid — the tokenizer-vocab-size
+    // planning readout next to Heaps' law (q180) and the Zipf slope
+    // (q143, whose vocab-bounded ranking caveat this shares). Exact
+    // counts, one division per grid point.
+    "q301_vocab_coverage" -> ((s, dir) => {
+      val tf = t(s, dir, "documents")
+        .filter(col("text").isNotNull)
+        .select(explode(T.wordShinglesMulti(T.tokens(col("text")), 3))
+          .as("term"))
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.orderBy(col("c").desc, col("term"))
+      val ranked = tf
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .withColumn("cum", sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, 0)))
+      ranked
+        .join(broadcast(tf.agg(sum(col("c")).as("total"),
+          count(lit(1)).as("vocab_size"))))
+        .join(broadcast(s.createDataFrame(Seq(
+            Tuple1(100L), Tuple1(1000L), Tuple1(5000L), Tuple1(20000L)))
+          .toDF("k")))
+        .filter(col("rk") <= col("k"))
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("vocab_used"),
+          max(col("cum")).as("occurrences_covered"),
+          max(col("total")).as("total_occurrences"))
+        .select(col("k"), col("vocab_used"), col("occurrences_covered"),
+          col("total_occurrences"),
+          (col("occurrences_covered").cast("double") /
+            col("total_occurrences").cast("double")).as("coverage"))
+    }),
+
+    // Row-weighted join-loss audit: how many FACT ROWS each join in
+    // the schema drops (q261's IND discovery counts distinct keys;
+    // planners and revenue reconciliation need the row-weighted rate).
+    // One semi-join per relationship, including the cross-fact
+    // events→customer bridge where losses actually live.
+    "q302_join_loss_audit" -> ((s, dir) => {
+      def loss(name: String, child: DataFrame, ck: String,
+          parent: DataFrame, pk: String): DataFrame = {
+        val c = child.select(col(ck).as("__k"))
+        val m = c.join(parent.select(col(pk).as("__k")).distinct(),
+          Seq("__k"), "left_semi")
+        c.agg(count(lit(1)).as("n_child_rows"))
+          .join(m.agg(count(lit(1)).as("n_matched")))
+          .select(lit(name).as("relationship"), col("n_child_rows"),
+            col("n_matched"),
+            (col("n_child_rows") - col("n_matched")).as("n_dropped"),
+            ((col("n_child_rows") - col("n_matched")).cast("double") /
+              col("n_child_rows").cast("double")).as("drop_frac"))
+      }
+      loss("lineitem->part", t(s, dir, "lineitem"), "l_partkey",
+          t(s, dir, "part"), "p_partkey")
+        .union(loss("lineitem->supplier", t(s, dir, "lineitem"),
+          "l_suppkey", t(s, dir, "supplier"), "s_suppkey"))
+        .union(loss("orders->customer", t(s, dir, "orders"),
+          "o_custkey", t(s, dir, "customer"), "c_custkey"))
+        .union(loss("events->customer", t(s, dir, "events"),
+          "user_id", t(s, dir, "customer"), "c_custkey"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -12998,6 +13062,64 @@ object SparkEntry {
         | CAST(l.n_items AS DOUBLE) / CAST(o.n_orders AS DOUBLE)
         |  AS items_per_order
         |FROM o, l""".stripMargin,
+
+    "q301_vocab_coverage" ->
+      """WITH tf AS (SELECT term, count(*) AS c FROM
+        |  (SELECT unnest([array_to_string(w[i:i+2], ' ')
+        |     for i in generate_series(1, len(w) - 2)]) AS term
+        |   FROM (SELECT string_split(text, ' ') AS w
+        |    FROM documents WHERE text IS NOT NULL))
+        | GROUP BY 1),
+        |r AS (SELECT c, term,
+        |  row_number() OVER (ORDER BY c DESC, term) AS rk,
+        |  sum(c) OVER (ORDER BY c DESC, term
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        | FROM tf),
+        |tot AS (SELECT sum(c) AS total FROM tf),
+        |grid AS (SELECT * FROM (VALUES (100), (1000), (5000), (20000))
+        |  t(k))
+        |SELECT CAST(grid.k AS BIGINT) AS k,
+        | CAST(count(*) AS BIGINT) AS vocab_used,
+        | CAST(max(r.cum) AS BIGINT) AS occurrences_covered,
+        | CAST(max(tot.total) AS BIGINT) AS total_occurrences,
+        | CAST(max(r.cum) AS DOUBLE) / CAST(max(tot.total) AS DOUBLE)
+        |  AS coverage
+        |FROM r CROSS JOIN tot CROSS JOIN grid
+        |WHERE r.rk <= grid.k
+        |GROUP BY 1""".stripMargin,
+
+    "q302_join_loss_audit" ->
+      """WITH
+        |l1 AS (SELECT count(*) AS n, sum(CASE WHEN p.p_partkey IS NULL
+        |   THEN 1 ELSE 0 END) AS d
+        | FROM lineitem l LEFT JOIN part p
+        |  ON l.l_partkey = p.p_partkey),
+        |l2 AS (SELECT count(*) AS n, sum(CASE WHEN s.s_suppkey IS NULL
+        |   THEN 1 ELSE 0 END) AS d
+        | FROM lineitem l LEFT JOIN supplier s
+        |  ON l.l_suppkey = s.s_suppkey),
+        |l3 AS (SELECT count(*) AS n, sum(CASE WHEN c.c_custkey IS NULL
+        |   THEN 1 ELSE 0 END) AS d
+        | FROM orders o LEFT JOIN customer c
+        |  ON o.o_custkey = c.c_custkey),
+        |l4 AS (SELECT count(*) AS n, sum(CASE WHEN c.c_custkey IS NULL
+        |   THEN 1 ELSE 0 END) AS d
+        | FROM events e LEFT JOIN customer c
+        |  ON e.user_id = c.c_custkey)
+        |SELECT 'lineitem->part' AS relationship,
+        | CAST(n AS BIGINT) AS n_child_rows,
+        | CAST(n - d AS BIGINT) AS n_matched,
+        | CAST(d AS BIGINT) AS n_dropped,
+        | CAST(d AS DOUBLE) / CAST(n AS DOUBLE) AS drop_frac FROM l1
+        |UNION ALL SELECT 'lineitem->supplier', CAST(n AS BIGINT),
+        | CAST(n - d AS BIGINT), CAST(d AS BIGINT),
+        | CAST(d AS DOUBLE) / CAST(n AS DOUBLE) FROM l2
+        |UNION ALL SELECT 'orders->customer', CAST(n AS BIGINT),
+        | CAST(n - d AS BIGINT), CAST(d AS BIGINT),
+        | CAST(d AS DOUBLE) / CAST(n AS DOUBLE) FROM l3
+        |UNION ALL SELECT 'events->customer', CAST(n AS BIGINT),
+        | CAST(n - d AS BIGINT), CAST(d AS BIGINT),
+        | CAST(d AS DOUBLE) / CAST(n AS DOUBLE) FROM l4""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
