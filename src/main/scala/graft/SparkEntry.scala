@@ -5657,6 +5657,54 @@ object SparkEntry {
           "user_id", t(s, dir, "customer"), "c_custkey"))
     }),
 
+    // Day-of-week × hour activity heatmap: the 168-cell volume matrix
+    // every ops dashboard opens with. Weekday is epoch-day mod 7 and
+    // hour is epoch-hours mod 24 (pure arithmetic — engine calendar
+    // functions disagree); one combinable pass, one share division.
+    "q303_dow_hour_heatmap" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(
+          pmod(expr("unix_micros(ts) div 86400000000"), lit(7))
+            .cast("int").as("dow"),
+          pmod(expr("unix_micros(ts) div 3600000000"), lit(24))
+            .cast("int").as("hour"))
+      ev.groupBy(col("dow"), col("hour"))
+        .agg(count(lit(1)).as("n_events"))
+        .join(broadcast(ev.agg(count(lit(1)).as("total"))))
+        .select(col("dow"), col("hour"), col("n_events"),
+          (col("n_events").cast("double") / col("total").cast("double"))
+            .as("share"))
+    }),
+
+    // Peak concurrency: the maximum number of simultaneously-active
+    // user-day sessions, via the classic +1/−1 sweep — but NEVER a
+    // global sort of raw events: arrivals and departures aggregate to
+    // the BOUNDED minute grid first (span-bounded, the q251 regime),
+    // and the running concurrency + its argmax ride that grid. Exact
+    // integers throughout; ties resolve to the earliest peak minute.
+    "q304_peak_concurrency" -> ((s, dir) => {
+      val sess = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
+          expr("unix_micros(ts) div 60000000").as("minute"))
+        .groupBy(col("user_id"), col("day"))
+        .agg(min(col("minute")).as("m0"), max(col("minute")).as("m1"))
+      val deltas = sess.select(col("m0").as("m"), lit(1L).as("dc"))
+        .union(sess.select((col("m1") + 1L).as("m"), lit(-1L).as("dc")))
+        .groupBy(col("m"))
+        .agg(sum(col("dc")).as("dc"))
+      val w = Window.orderBy(col("m"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      deltas
+        .withColumn("conc", sum(col("dc")).over(w))
+        .agg(max(struct(col("conc"), (-col("m")).as("negm"))).as("b"),
+          count(lit(1)).as("n_grid_points"))
+        .join(broadcast(sess.agg(count(lit(1)).as("n_sessions"))))
+        .select(col("n_sessions"), col("n_grid_points"),
+          col("b.conc").as("peak_concurrency"),
+          (-col("b.negm")).as("peak_minute"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13120,6 +13168,40 @@ object SparkEntry {
         |UNION ALL SELECT 'events->customer', CAST(n AS BIGINT),
         | CAST(n - d AS BIGINT), CAST(d AS BIGINT),
         | CAST(d AS DOUBLE) / CAST(n AS DOUBLE) FROM l4""".stripMargin,
+
+    "q303_dow_hour_heatmap" ->
+      """WITH e AS (SELECT
+        |  CAST((epoch_us(ts) // 86400000000) % 7 AS INT) AS dow,
+        |  CAST((epoch_us(ts) // 3600000000) % 24 AS INT) AS hour
+        | FROM events),
+        |tot AS (SELECT count(*) AS total FROM e)
+        |SELECT e.dow, e.hour, CAST(count(*) AS BIGINT) AS n_events,
+        | CAST(count(*) AS DOUBLE) / CAST(max(tot.total) AS DOUBLE)
+        |  AS share
+        |FROM e CROSS JOIN tot
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q304_peak_concurrency" ->
+      """WITH sess AS (SELECT user_id,
+        |  epoch_us(ts) // 86400000000 AS day,
+        |  min(epoch_us(ts) // 60000000) AS m0,
+        |  max(epoch_us(ts) // 60000000) AS m1
+        | FROM events GROUP BY 1, 2),
+        |deltas AS (SELECT m, sum(dc) AS dc FROM (
+        |  SELECT m0 AS m, 1 AS dc FROM sess
+        |  UNION ALL SELECT m1 + 1, -1 FROM sess)
+        | GROUP BY 1),
+        |r AS (SELECT m, sum(dc) OVER (ORDER BY m
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS conc
+        | FROM deltas),
+        |b AS (SELECT conc, m FROM r ORDER BY conc DESC, m LIMIT 1),
+        |g AS (SELECT count(*) AS n_grid_points FROM r),
+        |ns AS (SELECT count(*) AS n_sessions FROM sess)
+        |SELECT CAST(ns.n_sessions AS BIGINT) AS n_sessions,
+        | CAST(g.n_grid_points AS BIGINT) AS n_grid_points,
+        | CAST(b.conc AS BIGINT) AS peak_concurrency,
+        | CAST(b.m AS BIGINT) AS peak_minute
+        |FROM b, g, ns""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
