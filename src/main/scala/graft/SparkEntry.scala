@@ -5705,6 +5705,91 @@ object SparkEntry {
           (-col("b.negm")).as("peak_minute"))
     }),
 
+    // Sample-estimate calibration: the deterministic md5 hash-sample
+    // (the q73/q54 sampling discipline) at 1/16 and 1/4 rates, its mean
+    // against the full-scan truth, and the relative error — the report
+    // that says whether the cheap estimate is good enough before a
+    // 100 TB full pass is paid for. Single divisions; the error is
+    // fixed-order arithmetic on two of them.
+    "q305_sample_calibration" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(expr("CAST(round(o_totalprice * 100) AS BIGINT)")
+            .as("c"),
+          expr("CAST(conv(substring(md5(concat('samp:', " +
+            "CAST(o_orderkey AS STRING))), 1, 15), 16, 10) AS BIGINT)")
+            .as("h"))
+      val truth = o.agg(sum(col("c")).as("ts"), count(lit(1)).as("tn"))
+      o.join(broadcast(s.createDataFrame(Seq(Tuple1(16L), Tuple1(4L)))
+          .toDF("rate_denom")))
+        .filter(pmod(col("h"), col("rate_denom")) === 0L)
+        .groupBy(col("rate_denom"))
+        .agg(count(lit(1)).as("n_sampled"), sum(col("c")).as("ss"))
+        .join(broadcast(truth))
+        .select(col("rate_denom"), col("n_sampled"),
+          (col("ss").cast("double") / col("n_sampled").cast("double"))
+            .as("est_mean_cents"),
+          (col("ts").cast("double") / col("tn").cast("double"))
+            .as("true_mean_cents"))
+        .withColumn("rel_err",
+          (col("est_mean_cents") - col("true_mean_cents")) /
+            col("true_mean_cents"))
+    }),
+
+    // Bloom-filter size planner: bits and hash functions for the
+    // distinct part-key set at 1% and 0.1% FPR. The -ln(p)/(ln 2)²
+    // bits-per-key constants are transcendental → PASTED literals
+    // (the Benford discipline) shared verbatim with the twin; the only
+    // runtime math is exact count × literal, one ceil.
+    "q306_bloom_planner" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .agg(countDistinct(col("l_partkey")).as("n_keys"))
+        .join(broadcast(t(s, dir, "lineitem").sparkSession
+          .createDataFrame(Seq(
+            ("fpr_1pct", 9.585058377367439, 7L),
+            ("fpr_01pct", 14.37758756605116, 10L)))
+          .toDF("target", "bits_per_key", "k_hashes")))
+        .select(col("target"), col("n_keys"), col("k_hashes"),
+          expr("CAST(ceil(CAST(n_keys AS DOUBLE) * bits_per_key) " +
+            "AS BIGINT)").as("filter_bits"))
+        .withColumn("filter_mib",
+          col("filter_bits").cast("double") / lit(8388608.0))),
+
+    // Schema-tightening advisor: from exact min/max, the narrowest
+    // integer type each key column fits and the bytes a 100 TB table
+    // would shed — the q254 statistics put to work. Pure CASE chains
+    // on exact integers.
+    "q307_schema_tightening" -> ((s, dir) => {
+      def advise(table: String, colName: String, df: DataFrame,
+          c: Column, rows: Column): DataFrame =
+        df.agg(min(c).cast("long").as("mn"),
+            max(c).cast("long").as("mx"),
+            count(lit(1)).as("n_rows"))
+          .select(lit(s"$table.$colName").as("column"), col("mn"),
+            col("mx"), col("n_rows"),
+            when(col("mn") >= -128L && col("mx") <= 127L, "TINYINT")
+              .when(col("mn") >= -32768L && col("mx") <= 32767L,
+                "SMALLINT")
+              .when(col("mn") >= -2147483648L &&
+                col("mx") <= 2147483647L, "INT")
+              .otherwise("BIGINT").as("narrowest"),
+            when(col("mn") >= -128L && col("mx") <= 127L, 7L)
+              .when(col("mn") >= -32768L && col("mx") <= 32767L, 6L)
+              .when(col("mn") >= -2147483648L &&
+                col("mx") <= 2147483647L, 4L)
+              .otherwise(0L).as("bytes_saved_per_row"))
+          .select(col("column"), col("mn"), col("mx"), col("narrowest"),
+            (col("bytes_saved_per_row") * col("n_rows"))
+              .as("bytes_saved"))
+      advise("orders", "o_custkey", t(s, dir, "orders"),
+          col("o_custkey"), col("o_custkey"))
+        .union(advise("lineitem", "l_suppkey", t(s, dir, "lineitem"),
+          col("l_suppkey"), col("l_suppkey")))
+        .union(advise("lineitem", "l_linenumber", t(s, dir, "lineitem"),
+          col("l_linenumber"), col("l_linenumber")))
+        .union(advise("customer", "c_nationkey", t(s, dir, "customer"),
+          col("c_nationkey"), col("c_nationkey")))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13202,6 +13287,70 @@ object SparkEntry {
         | CAST(b.conc AS BIGINT) AS peak_concurrency,
         | CAST(b.m AS BIGINT) AS peak_minute
         |FROM b, g, ns""".stripMargin,
+
+    "q305_sample_calibration" ->
+      """WITH o AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT)
+        |   AS c,
+        |  CAST(('0x' || substr(md5('samp:' ||
+        |   CAST(o_orderkey AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+        | FROM orders),
+        |truth AS (SELECT sum(c) AS ts, count(*) AS tn FROM o),
+        |grid AS (SELECT * FROM (VALUES (16), (4)) t(rate_denom))
+        |SELECT CAST(grid.rate_denom AS BIGINT) AS rate_denom,
+        | CAST(count(*) AS BIGINT) AS n_sampled,
+        | CAST(sum(o.c) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS est_mean_cents,
+        | CAST(max(truth.ts) AS DOUBLE) / CAST(max(truth.tn) AS DOUBLE)
+        |  AS true_mean_cents,
+        | (CAST(sum(o.c) AS DOUBLE) / CAST(count(*) AS DOUBLE) -
+        |  CAST(max(truth.ts) AS DOUBLE) / CAST(max(truth.tn) AS DOUBLE))
+        |  / (CAST(max(truth.ts) AS DOUBLE) /
+        |     CAST(max(truth.tn) AS DOUBLE)) AS rel_err
+        |FROM o CROSS JOIN truth CROSS JOIN grid
+        |WHERE o.h % grid.rate_denom = 0
+        |GROUP BY 1""".stripMargin,
+
+    "q306_bloom_planner" ->
+      """WITH n AS (SELECT count(DISTINCT l_partkey) AS n_keys
+        |  FROM lineitem),
+        |grid AS (SELECT * FROM (VALUES
+        |  ('fpr_1pct', CAST(9.585058377367439 AS DOUBLE), 7),
+        |  ('fpr_01pct', CAST(14.37758756605116 AS DOUBLE), 10))
+        |  t(target, bits_per_key, k_hashes))
+        |SELECT grid.target, CAST(n.n_keys AS BIGINT) AS n_keys,
+        | CAST(grid.k_hashes AS BIGINT) AS k_hashes,
+        | CAST(ceil(CAST(n.n_keys AS DOUBLE) * grid.bits_per_key)
+        |  AS BIGINT) AS filter_bits,
+        | CAST(ceil(CAST(n.n_keys AS DOUBLE) * grid.bits_per_key)
+        |  AS BIGINT) / CAST(8388608.0 AS DOUBLE) AS filter_mib
+        |FROM n CROSS JOIN grid""".stripMargin,
+
+    "q307_schema_tightening" ->
+      """WITH
+        |a1 AS (SELECT min(o_custkey) AS mn, max(o_custkey) AS mx,
+        |  count(*) AS n FROM orders),
+        |a2 AS (SELECT min(l_suppkey) AS mn, max(l_suppkey) AS mx,
+        |  count(*) AS n FROM lineitem),
+        |a3 AS (SELECT min(l_linenumber) AS mn, max(l_linenumber) AS mx,
+        |  count(*) AS n FROM lineitem),
+        |a4 AS (SELECT min(c_nationkey) AS mn, max(c_nationkey) AS mx,
+        |  count(*) AS n FROM customer),
+        |u AS (
+        | SELECT 'orders.o_custkey' AS "column", mn, mx, n FROM a1
+        | UNION ALL SELECT 'lineitem.l_suppkey', mn, mx, n FROM a2
+        | UNION ALL SELECT 'lineitem.l_linenumber', mn, mx, n FROM a3
+        | UNION ALL SELECT 'customer.c_nationkey', mn, mx, n FROM a4)
+        |SELECT "column", CAST(mn AS BIGINT) AS mn,
+        | CAST(mx AS BIGINT) AS mx,
+        | CASE WHEN mn >= -128 AND mx <= 127 THEN 'TINYINT'
+        |  WHEN mn >= -32768 AND mx <= 32767 THEN 'SMALLINT'
+        |  WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 'INT'
+        |  ELSE 'BIGINT' END AS narrowest,
+        | CAST((CASE WHEN mn >= -128 AND mx <= 127 THEN 7
+        |  WHEN mn >= -32768 AND mx <= 32767 THEN 6
+        |  WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 4
+        |  ELSE 0 END) * n AS BIGINT) AS bytes_saved
+        |FROM u""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
