@@ -5790,6 +5790,72 @@ object SparkEntry {
           col("c_nationkey"), col("c_nationkey")))
     }),
 
+    // Day-N retention: of users whose day N falls INSIDE the
+    // observation window (the eligibility guard naive retention skips),
+    // how many were active again exactly N days after their first day.
+    // N ∈ {1, 7, 14}; activity is a distinct (user, day) set, the
+    // return probe one semi-join per N. The product metric next to the
+    // q193 weekly cohort triangle, at day grain with exact counts.
+    "q308_day_n_retention" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+        .localCheckpoint()
+      val fd = act.groupBy(col("user_id")).agg(min(col("day")).as("fd"))
+      val maxDay = act.agg(max(col("day")).as("max_day"))
+      val grid = broadcast(s.createDataFrame(Seq(
+        Tuple1(1L), Tuple1(7L), Tuple1(14L))).toDF("n_days"))
+      val eligible = fd.join(broadcast(maxDay)).join(grid)
+        .filter(col("fd") + col("n_days") <= col("max_day"))
+        .select(col("user_id"), col("n_days"),
+          (col("fd") + col("n_days")).as("target_day"))
+      val retained = eligible.join(act,
+        eligible("user_id") === act("user_id") &&
+          col("target_day") === col("day"), "left_semi")
+      eligible.groupBy(col("n_days"))
+        .agg(count(lit(1)).as("n_eligible"))
+        .join(retained.groupBy(col("n_days"))
+          .agg(count(lit(1)).as("n_retained")), Seq("n_days"))
+        .select(col("n_days"), col("n_eligible"), col("n_retained"),
+          (col("n_retained").cast("double") /
+            col("n_eligible").cast("double")).as("retention_rate"))
+    }),
+
+    // Feature-crossing cardinality audit: crossing categorical features
+    // multiplies NDVs in theory — how full is the cross in practice?
+    // fill = actual distinct combos / Π ndv, the blowup check before a
+    // crossed feature ships (a sparse cross is a memorization surface).
+    // Exact NDVs, exact combo counts, one division per crossing.
+    "q309_feature_crossing" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey"),
+              col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_nationkey"), col("c_mktsegment"),
+          col("o_orderpriority"))
+        .localCheckpoint()
+      val ndv = base.agg(
+        countDistinct(col("c_nationkey")).as("d1"),
+        countDistinct(col("c_mktsegment")).as("d2"),
+        countDistinct(col("o_orderpriority")).as("d3"))
+      val c2 = base.select(col("c_nationkey"), col("c_mktsegment"))
+        .distinct().agg(count(lit(1)).as("actual"))
+        .join(broadcast(ndv))
+        .select(lit("nation x segment").as("crossing"),
+          (col("d1") * col("d2")).as("est_cardinality"), col("actual"))
+      val c3 = base.distinct().agg(count(lit(1)).as("actual"))
+        .join(broadcast(ndv))
+        .select(lit("nation x segment x priority").as("crossing"),
+          (col("d1") * col("d2") * col("d3")).as("est_cardinality"),
+          col("actual"))
+      c2.union(c3)
+        .select(col("crossing"), col("est_cardinality"), col("actual"),
+          (col("actual").cast("double") /
+            col("est_cardinality").cast("double")).as("fill_ratio"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13351,6 +13417,54 @@ object SparkEntry {
         |  WHEN mn >= -2147483648 AND mx <= 2147483647 THEN 4
         |  ELSE 0 END) * n AS BIGINT) AS bytes_saved
         |FROM u""".stripMargin,
+
+    "q308_day_n_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |fd AS (SELECT user_id, min(day) AS fd FROM act GROUP BY 1),
+        |md AS (SELECT max(day) AS max_day FROM act),
+        |grid AS (SELECT * FROM (VALUES (1), (7), (14)) t(n_days)),
+        |el AS (SELECT fd.user_id, grid.n_days,
+        |  fd.fd + grid.n_days AS target_day
+        | FROM fd CROSS JOIN md CROSS JOIN grid
+        | WHERE fd.fd + grid.n_days <= md.max_day),
+        |ret AS (SELECT el.n_days, count(*) AS n_retained
+        | FROM el JOIN act ON el.user_id = act.user_id
+        |  AND el.target_day = act.day
+        | GROUP BY 1)
+        |SELECT CAST(el.n_days AS BIGINT) AS n_days,
+        | CAST(count(*) AS BIGINT) AS n_eligible,
+        | CAST(max(ret.n_retained) AS BIGINT) AS n_retained,
+        | CAST(max(ret.n_retained) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS retention_rate
+        |FROM el JOIN ret ON el.n_days = ret.n_days
+        |GROUP BY 1""".stripMargin,
+
+    "q309_feature_crossing" ->
+      """WITH base AS (SELECT c.c_nationkey, c.c_mktsegment,
+        |  o.o_orderpriority
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey),
+        |ndv AS (SELECT count(DISTINCT c_nationkey) AS d1,
+        |  count(DISTINCT c_mktsegment) AS d2,
+        |  count(DISTINCT o_orderpriority) AS d3 FROM base),
+        |a2 AS (SELECT count(*) AS actual FROM
+        |  (SELECT DISTINCT c_nationkey, c_mktsegment FROM base)),
+        |a3 AS (SELECT count(*) AS actual FROM
+        |  (SELECT DISTINCT c_nationkey, c_mktsegment, o_orderpriority
+        |   FROM base))
+        |SELECT 'nation x segment' AS crossing,
+        | CAST(ndv.d1 * ndv.d2 AS BIGINT) AS est_cardinality,
+        | CAST(a2.actual AS BIGINT) AS actual,
+        | CAST(a2.actual AS DOUBLE) / CAST(ndv.d1 * ndv.d2 AS DOUBLE)
+        |  AS fill_ratio
+        |FROM ndv, a2
+        |UNION ALL
+        |SELECT 'nation x segment x priority',
+        | CAST(ndv.d1 * ndv.d2 * ndv.d3 AS BIGINT),
+        | CAST(a3.actual AS BIGINT),
+        | CAST(a3.actual AS DOUBLE) /
+        |  CAST(ndv.d1 * ndv.d2 * ndv.d3 AS DOUBLE)
+        |FROM ndv, a3""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
