@@ -5856,6 +5856,76 @@ object SparkEntry {
             col("est_cardinality").cast("double")).as("fill_ratio"))
     }),
 
+    // SCD2 validity-interval audit: the invariants a type-2 dimension
+    // must hold — every chain closes (valid_to == next valid_from),
+    // exactly one current version per key — certified over the q78
+    // history with exact counts (like q284/q290, the audit that makes
+    // the construction's guarantees VISIBLE to the consumer instead of
+    // assumed). Per-key windows only.
+    "q310_scd2_validity_audit" -> ((s, dir) => {
+      val hist = Ti.scd2(
+          t(s, dir, "events").filter(pmod(col("user_id"), lit(10)) === 0)
+            .select(col("user_id"), col("event_type"), col("ts"),
+              col("event_id")),
+          Seq("user_id"), col("event_type"), "ts",
+          Seq(unix_micros(col("ts")), col("event_id")))
+        .select(col("user_id"), col("valid_from_us"),
+          col("valid_to_us"), col("is_current"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("valid_from_us"))
+      val chained = hist
+        .withColumn("next_from",
+          lead(col("valid_from_us"), 1).over(w))
+        .withColumn("break",
+          when(col("next_from").isNotNull &&
+            !(col("next_from") <=> col("valid_to_us")), 1L)
+            .otherwise(0L))
+      val perKey = chained.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("versions"),
+          sum(col("break")).as("breaks"),
+          sum(col("is_current").cast("long")).as("currents"))
+      perKey.agg(count(lit(1)).as("n_keys"),
+        sum(col("versions")).as("n_versions"),
+        sum(col("breaks")).as("n_chain_breaks"),
+        sum(when(col("currents") =!= 1L, 1L).otherwise(0L))
+          .as("n_bad_current_keys"),
+        max(col("versions")).as("max_chain_len"))
+    }),
+
+    // Volume alert bands: per event type, the P10/P90 of daily counts
+    // as exact discrete order statistics (smallest value whose
+    // cumulative count crosses the exact integer rank test cum·10 ≥ k·n
+    // — never an interpolated percentile holding raw state), plus
+    // whether the LAST day sits outside its band — the alert-rule
+    // configuration an on-call dashboard consumes.
+    "q311_alert_bands" -> ((s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
+      val hist = daily.groupBy(col("event_type"), col("n"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window
+          .partitionBy(col("event_type")).orderBy(col("n"))))
+        .withColumn("tot", sum(col("f")).over(Window
+          .partitionBy(col("event_type"))))
+      def q(kNum: Long): DataFrame = hist
+        .filter(col("cum") * 10L >= col("tot") * kNum)
+        .groupBy(col("event_type"))
+        .agg(min(col("n")).as(s"p$kNum"))
+      val last = daily.groupBy(col("event_type"))
+        .agg(max(struct(col("day"), col("n"))).as("b"))
+        .select(col("event_type"), col("b.n").as("last_day_count"))
+      daily.groupBy(col("event_type")).agg(count(lit(1)).as("n_days"))
+        .join(q(1L).withColumnRenamed("p1", "p10_daily"), "event_type")
+        .join(q(9L).withColumnRenamed("p9", "p90_daily"), "event_type")
+        .join(last, "event_type")
+        .withColumn("alert",
+          when(col("last_day_count") < col("p10_daily") ||
+            col("last_day_count") > col("p90_daily"), 1L).otherwise(0L))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13465,6 +13535,70 @@ object SparkEntry {
         | CAST(a3.actual AS DOUBLE) /
         |  CAST(ndv.d1 * ndv.d2 * ndv.d3 AS DOUBLE)
         |FROM ndv, a3""".stripMargin,
+
+    // q310 twin: the q78 SCD2 derivation, then the same chain-closure
+    // and single-current invariants as exact counts.
+    "q310_scd2_validity_audit" ->
+      """WITH e AS (SELECT user_id, event_type AS state,
+        |  epoch_us(ts) AS us, event_id
+        | FROM events WHERE user_id % 10 = 0),
+        |c AS (SELECT *, lag(state) OVER
+        |  (PARTITION BY user_id ORDER BY us, event_id) AS prev,
+        |  lag(1) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS seen FROM e),
+        |v AS (SELECT user_id, us AS valid_from_us,
+        |  lead(us) OVER (PARTITION BY user_id ORDER BY us, event_id)
+        |   AS valid_to_us
+        | FROM c WHERE seen IS NULL OR prev IS DISTINCT FROM state),
+        |ch AS (SELECT user_id, valid_from_us, valid_to_us,
+        |  CASE WHEN valid_to_us IS NULL THEN 1 ELSE 0 END AS is_cur,
+        |  lead(valid_from_us) OVER (PARTITION BY user_id
+        |   ORDER BY valid_from_us) AS next_from
+        | FROM v),
+        |pk AS (SELECT user_id, count(*) AS versions,
+        |  sum(CASE WHEN next_from IS NOT NULL AND
+        |    next_from IS DISTINCT FROM valid_to_us
+        |   THEN 1 ELSE 0 END) AS breaks,
+        |  sum(is_cur) AS currents
+        | FROM ch GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_keys,
+        | CAST(sum(versions) AS BIGINT) AS n_versions,
+        | CAST(sum(breaks) AS BIGINT) AS n_chain_breaks,
+        | CAST(sum(CASE WHEN currents <> 1 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_bad_current_keys,
+        | CAST(max(versions) AS BIGINT) AS max_chain_len
+        |FROM pk""".stripMargin,
+
+    "q311_alert_bands" ->
+      """WITH daily AS (SELECT event_type,
+        |  epoch_us(ts) // 86400000000 AS day, count(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |h AS (SELECT event_type, n, count(*) AS f
+        | FROM daily GROUP BY 1, 2),
+        |c AS (SELECT event_type, n,
+        |  sum(f) OVER (PARTITION BY event_type ORDER BY n) AS cum,
+        |  sum(f) OVER (PARTITION BY event_type) AS tot FROM h),
+        |p10 AS (SELECT event_type, min(n) AS p10_daily FROM c
+        | WHERE cum * 10 >= tot * 1 GROUP BY 1),
+        |p90 AS (SELECT event_type, min(n) AS p90_daily FROM c
+        | WHERE cum * 10 >= tot * 9 GROUP BY 1),
+        |lastd AS (SELECT event_type, n AS last_day_count FROM
+        |  (SELECT event_type, n, row_number() OVER
+        |    (PARTITION BY event_type ORDER BY day DESC) AS rn
+        |   FROM daily) WHERE rn = 1),
+        |nd AS (SELECT event_type, count(*) AS n_days FROM daily
+        | GROUP BY 1)
+        |SELECT nd.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+        | CAST(p10.p10_daily AS BIGINT) AS p10_daily,
+        | CAST(p90.p90_daily AS BIGINT) AS p90_daily,
+        | CAST(l.last_day_count AS BIGINT) AS last_day_count,
+        | CAST(CASE WHEN l.last_day_count < p10.p10_daily OR
+        |   l.last_day_count > p90.p90_daily THEN 1 ELSE 0 END
+        |  AS BIGINT) AS alert
+        |FROM nd
+        |JOIN p10 ON nd.event_type = p10.event_type
+        |JOIN p90 ON nd.event_type = p90.event_type
+        |JOIN lastd l ON nd.event_type = l.event_type""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
