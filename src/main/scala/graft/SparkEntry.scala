@@ -5926,6 +5926,57 @@ object SparkEntry {
             col("last_day_count") > col("p90_daily"), 1L).otherwise(0L))
     }),
 
+    // Negative-condition funnel ("A then B with NO C between"): clicks
+    // that converted to a purchase WITHOUT an error in between — the
+    // exclusion constraint ordinary funnels (q149) can't express. Per
+    // user everything reduces to three firsts (first click, first
+    // purchase after it, first error after it), so the whole check is
+    // one combinable pass + comparisons — no per-path state.
+    "q312_clean_path_funnel" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("us")).as("fc"))
+      val after = ev.join(fc, "user_id").filter(col("us") >= col("fc"))
+      val firsts = after.groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "purchase", col("us")))
+          .as("fp"),
+          min(when(col("event_type") === "error", col("us"))).as("fe"))
+      firsts.agg(count(lit(1)).as("n_clicked"),
+          sum(when(col("fp").isNotNull, 1L).otherwise(0L))
+            .as("n_converted"),
+          sum(when(col("fp").isNotNull &&
+            (col("fe").isNull || col("fe") > col("fp")), 1L)
+            .otherwise(0L)).as("n_clean_converted"))
+        .select(col("n_clicked"), col("n_converted"),
+          col("n_clean_converted"),
+          (col("n_clean_converted").cast("double") /
+            col("n_converted").cast("double")).as("clean_share"))
+    }),
+
+    // Event-study window: daily revenue indexed around a fixed
+    // intervention date (±7 days), each relative day against the
+    // PRE-period mean — the causal-inspection readout DiD (q266)
+    // doesn't give when there's no control cohort. Exact cents; the
+    // index is one division against a 1-row broadcast of exact sums
+    // (rev·n_pre vs pre_sum cross-products never round).
+    "q313_event_study" -> ((s, dir) => {
+      val cut = "TIMESTAMP'2024-01-16 00:00:00'"
+      val daily = t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(expr("CAST(round(value * 100) AS BIGINT)")).as("c"))
+        .withColumn("rel_day",
+          expr(s"datediff(d, CAST($cut AS DATE))"))
+        .filter(col("rel_day").between(-7, 7))
+      val pre = daily.filter(col("rel_day") < 0)
+        .agg(sum(col("c")).as("pre_sum"), count(lit(1)).as("pre_n"))
+      daily.join(broadcast(pre))
+        .select(col("rel_day"), col("c").as("rev_cents"),
+          ((col("c") * col("pre_n")).cast("double") /
+            col("pre_sum").cast("double")).as("index_vs_pre"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13599,6 +13650,46 @@ object SparkEntry {
         |JOIN p10 ON nd.event_type = p10.event_type
         |JOIN p90 ON nd.event_type = p90.event_type
         |JOIN lastd l ON nd.event_type = l.event_type""".stripMargin,
+
+    "q312_clean_path_funnel" ->
+      """WITH fc AS (SELECT user_id, min(epoch_us(ts)) AS fc
+        | FROM events WHERE event_type = 'click' GROUP BY 1),
+        |f AS (SELECT e.user_id,
+        |  min(CASE WHEN e.event_type = 'purchase'
+        |   THEN epoch_us(e.ts) END) AS fp,
+        |  min(CASE WHEN e.event_type = 'error'
+        |   THEN epoch_us(e.ts) END) AS fe
+        | FROM events e JOIN fc ON e.user_id = fc.user_id
+        | WHERE epoch_us(e.ts) >= fc.fc
+        | GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_clicked,
+        | CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_converted,
+        | CAST(sum(CASE WHEN fp IS NOT NULL AND
+        |   (fe IS NULL OR fe > fp) THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_clean_converted,
+        | CAST(sum(CASE WHEN fp IS NOT NULL AND
+        |   (fe IS NULL OR fe > fp) THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(sum(CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END)
+        |   AS DOUBLE) AS clean_share
+        |FROM f""".stripMargin,
+
+    "q313_event_study" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |  sum(CAST(round(value * 100) AS BIGINT)) AS c
+        | FROM events GROUP BY 1),
+        |w AS (SELECT
+        |  date_diff('day', DATE '2024-01-16', d) AS rel_day, c
+        | FROM daily
+        | WHERE date_diff('day', DATE '2024-01-16', d)
+        |  BETWEEN -7 AND 7),
+        |pre AS (SELECT sum(c) AS pre_sum, count(*) AS pre_n FROM w
+        | WHERE rel_day < 0)
+        |SELECT CAST(w.rel_day AS INT) AS rel_day,
+        | CAST(w.c AS BIGINT) AS rev_cents,
+        | CAST(w.c * pre.pre_n AS DOUBLE) /
+        |  CAST(pre.pre_sum AS DOUBLE) AS index_vs_pre
+        |FROM w, pre""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
