@@ -5977,6 +5977,82 @@ object SparkEntry {
             col("pre_sum").cast("double")).as("index_vs_pre"))
     }),
 
+    // Item-lifecycle census: every part's sales count and active span
+    // folded into a bounded 2-D (ilog2 sales × ilog2 span-days) grid —
+    // the catalog-health heatmap (one-hit wonders vs steady sellers vs
+    // short-lived spikes) without ever ranking parts. Exact integers.
+    "q314_item_lifecycle_census" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_sales"),
+          min(expr("unix_micros(l_shipdate) div 86400000000"))
+            .as("d0"),
+          max(expr("unix_micros(l_shipdate) div 86400000000"))
+            .as("d1"))
+        .select(expr("length(bin(n_sales)) - 1").as("sales_bucket"),
+          expr("length(bin(d1 - d0 + 1)) - 1").as("span_bucket"),
+          col("n_sales"))
+        .groupBy(col("sales_bucket"), col("span_bucket"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("n_sales")).as("total_sales"))),
+
+    // Purchase cadence by segment: each customer's MEDIAN gap between
+    // consecutive order days (computed inside a bounded per-customer
+    // array — fan-out bounded, q291's profile proves it), averaged per
+    // segment. Medians of integer days are dyadic halves, so their sum
+    // is EXACT in doubles and the segment mean is one division — the
+    // only corpus-scale float sum this repo allows is the one that
+    // cannot round.
+    "q315_purchase_cadence" -> ((s, dir) => {
+      val med = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(sort_array(collect_set(
+          expr("unix_micros(o_orderdate) div 86400000000"))).as("days"))
+        .filter(size(col("days")) >= 2)
+        .withColumn("gs", expr("array_sort(transform(" +
+          "sequence(1, size(days) - 1), i -> days[i] - days[i - 1]))"))
+        .withColumn("m", size(col("gs")))
+        .withColumn("median_gap", expr("""CASE WHEN m % 2 = 1
+          | THEN CAST(gs[CAST(m div 2 AS INT)] AS DOUBLE)
+          | ELSE (CAST(gs[CAST(m div 2 AS INT) - 1] AS DOUBLE) +
+          |  CAST(gs[CAST(m div 2 AS INT)] AS DOUBLE)) / 2.0
+          | END""".stripMargin))
+      med.groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("median_gap")).as("__s"),
+          min(col("median_gap")).as("min_median_gap"),
+          max(col("median_gap")).as("max_median_gap"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          (col("__s") / col("n_customers").cast("double"))
+            .as("avg_median_gap_days"),
+          col("min_median_gap"), col("max_median_gap"))
+    }),
+
+    // Discount-depth elasticity readout: average quantity per discount
+    // level, indexed against the zero-discount baseline via exact
+    // integer cross-products (sumq·n₀ vs n·sumq₀) — does a deeper
+    // discount actually move volume? Buckets are the bounded disc_e4
+    // domain; one division per row.
+    "q316_discount_elasticity" -> ((s, dir) => {
+      val b = t(s, dir, "lineitem")
+        .groupBy(expr("CAST(round(l_discount * 10000) AS BIGINT)")
+          .as("disc_e4"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_quantity) AS BIGINT)")).as("sum_qty"))
+      val base = b.filter(col("disc_e4") === 0L)
+        .select(col("n_lines").as("n0"), col("sum_qty").as("q0"))
+      b.join(broadcast(base))
+        .select(col("disc_e4"), col("n_lines"), col("sum_qty"),
+          (col("sum_qty").cast("double") / col("n_lines").cast("double"))
+            .as("avg_qty"),
+          ((col("sum_qty") * col("n0")).cast("double") /
+            (col("n_lines") * col("q0")).cast("double"))
+            .as("index_vs_zero_discount"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13690,6 +13766,60 @@ object SparkEntry {
         | CAST(w.c * pre.pre_n AS DOUBLE) /
         |  CAST(pre.pre_sum AS DOUBLE) AS index_vs_pre
         |FROM w, pre""".stripMargin,
+
+    "q314_item_lifecycle_census" ->
+      """WITH p AS (SELECT l_partkey, count(*) AS n_sales,
+        |  min(epoch_us(l_shipdate) // 86400000000) AS d0,
+        |  max(epoch_us(l_shipdate) // 86400000000) AS d1
+        | FROM lineitem GROUP BY 1)
+        |SELECT CAST(length(bin(n_sales)) - 1 AS INT) AS sales_bucket,
+        | CAST(length(bin(d1 - d0 + 1)) - 1 AS INT) AS span_bucket,
+        | CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(sum(n_sales) AS BIGINT) AS total_sales
+        |FROM p GROUP BY 1, 2""".stripMargin,
+
+    // q315 twin: DuckDB lists are 1-indexed — the median picks l[m//2+1]
+    // (odd) and l[m//2], l[m//2+1] (even), mirroring Spark's 0-based
+    // m div 2 and m div 2 − 1.
+    "q315_purchase_cadence" ->
+      """WITH cd AS (SELECT o.o_custkey, c.c_mktsegment,
+        |  list_sort(list(DISTINCT
+        |   epoch_us(o.o_orderdate) // 86400000000)) AS days
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2),
+        |g AS (SELECT c_mktsegment,
+        |  list_sort([days[i + 1] - days[i]
+        |   for i in generate_series(1, len(days) - 1)]) AS gs
+        | FROM cd WHERE len(days) >= 2),
+        |m AS (SELECT c_mktsegment, len(gs) AS m,
+        |  CASE WHEN len(gs) % 2 = 1
+        |   THEN CAST(gs[len(gs) // 2 + 1] AS DOUBLE)
+        |   ELSE (CAST(gs[len(gs) // 2] AS DOUBLE) +
+        |    CAST(gs[len(gs) // 2 + 1] AS DOUBLE)) / 2.0
+        |  END AS median_gap
+        | FROM g)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        | sum(median_gap) / CAST(count(*) AS DOUBLE)
+        |  AS avg_median_gap_days,
+        | min(median_gap) AS min_median_gap,
+        | max(median_gap) AS max_median_gap
+        |FROM m GROUP BY 1""".stripMargin,
+
+    "q316_discount_elasticity" ->
+      """WITH b AS (SELECT CAST(round(l_discount * 10000) AS BIGINT)
+        |   AS disc_e4, count(*) AS n_lines,
+        |  sum(CAST(round(l_quantity) AS BIGINT)) AS sum_qty
+        | FROM lineitem GROUP BY 1),
+        |base AS (SELECT n_lines AS n0, sum_qty AS q0 FROM b
+        | WHERE disc_e4 = 0)
+        |SELECT b.disc_e4, CAST(b.n_lines AS BIGINT) AS n_lines,
+        | CAST(b.sum_qty AS BIGINT) AS sum_qty,
+        | CAST(b.sum_qty AS DOUBLE) / CAST(b.n_lines AS DOUBLE)
+        |  AS avg_qty,
+        | CAST(b.sum_qty * base.n0 AS DOUBLE) /
+        |  CAST(b.n_lines * base.q0 AS DOUBLE)
+        |  AS index_vs_zero_discount
+        |FROM b, base""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
