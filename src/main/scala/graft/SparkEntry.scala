@@ -6053,6 +6053,47 @@ object SparkEntry {
             .as("index_vs_zero_discount"))
     }),
 
+    // Activity-streak leaderboard: each user's longest run of
+    // consecutive active days (the islands trick inside per-user
+    // partitions — never a global sort), top-10 by streak with
+    // deterministic ties. The engagement metric product dashboards
+    // rank by.
+    "q317_activity_streaks" -> ((s, dir) => {
+      val act = t(s, dir, "events")
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+      act
+        .withColumn("grp", col("day") - row_number().over(w))
+        .groupBy(col("user_id"), col("grp"))
+        .agg(count(lit(1)).as("len"))
+        .groupBy(col("user_id"))
+        .agg(max(col("len")).as("longest_streak"),
+          sum(col("len")).as("n_active_days"))
+        .orderBy(col("longest_streak").desc, col("user_id"))
+        .limit(10)
+    }),
+
+    // Basket-diversity census: how many distinct part TYPES does an
+    // order mix, as a bounded histogram with shares — the
+    // cross-category signal a cross-sell model needs before it exists.
+    // Per-order distinct count (order-bounded), then a ≤6-row census.
+    "q318_basket_diversity" -> ((s, dir) => {
+      val nt = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_orderkey"))
+        .agg(countDistinct(col("p_type")).as("n_types"))
+        .groupBy(col("n_types"))
+        .agg(count(lit(1)).as("n_orders"))
+      nt.join(broadcast(nt.agg(sum(col("n_orders")).as("total"))))
+        .select(col("n_types"), col("n_orders"),
+          (col("n_orders").cast("double") / col("total").cast("double"))
+            .as("order_share"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13820,6 +13861,35 @@ object SparkEntry {
         |  CAST(b.n_lines * base.q0 AS DOUBLE)
         |  AS index_vs_zero_discount
         |FROM b, base""".stripMargin,
+
+    "q317_activity_streaks" ->
+      """WITH act AS (SELECT DISTINCT user_id,
+        |  epoch_us(ts) // 86400000000 AS day FROM events),
+        |g AS (SELECT user_id, day,
+        |  day - row_number() OVER (PARTITION BY user_id ORDER BY day)
+        |   AS grp
+        | FROM act),
+        |runs AS (SELECT user_id, grp, count(*) AS len
+        | FROM g GROUP BY 1, 2)
+        |SELECT user_id,
+        | CAST(max(len) AS BIGINT) AS longest_streak,
+        | CAST(sum(len) AS BIGINT) AS n_active_days
+        |FROM runs GROUP BY 1
+        |ORDER BY longest_streak DESC, user_id
+        |LIMIT 10""".stripMargin,
+
+    "q318_basket_diversity" ->
+      """WITH nt AS (SELECT l.l_orderkey,
+        |  count(DISTINCT p.p_type) AS n_types
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1),
+        |h AS (SELECT n_types, count(*) AS n_orders FROM nt GROUP BY 1),
+        |tot AS (SELECT sum(n_orders) AS total FROM h)
+        |SELECT CAST(h.n_types AS BIGINT) AS n_types,
+        | CAST(h.n_orders AS BIGINT) AS n_orders,
+        | CAST(h.n_orders AS DOUBLE) / CAST(tot.total AS DOUBLE)
+        |  AS order_share
+        |FROM h, tot""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
