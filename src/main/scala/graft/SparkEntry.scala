@@ -6094,6 +6094,91 @@ object SparkEntry {
             .as("order_share"))
     }),
 
+    // Ship-lag trend: are deliveries getting slower? Per ship year:
+    // mean order→ship lag (exact day sums, one division) and the exact
+    // median lag off the bounded day-lag histogram (cum·2 ≥ n — the
+    // discrete order statistic, never percentile state). The ops-trend
+    // readout behind every SLA renegotiation.
+    "q319_ship_lag_trend" -> ((s, dir) => {
+      val lag0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(year(col("l_shipdate")).as("yr"),
+          (expr("unix_micros(l_shipdate) div 86400000000") -
+            expr("unix_micros(o_orderdate) div 86400000000"))
+            .as("lag_days"))
+      val hist = lag0.groupBy(col("yr"), col("lag_days"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window
+          .partitionBy(col("yr")).orderBy(col("lag_days"))))
+        .withColumn("tot", sum(col("f")).over(Window
+          .partitionBy(col("yr"))))
+      val med = hist.filter(col("cum") * 2L >= col("tot"))
+        .groupBy(col("yr")).agg(min(col("lag_days")).as("median_lag"))
+      lag0.groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("lag_days")).as("__s"))
+        .join(med, "yr")
+        .select(col("yr"), col("n_lines"),
+          (col("__s").cast("double") / col("n_lines").cast("double"))
+            .as("mean_lag_days"),
+          col("median_lag"))
+    }),
+
+    // Trade-balance matrix: supplier-nation → customer-nation revenue
+    // flows folded into the antisymmetric balance flow(a,b) − flow(b,a)
+    // per unordered pair; top-15 imbalances by |balance| (exact
+    // integers; abs of exact ints orders identically everywhere). The
+    // directional readout q208's symmetric volume query doesn't give.
+    "q320_trade_balance" -> ((s, dir) => {
+      val flow = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .filter(col("s_nationkey") =!= col("c_nationkey"))
+        .groupBy(col("s_nationkey").as("from_n"),
+          col("c_nationkey").as("to_n"))
+        .agg(sum(col("rev")).as("rev"))
+      val lo = least(col("from_n"), col("to_n"))
+      val hi = greatest(col("from_n"), col("to_n"))
+      flow
+        .select(lo.as("na"), hi.as("nb"),
+          when(col("from_n") < col("to_n"), col("rev"))
+            .otherwise(-col("rev")).as("signed"))
+        .groupBy(col("na"), col("nb"))
+        .agg(sum(col("signed")).as("balance_e4"))
+        .orderBy(abs(col("balance_e4")).desc, col("na"), col("nb"))
+        .limit(15)
+    }),
+
+    // Suspect-duplicate orders: same customer, same total (cents),
+    // same day — the business-rule duplicate screen upstream of the
+    // content-hash dedup family. One key-bounded groupBy; reports
+    // groups and excess rows a reversal job would touch.
+    "q321_suspect_duplicates" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("k"))
+        .filter(col("k") > 1L)
+        .agg(count(lit(1)).as("n_suspect_groups"),
+          sum(col("k")).as("n_suspect_orders"),
+          sum(col("k") - 1L).as("n_excess_orders"),
+          max(col("k")).as("max_group_size"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -13890,6 +13975,63 @@ object SparkEntry {
         | CAST(h.n_orders AS DOUBLE) / CAST(tot.total AS DOUBLE)
         |  AS order_share
         |FROM h, tot""".stripMargin,
+
+    "q319_ship_lag_trend" ->
+      """WITH lag0 AS (SELECT year(l.l_shipdate) AS yr,
+        |  epoch_us(l.l_shipdate) // 86400000000 -
+        |   epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+        | FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey),
+        |h AS (SELECT yr, lag_days, count(*) AS f
+        | FROM lag0 GROUP BY 1, 2),
+        |c AS (SELECT yr, lag_days,
+        |  sum(f) OVER (PARTITION BY yr ORDER BY lag_days) AS cum,
+        |  sum(f) OVER (PARTITION BY yr) AS tot FROM h),
+        |med AS (SELECT yr, min(lag_days) AS median_lag FROM c
+        | WHERE cum * 2 >= tot GROUP BY 1),
+        |m AS (SELECT yr, count(*) AS n_lines, sum(lag_days) AS s
+        | FROM lag0 GROUP BY 1)
+        |SELECT CAST(m.yr AS INT) AS yr,
+        | CAST(m.n_lines AS BIGINT) AS n_lines,
+        | CAST(m.s AS DOUBLE) / CAST(m.n_lines AS DOUBLE)
+        |  AS mean_lag_days,
+        | CAST(med.median_lag AS BIGINT) AS median_lag
+        |FROM m JOIN med ON m.yr = med.yr""".stripMargin,
+
+    "q320_trade_balance" ->
+      """WITH flow AS (SELECT s.s_nationkey AS from_n,
+        |  c.c_nationkey AS to_n,
+        |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
+        |   AS rev
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | WHERE s.s_nationkey <> c.c_nationkey
+        | GROUP BY 1, 2)
+        |SELECT CAST(least(from_n, to_n) AS BIGINT) AS na,
+        | CAST(greatest(from_n, to_n) AS BIGINT) AS nb,
+        | CAST(sum(CASE WHEN from_n < to_n THEN rev ELSE -rev END)
+        |  AS BIGINT) AS balance_e4
+        |FROM flow
+        |GROUP BY 1, 2
+        |ORDER BY abs(sum(CASE WHEN from_n < to_n THEN rev
+        |  ELSE -rev END)) DESC, na, nb
+        |LIMIT 15""".stripMargin,
+
+    "q321_suspect_duplicates" ->
+      """WITH g AS (SELECT o_custkey,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+        |  epoch_us(o_orderdate) // 86400000000 AS day,
+        |  count(*) AS k
+        | FROM orders GROUP BY 1, 2, 3
+        | HAVING count(*) > 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_suspect_groups,
+        | CAST(sum(k) AS BIGINT) AS n_suspect_orders,
+        | CAST(sum(k - 1) AS BIGINT) AS n_excess_orders,
+        | CAST(max(k) AS BIGINT) AS max_group_size
+        |FROM g""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
