@@ -6179,6 +6179,86 @@ object SparkEntry {
           sum(col("k") - 1L).as("n_excess_orders"),
           max(col("k")).as("max_group_size"))),
 
+    // Key-account risk: each nation's single largest customer and the
+    // share of national revenue they carry — the concentration number
+    // that decides whether losing one account sinks the region. Argmax
+    // via max-of-struct (largest revenue, smallest key on ties), one
+    // share division over exact cents.
+    "q322_key_account_risk" -> ((s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_name"))),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("o_custkey"))
+        .agg(sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+          .as("rev"))
+        .groupBy(col("n_name"))
+        .agg(max(struct(col("rev"), (-col("o_custkey")).as("negc")))
+          .as("b"),
+          sum(col("rev")).as("nation_rev"),
+          count(lit(1)).as("n_customers"))
+        .select(col("n_name"), col("n_customers"),
+          (-col("b.negc")).as("top_customer"),
+          col("b.rev").as("top_rev_cents"), col("nation_rev"),
+          (col("b.rev").cast("double") /
+            col("nation_rev").cast("double")).as("top_share"))),
+
+    // Order size vs ship speed: mean order→ship lag per ilog2 order
+    // value bucket — do big orders ship slower? Exact day sums over a
+    // ≤64-bucket census, one division per bucket.
+    "q323_size_vs_speed" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              expr("length(bin(CAST(round(o_totalprice * 100) " +
+                "AS BIGINT))) - 1").as("value_bucket")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("value_bucket"),
+          (expr("unix_micros(l_shipdate) div 86400000000") -
+            expr("unix_micros(o_orderdate) div 86400000000"))
+            .as("lag_days"))
+        .groupBy(col("value_bucket"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("lag_days")).as("__s"))
+        .select(col("value_bucket"), col("n_lines"),
+          (col("__s").cast("double") / col("n_lines").cast("double"))
+            .as("mean_lag_days"))),
+
+    // Full growth-accounting quad: per month, NEW / RETAINED (active
+    // the month before) / RESURRECTED (back after a gap) customers,
+    // plus CHURNED-NEXT (active now, gone next month) — the complete
+    // decomposition q299's new/returning split approximates. Months
+    // are exact integer indices (y·12+m); per-customer lag windows are
+    // month-set bounded.
+    "q324_growth_quad" -> ((s, dir) => {
+      val cm = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).as("mi"))
+        .distinct()
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("mi"))
+      val classified = cm
+        .withColumn("prev", lag(col("mi"), 1).over(w))
+        .withColumn("nxt", lead(col("mi"), 1).over(w))
+        .select(col("mi"),
+          when(col("prev").isNull, 1L).otherwise(0L).as("is_new"),
+          when(col("prev") === col("mi") - 1, 1L).otherwise(0L)
+            .as("is_retained"),
+          when(col("prev").isNotNull && col("prev") < col("mi") - 1, 1L)
+            .otherwise(0L).as("is_resurrected"),
+          when(col("nxt").isNull || col("nxt") > col("mi") + 1, 1L)
+            .otherwise(0L).as("churns_after"))
+      classified.groupBy(col("mi"))
+        .agg(count(lit(1)).as("n_active"),
+          sum(col("is_new")).as("n_new"),
+          sum(col("is_retained")).as("n_retained"),
+          sum(col("is_resurrected")).as("n_resurrected"),
+          sum(col("churns_after")).as("n_churning_after"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14032,6 +14112,63 @@ object SparkEntry {
         | CAST(sum(k - 1) AS BIGINT) AS n_excess_orders,
         | CAST(max(k) AS BIGINT) AS max_group_size
         |FROM g""".stripMargin,
+
+    "q322_key_account_risk" ->
+      """WITH cr AS (SELECT n.n_name, o.o_custkey,
+        |  sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS rev
+        | FROM orders o
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN nation n ON c.c_nationkey = n.n_nationkey
+        | GROUP BY 1, 2),
+        |top AS (SELECT n_name, o_custkey AS top_customer,
+        |  rev AS top_rev FROM
+        |  (SELECT *, row_number() OVER (PARTITION BY n_name
+        |    ORDER BY rev DESC, o_custkey) AS rn FROM cr)
+        | WHERE rn = 1),
+        |tot AS (SELECT n_name, sum(rev) AS nation_rev,
+        |  count(*) AS n_customers FROM cr GROUP BY 1)
+        |SELECT tot.n_name, CAST(tot.n_customers AS BIGINT)
+        |  AS n_customers,
+        | CAST(top.top_customer AS BIGINT) AS top_customer,
+        | CAST(top.top_rev AS BIGINT) AS top_rev_cents,
+        | CAST(tot.nation_rev AS BIGINT) AS nation_rev,
+        | CAST(top.top_rev AS DOUBLE) / CAST(tot.nation_rev AS DOUBLE)
+        |  AS top_share
+        |FROM tot JOIN top ON tot.n_name = top.n_name""".stripMargin,
+
+    "q323_size_vs_speed" ->
+      """WITH x AS (SELECT
+        |  length(bin(CAST(round(o.o_totalprice * 100) AS BIGINT))) - 1
+        |   AS value_bucket,
+        |  epoch_us(l.l_shipdate) // 86400000000 -
+        |   epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+        | FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey)
+        |SELECT CAST(value_bucket AS INT) AS value_bucket,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(lag_days) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS mean_lag_days
+        |FROM x GROUP BY 1""".stripMargin,
+
+    "q324_growth_quad" ->
+      """WITH cm AS (SELECT DISTINCT o_custkey,
+        |  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi
+        | FROM orders),
+        |cl AS (SELECT mi,
+        |  lag(mi) OVER (PARTITION BY o_custkey ORDER BY mi) AS prev,
+        |  lead(mi) OVER (PARTITION BY o_custkey ORDER BY mi) AS nxt
+        | FROM cm)
+        |SELECT CAST(mi AS INT) AS mi,
+        | CAST(count(*) AS BIGINT) AS n_active,
+        | CAST(sum(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_new,
+        | CAST(sum(CASE WHEN prev = mi - 1 THEN 1 ELSE 0 END)
+        |  AS BIGINT) AS n_retained,
+        | CAST(sum(CASE WHEN prev IS NOT NULL AND prev < mi - 1
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_resurrected,
+        | CAST(sum(CASE WHEN nxt IS NULL OR nxt > mi + 1
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_after
+        |FROM cl GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
