@@ -6259,6 +6259,96 @@ object SparkEntry {
           sum(col("churns_after")).as("n_churning_after"))
     }),
 
+    // Region × quarter small multiples with QoQ growth: revenue per
+    // (region, quarter index) and the quarter-over-quarter delta as an
+    // exact integer difference plus one growth division — the BI grid
+    // behind every regional review deck. Quarter index = exact integer
+    // (year·4 + quarter), lag windows per region.
+    "q325_region_qoq" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+            .select(col("n_nationkey"), col("n_regionkey"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"),
+          (year(col("l_shipdate")) * 4 +
+            quarter(col("l_shipdate")) - 1).as("qi"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("rev"))
+      val w = Window.partitionBy(col("r_name")).orderBy(col("qi"))
+      rev
+        .withColumn("prev", lag(col("rev"), 1).over(w))
+        .withColumn("pqi", lag(col("qi"), 1).over(w))
+        .select(col("r_name"), col("qi"), col("rev").as("rev_cents"),
+          when(col("pqi") === col("qi") - 1, col("rev") - col("prev"))
+            .as("qoq_delta_cents"),
+          when(col("pqi") === col("qi") - 1,
+            (col("rev") - col("prev")).cast("double") /
+              col("prev").cast("double")).as("qoq_growth"))
+    }),
+
+    // Order aging report: open (non-final) orders bucketed by age at
+    // the snapshot date (the corpus max) — 0-30 / 31-60 / 61-90 / 90+
+    // days, with counts and open value. The receivables-aging classic;
+    // exact day arithmetic against a 1-row broadcast snapshot.
+    "q326_order_aging" -> ((s, dir) => {
+      val snap = t(s, dir, "orders")
+        .agg(max(expr("unix_micros(o_orderdate) div 86400000000"))
+          .as("snap_day"))
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus") =!= "F")
+        .join(broadcast(snap))
+        .select(
+          (col("snap_day") -
+            expr("unix_micros(o_orderdate) div 86400000000"))
+            .as("age_days"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+        .select(
+          when(col("age_days") <= 30, "000-030")
+            .when(col("age_days") <= 60, "031-060")
+            .when(col("age_days") <= 90, "061-090")
+            .otherwise("090+").as("age_bucket"),
+          col("c"))
+        .groupBy(col("age_bucket"))
+        .agg(count(lit(1)).as("n_open_orders"),
+          sum(col("c")).as("open_value_cents"))
+    }),
+
+    // Single-source supply risk: how many suppliers back each part
+    // (bounded histogram), and what share of revenue rides on
+    // single-sourced parts — the supply-chain fragility census. One
+    // pair rollup + one revenue semi-join, exact to the final share.
+    "q327_single_source_risk" -> ((s, dir) => {
+      val perPart = t(s, dir, "lineitem")
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .groupBy(col("l_partkey"))
+        .agg(countDistinct(col("l_suppkey")).as("n_suppliers"))
+        .localCheckpoint()
+      val hist = perPart
+        .select(when(col("n_suppliers") >= 4, 4L)
+          .otherwise(col("n_suppliers")).as("suppliers_capped"))
+        .groupBy(col("suppliers_capped"))
+        .agg(count(lit(1)).as("n_parts"))
+      val rev = t(s, dir, "lineitem")
+        .select(col("l_partkey"),
+          expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
+      val singleRev = rev.join(
+        perPart.filter(col("n_suppliers") === 1L)
+          .select(col("l_partkey")), Seq("l_partkey"), "left_semi")
+        .agg(sum(col("c")).as("single_source_rev"))
+      hist
+        .join(broadcast(rev.agg(sum(col("c")).as("total_rev"))))
+        .join(broadcast(singleRev))
+        .select(col("suppliers_capped"), col("n_parts"),
+          (col("single_source_rev").cast("double") /
+            col("total_rev").cast("double"))
+            .as("single_source_rev_share"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14169,6 +14259,65 @@ object SparkEntry {
         | CAST(sum(CASE WHEN nxt IS NULL OR nxt > mi + 1
         |  THEN 1 ELSE 0 END) AS BIGINT) AS n_churning_after
         |FROM cl GROUP BY 1""".stripMargin,
+
+    "q325_region_qoq" ->
+      """WITH rev AS (SELECT r.r_name,
+        |  year(l.l_shipdate) * 4 + quarter(l.l_shipdate) - 1 AS qi,
+        |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS rev
+        | FROM lineitem l
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | JOIN nation n ON s.s_nationkey = n.n_nationkey
+        | JOIN region r ON n.n_regionkey = r.r_regionkey
+        | GROUP BY 1, 2),
+        |lg AS (SELECT r_name, qi, rev,
+        |  lag(rev) OVER (PARTITION BY r_name ORDER BY qi) AS prev,
+        |  lag(qi) OVER (PARTITION BY r_name ORDER BY qi) AS pqi
+        | FROM rev)
+        |SELECT r_name, CAST(qi AS INT) AS qi,
+        | CAST(rev AS BIGINT) AS rev_cents,
+        | CAST(CASE WHEN pqi = qi - 1 THEN rev - prev END AS BIGINT)
+        |  AS qoq_delta_cents,
+        | CASE WHEN pqi = qi - 1 THEN CAST(rev - prev AS DOUBLE) /
+        |  CAST(prev AS DOUBLE) END AS qoq_growth
+        |FROM lg""".stripMargin,
+
+    "q326_order_aging" ->
+      """WITH snap AS (SELECT
+        |  max(epoch_us(o_orderdate) // 86400000000) AS snap_day
+        | FROM orders),
+        |a AS (SELECT
+        |  snap.snap_day - epoch_us(o.o_orderdate) // 86400000000
+        |   AS age_days,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) AS c
+        | FROM orders o CROSS JOIN snap
+        | WHERE o.o_orderstatus <> 'F')
+        |SELECT CASE WHEN age_days <= 30 THEN '000-030'
+        |  WHEN age_days <= 60 THEN '031-060'
+        |  WHEN age_days <= 90 THEN '061-090'
+        |  ELSE '090+' END AS age_bucket,
+        | CAST(count(*) AS BIGINT) AS n_open_orders,
+        | CAST(sum(c) AS BIGINT) AS open_value_cents
+        |FROM a GROUP BY 1""".stripMargin,
+
+    "q327_single_source_risk" ->
+      """WITH pp AS (SELECT l_partkey,
+        |  count(DISTINCT l_suppkey) AS n_suppliers
+        | FROM lineitem GROUP BY 1),
+        |h AS (SELECT CASE WHEN n_suppliers >= 4 THEN 4
+        |   ELSE n_suppliers END AS suppliers_capped,
+        |  count(*) AS n_parts
+        | FROM pp GROUP BY 1),
+        |tot AS (SELECT sum(CAST(round(l_extendedprice * 100)
+        |   AS BIGINT)) AS total_rev FROM lineitem),
+        |sr AS (SELECT sum(CAST(round(l.l_extendedprice * 100)
+        |   AS BIGINT)) AS single_source_rev
+        | FROM lineitem l JOIN pp ON l.l_partkey = pp.l_partkey
+        | WHERE pp.n_suppliers = 1)
+        |SELECT CAST(h.suppliers_capped AS BIGINT) AS suppliers_capped,
+        | CAST(h.n_parts AS BIGINT) AS n_parts,
+        | CAST(sr.single_source_rev AS DOUBLE) /
+        |  CAST(tot.total_rev AS DOUBLE) AS single_source_rev_share
+        |FROM h, tot, sr""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
