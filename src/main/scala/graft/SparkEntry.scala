@@ -6349,6 +6349,96 @@ object SparkEntry {
             .as("single_source_rev_share"))
     }),
 
+    // Revenue-weighted growth accounting: per month, the share of
+    // revenue from customers in their FIRST month — count-based growth
+    // (q299/q324) can look healthy while new-customer REVENUE collapses.
+    // Exact cents split by the first-month flag, one division per row.
+    "q328_new_revenue_share" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 +
+            month(col("o_orderdate")) - 1).as("mi"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("c"))
+      val first = o.groupBy(col("o_custkey")).agg(min(col("mi")).as("fm"))
+      o.join(first, "o_custkey")
+        .groupBy(col("mi"))
+        .agg(sum(col("c")).as("rev_cents"),
+          sum(when(col("mi") === col("fm"), col("c")).otherwise(0L))
+            .as("new_rev_cents"))
+        .select(col("mi"), col("rev_cents"), col("new_rev_cents"),
+          (col("new_rev_cents").cast("double") /
+            col("rev_cents").cast("double")).as("new_rev_share"))
+    }),
+
+    // Overdue-customer churn risk: customers whose CURRENT silence
+    // (snapshot − last order day) exceeds twice their own median
+    // inter-order gap — cadence-relative, not a global cutoff (a
+    // weekly buyer 3 weeks dark is at risk; a yearly buyer isn't).
+    // The q315 per-customer median machinery + one exact 2× compare;
+    // outputs the campaign-size census per segment.
+    "q329_overdue_customers" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("o_custkey"), col("c_mktsegment"))
+        .agg(sort_array(collect_set(
+          expr("unix_micros(o_orderdate) div 86400000000"))).as("days"))
+        .filter(size(col("days")) >= 3)
+        .withColumn("gs", expr("array_sort(transform(" +
+          "sequence(1, size(days) - 1), i -> days[i] - days[i - 1]))"))
+        .withColumn("m", size(col("gs")))
+        // doubled median (exact integer: 2·mid or mid1+mid2) so the
+        // 2×-median test is pure integer arithmetic
+        .withColumn("med2", expr("""CASE WHEN m % 2 = 1
+          | THEN 2 * gs[CAST(m div 2 AS INT)]
+          | ELSE gs[CAST(m div 2 AS INT) - 1] +
+          |  gs[CAST(m div 2 AS INT)] END""".stripMargin))
+        .withColumn("last_day", expr("days[size(days) - 1]"))
+      val snap = base.agg(max(col("last_day")).as("snap_day"))
+      base.join(broadcast(snap))
+        // gap > 2·median ⇔ gap > med2 (med2 is the DOUBLED median)
+        .withColumn("overdue",
+          when(col("snap_day") - col("last_day") > col("med2"), 1L)
+            .otherwise(0L))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("overdue")).as("n_overdue"))
+        .select(col("c_mktsegment"), col("n_customers"),
+          col("n_overdue"),
+          (col("n_overdue").cast("double") /
+            col("n_customers").cast("double")).as("overdue_share"))
+    }),
+
+    // Brand margin rate: profit (q248's retail-cost basis) over revenue
+    // per brand — exact e4 integers, ONE division per brand; the
+    // merchandising readout that ranks brands by quality of revenue,
+    // not just volume.
+    "q330_brand_margin" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"),
+              col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")))
+            .as("rev"),
+          (expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            (lit(10000L) -
+              expr("CAST(round(l_discount * 10000) AS BIGINT)")) -
+            expr("CAST(round(p_retailprice * 100) AS BIGINT)") *
+              lit(10000L) *
+              expr("CAST(round(l_quantity) AS BIGINT)")).as("profit"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("rev_e4"),
+          sum(col("profit")).as("profit_e4"))
+        .select(col("p_brand"), col("n_lines"), col("rev_e4"),
+          col("profit_e4"),
+          (col("profit_e4").cast("double") /
+            col("rev_e4").cast("double")).as("margin_rate"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14318,6 +14408,66 @@ object SparkEntry {
         | CAST(sr.single_source_rev AS DOUBLE) /
         |  CAST(tot.total_rev AS DOUBLE) AS single_source_rev_share
         |FROM h, tot, sr""".stripMargin,
+
+    "q328_new_revenue_share" ->
+      """WITH o AS (SELECT o_custkey,
+        |  year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mi,
+        |  CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        | FROM orders),
+        |f AS (SELECT o_custkey, min(mi) AS fm FROM o GROUP BY 1)
+        |SELECT CAST(o.mi AS INT) AS mi,
+        | CAST(sum(o.c) AS BIGINT) AS rev_cents,
+        | CAST(sum(CASE WHEN o.mi = f.fm THEN o.c ELSE 0 END)
+        |  AS BIGINT) AS new_rev_cents,
+        | CAST(sum(CASE WHEN o.mi = f.fm THEN o.c ELSE 0 END)
+        |  AS DOUBLE) / CAST(sum(o.c) AS DOUBLE) AS new_rev_share
+        |FROM o JOIN f ON o.o_custkey = f.o_custkey
+        |GROUP BY 1""".stripMargin,
+
+    // q329 twin: DuckDB lists are 1-indexed — med2 picks 2·l[m//2+1]
+    // (odd) / l[m//2]+l[m//2+1] (even), mirroring Spark's 0-based form.
+    "q329_overdue_customers" ->
+      """WITH cd AS (SELECT o.o_custkey, c.c_mktsegment,
+        |  list_sort(list(DISTINCT
+        |   epoch_us(o.o_orderdate) // 86400000000)) AS days
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2),
+        |g AS (SELECT c_mktsegment,
+        |  list_sort([days[i + 1] - days[i]
+        |   for i in generate_series(1, len(days) - 1)]) AS gs,
+        |  days[len(days)] AS last_day
+        | FROM cd WHERE len(days) >= 3),
+        |m AS (SELECT c_mktsegment, last_day,
+        |  CASE WHEN len(gs) % 2 = 1 THEN 2 * gs[len(gs) // 2 + 1]
+        |   ELSE gs[len(gs) // 2] + gs[len(gs) // 2 + 1] END AS med2
+        | FROM g),
+        |snap AS (SELECT max(last_day) AS snap_day FROM m)
+        |SELECT m.c_mktsegment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(CASE WHEN snap.snap_day - m.last_day > m.med2
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_overdue,
+        | CAST(sum(CASE WHEN snap.snap_day - m.last_day > m.med2
+        |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS overdue_share
+        |FROM m CROSS JOIN snap
+        |GROUP BY 1""".stripMargin,
+
+    "q330_brand_margin" ->
+      """WITH x AS (SELECT p.p_brand,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
+        |   AS rev,
+        |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) -
+        |   CAST(round(p.p_retailprice * 100) AS BIGINT) * 10000 *
+        |   CAST(round(l.l_quantity) AS BIGINT) AS profit
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
+        |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(rev) AS BIGINT) AS rev_e4,
+        | CAST(sum(profit) AS BIGINT) AS profit_e4,
+        | CAST(sum(profit) AS DOUBLE) / CAST(sum(rev) AS DOUBLE)
+        |  AS margin_rate
+        |FROM x GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
