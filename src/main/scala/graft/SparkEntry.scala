@@ -6439,6 +6439,84 @@ object SparkEntry {
           (col("profit_e4").cast("double") /
             col("rev_e4").cast("double")).as("margin_rate"))),
 
+    // Cross-border buyer census: how many distinct supplier nations
+    // does each customer buy from — the international-exposure
+    // histogram (share of single-nation buyers vs globally sourced).
+    // Per-customer distinct count is key-bounded; census ≤ 25 rows.
+    "q331_cross_border_buyers" -> ((s, dir) => {
+      val nn = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"))
+        .join(t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_suppkey")),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("o_custkey"))
+        .agg(countDistinct(col("s_nationkey")).as("n_nations"))
+        .groupBy(col("n_nations"))
+        .agg(count(lit(1)).as("n_customers"))
+      nn.join(broadcast(nn.agg(sum(col("n_customers")).as("total"))))
+        .select(col("n_nations"), col("n_customers"),
+          (col("n_customers").cast("double") /
+            col("total").cast("double")).as("customer_share"))
+    }),
+
+    // Seasonal-item census: parts whose single best quarter carries
+    // more than half their revenue (exact 2·max > total — no share
+    // division per part), with the revenue that seasonality governs.
+    // Per-part quarter rollup is key-bounded; the verdict is two rows.
+    "q332_seasonal_items" -> ((s, dir) => {
+      val pq = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"), quarter(col("l_shipdate")).as("q"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("rev"))
+      val per = pq.groupBy(col("l_partkey"))
+        .agg(max(col("rev")).as("max_q"), sum(col("rev")).as("tot"))
+        .select(col("l_partkey"), col("tot"),
+          when(col("max_q") * 2L > col("tot"), lit("seasonal"))
+            .otherwise(lit("steady")).as("pattern"))
+      val g = per.groupBy(col("pattern"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("tot")).as("rev"))
+      g.join(broadcast(g.agg(sum(col("rev")).as("total_rev"))))
+        .select(col("pattern"), col("n_parts"),
+          col("rev").as("rev_cents"),
+          (col("rev").cast("double") / col("total_rev").cast("double"))
+            .as("rev_share"))
+    }),
+
+    // Priority vs ship speed: do URGENT orders actually ship faster?
+    // Mean and exact median order→ship lag per priority class (the
+    // q319 bounded-histogram median discipline) — the SLA-vs-reality
+    // audit.
+    "q333_priority_speed" -> ((s, dir) => {
+      val lag0 = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate"),
+              col("o_orderpriority")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (expr("unix_micros(l_shipdate) div 86400000000") -
+            expr("unix_micros(o_orderdate) div 86400000000"))
+            .as("lag_days"))
+      val hist = lag0.groupBy(col("o_orderpriority"), col("lag_days"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window
+          .partitionBy(col("o_orderpriority")).orderBy(col("lag_days"))))
+        .withColumn("tot", sum(col("f")).over(Window
+          .partitionBy(col("o_orderpriority"))))
+      val med = hist.filter(col("cum") * 2L >= col("tot"))
+        .groupBy(col("o_orderpriority"))
+        .agg(min(col("lag_days")).as("median_lag"))
+      lag0.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"), sum(col("lag_days")).as("__s"))
+        .join(med, "o_orderpriority")
+        .select(col("o_orderpriority"), col("n_lines"),
+          (col("__s").cast("double") / col("n_lines").cast("double"))
+            .as("mean_lag_days"),
+          col("median_lag"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14468,6 +14546,61 @@ object SparkEntry {
         | CAST(sum(profit) AS DOUBLE) / CAST(sum(rev) AS DOUBLE)
         |  AS margin_rate
         |FROM x GROUP BY 1""".stripMargin,
+
+    "q331_cross_border_buyers" ->
+      """WITH nn AS (SELECT o.o_custkey,
+        |  count(DISTINCT s.s_nationkey) AS n_nations
+        | FROM orders o
+        | JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | GROUP BY 1),
+        |h AS (SELECT n_nations, count(*) AS n_customers
+        | FROM nn GROUP BY 1),
+        |tot AS (SELECT sum(n_customers) AS total FROM h)
+        |SELECT CAST(h.n_nations AS BIGINT) AS n_nations,
+        | CAST(h.n_customers AS BIGINT) AS n_customers,
+        | CAST(h.n_customers AS DOUBLE) / CAST(tot.total AS DOUBLE)
+        |  AS customer_share
+        |FROM h, tot""".stripMargin,
+
+    "q332_seasonal_items" ->
+      """WITH pq AS (SELECT l_partkey, quarter(l_shipdate) AS q,
+        |  sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+        | FROM lineitem GROUP BY 1, 2),
+        |per AS (SELECT l_partkey, sum(rev) AS tot,
+        |  CASE WHEN max(rev) * 2 > sum(rev) THEN 'seasonal'
+        |   ELSE 'steady' END AS pattern
+        | FROM pq GROUP BY 1),
+        |g AS (SELECT pattern, count(*) AS n_parts, sum(tot) AS rev
+        | FROM per GROUP BY 1),
+        |tr AS (SELECT sum(rev) AS total_rev FROM g)
+        |SELECT g.pattern, CAST(g.n_parts AS BIGINT) AS n_parts,
+        | CAST(g.rev AS BIGINT) AS rev_cents,
+        | CAST(g.rev AS DOUBLE) / CAST(tr.total_rev AS DOUBLE)
+        |  AS rev_share
+        |FROM g, tr""".stripMargin,
+
+    "q333_priority_speed" ->
+      """WITH lag0 AS (SELECT o.o_orderpriority,
+        |  epoch_us(l.l_shipdate) // 86400000000 -
+        |   epoch_us(o.o_orderdate) // 86400000000 AS lag_days
+        | FROM lineitem l JOIN orders o
+        |  ON l.l_orderkey = o.o_orderkey),
+        |h AS (SELECT o_orderpriority, lag_days, count(*) AS f
+        | FROM lag0 GROUP BY 1, 2),
+        |c AS (SELECT o_orderpriority, lag_days,
+        |  sum(f) OVER (PARTITION BY o_orderpriority
+        |   ORDER BY lag_days) AS cum,
+        |  sum(f) OVER (PARTITION BY o_orderpriority) AS tot FROM h),
+        |med AS (SELECT o_orderpriority, min(lag_days) AS median_lag
+        | FROM c WHERE cum * 2 >= tot GROUP BY 1),
+        |m AS (SELECT o_orderpriority, count(*) AS n_lines,
+        |  sum(lag_days) AS s FROM lag0 GROUP BY 1)
+        |SELECT m.o_orderpriority, CAST(m.n_lines AS BIGINT) AS n_lines,
+        | CAST(m.s AS DOUBLE) / CAST(m.n_lines AS DOUBLE)
+        |  AS mean_lag_days,
+        | CAST(med.median_lag AS BIGINT) AS median_lag
+        |FROM m JOIN med ON m.o_orderpriority = med.o_orderpriority""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
