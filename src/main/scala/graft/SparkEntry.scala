@@ -6517,6 +6517,81 @@ object SparkEntry {
           col("median_lag"))
     }),
 
+    // Dictionary-encoding plan: per string column, raw bytes vs the
+    // dictionary estimate (distinct values' bytes + 2-byte codes per
+    // row) — the columnar-storage advisor that says which columns pay
+    // for dictionary pages at 100 TB. Exact integer byte accounting,
+    // one ratio per column.
+    "q334_dict_encoding_plan" -> ((s, dir) => {
+      def plan(table: String, colName: String, df: DataFrame,
+          c: Column): DataFrame = {
+        val raw = df.agg(count(lit(1)).as("n_rows"),
+          sum(length(c).cast("long")).as("raw_bytes"))
+        val dict = df.select(c.as("__v")).distinct()
+          .agg(count(lit(1)).as("ndv"),
+            sum(length(col("__v")).cast("long")).as("dict_value_bytes"))
+        raw.join(dict)
+          .select(lit(s"$table.$colName").as("column"), col("n_rows"),
+            col("ndv"), col("raw_bytes"),
+            (col("dict_value_bytes") + lit(2L) * col("n_rows"))
+              .as("dict_bytes"))
+          .withColumn("compression_ratio",
+            col("raw_bytes").cast("double") /
+              col("dict_bytes").cast("double"))
+      }
+      plan("part", "p_name", t(s, dir, "part"), col("p_name"))
+        .union(plan("orders", "o_orderpriority", t(s, dir, "orders"),
+          col("o_orderpriority")))
+        .union(plan("customer", "c_mktsegment", t(s, dir, "customer"),
+          col("c_mktsegment")))
+        .union(plan("documents", "text", t(s, dir, "documents")
+          .filter(col("text").isNotNull), col("text")))
+    }),
+
+    // Order-value percentile ladder per segment: p25/p50/p75/p90 as
+    // exact discrete order statistics off the dollar-quantized value
+    // histogram (cum·100 ≥ k·n — the q251/q311 discipline; the full
+    // ladder a pricing review reads).
+    "q335_value_ladder" -> ((s, dir) => {
+      val h = t(s, dir, "orders")
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_mktsegment")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"),
+          expr("CAST(round(o_totalprice * 100) AS BIGINT) div 100")
+            .as("d"))
+        .agg(count(lit(1)).as("f"))
+        .withColumn("cum", sum(col("f")).over(Window
+          .partitionBy(col("c_mktsegment")).orderBy(col("d"))))
+        .withColumn("tot", sum(col("f")).over(Window
+          .partitionBy(col("c_mktsegment"))))
+        .localCheckpoint()
+      def p(k: Long, name: String): DataFrame = h
+        .filter(col("cum") * 100L >= col("tot") * k)
+        .groupBy(col("c_mktsegment")).agg(min(col("d")).as(name))
+      p(25L, "p25_dollars")
+        .join(p(50L, "p50_dollars"), "c_mktsegment")
+        .join(p(75L, "p75_dollars"), "c_mktsegment")
+        .join(p(90L, "p90_dollars"), "c_mktsegment")
+    }),
+
+    // Discount-policy compliance: the business rule "discount above 5%
+    // requires quantity ≥ 25", audited per ship year with exact
+    // integer tests — the data-contract check finance actually asks
+    // for, next to the statistical audits (q101).
+    "q336_policy_compliance" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .select(year(col("l_shipdate")).as("yr"),
+          expr("CAST(round(l_discount * 10000) AS BIGINT)").as("d4"),
+          expr("CAST(round(l_quantity) AS BIGINT)").as("q"))
+        .groupBy(col("yr"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("d4") > 500L && col("q") < 25L, 1L)
+            .otherwise(0L)).as("n_violations"))
+        .select(col("yr"), col("n_lines"), col("n_violations"),
+          (col("n_violations").cast("double") /
+            col("n_lines").cast("double")).as("violation_rate"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14601,6 +14676,86 @@ object SparkEntry {
         |  AS mean_lag_days,
         | CAST(med.median_lag AS BIGINT) AS median_lag
         |FROM m JOIN med ON m.o_orderpriority = med.o_orderpriority""".stripMargin,
+
+    "q334_dict_encoding_plan" ->
+      """WITH
+        |r1 AS (SELECT count(*) AS n, sum(length(p_name)) AS raw
+        | FROM part),
+        |d1 AS (SELECT count(*) AS ndv, sum(length(v)) AS db FROM
+        |  (SELECT DISTINCT p_name AS v FROM part)),
+        |r2 AS (SELECT count(*) AS n, sum(length(o_orderpriority))
+        |  AS raw FROM orders),
+        |d2 AS (SELECT count(*) AS ndv, sum(length(v)) AS db FROM
+        |  (SELECT DISTINCT o_orderpriority AS v FROM orders)),
+        |r3 AS (SELECT count(*) AS n, sum(length(c_mktsegment)) AS raw
+        | FROM customer),
+        |d3 AS (SELECT count(*) AS ndv, sum(length(v)) AS db FROM
+        |  (SELECT DISTINCT c_mktsegment AS v FROM customer)),
+        |r4 AS (SELECT count(*) AS n, sum(length(text)) AS raw
+        | FROM documents WHERE text IS NOT NULL),
+        |d4 AS (SELECT count(*) AS ndv, sum(length(v)) AS db FROM
+        |  (SELECT DISTINCT text AS v FROM documents
+        |   WHERE text IS NOT NULL))
+        |SELECT 'part.p_name' AS "column",
+        | CAST(r1.n AS BIGINT) AS n_rows, CAST(d1.ndv AS BIGINT) AS ndv,
+        | CAST(r1.raw AS BIGINT) AS raw_bytes,
+        | CAST(d1.db + 2 * r1.n AS BIGINT) AS dict_bytes,
+        | CAST(r1.raw AS DOUBLE) / CAST(d1.db + 2 * r1.n AS DOUBLE)
+        |  AS compression_ratio FROM r1, d1
+        |UNION ALL SELECT 'orders.o_orderpriority',
+        | CAST(r2.n AS BIGINT), CAST(d2.ndv AS BIGINT),
+        | CAST(r2.raw AS BIGINT), CAST(d2.db + 2 * r2.n AS BIGINT),
+        | CAST(r2.raw AS DOUBLE) / CAST(d2.db + 2 * r2.n AS DOUBLE)
+        | FROM r2, d2
+        |UNION ALL SELECT 'customer.c_mktsegment',
+        | CAST(r3.n AS BIGINT), CAST(d3.ndv AS BIGINT),
+        | CAST(r3.raw AS BIGINT), CAST(d3.db + 2 * r3.n AS BIGINT),
+        | CAST(r3.raw AS DOUBLE) / CAST(d3.db + 2 * r3.n AS DOUBLE)
+        | FROM r3, d3
+        |UNION ALL SELECT 'documents.text',
+        | CAST(r4.n AS BIGINT), CAST(d4.ndv AS BIGINT),
+        | CAST(r4.raw AS BIGINT), CAST(d4.db + 2 * r4.n AS BIGINT),
+        | CAST(r4.raw AS DOUBLE) / CAST(d4.db + 2 * r4.n AS DOUBLE)
+        | FROM r4, d4""".stripMargin,
+
+    "q335_value_ladder" ->
+      """WITH h AS (SELECT c.c_mktsegment,
+        |  CAST(round(o.o_totalprice * 100) AS BIGINT) // 100 AS d,
+        |  count(*) AS f
+        | FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        | GROUP BY 1, 2),
+        |c AS (SELECT c_mktsegment, d,
+        |  sum(f) OVER (PARTITION BY c_mktsegment ORDER BY d) AS cum,
+        |  sum(f) OVER (PARTITION BY c_mktsegment) AS tot FROM h),
+        |p25 AS (SELECT c_mktsegment, min(d) AS p25_dollars FROM c
+        | WHERE cum * 100 >= tot * 25 GROUP BY 1),
+        |p50 AS (SELECT c_mktsegment, min(d) AS p50_dollars FROM c
+        | WHERE cum * 100 >= tot * 50 GROUP BY 1),
+        |p75 AS (SELECT c_mktsegment, min(d) AS p75_dollars FROM c
+        | WHERE cum * 100 >= tot * 75 GROUP BY 1),
+        |p90 AS (SELECT c_mktsegment, min(d) AS p90_dollars FROM c
+        | WHERE cum * 100 >= tot * 90 GROUP BY 1)
+        |SELECT p25.c_mktsegment,
+        | CAST(p25.p25_dollars AS BIGINT) AS p25_dollars,
+        | CAST(p50.p50_dollars AS BIGINT) AS p50_dollars,
+        | CAST(p75.p75_dollars AS BIGINT) AS p75_dollars,
+        | CAST(p90.p90_dollars AS BIGINT) AS p90_dollars
+        |FROM p25
+        |JOIN p50 ON p25.c_mktsegment = p50.c_mktsegment
+        |JOIN p75 ON p25.c_mktsegment = p75.c_mktsegment
+        |JOIN p90 ON p25.c_mktsegment = p90.c_mktsegment""".stripMargin,
+
+    "q336_policy_compliance" ->
+      """SELECT CAST(year(l_shipdate) AS INT) AS yr,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CASE WHEN CAST(round(l_discount * 10000) AS BIGINT)
+        |   > 500 AND CAST(round(l_quantity) AS BIGINT) < 25
+        |  THEN 1 ELSE 0 END) AS BIGINT) AS n_violations,
+        | CAST(sum(CASE WHEN CAST(round(l_discount * 10000) AS BIGINT)
+        |   > 500 AND CAST(round(l_quantity) AS BIGINT) < 25
+        |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS violation_rate
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
