@@ -2308,8 +2308,10 @@ object SparkEntry {
     // per output column. ———
 
     // TPC-H Q1: pricing summary report. disc_price/charge accumulate as
-    // exact integers (charge in decimal(38,0) — its e8-scaled rows pass
-    // 2⁶³ at corpus scale), then ONE double cast each.
+    // exact integers in decimal(38,0) — their e4/e8-scaled group sums
+    // pass 2⁶³ at corpus scale (disc_price ≈ 1e11/row wraps a LongType
+    // sum near 1e8 rows/group, i.e. ~sf150) — then ONE double cast each,
+    // matching the oracle's HUGEINT-sum→DOUBLE route bit for bit.
     "q202_tpch_q1" -> ((s, dir) => {
       val l = t(s, dir, "lineitem")
         .filter(expr("l_shipdate <= TIMESTAMP'1998-09-02 00:00:00'"))
@@ -2321,8 +2323,9 @@ object SparkEntry {
       l.groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(sum(col("qty")).as("sum_qty"),
           sum(col("cents")).as("sum_base_cents"),
-          sum(col("cents") * (lit(10000L) - col("dbp")))
-            .as("sum_disc_price_e4"),
+          sum((col("cents") * (lit(10000L) - col("dbp")))
+              .cast("decimal(38,0)"))
+            .cast("double").as("sum_disc_price_e4"),
           sum(col("cents").cast("decimal(38,0)") *
             (lit(10000L) - col("dbp")).cast("decimal(38,0)") *
             (lit(10000L) + col("tbp")).cast("decimal(38,0)"))
@@ -2397,7 +2400,11 @@ object SparkEntry {
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(asia), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("rev")).as("revenue_e4"))
+        // per-nation group scales with the corpus: sum in decimal(38,0)
+        // (a LongType sum of ~1e11/row products wraps at 100-TB scale),
+        // then ONE double cast, twinning the oracle's HUGEINT sum.
+        .agg(sum(col("rev").cast("decimal(38,0)"))
+          .cast("double").as("revenue_e4"))
     }),
 
     // TPC-H Q6: forecasting revenue change — one pushed-down filter +
@@ -2408,9 +2415,13 @@ object SparkEntry {
           expr("l_shipdate < TIMESTAMP'1997-01-01 00:00:00'") &&
           col("l_discount").between(0.05, 0.07) &&
           col("l_quantity") < 24)
-        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
-          expr("CAST(round(l_discount * 10000) AS BIGINT)"))
-          .as("revenue_e4"), count(lit(1)).as("n_lines"))),
+        // single corpus-scale group: decimal(38,0) sum (LongType wraps
+        // at ~1e10 filtered rows), ONE double cast at the end.
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+            expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+            .cast("decimal(38,0)"))
+          .cast("double").as("revenue_e4"),
+          count(lit(1)).as("n_lines"))),
 
     // TPC-H Q10: returned-item reporting — top-20 customers by revenue
     // lost to returns in 1997Q4, tie-broken by custkey.
@@ -2485,7 +2496,10 @@ object SparkEntry {
           (col("s_nationkey") === 2 && col("c_nationkey") === 1))
         .groupBy(col("s_nationkey").as("supp_nation"),
           col("c_nationkey").as("cust_nation"), col("l_year"))
-        .agg(sum(col("rev")).as("revenue_e4"))),
+        // (nation-pair, year) groups scale with the corpus →
+        // decimal(38,0) sum, ONE double cast (HUGEINT twin).
+        .agg(sum(col("rev").cast("decimal(38,0)"))
+          .cast("double").as("revenue_e4"))),
 
     // TPC-H Q14: promo revenue share for one ship month — exact integer
     // numerator and denominator, the share as ONE division.
@@ -2501,12 +2515,17 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
+        // month-slice groups scale with the corpus → decimal(38,0)
+        // sums, ONE double cast each; the share divides the two doubles
+        // (both exactly rounded from the same integers in both engines).
         .agg(sum(when(col("p_type") === "PROMO", col("rev"))
-            .otherwise(0L)).as("promo_rev_e4"),
-          sum(col("rev")).as("total_rev_e4"))
+            .otherwise(0L).cast("decimal(38,0)"))
+            .cast("double").as("promo_rev_e4"),
+          sum(col("rev").cast("decimal(38,0)"))
+            .cast("double").as("total_rev_e4"))
         .select(col("promo_rev_e4"), col("total_rev_e4"),
-          (lit(100.0) * col("promo_rev_e4").cast("double") /
-            col("total_rev_e4").cast("double")).as("promo_pct"))),
+          (lit(100.0) * col("promo_rev_e4") /
+            col("total_rev_e4")).as("promo_pct"))),
 
     // TPC-H Q18: large-volume customers — orders whose total quantity
     // exceeds 250, with customer detail, top-20 by (totalprice desc,
@@ -2548,7 +2567,9 @@ object SparkEntry {
             col("l_quantity").between(10, 30)) ||
           (col("p_brand") === "Brand#8" && col("p_size").between(1, 50) &&
             col("l_quantity").between(20, 40)))
-        .agg(sum(col("rev")).as("revenue_e4"),
+        // single corpus-scale group → decimal(38,0) sum, ONE double cast.
+        .agg(sum(col("rev").cast("decimal(38,0)"))
+            .cast("double").as("revenue_e4"),
           count(lit(1)).as("n_lines"))),
 
     // TPC-H Q8: national market share — NATION_1's share of PROMO-part
@@ -2582,12 +2603,15 @@ object SparkEntry {
             .select(col("s_suppkey"), col("s_nationkey"))),
           col("l_suppkey") === col("s_suppkey"))
         .groupBy(col("o_year"))
-        .agg(sum(col("rev")).as("total_e4"),
-          sum(when(col("s_nationkey") === 1, col("rev")).otherwise(0L))
-            .as("nation1_e4"))
+        // per-year groups scale with the corpus → decimal(38,0) sums,
+        // ONE double cast each; the share divides the two doubles.
+        .agg(sum(col("rev").cast("decimal(38,0)"))
+            .cast("double").as("total_e4"),
+          sum(when(col("s_nationkey") === 1, col("rev")).otherwise(0L)
+              .cast("decimal(38,0)"))
+            .cast("double").as("nation1_e4"))
         .select(col("o_year"), col("total_e4"), col("nation1_e4"),
-          (col("nation1_e4").cast("double") /
-            col("total_e4").cast("double")).as("mkt_share"))
+          (col("nation1_e4") / col("total_e4")).as("mkt_share"))
     }),
 
     // TPC-H Q15: top supplier — revenue per supplier over one quarter,
@@ -3987,7 +4011,11 @@ object SparkEntry {
               lit(10000L) *
               expr("CAST(round(l_quantity) AS BIGINT)")).as("amount"))
         .groupBy(col("nation"), col("o_year"))
-        .agg(sum(col("amount")).as("profit_e4"))),
+        // (nation, year) groups scale with the corpus → decimal(38,0)
+        // sum (per-row amount ~1e12 fits BIGINT; the group sum does
+        // not), ONE double cast (HUGEINT twin).
+        .agg(sum(col("amount").cast("decimal(38,0)"))
+          .cast("double").as("profit_e4"))),
 
     // TPC-H Q2 (adapted): minimum-cost supplier — for EUROPE suppliers
     // and STANDARD size-15 parts, the cheapest observed line price in
@@ -11507,7 +11535,7 @@ object SparkEntry {
         |a AS (SELECT l_returnflag, l_linestatus,
         |  CAST(sum(qty) AS BIGINT) AS sum_qty,
         |  CAST(sum(cents) AS BIGINT) AS sum_base_cents,
-        |  CAST(sum(cents * (10000 - dbp)) AS BIGINT)
+        |  CAST(sum(cents * (10000 - dbp)) AS DOUBLE)
         |   AS sum_disc_price_e4,
         |  CAST(sum(CAST(cents AS HUGEINT) * (10000 - dbp) *
         |   (10000 + tbp)) AS DOUBLE) AS sum_charge_e8,
@@ -11544,7 +11572,7 @@ object SparkEntry {
       """SELECT n.n_name,
         | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |  AS BIGINT) AS revenue_e4
+        |  AS DOUBLE) AS revenue_e4
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -11559,7 +11587,7 @@ object SparkEntry {
 
     "q205_tpch_q6" ->
       """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
-        |  CAST(round(l_discount * 10000) AS BIGINT)) AS BIGINT)
+        |  CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
         |  AS revenue_e4,
         | CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem
@@ -11601,7 +11629,7 @@ object SparkEntry {
         | year(l.l_shipdate) AS l_year,
         | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |  AS BIGINT) AS revenue_e4
+        |  AS DOUBLE) AS revenue_e4
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
         |JOIN customer c ON o.o_custkey = c.c_custkey
@@ -11619,12 +11647,11 @@ object SparkEntry {
         |  AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'),
         |a AS (SELECT
         |  CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN l.rev ELSE 0 END)
-        |   AS BIGINT) AS promo_rev_e4,
-        |  CAST(sum(l.rev) AS BIGINT) AS total_rev_e4
+        |   AS DOUBLE) AS promo_rev_e4,
+        |  CAST(sum(l.rev) AS DOUBLE) AS total_rev_e4
         | FROM l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT promo_rev_e4, total_rev_e4,
-        | 100.0 * CAST(promo_rev_e4 AS DOUBLE) /
-        |  CAST(total_rev_e4 AS DOUBLE) AS promo_pct
+        | 100.0 * promo_rev_e4 / total_rev_e4 AS promo_pct
         |FROM a""".stripMargin,
 
     "q210_tpch_q18" ->
@@ -11644,7 +11671,7 @@ object SparkEntry {
     "q211_tpch_q19" ->
       """SELECT CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |  AS BIGINT) AS revenue_e4,
+        |  AS DOUBLE) AS revenue_e4,
         | CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |WHERE (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 15
@@ -11658,11 +11685,11 @@ object SparkEntry {
       """SELECT year(o.o_orderdate) AS o_year,
         | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |  AS BIGINT) AS total_e4,
+        |  AS DOUBLE) AS total_e4,
         | CAST(sum(CASE WHEN s.s_nationkey = 1 THEN
         |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
-        |  ELSE 0 END) AS BIGINT) AS nation1_e4,
+        |  ELSE 0 END) AS DOUBLE) AS nation1_e4,
         | CAST(sum(CASE WHEN s.s_nationkey = 1 THEN
         |  CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT))
@@ -12783,7 +12810,7 @@ object SparkEntry {
         | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)) -
         |   CAST(round(p.p_retailprice * 100) AS BIGINT) * 10000 *
-        |   CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT) AS profit_e4
+        |   CAST(round(l.l_quantity) AS BIGINT)) AS DOUBLE) AS profit_e4
         |FROM lineitem l
         |JOIN part p ON l.l_partkey = p.p_partkey
         | AND p.p_name LIKE '%red%'

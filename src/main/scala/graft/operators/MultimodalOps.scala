@@ -108,10 +108,12 @@ object MultimodalOps {
     * until a codec library is wired into the seam).
     *
     * Decoded shapes (documented so downstream features are interpretable):
-    *  - PPM / PNG / BMP / GIF: checksum = sum of all RGB sample bytes;
-    *    features = [width, height, maxval(255 for ImageIO), mean_r,
-    *    mean_g, mean_b, mean_luma, 0] (means in [0, maxval],
-    *    luma = (r+g+b)/3) — one feature contract across all image paths.
+    *  - PPM / PNG / BMP / GIF: checksum = sum of all RGB sample bytes
+    *    (for animated GIFs: of the FIRST frame only — ImageIO.read
+    *    decodes frame 0; see [[decodeImageIo]]); features = [width,
+    *    height, maxval(255 for ImageIO), mean_r, mean_g, mean_b,
+    *    mean_luma, 0] (means in [0, maxval], luma = (r+g+b)/3) — one
+    *    feature contract across all image paths.
     *  - WAV:  checksum = sum of |sample| over all int16 PCM samples;
     *    features = [sample_rate, channels, n_samples, mean_abs, rms,
     *    peak, 0, 0].
@@ -149,12 +151,25 @@ object MultimodalOps {
     * accumulate exact integer channel sums, emit the PPM feature contract
     * (maxval reported as 255 — ImageIO normalizes to 8-bit channels).
     * Any parse failure (truncated stream, exotic subformat) returns None
-    * → fallback; alpha is ignored (RGB features only). */
+    * → fallback; alpha is ignored (RGB features only).
+    *
+    * The stream is wrapped in a MemoryCacheImageInputStream explicitly:
+    * `ImageIO.read(InputStream)` defaults to a DISK-backed cache, which
+    * creates and deletes a temp file per asset — pure overhead inside a
+    * decode stage sized at 1e9 rows, and an outright failure on executors
+    * whose `java.io.tmpdir` is unwritable. The bytes are already in
+    * memory; no spill tier makes sense.
+    *
+    * Animated GIFs: only the FIRST frame is decoded (ImageIO.read's
+    * contract) — the checksum/feature sums cover frame 0, not all
+    * frames; multi-frame sampling is the [[stubDecoder]] codec seam's
+    * job. */
   private def decodeImageIo(a: RawAsset,
                             c: Array[Byte]): Option[DecodedAsset] =
     try {
       Option(javax.imageio.ImageIO.read(
-        new java.io.ByteArrayInputStream(c))).flatMap { img =>
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(c)))).flatMap { img =>
         val w = img.getWidth
         val h = img.getHeight
         if (w <= 0 || h <= 0) None

@@ -269,12 +269,6 @@ object RelationalOps {
     }
   }
 
-  /** Domain-size ceiling for broadcasting the skyline pair set in
-    * [[skylineMinMax]]: 10M (long, long) rows ≈ 160 MB hashed — the
-    * [[GraphOps]] rank-table budget. Past it the membership join rides
-    * an AQE shuffle. */
-  private val SkylineBroadcastMaxRows = 10000000L
-
   /** 2-D skyline (Pareto frontier): the rows for which no other row is
     * at-least-as-good on BOTH axes and strictly better on one —
     * `minimize` smaller-is-better, `maximize` bigger-is-better (flip a
@@ -291,9 +285,14 @@ object RelationalOps {
     * whose best `maximize` beats every strictly-better `minimize`
     * (RANGE .. -1 = strict, so equal-`minimize` rows never dominate
     * each other through the frame); (3) rows re-attach by membership
-    * join against the checkpointed skyline pair set (broadcast under
-    * [[SkylineBroadcastMaxRows]]). Ties on both axes are mutually
-    * non-dominating and ALL kept — the standard skyline contract.
+    * join against the skyline pair set — consumed exactly ONCE, so no
+    * checkpoint and no lingering executor storage blocks (the earlier
+    * count-guarded broadcast localCheckpointed the pair set and never
+    * released it — leak per call in a long session); AQE converts the
+    * join to broadcast at runtime whenever the frontier is small, which
+    * on the discretized domains here it always is. Ties on both axes
+    * are mutually non-dominating and ALL kept — the standard skyline
+    * contract.
     *
     * `minimize` must be integral: the strict-predecessor frame is the
     * value-range [-∞, v−1], which is only "every strictly smaller
@@ -315,10 +314,7 @@ object RelationalOps {
       .withColumn("__sk_run", max(col("__sk_max")).over(strictlyCheaper))
       .filter(col("__sk_run").isNull || col("__sk_max") > col("__sk_run"))
       .select(col("__sk_min"), col("__sk_max"))
-      .localCheckpoint(true)
-    val skySide =
-      if (sky.count() <= SkylineBroadcastMaxRows) broadcast(sky) else sky
-    df.join(skySide,
+    df.join(sky,
         minimize === col("__sk_min") && maximize === col("__sk_max"))
       .drop("__sk_min", "__sk_max")
   }

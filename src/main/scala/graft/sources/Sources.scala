@@ -80,6 +80,13 @@ object Sources {
       if (schema.fieldNames.contains("_corrupt_record")) schema
       else schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
     spark.read.text(path)
+      // Skip whitespace-only lines BEFORE parsing: from_json returns a
+      // null struct for them, which j.* would flatten to an all-null row
+      // with a null _corrupt_record — i.e. a trailing newline would count
+      // as a parsed record and skew the good/corrupt audit. The
+      // file-source NDJSON path ([[ndjson]]) skips blank lines; this
+      // keeps the two paths' counts identical.
+      .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), full,
         Map("mode" -> "PERMISSIVE",
           "columnNameOfCorruptRecord" -> "_corrupt_record")).as("j"))
