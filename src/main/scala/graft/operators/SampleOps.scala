@@ -370,7 +370,17 @@ object SampleOps {
     * single argmax row is collected per round (the BPE-argmax regime —
     * rounds × 1 row, never item data). Units with zero uncovered items
     * keep a 0-gain row via the unit-list left join, so the argmax is
-    * total as long as any unit is unselected. */
+    * total as long as any unit is unselected.
+    *
+    * The covered set is maintained INCREMENTALLY (VERDICT r10 #1 nit):
+    * covered(r) = checkpoint(covered(r−1) ∪ items of the round's pick)
+    * — one union+distinct over the materialized previous set instead of
+    * re-distincting the filtered relation from scratch each round — and
+    * covered_total is the running gain sum (each gain counts exactly
+    * the items its pick newly covers, so Σgains IS the distinct covered
+    * count), eliminating the former second full count pass per round.
+    * Dead rounds' checkpoint blocks are released as the loop advances
+    * (the [[GraphOps.releaseCheckpoint]] fixpoint discipline). */
   def greedyCoverageSelect(pairs: DataFrame, unit: Column, item: Column,
                            rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
@@ -386,11 +396,9 @@ object SampleOps {
     val selected = scala.collection.mutable.ArrayBuffer.empty[String]
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long)]
+    var covered: DataFrame = null // localCheckpointed distinct item set
+    var coveredTotal = 0L         // = covered.count(), by gain algebra
     for (r <- 1 to rounds if selected.size < nUnits) {
-      val covered =
-        if (selected.isEmpty) null
-        else us.filter(col("u").isin(selected.toSeq: _*))
-          .select(col("it")).distinct()
       val uncovered =
         if (covered == null) us
         else us.join(covered, Seq("it"), "left_anti")
@@ -402,10 +410,16 @@ object SampleOps {
       // ONE bounded row crosses to the driver per round.
       val top = gains.orderBy(col("g").desc, col("u")).limit(1).head
       selected += top.getString(0)
-      val coveredTotal = us.filter(col("u").isin(selected.toSeq: _*))
-        .select(col("it")).distinct().count()
+      coveredTotal += top.getLong(1)
+      val picked = us.filter(col("u") === top.getString(0))
+        .select(col("it"))
+      val next = (if (covered == null) picked else covered.union(picked))
+        .distinct().localCheckpoint(true)
+      if (covered != null) GraphOps.releaseCheckpoint(covered)
+      covered = next
       out += ((r, top.getString(0), top.getLong(1), coveredTotal))
     }
+    if (covered != null) GraphOps.releaseCheckpoint(covered)
     us.unpersist(blocking = false)
     allUnits.unpersist(blocking = false)
     import spark.implicits._

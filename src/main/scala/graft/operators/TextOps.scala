@@ -469,6 +469,47 @@ object TextOps {
         col("n_terms"))
   }
 
+  /** [[bm25TopK]] served from a PRECOMPUTED (id, term, tf) relation —
+    * the form the session's bucketed term-frequency artifact feeds:
+    * doc lengths fold from `sum(tf)` (identical to `size(tokens)` —
+    * every token is counted once), document frequencies from the
+    * distinct-(id, term) row contract, so scores are bit-identical to
+    * the from-text path while the corpus tokenize+count shuffle is paid
+    * once per session instead of per query. `nDocs` is a 1-row frame
+    * with `__n` = TOTAL corpus document count (including docs absent
+    * from `tfRel` because their text is null — the tf relation cannot
+    * see those). */
+  def bm25TopKFromTf(tfRel: DataFrame, id: String, nDocs: DataFrame,
+                     queries: DataFrame, k: Int,
+                     k1: Double = 1.2, b: Double = 0.75,
+                     scale: Double = 1e6): DataFrame = {
+    val dl = tfRel.groupBy(col(id)).agg(sum(col("tf")).as("__dl"))
+    val g = nDocs.crossJoin(dl.agg(sum(col("__dl")).as("__sumdl")))
+    val tf = tfRel
+      .join(broadcast(queries.select(col("query_id"), col("term"))),
+        Seq("term"))
+      .select(col("query_id"), col("term"), col(id), col("tf").as("__tf"))
+      .join(dl, Seq(id))
+    val dfreq = tf.select(col("term"), col(id)).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+    val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
+    val idf = ((col("__n") - col("__df")).cast("double") + lit(0.5)) /
+      (col("__df").cast("double") + lit(0.5))
+    val satu = (col("__tf").cast("double") * lit(k1 + 1.0)) /
+      (col("__tf").cast("double") + lit(k1) *
+        (lit(1.0 - b) + lit(b) * (col("__dl").cast("double") / avgdl)))
+    val perDoc = tf.join(broadcast(dfreq), Seq("term"))
+      .crossJoin(broadcast(g))
+      .select(col("query_id"), col(id),
+        floor((idf * satu) * lit(scale)).as("__fp"))
+      .groupBy(col("query_id"), col(id))
+      .agg(sum(col("__fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+    RelationalOps.topKPerGroup(perDoc, Seq("query_id"),
+        Seq(col("score_fp").desc, col(id)), k, "rank")
+      .select(col("query_id"), col(id), col("rank"), col("score_fp"),
+        col("n_terms"))
+  }
+
   /** Positional phrase search over an inverted index with positions —
     * the retrieval primitive BM25 ([[bm25TopK]]) can't express: "these
     * terms, ADJACENT, in order". A phrase of terms t_0..t_{m-1} matches
@@ -556,10 +597,16 @@ object TextOps {
     * rank window (vocabulary-bounded groups), one combinable stats
     * aggregate. Degenerate groups (all ranks in one log2 bucket) return
     * null slope rather than dividing by zero. */
-  def zipfSlope(docs: DataFrame, group: Column, text: Column): DataFrame = {
-    val tc = docs.select(group.as("grp"), explode(tokens(text)).as("__tok"))
+  def zipfSlope(docs: DataFrame, group: Column, text: Column): DataFrame =
+    zipfSlopeFromCounts(docs
+      .select(group.as("grp"), explode(tokens(text)).as("__tok"))
       .groupBy(col("grp"), col("__tok"))
-      .agg(count(lit(1)).as("__n"))
+      .agg(count(lit(1)).as("__n")))
+
+  /** [[zipfSlope]] served from a precomputed (grp, __tok, __n) term-count
+    * relation (the bucketed tf artifact, re-grouped per source) — same
+    * exact-integer OLS, corpus tokenization paid once per session. */
+  def zipfSlopeFromCounts(tc: DataFrame): DataFrame = {
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("grp"))
       .orderBy(col("__n").desc, col("__tok"))
     val pts = tc.withColumn("__r", row_number().over(wr).cast("long"))
@@ -593,17 +640,22 @@ object TextOps {
     * bounded by vocabulary per group, combinable map-side — the 100 TB
     * shape. */
   def lexicalDiversity(docs: DataFrame, group: Column,
-                       text: Column): DataFrame = {
-    val tc = docs.select(group.as("grp"), explode(tokens(text)).as("__tok"))
-      .groupBy(col("grp"), col("__tok"))
-      .agg(count(lit(1)).as("__n"))
+                       text: Column): DataFrame =
+    lexicalDiversityFromCounts(
+      docs.select(group.as("grp"), explode(tokens(text)).as("__tok"))
+        .groupBy(col("grp"), col("__tok"))
+        .agg(count(lit(1)).as("__n")),
+      docs.groupBy(group.as("grp")).agg(count(lit(1)).as("n_docs")))
+
+  /** [[lexicalDiversity]] from a precomputed (grp, __tok, __n) term-count
+    * relation plus a (grp, n_docs) census — the tf-artifact route: every
+    * statistic folds from the same counts, bit-identical to from-text. */
+  def lexicalDiversityFromCounts(tc: DataFrame, nd: DataFrame): DataFrame = {
     val perGrp = tc.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_types"),
         sum(col("__n")).as("n_tokens"),
         sum(when(col("__n") === 1, 1L).otherwise(0L)).as("n_hapax"),
         max(col("__n")).as("top_count"))
-    val nd = docs.groupBy(group.as("grp"))
-      .agg(count(lit(1)).as("n_docs"))
     perGrp.join(nd, Seq("grp"))
       .select(col("grp"), col("n_docs"), col("n_tokens"), col("n_types"),
         col("n_hapax"), col("top_count"),
@@ -636,19 +688,23 @@ object TextOps {
     * combinable sum. At 100 TB: two bounded broadcasts + two shuffles,
     * both on pre-aggregated rows. */
   def dsirScore(docs: DataFrame, id: Column, text: Column,
-                isTarget: Column, buckets: Int): DataFrame = {
+                isTarget: Column, buckets: Int): DataFrame =
     // Eagerly checkpoint the (doc, feature) count table: raw counts,
     // target counts, totals and the final per-doc fold all branch from
     // it — without the checkpoint each branch would replay the corpus
     // tokenize+count shuffle (the q119 lesson). The table is bounded by
     // docs × min(doc_tokens, buckets) rows — far below token scale.
-    val feat = docs.select(id.as("doc_id"), isTarget.as("is_target"),
+    dsirFromFeat(docs.select(id.as("doc_id"), isTarget.as("is_target"),
         explode(tokens(text)).as("__tok"))
       .select(col("doc_id"), col("is_target"),
         pmod(hash60(col("__tok")), lit(buckets.toLong)).as("__f"))
       .groupBy(col("doc_id"), col("is_target"), col("__f"))
       .agg(count(lit(1)).as("__c"))
-      .localCheckpoint()
+      .localCheckpoint(), buckets)
+
+  /** Shared DSIR tail: feature log-ratios + per-doc fold over the
+    * checkpointed (doc_id, is_target, __f, __c) feature-count table. */
+  private def dsirFromFeat(feat: DataFrame, buckets: Int): DataFrame = {
     val raw = feat.groupBy(col("__f")).agg(sum(col("__c")).as("__nr"))
     val tgt = feat.filter(col("is_target"))
       .groupBy(col("__f")).agg(sum(col("__c")).as("__nt"))
@@ -669,6 +725,24 @@ object TextOps {
       .select(col("doc_id"), col("is_target"), col("n_tokens"),
         (col("__s") + col("n_tokens") * col("__norm")).as("dsir_score"))
   }
+
+  /** [[dsirScore]] served from a precomputed (doc_id, term, tf) relation
+    * carrying the target marker column — the tf-artifact route: the
+    * (doc, feature) counts fold as `sum(tf)` over hashed terms instead
+    * of re-exploding the corpus (identical integers — a feature's count
+    * is the same whether tokens are counted one at a time or per-term),
+    * so scores are bit-identical while the tokenize shuffle is paid once
+    * per session. The rest of the pipeline (checkpointed feature table,
+    * broadcast log-ratios, one combinable per-doc fold) is [[dsirScore]]
+    * verbatim. */
+  def dsirScoreFromTf(tfRel: DataFrame, id: Column, isTarget: Column,
+                      buckets: Int): DataFrame =
+    dsirFromFeat(tfRel.select(id.as("doc_id"), isTarget.as("is_target"),
+        pmod(hash60(col("term")), lit(buckets.toLong)).as("__f"),
+        col("tf"))
+      .groupBy(col("doc_id"), col("is_target"), col("__f"))
+      .agg(sum(col("tf")).as("__c"))
+      .localCheckpoint(), buckets)
 
   /** Cross-document boilerplate census — the C4-style screen for
     * templated spans (headers, navigation, legal footers) that repeat

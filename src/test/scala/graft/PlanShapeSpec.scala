@@ -211,17 +211,25 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles(f) <= 4, s"expected <=4 exchanges, got ${shuffles(f)}:\n$f")
   }
 
-  test("q63 inverted index: salted two-level top-8, NO window, <=2 exchanges") {
+  test("q63 inverted index: artifact-served salted two-level top-8 — " +
+    "no re-tokenize, NO window, ZERO exchanges off the term buckets") {
     val f = formatted("q63_inverted_index")
-    assert(f.contains("Generate"), "explode should plan a Generate")
+    // r11 shape: the (doc, term) pairs read off the session's bucketed
+    // tf artifact — tokenization happened once at artifact build, so the
+    // query itself plans no explode at all.
+    assert(f.contains("docterms1_"),
+      s"must read the session tf artifact:\n$f")
+    assert(!f.contains("Generate"),
+      s"no per-query explode — the artifact already tokenized:\n$f")
     // The r5 shape ran row_number over the term partition — every
     // occurrence of a hot term on ONE task for a non-combinable sort.
-    // The salted two-level merge must plan no Window at all and exactly
-    // the two bounded exchanges: (term, salt) then term.
+    // The salted two-level merge must plan no Window at all, and both
+    // aggregates ((term, salt) then term) ride the term-bucket layout:
+    // hash(term) satisfies both groupings, zero exchanges.
     assert(!f.contains("Window"),
       s"salted top-8 must not plan a Window:\n$f")
-    assert(shuffles(f) <= 2,
-      s"expected <=2 exchanges (term+salt, term), got ${shuffles(f)}:\n$f")
+    assert(shuffles(f) == 0,
+      s"expected 0 exchanges off the bucket layout, got ${shuffles(f)}:\n$f")
   }
 
   test("q70 repeated spans: fused kernel map-side, no Window, " +
@@ -825,6 +833,38 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(sortedArrays.isEmpty,
         s"adjacency arrays must not be sorted for a merge join:\n" +
           sortedArrays.mkString("\n"))
+    }
+  }
+
+  test("text family serves from the bucketed tf artifact: the session's " +
+    "first text query tokenizes the corpus ONCE; later consumers scan " +
+    "docterms and never re-explode") {
+    SparkEntry.clearSessionSweeps()
+    // First consumer pays the build (documents scan + explode + bucketed
+    // write at DataFrame construction).
+    val buildPlans = capturedPlans {
+      SparkEntry.queries("q20_word_freq")(spark, sf).collect()
+    }
+    awaitUntil(buildPlans.synchronized(
+      buildPlans.exists(_.contains("documents"))))
+    assert(buildPlans.synchronized(
+      buildPlans.exists(_.contains("documents"))),
+      "the session's first text query must build from documents")
+    // Later unigram consumers read the bucketed tf table; the corpus
+    // tokenize (a Generate over the documents scan) must NOT re-run —
+    // q41's remaining documents read is the pruned n_docs count only.
+    val serve = capturedPlans {
+      SparkEntry.queries("q41_tfidf")(spark, sf).collect()
+      SparkEntry.queries("q143_zipf_slope")(spark, sf).collect()
+    }
+    awaitUntil(serve.synchronized(
+      serve.exists(_.contains("docterms1_"))))
+    serve.synchronized {
+      assert(serve.exists(_.contains("docterms1_")),
+        "later text queries must scan the bucketed tf table")
+      assert(!serve.exists(_.contains("Generate")),
+        "the corpus tokenize must not re-run:\n" +
+          serve.filter(_.contains("Generate")).mkString("\n---\n"))
     }
   }
 
