@@ -34,6 +34,11 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
+    // Warehouse hygiene: evict per-corpus serving artifacts left behind
+    // by OTHER corpus dirs (each bench run serves exactly one).
+    try SparkEntry.dropStaleArtifacts(spark, Seq(sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] stale-artifact sweep failed: ${e.getMessage}") }
     // Warmup: run everything once untimed (codegen + classloading + IO cache).
     names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, sfDir))

@@ -7679,8 +7679,7 @@ object SparkEntry {
       s"copurchase_sym:$dir:${s.sparkContext.applicationId}", { _ =>
         val db = "graft_rollups"
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-        val table = "copurchase_sym_" +
-          java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+        val table = "copurchase_sym_" + Cat.dirHash(dir)
         // Canonical (id_a < id_b) co-purchase pairs: parts sharing an
         // order, fan-out bounded by basket width (never cartesian) —
         // ONE lineitem scan + self-join per session. The groupBy keeps
@@ -7748,8 +7747,7 @@ object SparkEntry {
       s"docterms$gram:$dir:${s.sparkContext.applicationId}", { _ =>
         val db = "graft_rollups"
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
-        val table = s"docterms${gram}_" +
-          java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+        val table = s"docterms${gram}_" + Cat.dirHash(dir)
         val term =
           if (gram == 1) explode(T.tokens(col("text")))
           else explode(T.wordShinglesMulti(T.tokens(col("text")), gram))
@@ -7781,6 +7779,14 @@ object SparkEntry {
     docTerms(s, dir)
     docTerms3(s, dir)
   }
+
+  /** Warehouse hygiene hook (Bench round reset): evict per-corpus
+    * serving tables whose corpus dir is not the one being served —
+    * without it the dir-hash-suffixed artifacts accumulate forever in a
+    * warehouse shared across corpora (VERDICT r10 #7). */
+  def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String]): Int =
+    Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
+      Seq("copurchase_sym_", "docterms1_", "docterms3_"))
 
   /** Session memo for q186's NDJSON feed export: the events table dumped
     * once per (dir, session) as line-JSON — event_id/type/user plus
@@ -8095,27 +8101,36 @@ object SparkEntry {
     * [[graft.operators.VectorOps.kmeansTrainLocal]] — one combinable
     * aggregate + K-row collect per Lloyd pass (spec-pinned equal to the
     * distributed [[graft.operators.VectorOps.kmeansTrain]] loop). */
+  /** ONE bounded training collect shared by the three index builds
+    * (ivf / pq / ivfpq — VERDICT r10 #8): the seeds (`vec_id <
+    * seedBound`) and the deterministic hash-sample under `salt` come
+    * back in a single job (IvfTrainNum doc: index builds train on a
+    * bounded sample, never the corpus). Rows are (vec_id, vector,
+    * isSeed, isTrain); only the salt and seed bound ever differed
+    * between the three formerly-triplicated scan/filter/collects. */
+  private def trainingRows(s: SparkSession, dir: String, salt: String,
+                           seedBound: Int)
+  : Seq[(Long, Array[Float], Boolean, Boolean)] =
+    t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        (col("vec_id") < seedBound).as("__seed"),
+        (Sam.sampleBucket(col("vec_id"), salt, IvfTrainDenom)
+          < IvfTrainNum).as("__train"))
+      .filter(col("__seed") || col("__train"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray,
+        r.getBoolean(2), r.getBoolean(3)))
+
   private def trainedCentroids(s: SparkSession, dir: String,
                                cells: Int, iters: Int): Vec.LocalCentroids =
     centroidSweep.centroids(
       s"ivf:$cells:$iters:$dir:${s.sparkContext.applicationId}", {
-        val e = t(s, dir, "embeddings")
-        // Seeds and the training hash-sample (IvfTrainNum doc: index
-        // builds train on a bounded sample, never the corpus) come back
-        // in ONE collect job; the Lloyd passes then run in-process
+        // One bounded collect, then the Lloyd passes run in-process
         // (kmeansTrainArrays — the FAISS shape, spec-pinned equal to
         // the distributed loop).
-        val rows = e.select(col("vec_id"), col("embedding"),
-            (col("vec_id") < cells).as("__seed"),
-            (Sam.sampleBucket(col("vec_id"), IvfTrainSalt, IvfTrainDenom)
-              < IvfTrainNum).as("__train"))
-          .filter(col("__seed") || col("__train"))
-          .collect().toSeq
-        val seed = rows.filter(_.getBoolean(2))
-          .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
-          .sortBy(_._1)
-        val trainSet = rows.filter(_.getBoolean(3))
-          .map(_.getSeq[Float](1).toArray)
+        val rows = trainingRows(s, dir, IvfTrainSalt, cells)
+        val seed = rows.filter(_._3).map(r => (r._1, r._2)).sortBy(_._1)
+        val trainSet = rows.filter(_._4).map(_._2)
         Vec.kmeansTrainArrays(trainSet, seed, iters)
       })
 
@@ -8151,21 +8166,14 @@ object SparkEntry {
     pqSweep.computeIfAbsent(
       s"pq:$PqM:$PqCodes:$PqIters:$dir:${s.sparkContext.applicationId}",
       _ => {
-        val rows = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            (col("vec_id") < PqCodes).as("__seed"),
-            (Sam.sampleBucket(col("vec_id"), PqSalt, IvfTrainDenom)
-              < IvfTrainNum).as("__train"))
-          .filter(col("__seed") || col("__train"))
-          .collect().toSeq
+        val rows = trainingRows(s, dir, PqSalt, PqCodes)
         (0 until PqM).map { sub =>
           val o = sub * PqSubDims
-          val seed = rows.filter(_.getBoolean(2))
-            .map(r => (r.getLong(0),
-              r.getSeq[Float](1).slice(o, o + PqSubDims).toArray))
+          val seed = rows.filter(_._3)
+            .map(r => (r._1, r._2.slice(o, o + PqSubDims)))
             .sortBy(_._1)
-          val trainSet = rows.filter(_.getBoolean(3))
-            .map(_.getSeq[Float](1).slice(o, o + PqSubDims).toArray)
+          val trainSet = rows.filter(_._4)
+            .map(_._2.slice(o, o + PqSubDims))
           Vec.kmeansTrainArrays(trainSet, seed, PqIters)
         }
       })
@@ -8189,20 +8197,12 @@ object SparkEntry {
       _ => {
         val coarse = trainedCentroids(s, dir, IvfCells, IvfTrainIters)
         val byCid = coarse.toMap
-        val rows = t(s, dir, "embeddings")
-          .select(col("vec_id"), col("embedding"),
-            (col("vec_id") < PqCodes).as("__seed"),
-            (Sam.sampleBucket(col("vec_id"), IvfPqSalt, IvfTrainDenom)
-              < IvfTrainNum).as("__train"))
-          .filter(col("__seed") || col("__train"))
-          .collect().toSeq
+        val rows = trainingRows(s, dir, IvfPqSalt, PqCodes)
         def residual(v: Array[Float]): Array[Float] = {
           val c = byCid(Vec.nearestCidLocal(v, coarse))
           Array.tabulate(v.length)(i => v(i) - c(i))
         }
-        val res = rows.map(r => (r.getLong(0),
-          residual(r.getSeq[Float](1).toArray),
-          r.getBoolean(2), r.getBoolean(3)))
+        val res = rows.map(r => (r._1, residual(r._2), r._3, r._4))
         (0 until PqM).map { sub =>
           val o = sub * PqSubDims
           val seed = res.filter(_._3)

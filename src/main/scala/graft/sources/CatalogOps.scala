@@ -220,4 +220,32 @@ object CatalogOps {
       sum(col(s"sum_$m")).as(s"sum_$m")) :+ sum(col("n_rows")).as("n_rows")
     r.groupBy(dims.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** Corpus-dir hash suffix for per-corpus warehouse artifact names
+    * (`copurchase_sym_<dirHash>`, `docterms1_<dirHash>`...): hex of the
+    * dir's hashCode with '-' mapped to 'n' (table names cannot carry a
+    * minus). One definition so the builders and [[dropStaleArtifacts]]
+    * can never disagree. */
+  def dirHash(dir: String): String =
+    java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+
+  /** Warehouse hygiene for per-corpus session artifacts (VERDICT r10
+    * #7): the bucketed serving tables are keyed by [[dirHash]], so a
+    * warehouse shared across corpora (or across renamed test dirs)
+    * accumulates tables whose corpus no longer exists, with no eviction
+    * path. Drops every table in `db` that matches one of the artifact
+    * `prefixes` but whose dir-hash suffix is not in `liveDirs`' hashes;
+    * returns how many were dropped. Non-artifact tables (rollups, the
+    * DDL dims) never match a prefix and are untouched. */
+  def dropStaleArtifacts(spark: SparkSession, db: String,
+                         liveDirs: Seq[String],
+                         prefixes: Seq[String]): Int = {
+    if (!spark.catalog.databaseExists(db)) return 0
+    val live = liveDirs.map(dirHash).toSet
+    val stale = spark.catalog.listTables(db).collect().map(_.name)
+      .filter(n => prefixes.exists(p => n.startsWith(p)) &&
+        !live.contains(n.substring(n.lastIndexOf('_') + 1)))
+    stale.foreach(n => spark.sql(s"DROP TABLE IF EXISTS $db.`$n`"))
+    stale.length
+  }
 }

@@ -97,6 +97,37 @@ class CatalogSpec extends AnyFunSuite {
       .set("spark.sql.sources.bucketing.autoBucketedScan.enabled", prev)
   }
 
+  test("dropStaleArtifacts evicts dir-hash tables of dead corpora and " +
+    "keeps the live corpus and non-artifact tables") {
+    val hdb = "graft_test_hygiene"
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $hdb")
+    val live = "/tmp/corpus_live"
+    val dead = "/tmp/corpus_dead"
+    def mk(name: String): Unit =
+      Seq((1L, "x")).toDF("k", "v").write.mode("overwrite")
+        .saveAsTable(s"$hdb.$name")
+    val liveT = s"docterms1_${CatalogOps.dirHash(live)}"
+    val deadT1 = s"docterms1_${CatalogOps.dirHash(dead)}"
+    val deadT2 = s"copurchase_sym_${CatalogOps.dirHash(dead)}"
+    val unrelated = "rollup_sales" // no artifact prefix — never touched
+    Seq(liveT, deadT1, deadT2, unrelated).foreach(mk)
+    val dropped = CatalogOps.dropStaleArtifacts(spark, hdb, Seq(live),
+      Seq("copurchase_sym_", "docterms1_", "docterms3_"))
+    assert(dropped == 2, s"expected 2 stale drops, got $dropped")
+    val left = spark.catalog.listTables(hdb).collect().map(_.name).toSet
+    assert(left.contains(liveT), "live-corpus artifact must survive")
+    assert(left.contains(unrelated), "non-artifact tables must survive")
+    assert(!left.contains(deadT1) && !left.contains(deadT2),
+      s"stale artifacts must be dropped, left: $left")
+    // Idempotent: a second sweep finds nothing.
+    assert(CatalogOps.dropStaleArtifacts(spark, hdb, Seq(live),
+      Seq("copurchase_sym_", "docterms1_", "docterms3_")) == 0)
+    // A database that does not exist is a no-op, not an error.
+    assert(CatalogOps.dropStaleArtifacts(spark, "graft_test_nodb",
+      Seq(live), Seq("docterms1_")) == 0)
+    spark.sql(s"DROP DATABASE $hdb CASCADE")
+  }
+
   test("materialized rollup serves coarser aggregations exactly") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

@@ -1049,6 +1049,66 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  /** Every adapted TPC-H query in the suite (SparkEntry q202-q216,
+    * q244-q250). */
+  private val tpchQueries = SparkEntry.queries.keys
+    .filter(_.contains("_tpch_")).toSeq.sorted
+
+  test("TPC-H family: no BroadcastNestedLoopJoin except known 1-row " +
+    "scalar crosses, no CartesianProduct anywhere in the 22 plans") {
+    // A Spark upgrade or AQE config drift that silently degrades a
+    // hand-picked join to BNLJ would pass correctness at sf0.01 and
+    // melt at corpus scale — pin it. The ONLY legitimate nested-loop
+    // shapes are the deliberate 1-ROW scalar cross joins (q213's max
+    // broadcast, q214/q215/q247's stats/average broadcasts).
+    val scalarCross = Set("q213_tpch_q15", "q214_tpch_q17",
+      "q215_tpch_q22", "q247_tpch_q11")
+    assert(tpchQueries.size == 22, s"expected 22 TPC-H plans: $tpchQueries")
+    for (q <- tpchQueries) {
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q plans a cartesian:\n$p")
+      if (!scalarCross.contains(q))
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          s"$q degraded to a nested loop:\n$p")
+    }
+  }
+
+  test("TPC-H dims broadcast: Q3's customer slice, Q5's supplier+nation, " +
+    "Q17's brand part list join as BroadcastHashJoin on their keys") {
+    // q214's dim join is pinned via its FACT-side key (l_partkey): the
+    // correlated stats join legitimately sort-merges on p_partkey, so
+    // the dim key alone can't discriminate the two joins.
+    for ((q, dimKeys) <- Seq(
+      "q203_tpch_q3" -> Seq("c_custkey"),
+      "q204_tpch_q5" -> Seq("s_suppkey", "n_nationkey"),
+      "q214_tpch_q17" -> Seq("l_partkey"))) {
+      val p = plan(q)
+      for (k <- dimKeys) {
+        assert(p.linesIterator.exists(l =>
+          l.contains("BroadcastHashJoin") && l.contains(k)),
+          s"$q: no BroadcastHashJoin on $k in:\n$p")
+        assert(!p.linesIterator.exists(l =>
+          (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) &&
+            l.contains(k)),
+          s"$q: dim join on $k took the shuffle path:\n$p")
+      }
+    }
+  }
+
+  test("TPC-H decorrelated subqueries keep their semi/anti shapes: " +
+    "Q4 EXISTS -> LeftSemi, Q21 NOT-EXISTS -> LeftAnti, Q20 -> LeftSemi, " +
+    "Q22 no-orders -> LeftAnti") {
+    for ((q, joinType) <- Seq(
+      "q207_tpch_q4" -> "LeftSemi",
+      "q245_tpch_q21" -> "LeftAnti",
+      "q250_tpch_q20" -> "LeftSemi",
+      "q215_tpch_q22" -> "LeftAnti")) {
+      val p = plan(q)
+      assert(p.contains(joinType),
+        s"$q: expected a $joinType join in:\n$p")
+    }
+  }
+
   test("q269 negative sampling: candidates anti-join the positives " +
     "(LeftAnti), the item-count scalar broadcasts") {
     val p = plan("q269_negative_sampling_yield")
