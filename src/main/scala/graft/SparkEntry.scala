@@ -6639,6 +6639,35 @@ object SparkEntry {
           (col("n_violations").cast("double") /
             col("n_lines").cast("double")).as("violation_rate"))),
 
+    // S9 ORC as a HASH-CHECKED query (VERDICT r10 #6, previously
+    // spec-only): a 4-column orders projection round-trips through the
+    // ORC source once per session ([[orcExport]]), then aggregates off
+    // the ORC scan. The oracle reads the ORIGINAL parquet — agreement
+    // proves the ORC write+read is lossless across longs, strings and
+    // timestamps (pushdown/pruning parity is spec-pinned separately).
+    "q337_orc_roundtrip" -> ((s, dir) =>
+      Src.orc(s, orcExport(s, dir))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("cents").cast("decimal(38,0)")).cast("double")
+            .as("total_cents"),
+          min(unix_micros(col("o_orderdate"))).as("min_date_us"),
+          max(unix_micros(col("o_orderdate"))).as("max_date_us"))),
+
+    // S9 schema-evolution as a HASH-CHECKED query (VERDICT r10 #6): the
+    // merged-schema read over the two-generation export ([[
+    // evoParquetExport]]) — generation-1 rows must surface a null
+    // `cents`, generation-2 rows their exact values. The oracle reads
+    // the SAME files with union_by_name, pinning Spark's mergeSchema
+    // against DuckDB's independent schema-union semantics.
+    "q338_schema_evolution_read" -> ((s, dir) =>
+      Src.parquetMerged(s, evoParquetExport(s, dir))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("cents")).as("n_cents_present"),
+          sum(col("cents").cast("decimal(38,0)")).cast("double")
+            .as("sum_cents"))),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -7836,6 +7865,52 @@ object SparkEntry {
         t(s, dir, "events").select(line.as("value"))
           .write.mode("overwrite").text(NdjsonFeedDir)
         s"$NdjsonFeedDir/part-*"
+      })
+
+  /** Session memo for q337's ORC export: a 4-column orders projection
+    * round-tripped through the ORC source ([[graft.sources.Sources]]
+    * writeOrc/orc). The oracle cannot read ORC — it reads the ORIGINAL
+    * parquet and must agree value-for-value with what comes back out of
+    * the ORC files, which is exactly the losslessness the audit
+    * asserts (longs, strings, timestamps). Fixed path, q186's trade. */
+  private val orcExportMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val OrcExportDir = "/tmp/graft_orc_export"
+
+  private def orcExport(s: SparkSession, dir: String): String =
+    orcExportMemo.computeIfAbsent(
+      s"orc:$dir:${s.sparkContext.applicationId}", { _ =>
+        Src.writeOrc(t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_orderpriority"),
+            expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
+            col("o_orderdate")), OrcExportDir)
+        OrcExportDir
+      })
+
+  /** Session memo for q338's schema-evolution export: the append-only
+    * lake whose producer GREW a column mid-history — generation 1 files
+    * carry (event_id, event_type, user_id), generation 2 adds `cents`;
+    * both land in ONE directory (plain parquet appends, no metastore),
+    * and the merged-schema read must surface generation-1 rows with a
+    * null `cents`. The oracle reads the SAME files with
+    * `union_by_name=true`, so the check pins Spark's mergeSchema
+    * against an independent engine's schema-union semantics. */
+  private val evoParquetMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val EvoParquetDir = "/tmp/graft_evo_parquet"
+
+  private def evoParquetExport(s: SparkSession, dir: String): String =
+    evoParquetMemo.computeIfAbsent(
+      s"evo:$dir:${s.sparkContext.applicationId}", { _ =>
+        val ev = t(s, dir, "events").select(col("event_id"),
+          col("event_type"), col("user_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        ev.filter(pmod(col("event_id"), lit(2L)) === 0)
+          .drop("cents")
+          .write.mode("overwrite").parquet(EvoParquetDir)
+        ev.filter(pmod(col("event_id"), lit(2L)) === 1)
+          .write.mode("append").parquet(EvoParquetDir)
+        EvoParquetDir
       })
 
   /** Session sweep for the TRAINED IVF centroids shared by q34 and q49's
@@ -14867,6 +14942,30 @@ object SparkEntry {
         |  THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)
         |  AS violation_rate
         |FROM lineitem GROUP BY 1""".stripMargin,
+
+    // q337 twin: DuckDB has no ORC reader, so the oracle aggregates the
+    // ORIGINAL orders parquet — equality with the Spark side's ORC-read
+    // aggregate is precisely the round-trip-losslessness claim.
+    "q337_orc_roundtrip" ->
+      """SELECT o_orderpriority,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS DOUBLE)
+        |  AS total_cents,
+        | CAST(min(epoch_us(o_orderdate)) AS BIGINT) AS min_date_us,
+        | CAST(max(epoch_us(o_orderdate)) AS BIGINT) AS max_date_us
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // q338 twin: the SAME two-generation files, union_by_name supplying
+    // the missing generation-1 `cents` as NULL — DuckDB's independent
+    // schema-union must census identically to Spark's mergeSchema.
+    "q338_schema_evolution_read" ->
+      """SELECT event_type,
+        | CAST(count(*) AS BIGINT) AS n_rows,
+        | CAST(count(cents) AS BIGINT) AS n_cents_present,
+        | CAST(sum(cents) AS DOUBLE) AS sum_cents
+        |FROM read_parquet('/tmp/graft_evo_parquet/*.parquet',
+        |  union_by_name=true)
+        |GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
     // PRECEDING), the same ilog2(ms+1) quantization via length(bin(x))-1.
