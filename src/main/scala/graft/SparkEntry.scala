@@ -6668,6 +6668,78 @@ object SparkEntry {
           sum(col("cents").cast("decimal(38,0)")).cast("double")
             .as("sum_cents"))),
 
+    // Term burstiness (Church & Gale's Fano-factor signal): templated /
+    // boilerplate terms repeat WITHIN the docs that contain them
+    // (variance ≫ mean of per-doc tf); content words approach Poisson.
+    // Exact integer sufficient statistics off the session tf artifact
+    // (df, Σtf, Σtf² — bucket-local), decimal(38,0) cross products,
+    // ONE double division; corpus-relative df floor (df·100 ≥ n_docs);
+    // top-20 as TakeOrdered.
+    "q339_term_burstiness" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val st = docTerms(s, dir)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("s1"),
+          sum(col("tf") * col("tf")).as("s2"))
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      st.crossJoin(broadcast(nd))
+        .filter(col("df") * lit(100L) >= col("n_docs"))
+        .select(col("term"), col("df"), col("s1"),
+          ((col("df").cast(D) * col("s2").cast(D) -
+            col("s1").cast(D) * col("s1").cast(D)).cast("double") /
+            (col("df").cast(D) * col("s1").cast(D)).cast("double"))
+            .as("fano"))
+        .orderBy(col("fano").desc, col("term"))
+        .limit(20)
+    }),
+
+    // Pairwise source vocabulary overlap — the unigram complement of
+    // q141's 13-gram contamination matrix, served from the tf artifact:
+    // distinct (source, term) pairs (bucket-local distinct), per-term
+    // source self-join with fan-out bounded by sources² (never corpus),
+    // totals broadcast, Jaccard one int/int division.
+    "q340_source_vocab_overlap" -> ((s, dir) => {
+      val sv = docTerms(s, dir).select(col("source"), col("term"))
+        .distinct()
+      val tot = sv.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sv.select(col("source").as("src_a"), col("term"))
+        .join(sv.select(col("source").as("src_b"),
+          col("term").as("__t2")),
+          col("term") === col("__t2") && col("src_a") < col("src_b"))
+        .groupBy(col("src_a"), col("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+        .join(broadcast(tot.select(col("source").as("src_a"),
+          col("n").as("n_a"))), Seq("src_a"))
+        .join(broadcast(tot.select(col("source").as("src_b"),
+          col("n").as("n_b"))), Seq("src_b"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"),
+          col("n_b"),
+          (col("n_common").cast("double") /
+            (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+            .as("jaccard"))
+    }),
+
+    // Out-of-vocabulary share per source — the tokenizer-coverage audit
+    // a fixed-vocab training run needs: the share of trigram
+    // OCCURRENCES outside the corpus top-1000 (deterministic
+    // (count desc, term) cut, broadcast), per source. All counts fold
+    // from the trigram artifact; the rate is one division.
+    "q341_oov_rate" -> ((s, dir) => {
+      val top = docTerms3(s, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("__c"))
+        .orderBy(col("__c").desc, col("term")).limit(1000)
+        .select(col("term"), lit(1).as("__in"))
+      docTerms3(s, dir)
+        .join(broadcast(top), Seq("term"), "left")
+        .groupBy(col("source"))
+        .agg(sum(col("tf")).as("n_tokens"),
+          sum(when(col("__in").isNull, col("tf")).otherwise(0L))
+            .as("n_oov"))
+        .select(col("source"), col("n_tokens"), col("n_oov"),
+          (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+            .as("oov_share"))
+    }),
+
     // l-diversity census — the attribute-disclosure audit k-anonymity
     // (q116) can't see: a block where every member shares one sensitive
     // value re-identifies the ATTRIBUTE even at k ≥ 8. Blocks =
@@ -14965,6 +15037,71 @@ object SparkEntry {
         | CAST(sum(cents) AS DOUBLE) AS sum_cents
         |FROM read_parquet('/tmp/graft_evo_parquet/*.parquet',
         |  union_by_name=true)
+        |GROUP BY 1""".stripMargin,
+
+    // q339 twin: same tf/df/Σtf² integers, HUGEINT cross products, one
+    // double division, same (fano desc, term) TakeOrdered cut.
+    "q339_term_burstiness" ->
+      """WITH tf AS (SELECT doc_id, tok AS term,
+        |  CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents) GROUP BY 1, 2),
+        |st AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS s1,
+        |  CAST(sum(tf * tf) AS BIGINT) AS s2
+        | FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT term, df, s1,
+        | CAST(CAST(df AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1
+        |  AS DOUBLE) /
+        | CAST(CAST(df AS HUGEINT) * s1 AS DOUBLE) AS fano
+        |FROM st, n
+        |WHERE df * 100 >= n_docs
+        |ORDER BY fano DESC, term
+        |LIMIT 20""".stripMargin,
+
+    // q340 twin: distinct (source, term) sets, per-term pair join,
+    // Jaccard as one int/int division.
+    "q340_source_vocab_overlap" ->
+      """WITH sv AS (SELECT DISTINCT source, tok AS term
+        | FROM (SELECT source, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents)),
+        |tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        | FROM sv GROUP BY 1),
+        |p AS (SELECT a.source AS src_a, b.source AS src_b,
+        |  CAST(count(*) AS BIGINT) AS n_common
+        | FROM sv a JOIN sv b ON a.term = b.term AND a.source < b.source
+        | GROUP BY 1, 2)
+        |SELECT p.src_a, p.src_b, p.n_common, ta.n AS n_a, tb.n AS n_b,
+        | CAST(p.n_common AS DOUBLE) /
+        |  CAST(ta.n + tb.n - p.n_common AS DOUBLE) AS jaccard
+        |FROM p
+        |JOIN tot ta ON p.src_a = ta.source
+        |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q341 twin: same trigram tf relation, same deterministic top-1000
+    // cut, same occurrence-weighted OOV share.
+    "q341_oov_rate" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |  string_split(text, ' ') AS w FROM documents
+        | WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, source,
+        |  w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS term,
+        |  CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, source, w,
+        |        unnest(generate_series(1, len(w) - 2)) AS i
+        |       FROM toks WHERE len(w) >= 3)
+        | GROUP BY 1, 2, 3),
+        |top AS (SELECT term FROM
+        |  (SELECT term, sum(tf) AS c FROM tf GROUP BY 1)
+        | ORDER BY c DESC, term LIMIT 1000)
+        |SELECT tf.source,
+        | CAST(sum(tf.tf) AS BIGINT) AS n_tokens,
+        | CAST(sum(CASE WHEN top.term IS NULL THEN tf.tf ELSE 0 END)
+        |  AS BIGINT) AS n_oov,
+        | CAST(sum(CASE WHEN top.term IS NULL THEN tf.tf ELSE 0 END)
+        |  AS DOUBLE) / CAST(sum(tf.tf) AS DOUBLE) AS oov_share
+        |FROM tf LEFT JOIN top ON tf.term = top.term
         |GROUP BY 1""".stripMargin,
 
     // q201 twin: the same arrival-ordered running max (ROWS ... 1
