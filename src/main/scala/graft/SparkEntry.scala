@@ -4318,19 +4318,25 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "region")),
           col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"), col("n_name"))
-        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
+        // per-nation group scales with the corpus: sum and window-sum
+        // stay EXACT in decimal(38,0) (a LongType sum of ~1e11/row
+        // products wraps at 100-TB scale; a double window-sum would be
+        // frame-order-divergent), double casts only at output.
+        .agg(sum((expr("CAST(round(l_extendedprice * 100) AS BIGINT)") *
           (lit(10000L) -
             expr("CAST(round(l_discount * 10000) AS BIGINT)")))
-          .as("rev_e4"))
+          .cast("decimal(38,0)"))
+          .as("__rev_d"))
       val wr = Window.partitionBy(col("r_name"))
       rev
-        .withColumn("region_e4", sum(col("rev_e4")).over(wr))
+        .withColumn("__region_d", sum(col("__rev_d")).over(wr))
         .withColumn("rank_in_region", rank().over(
-          wr.orderBy(col("rev_e4").desc, col("n_name"))).cast("long"))
-        .select(col("r_name"), col("n_name"), col("rev_e4"),
+          wr.orderBy(col("__rev_d").desc, col("n_name"))).cast("long"))
+        .select(col("r_name"), col("n_name"),
+          col("__rev_d").cast("double").as("rev_e4"),
           col("rank_in_region"),
-          (col("rev_e4").cast("double") /
-            col("region_e4").cast("double")).as("share_of_region"))
+          (col("__rev_d").cast("double") /
+            col("__region_d").cast("double")).as("share_of_region"))
     }),
 
     // Consistent-hash shard rebalance planner (64 → 96 shards): how
@@ -5106,7 +5112,10 @@ object SparkEntry {
             .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
         .cube(col("r_name"), col("o_year"), col("p_type"))
-        .agg(sum(col("rev")).as("revenue_e4"),
+        // the cube's grand-total cell sums the WHOLE corpus's e4
+        // products → decimal(38,0), ONE double cast (HUGEINT twin).
+        .agg(sum(col("rev").cast("decimal(38,0)")).cast("double")
+            .as("revenue_e4"),
           count(lit(1)).as("n_lines"))),
 
     // Join-cardinality estimation audit (the System-R formula a CBO
@@ -6197,7 +6206,10 @@ object SparkEntry {
         .filter(col("s_nationkey") =!= col("c_nationkey"))
         .groupBy(col("s_nationkey").as("from_n"),
           col("c_nationkey").as("to_n"))
-        .agg(sum(col("rev")).as("rev"))
+        // nation-pair flows scale with the corpus → EXACT decimal(38,0)
+        // sums; the |balance| ordering runs on the exact decimals and
+        // the double cast happens only at output.
+        .agg(sum(col("rev").cast("decimal(38,0)")).as("rev"))
       val lo = least(col("from_n"), col("to_n"))
       val hi = greatest(col("from_n"), col("to_n"))
       flow
@@ -6205,9 +6217,11 @@ object SparkEntry {
           when(col("from_n") < col("to_n"), col("rev"))
             .otherwise(-col("rev")).as("signed"))
         .groupBy(col("na"), col("nb"))
-        .agg(sum(col("signed")).as("balance_e4"))
-        .orderBy(abs(col("balance_e4")).desc, col("na"), col("nb"))
+        .agg(sum(col("signed")).as("__bal_d"))
+        .orderBy(abs(col("__bal_d")).desc, col("na"), col("nb"))
         .limit(15)
+        .select(col("na"), col("nb"),
+          col("__bal_d").cast("double").as("balance_e4"))
     }),
 
     // Suspect-duplicate orders: same customer, same total (cents),
@@ -6479,12 +6493,16 @@ object SparkEntry {
               lit(10000L) *
               expr("CAST(round(l_quantity) AS BIGINT)")).as("profit"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_lines"), sum(col("rev")).as("rev_e4"),
-          sum(col("profit")).as("profit_e4"))
-        .select(col("p_brand"), col("n_lines"), col("rev_e4"),
-          col("profit_e4"),
-          (col("profit_e4").cast("double") /
-            col("rev_e4").cast("double")).as("margin_rate"))),
+        // per-brand groups scale with the corpus → decimal(38,0) sums,
+        // double casts at output only (HUGEINT twin).
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("rev").cast("decimal(38,0)")).as("__rev_d"),
+          sum(col("profit").cast("decimal(38,0)")).as("__profit_d"))
+        .select(col("p_brand"), col("n_lines"),
+          col("__rev_d").cast("double").as("rev_e4"),
+          col("__profit_d").cast("double").as("profit_e4"),
+          (col("__profit_d").cast("double") /
+            col("__rev_d").cast("double")).as("margin_rate"))),
 
     // Cross-border buyer census: how many distinct supplier nations
     // does each customer buy from — the international-exposure
@@ -13242,19 +13260,19 @@ object SparkEntry {
 
     "q257_ratio_to_report" ->
       """WITH rev AS (SELECT r.r_name, n.n_name,
-        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
+        |  sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |   (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |   AS BIGINT) AS rev_e4
+        |   AS rev_d
         | FROM lineitem l
         | JOIN supplier s ON l.l_suppkey = s.s_suppkey
         | JOIN nation n ON s.s_nationkey = n.n_nationkey
         | JOIN region r ON n.n_regionkey = r.r_regionkey
         | GROUP BY 1, 2)
-        |SELECT r_name, n_name, rev_e4,
+        |SELECT r_name, n_name, CAST(rev_d AS DOUBLE) AS rev_e4,
         | CAST(rank() OVER (PARTITION BY r_name
-        |  ORDER BY rev_e4 DESC, n_name) AS BIGINT) AS rank_in_region,
-        | CAST(rev_e4 AS DOUBLE) /
-        |  CAST(sum(rev_e4) OVER (PARTITION BY r_name) AS DOUBLE)
+        |  ORDER BY rev_d DESC, n_name) AS BIGINT) AS rank_in_region,
+        | CAST(rev_d AS DOUBLE) /
+        |  CAST(sum(rev_d) OVER (PARTITION BY r_name) AS DOUBLE)
         |  AS share_of_region
         |FROM rev""".stripMargin,
 
@@ -13844,7 +13862,7 @@ object SparkEntry {
         | p.p_type,
         | CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT) *
         |  (10000 - CAST(round(l.l_discount * 10000) AS BIGINT)))
-        |  AS BIGINT) AS revenue_e4,
+        |  AS DOUBLE) AS revenue_e4,
         | CAST(count(*) AS BIGINT) AS n_lines
         |FROM lineitem l
         |JOIN orders o ON l.l_orderkey = o.o_orderkey
@@ -14684,7 +14702,7 @@ object SparkEntry {
         |SELECT CAST(least(from_n, to_n) AS BIGINT) AS na,
         | CAST(greatest(from_n, to_n) AS BIGINT) AS nb,
         | CAST(sum(CASE WHEN from_n < to_n THEN rev ELSE -rev END)
-        |  AS BIGINT) AS balance_e4
+        |  AS DOUBLE) AS balance_e4
         |FROM flow
         |GROUP BY 1, 2
         |ORDER BY abs(sum(CASE WHEN from_n < to_n THEN rev
@@ -14874,8 +14892,8 @@ object SparkEntry {
         |   CAST(round(l.l_quantity) AS BIGINT) AS profit
         | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey)
         |SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
-        | CAST(sum(rev) AS BIGINT) AS rev_e4,
-        | CAST(sum(profit) AS BIGINT) AS profit_e4,
+        | CAST(sum(rev) AS DOUBLE) AS rev_e4,
+        | CAST(sum(profit) AS DOUBLE) AS profit_e4,
         | CAST(sum(profit) AS DOUBLE) / CAST(sum(rev) AS DOUBLE)
         |  AS margin_rate
         |FROM x GROUP BY 1""".stripMargin,
