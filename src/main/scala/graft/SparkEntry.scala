@@ -6737,6 +6737,78 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Bigram lift (the PMI collocation signal with the transcendental
+    // removed): lift(a b) = c_ab·N / (c_a·c_b) — >1 means the pair
+    // co-occurs above independence. Bigram counts come from the gram=2
+    // tf artifact, unigram counts and the N total from the gram=1
+    // artifact; a corpus-relative df floor (df·100 ≥ n_docs) keeps the
+    // tail out. Exact decimal(38,0) cross products, ONE double
+    // division, top-20 TakeOrdered.
+    "q342_bigram_lift" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
+      val big = docTermsBucketed(s, dir, 2)
+        .groupBy(col("term"))
+        .agg(count(lit(1)).as("df"), sum(col("tf")).as("c_ab"))
+        .crossJoin(broadcast(nd))
+        .filter(col("df") * lit(100L) >= col("n_docs"))
+        .select(col("term"), col("c_ab"),
+          split(col("term"), " ").getItem(0).as("__wa"),
+          split(col("term"), " ").getItem(1).as("__wb"))
+      val uni = docTerms(s, dir)
+        .groupBy(col("term")).agg(sum(col("tf")).as("c"))
+      val n = uni.agg(sum(col("c")).as("n_toks"))
+      big
+        .join(uni.select(col("term").as("__wa"), col("c").as("c_a")),
+          Seq("__wa"))
+        .join(uni.select(col("term").as("__wb"), col("c").as("c_b")),
+          Seq("__wb"))
+        .crossJoin(broadcast(n))
+        .select(col("term").as("bigram"), col("c_ab"), col("c_a"),
+          col("c_b"),
+          ((col("c_ab").cast(D) * col("n_toks").cast(D)).cast("double") /
+            (col("c_a").cast(D) * col("c_b").cast(D)).cast("double"))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("bigram"))
+        .limit(20)
+    }),
+
+    // Per-doc type-token-ratio deciles — the repetitiveness histogram a
+    // curation dashboard reads next to q135's per-source panel: decile
+    // = ⌊10·types/tokens⌋ (exact ints; 10 = every token distinct).
+    // Both per-doc counts fold from the tf artifact; output ≤ 11 rows.
+    "q343_doc_ttr_deciles" -> ((s, dir) =>
+      docTerms(s, dir)
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__types"), sum(col("tf")).as("__toks"))
+        .groupBy(expr("CAST((__types * 10) div __toks AS INT)")
+          .as("ttr_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__toks")).as("n_tokens"),
+          sum(col("__types")).as("n_types"))),
+
+    // Corpus-hapax TRIGRAM share per doc, censused — how much of each
+    // doc's phrasing appears NOWHERE else (high = genuinely novel text;
+    // zero = fully templated; the corpus's unigram vocabulary is too
+    // small to carry hapax signal, trigrams do). The global df census
+    // is bucket-local, the join back to postings rides the same
+    // buckets, per-doc counts shuffle compact ints; ≤ 11 output rows.
+    "q344_doc_hapax_share" -> ((s, dir) => {
+      val dfreq = docTerms3(s, dir)
+        .groupBy(col("term")).agg(count(lit(1)).as("__df"))
+      docTerms3(s, dir)
+        .select(col("doc_id"), col("term"))
+        .join(dfreq, Seq("term"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("__types"),
+          sum(when(col("__df") === 1L, 1L).otherwise(0L)).as("__hapax"))
+        .groupBy(expr("CAST((__hapax * 10) div __types AS INT)")
+          .as("hapax_decile"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("__types")).as("n_types"),
+          sum(col("__hapax")).as("n_hapax"))
+    }),
+
     // Out-of-vocabulary share per source — the tokenizer-coverage audit
     // a fixed-vocab training run needs: the share of trigram
     // OCCURRENCES outside the corpus top-1000 (deterministic
@@ -7896,6 +7968,7 @@ object SparkEntry {
   def warmSessionArtifacts(s: SparkSession, dir: String): Unit = {
     coPurchaseSymTable(s, dir)
     docTerms(s, dir)
+    docTermsBucketed(s, dir, 2)
     docTerms3(s, dir)
   }
 
@@ -7905,7 +7978,7 @@ object SparkEntry {
     * warehouse shared across corpora (VERDICT r10 #7). */
   def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String]): Int =
     Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
-      Seq("copurchase_sym_", "docterms1_", "docterms3_"))
+      Seq("copurchase_sym_", "docterms1_", "docterms2_", "docterms3_"))
 
   /** Session memo for q186's NDJSON feed export: the events table dumped
     * once per (dir, session) as line-JSON — event_id/type/user plus
@@ -15096,6 +15169,69 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q342 twin: same bigram/unigram counts, HUGEINT cross products,
+    // one double division, same (lift desc, bigram) cut.
+    "q342_bigram_lift" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS term,
+        |  CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1))
+        |        AS i FROM toks WHERE len(w) >= 2)
+        | GROUP BY 1, 2),
+        |big AS (SELECT term, CAST(count(*) AS BIGINT) AS df,
+        |  CAST(sum(tf) AS BIGINT) AS c_ab FROM bg GROUP BY 1),
+        |uni AS (SELECT tok AS term, CAST(count(*) AS BIGINT) AS c
+        | FROM (SELECT unnest(string_split(text, ' ')) AS tok
+        |       FROM documents) GROUP BY 1),
+        |n AS (SELECT CAST(sum(c) AS BIGINT) AS n_toks FROM uni),
+        |nd AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT big.term AS bigram, big.c_ab, ua.c AS c_a, ub.c AS c_b,
+        | CAST(CAST(big.c_ab AS HUGEINT) * n.n_toks AS DOUBLE) /
+        |  CAST(CAST(ua.c AS HUGEINT) * ub.c AS DOUBLE) AS lift
+        |FROM big, n, nd, uni ua, uni ub
+        |WHERE string_split(big.term, ' ')[1] = ua.term
+        | AND string_split(big.term, ' ')[2] = ub.term
+        | AND big.df * 100 >= nd.n_docs
+        |ORDER BY lift DESC, bigram
+        |LIMIT 20""".stripMargin,
+
+    // q343 twin: same per-doc type/token folds, same integer decile.
+    "q343_doc_ttr_deciles" ->
+      """WITH tf AS (SELECT doc_id, tok AS term,
+        |  CAST(count(*) AS BIGINT) AS tf
+        | FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |       FROM documents) GROUP BY 1, 2),
+        |d AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS types,
+        |  CAST(sum(tf) AS BIGINT) AS toks FROM tf GROUP BY 1)
+        |SELECT CAST((types * 10) // toks AS INT) AS ttr_decile,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(toks) AS BIGINT) AS n_tokens,
+        | CAST(sum(types) AS BIGINT) AS n_types
+        |FROM d GROUP BY 1""".stripMargin,
+
+    // q344 twin: same trigram df census, same per-doc hapax counts,
+    // same integer decile.
+    "q344_doc_hapax_share" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w
+        | FROM documents WHERE text IS NOT NULL),
+        |tf AS (SELECT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+        |  AS term
+        | FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 2))
+        |        AS i FROM toks WHERE len(w) >= 3)
+        | GROUP BY 1, 2),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+        | FROM tf GROUP BY 1),
+        |d AS (SELECT tf.doc_id, CAST(count(*) AS BIGINT) AS types,
+        |  CAST(sum(CASE WHEN dfq.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |   AS hapax
+        | FROM tf JOIN dfq ON tf.term = dfq.term GROUP BY 1)
+        |SELECT CAST((hapax * 10) // types AS INT) AS hapax_decile,
+        | CAST(count(*) AS BIGINT) AS n_docs,
+        | CAST(sum(types) AS BIGINT) AS n_types,
+        | CAST(sum(hapax) AS BIGINT) AS n_hapax
+        |FROM d GROUP BY 1""".stripMargin,
 
     // q341 twin: same trigram tf relation, same deterministic top-1000
     // cut, same occurrence-weighted OOV share.
