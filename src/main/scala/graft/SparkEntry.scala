@@ -6737,6 +6737,73 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // RFM segmentation grid — the classic customer cut: recency (last
+    // order day), frequency (order count), monetary (lifetime cents),
+    // each split high/low at its EXACT corpus median (the q251/q335
+    // discrete-histogram rule: min value with cum·2 ≥ n — every metric
+    // quantizes to a bounded integer domain: days, counts, whole
+    // dollars), then the 8-cell census. Three 1-row medians broadcast;
+    // no window over raw customers.
+    "q345_rfm_segments" -> ((s, dir) => {
+      val per = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max(expr("unix_micros(o_orderdate) div 86400000000"))
+            .as("r_day"),
+          count(lit(1)).as("f_cnt"),
+          sum(expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+            .as("m_cents"))
+        .withColumn("m_dollars", expr("m_cents div 100"))
+        .localCheckpoint()
+      def med(c: String): DataFrame = {
+        val h = per.groupBy(col(c).as("v")).agg(count(lit(1)).as("f"))
+        val cum = h.withColumn("cum",
+          sum(col("f")).over(Window.orderBy(col("v"))))
+        cum.crossJoin(broadcast(per.agg(count(lit(1)).as("n"))))
+          .filter(col("cum") * 2 >= col("n"))
+          .agg(min(col("v")).as(s"med_$c"))
+      }
+      per
+        .crossJoin(broadcast(med("r_day")))
+        .crossJoin(broadcast(med("f_cnt")))
+        .crossJoin(broadcast(med("m_dollars")))
+        .select(
+          concat(when(col("r_day") > col("med_r_day"), lit("R"))
+              .otherwise(lit("r")),
+            when(col("f_cnt") > col("med_f_cnt"), lit("F"))
+              .otherwise(lit("f")),
+            when(col("m_dollars") > col("med_m_dollars"), lit("M"))
+              .otherwise(lit("m"))).as("segment"),
+          col("m_cents"))
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m_cents")).as("total_cents"))
+    }),
+
+    // Supplier-concentration HHI per part type — the Herfindahl index
+    // procurement risk reads (1.0 = single-source): Σ share² assembled
+    // as EXACT integer cross-products Σs²/(Σs)² in decimal(38,0) (cents
+    // scale keeps the squares under 38 digits at 100 TB; never a sum of
+    // per-supplier share doubles, whose order diverges), ONE double
+    // division per type.
+    "q346_supplier_hhi" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_type"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_type"), col("l_suppkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("c"))
+      rev.groupBy(col("p_type"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("c").cast(D)).as("__tot"),
+          sum(col("c").cast(D) * col("c").cast(D)).as("__sq"))
+        .select(col("p_type"), col("n_suppliers"),
+          col("__tot").cast("double").as("total_cents"),
+          (col("__sq").cast("double") /
+            (col("__tot") * col("__tot")).cast("double")).as("hhi"))
+    }),
+
     // Bigram lift (the PMI collocation signal with the transcendental
     // removed): lift(a b) = c_ab·N / (c_a·c_b) — >1 means the pair
     // co-occurs above independence. Bigram counts come from the gram=2
@@ -15169,6 +15236,53 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q345 twin: same per-customer folds, same discrete-histogram
+    // medians (min v with cum·2 ≥ n), same strict-> split.
+    "q345_rfm_segments" ->
+      """WITH per AS (SELECT o_custkey,
+        |  max(epoch_us(o_orderdate) // 86400000000) AS r_day,
+        |  CAST(count(*) AS BIGINT) AS f_cnt,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+        |   AS BIGINT) AS m_cents
+        | FROM orders GROUP BY 1),
+        |p2 AS (SELECT *, m_cents // 100 AS m_dollars FROM per),
+        |n AS (SELECT count(*) AS n FROM p2),
+        |mr AS (SELECT min(v) AS med FROM
+        |  (SELECT v, sum(f) OVER (ORDER BY v) AS cum FROM
+        |   (SELECT r_day AS v, count(*) AS f FROM p2 GROUP BY 1)), n
+        |  WHERE cum * 2 >= n.n),
+        |mf AS (SELECT min(v) AS med FROM
+        |  (SELECT v, sum(f) OVER (ORDER BY v) AS cum FROM
+        |   (SELECT f_cnt AS v, count(*) AS f FROM p2 GROUP BY 1)), n
+        |  WHERE cum * 2 >= n.n),
+        |mm AS (SELECT min(v) AS med FROM
+        |  (SELECT v, sum(f) OVER (ORDER BY v) AS cum FROM
+        |   (SELECT m_dollars AS v, count(*) AS f FROM p2 GROUP BY 1)), n
+        |  WHERE cum * 2 >= n.n)
+        |SELECT (CASE WHEN p2.r_day > mr.med THEN 'R' ELSE 'r' END ||
+        |  CASE WHEN p2.f_cnt > mf.med THEN 'F' ELSE 'f' END ||
+        |  CASE WHEN p2.m_dollars > mm.med THEN 'M' ELSE 'm' END)
+        |  AS segment,
+        | CAST(count(*) AS BIGINT) AS n_customers,
+        | CAST(sum(p2.m_cents) AS BIGINT) AS total_cents
+        |FROM p2, mr, mf, mm
+        |GROUP BY 1""".stripMargin,
+
+    // q346 twin: same per-(type, supplier) cents, HUGEINT cross
+    // products, one double division.
+    "q346_supplier_hhi" ->
+      """WITH rev AS (SELECT p.p_type, l.l_suppkey,
+        |  CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS c
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1, 2)
+        |SELECT p_type, CAST(count(*) AS BIGINT) AS n_suppliers,
+        | CAST(sum(CAST(c AS HUGEINT)) AS DOUBLE) AS total_cents,
+        | CAST(sum(CAST(c AS HUGEINT) * c) AS DOUBLE) /
+        |  CAST(sum(CAST(c AS HUGEINT)) * sum(CAST(c AS HUGEINT))
+        |   AS DOUBLE) AS hhi
+        |FROM rev GROUP BY 1""".stripMargin,
 
     // q342 twin: same bigram/unigram counts, HUGEINT cross products,
     // one double division, same (lift desc, bigram) cut.
