@@ -6737,6 +6737,44 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Discount-dispersion census — how consistently is each part
+    // discounted across its lines? (A wide spread means ad-hoc deals;
+    // extendedprice itself scales with quantity, so the honest
+    // consistency signal on this schema is the discount.) Per-part
+    // min/max basis points (part-bounded groups), spread bucketed to
+    // 100-bp bands — a ≤ 11-row census with exact revenue mass.
+    "q347_discount_dispersion" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(min(expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+            .as("mn"),
+          max(expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+            .as("mx"),
+          count(lit(1)).as("n"),
+          sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+            .as("cents"))
+        .groupBy(expr("(mx - mn) div 100").cast("int")
+          .as("spread_bucket"))
+        .agg(count(lit(1)).as("n_parts"), sum(col("n")).as("n_lines"),
+          sum(col("cents")).as("total_cents"))),
+
+    // Lines-per-order trend — the basket fill-rate series a demand
+    // planner watches: per order month, order count, line count, and
+    // the ratio as ONE division (the q319 trend discipline on a new
+    // axis). Integer month ordinal (year·12+month), no interval math.
+    "q348_fill_rate_trend" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy((year(col("o_orderdate")) * 12 +
+          month(col("o_orderdate")) - 1).as("mi"))
+        .agg(countDistinct(col("o_orderkey")).as("n_orders"),
+          count(lit(1)).as("n_lines"))
+        .select(col("mi"), col("n_orders"), col("n_lines"),
+          (col("n_lines").cast("double") /
+            col("n_orders").cast("double")).as("lines_per_order"))),
+
     // RFM segmentation grid — the classic customer cut: recency (last
     // order day), frequency (order count), monetary (lifetime cents),
     // each split high/low at its EXACT corpus median (the q251/q335
@@ -15236,6 +15274,33 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q347 twin: same per-part min/max basis points, same 100-bp band.
+    "q347_discount_dispersion" ->
+      """WITH p AS (SELECT l_partkey,
+        |  min(CAST(round(l_discount * 10000) AS BIGINT)) AS mn,
+        |  max(CAST(round(l_discount * 10000) AS BIGINT)) AS mx,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1)
+        |SELECT CAST((mx - mn) // 100 AS INT) AS spread_bucket,
+        | CAST(count(*) AS BIGINT) AS n_parts,
+        | CAST(sum(n) AS BIGINT) AS n_lines,
+        | CAST(sum(cents) AS BIGINT) AS total_cents
+        |FROM p GROUP BY 1""".stripMargin,
+
+    // q348 twin: same month ordinal, same counts, one division.
+    "q348_fill_rate_trend" ->
+      """SELECT CAST(year(o.o_orderdate) * 12 + month(o.o_orderdate) - 1
+        |  AS INT) AS mi,
+        | CAST(count(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(count(*) AS DOUBLE) /
+        |  CAST(count(DISTINCT o.o_orderkey) AS DOUBLE)
+        |  AS lines_per_order
+        |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |GROUP BY 1""".stripMargin,
 
     // q345 twin: same per-customer folds, same discrete-histogram
     // medians (min v with cum·2 ≥ n), same strict-> split.
