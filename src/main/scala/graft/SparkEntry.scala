@@ -6737,6 +6737,62 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Return rate per brand with its 95% Wilson band (q181's error-bar
+    // discipline on the returns signal): exact line counts, the band
+    // from integer sufficient statistics — the screen that separates a
+    // genuinely troubled brand from small-sample noise.
+    "q349_return_rate_by_brand" -> ((s, dir) => {
+      val agg = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("n_returned"))
+      val (lo, hi) = An.wilsonBounds(col("n_returned"), col("n_lines"),
+        1.96)
+      agg.select(col("p_brand"), col("n_lines"), col("n_returned"),
+        (col("n_returned").cast("double") / col("n_lines").cast("double"))
+          .as("return_rate"),
+        lo.as("wilson_lo"), hi.as("wilson_hi"))
+    }),
+
+    // Nation-affinity lift — which (customer nation → supplier nation)
+    // lanes trade ABOVE independence? lift = n_cs·N / (n_c·n_s) on
+    // exact line counts (the q342 lift algebra on the trade graph);
+    // decimal(38,0) cross products, one division, top-10 lanes.
+    "q350_nation_affinity" -> ((s, dir) => {
+      val D = "decimal(38,0)"
+      val flows = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_suppkey"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer")
+            .select(col("c_custkey"), col("c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("cn"), col("s_nationkey").as("sn"))
+        .localCheckpoint()
+      val cs = flows.groupBy(col("cn"), col("sn"))
+        .agg(count(lit(1)).as("n_cs"))
+      val cTot = flows.groupBy(col("cn")).agg(count(lit(1)).as("n_c"))
+      val sTot = flows.groupBy(col("sn")).agg(count(lit(1)).as("n_s"))
+      val n = flows.agg(count(lit(1)).as("n_all"))
+      cs.join(broadcast(cTot), Seq("cn"))
+        .join(broadcast(sTot), Seq("sn"))
+        .crossJoin(broadcast(n))
+        .select(col("cn"), col("sn"), col("n_cs"),
+          ((col("n_cs").cast(D) * col("n_all").cast(D)).cast("double") /
+            (col("n_c").cast(D) * col("n_s").cast(D)).cast("double"))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("cn"), col("sn"))
+        .limit(10)
+    }),
+
     // Discount-dispersion census — how consistently is each part
     // discounted across its lines? (A wide spread means ad-hoc deals;
     // extendedprice itself scales with quantity, so the honest
@@ -15274,6 +15330,55 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q349 twin: q181's Wilson expression sequence token-for-token on
+    // the returns signal.
+    "q349_return_rate_by_brand" ->
+      """WITH a AS (SELECT p.p_brand,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+        |   AS BIGINT) AS s
+        | FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        | GROUP BY 1),
+        |b AS (SELECT p_brand, n, s,
+        |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+        |  CAST(n AS DOUBLE) AS nd,
+        |  CAST(1.96 AS DOUBLE) AS zc,
+        |  CAST(1.96 AS DOUBLE) * CAST(1.96 AS DOUBLE) AS zz FROM a),
+        |c AS (SELECT p_brand, n, s, p,
+        |  CAST(1.0 AS DOUBLE) + zz / nd AS denom,
+        |  p + zz / (CAST(2.0 AS DOUBLE) * nd) AS center,
+        |  zc * sqrt((p * (CAST(1.0 AS DOUBLE) - p)) / nd +
+        |    zz / ((CAST(4.0 AS DOUBLE) * nd) * nd)) AS margin FROM b)
+        |SELECT p_brand, n AS n_lines, s AS n_returned,
+        | p AS return_rate,
+        | greatest((center - margin) / denom, CAST(0.0 AS DOUBLE))
+        |  AS wilson_lo,
+        | least((center + margin) / denom, CAST(1.0 AS DOUBLE))
+        |  AS wilson_hi FROM c""".stripMargin,
+
+    // q350 twin: same flow counts, HUGEINT cross products, one double
+    // division, same (lift desc, cn, sn) cut.
+    "q350_nation_affinity" ->
+      """WITH f AS (SELECT c.c_nationkey AS cn, s.s_nationkey AS sn
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN customer c ON o.o_custkey = c.c_custkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey),
+        |cs AS (SELECT cn, sn, CAST(count(*) AS BIGINT) AS n_cs
+        | FROM f GROUP BY 1, 2),
+        |ct AS (SELECT cn, CAST(count(*) AS BIGINT) AS n_c
+        | FROM f GROUP BY 1),
+        |st AS (SELECT sn, CAST(count(*) AS BIGINT) AS n_s
+        | FROM f GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_all FROM f)
+        |SELECT cs.cn, cs.sn, cs.n_cs,
+        | CAST(CAST(cs.n_cs AS HUGEINT) * n.n_all AS DOUBLE) /
+        |  CAST(CAST(ct.n_c AS HUGEINT) * st.n_s AS DOUBLE) AS lift
+        |FROM cs, n, ct, st
+        |WHERE cs.cn = ct.cn AND cs.sn = st.sn
+        |ORDER BY lift DESC, cs.cn, cs.sn
+        |LIMIT 10""".stripMargin,
 
     // q347 twin: same per-part min/max basis points, same 100-bp band.
     "q347_discount_dispersion" ->
