@@ -6737,6 +6737,40 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Embedding norm² census — the index-health panel's first row: are
+    // vectors normalized, and how wide is the energy spread? norm² per
+    // vector is a SEQUENTIAL fold in array order (both engines fold
+    // left-to-right — order-pinned, so the float sum is bit-identical),
+    // then quantized to 1e-7 granularity (round(n2·1e7)) — fine enough
+    // that unit-normalized vectors spread across their float32
+    // normalization noise (a 1-ulp fold divergence between engines
+    // would move rows between buckets and fail the hash; safe because
+    // the fold itself is bit-identical by construction).
+    "q351_vector_norm_census" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(expr(
+          "aggregate(embedding, CAST(0.0 AS DOUBLE), " +
+            "(acc, x) -> acc + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))")
+          .as("n2"))
+        .groupBy(expr("CAST(round(n2 * 10000000) AS BIGINT)")
+          .cast("int").as("norm2_bucket"))
+        .agg(count(lit(1)).as("n_vectors"))),
+
+    // Per-dimension sign balance — a healthy embedding space is
+    // roughly sign-balanced per coordinate; a stuck dimension (all one
+    // sign) means a dead unit or a preprocessing bug. Exact positive /
+    // zero counts per dimension, one share division; 64 output rows.
+    "q352_dim_sign_balance" -> ((s, dir) =>
+      t(s, dir, "embeddings")
+        .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy(col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("v") > 0f, 1L).otherwise(0L)).as("n_pos"),
+          sum(when(col("v") === 0f, 1L).otherwise(0L)).as("n_zero"))
+        .select(col("dim"), col("n"), col("n_pos"), col("n_zero"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("pos_share"))),
+
     // Return rate per brand with its 95% Wilson band (q181's error-bar
     // discipline on the returns signal): exact line counts, the band
     // from integer sufficient statistics — the screen that separates a
@@ -15330,6 +15364,35 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q351 twin: the same left-to-right fold over the same per-element
+    // double squares (0.0 + x² = x² exactly, so the init-less
+    // list_reduce equals Spark's 0-seeded aggregate), same bucket.
+    "q351_vector_norm_census" ->
+      """WITH n AS (SELECT list_reduce(
+        |  [CAST(x AS DOUBLE) * CAST(x AS DOUBLE) for x in embedding],
+        |  (a, b) -> a + b) AS n2
+        | FROM embeddings)
+        |SELECT CAST(CAST(round(n2 * 10000000) AS BIGINT) AS INT)
+        |  AS norm2_bucket,
+        | CAST(count(*) AS BIGINT) AS n_vectors
+        |FROM n GROUP BY 1""".stripMargin,
+
+    // q352 twin: zipped unnest (value + 1-based ordinal), same exact
+    // counts and share division.
+    "q352_dim_sign_balance" ->
+      """WITH e AS (SELECT unnest(embedding) AS v,
+        |  unnest(generate_series(1, len(embedding))) AS i
+        | FROM embeddings)
+        |SELECT CAST(i - 1 AS INT) AS dim,
+        | CAST(count(*) AS BIGINT) AS n,
+        | CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_pos,
+        | CAST(sum(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |  AS n_zero,
+        | CAST(sum(CASE WHEN v > 0 THEN 1 ELSE 0 END) AS DOUBLE) /
+        |  CAST(count(*) AS DOUBLE) AS pos_share
+        |FROM e GROUP BY 1""".stripMargin,
 
     // q349 twin: q181's Wilson expression sequence token-for-token on
     // the returns signal.
