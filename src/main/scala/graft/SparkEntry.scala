@@ -6737,6 +6737,47 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Ship-lag p99 tail per supplier nation — the SLA tail (means hide
+    // it, q333's median misses it): order→ship lag in whole days is a
+    // BOUNDED integer domain, so p99 reads exactly off the cumulative
+    // histogram (min lag with cum·100 ≥ 99·n — the q251/q335 discrete
+    // rule); 25 rows, no per-row window.
+    "q353_ship_lag_p99" -> ((s, dir) => {
+      val lag = t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(t(s, dir, "supplier")
+            .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"),
+          expr("(unix_micros(l_shipdate) - unix_micros(o_orderdate))" +
+            " div 86400000000").as("lag_days"))
+        .agg(count(lit(1)).as("f"))
+      val w = Window.partitionBy(col("s_nationkey"))
+      lag
+        .withColumn("cum",
+          sum(col("f")).over(w.orderBy(col("lag_days"))))
+        .withColumn("n", sum(col("f")).over(w))
+        .filter(col("cum") * 100L >= col("n") * 99L)
+        .groupBy(col("s_nationkey"))
+        .agg(min(col("lag_days")).as("p99_lag_days"),
+          max(col("n")).as("n_lines"))
+    }),
+
+    // Discount-by-quantity policy audit — does the discount schedule
+    // actually track order size? Mean basis points per integer quantity
+    // (≤ 50 rows), exact integer sums, one division per row.
+    "q354_discount_by_quantity" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(expr("CAST(round(l_quantity) AS BIGINT)").as("qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(expr("CAST(round(l_discount * 10000) AS BIGINT)"))
+            .as("__sbp"))
+        .select(col("qty"), col("n_lines"),
+          (col("__sbp").cast("double") / col("n_lines").cast("double"))
+            .as("mean_discount_bp"))),
+
     // Embedding norm² census — the index-health panel's first row: are
     // vectors normalized, and how wide is the energy spread? norm² per
     // vector is a SEQUENTIAL fold in array order (both engines fold
@@ -15364,6 +15405,36 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q353 twin: same day-lag histogram, same cum·100 ≥ 99·n discrete
+    // quantile rule.
+    "q353_ship_lag_p99" ->
+      """WITH h AS (SELECT s.s_nationkey,
+        |  (epoch_us(l.l_shipdate) - epoch_us(o.o_orderdate))
+        |   // 86400000000 AS lag_days,
+        |  CAST(count(*) AS BIGINT) AS f
+        | FROM lineitem l
+        | JOIN orders o ON l.l_orderkey = o.o_orderkey
+        | JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | GROUP BY 1, 2),
+        |c AS (SELECT s_nationkey, lag_days,
+        |  sum(f) OVER (PARTITION BY s_nationkey ORDER BY lag_days)
+        |   AS cum,
+        |  sum(f) OVER (PARTITION BY s_nationkey) AS n
+        | FROM h)
+        |SELECT s_nationkey,
+        | CAST(min(lag_days) AS BIGINT) AS p99_lag_days,
+        | CAST(max(n) AS BIGINT) AS n_lines
+        |FROM c WHERE cum * 100 >= n * 99
+        |GROUP BY 1""".stripMargin,
+
+    // q354 twin: same integer sums, one division per quantity row.
+    "q354_discount_by_quantity" ->
+      """SELECT CAST(round(l_quantity) AS BIGINT) AS qty,
+        | CAST(count(*) AS BIGINT) AS n_lines,
+        | CAST(sum(CAST(round(l_discount * 10000) AS BIGINT)) AS DOUBLE)
+        |  / CAST(count(*) AS DOUBLE) AS mean_discount_bp
+        |FROM lineitem GROUP BY 1""".stripMargin,
 
     // q351 twin: the same left-to-right fold over the same per-element
     // double squares (0.0 + x² = x² exactly, so the init-less
