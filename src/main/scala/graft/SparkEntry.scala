@@ -6737,6 +6737,41 @@ object SparkEntry {
             .as("jaccard"))
     }),
 
+    // Order-status aging — per status, how stale is the book? Exact
+    // integer day diffs against the corpus max order day (replayable:
+    // no wall clock), one mean division per status row.
+    "q355_order_status_aging" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .select(col("o_orderstatus"),
+          expr("unix_micros(o_orderdate) div 86400000000").as("d"))
+      o.crossJoin(broadcast(o.agg(max(col("d")).as("dmax"))))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("dmax") - col("d")).as("__age_days"))
+        .select(col("o_orderstatus"), col("n_orders"),
+          (col("__age_days").cast("double") /
+            col("n_orders").cast("double")).as("mean_age_days"))
+    }),
+
+    // Catalog naming census — parts per leading name token with part
+    // count, revenue mass and share (the merchandising-taxonomy audit;
+    // the token vocabulary is bounded, groups combinable map-side).
+    "q356_part_name_census" -> ((s, dir) => {
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+          .as("cents"))
+      val g = t(s, dir, "part")
+        .join(rev, col("p_partkey") === col("l_partkey"), "left_outer")
+        .groupBy(split(col("p_name"), " ").getItem(0).as("first_token"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(coalesce(col("cents"), lit(0L))).as("total_cents"))
+      g.crossJoin(broadcast(g.agg(sum(col("n_parts")).as("__np"))))
+        .select(col("first_token"), col("n_parts"), col("total_cents"),
+          (col("n_parts").cast("double") / col("__np").cast("double"))
+            .as("part_share"))
+    }),
+
     // Ship-lag p99 tail per supplier nation — the SLA tail (means hide
     // it, q333's median misses it): order→ship lag in whole days is a
     // BOUNDED integer domain, so p99 reads exactly off the cumulative
@@ -15405,6 +15440,34 @@ object SparkEntry {
         |FROM p
         |JOIN tot ta ON p.src_a = ta.source
         |JOIN tot tb ON p.src_b = tb.source""".stripMargin,
+
+    // q355 twin: same day quantization, same max-anchored ages.
+    "q355_order_status_aging" ->
+      """WITH o AS (SELECT o_orderstatus,
+        |  epoch_us(o_orderdate) // 86400000000 AS d FROM orders),
+        |m AS (SELECT max(d) AS dmax FROM o)
+        |SELECT o.o_orderstatus,
+        | CAST(count(*) AS BIGINT) AS n_orders,
+        | CAST(sum(m.dmax - o.d) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+        |  AS mean_age_days
+        |FROM o, m GROUP BY 1""".stripMargin,
+
+    // q356 twin: same leading-token key, same left-join revenue mass.
+    "q356_part_name_census" ->
+      """WITH rev AS (SELECT l_partkey,
+        |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+        |   AS BIGINT) AS cents
+        | FROM lineitem GROUP BY 1),
+        |g AS (SELECT string_split(p.p_name, ' ')[1] AS first_token,
+        |  CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(sum(coalesce(rev.cents, 0)) AS BIGINT) AS total_cents
+        | FROM part p LEFT JOIN rev ON p.p_partkey = rev.l_partkey
+        | GROUP BY 1),
+        |np AS (SELECT sum(n_parts) AS np FROM g)
+        |SELECT g.first_token, g.n_parts, g.total_cents,
+        | CAST(g.n_parts AS DOUBLE) / CAST(np.np AS DOUBLE)
+        |  AS part_share
+        |FROM g, np""".stripMargin,
 
     // q353 twin: same day-lag histogram, same cum·100 ≥ 99·n discrete
     // quantile rule.
