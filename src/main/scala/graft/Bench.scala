@@ -39,6 +39,15 @@ object Bench {
     try SparkEntry.dropStaleArtifacts(spark, Seq(sfDir))
     catch { case e: Throwable =>
       System.err.println(s"[bench] stale-artifact sweep failed: ${e.getMessage}") }
+    // Warm the session serving ARTIFACTS (bucketed co-purchase + tf
+    // tables) ONCE per JVM, outside the timed region: they are corpus
+    // prep shared by whole families, corpus-pure and round-invariant —
+    // the former per-round re-warm re-wrote identical tables every
+    // round, pure untimed wall-clock waste (ADVICE r11). Round resets
+    // clear only the checkpoint sweeps; the artifact memos survive.
+    try SparkEntry.warmSessionArtifacts(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] artifact warm failed: ${e.getMessage}") }
     // Warmup: run everything once untimed (codegen + classloading + IO cache).
     names.foreach { n =>
       try materialize(SparkEntry.queries(n)(spark, sfDir))
@@ -47,16 +56,18 @@ object Bench {
     }
     spark.catalog.clearCache()
     SparkEntry.clearSessionSweeps()
-    // Best-of-N timing: this host shares cores with co-tenants (observed
-    // 8x swings on identical runs; r2's q09 graded 9.0s vs 0.66s quiet).
-    // The minimum of N runs is the least noise-contaminated estimate of
-    // the plan's actual cost. Rounds are INTERLEAVED — the whole query
-    // list runs N times, not each query N times back-to-back — because
-    // contention bursts are time-local: back-to-back repeats share the
-    // same burst, spaced repeats don't. A run that throws contributes NO
-    // time — a query with zero successful runs is reported as -1 and
-    // listed under "failures" so the driver can tell a broken query from
-    // a fast one.
+    // Repeat-measured timing: this host shares cores with co-tenants
+    // (observed 8x swings on identical runs; r2's q09 graded 9.0s vs
+    // 0.66s quiet). Each query is timed in N INTERLEAVED rounds — the
+    // whole query list runs N times, not each query N times
+    // back-to-back — because contention bursts are time-local:
+    // back-to-back repeats share the same burst, spaced repeats don't.
+    // The JSON reports per-query MEDIAN (primary) and min, plus a
+    // suite-level relative-spread figure, so a consumer can tell a plan
+    // regression from measurement noise (VERDICT r11 #1). A run that
+    // throws contributes NO time — a query with zero successful runs is
+    // reported only under "failures" so the driver can tell a broken
+    // query from a fast one.
     val repeats = sys.env.getOrElse("BENCH_REPEATS", "3").toInt max 1
     val timed: Seq[(String, Option[Double])] = (1 to repeats).flatMap { _ =>
       // Cache lifecycle (ADVICE/VERDICT r3): drop persisted intermediates
@@ -69,14 +80,6 @@ object Bench {
       // survives the run.
       spark.catalog.clearCache()
       SparkEntry.clearSessionSweeps()
-      // Warm the session serving ARTIFACTS (bucketed co-purchase + tf
-      // tables) outside the timed region: they are corpus prep shared
-      // by whole families, and charging the build to whichever consumer
-      // ran first alphabetically made per-query diffs pure accounting
-      // (VERDICT r10 #3 — q109 "regressed" by exactly the build cost).
-      try SparkEntry.warmSessionArtifacts(spark, sfDir)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] artifact warm failed: ${e.getMessage}") }
       names.map { n =>
         val t0 = System.nanoTime()
         try {
@@ -91,25 +94,49 @@ object Bench {
     spark.catalog.clearCache()
     SparkEntry.clearSessionSweeps()
     val byName = timed.groupBy(_._1).view.mapValues(_.flatMap(_._2))
-    val results = names.map { n =>
-      val times = byName.getOrElse(n, Seq.empty)
-      n -> (if (times.nonEmpty) times.min else -1.0)
+    // Per-query stats over the N interleaved rounds (VERDICT r11 #1: a
+    // single timed round made round-over-round diffs noise-bound —
+    // 1.5-1.65x swings on untouched queries). MEDIAN is the primary
+    // figure ("queries", and what "value" sums): robust to one
+    // contention burst in either direction, where min understates real
+    // cost and mean chases outliers. Min rides along ("queries_min") as
+    // the quiet-host floor, and "noise" is the median across queries of
+    // each query's relative spread (max-min)/median — a round whose
+    // noise exceeds a few percent cannot support per-query conclusions.
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2)
+      else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
+    val stats: Seq[(String, Option[(Double, Double, Double)])] =
+      names.map { n =>
+        val ts = byName.getOrElse(n, Seq.empty)
+        n -> (if (ts.isEmpty) None
+              else Some((median(ts), ts.min, ts.max)))
+      }
     // Failed queries (no successful run) are reported ONLY under
     // "failures" — a -1.0 sentinel in the queries map reads as a timing to
     // naive per-query consumers diffing rounds (ADVICE r8).
-    val qs = results.collect { case (k, v) if v >= 0 => "\"" + k + "\":" + v }
+    val ok = stats.collect { case (k, Some(v)) => (k, v) }
+    val qs = ok.map { case (k, (med, _, _)) => "\"" + k + "\":" + med }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => "\"" + k + "\"" }
+    val qsMin = ok.map { case (k, (_, mn, _)) => "\"" + k + "\":" + mn }
+      .mkString("{", ",", "}")
+    val failed = stats.collect { case (k, None) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = ok.map(_._2._1).sum
+    val totalMin = ok.map(_._2._2).sum
+    val noise =
+      if (ok.isEmpty) -1.0
+      else median(ok.map { case (_, (med, mn, mx)) =>
+        if (med > 0) (mx - mn) / med else 0.0 })
     // n_queries/sec_per_query: the suite GROWS between rounds (18 queries
     // in r1, 52 by r4) — raw totals are not comparable across rounds
     // without the count.
-    val n = results.count(_._2 >= 0)
+    val n = ok.size
     val perQ = if (n > 0) total / n else -1.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"queries":$qs,"failures":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"repeats":$repeats,"total_min":$totalMin,"noise_rel_spread":$noise,"queries":$qs,"queries_min":$qsMin,"failures":$failed,"sf":"$sfDir"}"""
     // File sink for the driver (stdout is interleaved with sbt/log noise).
     sys.env.get("BENCH_OUT").orElse(Some("BENCH.json")).foreach { p =>
       Files.writeString(Paths.get(p), json + "\n")

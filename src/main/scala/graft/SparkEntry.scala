@@ -2139,7 +2139,7 @@ object SparkEntry {
       val path = partFilesExport(s, dir)
       val files = s.read.parquet(path)
         .select(regexp_replace(input_file_name(),
-          lit("^.*graft_part_files/"), lit("")).as("f"))
+          lit("^.*graft_part_files[^/]*/"), lit("")).as("f"))
         .groupBy(col("f")).agg(count(lit(1)).as("n"))
       files
         .withColumn("cum",
@@ -8247,35 +8247,66 @@ object SparkEntry {
     * serving tables whose corpus dir is not the one being served —
     * without it the dir-hash-suffixed artifacts accumulate forever in a
     * warehouse shared across corpora (VERDICT r10 #7). */
-  def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String]): Int =
-    Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
+  def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String]): Int = {
+    val tables = Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
       Seq("copurchase_sym_", "docterms1_", "docterms2_", "docterms3_"))
+    // The filesystem export dumps (q186 feed, q197 hive tree, q337 ORC,
+    // q338 evolution dir) are per-corpus too (dir-hash-suffixed paths) —
+    // sweep stale ones alongside the warehouse tables (VERDICT r11 #7).
+    val live = liveDirs.map(Cat.dirHash).toSet
+    val tmp = new java.io.File("/tmp")
+    val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
+      val n = f.getName
+      // `n == b` catches pre-r12 fixed-path dumps (never live now).
+      ExportBases.exists(b => n == b || n.startsWith(b + "_")) &&
+        !live.contains(n.substring(n.lastIndexOf('_') + 1)
+          .stripSuffix(".staging"))
+    }
+    stale.foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      try fs.delete(p, true) catch { case _: Throwable => () }
+    }
+    tables + stale.length
+  }
+
+  /** Filesystem export roots, suffixed per corpus dir like the warehouse
+    * artifacts (ADVICE r11: the former fixed paths let two JVMs serving
+    * DIFFERENT corpora — bench at sf0.1, verify at sf0.01 — clobber each
+    * other mid-read). [[oracleSql]] names the same paths through
+    * [[bindCorpusDir]]. Same-corpus concurrency remains single-writer,
+    * the driver's regime — identical trade to the warehouse tables. */
+  private def exportDir(base: String, dir: String): String =
+    s"/tmp/${base}_${Cat.dirHash(dir)}"
+  private val ExportBases = Seq("graft_ndjson_feed", "graft_part_files",
+    "graft_orc_export", "graft_evo_parquet")
+
+  /** The corpus dir [[oracleSql]] interpolates export paths for — bound
+    * by Verify before the dump (the oracle map is static per dump, but
+    * the export paths it names are per-corpus). Defaults to the driver's
+    * correctness dir. */
+  @volatile private var oracleDir: String = "/root/testdata/sf0.01"
+  def bindCorpusDir(dir: String): Unit = { oracleDir = dir }
 
   /** Session memo for q186's NDJSON feed export: the events table dumped
     * once per (dir, session) as line-JSON — event_id/type/user plus
     * exact integer cents — with every 97th line truncated to 10 bytes
     * (deterministic stand-in for the corrupt-line rate real crawler/API
-    * dumps carry). The path is FIXED because the static [[oracleSql]]
-    * twin must name it; the driver runs one Verify at a time, so the
-    * cross-session overwrite race is theoretical (same trade as the
-    * warehouse tables). */
+    * dumps carry). */
   private val ndjsonFeedMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val NdjsonFeedDir = "/tmp/graft_ndjson_feed"
 
   /** Session memo for q197's hive-partitioned export: events laid out
     * under event_type=X/day_bucket=Y leaves (the over-partitioned tree
     * every data lake grows), one file per leaf via the pre-write
-    * repartition on the partition keys. Fixed path for the same reason
-    * as [[NdjsonFeedDir]]: the static oracle must glob the same
-    * files. */
+    * repartition on the partition keys. */
   private val partFilesMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val PartFilesDir = "/tmp/graft_part_files"
 
   private def partFilesExport(s: SparkSession, dir: String): String =
     partFilesMemo.computeIfAbsent(
       s"partfiles:$dir:${s.sparkContext.applicationId}", { _ =>
+        val path = exportDir("graft_part_files", dir)
         t(s, dir, "events")
           .select(col("event_id"), col("event_type"),
             pmod(expr("unix_micros(ts) div 86400000000"), lit(8L))
@@ -8283,13 +8314,14 @@ object SparkEntry {
           .repartition(col("event_type"), col("day_bucket"))
           .write.mode("overwrite")
           .partitionBy("event_type", "day_bucket")
-          .parquet(PartFilesDir)
-        PartFilesDir
+          .parquet(path)
+        path
       })
 
   private def ndjsonFeed(s: SparkSession, dir: String): String =
     ndjsonFeedMemo.computeIfAbsent(
       s"ndjson:$dir:${s.sparkContext.applicationId}", { _ =>
+        val path = exportDir("graft_ndjson_feed", dir)
         val json = to_json(struct(col("event_id"), col("event_type"),
           col("user_id"),
           (col("value").cast("decimal(12,2)") * lit(100)).cast("long")
@@ -8297,8 +8329,8 @@ object SparkEntry {
         val line = when(pmod(col("event_id"), lit(97)) === 0,
           substring(json, 1, 10)).otherwise(json)
         t(s, dir, "events").select(line.as("value"))
-          .write.mode("overwrite").text(NdjsonFeedDir)
-        s"$NdjsonFeedDir/part-*"
+          .write.mode("overwrite").text(path)
+        s"$path/part-*"
       })
 
   /** Session memo for q337's ORC export: a 4-column orders projection
@@ -8306,19 +8338,19 @@ object SparkEntry {
     * writeOrc/orc). The oracle cannot read ORC — it reads the ORIGINAL
     * parquet and must agree value-for-value with what comes back out of
     * the ORC files, which is exactly the losslessness the audit
-    * asserts (longs, strings, timestamps). Fixed path, q186's trade. */
+    * asserts (longs, strings, timestamps). */
   private val orcExportMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val OrcExportDir = "/tmp/graft_orc_export"
 
   private def orcExport(s: SparkSession, dir: String): String =
     orcExportMemo.computeIfAbsent(
       s"orc:$dir:${s.sparkContext.applicationId}", { _ =>
+        val path = exportDir("graft_orc_export", dir)
         Src.writeOrc(t(s, dir, "orders")
           .select(col("o_orderkey"), col("o_orderpriority"),
             expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("cents"),
-            col("o_orderdate")), OrcExportDir)
-        OrcExportDir
+            col("o_orderdate")), path)
+        path
       })
 
   /** Session memo for q338's schema-evolution export: the append-only
@@ -8331,20 +8363,29 @@ object SparkEntry {
     * against an independent engine's schema-union semantics. */
   private val evoParquetMemo =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  private val EvoParquetDir = "/tmp/graft_evo_parquet"
 
   private def evoParquetExport(s: SparkSession, dir: String): String =
     evoParquetMemo.computeIfAbsent(
       s"evo:$dir:${s.sparkContext.applicationId}", { _ =>
+        val path = exportDir("graft_evo_parquet", dir)
         val ev = t(s, dir, "events").select(col("event_id"),
           col("event_type"), col("user_id"),
           expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        // Stage-and-swap (ADVICE r11): the former overwrite-then-append
+        // pair left a mixed-generation dir if interrupted between the two
+        // writes. Both generations land in a staging dir first; the live
+        // path flips in one rename, so a reader never sees gen-1-only.
+        val staging = new org.apache.hadoop.fs.Path(path + ".staging")
+        val live = new org.apache.hadoop.fs.Path(path)
+        val fs = live.getFileSystem(s.sparkContext.hadoopConfiguration)
         ev.filter(pmod(col("event_id"), lit(2L)) === 0)
           .drop("cents")
-          .write.mode("overwrite").parquet(EvoParquetDir)
+          .write.mode("overwrite").parquet(staging.toString)
         ev.filter(pmod(col("event_id"), lit(2L)) === 1)
-          .write.mode("append").parquet(EvoParquetDir)
-        EvoParquetDir
+          .write.mode("append").parquet(staging.toString)
+        if (fs.exists(live)) fs.delete(live, true)
+        fs.rename(staging, live)
+        path
       })
 
   /** Session sweep for the TRAINED IVF centroids shared by q34 and q49's
@@ -8397,7 +8438,13 @@ object SparkEntry {
         .localCheckpoint(true)
     }
 
-  /** Harness lifecycle hook (Bench round boundaries, tests). */
+  /** Harness lifecycle hook (Bench round boundaries, tests): drops the
+    * CHECKPOINT-backed session sweeps so a repeat round starts cold.
+    * The warehouse-table artifact memos ([[copurchaseSymMemo]],
+    * [[docTermsMemo]]) are NOT cleared here — they are corpus-pure,
+    * round-invariant disk tables (clearing them made every Bench round
+    * re-WRITE identical bucketed tables, ADVICE r11); tests that assert
+    * a fresh build call [[clearSessionArtifacts]] explicitly. */
   def clearSessionSweeps(): Unit = {
     nearDupSweep.clear()
     centroidSweep.clear()
@@ -8405,6 +8452,12 @@ object SparkEntry {
     bpeSweep.clear()
     pqSweep.clear()
     itemKnnSweep.clear()
+  }
+
+  /** Drop the bucketed-table artifact memos too — next access rebuilds
+    * (one corpus scan + bucketed write each). Test hook; Bench warms the
+    * artifacts ONCE per JVM instead. */
+  def clearSessionArtifacts(): Unit = {
     copurchaseSymMemo.clear()
     docTermsMemo.clear()
   }
@@ -11716,13 +11769,17 @@ object SparkEntry {
         |FROM tv, b""".stripMargin,
 
     // q181 twin: q21's stopword filter rolled to source level, q155's
-    // Wilson expression sequence token-for-token.
+    // Wilson expression sequence token-for-token. The `text IS NOT NULL`
+    // pins the artifact contract (ADVICE r11): a source whose docs are
+    // ALL null-text has no (doc, term, tf) rows, so the Spark side emits
+    // no row for it — the twin must drop it too, not emit NULL sums.
+    // Sources with ANY non-null doc are unaffected (sum skips NULLs).
     "q181_stopword_density" ->
       s"""WITH a AS (SELECT source,
          |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n,
          |  CAST(sum(len(list_filter(string_split(text, ' '),
          |    x -> list_contains($sqlStopwords, x)))) AS BIGINT) AS s
-         | FROM documents GROUP BY 1),
+         | FROM documents WHERE text IS NOT NULL GROUP BY 1),
          |b AS (SELECT source, n, s,
          |  CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS p,
          |  CAST(n AS DOUBLE) AS nd,
@@ -15393,13 +15450,14 @@ object SparkEntry {
     // the missing generation-1 `cents` as NULL — DuckDB's independent
     // schema-union must census identically to Spark's mergeSchema.
     "q338_schema_evolution_read" ->
-      """SELECT event_type,
+      ("""SELECT event_type,
         | CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(count(cents) AS BIGINT) AS n_cents_present,
         | CAST(sum(cents) AS DOUBLE) AS sum_cents
-        |FROM read_parquet('/tmp/graft_evo_parquet/*.parquet',
+        |FROM read_parquet('""" +
+        exportDir("graft_evo_parquet", oracleDir) + """/*.parquet',
         |  union_by_name=true)
-        |GROUP BY 1""".stripMargin,
+        |GROUP BY 1""").stripMargin,
 
     // q339 twin: same tf/df/Σtf² integers, HUGEINT cross products, one
     // double division, same (fano desc, term) TakeOrdered cut.
@@ -15866,17 +15924,18 @@ object SparkEntry {
     // filename=true, the same relative-path normalization, the same
     // next-fit cumulative bin arithmetic.
     "q197_compaction_plan" ->
-      """WITH f AS (SELECT
-        |  regexp_replace(filename, '^.*graft_part_files/', '') AS f,
+      ("""WITH f AS (SELECT
+        |  regexp_replace(filename, '^.*graft_part_files[^/]*/', '') AS f,
         |  CAST(count(*) AS BIGINT) AS n
-        | FROM read_parquet('/tmp/graft_part_files/*/*/*.parquet',
+        | FROM read_parquet('""" +
+        exportDir("graft_part_files", oracleDir) + """/*/*/*.parquet',
         |   filename=true)
         | GROUP BY 1),
         |c AS (SELECT f, n, sum(n) OVER (ORDER BY f) AS cum FROM f)
         |SELECT CAST((cum - n) // 4000 AS BIGINT) AS bin,
         | CAST(count(*) AS BIGINT) AS n_files,
         | CAST(sum(n) AS BIGINT) AS n_rows
-        |FROM c GROUP BY 1""".stripMargin,
+        |FROM c GROUP BY 1""").stripMargin,
 
     // q194 twin: same blocks, same integer bucket, same two-level
     // census; sums cast back to BIGINT (DuckDB widens to HUGEINT).
@@ -15896,8 +15955,8 @@ object SparkEntry {
     // exactly the from_json PERMISSIVE corrupt boundary — then the same
     // per-type integer-cents stats + corrupt census.
     "q186_ndjson_audit" ->
-      """WITH l AS (SELECT line FROM read_csv(
-        |  '/tmp/graft_ndjson_feed/part-*',
+      ("""WITH l AS (SELECT line FROM read_csv(
+        |  '""" + exportDir("graft_ndjson_feed", oracleDir) + """/part-*',
         |  columns={'line': 'VARCHAR'}, delim='|', quote='',
         |  header=false)),
         |g AS (SELECT json_extract_string(line, '$.event_type')
@@ -15909,7 +15968,7 @@ object SparkEntry {
         |SELECT g.event_type, CAST(count(*) AS BIGINT) AS n_rows,
         | CAST(sum(g.cents) AS BIGINT) AS sum_cents, c.n_corrupt
         |FROM g, c
-        |GROUP BY 1, c.n_corrupt""".stripMargin,
+        |GROUP BY 1, c.n_corrupt""").stripMargin,
 
     // q163 twin: q38's session CTEs with event_id carried for the
     // rank-1 entry row, rolled up to the same census.

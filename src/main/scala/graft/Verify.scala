@@ -7,6 +7,10 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val spark = Session.local()
+    // The oracle twins for the export-reading queries (q186/q197/q338)
+    // name per-corpus /tmp paths — bind the dir so the dumped SQL globs
+    // the same files the queries just wrote.
+    SparkEntry.bindCorpusDir(sfDir)
     new java.io.File(outDir).mkdirs()
     // VERIFY_ONLY=q63_inverted_index,q68_epoch_mix — subset filter for
     // targeted dev iteration (BENCH_ONLY's twin). The driver never sets

@@ -222,12 +222,17 @@ object CatalogOps {
   }
 
   /** Corpus-dir hash suffix for per-corpus warehouse artifact names
-    * (`copurchase_sym_<dirHash>`, `docterms1_<dirHash>`...): hex of the
-    * dir's hashCode with '-' mapped to 'n' (table names cannot carry a
-    * minus). One definition so the builders and [[dropStaleArtifacts]]
-    * can never disagree. */
+    * (`copurchase_sym_<dirHash>`, `docterms1_<dirHash>`...): first 12 hex
+    * chars of md5(dir) — 48 collision-resistant bits, all [0-9a-f] so the
+    * suffix is always a legal table-name fragment. The previous 32-bit
+    * `String.hashCode` could collide two corpus dirs onto the SAME
+    * artifact table, silently serving one corpus's rows to the other
+    * (ADVICE r11). One definition so the builders and
+    * [[dropStaleArtifacts]] can never disagree. */
   def dirHash(dir: String): String =
-    java.lang.Integer.toHexString(dir.hashCode).replace('-', 'n')
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .take(6).map(b => f"$b%02x").mkString
 
   /** Warehouse hygiene for per-corpus session artifacts (VERDICT r10
     * #7): the bucketed serving tables are keyed by [[dirHash]], so a

@@ -799,6 +799,7 @@ class PlanShapeSpec extends AnyFunSuite {
   test("graph family serves from the bucketed co-purchase table: ONE " +
     "lineitem scan per session, q166's wedge joins stay shuffle-hash") {
     SparkEntry.clearSessionSweeps()
+    SparkEntry.clearSessionArtifacts()
     // First consumer pays the build (lineitem scan + bucketed write).
     val buildPlans = capturedPlans {
       SparkEntry.queries("q184_bucketed_degrees")(spark, sf).collect()
@@ -840,6 +841,7 @@ class PlanShapeSpec extends AnyFunSuite {
     "first text query tokenizes the corpus ONCE; later consumers scan " +
     "docterms and never re-explode") {
     SparkEntry.clearSessionSweeps()
+    SparkEntry.clearSessionArtifacts()
     // First consumer pays the build (documents scan + explode + bucketed
     // write at DataFrame construction).
     val buildPlans = capturedPlans {
