@@ -508,7 +508,8 @@ object SparkEntry {
       // doc COUNT still reads documents (null-text docs are invisible
       // to the tf relation but count toward N in the idf).
       T.bm25TopKFromTf(
-        docTerms(s, dir).select(col("doc_id"), col("term"), col("tf")),
+        docTerms(s, dir).select(col("doc_id"), col("term"), col("tf"),
+          col("dl")),
         "doc_id",
         t(s, dir, "documents").agg(count(lit(1)).as("__n")),
         Bm25Queries.toDF("query_id", "term"), k = 10)
@@ -8210,13 +8211,25 @@ object SparkEntry {
         val db = "graft_rollups"
         s.sql(s"CREATE DATABASE IF NOT EXISTS $db")
         val table = s"docterms${gram}_" + Cat.dirHash(dir)
-        val term =
-          if (gram == 1) explode(T.tokens(col("text")))
-          else explode(T.wordShinglesMulti(T.tokens(col("text")), gram))
+        val toks =
+          if (gram == 1) T.tokens(col("text"))
+          else T.wordShinglesMulti(T.tokens(col("text")), gram)
+        // `dl` = the doc's total term count at this gram (= Σtf over the
+        // doc's rows — size() of the pre-explode array, counted once at
+        // build time). Functionally dependent on doc_id like source/lang,
+        // so it widens the grouping key without adding groups; carrying
+        // it saves per-doc consumers (BM25's length normalization) a
+        // corpus-wide doc_id re-shuffle of the term-bucketed layout
+        // (VERDICT r11 #2 — exactly that aggregate made q100 slower than
+        // its from-text plan).
         val tf = spread(s, t(s, dir, "documents"))
           .select(col("doc_id"), col("source"), col("lang"),
-            term.as("term"))
-          .groupBy(col("doc_id"), col("source"), col("lang"), col("term"))
+            toks.as("__toks"))
+          .select(col("doc_id"), col("source"), col("lang"),
+            size(col("__toks")).cast("long").as("dl"),
+            explode(col("__toks")).as("term"))
+          .groupBy(col("doc_id"), col("source"), col("lang"), col("dl"),
+            col("term"))
           .agg(count(lit(1)).as("tf"))
         Cat.writeBucketed(tf, db, table, Seq("term"), 32)
         s.table(s"$db.$table")

@@ -469,27 +469,35 @@ object TextOps {
         col("n_terms"))
   }
 
-  /** [[bm25TopK]] served from a PRECOMPUTED (id, term, tf) relation —
-    * the form the session's bucketed term-frequency artifact feeds:
-    * doc lengths fold from `sum(tf)` (identical to `size(tokens)` —
-    * every token is counted once), document frequencies from the
+  /** [[bm25TopK]] served from a PRECOMPUTED (id, term, tf, dl) relation —
+    * the form the session's bucketed term-frequency artifact feeds: `dl`
+    * (the doc's total token count, identical to `size(tokens)`) rides
+    * every posting row, document frequencies come from the
     * distinct-(id, term) row contract, so scores are bit-identical to
     * the from-text path while the corpus tokenize+count shuffle is paid
     * once per session instead of per query. `nDocs` is a 1-row frame
     * with `__n` = TOTAL corpus document count (including docs absent
     * from `tfRel` because their text is null — the tf relation cannot
-    * see those). */
+    * see those).
+    *
+    * Shape (VERDICT r11 #2): the carried `dl` removes BOTH per-doc
+    * passes the first conversion paid — the corpus-wide
+    * `groupBy(id).sum(tf)` (a doc-keyed shuffle the term-bucketed
+    * layout cannot serve) and the doc-keyed join planting `dl` back on
+    * the pruned postings. What remains is one map-side artifact scan
+    * for Σdl = Σtf (combinable partial aggregate, no exchange — every
+    * token counted once either way) and the broadcast-pruned posting
+    * path. */
   def bm25TopKFromTf(tfRel: DataFrame, id: String, nDocs: DataFrame,
                      queries: DataFrame, k: Int,
                      k1: Double = 1.2, b: Double = 0.75,
                      scale: Double = 1e6): DataFrame = {
-    val dl = tfRel.groupBy(col(id)).agg(sum(col("tf")).as("__dl"))
-    val g = nDocs.crossJoin(dl.agg(sum(col("__dl")).as("__sumdl")))
+    val g = nDocs.crossJoin(tfRel.agg(sum(col("tf")).as("__sumdl")))
     val tf = tfRel
       .join(broadcast(queries.select(col("query_id"), col("term"))),
         Seq("term"))
-      .select(col("query_id"), col("term"), col(id), col("tf").as("__tf"))
-      .join(dl, Seq(id))
+      .select(col("query_id"), col("term"), col(id), col("tf").as("__tf"),
+        col("dl").as("__dl"))
     val dfreq = tf.select(col("term"), col(id)).distinct()
       .groupBy(col("term")).agg(count(lit(1)).as("__df"))
     val avgdl = col("__sumdl").cast("double") / col("__n").cast("double")
