@@ -1434,7 +1434,8 @@ object SparkEntry {
     "q166_clustering_census" -> ((s, dir) =>
       G.localClusteringCensusCanon(coPurchaseSymTable(s, dir)
         .filter(col("node") < col("peer"))
-        .select(col("node").as("u"), col("peer").as("v")))),
+        .select(col("node").as("u"), col("peer").as("v")),
+        Some(degreeTable(s, dir).select(col("node"), col("deg"))))),
 
     // L149: revenue concentration — the Pareto question ("what share of
     // revenue sits above the p50/p90/p99 customer?") with exact
@@ -1518,7 +1519,8 @@ object SparkEntry {
     "q170_degree_assortativity" -> ((s, dir) =>
       G.degreeAssortativityCanon(coPurchaseSymTable(s, dir)
         .filter(col("node") < col("peer"))
-        .select(col("node").as("u"), col("peer").as("v")))),
+        .select(col("node").as("u"), col("peer").as("v")),
+        Some(degreeTable(s, dir).select(col("node"), col("deg").as("d"))))),
 
     // L153: product-quantization ADC top-k — the store-compression leg
     // of the ANN triad (IVF q34 prunes the search space, int8 q65
@@ -1861,10 +1863,11 @@ object SparkEntry {
     // census family (q84 shape, q166 local structure, q170 mixing,
     // q185 tail).
     "q185_degree_powerlaw" -> ((s, dir) => {
-      // Degrees read straight off the bucketed symmetric table — the
-      // groupBy(node) rides the bucket layout, zero exchange.
-      val hist = coPurchaseSymTable(s, dir)
-        .groupBy(col("node")).agg(count(lit(1)).as("__d"))
+      // Degrees read off the session degree artifact — a
+      // node-cardinality checkpoint scan, no edge rescan (VERDICT r11
+      // #5; the artifact build itself rides the bucket layout).
+      val hist = degreeTable(s, dir)
+        .select(col("node"), col("deg").as("__d"))
         .groupBy(T.ilog2(col("__d")).cast("long").as("log2_degree"))
         .agg(count(lit(1)).as("n_nodes"), min(col("__d")).as("min_degree"),
           max(col("__d")).as("max_degree"))
@@ -2067,7 +2070,8 @@ object SparkEntry {
       // rides an AQE shuffle.
       val affSide =
         if (affected.count() <= 10000000L) broadcast(affected) else affected
-      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val wdeg = degreeTable(s, dir)
+        .select(col("node"), col("wdeg").as("__s"))
       val scored = sym
         .join(affSide, Seq("node"), "left_semi")
         .join(wdeg, "node")
@@ -2188,7 +2192,17 @@ object SparkEntry {
           (col("w") - coalesce(col("dw"), lit(0L))).as("w"))
         .filter(col("w") > 0)
         .localCheckpoint(true)
-      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      // Holdout-adjusted weighted degrees by DELTA ALGEBRA off the
+      // session degree artifact: every incident edge is either in the
+      // adjusted graph with weight w-dw or vanished with w-dw = 0, so
+      // Σ_adj = wdeg - Σ_incident dw exactly — a node-cardinality join
+      // with the delta-bounded dw sums, never a rescan of the adjusted
+      // edge set (VERDICT r11 #5).
+      val wdeg = degreeTable(s, dir)
+        .join(dsym.groupBy(col("node")).agg(sum(col("dw")).as("__dw")),
+          Seq("node"), "left_outer")
+        .select(col("node"),
+          (col("wdeg") - coalesce(col("__dw"), lit(0L))).as("__s"))
       val scored = sym
         .join(wdeg, "node")
         .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
@@ -4278,7 +4292,10 @@ object SparkEntry {
     "q256_link_prediction" -> ((s, dir) => {
       val sym = coPurchaseSymTable(s, dir)
         .select(col("node"), col("peer"))
-      val deg = sym.groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      // All three degree reads (center cap + both endpoint joins) come
+      // off the session degree artifact — node-cardinality checkpoint
+      // scans instead of three edge-table aggregations (VERDICT r11 #5).
+      val deg = degreeTable(s, dir).select(col("node"), col("deg"))
       val low = sym.join(deg.filter(col("deg") <= 64).select(col("node")),
         "node")
       val cn = low.as("x").join(low.as("y"),
@@ -8182,6 +8199,27 @@ object SparkEntry {
       .filter(col("node") < col("peer"))
       .select(col("node").as("id_a"), col("peer").as("id_b"))
 
+  /** Session memo for the co-purchase DEGREE table — the docterms move
+    * applied to the graph family's second level (VERDICT r11 #5):
+    * q185/q187/q192/q195/q198/q256 each re-ran `groupBy(node)` over
+    * copurchase_sym for plain and weighted degrees. One exchange-free
+    * pass (the aggregate rides the node buckets) lands `(node, deg,
+    * wdeg)` in an eager localCheckpoint; every later degree read is a
+    * node-cardinality checkpoint scan, never an edge rescan. Cleared
+    * with the table artifacts ([[clearSessionArtifacts]]), not the
+    * per-round sweeps — degrees are corpus-pure. At cluster scale this
+    * is |V| rows (~1e9 at 100 TB — a few GB across executors; the same
+    * artifact a graph-serving store keeps beside its edge layout). */
+  private val degreeSweep = new CheckpointMemo
+
+  private def degreeTable(s: SparkSession, dir: String): DataFrame =
+    degreeSweep(s"degrees:$dir:${s.sparkContext.applicationId}") {
+      coPurchaseSymTable(s, dir)
+        .groupBy(col("node"))
+        .agg(count(lit(1)).as("deg"), sum(col("w")).as("wdeg"))
+        .localCheckpoint(true)
+    }
+
   /** Session memo for the BUCKETED per-document term-frequency tables —
     * the copurchase_sym discipline applied to the TEXT family (VERDICT
     * r10 #1): nearly every text query re-ran `explode(tokens/shingles(
@@ -8251,6 +8289,7 @@ object SparkEntry {
     * (VERDICT r10 #3). */
   def warmSessionArtifacts(s: SparkSession, dir: String): Unit = {
     coPurchaseSymTable(s, dir)
+    degreeTable(s, dir)
     docTerms(s, dir)
     docTermsBucketed(s, dir, 2)
     docTerms3(s, dir)
@@ -8436,7 +8475,8 @@ object SparkEntry {
   private def itemKnnTable(s: SparkSession, dir: String): DataFrame =
     itemKnnSweep(s"itemknn:$dir:${s.sparkContext.applicationId}") {
       val sym = coPurchaseSymTable(s, dir)
-      val wdeg = sym.groupBy(col("node")).agg(sum(col("w")).as("__s"))
+      val wdeg = degreeTable(s, dir)
+        .select(col("node"), col("wdeg").as("__s"))
       val scored = sym
         .join(wdeg, "node")
         .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
@@ -8473,6 +8513,7 @@ object SparkEntry {
   def clearSessionArtifacts(): Unit = {
     copurchaseSymMemo.clear()
     docTermsMemo.clear()
+    degreeSweep.clear()
   }
 
   /** ALL verified word-3-shingle candidate pairs (threshold 0 — the

@@ -478,11 +478,21 @@ object GraphOps {
     * bucketed symmetric graph table, which skips the least/greatest +
     * distinct full-edge-list shuffle the public form pays. Input columns
     * must be named (u, v). */
-  def localClusteringCensusCanon(canonEdges: DataFrame): DataFrame = {
+  def localClusteringCensusCanon(canonEdges: DataFrame): DataFrame =
+    localClusteringCensusCanon(canonEdges, None)
+
+  /** [[localClusteringCensusCanon]] with an optional PRECOMPUTED degree
+    * frame `(node, deg)` (the session degree artifact): each canonical
+    * edge contributes one endpoint row per side, so the derived census
+    * degree equals the symmetric-table degree exactly — callers holding
+    * the artifact skip the |2E| union-aggregate (VERDICT r11 #5). */
+  def localClusteringCensusCanon(canonEdges: DataFrame,
+                                 precomputedDeg: Option[DataFrame])
+  : DataFrame = {
     val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    val deg = precomputedDeg.getOrElse(e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // Degrees BROADCAST onto the edge list: the degree table is
     // node-cardinality (~|V|, the catalog) while the edge list is
@@ -749,11 +759,19 @@ object GraphOps {
   /** [[degreeAssortativity]] over an ALREADY-CANONICAL (u < v, distinct)
     * edge list — the bucketed-table variant
     * ([[localClusteringCensusCanon]]'s contract). */
-  def degreeAssortativityCanon(canonEdges: DataFrame): DataFrame = {
+  def degreeAssortativityCanon(canonEdges: DataFrame): DataFrame =
+    degreeAssortativityCanon(canonEdges, None)
+
+  /** [[degreeAssortativityCanon]] with an optional precomputed
+    * `(node, d)` degree frame — same contract as the
+    * [[localClusteringCensusCanon]] overload. */
+  def degreeAssortativityCanon(canonEdges: DataFrame,
+                               precomputedDeg: Option[DataFrame])
+  : DataFrame = {
     val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
-    val deg = e.select(col("u").as("node"))
-      .union(e.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("d"))
+    val deg = precomputedDeg.getOrElse(e.select(col("u").as("node"))
+        .union(e.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("d")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val ends = e
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")

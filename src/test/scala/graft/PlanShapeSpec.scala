@@ -837,6 +837,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("degree reads serve from the session degree artifact: q185's plan " +
+    "is a pure checkpoint read — no edge-table or lineitem rescan") {
+    // Construction may build the artifact chain (copurchase table +
+    // degree checkpoint) as separate jobs; the assertion is on the
+    // query's OWN executed plan, which must aggregate the
+    // node-cardinality checkpoint, not re-aggregate the edge table
+    // (VERDICT r11 #5).
+    val p = plan("q185_degree_powerlaw")
+    assert(!p.contains("copurchase_sym"),
+      s"q185 must not rescan the edge table for degrees:\n$p")
+    assert(!p.contains("lineitem"),
+      s"q185 must not rebuild from lineitem:\n$p")
+    assert(p.contains("ExistingRDD") || p.contains("LocalTableScan"),
+      s"q185 must read the degree checkpoint:\n$p")
+  }
+
   test("text family serves from the bucketed tf artifact: the session's " +
     "first text query tokenizes the corpus ONCE; later consumers scan " +
     "docterms and never re-explode") {
