@@ -2266,7 +2266,14 @@ object SparkEntry {
         .withColumn("nb", sum(col("cb")).over(all))
         .agg(count(lit(1)).as("n_cells"),
           max(col("na")).as("n_a"), max(col("nb")).as("n_b"),
-          sum(abs(col("ca") * col("nb") - col("cb") * col("na")))
+          // ca·nb is a count CROSS-product: both factors scale with the
+          // vector corpus (~4e11² ≈ 1e23 at 100 TB), so the TVD
+          // numerator sums in decimal(38,0) — the e4-money discipline
+          // applied to count algebra (LongSumAuditSpec).
+          sum(abs(col("ca").cast("decimal(38,0)") *
+              col("nb").cast("decimal(38,0)") -
+            col("cb").cast("decimal(38,0)") *
+              col("na").cast("decimal(38,0)")))
             .as("__x"))
         .select(col("n_cells"), col("n_a"), col("n_b"),
           (col("__x").cast("double") /
@@ -6716,7 +6723,10 @@ object SparkEntry {
       val st = docTerms(s, dir)
         .groupBy(col("term"))
         .agg(count(lit(1)).as("df"), sum(col("tf")).as("s1"),
-          sum(col("tf") * col("tf")).as("s2"))
+          // tf² ≤ 1e8 on long docs and a stopword-grade term's group is
+          // the corpus doc count — the product sum rides decimal(38,0)
+          // (per-row product fits a long; only the SUM is corpus-scaled).
+          sum((col("tf") * col("tf")).cast("decimal(38,0)")).as("s2"))
       val nd = t(s, dir, "documents").agg(count(lit(1)).as("n_docs"))
       st.crossJoin(broadcast(nd))
         .filter(col("df") * lit(100L) >= col("n_docs"))

@@ -143,6 +143,42 @@ class MultimodalSpec extends AnyFunSuite {
       "corrupt PNG must take the stub path")
   }
 
+  test("animated GIF decodes FIRST FRAME ONLY — the documented ImageIO " +
+    "contract (features cover frame 0; all-frame sampling is the codec " +
+    "seam's job)") {
+    // Two solid 2x2 frames with palette-exact colors (red, then blue —
+    // single-color frames survive the JDK writer's palette quantization
+    // exactly, the imageFixture discipline). If the decoder ever summed
+    // every frame, the checksum would read 2040 and the red mean would
+    // dilute to 127.5; the pinned contract is frame 0 alone.
+    def frame(rgb: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(2, 2,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 to 1).foreach(y => (0 to 1).foreach(x => img.setRGB(x, y, rgb)))
+      img
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val w = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    w.setOutput(ios)
+    w.prepareWriteSequence(null)
+    Seq(0xff0000, 0x0000ff).foreach(c => w.writeToSequence(
+      new javax.imageio.IIOImage(frame(c), null, null),
+      w.getDefaultWriteParam))
+    w.endWriteSequence(); ios.close()
+    val bytes = bos.toByteArray
+    assert(new String(bytes, 0, 4, "US-ASCII") == "GIF8", "fixture sanity")
+    val out = MultimodalOps.decodePartitions(
+      Seq(RawAsset(11L, "image", bytes)).toDS,
+      MultimodalOps.pureJvmDecoder()).head
+    assert(out.checksum == 1020L,
+      s"expected frame-0-only channel sum 1020, got ${out.checksum}")
+    val f = out.features
+    assert((f(0), f(1)) == (2f, 2f))
+    assert((f(3), f(4), f(5)) == ((255f, 0f, 0f)),
+      s"frame-0 means must be pure red, got ${f.toSeq}")
+  }
+
   test("pureJvmDecoder falls back to the stub for unknown or truncated " +
     "payloads") {
     val truncatedPpm = ppmFixture.take(14) // header, body missing
