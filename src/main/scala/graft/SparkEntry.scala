@@ -3042,26 +3042,70 @@ object SparkEntry {
           .select((col("num").cast("double") /
             (col("nn").cast(D) * (col("nn") - 1L).cast(D))
               .cast("double")).as(out))
-      val a = base.select(col("doc_id").as("a_id"), col("source"),
-        col("lang"), col("f1").as("a_f1"), col("f2").as("a_f2"))
-      val b = base.select(col("doc_id").as("b_id"), col("source"),
-        col("lang"), col("f1").as("b_f1"), col("f2").as("b_f2"))
-      a.join(b, Seq("source", "lang")).filter(col("a_id") < col("b_id"))
-        .crossJoin(broadcast(uStat("f1", "u1")))
-        .crossJoin(broadcast(uStat("f2", "u2")))
-        .select(col("a_id"), col("b_id"), col("source"), col("lang"),
-          when(col("a_f1") === col("b_f1"), 1L).otherwise(0L)
-            .as("agree_len"),
-          when(col("a_f2") === col("b_f2"), 1L).otherwise(0L)
-            .as("agree_tok"),
-          col("u1"), col("u2"))
-        .select(col("a_id"), col("b_id"), col("source"), col("lang"),
-          col("agree_len"), col("agree_tok"), col("u1"), col("u2"),
-          (when(col("agree_len") === 1L, lit(0.9) / col("u1"))
-            .otherwise(lit(0.1) / (lit(1.0) - col("u1"))) *
-            when(col("agree_tok") === 1L, lit(0.9) / col("u2"))
-              .otherwise(lit(0.1) / (lit(1.0) - col("u2")))).as("odds"))
-        .orderBy(col("odds").desc, col("a_id"), col("b_id")).limit(200)
+      val u1df = uStat("f1", "u1")
+      val u2df = uStat("f2", "u2")
+      // Count-guarded class enumeration (r12 scale probe: the
+      // (source, lang) blocking has FIXED cardinality on this corpus, so
+      // block sizes — and the pair join — grow quadratically; 23.8x wall
+      // at 10x data). The top-200 is ordered by odds, and every
+      // both-agree pair shares the MAXIMAL odds (0.9/u)(0.9/u') — strict
+      // while u1, u2 < 0.9 — with ties broken by (a_id, b_id). So when
+      // the both-agree class alone holds >= 200 pairs, the answer is
+      // exactly the 200 id-smallest pairs of the FINE-GRAINED
+      // (source, lang, f1, f2) self-join — near-linear blocks — and the
+      // coarse join never runs. Guards are driver-side 1-row reads (the
+      // broadcast-guard discipline); any failure falls back to the full
+      // blocked join, so the output is identical by construction.
+      val uRow1 = u1df.head
+      val uRow2 = u2df.head
+      val u1v = if (uRow1.isNullAt(0)) 1.0 else uRow1.getDouble(0)
+      val u2v = if (uRow2.isNullAt(0)) 1.0 else uRow2.getDouble(0)
+      val c11 = base
+        .groupBy(col("source"), col("lang"), col("f1"), col("f2"))
+        .agg(count(lit(1)).as("nv"))
+        .agg(sum(col("nv").cast(D) * (col("nv") - 1L).cast(D)).as("p2"))
+        .head
+      val bothPairsX2 =
+        if (c11.isNullAt(0)) BigDecimal(0)
+        else BigDecimal(c11.getDecimal(0))
+      if (u1v < 0.9 && u2v < 0.9 && bothPairsX2 >= 400) {
+        val a = base.select(col("doc_id").as("a_id"), col("source"),
+          col("lang"), col("f1"), col("f2"))
+        val b = base.select(col("doc_id").as("b_id"), col("source"),
+          col("lang"), col("f1"), col("f2"))
+        a.join(b, Seq("source", "lang", "f1", "f2"))
+          .filter(col("a_id") < col("b_id"))
+          .crossJoin(broadcast(u1df))
+          .crossJoin(broadcast(u2df))
+          .select(col("a_id"), col("b_id"), col("source"), col("lang"),
+            lit(1L).as("agree_len"), lit(1L).as("agree_tok"),
+            col("u1"), col("u2"),
+            // same IEEE tree as the general expression's both-agree
+            // branch: multiply(div(0.9,u1), div(0.9,u2))
+            ((lit(0.9) / col("u1")) * (lit(0.9) / col("u2"))).as("odds"))
+          .orderBy(col("odds").desc, col("a_id"), col("b_id")).limit(200)
+      } else {
+        val a = base.select(col("doc_id").as("a_id"), col("source"),
+          col("lang"), col("f1").as("a_f1"), col("f2").as("a_f2"))
+        val b = base.select(col("doc_id").as("b_id"), col("source"),
+          col("lang"), col("f1").as("b_f1"), col("f2").as("b_f2"))
+        a.join(b, Seq("source", "lang")).filter(col("a_id") < col("b_id"))
+          .crossJoin(broadcast(u1df))
+          .crossJoin(broadcast(u2df))
+          .select(col("a_id"), col("b_id"), col("source"), col("lang"),
+            when(col("a_f1") === col("b_f1"), 1L).otherwise(0L)
+              .as("agree_len"),
+            when(col("a_f2") === col("b_f2"), 1L).otherwise(0L)
+              .as("agree_tok"),
+            col("u1"), col("u2"))
+          .select(col("a_id"), col("b_id"), col("source"), col("lang"),
+            col("agree_len"), col("agree_tok"), col("u1"), col("u2"),
+            (when(col("agree_len") === 1L, lit(0.9) / col("u1"))
+              .otherwise(lit(0.1) / (lit(1.0) - col("u1"))) *
+              when(col("agree_tok") === 1L, lit(0.9) / col("u2"))
+                .otherwise(lit(0.1) / (lit(1.0) - col("u2")))).as("odds"))
+          .orderBy(col("odds").desc, col("a_id"), col("b_id")).limit(200)
+      }
     }),
 
     // Mann-Kendall trend test (Mann 1945; Kendall 1975) per event type

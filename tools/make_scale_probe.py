@@ -70,6 +70,9 @@ copy("documents", f"""
          END AS text,
          lang, source, n_chars
   FROM {t('documents')}, r""")
+# label rides through: the kNN-classifier / hard-negative / uncertainty
+# queries (q29/q134/q262/q263/q267) resolve it (r12: the probe dropped it
+# and those 5 queries failed to even PLAN at sf1)
 copy("embeddings", f"""
-  SELECT vec_id*{n}+r.r AS vec_id, embedding
+  SELECT vec_id*{n}+r.r AS vec_id, embedding, label
   FROM {t('embeddings')}, r""")
