@@ -30,8 +30,13 @@ object Bench {
     // BENCH_ONLY=q06_json_coerce,q25_minhash_lsh — subset filter for
     // targeted perf work; the driver never sets it, so graded runs always
     // time the full suite.
+    // An empty/blank BENCH_ONLY means "no filter", not "zero queries" —
+    // an accidentally empty export would otherwise produce an empty
+    // graded run (and, combined with the full-run-only BENCH_last
+    // guard, silently no refreshed pointer).
     val only = sys.env.get("BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Warehouse hygiene: evict per-corpus serving artifacts left behind
