@@ -8562,12 +8562,19 @@ object SparkEntry {
   }
 
   /** Drop the bucketed-table artifact memos too — next access rebuilds
-    * (one corpus scan + bucketed write each). Test hook; Bench warms the
-    * artifacts ONCE per JVM instead. */
+    * (one corpus scan + bucketed write each). The export-dump memos ride
+    * along: a caller clearing artifacts may also have swept the /tmp
+    * dumps (CatalogSpec), and a memo pointing at deleted files must not
+    * survive it. Test hook; Bench warms the artifacts ONCE per JVM
+    * instead. */
   def clearSessionArtifacts(): Unit = {
     copurchaseSymMemo.clear()
     docTermsMemo.clear()
     degreeSweep.clear()
+    ndjsonFeedMemo.clear()
+    partFilesMemo.clear()
+    orcExportMemo.clear()
+    evoParquetMemo.clear()
   }
 
   /** ALL verified word-3-shingle candidate pairs (threshold 0 — the

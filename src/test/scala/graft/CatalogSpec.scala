@@ -128,6 +128,49 @@ class CatalogSpec extends AnyFunSuite {
     spark.sql(s"DROP DATABASE $hdb CASCADE")
   }
 
+  test("SparkEntry.dropStaleArtifacts sweeps dead-corpus EXPORT dirs " +
+    "(and pre-r12 fixed-path dumps) while keeping the live corpus's") {
+    // The filesystem twins of the warehouse-table sweep (VERDICT r11
+    // #7): q186/q197/q337/q338 dumps are /tmp/<base>_<dirHash(dir)>.
+    val live = "/root/testdata/sf0.001"
+    val liveHash = CatalogOps.dirHash(live)
+    val deadHash = CatalogOps.dirHash("/tmp/corpus_gone")
+    def mk(p: String): java.io.File = {
+      val d = new java.io.File(p)
+      d.mkdirs()
+      java.nio.file.Files.writeString(d.toPath.resolve("part-0"), "x")
+      d
+    }
+    val keep = mk(s"/tmp/graft_orc_export_$liveHash")
+    val drop1 = mk(s"/tmp/graft_orc_export_$deadHash")
+    val drop2 = mk(s"/tmp/graft_evo_parquet_$deadHash.staging")
+    val drop3 = mk("/tmp/graft_ndjson_feed") // pre-r12 fixed path
+    val unrelated = mk("/tmp/graft_unrelated_dir")
+    try {
+      SparkEntry.dropStaleArtifacts(spark, Seq(live))
+      assert(keep.exists(), "live-corpus export must survive")
+      assert(!drop1.exists(), "dead-corpus export must be swept")
+      assert(!drop2.exists(), "orphaned staging dir must be swept")
+      assert(!drop3.exists(), "pre-r12 fixed-path dump must be swept")
+      assert(unrelated.exists(), "non-export dirs are never touched")
+      // A dir-switch leaves exactly one live generation: sweeping for a
+      // DIFFERENT corpus drops the previously-live export too.
+      SparkEntry.dropStaleArtifacts(spark, Seq("/root/testdata/sf0.01"))
+      assert(!keep.exists(), "dir switch must evict the old corpus's export")
+    } finally {
+      Seq(keep, drop1, drop2, drop3, unrelated).foreach { d =>
+        if (d.exists()) {
+          Option(d.listFiles()).foreach(_.foreach(_.delete()))
+          d.delete()
+        }
+      }
+      // The sweeps above may have removed REAL export dumps other suites
+      // built for sf0.001 — drop the memos so any later consumer
+      // rebuilds instead of reading a dead path.
+      SparkEntry.clearSessionArtifacts()
+    }
+  }
+
   test("materialized rollup serves coarser aggregations exactly") {
     import org.apache.spark.sql.functions._
     val sf = "/root/testdata/sf0.001"

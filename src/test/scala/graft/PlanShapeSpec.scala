@@ -837,6 +837,15 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q100 BM25 off the tf artifact: broadcast joins only — the carried " +
+    "dl leaves no doc-keyed shuffle join (VERDICT r11 #2)") {
+    val p = plan("q100_bm25")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"BM25 must not shuffle-join the corpus for doc lengths:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term prune must broadcast:\n$p")
+  }
+
   test("degree reads serve from the session degree artifact: q185's plan " +
     "is a pure checkpoint read — no edge-table or lineitem rescan") {
     // Construction may build the artifact chain (copurchase table +
