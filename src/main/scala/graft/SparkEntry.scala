@@ -1321,8 +1321,13 @@ object SparkEntry {
     // corpus-frequency complement to q59/q70's within-doc repetition);
     // docs censused by the decile of their boilerplate-gram fraction.
     "q159_boilerplate" -> ((s, dir) =>
-      T.boilerplateCensus(t(s, dir, "documents"), col("doc_id"),
-        T.tokens(col("text")), n = 2, minDocPct = 6)),
+      // Served from the session bigram artifact: its rows are the
+      // distinct (doc, bigram) pairs, so df census + df join ride the
+      // term buckets exchange-free (r12; was a fresh corpus explode +
+      // distinct + checkpoint per run).
+      T.boilerplateCensusFromTf(
+        docTermsBucketed(s, dir, 2).select(col("doc_id"), col("term")),
+        minDocPct = 6)),
 
     // L142: content-addressed fingerprint census — sha256 over
     // (lang, normalized text) as the stable document identity a

@@ -791,4 +791,30 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), sum(col("__s")).as("n_grams"),
         sum(col("__b")).as("n_boiler_grams"))
   }
+
+  /** [[boilerplateCensus]] served from a PRECOMPUTED distinct
+    * `(doc_id, term)` gram relation — the session's bucketed n-gram
+    * artifact: its rows ARE the distinct (doc, shingle) pairs
+    * (`wordShingles` = `array_distinct(wordShinglesMulti)`, and the
+    * artifact groups the multiset), so the census is value-identical
+    * while the corpus shingle explode + distinct shuffle + checkpoint
+    * disappear — the document-frequency aggregate AND the df join both
+    * ride the term-bucketed layout exchange-free, leaving one compact
+    * (doc, ints) shuffle for the per-doc rollup. */
+  def boilerplateCensusFromTf(pairsRel: DataFrame,
+                              minDocPct: Int): DataFrame = {
+    require(minDocPct >= 1 && minDocPct <= 100, s"bad minDocPct=$minDocPct")
+    val pairs = pairsRel.select(col("doc_id"), col("term").as("__g"))
+    val nDocs = pairs.agg(countDistinct(col("doc_id")).as("__nd"))
+    val dfreq = pairs.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    pairs.join(dfreq, "__g")
+      .crossJoin(broadcast(nDocs))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__s"),
+        sum(when(col("__df") * 100 >= lit(minDocPct) * col("__nd"), 1L)
+          .otherwise(0L)).as("__b"))
+      .groupBy(expr("CAST((__b * 10) div __s AS INT)").as("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__s")).as("n_grams"),
+        sum(col("__b")).as("n_boiler_grams"))
+  }
 }
