@@ -39,9 +39,13 @@ object Bench {
       .filter(_.nonEmpty)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
-    // Warehouse hygiene: evict per-corpus serving artifacts left behind
-    // by OTHER corpus dirs (each bench run serves exactly one).
-    try SparkEntry.dropStaleArtifacts(spark, Seq(sfDir))
+    // Warehouse hygiene: evict per-corpus serving TABLES left behind by
+    // OTHER corpus dirs (each bench run serves exactly one). Export
+    // dumps are excluded — they are oracle-shared state a concurrent or
+    // subsequent Verify+compare for another corpus still reads; Verify
+    // sweeps them on its own runs.
+    try SparkEntry.dropStaleArtifacts(spark, Seq(sfDir),
+      includeExports = false)
     catch { case e: Throwable =>
       System.err.println(s"[bench] stale-artifact sweep failed: ${e.getMessage}") }
     // Warm the session serving ARTIFACTS (bucketed co-purchase + tf

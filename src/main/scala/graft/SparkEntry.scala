@@ -8358,12 +8358,20 @@ object SparkEntry {
     * serving tables whose corpus dir is not the one being served —
     * without it the dir-hash-suffixed artifacts accumulate forever in a
     * warehouse shared across corpora (VERDICT r10 #7). */
-  def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String]): Int = {
+  def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String],
+                         includeExports: Boolean = true): Int = {
     val tables = Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
       Seq("copurchase_sym_", "docterms1_", "docterms2_", "docterms3_"))
+    if (!includeExports) return tables
     // The filesystem export dumps (q186 feed, q197 hive tree, q337 ORC,
     // q338 evolution dir) are per-corpus too (dir-hash-suffixed paths) —
     // sweep stale ones alongside the warehouse tables (VERDICT r11 #7).
+    // `includeExports = false` is for BENCH: the dumps are ORACLE-SHARED
+    // state (the DuckDB twins glob them), and a bench serving corpus B
+    // between a Verify dump for corpus A and the driver's compare would
+    // otherwise delete A's files out from under the oracle. Only Verify
+    // — which rebuilds its own corpus's dumps right after — may sweep
+    // them.
     val live = liveDirs.map(Cat.dirHash).toSet
     val tmp = new java.io.File("/tmp")
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>

@@ -11,6 +11,13 @@ object Verify {
     // name per-corpus /tmp paths — bind the dir so the dumped SQL globs
     // the same files the queries just wrote.
     SparkEntry.bindCorpusDir(sfDir)
+    // Verify owns the export-dump lifecycle (it rebuilds its corpus's
+    // dumps below, and its oracle twins are the only readers): sweep
+    // stale ones — tables too — before dumping. Bench deliberately
+    // leaves exports alone (see Bench's sweep comment).
+    try SparkEntry.dropStaleArtifacts(spark, Seq(sfDir))
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] stale-artifact sweep failed: ${e.getMessage}") }
     new java.io.File(outDir).mkdirs()
     // VERIFY_ONLY=q63_inverted_index,q68_epoch_mix — subset filter for
     // targeted dev iteration (BENCH_ONLY's twin). The driver never sets
