@@ -166,8 +166,17 @@ object Bench {
     // Only a FULL-surface run may update the repo-local last pointer: a
     // BENCH_ONLY subset would shadow the last complete run with a
     // 3-query total and mislead round-over-round diffs (ADVICE r8).
-    if (only.isEmpty)
-      try Files.writeString(Paths.get("BENCH_last.json"), json + "\n")
+    // And only a QUIET one (VERDICT r12 #3): SCALE.md's trust protocol
+    // treats per-query deltas as plan signal only when
+    // noise_rel_spread <= 0.15, so a louder full run must not shadow the
+    // last quiet pointer — it lands in BENCH_last_loud.json instead
+    // (recorded, never diffed query-by-query).
+    if (only.isEmpty) {
+      val target =
+        if (noise >= 0.0 && noise <= 0.15) "BENCH_last.json"
+        else "BENCH_last_loud.json"
+      try Files.writeString(Paths.get(target), json + "\n")
       catch { case _: Throwable => () }
+    }
   }
 }

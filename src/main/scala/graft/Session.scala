@@ -14,6 +14,12 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Explicit, not inherited: every sum/multiply in the engine runs
+      // under ANSI overflow semantics (Spark 4's default, pinned here so
+      // a default change or ambient conf can never silently turn the
+      // LongSumAuditSpec boundedness arguments into wraparounds —
+      // VERDICT r12 #5's runtime net).
+      .config("spark.sql.ansi.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.parquet.compression.codec", "snappy")

@@ -994,9 +994,19 @@ object SparkEntry {
     // L116: SemDeDup embedding-cluster prune list — keep-earliest rule
     // within deterministic sign-LSH cells at cosine >= 0.3 (the corpus's
     // meaningful-similarity tail; the all-pairs 99.9th pct is ~0.38).
-    "q133_semdedup" -> ((s, dir) =>
-      Vec.semDedupPrune(t(s, dir, "embeddings"), "vec_id", "embedding",
-        planes = AnnPlanes, theta = 0.3)),
+    // Cell count is CORPUS-SIZED (r13; the FAISS nlist discipline): a
+    // 1-row count drives Vec.sizedPlanes, so per-cell density — and the
+    // in-cell pair work — stays bounded as the corpus grows (the r12 sf1
+    // probe measured 20.5× wall on 10× data under the old FIXED 16-cell
+    // grid). At the verified small SFs (≤ 32·2^4 vectors) the rule
+    // reproduces the historical planes=4 geometry bit-for-bit; the
+    // oracle twin replays the same integer sizing from count(*).
+    "q133_semdedup" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings")
+      // driver-side 1-row read — the q225 broadcast-guard discipline
+      Vec.semDedupPrune(e, "vec_id", "embedding",
+        planes = Vec.sizedPlanes(e.count()), theta = 0.3)
+    }),
 
     // L117: hard-negative mining — per query, the top-3 most-similar
     // OTHER-label vectors from radius-1 multi-probe LSH candidates.
@@ -8113,16 +8123,36 @@ object SparkEntry {
             .withColumn("tag", lit("only_1995")))
     }),
 
-    // Embedding near-dup: label-blocked pairwise cosine ≥ 0.4 (blocking
-    // key bounds the pair space the way LSH buckets do — never all-pairs).
+    // Embedding near-dup: cosine ≥ 0.4 pairs from (label, sign-LSH
+    // bucket) radius-1 multi-probe candidates. r13: the old label-only
+    // blocking had FIXED block cardinality, so block sizes — and the
+    // pair join — grew quadratically with the corpus (26.3× wall on 10×
+    // data in the r12 sf1 probe). Now the bucket side of the blocking
+    // key is corpus-sized (Vec.sizedPlanes off a 1-row count), each
+    // vector probes its own bucket plus every 1-bit flip (the q53/q134
+    // multi-probe dial — recall at the verified SFs: 3/5, 2/5, 24/86 of
+    // the unblocked pairs), and pair work is ~(p+1)·targetCell·n —
+    // linear with a log factor, never all-pairs within a label. A pair
+    // at hamming distance d ≤ 1 matches EXACTLY one probe mask, so no
+    // post-join dedup is needed.
     "q29_embed_neardup" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings").select(col("label"), col("vec_id"),
-        col("embedding"), Vec.norm(col("embedding")).as("__n"))
+      val e0 = t(s, dir, "embeddings")
+      // driver-side 1-row read — the q225 broadcast-guard discipline
+      val p = Vec.sizedPlanes(e0.count())
+      val masks = (0 to p).map(i => if (i == 0) 0L else 1L << (i - 1))
+        .map(lit)
+      val e = e0.select(col("label"), col("vec_id"), col("embedding"),
+        Vec.lshBucket(col("embedding"), p).as("__b"),
+        Vec.norm(col("embedding")).as("__n"))
       val a = e.select(col("label"), col("vec_id").as("vec_a"),
-        col("embedding").as("__va"), col("__n").as("__na"))
+        col("embedding").as("__va"), col("__n").as("__na"),
+        explode(transform(array(masks: _*),
+          m => col("__b").bitwiseXOR(m))).as("__probe"))
       val b = e.select(col("label").as("__lb"), col("vec_id").as("vec_b"),
-        col("embedding").as("__vb"), col("__n").as("__nb"))
-      a.join(b, col("label") === col("__lb") && col("vec_a") < col("vec_b"))
+        col("embedding").as("__vb"), col("__n").as("__nb"),
+        col("__b").as("__bb"))
+      a.join(b, col("label") === col("__lb") &&
+          col("__probe") === col("__bb") && col("vec_a") < col("vec_b"))
         .withColumn("cosine", Vec.cosineWithNorms(col("__va"), col("__vb"),
           col("__na"), col("__nb")))
         .filter(col("cosine") >= 0.4)
@@ -8359,7 +8389,8 @@ object SparkEntry {
     * without it the dir-hash-suffixed artifacts accumulate forever in a
     * warehouse shared across corpora (VERDICT r10 #7). */
   def dropStaleArtifacts(s: SparkSession, liveDirs: Seq[String],
-                         includeExports: Boolean = true): Int = {
+                         includeExports: Boolean = true,
+                         exportGraceMs: Long = 2L * 3600 * 1000): Int = {
     val tables = Cat.dropStaleArtifacts(s, "graft_rollups", liveDirs,
       Seq("copurchase_sym_", "docterms1_", "docterms2_", "docterms3_"))
     if (!includeExports) return tables
@@ -8374,19 +8405,35 @@ object SparkEntry {
     // them.
     val live = liveDirs.map(Cat.dirHash).toSet
     val tmp = new java.io.File("/tmp")
+    val now = System.currentTimeMillis()
     val stale = Option(tmp.listFiles()).getOrElse(Array.empty).filter { f =>
       val n = f.getName
       // `n == b` catches pre-r12 fixed-path dumps (never live now).
       ExportBases.exists(b => n == b || n.startsWith(b + "_")) &&
         !live.contains(n.substring(n.lastIndexOf('_') + 1)
-          .stripSuffix(".staging"))
+          .stripSuffix(".staging")) &&
+        // Grace period (ADVICE r12): a CONCURRENT Bench JVM serving a
+        // different corpus writes its own export dirs and reads them
+        // through session memos — sweeping them mid-run would yank the
+        // files out from under its cached paths. A recently-modified
+        // export dir is presumed live in another JVM; true stale dirs
+        // (prior rounds) age past the grace window and still get swept.
+        now - f.lastModified() > exportGraceMs
     }
-    stale.foreach { d =>
+    // Count only dirs actually removed (ADVICE r12: fs.delete returns
+    // false on failure/absence — the old count overstated the sweep and
+    // hid retained stale dirs).
+    val deleted = stale.count { d =>
       val p = new org.apache.hadoop.fs.Path(d.getAbsolutePath)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-      try fs.delete(p, true) catch { case _: Throwable => () }
+      try fs.delete(p, true) catch { case e: Throwable =>
+        System.err.println(
+          s"[artifacts] stale export sweep failed for ${d.getName}: " +
+            e.getMessage)
+        false
+      }
     }
-    tables + stale.length
+    tables + deleted
   }
 
   /** Filesystem export roots, suffixed per corpus dir like the warehouse
@@ -8503,7 +8550,12 @@ object SparkEntry {
         ev.filter(pmod(col("event_id"), lit(2L)) === 1)
           .write.mode("append").parquet(staging.toString)
         if (fs.exists(live)) fs.delete(live, true)
-        fs.rename(staging, live)
+        // A silently-failed rename would leave NO data at the live path
+        // while the memo caches it (ADVICE r12) — surface it here so the
+        // memo entry is never populated with a dead path.
+        if (!fs.rename(staging, live))
+          throw new java.io.IOException(
+            s"evoParquetExport: rename $staging -> $live failed")
         path
       })
 
@@ -9012,10 +9064,29 @@ object SparkEntry {
       s"CAST(((1103515245*($p*64+j)+12345)%1000)-500 AS DOUBLE) " +
       s"for j in generate_series(1,64)], (x,y) -> x+y)"
 
-  private def sqlBucket(v: String): String =
-    (0 until AnnPlanes)
+  private def sqlBucketN(v: String, planes: Int): String =
+    (0 until planes)
       .map(p => s"(CASE WHEN ${sqlPlaneProj(v, p)} > 0 THEN ${1L << p} ELSE 0 END)")
       .mkString("(", " + ", ")")
+
+  private def sqlBucket(v: String): String = sqlBucketN(v, AnnPlanes)
+
+  /** DuckDB twin of [[graft.operators.VectorOps.sizedPlanes]]: the
+    * smallest p in [4, 21] with 32·2^p ≥ count(embeddings). The same
+    * integer inequality both engines evaluate — no float log2 whose
+    * rounding could drift at exact powers. */
+  private val sqlSizedPlanes: String =
+    "(SELECT CAST(coalesce(min(g.p), 21) AS INT) " +
+      "FROM generate_series(4,21) g(p) " +
+      "WHERE 32 * (CAST(1 AS BIGINT) << g.p) >= " +
+      "(SELECT count(*) FROM embeddings))"
+
+  /** Corpus-sized bucket twin: the full 21-plane bucket masked to the
+    * sized plane count. Identical to computing only p planes because
+    * plane i contributes exactly bit i ([[sqlBucketN]]'s 1<<p terms). */
+  private def sqlSizedBucket(v: String): String =
+    s"(${sqlBucketN(v, 21)} & " +
+      s"((CAST(1 AS BIGINT) << $sqlSizedPlanes) - 1))"
 
   /** DuckDB twin of [[annExact]] (q27/q49): exact cosine top-k. */
   private def sqlAnnExact(k: Int): String =
@@ -10765,11 +10836,12 @@ object SparkEntry {
          |FROM j JOIN est e ON e.ida = j.ida AND e.idb = j.idb""".stripMargin
     },
 
-    // q133 twin: same sign-LSH buckets, same pair predicate, same
-    // keep-earliest aggregate.
+    // q133 twin: same CORPUS-SIZED sign-LSH buckets (sqlSizedPlanes
+    // replays Vec.sizedPlanes's integer rule off count(*)), same pair
+    // predicate, same keep-earliest aggregate.
     "q133_semdedup" ->
       s"""WITH e AS (SELECT vec_id, embedding,
-         |  CAST(${sqlBucket("embedding")} AS BIGINT) AS bucket
+         |  CAST(${sqlSizedBucket("embedding")} AS BIGINT) AS bucket
          | FROM embeddings),
          |p AS (SELECT a.vec_id, a.bucket, b.vec_id AS w,
          |  ${sqlCosine("a.embedding", "b.embedding")} AS c
@@ -17061,12 +17133,21 @@ object SparkEntry {
         | SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)"""
         .stripMargin,
 
+    // q29 twin: the radius-1 multi-probe candidate set "hamming(bucket)
+    // ≤ 1" is expressed directly as bit_count(xor(...)) ≤ 1 on the
+    // label self-join — the oracle need not replay the probe explode,
+    // only its EXACT candidate predicate (a pair matches a probe mask
+    // iff the sized buckets differ in ≤ 1 bit).
     "q29_embed_neardup" ->
-      s"""SELECT label, vec_a, vec_b, cosine FROM (
+      s"""WITH e AS (SELECT vec_id, label, embedding,
+         |  CAST(${sqlSizedBucket("embedding")} AS BIGINT) AS bucket
+         | FROM embeddings)
+         |SELECT label, vec_a, vec_b, cosine FROM (
          | SELECT a.label AS label, a.vec_id AS vec_a, b.vec_id AS vec_b,
          |  ${sqlCosine("a.embedding", "b.embedding")} AS cosine
-         | FROM embeddings a JOIN embeddings b
-         |  ON a.label = b.label AND a.vec_id < b.vec_id)
+         | FROM e a JOIN e b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |  AND bit_count(CAST(xor(a.bucket, b.bucket) AS BIGINT)) <= 1)
          |WHERE cosine >= 0.4""".stripMargin
   )
 

@@ -143,6 +143,20 @@ object VectorOps {
       math.log(math.max(1.0, n.toDouble / targetBucket)) / math.log(2.0)
     ).toInt)
 
+  /** INTEGER-EXACT corpus-sized plane count for the near-dup queries
+    * (q29/q133): the smallest p in [4, 21] with targetCell·2^p ≥ n, so
+    * expected cell density stays ≤ targetCell and Σ|cell|² pair work
+    * stays ~n·targetCell (linear) instead of n²/2^p (quadratic under a
+    * FIXED grid — the r12 sf1 probe measured 20-26× wall on 10× data).
+    * Deliberately not [[planesForCorpus]]'s float log: the oracle twin
+    * replays this as a generate_series min over the same inequality,
+    * and integer compare can never round differently across engines.
+    * Floor 4 keeps the verified small-SF geometry (500 vectors → p=4 =
+    * the historical AnnPlanes); cap 21 is 2M cells (the 10^10-vector
+    * point under the same rule). */
+  def sizedPlanes(n: Long, targetCell: Long = 32L): Int =
+    (4 to 21).find(p => targetCell * (1L << p) >= n).getOrElse(21)
+
   /** Cell-count math for the IVF path: K = N / targetCell cells keeps the
     * per-cell scan bounded; the classic sqrt(N) heuristic is the
     * targetCell = sqrt(N) special case. Assignment cost is O(N·K) per

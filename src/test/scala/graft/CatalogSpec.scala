@@ -147,7 +147,15 @@ class CatalogSpec extends AnyFunSuite {
     val drop3 = mk("/tmp/graft_ndjson_feed") // pre-r12 fixed path
     val unrelated = mk("/tmp/graft_unrelated_dir")
     try {
+      // Grace period (ADVICE r12): a just-written stale-looking dir may
+      // belong to a concurrently running JVM serving another corpus — a
+      // default-grace sweep must leave it alone...
       SparkEntry.dropStaleArtifacts(spark, Seq(live))
+      assert(drop1.exists(),
+        "recently-modified export must survive the default grace window")
+      // ...and only an aged-out dir is fair game (grace 0 = everything
+      // has aged out, the pre-r12 behavior).
+      SparkEntry.dropStaleArtifacts(spark, Seq(live), exportGraceMs = 0L)
       assert(keep.exists(), "live-corpus export must survive")
       assert(!drop1.exists(), "dead-corpus export must be swept")
       assert(!drop2.exists(), "orphaned staging dir must be swept")
@@ -155,7 +163,8 @@ class CatalogSpec extends AnyFunSuite {
       assert(unrelated.exists(), "non-export dirs are never touched")
       // A dir-switch leaves exactly one live generation: sweeping for a
       // DIFFERENT corpus drops the previously-live export too.
-      SparkEntry.dropStaleArtifacts(spark, Seq("/root/testdata/sf0.01"))
+      SparkEntry.dropStaleArtifacts(spark, Seq("/root/testdata/sf0.01"),
+        exportGraceMs = 0L)
       assert(!keep.exists(), "dir switch must evict the old corpus's export")
     } finally {
       Seq(keep, drop1, drop2, drop3, unrelated).foreach { d =>

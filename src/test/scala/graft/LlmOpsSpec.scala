@@ -1233,6 +1233,30 @@ class LlmOpsSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 2L)))
   }
 
+  test("sizedPlanes: the q29/q133 sizing contract — smallest p in [4,21] " +
+    "with 32*2^p >= n, so per-cell density (and the in-cell pair work " +
+    "sum |cell|^2) is bounded by the rule, never by a fixed grid") {
+    // historical small-SF geometry preserved: <= 512 vectors -> p=4,
+    // the pre-r13 AnnPlanes value, so the verified outputs can't move
+    assert(Vec.sizedPlanes(1L) == 4 && Vec.sizedPlanes(500L) == 4)
+    assert(Vec.sizedPlanes(512L) == 4 && Vec.sizedPlanes(513L) == 5)
+    assert(Vec.sizedPlanes(2000L) == 6)   // sf0.1
+    assert(Vec.sizedPlanes(20000L) == 10) // sf1 probe
+    // the cap: 2M cells at >= 32*2^21 vectors (the 10^10-vector point)
+    assert(Vec.sizedPlanes(32L * (1L << 21)) == 21)
+    assert(Vec.sizedPlanes(Long.MaxValue) == 21)
+    // density bound + minimality over a sweep below the cap: expected
+    // cell size <= 32 AND p is the SMALLEST such plane count (cells are
+    // never over-split either) — retuning the rule to a constant would
+    // fail the bound, retuning it oversized would fail minimality
+    for (n <- Seq(1L, 33L, 512L, 513L, 4096L, 65537L, 1000000L,
+        32L * (1L << 21))) {
+      val p = Vec.sizedPlanes(n)
+      assert(32L * (1L << p) >= n, s"density bound broken at n=$n")
+      assert(p == 4 || 32L * (1L << (p - 1)) < n, s"not minimal at n=$n")
+    }
+  }
+
   test("hardNegativeTopK never returns the query's own label and ranks " +
     "by cosine desc") {
     def vec(seed: Int): Array[Float] =

@@ -16,6 +16,16 @@ class OperatorSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  test("sessions run under ANSI semantics — overflow raises, never " +
+    "wraps (the runtime net behind LongSumAuditSpec's static audit)") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val e = intercept[Exception] {
+      Seq(Long.MaxValue, 1L).toDF("x").agg(sum(col("x"))).collect()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW") ||
+      e.getMessage.toLowerCase.contains("overflow"))
+  }
+
   test("C4/C5 bround is half-even like pandas .round") {
     val df = Seq(2.5, 3.5, 2.675, 18.65, 18.75).toDF("x")
       .select(C.roundHalfEven(col("x"), 0).as("r0"),

@@ -556,14 +556,28 @@ class PlanShapeSpec extends AnyFunSuite {
       s"kappa branches must read the checkpoint, not re-scan:\n$p")
   }
 
-  test("q133 semdedup / q134 hard negatives: cell/probe joins stay " +
-    "equi-joins — never a cartesian over the corpus") {
-    for (q <- Seq("q133_semdedup", "q134_hard_negatives")) {
+  test("q29 / q133 / q134: cell/probe joins stay equi-joins — never a " +
+    "cartesian over the corpus — and the near-dup pair stage rides the " +
+    "bucket key (corpus-sized via sizedPlanes, r13), so pair work is " +
+    "Σ|cell|² with |cell| bounded by the sizing rule") {
+    for (q <- Seq("q29_embed_neardup", "q133_semdedup",
+        "q134_hard_negatives")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
         !p.contains("BroadcastNestedLoopJoin"),
         s"$q pair generation degraded to all-pairs:\n$p")
     }
+    // the q29/q133 join key must be the LSH bucket column — a retune
+    // that drops the bucket from the join (back to label-only / fixed
+    // blocking) reintroduces the r12 quadratic silently
+    val p29 = plan("q29_embed_neardup")
+    assert(p29.linesIterator.exists(l => l.contains("Join") &&
+      l.contains("__probe") && l.contains("__bb")),
+      s"q29 pair join must ride the probe/bucket key:\n$p29")
+    val p133 = plan("q133_semdedup")
+    assert(p133.linesIterator.exists(l => l.contains("Join") &&
+      l.contains("bucket")),
+      s"q133 pair join must ride the bucket key:\n$p133")
   }
 
   test("q136 hist quantiles: the extent table broadcasts onto the " +
@@ -632,10 +646,18 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("q159 boilerplate: df aggregate and the df join both read the " +
-    "checkpointed (doc, gram) pairs — the shingle explode runs once") {
+    "bucketed bigram artifact — no corpus re-scan, no shingle explode") {
     val p = plan("q159_boilerplate")
-    assert(!p.contains("FileScan"),
-      s"branches must read the checkpoint, not re-shingle the corpus:\n$p")
+    // r12 (f09b7e9) re-served q159 from the session docterms2_ bucketed
+    // warehouse artifact: both branches scan the pre-shingled (doc, gram)
+    // table (a bucketed FileScan is the CORRECT shape now), never the raw
+    // documents corpus, and never re-explode.
+    assert(p.contains("docterms2_"),
+      s"branches must read the docterms2_ bucketed artifact:\n$p")
+    assert(!p.contains("documents.parquet"),
+      s"the raw corpus must never be re-scanned:\n$p")
+    assert(!p.contains("Generate explode"),
+      s"the shingle explode ran at artifact-build time, not here:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"gram df join must stay an equi-join:\n$p")
   }
