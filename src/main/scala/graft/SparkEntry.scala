@@ -2183,8 +2183,6 @@ object SparkEntry {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
       val ords = t(s, dir, "orders")
         .select(col("o_orderkey"), col("o_custkey"))
-      val ppB = li.filter(pmod(col("ok"), lit(37L)) =!= 0).distinct()
-        .localCheckpoint(true)
       // Base-trained co-occurrence WITHOUT re-joining the full pair set:
       // orders partition every co-purchase pair, so w_base = w_full −
       // w_delta — the q219 delta algebra applied to the similarity
@@ -2192,32 +2190,45 @@ object SparkEntry {
       // 1/37-sized holdout pays a self-join. Pairs living exclusively
       // in held-out orders subtract to 0 and drop.
       val dPairs = li.filter(pmod(col("ok"), lit(37L)) === 0).distinct()
-        .localCheckpoint(true)
+        .localCheckpoint(true) // consumers: de (twice), deltaBuy
       val de = dPairs.as("x").join(dPairs.as("y"),
           col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
         .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
         .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("dw"))
-      val dsym = de.select(col("id_a").as("node"), col("id_b").as("peer"),
+      val dsym0 = de.select(col("id_a").as("node"), col("id_b").as("peer"),
           col("dw"))
         .union(de.select(col("id_b").as("node"), col("id_a").as("peer"),
           col("dw")))
+        .localCheckpoint(true) // consumers: sym, wdeg (+ the size guard)
+      // Count-guarded broadcasts (the q195 10M-row discipline): the
+      // delta edge table and the degree table are broadcast ONLY while
+      // they fit an executor — the plan-read this round showed that
+      // without the hint, Catalyst first plans the (node, peer)
+      // adjustment as a shuffle join, which BOTH disables the
+      // artifact's bucketed scan AND materializes a full exchange of
+      // the edge set before AQE's broadcast replan can help. With the
+      // hint, the whole kNN path rides the node buckets map-side: scan
+      // → 3 broadcast joins → partial top-3 → one ≤3|V|-row exchange.
+      val dsym =
+        if (dsym0.count() <= 10000000L) broadcast(dsym0) else dsym0
       val sym = coPurchaseSymTable(s, dir)
         .join(dsym, Seq("node", "peer"), "left_outer")
         .select(col("node"), col("peer"),
           (col("w") - coalesce(col("dw"), lit(0L))).as("w"))
         .filter(col("w") > 0)
-        .localCheckpoint(true)
       // Holdout-adjusted weighted degrees by DELTA ALGEBRA off the
       // session degree artifact: every incident edge is either in the
       // adjusted graph with weight w-dw or vanished with w-dw = 0, so
       // Σ_adj = wdeg - Σ_incident dw exactly — a node-cardinality join
       // with the delta-bounded dw sums, never a rescan of the adjusted
       // edge set (VERDICT r11 #5).
-      val wdeg = degreeTable(s, dir)
+      val wdeg0 = degreeTable(s, dir)
         .join(dsym.groupBy(col("node")).agg(sum(col("dw")).as("__dw")),
           Seq("node"), "left_outer")
         .select(col("node"),
           (col("wdeg") - coalesce(col("__dw"), lit(0L))).as("__s"))
+      val nodeCount = degreeTable(s, dir).count() // |V|, 1-row-cheap read
+      val wdeg = if (nodeCount <= 10000000L) broadcast(wdeg0) else wdeg0
       val scored = sym
         .join(wdeg, "node")
         .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
@@ -2225,14 +2236,27 @@ object SparkEntry {
         .select(col("node"), col("peer"), col("w"),
           (col("w").cast("double") /
             sqrt((col("__s") * col("__sp")).cast("double"))).as("__sc"))
-      val knn = R.topKPerGroup(scored, Seq("node"),
+      val knn0 = R.topKPerGroup(scored, Seq("node"),
           Seq(col("__sc").desc, col("peer")), 3, "rank")
         .select(col("node"), col("peer"), col("w"))
-      val boughtB = ppB
+      // ≤ 3|V| rows by construction, and its subtree is exchange-free
+      // (the whole kNN rides the node buckets), so AQE has no shuffle
+      // stage to measure it by and plans the candidate join as an SMJ —
+      // which would re-exchange the bought table by part. Broadcast
+      // under the same |V| guard instead.
+      val knn = if (nodeCount <= 3333333L) broadcast(knn0) else knn0
+      // Straight from the base lineitem slice: the former (ok, pk)
+      // pre-distinct + checkpoint bought nothing — (cust, part) is
+      // distinct'd here anyway, so it paid an extra full-width shuffle
+      // and an eager materialization per run. No checkpoint either:
+      // the two consumers (cand, the anti-join) share the distinct's
+      // exchange via ReusedExchange inside ONE execution — an eager
+      // checkpoint paid that pass up front and added a memory write
+      // (r13).
+      val boughtB = li.filter(pmod(col("ok"), lit(37L)) =!= 0)
         .join(ords, col("ok") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("pk").as("part"))
         .distinct()
-        .localCheckpoint(true)
       val cand = boughtB.join(knn, boughtB("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"))
@@ -2240,10 +2264,18 @@ object SparkEntry {
         cand.join(boughtB.select(col("cust"), col("part").as("peer")),
           Seq("cust", "peer"), "left_anti"),
         Seq("cust"), Seq(col("score").desc, col("peer")), 5, "rank")
-      val deltaBuy = li.filter(pmod(col("ok"), lit(37L)) === 0)
+      // Off the checkpointed delta pairs, not a third lineitem scan —
+      // (ok, pk)-distinct implies (cust, part) needs one more distinct
+      // only because two held-out orders of one customer can share a
+      // part. Row count ≤ |dPairs| by construction, so the same count
+      // guard that sized dsym certifies the census-join broadcast.
+      val deltaBuy0 = dPairs
         .join(ords, col("ok") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("pk").as("part"))
         .distinct()
+      val deltaBuy =
+        if (dPairs.count() <= 10000000L) broadcast(deltaBuy0)
+        else deltaBuy0
       recs.join(deltaBuy,
           recs("cust") === deltaBuy("cust") &&
             recs("peer") === deltaBuy("part"), "left_outer")

@@ -662,6 +662,29 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram df join must stay an equi-join:\n$p")
   }
 
+  test("q198 rec eval: the base-kNN path rides the co-purchase buckets " +
+    "— delta adjustment and degree joins broadcast under the count " +
+    "guards, the candidate join never re-exchanges the bought table, " +
+    "and only the anti-join may merge-join") {
+    val p = plan("q198_rec_eval")
+    // the bucketed artifact scan must stay ENABLED: a (node, peer)
+    // shuffle requirement upstream (the pre-r13 un-hinted delta join)
+    // disables it and pays a full edge-set exchange
+    assert(p.contains("Bucketed: true"),
+      s"co-purchase scan lost its buckets (edge-set exchange is back):\n$p")
+    // the delta-weight adjustment is a broadcast join on (node, peer)
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("node") && l.contains("peer") && l.contains("LeftOuter")),
+      s"dsym adjustment must broadcast under the 10M guard:\n$p")
+    // candidate generation must not shuffle-join: the only merge join
+    // allowed anywhere is the bought anti-join
+    assert(p.linesIterator.filter(_.contains("SortMergeJoin"))
+      .forall(_.contains("LeftAnti")),
+      s"a non-anti SortMergeJoin re-exchanges a big side:\n$p")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), s"degraded plan:\n$p")
+  }
+
   test("q160 fingerprint: one corpus scan into the hash groupBy") {
     val f = formatted("q160_content_fingerprint")
     val scans = "documents\\.parquet".r.findAllIn(f).length
