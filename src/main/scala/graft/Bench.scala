@@ -171,7 +171,10 @@ object Bench {
     // noise_rel_spread <= 0.15, so a louder full run must not shadow the
     // last quiet pointer — it lands in BENCH_last_loud.json instead
     // (recorded, never diffed query-by-query).
-    if (only.isEmpty) {
+    // ...and only on the GRADED corpus: a full-surface probe run at
+    // another SF (the sf1 scale corpus) reports numbers that are not
+    // comparable to the pointer's history and must not shadow it.
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
       val target =
         if (noise >= 0.0 && noise <= 0.15) "BENCH_last.json"
         else "BENCH_last_loud.json"

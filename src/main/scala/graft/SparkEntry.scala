@@ -2006,12 +2006,19 @@ object SparkEntry {
     // q187, and the oracle replays the identical arithmetic), top-5
     // per customer by (score desc, part asc).
     "q192_user_recommendations" -> ((s, dir) => {
-      val knn = itemKnnTable(s, dir).select(col("node"), col("peer"),
+      val knn0 = itemKnnTable(s, dir).select(col("node"), col("peer"),
         col("w"))
-      // Checkpoint the history frame: the candidate join AND the
-      // already-bought anti-join both read it — without the pin each
-      // replays the lineitem⋈orders scan + distinct (two corpus scans
-      // for one history-cardinality frame).
+      // ≤ 3|V| rows by construction, but the checkpoint scan carries no
+      // stats, so Catalyst plans the candidate join as a shuffle join —
+      // re-exchanging the history frame by part (the q198 plan read,
+      // r13). Broadcast under the q195/q198 |V| count guard instead.
+      val knn =
+        if (degreeTable(s, dir).count() <= 3333333L) broadcast(knn0)
+        else knn0
+      // The candidate join AND the already-bought anti-join both read
+      // the history frame; its distinct's exchange is shared between
+      // them via ReusedExchange inside the one execution (an eager
+      // checkpoint paid that pass up front — r13, the q198 move).
       val bought = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(t(s, dir, "orders")
@@ -2019,7 +2026,6 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
-        .localCheckpoint(true)
       val cand = bought.join(knn, bought("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_paths"))
