@@ -2015,10 +2015,11 @@ object SparkEntry {
       val knn =
         if (degreeTable(s, dir).count() <= 3333333L) broadcast(knn0)
         else knn0
-      // The candidate join AND the already-bought anti-join both read
-      // the history frame; its distinct's exchange is shared between
-      // them via ReusedExchange inside the one execution (an eager
-      // checkpoint paid that pass up front — r13, the q198 move).
+      // Checkpoint the history frame: the candidate join AND the
+      // already-bought anti-join both read it — the pin guarantees the
+      // lineitem scan (the biggest table at 100 TB) runs exactly once,
+      // deterministically, rather than relying on exchange reuse
+      // (plan-pinned: PlanShapeSpec's q187/q192 scan-once assertion).
       val bought = t(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_partkey"))
         .join(t(s, dir, "orders")
@@ -2026,6 +2027,7 @@ object SparkEntry {
           col("l_orderkey") === col("o_orderkey"))
         .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
         .distinct()
+        .localCheckpoint(true)
       val cand = bought.join(knn, bought("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_paths"))
