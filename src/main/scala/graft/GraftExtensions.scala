@@ -4,12 +4,12 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Literal}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{IntegerType, StringType}
 
 import graft.functions.{DeflateRatio, DotProductF32, DotProductF64, I8Dot,
   I8Quantize, LshBucketF32, MinHashSig, NfcNormalize, NGramHashSet,
-  NGramMinHashSig, SimHash60, SortedIntersectCount, TokenHash60Array,
-  WindowHashSelect, WindowMinHash32}
+  NGramMinHashSig, RedactCount, SimHash60, SortedIntersectCount,
+  TokenCensus, TokenHash60Array, WindowHashSelect, WindowMinHash32}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions in the SQL function registry so `spark.sql` queries can use
@@ -167,6 +167,32 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               s"literals, got $other")
         }
         WindowHashSelect(args.head, n, m)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("token_census"),
+      new ExpressionInfo(classOf[TokenCensus].getName, "token_census"),
+      (args: Seq[Expression]) => {
+        require(args.length >= 1,
+          "token_census takes (text, stopword literals...)")
+        val stops = args.tail.map {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"token_census: stopwords must be string literals, got $other")
+        }
+        TokenCensus(args.head, stops)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("redact_count"),
+      new ExpressionInfo(classOf[RedactCount].getName, "redact_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "redact_count takes exactly 3 arguments")
+        val Seq(p, t) = args.tail.map {
+          case Literal(v, StringType) if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            "redact_count: pattern and token must be string literals, " +
+              s"got $other")
+        }
+        RedactCount(args.head, p, t)
       }))
     ext.injectFunction((
       new FunctionIdentifier("nfc_normalize"),

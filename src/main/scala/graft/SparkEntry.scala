@@ -1172,11 +1172,15 @@ object SparkEntry {
     // labeling functions (length band, type-token ratio band, stopword
     // presence) vote good/bad/abstain per doc; plurality with
     // smallest-label tie-break; census per (final label, votes cast).
+    // All three per-doc stats come from ONE fused byte-walk
+    // (T.tokenCensus): the plan is map-only + a tiny census exchange, so
+    // the three token-array materializations per doc WERE the query (the
+    // r13 sf1 probe read 9.4× on 10× data — row-linear, but the biggest
+    // constant factor on the board).
     "q148_weak_labels" -> ((s, dir) => {
-      val w = T.tokens(col("text"))
-      val nT = size(w)
-      val nD = size(array_distinct(w))
-      val nStop = T.stopwordCount(w, Seq("the", "a"))
+      val nT = col("__c.nt")
+      val nD = col("__c.nd")
+      val nStop = col("__c.ns")
       val lfLen = when(nT >= 30 && nT <= 90, "good")
         .when(nT < 15, "bad").otherwise(lit(null).cast("string"))
       val lfTtr = when(nD * 5 >= nT * 3, "good")
@@ -1184,6 +1188,7 @@ object SparkEntry {
       val lfStop = when(nStop >= 2, "good").when(nStop === 0, "bad")
         .otherwise(lit(null).cast("string"))
       t(s, dir, "documents")
+        .select(T.tokenCensus(col("text"), Seq("the", "a")).as("__c"))
         .select(Q.majorityVote(Seq(lfLen, lfTtr, lfStop)).as("label"),
           size(array_compact(array(lfLen, lfTtr, lfStop))).as("n_votes"))
         .groupBy(col("label"), col("n_votes"))
@@ -7826,20 +7831,29 @@ object SparkEntry {
     // Benchmark decontamination: docs sharing too many char-8-gram
     // shingles with a (tiny, broadcast) eval set are contaminated and
     // must be dropped before training. The eval set's distinct hashes
-    // broadcast; the corpus side explodes its fused hash-set kernel and
-    // counts overlaps — one hash join + two aggregations, never a
-    // doc×doc comparison.
+    // broadcast with a match marker over the corpus's exploded hash-set
+    // kernel; one grouped count then yields BOTH the shingle census and
+    // the overlap count, so the expensive kernel runs in ONE corpus scan
+    // (the pre-r13 shape ran it twice — once for the overlap explode,
+    // once for size(hs) — and the r13 sf1 probe read 8.1× on 10× data
+    // with the kernel as the whole bill). explode_outer + count(h)
+    // preserves the kernel's null contract (null, never empty, below 8
+    // chars): such docs surface with n_shingles null exactly as before.
+    // Never a doc×doc comparison; the exploded rows fold map-side
+    // (partial count per doc) before the single doc_id exchange.
     "q60_decontaminate" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
       val hs = call_function("char_shingle_hashset", col("text"), lit(8))
       val ev = docs.filter(col("doc_id") < 5)
         .select(explode(hs).as("h")).distinct()
-      val overlap = docs.select(col("doc_id"), explode(hs).as("h"))
-        .join(broadcast(ev), Seq("h"))
-        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_overlap"))
-      docs.select(col("doc_id"), size(hs).as("n_shingles"))
-        .join(overlap, Seq("doc_id"), "left")
-        .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+        .withColumn("__m", lit(1))
+      docs.select(col("doc_id"), explode_outer(hs).as("h"))
+        .join(broadcast(ev), Seq("h"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(col("h")).as("__n_sh"), count(col("__m")).as("n_overlap"))
+        .select(col("doc_id"),
+          when(col("__n_sh") > 0, col("__n_sh").cast("int")).as("n_shingles"),
+          col("n_overlap"))
         .withColumn("contaminated",
           (col("n_overlap").cast("double") / col("n_shingles").cast("double")
             >= 0.5).cast("int"))
@@ -8066,19 +8080,23 @@ object SparkEntry {
     // PII scrub: regex redaction of emails then digit runs, with match
     // counts. The corpus has no natural PII, so both engines inject the
     // same deterministic contact line first (q30's sentinel pattern) —
-    // the scrub operators are genuinely exercised.
+    // the scrub operators are genuinely exercised. Each pattern's count
+    // and redaction come from ONE fused traversal (T.redactCount; the
+    // r13 sf1 probe read 8.9× on 10× data with four regex walks as the
+    // whole bill — the map work is inherently row-linear, so the fix is
+    // the constant factor: 4 walks + 2 match-array allocs → 2 walks).
     "q42_pii_scrub" -> ((s, dir) => {
       val raw = concat(col("text"), lit(" contact user"),
         col("doc_id").cast("string"), lit("@mail.example ref "),
         (col("doc_id") * 7).cast("string"))
       t(s, dir, "documents").select(col("doc_id"), raw.as("__raw"))
-        .withColumn("n_emails", T.matchCount(col("__raw"), T.EmailPattern))
-        .withColumn("__s1", T.redact(col("__raw"), T.EmailPattern, "<EMAIL>"))
-        .withColumn("n_nums", T.matchCount(col("__s1"), T.NumberPattern))
-        .withColumn("__s2", T.redact(col("__s1"), T.NumberPattern, "<NUM>"))
-        .select(col("doc_id"), col("n_emails"), col("n_nums"),
-          md5(col("__s2")).as("scrubbed_md5"),
-          length(col("__s2")).as("scrubbed_len"))
+        .select(col("doc_id"),
+          T.redactCount(col("__raw"), T.EmailPattern, "<EMAIL>").as("__r1"))
+        .select(col("doc_id"), col("__r1.n").as("n_emails"),
+          T.redactCount(col("__r1.s"), T.NumberPattern, "<NUM>").as("__r2"))
+        .select(col("doc_id"), col("n_emails"), col("__r2.n").as("n_nums"),
+          md5(col("__r2.s")).as("scrubbed_md5"),
+          length(col("__r2.s")).as("scrubbed_len"))
     }),
 
     // Exact grouped median via two middle ranks — deterministic (contrast

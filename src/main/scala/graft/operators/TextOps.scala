@@ -145,6 +145,20 @@ object TextOps {
   def matchCount(c: Column, pattern: String): Column =
     size(regexp_extract_all(c, lit(pattern), lit(0)))
 
+  /** Fused count + redact in ONE regex traversal — struct<n:int,
+    * s:string>, equal to (matchCount(c), redact(c)) computed together.
+    * The scrub hot path's scale form: the regex walk dominates, so the
+    * fused kernel halves the per-row bill vs the two-call composition. */
+  def redactCount(c: Column, pattern: String, token: String): Column =
+    call_function("redact_count", c, lit(pattern), lit(token))
+
+  /** Fused token census — struct<nt, nd, ns> = (token count, EXACT
+    * distinct count, stopword hits) in one byte walk with zero per-row
+    * array allocation; equals size(tokens), size(array_distinct(tokens)),
+    * stopwordCount(tokens) composed ([[graft.functions.TokenCensus]]). */
+  def tokenCensus(c: Column, stopwords: Seq[String]): Column =
+    call_function("token_census", (c +: stopwords.map(lit(_))): _*)
+
   /** Minhash-style single-value fingerprint: min 32-bit hash over the
     * distinct token set. */
   def minTokenHash(words: Column): Column =

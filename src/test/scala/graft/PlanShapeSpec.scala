@@ -662,6 +662,45 @@ class PlanShapeSpec extends AnyFunSuite {
       s"gram df join must stay an equi-join:\n$p")
   }
 
+  test("q148 weak labels: the fused token census keeps the plan map-only " +
+    "— one pruned corpus scan, one tiny census exchange, no joins") {
+    val f = formatted("q148_weak_labels")
+    assert(!f.contains("Join"), s"census must not join:\n$f")
+    assert(shuffles(f) == 1,
+      s"one (label, n_votes) exchange only, got ${shuffles(f)}:\n$f")
+    assert(f.contains("token_census"),
+      s"the fused kernel must serve all three stats (the composed " +
+        s"split/array_distinct form re-materializes token arrays):\n$f")
+    val scans = "documents\\.parquet".r.findAllIn(f).length
+    assert(scans == 1, s"expected 1 documents scan, got $scans:\n$f")
+    assert(f.contains("ReadSchema: struct<text:string>"),
+      s"scan must prune to the text column:\n$f")
+  }
+
+  test("q42 pii scrub: pure map — one scan, ZERO exchanges, both " +
+    "patterns served by the fused redact_count traversal") {
+    val f = formatted("q42_pii_scrub")
+    assert(shuffles(f) == 0, s"scrub must not shuffle:\n$f")
+    assert(!f.contains("Join"), s"scrub must not join:\n$f")
+    assert("redact_count".r.findAllIn(f).length >= 2,
+      s"both patterns must use the fused kernel:\n$f")
+  }
+
+  test("q60 decontaminate: the shingle kernel runs in ONE corpus scan — " +
+    "census and overlap fold from the same exploded pass, eval set " +
+    "broadcasts, one doc_id exchange") {
+    val p = plan("q60_decontaminate")
+    // corpus scan + pushed-down (doc_id < 5) eval scan, never the
+    // pre-r13 third scan for size(hs)
+    val scans = "FileScan".r.findAllIn(p).length
+    assert(scans == 2, s"expected corpus + eval scans only, got $scans:\n$p")
+    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+      l.contains("LeftOuter")),
+      s"eval hashes must broadcast into the exploded pass:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the doc-side join must not shuffle:\n$p")
+  }
+
   test("q198 rec eval: the base-kNN path rides the co-purchase buckets " +
     "— delta adjustment and degree joins broadcast under the count " +
     "guards, the candidate join never re-exchanges the bought table, " +

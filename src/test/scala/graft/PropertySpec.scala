@@ -254,6 +254,69 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("redact_count: struct(n, s) equals the composed " +
+    "matchCount+redact pair on random text, null-safe, and the token " +
+    "is inserted verbatim (no $-group expansion)") {
+    val word = Gen.oneOf("contact", "a1b2", "x@y.z", "user9@mail.com",
+      "ref", "42", "007", "$1", "", "no-pii-here")
+    val txt = Gen.listOfN(8, word).map(_.mkString(" "))
+    for (pat <- Seq(T.EmailPattern, T.NumberPattern)) {
+      forAll(txt, n = 10) { s =>
+        val r = Seq(s).toDF("t")
+          .select(T.redactCount(col("t"), pat, "<X>").as("rc"),
+            T.matchCount(col("t"), pat).as("n"),
+            T.redact(col("t"), pat, "<X>").as("s2"))
+          .head
+        assert(r.getStruct(0).getInt(0) == r.getInt(1),
+          s"count diverged from matchCount on '$s' / $pat")
+        assert(r.getStruct(0).getString(1) == r.getString(2),
+          s"redaction diverged from regexp_replace on '$s' / $pat")
+        // regexp_replace REJECTS $ in the replacement (group expansion);
+        // the fused kernel is verbatim by contract — check against the
+        // quoted-splice Scala reference
+        val dollar = Seq(s).toDF("t")
+          .select(T.redactCount(col("t"), pat, "<$X>")).head
+        val verbatim = pat.r.replaceAllIn(s,
+          scala.util.matching.Regex.quoteReplacement("<$X>"))
+        assert(dollar.getStruct(0).getString(1) == verbatim,
+          s"verbatim-token contract broken on '$s' / $pat")
+      }
+    }
+    // null text propagates (struct is null, not struct of nulls)
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(T.redactCount(col("t"), T.EmailPattern, "<E>"))
+      .head
+    assert(nr.isNullAt(0))
+  }
+
+  test("token_census: struct(nt, nd, ns) equals the composed " +
+    "split/array_distinct/filter triple on random text with empty, " +
+    "repeated, and unicode tokens") {
+    val word = Gen.oneOf("the", "a", "b", "the", "", "日本語", "x y".take(1),
+      "longtokenlongtoken", "a")
+    // join with SINGLE spaces but inject doubles/trailing via the empty
+    // word — split-regex-" " semantics keep those empties as tokens
+    val txt = Gen.listOfN(12, word).map(_.mkString(" "))
+    forAll(txt, n = 10) { s =>
+      val r = Seq(s, s + " ", " " + s, "").toDF("t")
+        .select(T.tokenCensus(col("t"), Seq("the", "a")).as("c"),
+          size(T.tokens(col("t"))).as("nt"),
+          size(array_distinct(T.tokens(col("t")))).as("nd"),
+          T.stopwordCount(T.tokens(col("t")), Seq("the", "a")).as("ns"))
+        .collect()
+      r.foreach { row =>
+        val c = row.getStruct(0)
+        assert(c.getInt(0) == row.getInt(1), s"nt diverged on '$s'")
+        assert(c.getInt(1) == row.getInt(2), s"nd diverged on '$s'")
+        assert(c.getInt(2) == row.getInt(3), s"ns diverged on '$s'")
+      }
+    }
+    // null text → null struct (not a struct of nulls)
+    val nr = Seq(Option.empty[String]).toDF("t")
+      .select(T.tokenCensus(col("t"), Seq("the"))).head
+    assert(nr.isNullAt(0))
+  }
+
   test("scd2 equals a driver-side reference on random keyed state streams") {
     val rnd = new scala.util.Random(31)
     for (_ <- 0 until 3) {
