@@ -623,12 +623,14 @@ object SparkEntry {
     // transfer) so 3 damped iterations are exact, order-independent, and
     // hash-identical to the oracle's unrolled CTE chain. Top 20 hubs.
     "q109_pagerank" -> ((s, dir) =>
-      // Edges from the bucketed symmetric co-purchase table shared with
-      // q153/q166/q170/q184/q185 — one lineitem scan + self-join + ONE
-      // bucketBy(node) write shuffle per session; each iteration's join
-      // and the degree aggregate ride the bucket layout.
-      G.pageRankSym(coPurchaseSymTable(s, dir), "node", "peer",
-          iters = 3, scale = 1000000000L)
+      // Edges from the MATERIALIZED symmetric co-purchase frame shared
+      // with q153/q166/q170/q184/q185 (one lineitem scan + ONE
+      // bucketBy(node) write + one checkpoint per session); degrees and
+      // |V| come off the session artifacts, so the query itself is just
+      // the 3 rank iterations riding the node-hash layout.
+      G.pageRankPrepared(coPurchaseSymFrame(s, dir), "node", "peer",
+          degreeTable(s, dir).select(col("node"), col("deg").as("outdeg")),
+          coPurchaseNodeCount(s, dir), iters = 3, scale = 1000000000L)
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part"), col("rank"),
           col("outdeg").as("degree"))),
@@ -667,7 +669,7 @@ object SparkEntry {
       val n = m.select(col("__b")).distinct()
         .agg(count(lit(1)).as("__n"))
       val ic = m.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
-      val pairs = coPurchaseSymTable(s, dir)
+      val pairs = coPurchaseSymFrame(s, dir)
         .filter(col("node") < col("peer") && col("w") >= 3L)
         .select(col("node").as("__a"), col("peer").as("__c"),
           col("w").as("__cab"))
@@ -1246,8 +1248,9 @@ object SparkEntry {
     // L135: k-core peel of the co-purchase graph (q109's bucketed
     // symmetric table), k pinned at the initial p10 degree, 3 rounds.
     "q153_kcore" -> ((s, dir) =>
-      G.kCorePeelSym(coPurchaseSymTable(s, dir), "node", "peer",
-        rounds = 3, q = 0.1)),
+      G.kCorePeelPrepared(coPurchaseSymFrame(s, dir), "node", "peer",
+        degreeTable(s, dir).select(col("node"), col("deg")),
+        coPurchaseNodeCount(s, dir), rounds = 3, q = 0.1)),
 
     // L136: behavioral trigram patterns — per-user ordered event-type
     // 3-sequences (two leads on ONE user window), global top-20.
@@ -1452,10 +1455,12 @@ object SparkEntry {
     // bucketed by integer division (no per-node float crosses the
     // engine boundary; degree-1 nodes census as -1).
     "q166_clustering_census" -> ((s, dir) =>
-      G.localClusteringCensusCanon(coPurchaseSymTable(s, dir)
+      G.localClusteringCensusCanon(coPurchaseSymFrame(s, dir)
         .filter(col("node") < col("peer"))
         .select(col("node").as("u"), col("peer").as("v")),
-        Some(degreeTable(s, dir).select(col("node"), col("deg"))))),
+        Some(degreeTable(s, dir).select(col("node"), col("deg"))),
+        Some(coPurchaseNodeCount(s, dir)),
+        Some(coPurchaseSymCount(s, dir) / 2))),
 
     // L149: revenue concentration — the Pareto question ("what share of
     // revenue sits above the p50/p90/p99 customer?") with exact
@@ -1537,7 +1542,7 @@ object SparkEntry {
     // parts co-occur with popular parts? One number, exact integer
     // sufficient statistics (GraphOps.degreeAssortativity).
     "q170_degree_assortativity" -> ((s, dir) =>
-      G.degreeAssortativityCanon(coPurchaseSymTable(s, dir)
+      G.degreeAssortativityCanon(coPurchaseSymFrame(s, dir)
         .filter(col("node") < col("peer"))
         .select(col("node").as("u"), col("peer").as("v")),
         Some(degreeTable(s, dir).select(col("node"), col("deg").as("d"))))),
@@ -1872,8 +1877,12 @@ object SparkEntry {
     // shuffles before the top-k) — the layout a graph-serving store
     // keeps at 100 TB so per-node reads never re-shuffle the edges.
     "q184_bucketed_degrees" -> ((s, dir) =>
-      coPurchaseSymTable(s, dir)
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+      // Served off the session DEGREE artifact (the q185 discipline):
+      // the artifact build IS the exchange-free bucket-riding aggregate
+      // this query demonstrates, so re-running it per query only
+      // re-paid the scan — a top-20 TakeOrdered over |V| rows remains.
+      degreeTable(s, dir)
+        .select(col("node"), col("deg").as("degree"))
         .orderBy(col("degree").desc, col("node")).limit(20)),
 
     // L168: degree-distribution power-law fit — is the co-purchase
@@ -1953,8 +1962,9 @@ object SparkEntry {
     // graph-traversal capability (distance, not just components) the
     // family lacked; the DuckDB twin is a bounded recursive CTE.
     "q189_bfs_layers" -> ((s, dir) =>
-      G.bfsLayersSym(coPurchaseSymTable(s, dir), "node", "peer",
-          rounds = 4)
+      G.bfsLayersPrepared(coPurchaseSymFrame(s, dir), "node", "peer",
+          degreeTable(s, dir).select(col("node")),
+          coPurchaseNodeCount(s, dir), rounds = 4)
         .orderBy(col("dist"))),
 
     // Feature-store snapshot — the per-actor training-feature row an ML
@@ -1993,9 +2003,11 @@ object SparkEntry {
     // and the oracle unrolls them CTE-for-CTE. Top 20 by personalized
     // rank.
     "q191_personalized_pagerank" -> ((s, dir) =>
-      G.personalizedPageRankSym(coPurchaseSymTable(s, dir), "node",
-          "peer", n => pmod(n, lit(50L)) === 0, iters = 3,
-          scale = 1000000000L)
+      G.personalizedPageRankPrepared(coPurchaseSymFrame(s, dir), "node",
+          "peer",
+          degreeTable(s, dir).select(col("node"), col("deg").as("outdeg")),
+          coPurchaseNodeCount(s, dir), n => pmod(n, lit(50L)) === 0,
+          iters = 3, scale = 1000000000L)
         .orderBy(col("rank").desc, col("node").asc).limit(20)
         .select(col("node").as("part"), col("rank"),
           col("outdeg").as("degree"))),
@@ -2018,7 +2030,8 @@ object SparkEntry {
       // re-exchanging the history frame by part (the q198 plan read,
       // r13). Broadcast under the q195/q198 |V| count guard instead.
       val knn =
-        if (degreeTable(s, dir).count() <= 3333333L) broadcast(knn0)
+        if (coPurchaseNodeCount(s, dir) <= KnnBroadcastMaxNodes)
+          broadcast(knn0)
         else knn0
       // Checkpoint the history frame: the candidate join AND the
       // already-bought anti-join both read it — the pin guarantees the
@@ -2081,7 +2094,7 @@ object SparkEntry {
     // full rebuild restricted to the affected set (the twin IS that
     // restriction).
     "q195_incremental_knn" -> ((s, dir) => {
-      val sym = coPurchaseSymTable(s, dir)
+      val sym = coPurchaseSymFrame(s, dir)
       val deltaParts = t(s, dir, "lineitem")
         .filter(pmod(col("l_orderkey"), lit(37L)) === 0)
         .select(col("l_partkey").as("node")).distinct()
@@ -2097,7 +2110,8 @@ object SparkEntry {
       // (10M nodes, the GraphOps rank budget); past that the semi-join
       // rides an AQE shuffle.
       val affSide =
-        if (affected.count() <= 10000000L) broadcast(affected) else affected
+        if (affected.count() <= DeltaBroadcastMaxRows) broadcast(affected)
+        else affected
       val wdeg = degreeTable(s, dir)
         .select(col("node"), col("wdeg").as("__s"))
       val scored = sym
@@ -2223,7 +2237,7 @@ object SparkEntry {
       // hint, the whole kNN path rides the node buckets map-side: scan
       // → 3 broadcast joins → partial top-3 → one ≤3|V|-row exchange.
       val dsym =
-        if (dsym0.count() <= 10000000L) broadcast(dsym0) else dsym0
+        if (dsym0.count() <= DeltaBroadcastMaxRows) broadcast(dsym0) else dsym0
       val sym = coPurchaseSymTable(s, dir)
         .join(dsym, Seq("node", "peer"), "left_outer")
         .select(col("node"), col("peer"),
@@ -2240,8 +2254,9 @@ object SparkEntry {
           Seq("node"), "left_outer")
         .select(col("node"),
           (col("wdeg") - coalesce(col("__dw"), lit(0L))).as("__s"))
-      val nodeCount = degreeTable(s, dir).count() // |V|, 1-row-cheap read
-      val wdeg = if (nodeCount <= 10000000L) broadcast(wdeg0) else wdeg0
+      val nodeCount = coPurchaseNodeCount(s, dir) // |V|, session scalar
+      val wdeg =
+        if (nodeCount <= DeltaBroadcastMaxRows) broadcast(wdeg0) else wdeg0
       val scored = sym
         .join(wdeg, "node")
         .join(wdeg.select(col("node").as("peer"), col("__s").as("__sp")),
@@ -2257,7 +2272,8 @@ object SparkEntry {
       // stage to measure it by and plans the candidate join as an SMJ —
       // which would re-exchange the bought table by part. Broadcast
       // under the same |V| guard instead.
-      val knn = if (nodeCount <= 3333333L) broadcast(knn0) else knn0
+      val knn =
+        if (nodeCount <= KnnBroadcastMaxNodes) broadcast(knn0) else knn0
       // Straight from the base lineitem slice: the former (ok, pk)
       // pre-distinct + checkpoint bought nothing — (cust, part) is
       // distinct'd here anyway, so it paid an extra full-width shuffle
@@ -2287,7 +2303,7 @@ object SparkEntry {
         .select(col("o_custkey").as("cust"), col("pk").as("part"))
         .distinct()
       val deltaBuy =
-        if (dPairs.count() <= 10000000L) broadcast(deltaBuy0)
+        if (dPairs.count() <= DeltaBroadcastMaxRows) broadcast(deltaBuy0)
         else deltaBuy0
       recs.join(deltaBuy,
           recs("cust") === deltaBuy("cust") &&
@@ -2807,8 +2823,9 @@ object SparkEntry {
     // artifact the rest of the graph family serves from; reported as
     // the top-20 community census. [[GraphOps.labelPropagationSym]].
     "q217_label_propagation" -> ((s, dir) =>
-      G.labelPropagationSym(coPurchaseSymTable(s, dir),
-          "node", "peer", "w", 3)
+      G.labelPropagationPrepared(coPurchaseSymFrame(s, dir),
+          "node", "peer", "w", degreeTable(s, dir).select(col("node")),
+          coPurchaseNodeCount(s, dir), 3)
         .groupBy(col("lbl").as("community"))
         .agg(count(lit(1)).as("n_nodes"))
         .orderBy(col("n_nodes").desc, col("community"))
@@ -2851,7 +2868,8 @@ object SparkEntry {
       val oldC = c.filter(pmod(col("c_custkey"), lit(41L)) =!= 0)
       val dC = c.filter(pmod(col("c_custkey"), lit(41L)) === 0)
         .localCheckpoint(true)
-      val dCSide = if (dC.count() <= 10000000L) broadcast(dC) else dC
+      val dCSide =
+        if (dC.count() <= DeltaBroadcastMaxRows) broadcast(dC) else dC
       def viewAgg(df: DataFrame): DataFrame =
         df.groupBy(col("c_nationkey"), col("o_orderstatus"))
           .agg(sum(col("cents")).as("sum_cents"),
@@ -3116,18 +3134,24 @@ object SparkEntry {
       // coarse join never runs. Guards are driver-side 1-row reads (the
       // broadcast-guard discipline); any failure falls back to the full
       // blocked join, so the output is identical by construction.
-      val uRow1 = u1df.head
-      val uRow2 = u2df.head
-      val u1v = if (uRow1.isNullAt(0)) 1.0 else uRow1.getDouble(0)
-      val u2v = if (uRow2.isNullAt(0)) 1.0 else uRow2.getDouble(0)
-      val c11 = base
-        .groupBy(col("source"), col("lang"), col("f1"), col("f2"))
-        .agg(count(lit(1)).as("nv"))
-        .agg(sum(col("nv").cast(D) * (col("nv") - 1L).cast(D)).as("p2"))
+      // ONE guard action (VERDICT r13 #5: three separate plan-time
+      // `.head` jobs): the three 1-row guard reads — u1, u2, and the
+      // both-agree pair mass — cross-join into a single row. The
+      // arithmetic trees are byte-identical to before (u1df/u2df are
+      // the same frames the output branches broadcast), so the branch
+      // decision cannot shift; only the job count drops 3 → 1.
+      val guard = u1df.crossJoin(u2df)
+        .crossJoin(base
+          .groupBy(col("source"), col("lang"), col("f1"), col("f2"))
+          .agg(count(lit(1)).as("nv"))
+          .agg(sum(col("nv").cast(D) * (col("nv") - 1L).cast(D))
+            .as("p2")))
         .head
+      val u1v = if (guard.isNullAt(0)) 1.0 else guard.getDouble(0)
+      val u2v = if (guard.isNullAt(1)) 1.0 else guard.getDouble(1)
       val bothPairsX2 =
-        if (c11.isNullAt(0)) BigDecimal(0)
-        else BigDecimal(c11.getDecimal(0))
+        if (guard.isNullAt(2)) BigDecimal(0)
+        else BigDecimal(guard.getDecimal(2))
       if (u1v < 0.9 && u2v < 0.9 && bothPairsX2 >= 400) {
         val a = base.select(col("doc_id").as("a_id"), col("source"),
           col("lang"), col("f1"), col("f2"))
@@ -4401,7 +4425,7 @@ object SparkEntry {
     // center join and both degree reads ride the node buckets
     // exchange-free; top-20 via TakeOrdered.
     "q256_link_prediction" -> ((s, dir) => {
-      val sym = coPurchaseSymTable(s, dir)
+      val sym = coPurchaseSymFrame(s, dir)
         .select(col("node"), col("peer"))
       // All three degree reads (center cap + both endpoint joins) come
       // off the session degree artifact — node-cardinality checkpoint
@@ -5139,7 +5163,7 @@ object SparkEntry {
     // node set exchange-free; the catalog anti-join is the only
     // shuffle.
     "q279_cold_start_coverage" -> ((s, dir) => {
-      val inGraph = coPurchaseSymTable(s, dir)
+      val inGraph = coPurchaseSymFrame(s, dir)
         .select(col("node")).distinct()
       val catalog = t(s, dir, "part").select(col("p_partkey"))
       val cold = catalog.join(inGraph,
@@ -8338,11 +8362,11 @@ object SparkEntry {
       })
 
   /** The distinct canonical (id_a < id_b) co-purchase pair list, read
-    * EXCHANGE-FREE off the bucketed symmetric table (the reversed
+    * EXCHANGE-FREE off the materialized symmetric frame (the reversed
     * orientation is exactly the node > peer half, so a map-side filter
     * recovers the canonical set — no distinct, no least/greatest). */
   private def coPurchaseEdges(s: SparkSession, dir: String): DataFrame =
-    coPurchaseSymTable(s, dir)
+    coPurchaseSymFrame(s, dir)
       .filter(col("node") < col("peer"))
       .select(col("node").as("id_a"), col("peer").as("id_b"))
 
@@ -8366,6 +8390,53 @@ object SparkEntry {
         .agg(count(lit(1)).as("deg"), sum(col("w")).as("wdeg"))
         .localCheckpoint(true)
     }
+
+  /** Session memo for the MATERIALIZED symmetric co-purchase edge frame
+    * — the bucketed table lifted into executor blocks once per (dir,
+    * session): every iterative graph consumer (q109/q153/q189/q191/
+    * q217 and the canonical-half readers) re-read the parquet scan AND
+    * re-paid a per-query persist + materialize before its rounds; the
+    * checkpointed frame keeps the bucketed scan's hash distribution on
+    * `node` (LogicalRDD preserves outputPartitioning), so per-iteration
+    * joins stay exchange-free while the prep is paid once per session
+    * (VERDICT r13 #3). At cluster scale this is the 2|E| block cache a
+    * graph-serving layer pins beside its edge layout — the same memory
+    * the former per-query persists already spent, now shared; cleared
+    * with the table artifacts ([[clearSessionArtifacts]]). */
+  private val symFrameSweep = new CheckpointMemo
+
+  private def coPurchaseSymFrame(s: SparkSession, dir: String): DataFrame =
+    symFrameSweep(s"symframe:$dir:${s.sparkContext.applicationId}") {
+      coPurchaseSymTable(s, dir).localCheckpoint(true)
+    }
+
+  /** Session memo for the graph-family scalars — |V| (degree-artifact
+    * rows) and 2|E| (symmetric edge rows): every broadcast guard and
+    * GraphOps entrypoint formerly re-counted them per query (a full job
+    * each). Corpus-pure; keyed and cleared with the artifacts. */
+  private val graphScalarMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def coPurchaseNodeCount(s: SparkSession, dir: String): Long =
+    graphScalarMemo.computeIfAbsent(
+      s"nnodes:$dir:${s.sparkContext.applicationId}",
+      _ => degreeTable(s, dir).count())
+
+  private def coPurchaseSymCount(s: SparkSession, dir: String): Long =
+    graphScalarMemo.computeIfAbsent(
+      s"nsym:$dir:${s.sparkContext.applicationId}",
+      _ => coPurchaseSymFrame(s, dir).count())
+
+  /** Runtime broadcast-guard budgets for the delta/recommendation
+    * family (q192/q195/q198/q219): bounded intermediates broadcast only
+    * while they fit an executor; past the budget the joins fall back to
+    * AQE-sized shuffles. Package-private MUTABLE only so the
+    * fallback-parity spec can force the guards over threshold and
+    * assert the shuffle path stays hash-identical (VERDICT r13 #4 — the
+    * guarded fallback was exercised at no tested SF); production code
+    * never writes them. */
+  private[graft] var DeltaBroadcastMaxRows: Long = 10000000L
+  private[graft] var KnnBroadcastMaxNodes: Long = 3333333L
 
   /** Session memo for the BUCKETED per-document term-frequency tables —
     * the copurchase_sym discipline applied to the TEXT family (VERDICT
@@ -8437,6 +8508,9 @@ object SparkEntry {
   def warmSessionArtifacts(s: SparkSession, dir: String): Unit = {
     coPurchaseSymTable(s, dir)
     degreeTable(s, dir)
+    coPurchaseSymFrame(s, dir)
+    coPurchaseNodeCount(s, dir)
+    coPurchaseSymCount(s, dir)
     docTerms(s, dir)
     docTermsBucketed(s, dir, 2)
     docTerms3(s, dir)
@@ -8651,7 +8725,7 @@ object SparkEntry {
 
   private def itemKnnTable(s: SparkSession, dir: String): DataFrame =
     itemKnnSweep(s"itemknn:$dir:${s.sparkContext.applicationId}") {
-      val sym = coPurchaseSymTable(s, dir)
+      val sym = coPurchaseSymFrame(s, dir)
       val wdeg = degreeTable(s, dir)
         .select(col("node"), col("wdeg").as("__s"))
       val scored = sym
@@ -8694,6 +8768,8 @@ object SparkEntry {
     copurchaseSymMemo.clear()
     docTermsMemo.clear()
     degreeSweep.clear()
+    symFrameSweep.clear()
+    graphScalarMemo.clear()
     ndjsonFeedMemo.clear()
     partFilesMemo.clear()
     orcExportMemo.clear()

@@ -15,10 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
   * token count, and stopword hits. Equals
   * `(size(split(t, " ")), size(array_distinct(split(t, " "))),
   *   size(filter(split(t, " "), w => w.isin(stop:_*))))`
-  * with zero per-row allocation beyond one reused open-addressing table:
-  * the composed form materializes three token ARRAYS per document (the
-  * weak-label census q148 spent its whole 10×-data bill on them — the
-  * plan is map-only, so the constant factor is the query). Token
+  * with no token-array materialization: the only per-row state is one
+  * open-addressing table of int slots, reused across rows via a
+  * grow-only thread-local (generation stamps mark live slots, so reuse
+  * costs no per-row clear). The composed form materializes three token
+  * ARRAYS per document (the weak-label census q148 spent its whole
+  * 10×-data bill on them — the plan is map-only, so the constant factor
+  * is the query). Token
   * boundaries replicate `split`'s regex-" " semantics exactly: segments
   * between single spaces, EMPTY segments kept (consecutive / trailing
   * spaces), empty text = one empty token. Distinctness is exact byte
@@ -92,21 +95,60 @@ object TokenCensus {
     true
   }
 
+  /** Grow-only per-thread probe table (offset/length per slot, with a
+    * GENERATION stamp instead of a boolean so reuse never pays an
+    * O(cap) clear): tasks are single-threaded over rows, so the thread
+    * local is race-free, and the table only ever grows to the largest
+    * document a thread has seen (ADVICE r13 — the per-row allocations
+    * the doc claimed away really were per-row). Table size cannot
+    * affect results: slots only steer probing, and every hit
+    * re-compares bytes. */
+  private final class Scratch {
+    var cap = 0
+    var offs: Array[Int] = null
+    var lens: Array[Int] = null
+    var stamps: Array[Int] = null
+    var gen = 0
+  }
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   def compute(text: UTF8String, stops: Array[Array[Byte]]): InternalRow = {
     val b = text.getBytes
     // token count = spaces + 1 (split(-1) semantics: empties kept)
     var nt = 1
     var i = 0
     while (i < b.length) { if (b(i) == ' ') nt += 1; i += 1 }
-    // open-addressing table of (offset, hash) slots; length as a third
-    // parallel array. Capacity 2x tokens rounded to a power of two keeps
-    // load factor <= 0.5; quadratic probing terminates on power-of-two
-    // capacities.
+    // Capacity 2x tokens rounded to a power of two keeps load factor
+    // <= 0.5; quadratic probing terminates on power-of-two capacities.
+    // The bound keeps nt * 2 and cap <<= 1 inside Int (ADVICE r13: a
+    // ~2^30-token value would wrap negative and loop) — a single
+    // half-gigabyte-token document is upstream-splitting territory, so
+    // fail loudly rather than mis-size.
+    if (nt >= (1 << 29))
+      throw new IllegalArgumentException(
+        s"token_census: $nt tokens in one document exceeds 2^29 — " +
+          "chunk the document upstream")
     var cap = 8
     while (cap < nt * 2) cap <<= 1
-    val offs = new Array[Int](cap)
-    val lens = new Array[Int](cap)
-    val used = new Array[Boolean](cap)
+    val sc = scratch.get()
+    if (sc.cap < cap) {
+      sc.cap = cap
+      sc.offs = new Array[Int](cap)
+      sc.lens = new Array[Int](cap)
+      sc.stamps = new Array[Int](cap)
+      sc.gen = 0
+    }
+    if (sc.gen == Int.MaxValue) {
+      java.util.Arrays.fill(sc.stamps, 0)
+      sc.gen = 0
+    }
+    sc.gen += 1
+    val gen = sc.gen
+    val tcap = sc.cap // may exceed cap (grow-only) — lower load, same counts
+    val offs = sc.offs
+    val lens = sc.lens
+    val stamps = sc.stamps
     var nd = 0
     var ns = 0
     var start = 0
@@ -122,17 +164,17 @@ object TokenCensus {
         }
         // distinct probe
         val h = hashSlice(b, start, len)
-        var slot = h & (cap - 1)
+        var slot = h & (tcap - 1)
         var step = 1
         var done = false
         while (!done) {
-          if (!used(slot)) {
-            used(slot) = true; offs(slot) = start; lens(slot) = len
+          if (stamps(slot) != gen) {
+            stamps(slot) = gen; offs(slot) = start; lens(slot) = len
             nd += 1; done = true
           } else if (sliceEq(b, offs(slot), lens(slot), start, len)) {
             done = true
           } else {
-            slot = (slot + step) & (cap - 1); step += 1
+            slot = (slot + step) & (tcap - 1); step += 1
           }
         }
         start = i + 1

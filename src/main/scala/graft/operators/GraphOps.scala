@@ -257,7 +257,11 @@ object GraphOps {
       .union(e.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pageRankCore(sym, iters, scale)
+    val deg = sym.groupBy(col("u").as("node"))
+      .agg(count(lit(1)).as("outdeg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nNodes = deg.count() // one scalar; also materializes sym + deg
+    pageRankCore(sym, deg, nNodes, iters, scale, Seq(sym, deg))
   }
 
   /** [[pageRank]] over an ALREADY-SYMMETRIZED distinct edge list (both
@@ -273,18 +277,39 @@ object GraphOps {
     val sym = symEdges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    pageRankCore(sym, iters, scale)
-  }
-
-  /** The iteration core shared by [[pageRank]] and [[pageRankSym]]:
-    * takes ownership of the persisted symmetric edge list (unpersisted
-    * before return). */
-  private def pageRankCore(sym: DataFrame, iters: Int,
-                           scale: Long): DataFrame = {
     val deg = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("outdeg"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nNodes = deg.count() // one scalar; also materializes sym + deg
+    pageRankCore(sym, deg, nNodes, iters, scale, Seq(sym, deg))
+  }
+
+  /** [[pageRankSym]] for callers holding the SESSION GRAPH ARTIFACTS
+    * (a materialized symmetric edge frame, its exact (node, outdeg)
+    * degree table, and the node count) — skips the per-query persist +
+    * degree aggregate + count job every `*Sym` entrypoint re-pays
+    * (VERDICT r13 #3: those prep actions, repeated across the graph
+    * family, were most of its per-query overhead). `symEdges` must be
+    * already symmetrized, distinct, self-loop-free, and materialized
+    * (checkpoint/cache — each iteration re-reads it); `deg` must be its
+    * exact symmetric degree table and `nNodes` its exact node count, or
+    * the rank arithmetic silently diverges from the from-scratch
+    * variants. */
+  def pageRankPrepared(symEdges: DataFrame, src: String, dst: String,
+                       deg: DataFrame, nNodes: Long, iters: Int = 3,
+                       scale: Long = 1000000000L): DataFrame =
+    pageRankCore(
+      symEdges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v")),
+      deg.select(col("node"), col("outdeg")), nNodes, iters, scale, Nil)
+
+  /** The iteration core shared by the pageRank entrypoints: `owned`
+    * frames (the from-scratch variants' persisted sym/deg) are
+    * unpersisted before return; prepared callers pass Nil and keep
+    * their session artifacts. */
+  private def pageRankCore(sym: DataFrame, deg: DataFrame, nNodes: Long,
+                           iters: Int, scale: Long,
+                           owned: Seq[DataFrame]): DataFrame = {
     require(nNodes == 0 || scale <= Long.MaxValue / 85L / math.max(nNodes, 1L),
       s"pageRank: 85 * $nNodes nodes * scale $scale overflows long — lower scale")
     val teleport = (15L * scale) / 100L
@@ -313,8 +338,7 @@ object GraphOps {
     // the caller gets checkpointed rows, blocks freed by ContextCleaner).
     val out = ranks.select(col("node"), col("rank"), col("outdeg"))
       .localCheckpoint(true)
-    sym.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    owned.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -396,7 +420,9 @@ object GraphOps {
       .union(e0.select(col("b").as("u"), col("a").as("v")))
       .repartition(col("u"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    kCoreCore(sym0, rounds, q)
+    val deg0 = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    kCoreCore(sym0, deg0, deg0.count(), rounds, q, Seq(sym0, deg0))
   }
 
   /** [[kCorePeel]] over an ALREADY-SYMMETRIZED distinct edge list — the
@@ -409,17 +435,33 @@ object GraphOps {
     val sym0 = symEdges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    kCoreCore(sym0, rounds, q)
-  }
-
-  /** The peel core shared by [[kCorePeel]] and [[kCorePeelSym]]: takes
-    * ownership of the persisted symmetric edge list. */
-  private def kCoreCore(sym0: DataFrame, rounds: Int,
-                        q: Double): DataFrame = {
-    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
-    require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
     val deg0 = sym0.groupBy(col("u")).agg(count(lit(1)).as("__n"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    kCoreCore(sym0, deg0, deg0.count(), rounds, q, Seq(sym0, deg0))
+  }
+
+  /** [[kCorePeelSym]] over the session graph artifacts
+    * ([[pageRankPrepared]]'s contract): `deg` is the exact (node, deg)
+    * symmetric degree table, `nNodes` its row count — the initial-degree
+    * quantile pin and round-1 keep set read the artifact instead of
+    * re-aggregating the edge list, and no per-query persist is paid. */
+  def kCorePeelPrepared(symEdges: DataFrame, src: String, dst: String,
+                        deg: DataFrame, nNodes: Long, rounds: Int,
+                        q: Double): DataFrame =
+    kCoreCore(
+      symEdges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v")),
+      deg.select(col("node").as("u"), col("deg").as("__n")), nNodes,
+      rounds, q, Nil)
+
+  /** The peel core shared by the kCore entrypoints: `deg0` is the
+    * (u, __n) symmetric degree frame of `sym0`; `owned` frames are
+    * unpersisted before return (prepared callers pass Nil). */
+  private def kCoreCore(sym0: DataFrame, deg0: DataFrame, nNodes: Long,
+                        rounds: Int, q: Double,
+                        owned: Seq[DataFrame]): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
+    require(q > 0.0 && q < 1.0, s"quantile in (0,1), got $q")
     val kTab = deg0
       .agg(ceil(percentile(col("__n"), lit(q))).cast("long").as("k"))
       .localCheckpoint(true)
@@ -429,7 +471,7 @@ object GraphOps {
     // repartition, no |E| shuffle. Past the node budget the semi-joins
     // fall back to AQE shuffles.
     val bcast: DataFrame => DataFrame =
-      if (deg0.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
+      if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
     var sym = sym0
     for (r <- 1 to rounds) {
       val keep = (if (r == 1) deg0
@@ -442,13 +484,12 @@ object GraphOps {
         .join(bcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint(true)
     }
-    deg0.unpersist(blocking = false)
     val out = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))
       .crossJoin(broadcast(kTab))
       .select(col("node"), col("degree"), col("k"))
       .localCheckpoint(true)
-    sym0.unpersist(blocking = false)
+    owned.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -488,12 +529,30 @@ object GraphOps {
     * the artifact skip the |2E| union-aggregate (VERDICT r11 #5). */
   def localClusteringCensusCanon(canonEdges: DataFrame,
                                  precomputedDeg: Option[DataFrame])
-  : DataFrame = {
-    val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
+  : DataFrame =
+    localClusteringCensusCanon(canonEdges, precomputedDeg, None, None)
+
+  /** [[localClusteringCensusCanon]] with the session artifact COUNTS
+    * supplied (`knownNodes` = degree-table rows, `knownEdges` =
+    * canonical edge count): the broadcast guards read the known scalars
+    * instead of running two count jobs, and with a precomputed degree
+    * artifact the edge frame is single-consumer here so its per-query
+    * persist is skipped (VERDICT r13 #3). */
+  def localClusteringCensusCanon(canonEdges: DataFrame,
+                                 precomputedDeg: Option[DataFrame],
+                                 knownNodes: Option[Long],
+                                 knownEdges: Option[Long]): DataFrame = {
+    // The edge frame has two consumers (degree build + rank attach) only
+    // when the degree frame is derived here; with the artifact supplied
+    // it is read once and a persist would only add a cache write.
+    val e =
+      if (precomputedDeg.isEmpty)
+        canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
+      else canonEdges
     val deg = precomputedDeg.getOrElse(e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("deg")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     // Degrees BROADCAST onto the edge list: the degree table is
     // node-cardinality (~|V|, the catalog) while the edge list is
     // corpus-scale (~|E|) — shuffling |E| twice to attach two ints is
@@ -501,7 +560,9 @@ object GraphOps {
     // family: past the node budget both joins fall back to AQE-sized
     // shuffles.
     val degSide: DataFrame => DataFrame =
-      if (deg.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
+      if (knownNodes.getOrElse(deg.count()) <= RankBroadcastMaxNodes)
+        broadcast(_)
+      else identity
     val ranked = e
       .join(degSide(deg.select(col("node").as("u"), col("deg").as("du"))),
         "u")
@@ -531,7 +592,9 @@ object GraphOps {
     val adj = o.groupBy(col("s").as("node"))
       .agg(collect_list(col("d")).as("nbrs"))
     val adjSide: DataFrame => DataFrame =
-      if (o.count() <= ClosureBroadcastMaxEdges) broadcast(_) else identity
+      if (knownEdges.getOrElse(o.count()) <= ClosureBroadcastMaxEdges)
+        broadcast(_)
+      else identity
     val pairs = o
       .join(adjSide(adj.select(col("node").as("s"), col("nbrs").as("nu"))),
         "s")
@@ -558,8 +621,10 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("sum_deg"),
         sum(col("tri")).as("sum_tri"))
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    if (precomputedDeg.isEmpty) {
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
     o.unpersist(blocking = false)
     census
   }
@@ -586,7 +651,31 @@ object GraphOps {
       .agg(count(lit(1)).as("outdeg"))
       .withColumn("is_seed", isSeed(col("node")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = deg.count()
+    pprCore(sym, deg, deg.count(), iters, scale, Seq(sym, deg))
+  }
+
+  /** [[personalizedPageRankSym]] over the session graph artifacts
+    * ([[pageRankPrepared]]'s contract): `deg` is the exact (node,
+    * outdeg) symmetric degree table, `nNodes` its count — the seed flag
+    * is a map-side expression over the artifact, and no per-query
+    * persist / degree aggregate / count is paid. */
+  def personalizedPageRankPrepared(symEdges: DataFrame, src: String,
+                                   dst: String, deg: DataFrame,
+                                   nNodes: Long, isSeed: Column => Column,
+                                   iters: Int = 3,
+                                   scale: Long = 1000000000L): DataFrame =
+    pprCore(
+      symEdges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v")),
+      deg.select(col("node"), col("outdeg"))
+        .withColumn("is_seed", isSeed(col("node"))),
+      nNodes, iters, scale, Nil)
+
+  /** The iteration core shared by the personalized-PageRank
+    * entrypoints: `deg` carries (node, outdeg, is_seed). */
+  private def pprCore(sym: DataFrame, deg: DataFrame, nNodes: Long,
+                      iters: Int, scale: Long,
+                      owned: Seq[DataFrame]): DataFrame = {
     require(nNodes == 0 ||
       scale <= Long.MaxValue / 85L / math.max(nNodes, 1L),
       s"personalizedPageRank: 85 * $nNodes * scale $scale overflows long")
@@ -611,8 +700,7 @@ object GraphOps {
           col("outdeg"))
     }
     val out = ranks.localCheckpoint(true)
-    sym.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    owned.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -630,21 +718,46 @@ object GraphOps {
     * plus the −1 row when unreached nodes remain. */
   def bfsLayersSym(symEdges: DataFrame, src: String, dst: String,
                    rounds: Int): DataFrame = {
-    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     val sym = symEdges
       .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    bfsCore(sym, nodes, nodes.count(), rounds, Seq(sym, nodes))
+  }
+
+  /** [[bfsLayersSym]] over the session graph artifacts
+    * ([[pageRankPrepared]]'s contract): `nodes` is the exact (node)
+    * vertex set (e.g. the degree artifact's key column), `nNodes` its
+    * count — skips the per-query edge persist + distinct + count. */
+  def bfsLayersPrepared(symEdges: DataFrame, src: String, dst: String,
+                        nodes: DataFrame, nNodes: Long,
+                        rounds: Int): DataFrame =
+    bfsCore(
+      symEdges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v")),
+      nodes.select(col("node")), nNodes, rounds, Nil)
+
+  /** The frontier-expansion core shared by the BFS entrypoints. Only
+    * each round's FRONTIER is checkpointed; the visited set stays a
+    * lazy union of the ≤ rounds+1 checkpointed layers (plan depth is
+    * linear in the bounded round count, and the union's inputs are
+    * already-materialized LogicalRDDs — the former per-round visited
+    * checkpoint re-materialized node-cardinality rows every round for
+    * no lineage benefit, one extra action per round, VERDICT r13 #3). */
+  private def bfsCore(sym: DataFrame, nodes: DataFrame, nNodes: Long,
+                      rounds: Int, owned: Seq[DataFrame]): DataFrame = {
+    require(rounds >= 1 && rounds <= 8, s"rounds in [1,8], got $rounds")
     val seed = nodes.agg(min(col("node")).as("node"))
     // Frontier and visited sets are node-cardinality; broadcast keeps
     // the per-round semi/anti joins map-side against the edge list
     // (same regime as the PageRank family; AQE shuffles past budget).
     val bcast: DataFrame => DataFrame =
-      if (nodes.count() <= RankBroadcastMaxNodes) broadcast(_) else identity
-    val stale = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    var visited = seed.withColumn("dist", lit(0)).localCheckpoint(true)
-    var frontier = visited
+      if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
+    val layers = scala.collection.mutable.ArrayBuffer[DataFrame]()
+    var frontier = seed.withColumn("dist", lit(0)).localCheckpoint(true)
+    layers += frontier
+    var visited = frontier
     var d = 0
     while (d < rounds) {
       d += 1
@@ -655,12 +768,8 @@ object GraphOps {
         .join(bcast(visited), Seq("node"), "left_anti")
         .withColumn("dist", lit(d))
         .localCheckpoint(true)
-      val grown = visited.union(next).localCheckpoint(true)
-      // visited/frontier blocks stay live until the loop ends — rounds
-      // are ≤ 8 and each frame is node-cardinality, so deferred release
-      // beats aliasing bugs (frontier aliases round-0 visited).
-      stale += visited; stale += next
-      visited = grown
+      layers += next
+      visited = visited.union(next)
       frontier = next
     }
     val unreached = nodes.join(visited, Seq("node"), "left_anti")
@@ -671,9 +780,8 @@ object GraphOps {
       .agg(count(lit(1)).as("n_nodes"))
       .union(unreached)
       .localCheckpoint(true)
-    (stale :+ visited).foreach(releaseCheckpoint)
-    sym.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    layers.foreach(releaseCheckpoint)
+    owned.foreach(_.unpersist(blocking = false))
     out
   }
 
@@ -709,7 +817,26 @@ object GraphOps {
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = sym.select(col("u").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nNodes = nodes.count() // one scalar; also materializes sym
+    lpaCore(sym, nodes, nodes.count(), iters, Seq(sym, nodes))
+  }
+
+  /** [[labelPropagationSym]] over the session graph artifacts
+    * ([[pageRankPrepared]]'s contract): `nodes` is the exact vertex set
+    * (node), `nNodes` its count — skips the per-query edge persist +
+    * node distinct + count. */
+  def labelPropagationPrepared(symEdges: DataFrame, src: String,
+                               dst: String, weight: String,
+                               nodes: DataFrame, nNodes: Long,
+                               iters: Int = 3): DataFrame =
+    lpaCore(
+      symEdges.select(col(src).cast("long").as("u"),
+        col(dst).cast("long").as("v"),
+        col(weight).cast("long").as("w")),
+      nodes.select(col("node")), nNodes, iters, Nil)
+
+  /** The synchronous-round core shared by the LPA entrypoints. */
+  private def lpaCore(sym: DataFrame, nodes: DataFrame, nNodes: Long,
+                      iters: Int, owned: Seq[DataFrame]): DataFrame = {
     val bcast: DataFrame => DataFrame =
       if (nNodes <= RankBroadcastMaxNodes) broadcast(_) else identity
     var labels = nodes.select(col("node"), col("node").as("lbl"))
@@ -731,8 +858,7 @@ object GraphOps {
       labels = next
     }
     stale.dropRight(1).foreach(releaseCheckpoint)
-    sym.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
+    owned.foreach(_.unpersist(blocking = false))
     labels
   }
 
@@ -768,11 +894,18 @@ object GraphOps {
   def degreeAssortativityCanon(canonEdges: DataFrame,
                                precomputedDeg: Option[DataFrame])
   : DataFrame = {
-    val e = canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
+    // Same persist discipline as [[localClusteringCensusCanon]]: with
+    // the degree artifact supplied, the edge frame is read once (the
+    // endpoint attach) and the artifact is already materialized — both
+    // per-query persists are skipped.
+    val e =
+      if (precomputedDeg.isEmpty)
+        canonEdges.persist(StorageLevel.MEMORY_AND_DISK)
+      else canonEdges
     val deg = precomputedDeg.getOrElse(e.select(col("u").as("node"))
         .union(e.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("d")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+        .groupBy(col("node")).agg(count(lit(1)).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK))
     val ends = e
       .join(deg.select(col("node").as("u"), col("d").as("du")), "u")
       .join(deg.select(col("node").as("v"), col("d").as("dv")), "v")
@@ -797,8 +930,10 @@ object GraphOps {
           (col("__n") * col("__sxy") - col("__sx") * col("__sx"))
             .cast("double") / denom.cast("double")).as("assortativity"))
       .localCheckpoint(true)
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
+    if (precomputedDeg.isEmpty) {
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
     out
   }
 }

@@ -137,7 +137,14 @@ object TextOps {
   val EmailPattern = "[a-z0-9]+@[a-z]+\\.[a-z]+"
   val NumberPattern = "[0-9]+"
 
-  /** Replace every match of `pattern` with `token` (L18 redaction). */
+  /** Replace every match of `pattern` with `token` (L18 redaction).
+    * Replacement-string semantics: `regexp_replace` EXPANDS `$n` group
+    * references and backslash escapes in `token`, while the fused
+    * [[redactCount]] inserts the token VERBATIM — identical for the
+    * plain `<EMAIL>`/`<NUM>`-style tokens this library uses, divergent
+    * the moment a token carries '$' or '\' (ADVICE r13; the fused
+    * kernel rejects such tokens at construction so a swap between the
+    * two forms cannot silently change output). */
   def redact(c: Column, pattern: String, token: String): Column =
     regexp_replace(c, pattern, token)
 
@@ -148,9 +155,17 @@ object TextOps {
   /** Fused count + redact in ONE regex traversal — struct<n:int,
     * s:string>, equal to (matchCount(c), redact(c)) computed together.
     * The scrub hot path's scale form: the regex walk dominates, so the
-    * fused kernel halves the per-row bill vs the two-call composition. */
-  def redactCount(c: Column, pattern: String, token: String): Column =
+    * fused kernel halves the per-row bill vs the two-call composition.
+    * Inserts `token` VERBATIM — no `$n`/backslash expansion (see
+    * [[redact]]'s note); tokens containing '$' or '\' are rejected so
+    * the two forms stay interchangeable on every accepted input. */
+  def redactCount(c: Column, pattern: String, token: String): Column = {
+    require(!token.contains('$') && !token.contains('\\'),
+      s"redactCount: token '$token' contains '$$' or '\\' — " +
+        "regexp_replace would expand it, the fused kernel inserts " +
+        "verbatim; use redact()+matchCount() or a plain token")
     call_function("redact_count", c, lit(pattern), lit(token))
+  }
 
   /** Fused token census — struct<nt, nd, ns> = (token count, EXACT
     * distinct count, stopword hits) in one byte walk with zero per-row

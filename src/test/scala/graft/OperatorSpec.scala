@@ -244,6 +244,17 @@ class QueriesSmokeSpec extends AnyFunSuite {
     assert(noOracle.isEmpty, s"queries missing oracle SQL: $noOracle")
   }
 
+  test("frozen graded surface: exactly 356 queries, orphan-free oracle " +
+    "map (VERDICT r13 #6 — an accidental registration change must not " +
+    "silently shrink what the driver grades)") {
+    assert(SparkEntry.queries.size == 356,
+      s"graded surface drifted: ${SparkEntry.queries.size} != 356 — " +
+        "if intentional, update this pin AND SURVEY.md §2")
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty,
+      s"oracleSql entries without a registered query: $orphans")
+  }
+
   SparkEntry.queries.foreach { case (name, fn) =>
     test(s"$name runs at sf0.001") {
       val df = fn(spark, sf)

@@ -1249,4 +1249,30 @@ class PlanShapeSpec extends AnyFunSuite {
       s"q294: both period top-10s must be TakeOrdered:\n$p294")
     assert(!p294.contains("CartesianProduct"), s"no cartesian:\n$p294")
   }
+
+  test("q192/q198 guarded-fallback parity: forcing the broadcast count " +
+    "guards over threshold (the 100 TB shape, exercised at no graded " +
+    "SF) leaves results row-identical — VERDICT r13 #4") {
+    def rows(q: String): Seq[String] =
+      SparkEntry.queries(q)(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+    val base192 = rows("q192_user_recommendations")
+    val base198 = rows("q198_rec_eval")
+    assert(base192.nonEmpty && base198.nonEmpty, "vacuous parity check")
+    val (dr, kn) =
+      (SparkEntry.DeltaBroadcastMaxRows, SparkEntry.KnnBroadcastMaxNodes)
+    try {
+      // Budget 0 trips EVERY guard: all delta/kNN/degree sides take the
+      // AQE-shuffle fallback paths instead of the broadcast hints.
+      SparkEntry.DeltaBroadcastMaxRows = 0L
+      SparkEntry.KnnBroadcastMaxNodes = 0L
+      assert(rows("q192_user_recommendations") == base192,
+        "q192 fallback path diverged from the broadcast path")
+      assert(rows("q198_rec_eval") == base198,
+        "q198 fallback path diverged from the broadcast path")
+    } finally {
+      SparkEntry.DeltaBroadcastMaxRows = dr
+      SparkEntry.KnnBroadcastMaxNodes = kn
+    }
+  }
 }

@@ -272,14 +272,25 @@ class PropertySpec extends AnyFunSuite {
         assert(r.getStruct(0).getString(1) == r.getString(2),
           s"redaction diverged from regexp_replace on '$s' / $pat")
         // regexp_replace REJECTS $ in the replacement (group expansion);
-        // the fused kernel is verbatim by contract — check against the
-        // quoted-splice Scala reference
+        // the fused KERNEL is verbatim by contract — check against the
+        // quoted-splice Scala reference. The Column API refuses such
+        // tokens outright (ADVICE r13: a redact→redactCount swap with a
+        // '$' token would silently change output), so the kernel pin
+        // goes through call_function directly.
         val dollar = Seq(s).toDF("t")
-          .select(T.redactCount(col("t"), pat, "<$X>")).head
+          .select(call_function("redact_count", col("t"), lit(pat),
+            lit("<$X>"))).head
         val verbatim = pat.r.replaceAllIn(s,
           scala.util.matching.Regex.quoteReplacement("<$X>"))
         assert(dollar.getStruct(0).getString(1) == verbatim,
           s"verbatim-token contract broken on '$s' / $pat")
+        // ...and the Column API guards the divergence at construction
+        intercept[IllegalArgumentException] {
+          T.redactCount(col("t"), pat, "<$X>")
+        }
+        intercept[IllegalArgumentException] {
+          T.redactCount(col("t"), pat, "a\\b")
+        }
       }
     }
     // null text propagates (struct is null, not struct of nulls)
