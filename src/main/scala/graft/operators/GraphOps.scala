@@ -820,19 +820,27 @@ object GraphOps {
     lpaCore(sym, nodes, nodes.count(), iters, Seq(sym, nodes))
   }
 
-  /** [[labelPropagationSym]] over the session graph artifacts
-    * ([[pageRankPrepared]]'s contract): `nodes` is the exact vertex set
-    * (node), `nNodes` its count — skips the per-query edge persist +
-    * node distinct + count. */
+  /** [[labelPropagationSym]] with the vertex-set artifact supplied
+    * (`nodes` = the exact (node) set, `nNodes` its count) — skips the
+    * per-query node distinct + count. UNLIKE the other Prepared
+    * entrypoints, `symEdges` should be the BUCKETED TABLE (or any
+    * source whose scan reports the node-hash distribution) and IS
+    * persisted for the loop: LPA's per-round tally is an edge-scale
+    * (node, lbl) aggregate that needs that distribution to stay
+    * exchange-free — a checkpoint frame's UnknownPartitioning would
+    * re-shuffle 2|E| rows per round (measured ~30% slower), and the
+    * columnar persist preserves the scan's partitioning where a
+    * checkpoint does not. */
   def labelPropagationPrepared(symEdges: DataFrame, src: String,
                                dst: String, weight: String,
                                nodes: DataFrame, nNodes: Long,
-                               iters: Int = 3): DataFrame =
-    lpaCore(
-      symEdges.select(col(src).cast("long").as("u"),
-        col(dst).cast("long").as("v"),
-        col(weight).cast("long").as("w")),
-      nodes.select(col("node")), nNodes, iters, Nil)
+                               iters: Int = 3): DataFrame = {
+    val sym = symEdges
+      .select(col(src).cast("long").as("u"), col(dst).cast("long").as("v"),
+        col(weight).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    lpaCore(sym, nodes.select(col("node")), nNodes, iters, Seq(sym))
+  }
 
   /** The synchronous-round core shared by the LPA entrypoints. */
   private def lpaCore(sym: DataFrame, nodes: DataFrame, nNodes: Long,

@@ -379,4 +379,44 @@ class GraphSpec extends AnyFunSuite {
     assert(l3 == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       s"triangle must be uniform by round 3, got $l3")
   }
+
+  test("localCheckpoint DROPS the hash distribution (measured r14) — " +
+    "the tripwire behind the session edge artifact's split contract: " +
+    "broadcast-attaching consumers read the cheap checkpoint frame, " +
+    "distribution-dependent aggregates keep the bucketed table") {
+    import spark.implicits._
+    // Dataset.checkpoint in the AQE era reports UnknownPartitioning on
+    // the LogicalRDD, so an edge-scale aggregate over a checkpointed
+    // frame RE-SHUFFLES even when the source scan was hash-distributed
+    // on the key. This is why SparkEntry's coPurchaseSymFrame serves
+    // only broadcast-style consumers (pageRank/kCore/BFS/PPR rounds)
+    // while the LPA tally and the item-kNN build read the table. If a
+    // Spark upgrade makes this test FAIL (partitioning preserved), the
+    // split can collapse: re-audit those consumers onto the frame.
+    val df = (1 to 1000).map(i => (i.toLong, i.toLong % 7))
+      .toDF("k", "v").repartition(8, col("k"))
+      .localCheckpoint(true)
+    val part = df.queryExecution.executedPlan.outputPartitioning
+    assert(!part.isInstanceOf[
+        org.apache.spark.sql.catalyst.plans.physical.HashPartitioning],
+      s"localCheckpoint now PRESERVES hash distribution ($part) — " +
+        "collapse the symFrame/table split in SparkEntry's graph family")
+    // The columnar persist DOES preserve it: a grouped aggregate on a
+    // superset key (k, v) rides the k distribution with no new shuffle
+    // — the property the LPA tally and item-kNN build depend on.
+    val cached = (1 to 1000).map(i => (i.toLong, i.toLong % 7))
+      .toDF("k", "v").repartition(8, col("k"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      cached.count()
+      val agg2 = cached.groupBy(col("k"), col("v")).agg(count(lit(1)))
+      val plan2 = agg2.queryExecution.executedPlan.toString
+      // Only the plan ABOVE the cache scan matters (the cached plan's
+      // own build shuffle prints inside the InMemoryRelation subtree).
+      val above = plan2.split("InMemoryRelation")(0)
+      assert(!above.contains("Exchange hashpartitioning"),
+        s"(k, v) groupBy over the cache must ride the k distribution:\n" +
+          plan2)
+    } finally cached.unpersist(blocking = false)
+  }
 }
