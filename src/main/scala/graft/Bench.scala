@@ -144,8 +144,14 @@ object Bench {
     // without the count.
     val n = ok.size
     val perQ = if (n > 0) total / n else -1.0
+    // cpus rides along so a consumer can tell runs at different
+    // parallelism apart — a local[4] run's totals are not comparable to
+    // the driver's graded local[32] history (r14: a builder session ran
+    // the whole suite without SPARK_GRAFT_CPUS and the 4-core numbers
+    // looked plausible enough to almost enter the record).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"repeats":$repeats,"total_min":$totalMin,"noise_rel_spread":$noise,"queries":$qs,"queries_min":$qsMin,"failures":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"repeats":$repeats,"total_min":$totalMin,"noise_rel_spread":$noise,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"failures":$failed,"sf":"$sfDir"}"""
     // File sink for the driver (stdout is interleaved with sbt/log noise).
     sys.env.get("BENCH_OUT").orElse(Some("BENCH.json")).foreach { p =>
       Files.writeString(Paths.get(p), json + "\n")
@@ -174,7 +180,12 @@ object Bench {
     // ...and only on the GRADED corpus: a full-surface probe run at
     // another SF (the sf1 scale corpus) reports numbers that are not
     // comparable to the pointer's history and must not shadow it.
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
+    // ...and only at the GRADED parallelism (r14): the driver runs
+    // local[32] (BENCH_r13.json records cpus: 32); a run at another
+    // core count — e.g. Session.local's 4-core default when
+    // SPARK_GRAFT_CPUS is unset — reports totals on a different
+    // machine shape and must not touch either pointer file.
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == "32") {
       val target =
         if (noise >= 0.0 && noise <= 0.15) "BENCH_last.json"
         else "BENCH_last_loud.json"
