@@ -26,7 +26,6 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val spark = Session.local()
     // BENCH_ONLY=q06_json_coerce,q25_minhash_lsh — subset filter for
     // targeted perf work; the driver never sets it, so graded runs always
     // time the full suite.
@@ -37,6 +36,43 @@ object Bench {
     val only = sys.env.get("BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .filter(_.nonEmpty)
+    // Parallelism guard (VERDICT r14 #5 + ADVICE r14): SPARK_GRAFT_CPUS
+    // must PARSE — a typo'd value formerly rode into the JSON unquoted
+    // (invalid file) and an equivalent-but-unequal spelling ("032") ran
+    // graded but skipped the pointer. And a FULL-surface run on the
+    // graded corpus refuses to start when the env is unset entirely:
+    // Session.local's 4-core default produced half a session of
+    // plausible-looking but non-comparable numbers in r14 before anyone
+    // noticed. Subset/off-corpus probes still run at the default (with
+    // a banner), since those are explicitly non-graded.
+    val cpusEnv = sys.env.get("SPARK_GRAFT_CPUS")
+    val cpus: Int = cpusEnv.map(_.trim) match {
+      case Some(v) => v.toIntOption.getOrElse {
+        System.err.println(
+          s"[bench] SPARK_GRAFT_CPUS='$v' is not an integer — refusing " +
+            "to run at an ambiguous parallelism")
+        sys.exit(2)
+      }
+      case None =>
+        if (only.isEmpty && sfDir == "/root/testdata/sf0.1") {
+          System.err.println(
+            "[bench] SPARK_GRAFT_CPUS is UNSET for a full-surface run " +
+              "on the graded corpus — this is how r14 burned half a " +
+              "session timing local[4]. Export SPARK_GRAFT_CPUS=32 " +
+              "(the graded parallelism) and re-run.")
+          sys.exit(2)
+        }
+        System.err.println(
+          "[bench] SPARK_GRAFT_CPUS unset — running a NON-GRADED probe " +
+            "at the local[4] default; numbers are not comparable to the " +
+            "graded local[32] history")
+        4
+    }
+    // Mutual exclusion with Verify and the sweep-running test suites
+    // (VERDICT r14 #6): a concurrent JVM sweeping /tmp exports or the
+    // warehouse mid-run corrupts whichever process loses the race.
+    HarnessLock.acquireOrDie("bench")
+    val spark = Session.local()
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Warehouse hygiene: evict per-corpus serving TABLES left behind by
@@ -144,12 +180,12 @@ object Bench {
     // without the count.
     val n = ok.size
     val perQ = if (n > 0) total / n else -1.0
-    // cpus rides along so a consumer can tell runs at different
-    // parallelism apart — a local[4] run's totals are not comparable to
-    // the driver's graded local[32] history (r14: a builder session ran
-    // the whole suite without SPARK_GRAFT_CPUS and the 4-core numbers
-    // looked plausible enough to almost enter the record).
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // cpus (the parsed Int from the guard above) rides along so a
+    // consumer can tell runs at different parallelism apart — a local[4]
+    // run's totals are not comparable to the driver's graded local[32]
+    // history (r14: a builder session ran the whole suite without
+    // SPARK_GRAFT_CPUS and the 4-core numbers looked plausible enough to
+    // almost enter the record).
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","n_queries":$n,"sec_per_query":$perQ,"repeats":$repeats,"total_min":$totalMin,"noise_rel_spread":$noise,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin,"failures":$failed,"sf":"$sfDir"}"""
     // File sink for the driver (stdout is interleaved with sbt/log noise).
@@ -185,7 +221,7 @@ object Bench {
     // core count — e.g. Session.local's 4-core default when
     // SPARK_GRAFT_CPUS is unset — reports totals on a different
     // machine shape and must not touch either pointer file.
-    if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == "32") {
+    if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == 32) {
       val target =
         if (noise >= 0.0 && noise <= 0.15) "BENCH_last.json"
         else "BENCH_last_loud.json"

@@ -6,6 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
+    // Mutual exclusion with Bench and the sweep-running test suites
+    // (VERDICT r14 #6): Verify sweeps AND rebuilds the /tmp export
+    // dumps — a concurrent harness process reading or sweeping them
+    // mid-run reproduces the q338 race.
+    HarnessLock.acquireOrDie("verify")
     val spark = Session.local()
     // The oracle twins for the export-reading queries (q186/q197/q338)
     // name per-corpus /tmp paths — bind the dir so the dumped SQL globs

@@ -113,6 +113,14 @@ object TokenCensus {
   private val scratch: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
 
+  /** Grow-only has a pathological tail (ADVICE r14): ONE giant document
+    * would pin ~12 bytes/slot on every executor thread that saw it for
+    * the thread pool's lifetime. Above this slot count (4M slots ≈
+    * 48 MB/thread) the scratch resets to initial state after the row's
+    * counts are assembled; ordinary corpora never cross it, so the
+    * zero-per-row-allocation reuse is unchanged on the hot path. */
+  private val ShrinkCapThreshold = 1 << 22
+
   def compute(text: UTF8String, stops: Array[Array[Byte]]): InternalRow = {
     val b = text.getBytes
     // token count = spaces + 1 (split(-1) semantics: empties kept)
@@ -180,6 +188,10 @@ object TokenCensus {
         start = i + 1
       }
       i += 1
+    }
+    if (tcap > ShrinkCapThreshold) {
+      sc.cap = 0; sc.offs = null; sc.lens = null; sc.stamps = null
+      sc.gen = 0
     }
     new GenericInternalRow(Array[Any](nt, nd, ns))
   }

@@ -130,6 +130,16 @@ class CatalogSpec extends AnyFunSuite {
 
   test("SparkEntry.dropStaleArtifacts sweeps dead-corpus EXPORT dirs " +
     "(and pre-r12 fixed-path dumps) while keeping the live corpus's") {
+    // Mutual exclusion with Verify/Bench (VERDICT r14 #6): the grace-0
+    // sweeps below are exactly the q338 dev-time race — they would
+    // delete a concurrent harness JVM's live export dumps mid-compare.
+    // Fail FAST with a diagnosis instead of corrupting its run. (The
+    // lock is JVM-lifetime by design: once any suite swept, the whole
+    // test process stays exclusive with Verify/Bench.)
+    assert(HarnessLock.tryAcquire("sbt-test CatalogSpec sweep"),
+      "another graft harness process (Verify/Bench) holds the harness " +
+        "lock — a grace-0 export sweep here would delete its live " +
+        "dumps; re-run the test suite after it exits")
     // The filesystem twins of the warehouse-table sweep (VERDICT r11
     // #7): q186/q197/q337/q338 dumps are /tmp/<base>_<dirHash(dir)>.
     val live = "/root/testdata/sf0.001"

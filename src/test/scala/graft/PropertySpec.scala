@@ -328,6 +328,33 @@ class PropertySpec extends AnyFunSuite {
     assert(nr.isNullAt(0))
   }
 
+  test("token_census: a pathological >2^21-token document computes " +
+    "exactly and the thread's scratch keeps working afterwards " +
+    "(ADVICE r14 shrink path)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val F = graft.functions.TokenCensus
+    val stops = Array("the".getBytes("UTF-8"))
+    // 2.2M tokens → capacity crosses the 4M-slot shrink threshold; half
+    // the tokens repeat so nd is a real distinct count, not nt.
+    val n = 2200000
+    val sb = new java.lang.StringBuilder(n * 8)
+    var i = 0
+    while (i < n) {
+      if (i > 0) sb.append(' ')
+      sb.append(if (i % 2 == 0) "t" + (i / 2) else "the")
+      i += 1
+    }
+    val big = F.compute(UTF8String.fromString(sb.toString), stops)
+    assert(big.getInt(0) == n, "nt on the giant document")
+    assert(big.getInt(1) == n / 2 + 1, "nd: n/2 distinct evens + 'the'")
+    assert(big.getInt(2) == n / 2, "ns: every odd token is the stopword")
+    // The same thread computes a normal document correctly after the
+    // post-row scratch reset (a broken reset would mis-probe here).
+    val small = F.compute(UTF8String.fromString("a b a the"), stops)
+    assert(small.getInt(0) == 4 && small.getInt(1) == 3 &&
+      small.getInt(2) == 1)
+  }
+
   test("scd2 equals a driver-side reference on random keyed state streams") {
     val rnd = new scala.util.Random(31)
     for (_ <- 0 until 3) {
