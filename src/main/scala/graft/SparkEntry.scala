@@ -1453,14 +1453,18 @@ object SparkEntry {
     // graph (q109's edges — basket-width-bounded, never cartesian) —
     // closed co-purchase pockets vs open hubs, per-node coefficients
     // bucketed by integer division (no per-node float crosses the
-    // engine boundary; degree-1 nodes census as -1).
+    // engine boundary; degree-1 nodes census as -1). Reads the session
+    // ORIENTED layout + adjacency artifacts (r15): the per-query cost
+    // is the compact-forward intersect kernel + output-scale census
+    // folds; orientation/adjacency prep is corpus-pure topology built
+    // once beside the degree table (spec-pinned identical to the
+    // from-scratch census in GraphSpec).
     "q166_clustering_census" -> ((s, dir) =>
-      G.localClusteringCensusCanon(coPurchaseSymFrame(s, dir)
-        .filter(col("node") < col("peer"))
-        .select(col("node").as("u"), col("peer").as("v")),
-        Some(degreeTable(s, dir).select(col("node"), col("deg"))),
-        Some(coPurchaseNodeCount(s, dir)),
-        Some(coPurchaseSymCount(s, dir) / 2))),
+      G.localClusteringCensusPrepared(orientedEdgesFrame(s, dir),
+        orientedAdjFrame(s, dir),
+        degreeTable(s, dir).select(col("node"), col("deg")),
+        coPurchaseNodeCount(s, dir),
+        coPurchaseSymCount(s, dir) / 2)),
 
     // L149: revenue concentration — the Pareto question ("what share of
     // revenue sits above the p50/p90/p99 customer?") with exact
@@ -2033,19 +2037,14 @@ object SparkEntry {
         if (coPurchaseNodeCount(s, dir) <= KnnBroadcastMaxNodes)
           broadcast(knn0)
         else knn0
-      // Checkpoint the history frame: the candidate join AND the
-      // already-bought anti-join both read it — the pin guarantees the
-      // lineitem scan (the biggest table at 100 TB) runs exactly once,
-      // deterministically, rather than relying on exchange reuse
-      // (plan-pinned: PlanShapeSpec's q187/q192 scan-once assertion).
-      val bought = t(s, dir, "lineitem")
-        .select(col("l_orderkey"), col("l_partkey"))
-        .join(t(s, dir, "orders")
-            .select(col("o_orderkey"), col("o_custkey")),
-          col("l_orderkey") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("l_partkey").as("part"))
-        .distinct()
-        .localCheckpoint(true)
+      // The history frame is the session PURCHASE-HISTORY artifact
+      // (r15): the candidate join AND the already-bought anti-join read
+      // its checkpoint — the lineitem scan (the biggest table at
+      // 100 TB) runs once per SESSION, at artifact-build time, not once
+      // per run (plan-pinned: PlanShapeSpec's q187/q192 scan-once
+      // assertion).
+      val bought = custPartOrders(s, dir)
+        .select(col("cust"), col("part"))
       val cand = bought.join(knn, bought("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"), count(lit(1)).as("n_paths"))
@@ -2095,10 +2094,10 @@ object SparkEntry {
     // restriction).
     "q195_incremental_knn" -> ((s, dir) => {
       val sym = coPurchaseSymFrame(s, dir)
-      val deltaParts = t(s, dir, "lineitem")
-        .filter(pmod(col("l_orderkey"), lit(37L)) === 0)
-        .select(col("l_partkey").as("node")).distinct()
-        .localCheckpoint(true)
+      // The delta seed off the session HOLDOUT artifact (r15 — VERDICT
+      // r14 #3): the every-37th split is the same fixture q198
+      // evaluates against, derived once per session, not per run.
+      val deltaParts = holdoutParts(s, dir)
       val affected = sym
         .join(broadcast(deltaParts.select(col("node").as("peer"))),
           Seq("peer"), "left_semi")
@@ -2206,27 +2205,17 @@ object SparkEntry {
     // whose summation order diverges cross-engine; any discounted
     // metric derives from these five rows.
     "q198_rec_eval" -> ((s, dir) => {
-      val li = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-      val ords = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
       // Base-trained co-occurrence WITHOUT re-joining the full pair set:
       // orders partition every co-purchase pair, so w_base = w_full −
       // w_delta — the q219 delta algebra applied to the similarity
-      // graph. w_full is the session's bucketed artifact; only the
-      // 1/37-sized holdout pays a self-join. Pairs living exclusively
-      // in held-out orders subtract to 0 and drop.
-      val dPairs = li.filter(pmod(col("ok"), lit(37L)) === 0).distinct()
-        .localCheckpoint(true) // consumers: de (twice), deltaBuy
-      val de = dPairs.as("x").join(dPairs.as("y"),
-          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
-        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
-        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("dw"))
-      val dsym0 = de.select(col("id_a").as("node"), col("id_b").as("peer"),
-          col("dw"))
-        .union(de.select(col("id_b").as("node"), col("id_a").as("peer"),
-          col("dw")))
-        .localCheckpoint(true) // consumers: sym, wdeg (+ the size guard)
+      // graph. w_full is the session's bucketed artifact; the delta
+      // edge table (the only self-join, 1/37-sized) is the session
+      // HOLDOUT artifact since r15 (VERDICT r14 #3 — q195 reads the
+      // same fixture), and both history slices read the shared
+      // purchase-history artifact, so a run pays neither a lineitem
+      // scan nor the self-join. Pairs living exclusively in held-out
+      // orders subtract to 0 and drop.
+      val dsym0 = holdoutDeltaEdges(s, dir)
       // Count-guarded broadcasts (the q195 10M-row discipline): the
       // delta edge table and the degree table are broadcast ONLY while
       // they fit an executor — the plan-read this round showed that
@@ -2236,8 +2225,11 @@ object SparkEntry {
       // the edge set before AQE's broadcast replan can help. With the
       // hint, the whole kNN path rides the node buckets map-side: scan
       // → 3 broadcast joins → partial top-3 → one ≤3|V|-row exchange.
+      // Guard scalars are the memoized artifact counts, not count jobs.
       val dsym =
-        if (dsym0.count() <= DeltaBroadcastMaxRows) broadcast(dsym0) else dsym0
+        if (holdoutDeltaEdgeCount(s, dir) <= DeltaBroadcastMaxRows)
+          broadcast(dsym0)
+        else dsym0
       val sym = coPurchaseSymTable(s, dir)
         .join(dsym, Seq("node", "peer"), "left_outer")
         .select(col("node"), col("peer"),
@@ -2274,18 +2266,15 @@ object SparkEntry {
       // under the same |V| guard instead.
       val knn =
         if (nodeCount <= KnnBroadcastMaxNodes) broadcast(knn0) else knn0
-      // Straight from the base lineitem slice: the former (ok, pk)
-      // pre-distinct + checkpoint bought nothing — (cust, part) is
-      // distinct'd here anyway, so it paid an extra full-width shuffle
-      // and an eager materialization per run. No checkpoint either:
-      // the two consumers (cand, the anti-join) share the distinct's
-      // exchange via ReusedExchange inside ONE execution — an eager
-      // checkpoint paid that pass up front and added a memory write
-      // (r13).
-      val boughtB = li.filter(pmod(col("ok"), lit(37L)) =!= 0)
-        .join(ords, col("ok") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("pk").as("part"))
-        .distinct()
+      // The base-trained purchase history off the session artifact's
+      // EXISTS slice (r15): n_all > n_hold ⟺ the (cust, part) pair has
+      // at least one lineitem row in a base (non-held-out) order —
+      // exactly the former base-slice join + distinct, now a map-side
+      // filter over the checkpoint shared with q192. Both consumers
+      // (cand, the anti-join) read the same checkpoint blocks.
+      val boughtB = custPartOrders(s, dir)
+        .filter(col("n_all") > col("n_hold"))
+        .select(col("cust"), col("part"))
       val cand = boughtB.join(knn, boughtB("part") === knn("node"))
         .groupBy(col("cust"), col("peer"))
         .agg(sum(col("w")).as("score"))
@@ -2293,23 +2282,27 @@ object SparkEntry {
         cand.join(boughtB.select(col("cust"), col("part").as("peer")),
           Seq("cust", "peer"), "left_anti"),
         Seq("cust"), Seq(col("score").desc, col("peer")), 5, "rank")
-      // Off the checkpointed delta pairs, not a third lineitem scan —
-      // (ok, pk)-distinct implies (cust, part) needs one more distinct
-      // only because two held-out orders of one customer can share a
-      // part. Row count ≤ |dPairs| by construction, so the same count
-      // guard that sized dsym certifies the census-join broadcast.
-      val deltaBuy0 = dPairs
-        .join(ords, col("ok") === col("o_orderkey"))
-        .select(col("o_custkey").as("cust"), col("pk").as("part"))
-        .distinct()
+      // Off the history artifact's n_hold > 0 slice — a map-side filter
+      // over the checkpoint, identical to the former dPairs⋈orders +
+      // distinct (each held-out (ok, pk) lands exactly one history row
+      // with n_hold ≥ 1). Row count ≤ |dPairs| by construction, so the
+      // same count guard that sized dsym certifies the census-join
+      // broadcast.
+      // Renamed columns (not Dataset aliases): recs descends from the
+      // SAME artifact checkpoint via boughtB, and identical attribute
+      // ids across the join trip the ambiguous-self-join analyzer.
+      val deltaBuy0 = custPartOrders(s, dir)
+        .filter(col("n_hold") > 0)
+        .select(col("cust").as("d_cust"), col("part").as("d_part"))
       val deltaBuy =
-        if (dPairs.count() <= DeltaBroadcastMaxRows) broadcast(deltaBuy0)
+        if (holdoutPairCount(s, dir) <= DeltaBroadcastMaxRows)
+          broadcast(deltaBuy0)
         else deltaBuy0
       recs.join(deltaBuy,
-          recs("cust") === deltaBuy("cust") &&
-            recs("peer") === deltaBuy("part"), "left_outer")
+          recs("cust") === deltaBuy("d_cust") &&
+            recs("peer") === deltaBuy("d_part"), "left_outer")
         .select(recs("rank"),
-          when(deltaBuy("cust").isNotNull, 1L).otherwise(0L).as("hit"))
+          when(deltaBuy("d_cust").isNotNull, 1L).otherwise(0L).as("hit"))
         .groupBy(col("rank"))
         .agg(count(lit(1)).as("n_recs"), sum(col("hit")).as("n_hits"))
         .select(col("rank"), col("n_recs"), col("n_hits"),
@@ -8442,6 +8435,129 @@ object SparkEntry {
       s"nsym:$dir:${s.sparkContext.applicationId}",
       _ => coPurchaseSymFrame(s, dir).count())
 
+  /** Session memos for the DEGREE-ORDERED ORIENTED co-purchase layout —
+    * the triangle/clustering serving artifacts beside the symmetric
+    * frame (VERDICT r14 #2: q166's residual cost was per-query
+    * orientation + adjacency prep, which is corpus-pure topology like
+    * the degree table): each canonical edge pointed from its (deg,
+    * id)-smaller endpoint to the larger, plus the per-node out-neighbor
+    * arrays of that orientation (array length O(√E) by the orientation
+    * bound — Σ cells = |E| longs, the same memory the broadcast attach
+    * already ships). Degree-table lifecycle: built off the artifacts,
+    * cleared with [[clearSessionArtifacts]], warmed by Bench outside
+    * timing. */
+  private val orientedSweep = new CheckpointMemo
+  private val orientedAdjSweep = new CheckpointMemo
+
+  private def orientedEdgesFrame(s: SparkSession, dir: String): DataFrame =
+    orientedSweep(s"oriented:$dir:${s.sparkContext.applicationId}") {
+      G.orientByDegree(
+        coPurchaseSymFrame(s, dir)
+          .filter(col("node") < col("peer"))
+          .select(col("node").as("u"), col("peer").as("v")),
+        degreeTable(s, dir).select(col("node"), col("deg")),
+        Some(coPurchaseNodeCount(s, dir)))
+        .localCheckpoint(true)
+    }
+
+  private def orientedAdjFrame(s: SparkSession, dir: String): DataFrame =
+    orientedAdjSweep(s"orientedadj:$dir:${s.sparkContext.applicationId}") {
+      G.adjacencyFromOriented(orientedEdgesFrame(s, dir))
+        .localCheckpoint(true)
+    }
+
+  /** Session memos for the HOLDOUT split fixture shared by the
+    * delta-maintenance family (VERDICT r14 #3): q195 (incremental kNN)
+    * and q198 (offline rec eval) both hold out every 37th order, and
+    * each formerly re-derived the holdout's (order, part) pairs — and
+    * q198 additionally re-paid the delta-pair self-join — per run. The
+    * holdout definition is corpus-pure (a deterministic pmod), so the
+    * split's artifacts get the degree-table lifecycle: the distinct
+    * held-out (ok, pk) pairs, the parts they touch, and the
+    * symmetrized delta co-occurrence edge table (node, peer, dw) built
+    * by the 1/37-sized self-join. At 100 TB these are exactly the
+    * delta tables an incremental-maintenance pipeline lands beside its
+    * base artifacts — delta-bounded, never corpus-scale. */
+  private val holdoutPairsSweep = new CheckpointMemo
+  private val holdoutPartsSweep = new CheckpointMemo
+  private val deltaEdgesSweep = new CheckpointMemo
+
+  /** Distinct (ok, pk) pairs of the held-out (every-37th) orders. */
+  private def holdoutPairs(s: SparkSession, dir: String): DataFrame =
+    holdoutPairsSweep(s"holdoutpairs:$dir:${s.sparkContext.applicationId}") {
+      t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(37L)) === 0)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .distinct()
+        .localCheckpoint(true)
+    }
+
+  /** Distinct parts appearing in any held-out order (q195's delta
+    * seed — includes parts whose held-out order carried no second
+    * part, so NOT derivable from [[holdoutDeltaEdges]]'s endpoints). */
+  private def holdoutParts(s: SparkSession, dir: String): DataFrame =
+    holdoutPartsSweep(s"holdoutparts:$dir:${s.sparkContext.applicationId}") {
+      holdoutPairs(s, dir).select(col("pk").as("node")).distinct()
+        .localCheckpoint(true)
+    }
+
+  /** Symmetrized held-out co-occurrence delta (node, peer, dw): the
+    * q219 delta algebra's edge table — w_base = w_full − dw off the
+    * bucketed artifact. Only the 1/37-sized holdout ever self-joins. */
+  private def holdoutDeltaEdges(s: SparkSession, dir: String): DataFrame =
+    deltaEdgesSweep(s"deltaedges:$dir:${s.sparkContext.applicationId}") {
+      val dPairs = holdoutPairs(s, dir)
+      val de = dPairs.as("x").join(dPairs.as("y"),
+          col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
+        .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
+        .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("dw"))
+      de.select(col("id_a").as("node"), col("id_b").as("peer"), col("dw"))
+        .union(de.select(col("id_b").as("node"), col("id_a").as("peer"),
+          col("dw")))
+        .localCheckpoint(true)
+    }
+
+  /** Session memo for the (cust, part) PURCHASE-HISTORY table shared by
+    * the recommendation family (q192 serving, q198 eval — r15): the
+    * distinct customer-part ownership both queries formerly re-derived
+    * per run with a lineitem⋈orders join + distinct, carried with its
+    * lineitem-row counts split by the holdout predicate (`n_all` rows
+    * overall, `n_hold` of them in held-out every-37th orders) so each
+    * consumer recovers its slice MAP-SIDE off the checkpoint: the full
+    * history is the key set, the base-trained history is the EXISTS
+    * filter n_all > n_hold, and the held-out purchases are n_hold > 0
+    * — identical sets to the former inline distincts. Corpus-pure like
+    * the degree table; at 100 TB this is the history table a
+    * recommender keeps beside its kNN index, (cust, part)-cardinality,
+    * never order-cardinality. */
+  private val custPartSweep = new CheckpointMemo
+
+  private def custPartOrders(s: SparkSession, dir: String): DataFrame =
+    custPartSweep(s"custpart:$dir:${s.sparkContext.applicationId}") {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
+        .join(t(s, dir, "orders")
+            .select(col("o_orderkey"), col("o_custkey")),
+          col("ok") === col("o_orderkey"))
+        .groupBy(col("o_custkey").as("cust"), col("pk").as("part"))
+        .agg(count(lit(1)).as("n_all"),
+          sum(when(pmod(col("ok"), lit(37L)) === 0, 1L).otherwise(0L))
+            .as("n_hold"))
+        .localCheckpoint(true)
+    }
+
+  /** Memoized row counts of the holdout artifacts — the broadcast
+    * guards' scalars (formerly two count JOBS per q198 run). */
+  private def holdoutPairCount(s: SparkSession, dir: String): Long =
+    graphScalarMemo.computeIfAbsent(
+      s"nholdout:$dir:${s.sparkContext.applicationId}",
+      _ => holdoutPairs(s, dir).count())
+
+  private def holdoutDeltaEdgeCount(s: SparkSession, dir: String): Long =
+    graphScalarMemo.computeIfAbsent(
+      s"ndeltaedges:$dir:${s.sparkContext.applicationId}",
+      _ => holdoutDeltaEdges(s, dir).count())
+
   /** Runtime broadcast-guard budgets for the delta/recommendation
     * family (q192/q195/q198/q219): bounded intermediates broadcast only
     * while they fit an executor; past the budget the joins fall back to
@@ -8450,8 +8566,17 @@ object SparkEntry {
     * assert the shuffle path stays hash-identical (VERDICT r13 #4 — the
     * guarded fallback was exercised at no tested SF); production code
     * never writes them. */
-  private[graft] var DeltaBroadcastMaxRows: Long = 10000000L
-  private[graft] var KnnBroadcastMaxNodes: Long = 3333333L
+  @volatile private[graft] var DeltaBroadcastMaxRows: Long = 10000000L
+  @volatile private[graft] var KnnBroadcastMaxNodes: Long = 3333333L
+
+  /** Guards mutations of the broadcast budgets above (ADVICE r14): sbt
+    * runs suites in parallel inside one forked JVM, so any test that
+    * zeroes the knobs must hold this while mutating AND running its
+    * queries, and any OTHER suite asserting plan shape on the guarded
+    * queries (q192/q195/q198/q219) must hold it too — results are
+    * parity-identical either way, but a plan-shape assertion would
+    * flake nondeterministically. */
+  private[graft] val broadcastKnobLock = new Object
 
   /** Session memo for the BUCKETED per-document term-frequency tables —
     * the copurchase_sym discipline applied to the TEXT family (VERDICT
@@ -8526,6 +8651,14 @@ object SparkEntry {
     coPurchaseSymFrame(s, dir)
     coPurchaseNodeCount(s, dir)
     coPurchaseSymCount(s, dir)
+    orientedEdgesFrame(s, dir)
+    orientedAdjFrame(s, dir)
+    holdoutPairs(s, dir)
+    holdoutParts(s, dir)
+    holdoutDeltaEdges(s, dir)
+    holdoutPairCount(s, dir)
+    holdoutDeltaEdgeCount(s, dir)
+    custPartOrders(s, dir)
     docTerms(s, dir)
     docTermsBucketed(s, dir, 2)
     docTerms3(s, dir)
@@ -8787,6 +8920,12 @@ object SparkEntry {
     docTermsMemo.clear()
     degreeSweep.clear()
     symFrameSweep.clear()
+    orientedSweep.clear()
+    orientedAdjSweep.clear()
+    holdoutPairsSweep.clear()
+    holdoutPartsSweep.clear()
+    deltaEdgesSweep.clear()
+    custPartSweep.clear()
     graphScalarMemo.clear()
     ndjsonFeedMemo.clear()
     partFilesMemo.clear()

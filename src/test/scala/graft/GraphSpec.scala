@@ -326,6 +326,43 @@ class GraphSpec extends AnyFunSuite {
     assert(c4 == Map(10 -> 4L), s"got $c4")
   }
 
+  test("localClusteringCensusPrepared (oriented-layout artifacts) is " +
+    "row-identical to the from-scratch census on random graphs — the " +
+    "q166 artifact contract (r15)") {
+    import graft.operators.GraphOps
+    val rnd = new scala.util.Random(23)
+    for (trial <- 0 until 3) {
+      val n = 24
+      val raw = (0 until 120).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong) }
+      val pairs = raw.toDF("a", "b")
+      val expect = GraphOps.localClusteringCensus(pairs, "a", "b")
+        .collect().map(_.toString).sorted.toSeq
+      // The artifact path: canonical edges → degree table → oriented
+      // layout → adjacency arrays → prepared census (exactly how
+      // SparkEntry assembles q166 from the session memos).
+      val canon = pairs
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val deg = canon.select(col("u").as("node"))
+        .union(canon.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(true)
+      val nNodes = deg.count()
+      val nEdges = canon.count()
+      val oriented = GraphOps.orientByDegree(canon, deg, Some(nNodes))
+        .localCheckpoint(true)
+      val adj = GraphOps.adjacencyFromOriented(oriented)
+        .localCheckpoint(true)
+      val got = GraphOps.localClusteringCensusPrepared(oriented, adj,
+          deg, nNodes, nEdges)
+        .collect().map(_.toString).sorted.toSeq
+      assert(got == expect, s"trial $trial diverged: $got vs $expect")
+    }
+  }
+
   test("degreeAssortativity: a star graph is maximally disassortative " +
     "(-1); a regular graph's denominator degenerates to 0/0") {
     import graft.operators.GraphOps

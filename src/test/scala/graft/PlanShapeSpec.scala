@@ -1259,20 +1259,26 @@ class PlanShapeSpec extends AnyFunSuite {
     val base192 = rows("q192_user_recommendations")
     val base198 = rows("q198_rec_eval")
     assert(base192.nonEmpty && base198.nonEmpty, "vacuous parity check")
-    val (dr, kn) =
-      (SparkEntry.DeltaBroadcastMaxRows, SparkEntry.KnnBroadcastMaxNodes)
-    try {
-      // Budget 0 trips EVERY guard: all delta/kNN/degree sides take the
-      // AQE-shuffle fallback paths instead of the broadcast hints.
-      SparkEntry.DeltaBroadcastMaxRows = 0L
-      SparkEntry.KnnBroadcastMaxNodes = 0L
-      assert(rows("q192_user_recommendations") == base192,
-        "q192 fallback path diverged from the broadcast path")
-      assert(rows("q198_rec_eval") == base198,
-        "q198 fallback path diverged from the broadcast path")
-    } finally {
-      SparkEntry.DeltaBroadcastMaxRows = dr
-      SparkEntry.KnnBroadcastMaxNodes = kn
+    // Mutating the shared budgets under the knob lock (ADVICE r14):
+    // suites run in parallel in the one forked test JVM, and a
+    // concurrent plan-shape assertion on the guarded queries would
+    // otherwise observe the zeroed budgets nondeterministically.
+    SparkEntry.broadcastKnobLock.synchronized {
+      val (dr, kn) =
+        (SparkEntry.DeltaBroadcastMaxRows, SparkEntry.KnnBroadcastMaxNodes)
+      try {
+        // Budget 0 trips EVERY guard: all delta/kNN/degree sides take the
+        // AQE-shuffle fallback paths instead of the broadcast hints.
+        SparkEntry.DeltaBroadcastMaxRows = 0L
+        SparkEntry.KnnBroadcastMaxNodes = 0L
+        assert(rows("q192_user_recommendations") == base192,
+          "q192 fallback path diverged from the broadcast path")
+        assert(rows("q198_rec_eval") == base198,
+          "q198 fallback path diverged from the broadcast path")
+      } finally {
+        SparkEntry.DeltaBroadcastMaxRows = dr
+        SparkEntry.KnnBroadcastMaxNodes = kn
+      }
     }
   }
 }
