@@ -363,6 +363,37 @@ class GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("orientByDegree: max out-degree obeys the √(2E) hub-proof bound " +
+    "— outdeg(v)=k implies k out-neighbors of degree ≥ deg(v) ≥ k, so " +
+    "2E ≥ k² — on random graphs and an adversarial hub star") {
+    import graft.operators.GraphOps
+    def maxOutdeg(pairs: Seq[(Long, Long)]): (Long, Long) = {
+      val canon = pairs.toDF("a", "b")
+        .select(least(col("a"), col("b")).as("u"),
+          greatest(col("a"), col("b")).as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+        .localCheckpoint(true)
+      val deg = canon.select(col("u").as("node"))
+        .union(canon.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+      val e = canon.count()
+      val k = GraphOps.orientByDegree(canon, deg, None)
+        .groupBy(col("s")).agg(count(lit(1)).as("k"))
+        .agg(max(col("k"))).head.getLong(0)
+      (k, e)
+    }
+    // 200-leaf star: every edge orients leaf → hub, hub emits nothing.
+    val (kStar, eStar) = maxOutdeg((1L to 200L).map(l => (0L, l)))
+    assert(kStar == 1 && kStar * kStar <= 2 * eStar)
+    val rnd = new scala.util.Random(91)
+    for (trial <- 0 until 2) {
+      val raw = (0 until 300).map(_ =>
+        (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      val (k, e) = maxOutdeg(raw)
+      assert(k * k <= 2 * e, s"trial $trial: outdeg $k on $e edges")
+    }
+  }
+
   test("degreeAssortativity: a star graph is maximally disassortative " +
     "(-1); a regular graph's denominator degenerates to 0/0") {
     import graft.operators.GraphOps
