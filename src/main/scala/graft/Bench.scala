@@ -72,7 +72,9 @@ object Bench {
     // (VERDICT r14 #6): a concurrent JVM sweeping /tmp exports or the
     // warehouse mid-run corrupts whichever process loses the race.
     HarnessLock.acquireOrDie("bench")
-    val spark = Session.local()
+    // The PARSED Int, not the raw env string (ADVICE r15): one value
+    // feeds the master URL, the pointer gate, and the recorded JSON.
+    val spark = Session.local(cpus)
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
     // Warehouse hygiene: evict per-corpus serving TABLES left behind by
@@ -208,8 +210,8 @@ object Bench {
     // Only a FULL-surface run may update the repo-local last pointer: a
     // BENCH_ONLY subset would shadow the last complete run with a
     // 3-query total and mislead round-over-round diffs (ADVICE r8).
-    // And only a QUIET one (VERDICT r12 #3): SCALE.md's trust protocol
-    // treats per-query deltas as plan signal only when
+    // And only a QUIET one on the GOLD path (VERDICT r12 #3): SCALE.md's
+    // trust protocol treats per-query deltas as plan signal only when
     // noise_rel_spread <= 0.15, so a louder full run must not shadow the
     // last quiet pointer — it lands in BENCH_last_loud.json instead
     // (recorded, never diffed query-by-query).
@@ -221,12 +223,44 @@ object Bench {
     // core count — e.g. Session.local's 4-core default when
     // SPARK_GRAFT_CPUS is unset — reports totals on a different
     // machine shape and must not touch either pointer file.
+    //
+    // LOUD-EPOCH FALLBACK (VERDICT r15 #1): 18 consecutive full-surface
+    // runs across three sessions exceeded the 0.15 quiet gate — "wait
+    // for a quiet epoch" stopped being a rule that ever fires on this
+    // host, leaving the absolute record four rounds stale while the
+    // paired A/B protocol carried every relative claim. The quiet gate
+    // stays the gold path, but every full graded run now also appends a
+    // compact record to BENCH_loud_history.jsonl, and once the trailing
+    // drought reaches >= 6 consecutive loud attempts, the pointer
+    // refreshes from the MEDIAN of the most recent >= 3 same-commit
+    // clean-tree runs (median-of-medians per query; the honest
+    // loud-epoch absolute, provenance recorded in the JSON). The
+    // displaced quiet-gate record is archived once to
+    // BENCH_last_quiet.json. See SCALE.md "Loud-epoch absolute record".
     if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == 32) {
-      val target =
-        if (noise >= 0.0 && noise <= 0.15) "BENCH_last.json"
-        else "BENCH_last_loud.json"
-      try Files.writeString(Paths.get(target), json + "\n")
+      val quiet = noise >= 0.0 && noise <= 0.15
+      val (commit, dirty) = BenchPointer.gitInfo()
+      val histLine =
+        s"""{"ts":${System.currentTimeMillis()},"commit":"$commit","dirty":$dirty,"quiet":$quiet,"value":$total,"total_min":$totalMin,"noise_rel_spread":$noise,"n_queries":$n,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin}"""
+      val base = Paths.get(".")
+      try BenchPointer.appendHistory(base, histLine)
       catch { case _: Throwable => () }
+      if (quiet) {
+        try Files.writeString(Paths.get("BENCH_last.json"), json + "\n")
+        catch { case _: Throwable => () }
+      } else {
+        try Files.writeString(Paths.get("BENCH_last_loud.json"), json + "\n")
+        catch { case _: Throwable => () }
+        try BenchPointer.maybeRefreshFromLoudEpoch(base, commit, n)
+          .foreach { rec =>
+            System.err.println(
+              "[bench] loud-epoch fallback refreshed BENCH_last.json " +
+                s"(commit $commit): $rec")
+          }
+        catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] loud-epoch pointer fallback failed: ${e.getMessage}") }
+      }
     }
   }
 }

@@ -11,16 +11,23 @@ import java.nio.file.{Files, Paths, StandardOpenOption}
   * two of them from interleaving was runbook discipline (the q338
   * dev-time race: a concurrent suite's grace-0 sweep deleted a live
   * export dump mid-compare, observed twice in r14). This turns the rule
-  * mechanical: one `java.nio` file lock under spark-warehouse/, acquired
+  * mechanical: one `java.nio` file lock at the REPO ROOT, acquired
   * at process start; a second process fails FAST with a clear message
   * instead of silently corrupting the winner's run.
   *
   * An OS file lock (not a marker file) so a crashed holder releases on
   * process death — no stale-lock cleanup path to get wrong. Same-JVM
   * re-entry is a no-op (Verify's dump and its later reads share one
-  * process; suites in the one forked test JVM share one acquisition). */
+  * process; suites in the one forked test JVM share one acquisition).
+  *
+  * The lock file deliberately lives OUTSIDE spark-warehouse/ (ADVICE
+  * r15): the warehouse is exactly the tree the harness sweeps manage,
+  * and a sweep (or manual rm) deleting the lock file while held would
+  * let a second process re-create it and "acquire" successfully,
+  * silently voiding mutual exclusion. The repo root is swept by
+  * nothing. */
 object HarnessLock {
-  private val LockPath = "spark-warehouse/graft-harness.lock"
+  private val LockPath = ".graft-harness.lock"
   @volatile private var held: Option[(FileChannel, FileLock)] = None
 
   /** Try to take the harness lock for this JVM; false if another

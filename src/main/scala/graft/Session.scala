@@ -27,10 +27,27 @@ object Session {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val s = builder(s"local[$cpus]", cpus).getOrCreate()
+  /** The parsed-Int form (ADVICE r15): callers that validate
+    * SPARK_GRAFT_CPUS themselves (Bench's graded-run guard) thread the
+    * SAME Int here, so the recorded cpus, the pointer gate, and the
+    * actual parallelism cannot diverge — formerly the raw env string
+    * was re-read and interpolated into the master URL, so a value like
+    * `' 32'` passed the integer guard and then died in Spark's
+    * master-URL parse with an unrelated error. */
+  def local(cpus: Int): SparkSession = {
+    val s = builder(s"local[$cpus]", cpus.toString).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
+  }
+
+  def local(): SparkSession = {
+    val cpus = sys.env.get("SPARK_GRAFT_CPUS") match {
+      case Some(v) => v.trim.toIntOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"SPARK_GRAFT_CPUS='$v' is not an integer — refusing to " +
+            "start a session at an ambiguous parallelism"))
+      case None => 4
+    }
+    local(cpus)
   }
 }

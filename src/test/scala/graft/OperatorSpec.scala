@@ -7,7 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 import graft.operators.{CleanseOps => C, RelationalOps => R, VizPrep => V}
 
 object SparkTestSession {
-  lazy val spark: SparkSession = Session.builder("local[4]", "4").getOrCreate()
+  lazy val spark: SparkSession = {
+    // Harness mutual exclusion at the SHARED fixture (ADVICE r15):
+    // formerly only CatalogSpec's export-sweep test took the lock, so
+    // other suites that read or populate the shared /tmp dumps and
+    // warehouse artifacts (LlmOpsSpec session sweeps, ApproxSpec q49
+    // warm-ups, every suite running SparkEntry.queries over testdata)
+    // ran unguarded beside a live Verify/Bench. Every suite builds this
+    // session before touching any of that state, and the lock is
+    // JVM-lifetime + same-JVM idempotent, so acquiring here makes the
+    // exclusion rule structural for the whole forked test JVM.
+    assert(HarnessLock.tryAcquire("sbt-test SparkTestSession"),
+      "another graft harness process (Verify/Bench) holds the harness " +
+        "lock — test suites share /tmp export dumps and warehouse " +
+        "artifacts with it; re-run the suite after it exits")
+    Session.builder("local[4]", "4").getOrCreate()
+  }
 }
 
 /** Unit tests for the cleanse/relational/viz operator kernel, pinning the

@@ -701,27 +701,43 @@ class PlanShapeSpec extends AnyFunSuite {
       s"the doc-side join must not shuffle:\n$p")
   }
 
-  test("q198 rec eval: the base-kNN path rides the co-purchase buckets " +
+  test("q198 rec eval: the base-kNN BUILD rides the co-purchase buckets " +
     "— delta adjustment and degree joins broadcast under the count " +
-    "guards, the candidate join never re-exchanges the bought table, " +
-    "and only the anti-join may merge-join") {
-    val p = plan("q198_rec_eval")
+    "guards — and the SERVED plan (base kNN an artifact since r16) " +
+    "never re-exchanges the bought table; only the anti-join may " +
+    "merge-join") {
+   SparkEntry.withBroadcastKnobsHeld {
+    // The artifact BUILD plan (runs once per session): the former
+    // per-run assertions now pin the builder.
+    val b = SparkEntry.buildBaseKnn(spark, sf)
+      .queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
     // the bucketed artifact scan must stay ENABLED: a (node, peer)
     // shuffle requirement upstream (the pre-r13 un-hinted delta join)
     // disables it and pays a full edge-set exchange
-    assert(p.contains("Bucketed: true"),
-      s"co-purchase scan lost its buckets (edge-set exchange is back):\n$p")
+    assert(b.contains("Bucketed: true"),
+      s"co-purchase scan lost its buckets (edge-set exchange is back):\n$b")
     // the delta-weight adjustment is a broadcast join on (node, peer)
-    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
+    assert(b.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
       l.contains("node") && l.contains("peer") && l.contains("LeftOuter")),
-      s"dsym adjustment must broadcast under the 10M guard:\n$p")
-    // candidate generation must not shuffle-join: the only merge join
-    // allowed anywhere is the bought anti-join
+      s"dsym adjustment must broadcast under the 10M guard:\n$b")
+    assert(!b.contains("SortMergeJoin"),
+      s"the kNN build must stay map-side over the buckets:\n$b")
+    // The SERVED q198 plan: candidate generation must not shuffle-join
+    // (the kNN artifact broadcasts under the |V| guard); the only merge
+    // join allowed anywhere is the bought anti-join, and no lineitem
+    // rescan — both history slices come off the checkpoint.
+    val p = plan("q198_rec_eval")
     assert(p.linesIterator.filter(_.contains("SortMergeJoin"))
       .forall(_.contains("LeftAnti")),
       s"a non-anti SortMergeJoin re-exchanges a big side:\n$p")
+    assert(!p.contains("lineitem"),
+      s"q198 must serve from the artifacts, not rescan lineitem:\n$p")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"), s"degraded plan:\n$p")
+   }
   }
 
   test("q160 fingerprint: one corpus scan into the hash groupBy") {
@@ -996,6 +1012,7 @@ class PlanShapeSpec extends AnyFunSuite {
 
   test("q187/q192 recommendation serving: every join is an equi-join — " +
     "the kNN cap, not a pair scan, bounds candidate fan-out") {
+   SparkEntry.withBroadcastKnobsHeld {
     for (q <- Seq("q187_item_similarity", "q192_user_recommendations")) {
       val p = plan(q)
       assert(!p.contains("CartesianProduct") &&
@@ -1014,6 +1031,7 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p192.contains("ok#"),
       "q192 must not re-run the per-order self-join (graph comes from " +
         "the bucketed table)")
+   }
   }
 
   test("q190 feature snapshot: ONE keyed exchange (the actor groupBy); " +
@@ -1258,27 +1276,29 @@ class PlanShapeSpec extends AnyFunSuite {
         .map(_.toString).sorted.toSeq
     val base192 = rows("q192_user_recommendations")
     val base198 = rows("q198_rec_eval")
-    assert(base192.nonEmpty && base198.nonEmpty, "vacuous parity check")
-    // Mutating the shared budgets under the knob lock (ADVICE r14):
-    // suites run in parallel in the one forked test JVM, and a
-    // concurrent plan-shape assertion on the guarded queries would
-    // otherwise observe the zeroed budgets nondeterministically.
-    SparkEntry.broadcastKnobLock.synchronized {
-      val (dr, kn) =
-        (SparkEntry.DeltaBroadcastMaxRows, SparkEntry.KnnBroadcastMaxNodes)
-      try {
-        // Budget 0 trips EVERY guard: all delta/kNN/degree sides take the
-        // AQE-shuffle fallback paths instead of the broadcast hints.
-        SparkEntry.DeltaBroadcastMaxRows = 0L
-        SparkEntry.KnnBroadcastMaxNodes = 0L
-        assert(rows("q192_user_recommendations") == base192,
-          "q192 fallback path diverged from the broadcast path")
-        assert(rows("q198_rec_eval") == base198,
-          "q198 fallback path diverged from the broadcast path")
-      } finally {
-        SparkEntry.DeltaBroadcastMaxRows = dr
-        SparkEntry.KnnBroadcastMaxNodes = kn
-      }
+    // The base-kNN BUILD too (r16): q198 now serves from the session
+    // artifact, so its own re-run under zeroed knobs no longer walks
+    // the build's shuffle-fallback path — exercise the builder
+    // directly or the r13 #4 coverage silently narrows.
+    def knnRows(): Seq[String] =
+      SparkEntry.buildBaseKnn(spark, sf).collect()
+        .map(_.toString).sorted.toSeq
+    val baseKnn = knnRows()
+    assert(base192.nonEmpty && base198.nonEmpty && baseKnn.nonEmpty,
+      "vacuous parity check")
+    // Budget 0 trips EVERY guard: all delta/kNN/degree sides take the
+    // AQE-shuffle fallback paths instead of the broadcast hints. The
+    // helper holds the knob lock and restores the budgets structurally
+    // (ADVICE r15) — suites run in parallel in the one forked test JVM,
+    // and a concurrent plan-shape assertion on the guarded queries
+    // would otherwise observe the zeroed budgets nondeterministically.
+    SparkEntry.withBroadcastKnobs(0L, 0L) {
+      assert(rows("q192_user_recommendations") == base192,
+        "q192 fallback path diverged from the broadcast path")
+      assert(rows("q198_rec_eval") == base198,
+        "q198 fallback path diverged from the broadcast path")
+      assert(knnRows() == baseKnn,
+        "base-kNN build fallback diverged from the broadcast build")
     }
   }
 }
