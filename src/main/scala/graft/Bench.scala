@@ -239,9 +239,9 @@ object Bench {
     // BENCH_last_quiet.json. See SCALE.md "Loud-epoch absolute record".
     if (only.isEmpty && sfDir == "/root/testdata/sf0.1" && cpus == 32) {
       val quiet = noise >= 0.0 && noise <= 0.15
-      val (commit, dirty) = BenchPointer.gitInfo()
+      val (commit, tree, dirty) = BenchPointer.gitInfo()
       val histLine =
-        s"""{"ts":${System.currentTimeMillis()},"commit":"$commit","dirty":$dirty,"quiet":$quiet,"value":$total,"total_min":$totalMin,"noise_rel_spread":$noise,"n_queries":$n,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin}"""
+        s"""{"ts":${System.currentTimeMillis()},"commit":"$commit","tree":"$tree","dirty":$dirty,"quiet":$quiet,"value":$total,"total_min":$totalMin,"noise_rel_spread":$noise,"n_queries":$n,"cpus":$cpus,"queries":$qs,"queries_min":$qsMin}"""
       val base = Paths.get(".")
       try BenchPointer.appendHistory(base, histLine)
       catch { case _: Throwable => () }
@@ -251,7 +251,7 @@ object Bench {
       } else {
         try Files.writeString(Paths.get("BENCH_last_loud.json"), json + "\n")
         catch { case _: Throwable => () }
-        try BenchPointer.maybeRefreshFromLoudEpoch(base, commit, n)
+        try BenchPointer.maybeRefreshFromLoudEpoch(base, tree, commit, n)
           .foreach { rec =>
             System.err.println(
               "[bench] loud-epoch fallback refreshed BENCH_last.json " +

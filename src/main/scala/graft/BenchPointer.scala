@@ -36,7 +36,7 @@ object BenchPointer {
     * this many consecutive full graded attempts (~ two sessions' worth;
     * the observed droughts were 10 and 18). */
   val DroughtThreshold = 6
-  /** Pool at least this many same-commit clean-tree runs... */
+  /** Pool at least this many same-measured-tree clean runs... */
   val MinConstituents = 3
   /** ...and at most this many (newest first), so the record tracks the
     * current tree's spaced runs, not a long-dead epoch. */
@@ -44,13 +44,23 @@ object BenchPointer {
 
   def historyPath(base: Path): Path = base.resolve("BENCH_loud_history.jsonl")
 
-  /** (HEAD sha, src-tree-dirty) — `dirty` looks only at paths that
-    * change what the benchmark measures (src/, build config); pointer
-    * and record files churn during a bench session and must not make
-    * every subsequent run ineligible. Unknown git state reads as dirty:
-    * a run we can't attribute to a commit can never pool into an
-    * absolute record. */
-  def gitInfo(): (String, Boolean) =
+  /** (HEAD sha, measured-tree id, src-tree-dirty).
+    *
+    * The MEASURED-TREE id — the joined git object ids of `src/`,
+    * `build.sbt`, and `project/` at HEAD — is the constituent-pool
+    * identity, not the commit sha: a docs/records-only commit
+    * mid-session changes HEAD without changing a byte the benchmark
+    * measures, and keying on the sha would split an otherwise-valid
+    * pool across it (observed immediately in r16: the round-record
+    * commit landed between spaced full runs). The sha rides along for
+    * human provenance in the written record.
+    *
+    * `dirty` looks only at the same measured paths; pointer and record
+    * files churn during a bench session and must not make every
+    * subsequent run ineligible. Unknown git state reads as dirty: a
+    * run we can't attribute to a tree can never pool into an absolute
+    * record. */
+  def gitInfo(): (String, String, Boolean) =
     try {
       def run(cmd: String*): String = {
         val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
@@ -59,10 +69,18 @@ object BenchPointer {
         out
       }
       val sha = run("git", "rev-parse", "HEAD")
+      val treeIds = run("git", "rev-parse",
+        "HEAD:src", "HEAD:build.sbt", "HEAD:project")
+        .linesIterator.toSeq
+      val tree =
+        if (treeIds.size == 3 && treeIds.forall(_.matches("[0-9a-f]{40}")))
+          treeIds.mkString("+")
+        else "unknown"
       val dirty = run("git", "status", "--porcelain", "--",
         "src", "build.sbt", "project").nonEmpty
-      if (sha.matches("[0-9a-f]{40}")) (sha, dirty) else ("unknown", true)
-    } catch { case _: Throwable => ("unknown", true) }
+      if (sha.matches("[0-9a-f]{40}")) (sha, tree, dirty)
+      else ("unknown", "unknown", true)
+    } catch { case _: Throwable => ("unknown", "unknown", true) }
 
   def appendHistory(base: Path, line: String): Unit =
     Files.writeString(historyPath(base), line + "\n",
@@ -96,15 +114,16 @@ object BenchPointer {
   }
 
   /** Evaluate the fallback after a LOUD full graded run: arm on the
-    * drought, pool same-commit clean-tree constituents, refresh
+    * drought, pool same-measured-tree clean constituents, refresh
     * `BENCH_last.json` under `base` when enough qualify. Returns the
     * record written, or None with the (logged) reason it did not fire.
     * A quiet entry anywhere in the tail disarms — the gold path already
-    * refreshed the pointer. */
-  def maybeRefreshFromLoudEpoch(base: Path, commit: String,
+    * refreshed the pointer. History lines written before the tree-id
+    * field existed fall back to their commit sha for identity. */
+  def maybeRefreshFromLoudEpoch(base: Path, tree: String, commit: String,
                                 n: Int): Option[String] = {
     val hp = historyPath(base)
-    if (!Files.exists(hp) || commit == "unknown") return None
+    if (!Files.exists(hp) || tree == "unknown") return None
     val lines = scala.jdk.CollectionConverters
       .ListHasAsScala(Files.readAllLines(hp)).asScala.toSeq
       .filter(_.nonEmpty)
@@ -112,7 +131,10 @@ object BenchPointer {
       !jBool(l, "quiet").getOrElse(false))
     if (drought.size < DroughtThreshold) return None
     val eligible = drought.filter { l =>
-      jStr(l, "commit").contains(commit) &&
+      val id = jStr(l, "tree")
+      (id.contains(tree) ||
+        (id.isEmpty && commit != "unknown" &&
+          jStr(l, "commit").contains(commit))) &&
         !jBool(l, "dirty").getOrElse(true) &&
         jNum(l, "n_queries").contains(n.toDouble) &&
         jNum(l, "cpus").contains(32.0)
@@ -142,7 +164,7 @@ object BenchPointer {
       s"""{"ts":${jNum(l, "ts").getOrElse(0.0).toLong},"value":${jNum(l, "value").getOrElse(-1.0)},"total_min":${jNum(l, "total_min").getOrElse(-1.0)},"noise_rel_spread":${jNum(l, "noise_rel_spread").getOrElse(-1.0)}}"""
     }.mkString("[", ",", "]")
     val rec =
-      s"""{"metric":"total","value":${med(totals)},"unit":"sec","n_queries":$n,"sec_per_query":${med(totals) / n},"total_min":${totalMins.min},"noise_rel_spread":${med(noises)},"cpus":32,"provenance":"loud_epoch_median","rule":"drought>=$DroughtThreshold loud full runs; median of ${eligible.size} same-commit clean-tree runs","commit":"$commit","constituents":$cons,"queries":$qs,"queries_min":$qsMin,"sf":"/root/testdata/sf0.1"}"""
+      s"""{"metric":"total","value":${med(totals)},"unit":"sec","n_queries":$n,"sec_per_query":${med(totals) / n},"total_min":${totalMins.min},"noise_rel_spread":${med(noises)},"cpus":32,"provenance":"loud_epoch_median","rule":"drought>=$DroughtThreshold loud full runs; median of ${eligible.size} same-measured-tree clean runs","commit":"$commit","tree":"$tree","constituents":$cons,"queries":$qs,"queries_min":$qsMin,"sf":"/root/testdata/sf0.1"}"""
     Files.writeString(last, rec + "\n")
     Some(rec)
   }

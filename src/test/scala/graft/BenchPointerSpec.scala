@@ -6,18 +6,25 @@ import org.scalatest.funsuite.AnyFunSuite
 /** The loud-epoch absolute-record protocol (VERDICT r15 #1), exercised
   * against a temp dir so the live repo pointer files are never touched.
   * The rules under test mirror SCALE.md "Loud-epoch absolute record":
-  * arm on >= 6 trailing loud runs, pool >= 3 newest same-commit
-  * clean-src-tree runs, median-of-medians record, quiet-run disarm,
-  * one-time archive of the displaced quiet-gate record. */
+  * arm on >= 6 trailing loud runs, pool >= 3 newest clean runs at the
+  * same MEASURED-TREE id (commit-sha fallback for legacy lines),
+  * median-of-medians record, quiet-run disarm, one-time archive of the
+  * displaced quiet-gate record. */
 class BenchPointerSpec extends AnyFunSuite {
 
   private val sha = "a" * 40
   private val other = "b" * 40
+  // Measured-tree ids (the "tree" identity field): derived from the
+  // commit here purely for test readability.
+  private def treeOf(commit: String) = commit.take(8) + "-tree"
 
   private def line(quiet: Boolean, commit: String, dirty: Boolean,
                    total: Double, q1: Double, q1min: Double,
-                   ts: Long = 1000L, n: Int = 2): String =
-    s"""{"ts":$ts,"commit":"$commit","dirty":$dirty,"quiet":$quiet,""" +
+                   ts: Long = 1000L, n: Int = 2,
+                   withTree: Boolean = true): String =
+    s"""{"ts":$ts,"commit":"$commit",""" +
+      (if (withTree) s""""tree":"${treeOf(commit)}",""" else "") +
+      s""""dirty":$dirty,"quiet":$quiet,""" +
       s""""value":$total,"total_min":${total - 1},""" +
       s""""noise_rel_spread":0.25,"n_queries":$n,"cpus":32,""" +
       s""""queries":{"q1":$q1,"q2":1.0},""" +
@@ -41,7 +48,7 @@ class BenchPointerSpec extends AnyFunSuite {
     withDir { d =>
       seed(d, (1 to 5).map(i => line(quiet = false, sha, dirty = false,
         100 + i, 1.0, 0.9)))
-      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, sha, 2).isEmpty)
+      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, treeOf(sha), sha, 2).isEmpty)
       assert(!Files.exists(d.resolve("BENCH_last.json")))
     }
   }
@@ -54,7 +61,7 @@ class BenchPointerSpec extends AnyFunSuite {
       // quiet run 3 entries from the end: trailing drought is only 3
       seed(d, loud.take(5) ++ Seq(line(quiet = true, sha, dirty = false,
         90, 1.0, 0.9)) ++ loud.drop(5))
-      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, sha, 2).isEmpty)
+      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, treeOf(sha), sha, 2).isEmpty)
     }
   }
 
@@ -75,7 +82,7 @@ class BenchPointerSpec extends AnyFunSuite {
             line(quiet = false, sha, dirty = false, t, q, qm,
               ts = 2000L + i)
           })
-      val rec = BenchPointer.maybeRefreshFromLoudEpoch(d, sha, 2)
+      val rec = BenchPointer.maybeRefreshFromLoudEpoch(d, treeOf(sha), sha, 2)
       assert(rec.isDefined, "fallback must fire")
       val r = rec.get
       // median of (230, 251, 278, 285) = 264.5; never the foreign 500s
@@ -93,7 +100,7 @@ class BenchPointerSpec extends AnyFunSuite {
         .contains("312.8"))
       // ...and a SECOND refresh must not clobber the archive with the
       // provenance record now sitting in BENCH_last.json
-      BenchPointer.maybeRefreshFromLoudEpoch(d, sha, 2)
+      BenchPointer.maybeRefreshFromLoudEpoch(d, treeOf(sha), sha, 2)
       assert(Files.readString(d.resolve("BENCH_last_quiet.json"))
         .contains("312.8"))
     }
@@ -109,7 +116,40 @@ class BenchPointerSpec extends AnyFunSuite {
             n = 3)) ++ // full drought of 7, but only 2 clean at n=2
           (1 to 2).map(i => line(quiet = false, sha, dirty = false,
             150 + i, 1.5, 1.2)))
-      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, sha, 2).isEmpty)
+      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, treeOf(sha), sha, 2).isEmpty)
+    }
+  }
+
+  test("a docs-only commit mid-session does not split the pool: runs " +
+    "with different HEAD shas but the SAME measured-tree id pool " +
+    "together, and pre-tree-field lines fall back to commit identity") {
+    withDir { d =>
+      // Three runs at three different commits sharing one measured
+      // tree (the r16 scenario: a records commit landed between runs),
+      // plus three drought-padding runs at a foreign tree.
+      val c1 = "c" * 40; val c2 = "d" * 40; val c3 = "e" * 40
+      def sameTree(commit: String, total: Double, ts: Long): String =
+        line(quiet = false, commit, dirty = false, total, total / 100,
+          total / 100, ts = ts)
+          .replace(s""""tree":"${treeOf(commit)}"""",
+            s""""tree":"shared-tree"""")
+      seed(d,
+        (1 to 3).map(i => line(quiet = false, other, dirty = false,
+          400 + i, 4.0, 3.9)) ++
+          Seq(sameTree(c1, 300, 1L), sameTree(c2, 310, 2L),
+            sameTree(c3, 320, 3L)))
+      val rec = BenchPointer.maybeRefreshFromLoudEpoch(
+        d, "shared-tree", c3, 2)
+      assert(rec.isDefined, "same-tree runs across commits must pool")
+      assert(BenchPointer.jNum(rec.get, "value").contains(310.0), rec.get)
+    }
+    withDir { d =>
+      // Legacy lines (no tree field) still pool by commit sha.
+      seed(d, (1 to 6).map(i => line(quiet = false, sha, dirty = false,
+        200 + i, 2.0, 1.9, ts = i.toLong, withTree = false)))
+      val rec = BenchPointer.maybeRefreshFromLoudEpoch(
+        d, treeOf(sha), sha, 2)
+      assert(rec.isDefined, "tree-less legacy lines must match by commit")
     }
   }
 
@@ -117,7 +157,7 @@ class BenchPointerSpec extends AnyFunSuite {
     withDir { d =>
       seed(d, (1 to 8).map(i => line(quiet = false, "unknown",
         dirty = false, 100 + i, 1.0, 0.9)))
-      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, "unknown", 2)
+      assert(BenchPointer.maybeRefreshFromLoudEpoch(d, "unknown", "unknown", 2)
         .isEmpty)
     }
   }
