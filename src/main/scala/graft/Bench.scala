@@ -116,6 +116,18 @@ object Bench {
     // reported only under "failures" so the driver can tell a broken
     // query from a fast one.
     val repeats = sys.env.getOrElse("BENCH_REPEATS", "3").toInt max 1
+    // Artifact attribution (VERDICT r16 #2): on full-surface runs each
+    // round PRE-BUILDS the per-round session sweeps, timed as their own
+    // "artifact:*" rows in the queries map — the per-round rebuild is
+    // still paid (and counted in the total) every round, but its cost no
+    // longer lands on whichever consumer runs first alphabetically
+    // (q102 carried the near-dup pair sweep, q262 the vote table), so
+    // the per-query medians read true post-build query cost. Subset
+    // (BENCH_ONLY) probes skip the pre-build: they are non-graded and
+    // pre-building every sweep would charge unrelated work to a
+    // targeted timing.
+    val artBuilders =
+      if (only.isEmpty) SparkEntry.roundSweepBuilders(sfDir) else Seq.empty
     val timed: Seq[(String, Option[Double])] = (1 to repeats).flatMap { _ =>
       // Cache lifecycle (ADVICE/VERDICT r3): drop persisted intermediates
       // (LSH candidate sets) AND the session pair sweep BETWEEN rounds.
@@ -127,7 +139,18 @@ object Bench {
       // survives the run.
       spark.catalog.clearCache()
       SparkEntry.clearSessionSweeps()
-      names.map { n =>
+      val art: Seq[(String, Option[Double])] = artBuilders.map {
+        case (nm, build) =>
+          val t0 = System.nanoTime()
+          try {
+            build(spark)
+            nm -> Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $nm failed: ${e.getMessage}")
+            nm -> None
+          }
+      }
+      art ++ names.map { n =>
         val t0 = System.nanoTime()
         try {
           materialize(SparkEntry.queries(n)(spark, sfDir))
@@ -156,7 +179,7 @@ object Bench {
       else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
     }
     val stats: Seq[(String, Option[(Double, Double, Double)])] =
-      names.map { n =>
+      (artBuilders.map(_._1) ++ names).map { n =>
         val ts = byName.getOrElse(n, Seq.empty)
         n -> (if (ts.isEmpty) None
               else Some((median(ts), ts.min, ts.max)))

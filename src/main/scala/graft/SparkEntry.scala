@@ -662,10 +662,10 @@ object SparkEntry {
       // canonical half of the bucketed table IS the co-basket count
       // table) — the per-query (order, part) self-join is gone; only
       // the basket-membership marginals still read lineitem.
-      val m = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
-        .filter(col("__b").isNotNull && col("__i").isNotNull).distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // r17: the membership relation is the session artifact the
+      // co-purchase build itself consumes ([[basketMembership]]) — no
+      // per-query distinct + persist.
+      val m = basketMembership(s, dir)
       val n = m.select(col("__b")).distinct()
         .agg(count(lit(1)).as("__n"))
       val ic = m.groupBy(col("__i")).agg(count(lit(1)).as("__ci"))
@@ -5219,12 +5219,21 @@ object SparkEntry {
         .join(broadcast(t(s, dir, "part")
             .select(col("p_partkey"), col("p_type"))),
           col("l_partkey") === col("p_partkey"))
+        // Pre-aggregate to the FINEST grain before the CUBE (guide §2.3
+        // "aggregate before you shuffle", r17): Expand's ×8 grouping-set
+        // multiplier then runs over the |r_name × o_year × p_type| grain
+        // table (~5k rows) instead of the whole joined fact — the fact
+        // passes ONE combinable hash aggregate. Exact-equivalent because
+        // both measures are decomposable: decimal(38,0) sums re-sum
+        // exactly and the count re-sums as sum(n).
+        .groupBy(col("r_name"), col("o_year"), col("p_type"))
+        .agg(sum(col("rev").cast("decimal(38,0)")).as("__rev"),
+          count(lit(1)).as("__n"))
         .cube(col("r_name"), col("o_year"), col("p_type"))
         // the cube's grand-total cell sums the WHOLE corpus's e4
         // products → decimal(38,0), ONE double cast (HUGEINT twin).
-        .agg(sum(col("rev").cast("decimal(38,0)")).cast("double")
-            .as("revenue_e4"),
-          count(lit(1)).as("n_lines"))),
+        .agg(sum(col("__rev")).cast("double").as("revenue_e4"),
+          sum(col("__n")).as("n_lines"))),
 
     // Join-cardinality estimation audit (the System-R formula a CBO
     // runs): per 64-bucket key histogram, est = n_a·n_b / max(ndv_a,
@@ -7821,18 +7830,30 @@ object SparkEntry {
     // Never a doc×doc comparison; the exploded rows fold map-side
     // (partial count per doc) before the single doc_id exchange.
     "q60_decontaminate" -> ((s, dir) => {
+      // r17 (guide §2.3/§2.4): the former shape exploded EVERY doc's
+      // 8-gram hash set (~|text| rows/doc), broadcast-joined the eval
+      // hashes row-by-row, and re-assembled per-doc counts through a
+      // corpus-wide doc_id hash aggregate. The eval set is tiny by
+      // construction (doc_id < 5), so it folds to ONE sorted array row;
+      // the corpus side then computes |hs ∩ eval| MAP-SIDE with the
+      // sorted_intersect_count kernel — zero explode, zero per-doc
+      // aggregate, the corpus never leaves its scan. Exact-equivalent:
+      // char_shingle_hashset is sorted-distinct (the kernel's contract),
+      // n_shingles = |hs| and n_overlap = merge-intersect count match
+      // the exploded census row-for-row (null/short texts: null hs ⇒
+      // 0-count ⇒ null n_shingles, 0 overlap — same as explode_outer).
       val docs = t(s, dir, "documents")
       val hs = call_function("char_shingle_hashset", col("text"), lit(8))
       val ev = docs.filter(col("doc_id") < 5)
-        .select(explode(hs).as("h")).distinct()
-        .withColumn("__m", lit(1))
-      docs.select(col("doc_id"), explode_outer(hs).as("h"))
-        .join(broadcast(ev), Seq("h"), "left")
-        .groupBy(col("doc_id"))
-        .agg(count(col("h")).as("__n_sh"), count(col("__m")).as("n_overlap"))
+        .select(explode(hs).as("h"))
+        .agg(sort_array(collect_set(col("h"))).as("__ev"))
+      val nSh = coalesce(size(col("__hs")), lit(0))
+      docs.select(col("doc_id"), hs.as("__hs"))
+        .crossJoin(broadcast(ev))
         .select(col("doc_id"),
-          when(col("__n_sh") > 0, col("__n_sh").cast("int")).as("n_shingles"),
-          col("n_overlap"))
+          when(nSh > 0, nSh).as("n_shingles"),
+          coalesce(call_function("sorted_intersect_count",
+            col("__hs"), col("__ev")), lit(0)).cast("long").as("n_overlap"))
         .withColumn("contaminated",
           (col("n_overlap").cast("double") / col("n_shingles").cast("double")
             >= 0.5).cast("int"))
@@ -8280,6 +8301,27 @@ object SparkEntry {
   private val copurchaseSymMemo =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Session memo for the DISTINCT basket-membership relation
+    * (order `__b` → part `__i`, null keys dropped) — the co-purchase
+    * artifact's own input kept as a serving artifact in its own right
+    * (r17): q111's marginals (per-item basket counts, distinct basket
+    * count) re-derived it per query with a full per-query distinct +
+    * persist, and the co-purchase build paid a private persist of the
+    * identical relation. One checkpoint per (dir, session) now serves
+    * both. At 100 TB this is the maintained (order, item) membership
+    * table a basket-analytics store keeps beside its co-purchase
+    * index — |distinct(order, item)| rows, the same footprint the
+    * former per-query persists already spent. */
+  private val basketSweep = new CheckpointMemo
+
+  private def basketMembership(s: SparkSession, dir: String): DataFrame =
+    basketSweep(s"basket:$dir:${s.sparkContext.applicationId}") {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("__b"), col("l_partkey").as("__i"))
+        .filter(col("__b").isNotNull && col("__i").isNotNull).distinct()
+        .localCheckpoint(true)
+    }
+
   private def coPurchaseSymTable(s: SparkSession, dir: String): DataFrame =
     copurchaseSymMemo.computeIfAbsent(
       s"copurchase_sym:$dir:${s.sparkContext.applicationId}", { _ =>
@@ -8293,10 +8335,14 @@ object SparkEntry {
         // of distinct-dropping it: same rows, same shuffle, and the
         // table doubles as the WEIGHTED graph the similarity/serving
         // queries (q187) read; topology consumers just ignore w.
-        val pp = t(s, dir, "lineitem")
-          .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-          .distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        // The distinct membership relation is its own session artifact
+        // (r17, [[basketMembership]]) — the build reads the checkpoint
+        // instead of a private persist, and q111's marginals read the
+        // same frame instead of re-deriving it per query. (Null-keyed
+        // rows are filtered there; they contributed nothing here — a
+        // null ok never equi-joins and a null pk fails `x.pk < y.pk`.)
+        val pp = basketMembership(s, dir)
+          .select(col("__b").as("ok"), col("__i").as("pk"))
         val e = pp.as("x").join(pp.as("y"),
             col("x.ok") === col("y.ok") && col("x.pk") < col("y.pk"))
           .select(col("x.pk").as("id_a"), col("y.pk").as("id_b"))
@@ -8312,7 +8358,6 @@ object SparkEntry {
         // buckets the family's exchange-free reads keep full width). On
         // a cluster this constant is sized to executor-cores × executors.
         Cat.writeBucketed(sym, db, table, Seq("node"), 32)
-        pp.unpersist(blocking = false)
         s.table(s"$db.$table")
       })
 
@@ -8634,6 +8679,7 @@ object SparkEntry {
     * query work rather than whichever consumer happens to run first
     * (VERDICT r10 #3). */
   def warmSessionArtifacts(s: SparkSession, dir: String): Unit = {
+    basketMembership(s, dir)
     coPurchaseSymTable(s, dir)
     degreeTable(s, dir)
     coPurchaseSymFrame(s, dir)
@@ -8972,6 +9018,38 @@ object SparkEntry {
     evalVotesSweep.clear()
   }
 
+  /** Bench hook (VERDICT r16 #2): the per-round session SWEEPS as named
+    * builders, so the harness can pre-build each one TIMED as its own
+    * `artifact:*` row instead of silently charging the build to its
+    * alphabetically-first consumer in every repeat round (q102 carried
+    * the near-dup pair sweep, q262 the vote table — correct totals,
+    * misleading per-query heads). Each thunk triggers exactly the build
+    * its consumers would (same memo keys), so a pre-build here is a
+    * cache hit there; builds ending in an eager localCheckpoint (or a
+    * bounded driver collect) materialize inside the timed thunk. Order
+    * matters only where sweeps nest: components read the pair sweep,
+    * IVFPQ's residual books read the IVF centroids — dependents listed
+    * after their dependency so each row prices its OWN increment. */
+  def roundSweepBuilders(dir: String)
+  : Seq[(String, SparkSession => Unit)] = Seq(
+    ("artifact:neardup_pairs",
+      (s: SparkSession) => { wordCandidatePairs(s, dir); () }),
+    ("artifact:neardup_components",
+      (s: SparkSession) => { nearDupComponents(s, dir); () }),
+    ("artifact:eval_knn_votes",
+      (s: SparkSession) => { evalKnnVotes(s, dir); () }),
+    ("artifact:item_knn",
+      (s: SparkSession) => { itemKnnTable(s, dir); () }),
+    ("artifact:ivf_centroids",
+      (s: SparkSession) => { trainedCentroids(s, dir, IvfCells,
+        IvfTrainIters); () }),
+    ("artifact:pq_codebooks",
+      (s: SparkSession) => { pqCodebooks(s, dir); () }),
+    ("artifact:ivfpq_codebooks",
+      (s: SparkSession) => { ivfpqBooks(s, dir); () }),
+    ("artifact:bpe_rules",
+      (s: SparkSession) => { bpeRules(s, dir, 6); () }))
+
   /** Drop the bucketed-table artifact memos too — next access rebuilds
     * (one corpus scan + bucketed write each). The export-dump memos ride
     * along: a caller clearing artifacts may also have swept the /tmp
@@ -8980,6 +9058,7 @@ object SparkEntry {
     * instead. */
   def clearSessionArtifacts(): Unit = {
     copurchaseSymMemo.clear()
+    basketSweep.clear()
     docTermsMemo.clear()
     degreeSweep.clear()
     symFrameSweep.clear()

@@ -34,7 +34,23 @@ object Tables {
       case _                => df
     }
 
-  def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** Per-(session, dir, table) memo of the ANALYZED DataFrame (r17):
+    * every `spark.read.parquet` call re-lists the path and re-reads
+    * parquet footers to infer the schema — driver-side metadata work
+    * repeated thousands of times across a 356-query bench sweep. The
+    * memo reuses the immutable logical plan; the DATA is still read
+    * from parquet at every execution (this is catalog-table metadata
+    * caching, not result caching). Keyed by applicationId like the
+    * session sweeps: plans hold a file index owned by their session. */
+  private val memo =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+    memo.computeIfAbsent(
+      s"${spark.sparkContext.applicationId}:$dir:$name",
+      _ => load(spark, dir, name))
+
+  private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$dir/$name.parquet")
     // events.ts broke the whole event-time family in r8 when a
     // regeneration switched its encoding; orders.o_orderdate and

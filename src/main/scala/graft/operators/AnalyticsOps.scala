@@ -1323,25 +1323,34 @@ object AnalyticsOps {
     * spread by ~√(2/3); a census-grade error bar, not an inference
     * substitute.
     *
-    * Shape: ONE ×b explode over the metric rows → per-(group, resample)
-    * exact weighted sums (combinable) → per-group interpolated
-    * p05/p50/p95 over the b-sized resample table. The explode multiplies
-    * the SCAN, not the shuffle: partial aggregation folds each
-    * partition's b×groups cells before the exchange, so the shuffle
-    * carries b×groups rows at any corpus size. */
+    * Shape (r17, guide §2.3 "aggregate before you shuffle"): the b
+    * resample sums run as b SUM COLUMNS of ONE combinable
+    * groupBy(group) — no ×b posexplode (the former shape pushed
+    * b×corpus rows through the partial hash aggregate; the column form
+    * updates b accumulators per probed row instead, ~b× fewer aggregate
+    * probes for identical arithmetic) — then one map-side `stack`
+    * unpivots the b-column group row into the (group, resample) table
+    * the percentile step reads. Shuffle volume is unchanged (b values
+    * per group either way) and every resample sum is the same exact
+    * integer, so results are bit-identical. */
   def hashBootstrap(df: DataFrame, group: Column, id: Column,
                     value: Column, b: Int): DataFrame = {
     require(b >= 2, s"need >= 2 resamples, got $b")
     val h = TextOps.hash32(id.cast("string"))
-    val rows = df.select(group.as("grp"), h.as("__h"),
+    val wide = df.select(group.as("grp"), h.as("__h"),
         value.cast("long").as("__v"))
-      .select(col("grp"), col("__v"),
-        posexplode(array((0 until b).map(i =>
-          pmod(pmod(lit(DedupOps.aCoef(i)) * col("__h") +
+      .groupBy(col("grp"))
+      .agg((0 until b).map(i =>
+        sum(pmod(pmod(lit(DedupOps.aCoef(i)) * col("__h") +
+          lit(DedupOps.bCoef(i)), lit(TextOps.HashPrime)),
+          lit(3L)) * col("__v")).as(s"__m$i")).head,
+        (1 until b).map(i =>
+          sum(pmod(pmod(lit(DedupOps.aCoef(i)) * col("__h") +
             lit(DedupOps.bCoef(i)), lit(TextOps.HashPrime)),
-            lit(3L))): _*)).as(Seq("__b", "__w")))
-    val res = rows.groupBy(col("grp"), col("__b"))
-      .agg(sum(col("__w") * col("__v")).as("__m"))
+            lit(3L)) * col("__v")).as(s"__m$i")): _*)
+    val res = wide.select(col("grp"),
+      expr(s"stack($b, " + (0 until b).map(i => s"$i, __m$i")
+        .mkString(", ") + ") AS (__b, __m)"))
     res.groupBy(col("grp"))
       .agg(count(lit(1)).as("n_resamples"),
         percentile(col("__m"), lit(0.05)).as("p05"),

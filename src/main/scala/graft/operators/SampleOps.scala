@@ -372,55 +372,61 @@ object SampleOps {
     * keep a 0-gain row via the unit-list left join, so the argmax is
     * total as long as any unit is unselected.
     *
-    * The covered set is maintained INCREMENTALLY (VERDICT r10 #1 nit):
-    * covered(r) = checkpoint(covered(r−1) ∪ items of the round's pick)
-    * — one union+distinct over the materialized previous set instead of
-    * re-distincting the filtered relation from scratch each round — and
-    * covered_total is the running gain sum (each gain counts exactly
-    * the items its pick newly covers, so Σgains IS the distinct covered
-    * count), eliminating the former second full count pass per round.
-    * Dead rounds' checkpoint blocks are released as the loop advances
-    * (the [[GraphOps.releaseCheckpoint]] fixpoint discipline). */
+    * The rounds run on a per-ITEM COVERING-SET CENSUS, not the raw
+    * (unit, item) relation (r17, guide §2.3/§2.4): one shuffle groups
+    * each item with its sorted set of covering units (collect_set — the
+    * same exchange the former distinct paid, minus the duplicate rows).
+    * An item is covered exactly when its unit set intersects the
+    * selected set, and a unit's marginal gain is the count of uncovered
+    * items whose set contains it — so every greedy round is one filter
+    * + explode + combinable count over the cached census, instead of
+    * the former per-round left_anti join against the pair relation plus
+    * a per-round union/distinct/localCheckpoint of the covered-item
+    * set (4 rounds paid ~20 jobs; now 1 small job each). The census is
+    * item-cardinality like the old persisted relation — strictly fewer
+    * rows (one per item, not one per pair). covered_total stays the
+    * running gain sum (each gain counts exactly the items its pick
+    * newly covers, so Σgains IS the distinct covered count). Exact
+    * same greedy: gains and the (g desc, unit) tie-break are unchanged
+    * (the PropertySpec driver-side reference pins it). */
   def greedyCoverageSelect(pairs: DataFrame, unit: Column, item: Column,
                            rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 64,
       s"greedyCoverageSelect: rounds=$rounds out of [1, 64] — each round " +
         "is a distributed pass; an unbounded loop is a driver hot loop")
     val spark = pairs.sparkSession
-    val us = pairs.select(unit.cast("string").as("u"), item.as("it"))
-      .distinct()
+    // collect_set dedups (unit, item) pairs map-side; the census is one
+    // row per ITEM carrying its sorted covering-unit set.
+    val sig = pairs.select(unit.cast("string").as("u"), item.as("it"))
+      .groupBy(col("it"))
+      .agg(sort_array(collect_set(col("u"))).as("us"))
+      .select(col("us"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val allUnits = us.select(col("u")).distinct()
+    val allUnits = sig.select(explode(col("us")).as("u")).distinct()
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nUnits = allUnits.count() // one scalar; also materializes us
+    val nUnits = allUnits.count() // one scalar; also materializes sig
     val selected = scala.collection.mutable.ArrayBuffer.empty[String]
     val out = scala.collection.mutable.ArrayBuffer
       .empty[(Int, String, Long, Long)]
-    var covered: DataFrame = null // localCheckpointed distinct item set
-    var coveredTotal = 0L         // = covered.count(), by gain algebra
+    var coveredTotal = 0L // running gain sum = distinct covered count
     for (r <- 1 to rounds if selected.size < nUnits) {
       val uncovered =
-        if (covered == null) us
-        else us.join(covered, Seq("it"), "left_anti")
+        if (selected.isEmpty) sig
+        else sig.filter(!arrays_overlap(col("us"),
+          typedLit(selected.toSeq)))
       val gains = allUnits
         .filter(!col("u").isin(selected.toSeq: _*))
-        .join(uncovered.groupBy(col("u")).agg(count(lit(1)).as("g")),
+        .join(uncovered.select(explode(col("us")).as("u"))
+            .groupBy(col("u")).agg(count(lit(1)).as("g")),
           Seq("u"), "left_outer")
         .select(col("u"), coalesce(col("g"), lit(0L)).as("g"))
       // ONE bounded row crosses to the driver per round.
       val top = gains.orderBy(col("g").desc, col("u")).limit(1).head
       selected += top.getString(0)
       coveredTotal += top.getLong(1)
-      val picked = us.filter(col("u") === top.getString(0))
-        .select(col("it"))
-      val next = (if (covered == null) picked else covered.union(picked))
-        .distinct().localCheckpoint(true)
-      if (covered != null) GraphOps.releaseCheckpoint(covered)
-      covered = next
       out += ((r, top.getString(0), top.getLong(1), coveredTotal))
     }
-    if (covered != null) GraphOps.releaseCheckpoint(covered)
-    us.unpersist(blocking = false)
+    sig.unpersist(blocking = false)
     allUnits.unpersist(blocking = false)
     import spark.implicits._
     out.toSeq.toDF("round", "unit", "gain", "covered_total")

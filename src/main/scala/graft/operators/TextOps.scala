@@ -590,12 +590,20 @@ object TextOps {
     * (combinable); the self-join joins per-hash source lists — fan-out
     * per hash is bounded by sources² (20 sources → ≤ 190 pairs), never
     * corpus-sized; totals broadcast back onto the group-cardinality
-    * pair table. Counts exact; Jaccard one int/int division. */
+    * pair table. Counts exact; Jaccard one int/int division.
+    *
+    * The shingle pass is the fused `word_shingle_hashset` kernel (r17):
+    * hashes stream out of one byte walk with per-doc dedup — no n-token
+    * string materialization per window (the composed
+    * wordShingles→hash32 form built a 13-word string per shingle just
+    * to hash it). Spec-pinned hash-identical to the composed form
+    * (LlmOpsSpec "hash-SET kernels"), so the distinct (source, hash)
+    * relation — and every count downstream — is unchanged. */
   def crossSourceOverlap(docs: DataFrame, group: Column, text: Column,
                          n: Int): DataFrame = {
     val sh = docs.select(group.as("grp"),
-        explode(wordShingles(tokens(text), n)).as("__s"))
-      .select(col("grp"), hash32(col("__s")).as("__h"))
+        explode(call_function("word_shingle_hashset", text, lit(n)))
+          .as("__h"))
       .distinct()
     val tot = sh.groupBy(col("grp")).agg(count(lit(1)).as("__n"))
     val pairs = sh.select(col("grp").as("src_a"), col("__h"))

@@ -686,19 +686,24 @@ class PlanShapeSpec extends AnyFunSuite {
       s"both patterns must use the fused kernel:\n$f")
   }
 
-  test("q60 decontaminate: the shingle kernel runs in ONE corpus scan — " +
-    "census and overlap fold from the same exploded pass, eval set " +
-    "broadcasts, one doc_id exchange") {
+  test("q60 decontaminate: the corpus never leaves its scan (r17) — the " +
+    "eval hash-set folds to ONE broadcast array row and the overlap is " +
+    "the map-side sorted_intersect_count kernel; no explode, no per-doc " +
+    "aggregate, no corpus-side exchange") {
     val p = plan("q60_decontaminate")
     // corpus scan + pushed-down (doc_id < 5) eval scan, never the
     // pre-r13 third scan for size(hs)
     val scans = "FileScan".r.findAllIn(p).length
     assert(scans == 2, s"expected corpus + eval scans only, got $scans:\n$p")
-    assert(p.linesIterator.exists(l => l.contains("BroadcastHashJoin") &&
-      l.contains("LeftOuter")),
-      s"eval hashes must broadcast into the exploded pass:\n$p")
+    assert(p.contains("sorted_intersect_count"),
+      s"overlap must run map-side via the merge kernel:\n$p")
     assert(!p.contains("SortMergeJoin"),
-      s"the doc-side join must not shuffle:\n$p")
+      s"the doc side must not shuffle:\n$p")
+    // The only exchanges are the tiny eval aggregate's SinglePartition
+    // pair — the former corpus-wide doc_id hash aggregate is gone.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no corpus-side exchange may remain (the eval aggregate is " +
+        s"SinglePartition):\n$p")
   }
 
   test("q198 rec eval: the base-kNN BUILD rides the co-purchase buckets " +
@@ -1249,6 +1254,11 @@ class PlanShapeSpec extends AnyFunSuite {
     "every dimension join broadcasts") {
     val p = plan("q282_snowflake_cube")
     assert(p.contains("Expand"), s"CUBE runs through Expand:\n$p")
+    // r17: the fact pre-aggregates to the (r_name, o_year, p_type) grain
+    // BEFORE the CUBE, so Expand's ×8 multiplier runs over the grain
+    // table, not the joined fact — two aggregate pairs in the plan.
+    assert("HashAggregate".r.findAllIn(p).length >= 4,
+      s"CUBE must run over the pre-aggregated grain (guide §2.3):\n$p")
     for (dimKey <- Seq("n_nationkey", "r_regionkey", "p_partkey"))
       assert(!p.linesIterator.exists(l =>
         (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
