@@ -336,10 +336,17 @@ object GraphOps {
     // Materialize before dropping the cached edge/degree frames the lazy
     // plan still references (the connectedComponents return discipline —
     // the caller gets checkpointed rows, blocks freed by ContextCleaner).
-    val out = ranks.select(col("node"), col("rank"), col("outdeg"))
-      .localCheckpoint(true)
-    owned.foreach(_.unpersist(blocking = false))
-    out
+    // PREPARED callers (owned Nil, session-artifact frames that outlive
+    // this call) get the LAZY chain instead (r17): their single
+    // downstream action drives the iterations directly, skipping one
+    // full materialize + block write + re-scan of the result.
+    val res = ranks.select(col("node"), col("rank"), col("outdeg"))
+    if (owned.isEmpty) res
+    else {
+      val out = res.localCheckpoint(true)
+      owned.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** Triangle census of an undirected pair graph: nodes, edges, wedges
@@ -484,13 +491,18 @@ object GraphOps {
         .join(bcast(keep.select(col("u").as("v"))), Seq("v"), "left_semi")
         .localCheckpoint(true)
     }
-    val out = sym.groupBy(col("u").as("node"))
+    val res = sym.groupBy(col("u").as("node"))
       .agg(count(lit(1)).as("degree"))
       .crossJoin(broadcast(kTab))
       .select(col("node"), col("degree"), col("k"))
-      .localCheckpoint(true)
-    owned.foreach(_.unpersist(blocking = false))
-    out
+    // Prepared callers get the lazy head over the last round's
+    // checkpoint ([[pageRankCore]]'s r17 rule).
+    if (owned.isEmpty) res
+    else {
+      val out = res.localCheckpoint(true)
+      owned.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** Local clustering-coefficient census — the per-node shape
@@ -737,9 +749,13 @@ object GraphOps {
             expr("(85 * mass) div 100")).as("rank"),
           col("outdeg"))
     }
-    val out = ranks.localCheckpoint(true)
-    owned.foreach(_.unpersist(blocking = false))
-    out
+    // Prepared callers get the lazy chain ([[pageRankCore]]'s r17 rule).
+    if (owned.isEmpty) ranks
+    else {
+      val out = ranks.localCheckpoint(true)
+      owned.foreach(_.unpersist(blocking = false))
+      out
+    }
   }
 
   /** BFS distance-layer census from a deterministic seed (the MINIMUM

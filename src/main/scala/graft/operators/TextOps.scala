@@ -421,7 +421,16 @@ object TextOps {
     * combinable (w1, w2) count shuffle; marginals are two
     * vocabulary-sized rollups of the bigram-count table joined back
     * (vocabulary ≪ corpus); top-k is TakeOrderedAndProject — a
-    * per-partition top-k + bounded merge, never a global sort. */
+    * per-partition top-k + bounded merge, never a global sort.
+    *
+    * The bigram-count table is MATERIALIZED (eager localCheckpoint,
+    * r17): four consumers reference it (both marginals, the grand
+    * total, the filtered pair list), and without materialization each
+    * re-derives the corpus explode+count subtree — AQE's runtime stage
+    * reuse is best-effort, and the pre-exec plan showed four separate
+    * corpus scans. The checkpoint pins the corpus cost to ONE pass at
+    * any scale; everything downstream reads the vocabulary²-bounded
+    * count table. */
   def collocationLift(docs: DataFrame, text: Column, minCount: Int,
                       k: Int): DataFrame = {
     val w = tokens(text)
@@ -431,6 +440,7 @@ object TextOps {
     val c = docs.select(explode(bg).as("__bg"))
       .select(col("__bg.w1").as("w1"), col("__bg.w2").as("w2"))
       .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_pair"))
+      .localCheckpoint()
     val cx = c.groupBy(col("w1")).agg(sum(col("n_pair")).as("__cx"))
     val cy = c.groupBy(col("w2")).agg(sum(col("n_pair")).as("__cy"))
     val nb = c.agg(sum(col("n_pair")).as("__nb"))

@@ -258,10 +258,17 @@ class PropertySpec extends AnyFunSuite {
     "matchCount+redact pair on random text, null-safe, and the token " +
     "is inserted verbatim (no $-group expansion)") {
     val word = Gen.oneOf("contact", "a1b2", "x@y.z", "user9@mail.com",
-      "ref", "42", "007", "$1", "", "no-pii-here")
+      "ref", "42", "007", "$1", "", "no-pii-here",
+      // r17 fast-scanner adversaries: failed-@ resume points, missing /
+      // doubled dots, uppercase/digit suffix stops, adjacent runs,
+      // non-ASCII bytes, and boundary-hugging matches — each shape the
+      // hand-rolled byte scanners must resolve exactly like find()
+      "ab@cd@ef.gh", "a@b1.c", "ab@cd.", "a@@b.c", "A@b.c", "a@b..c",
+      "9a@b.c9", "a@b.cDEF", "@x.y", "a@.y", "über42@straße.de",
+      "x7@@y.z", "1@2.3", "a@b.c@d.e", "..@..")
     val txt = Gen.listOfN(8, word).map(_.mkString(" "))
     for (pat <- Seq(T.EmailPattern, T.NumberPattern)) {
-      forAll(txt, n = 10) { s =>
+      forAll(txt, n = 30) { s =>
         val r = Seq(s).toDF("t")
           .select(T.redactCount(col("t"), pat, "<X>").as("rc"),
             T.matchCount(col("t"), pat).as("n"),
