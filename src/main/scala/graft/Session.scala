@@ -14,6 +14,17 @@ object Session {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // Guide §3.1/§9 (r17): let the planner pick shuffled-hash join
+      // when its size conditions hold instead of always preferring
+      // sort-merge — SHJ skips both sides' sorts and its build side is
+      // still size-bounded by the planner's canBuildLocalHashMap check
+      // (per-partition build < threshold), so the choice scales: on a
+      // cluster the same conditions gate it, and sort-merge remains the
+      // fallback for oversized builds. AQE's local-map threshold lets
+      // runtime sizes rescue a planned SMJ the same way.
+      .config("spark.sql.join.preferSortMergeJoin", "false")
+      .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+        "128m")
       // Explicit, not inherited: every sum/multiply in the engine runs
       // under ANSI overflow semantics (Spark 4's default, pinned here so
       // a default change or ambient conf can never silently turn the

@@ -791,15 +791,17 @@ object DedupOps {
                     width: Int): DataFrame = {
     val toks = docs.select(col(id).as("__id"),
       TextOps.tokens(text).as("__ts"))
-    val spans = toks.select(col("__id"),
-        explode(when(size(col("__ts")) >= width,
-          transform(sequence(lit(1), size(col("__ts")) - (width - 1)),
-            p => struct(p.as("p"),
-              TextOps.hash32(concat_ws(" ",
-                slice(col("__ts"), p, lit(width)))).as("sh"))))
-          .otherwise(array().cast("array<struct<p:int,sh:bigint>>")))
-          .as("__sp"))
-      .select(col("__id"), col("__sp.p").as("__p"), col("__sp.sh").as("__sh"))
+    // Span hashes via the fused word_window_select kernel with
+    // modulus=1 (r17): ALL width-token window hashes stream out of one
+    // byte walk in POSITION ORDER (the kernel's order/multiplicity
+    // contract), so posexplode's index IS the 1-based window start —
+    // no width-token string materialized per window just to hash it.
+    // Spec-pinned equal to transform(wordShinglesMulti, hash32); short
+    // docs: kernel null ⇒ posexplode drops, like the old empty array.
+    val spans = docs.select(col(id).as("__id"),
+        posexplode(call_function("word_window_select", text, lit(width),
+          lit(1))).as(Seq("__p0", "__sh")))
+      .select(col("__id"), (col("__p0") + 1).as("__p"), col("__sh"))
     val stats = spans.groupBy(col("__sh"))
       .agg(countDistinct(col("__id")).as("__nd"),
         min(col("__id")).as("__fd"))

@@ -345,12 +345,17 @@ object TimeOps {
     require(stepUs >= 1, s"stepUs must be positive, got $stepUs")
     // A null measurement is a MISSING observation (it contributes no
     // anchor point), not a zero — drop it before anchoring.
+    // Materialized once (r17): both the grid spine (min/max per group)
+    // and the merge-scan union read this aggregate — without the
+    // checkpoint each consumer re-derived the corpus scan + (group,
+    // tick) aggregate as its own subtree.
     val obs = events
       .select(group.as("__g"), unix_micros(ts).as("__tus"),
         value.cast("double").as("__v"))
       .filter(col("__v").isNotNull)
       .groupBy(col("__g"), col("__tus"))
       .agg(max(col("__v")).as("__v"))
+      .localCheckpoint()
     // First/last tick per group: ceil/floor to the step grid in exact
     // integer math (timestamps are non-negative micros).
     val spine = obs.groupBy(col("__g"))
@@ -378,11 +383,16 @@ object TimeOps {
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     val obsTs = when(col("__is_grid") === 0, col("__tus"))
     val obsV = when(col("__is_grid") === 0, col("__v"))
-    val withNbrs = unioned
-      .withColumn("__pt", last(obsTs, ignoreNulls = true).over(wPrev))
-      .withColumn("__pv", last(obsV, ignoreNulls = true).over(wPrev))
-      .withColumn("__nt", first(obsTs, ignoreNulls = true).over(wNext))
-      .withColumn("__nv", first(obsV, ignoreNulls = true).over(wNext))
+    // One select, not a withColumn chain (r17): CollapseWindow then
+    // fuses the two running-frame expressions into ONE Window node and
+    // the two following-frame ones into another — two passes over the
+    // shared sort instead of four.
+    val withNbrs = unioned.select(col("__g"), col("__tus"),
+      col("__is_grid"), col("__v"),
+      last(obsTs, ignoreNulls = true).over(wPrev).as("__pt"),
+      last(obsV, ignoreNulls = true).over(wPrev).as("__pv"),
+      first(obsTs, ignoreNulls = true).over(wNext).as("__nt"),
+      first(obsV, ignoreNulls = true).over(wNext).as("__nv"))
     withNbrs.filter(col("__is_grid") === 1)
       .select(col("__g"), col("__tus").as("tick_us"),
         when(col("__pt") === col("__tus"), col("__pv"))
