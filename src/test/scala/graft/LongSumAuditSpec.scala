@@ -72,7 +72,10 @@ class LongSumAuditSpec extends AnyFunSuite {
     ("q137_dsir_score", "(__c * __lr)"),
     ("q143_zipf_slope", "(__x * __y)"),
     ("q143_zipf_slope", "(__x * __x)"),
-    ("q150_bootstrap_ci", "(__w * __v)"),
+    // q150 (r17 column form): the ×b explode became b sum columns, so
+    // the b affine-hash weight expressions appear inline per addend —
+    // same review as the old (__w * __v): weight = pmod(..,3) ∈ {0,1,2},
+    // __v a quantity ≤ ~51, addend ≤ ~102/row. Generated below.
     ("q159_boilerplate",
       "CASE WHEN ((__df * CAST(100 AS BIGINT)) >= (CAST(6 AS BIGINT) * __nd)) THEN 1L ELSE 0L END"),
     ("q176_revenue_gini", "CAST(FLOOR((o_totalprice * 100.0D)) AS BIGINT)"),
@@ -123,7 +126,11 @@ class LongSumAuditSpec extends AnyFunSuite {
       "CASE WHEN (CAST(__dev2 AS DOUBLE) > ((3.0D * 1.4826D) * (CAST(__mad4 AS DOUBLE) / 2.0D))) THEN 1L ELSE 0L END"),
     ("q77_group_trend", "(__x * __y)"),
     ("q77_group_trend", "(__x * __x)"),
-    ("q84_triangles", "(deg * (deg - CAST(1 AS BIGINT)))"))
+    ("q84_triangles", "(deg * (deg - CAST(1 AS BIGINT)))")) ++
+    (0 until 32).map(i => ("q150_bootstrap_ci",
+      s"(pmod(pmod(((${graft.operators.DedupOps.aCoef(i)}L * __h) + " +
+        s"${graft.operators.DedupOps.bCoef(i)}L), " +
+        s"${graft.operators.TextOps.HashPrime}L), 3L) * __v)")).toSet
 
   /** Canonical addend text: strip catalog/db/table qualifiers (session
     * artifact names embed a corpus-dir hash that must not leak into the
