@@ -42,6 +42,20 @@ object SparkEntry {
     if (df.rdd.getNumPartitions < target) df.repartition(target) else df
   }
 
+  /** The embeddings corpus [[spread]] across cores (r17, guide §2.1):
+    * every ANN/quantization path runs per-row vector kernels (nearest
+    * centroid, PQ subspace argmins, LSH planes, per-pair cosine against
+    * the broadcast query side) directly on this scan, and the corpus
+    * arrives as ONE parquet split locally — the measured plans ran the
+    * whole family's map work on a single task (q171's ADC stage: 1 task,
+    * 1.1 s of a 1.5 s query). The repartition is ~|corpus| vector bytes
+    * once per plan; spread's guard makes it a no-op at cluster scale
+    * where file splits already provide parallelism. Query sides
+    * (`vec_id < 20`) keep reading the raw scan — tiny by construction
+    * and usually broadcast. */
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    spread(s, t(s, dir, "embeddings"))
+
   // ---------------------------------------------------------------- q01
   /** Flagship (SURVEY.md §7 minimum slice): scan→filter→join→derive→agg —
     * S-scan, F5, J1, C7, C5, A3 in one query. */
@@ -833,7 +847,7 @@ object SparkEntry {
     // scores exact). On a corpus with real margins the same operator
     // serves as the compressed tier; the q49 row is the gate.
     "q126_rp_topk" -> ((s, dir) => {
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
         .select(col("vec_id"), Vec.randomProject(col("embedding"), 16)
           .as("rp"))
         .withColumn("__n", sqrt(Vec.dotD(col("rp"), col("rp"))))
@@ -1621,7 +1635,7 @@ object SparkEntry {
     "q177_ivfpq_topk" -> ((s, dir) => {
       val coarse = trainedCentroids(s, dir, IvfCells, IvfTrainIters)
       val books = ivfpqBooks(s, dir)
-      val e = t(s, dir, "embeddings")
+      val e = emb(s, dir)
       val cmap = Vec.centroidVecMapExpr(coarse)
       def subArr(c: Column, i: Int) =
         slice(c, i * PqSubDims + 1, PqSubDims)
@@ -4265,12 +4279,13 @@ object SparkEntry {
     // the order's parts, a2 = Σ h1 over the part's orders. All exact
     // integers (no per-round normalization — the ranking is invariant
     // to the scale factor), each round one equi-join + one combinable
-    // sum; top-20 via orderBy+limit → TakeOrdered.
+    // sum; top-20 via orderBy+limit → TakeOrdered. The bipartite edge
+    // list IS the distinct basket-membership relation, so it reads the
+    // [[basketMembership]] session artifact (r17) instead of re-paying
+    // a private lineitem distinct + checkpoint per query.
     "q252_hits" -> ((s, dir) => {
-      val e = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("pk"))
-        .distinct()
-        .localCheckpoint()
+      val e = basketMembership(s, dir)
+        .select(col("__b").as("ok"), col("__i").as("pk"))
       val a1 = e.groupBy(col("pk")).agg(count(lit(1)).as("auth1"))
       val h1 = e.join(a1, "pk").groupBy(col("ok"))
         .agg(sum(col("auth1")).as("hub1"))
@@ -4727,6 +4742,11 @@ object SparkEntry {
             col("x.doc_id") < col("y.doc_id"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
         .distinct()
+      // (r17 note: a map-attached per-pair fold — per-doc term→tf maps
+      // joined to cand, dot via aggregate(map_entries(ma), ...) — was
+      // measured SLOWER (2.33 vs 1.38 s paired subset): Spark MapType
+      // element_at is a linear key scan, so the fold is O(|a|·|b|) per
+      // pair. The explode route's two equi-joins stay.)
       val dot = cand
         .join(tf.select(col("doc_id").as("a"), col("term"),
           col("tf").as("tfa")), Seq("a"))
@@ -9131,8 +9151,8 @@ object SparkEntry {
 
   private def evalKnnVotes(s: SparkSession, dir: String): DataFrame =
     evalVotesSweep(s"evalvotes:$dir:${s.sparkContext.applicationId}") {
-      val e = t(s, dir, "embeddings")
-      val lab = e.select(col("vec_id"), col("label"))
+      val e = emb(s, dir)
+      val lab = t(s, dir, "embeddings").select(col("vec_id"), col("label"))
       Vec.cosineTopK(e.filter(col("vec_id") < 200), e,
           "vec_id", "embedding", 5)
         .join(lab.select(col("vec_id").as("neighbor_id"),
@@ -9250,7 +9270,7 @@ object SparkEntry {
   private def annMethodFamily(s: SparkSession, dir: String,
                               planes: Int = AnnPlanes): DataFrame = {
     val cent = trainedCentroids(s, dir, IvfCells, IvfTrainIters)
-    val e = t(s, dir, "embeddings")
+    val e = emb(s, dir)
     def side(pfx: String, df: DataFrame) = df.select(
         col("vec_id").as(s"${pfx}id"), col("embedding").as(s"${pfx}v"),
         Vec.norm(col("embedding")).as(s"${pfx}n"),
@@ -9421,7 +9441,7 @@ object SparkEntry {
     * (adc_d2, neighbor_id). */
   private def pqAdcRanked(s: SparkSession, dir: String): DataFrame = {
     val books = pqCodebooks(s, dir)
-    val e = t(s, dir, "embeddings")
+    val e = emb(s, dir)
     def subVec(i: Int) =
       slice(col("embedding"), i * PqSubDims + 1, PqSubDims)
     val enc = e.select(col("vec_id") +: (0 until PqM).map(i =>
