@@ -4868,14 +4868,11 @@ object SparkEntry {
           .as("c"))
         .select(col("c_custkey"), col("c.slot").as("slot"),
           col("c.item").as("item"))
-      val pos = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"))
-        .join(t(s, dir, "lineitem")
-            .select(col("l_orderkey"), col("l_partkey")),
-          col("o_orderkey") === col("l_orderkey"))
-        .select(col("o_custkey").as("c_custkey"),
-          col("l_partkey").as("item"))
-        .distinct()
+      // The positive (customer, item) key set IS the purchase-history
+      // artifact's grouping key (r17): read [[custPartOrders]]' checkpoint
+      // instead of re-paying the lineitem⋈orders join + distinct per query.
+      val pos = custPartOrders(s, dir)
+        .select(col("cust").as("c_custkey"), col("part").as("item"))
       val kept = cand.join(pos, Seq("c_custkey", "item"), "left_anti")
       cand.agg(count(lit(1)).as("n_candidates"))
         .join(kept.agg(count(lit(1)).as("n_negatives")))
@@ -6531,16 +6528,23 @@ object SparkEntry {
           .otherwise(col("n_suppliers")).as("suppliers_capped"))
         .groupBy(col("suppliers_capped"))
         .agg(count(lit(1)).as("n_parts"))
-      val rev = t(s, dir, "lineitem")
+      // One revenue pass (r17): total and single-sourced cents fold in
+      // the same aggregate off a broadcast single-source flag — the
+      // former semi-join route scanned lineitem a second time for the
+      // same integer sums.
+      val revs = t(s, dir, "lineitem")
         .select(col("l_partkey"),
           expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("c"))
-      val singleRev = rev.join(
-        perPart.filter(col("n_suppliers") === 1L)
-          .select(col("l_partkey")), Seq("l_partkey"), "left_semi")
-        .agg(sum(col("c")).as("single_source_rev"))
+        .join(broadcast(perPart.filter(col("n_suppliers") === 1L)
+          .select(col("l_partkey"), lit(1L).as("__single"))),
+          Seq("l_partkey"), "left")
+        .agg(sum(col("c")).as("total_rev"),
+          // no otherwise(0): an empty single-source set must read NULL,
+          // exactly like the former semi-join's sum over zero rows
+          sum(when(col("__single") === 1L, col("c")))
+            .as("single_source_rev"))
       hist
-        .join(broadcast(rev.agg(sum(col("c")).as("total_rev"))))
-        .join(broadcast(singleRev))
+        .join(broadcast(revs))
         .select(col("suppliers_capped"), col("n_parts"),
           (col("single_source_rev").cast("double") /
             col("total_rev").cast("double"))

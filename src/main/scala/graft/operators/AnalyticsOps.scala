@@ -597,7 +597,9 @@ object AnalyticsOps {
   def absorptionProbability(events: DataFrame, actor: Column, ts: Column,
                             state: Column, tiebreak: Column,
                             absorbing: String, steps: Int,
-                            scale: Long = 1000000000L): DataFrame = {
+                            scale: Long = 1000000000L,
+                            driverFoldMaxStates: Int =
+                              DriverFoldMaxStates): DataFrame = {
     require(steps >= 1 && steps <= 16, s"steps in [1,16], got $steps")
     val w = Window.partitionBy(col("__a"))
       .orderBy(col("__us"), col("__tb"))
@@ -613,31 +615,81 @@ object AnalyticsOps {
     val states = pairs.select(col("from_state").as("state"))
       .union(pairs.select(col("to_state"))).distinct()
       .localCheckpoint()
+    // The k rounds run over STATE-cardinality frames (states² transition
+    // rows — the behavioral state space is a domain constant, not a
+    // corpus dimension). As distributed joins each round cost ~4 stages
+    // of pure scheduling on a handful of rows (measured 1.6 s of which
+    // the corpus window was ~0.4 s — r17, guide §5 driver/latency): so
+    // when the state space is verifiably tiny the rounds fold
+    // DRIVER-SIDE on BigInt in the exact same pₖ(s) = (Σₜ c(s,t) ·
+    // pₖ₋₁(t)) div out(s) arithmetic (floor division on nonnegative
+    // integers — BigInt / replicates `div`; Σ n·p fits trivially). The
+    // bounded collect is the kmeansTrainLocal class: states² rows,
+    // guarded, with the distributed loop kept as the fallback for a
+    // state space past the guard.
     val outDeg = pairs.groupBy(col("from_state"))
       .agg(sum(col("n")).as("n_from"))
-    def pinned(p: DataFrame): DataFrame =
-      p.withColumn("p", when(col("state") === absorbing, scale)
-        .otherwise(col("p")))
-    var pk = pinned(states.withColumn("p", lit(0L)))
-    for (_ <- 1 to steps) {
-      val mass = pairs
-        .join(pk.select(col("state").as("to_state"), col("p")), "to_state")
-        .groupBy(col("from_state"))
-        // decimal product: Σ n·p reaches transitions×scale, past int64
-        // on a large corpus (the pageRank overflow-guard class)
-        .agg(sum(col("n").cast("decimal(38,0)") *
-          col("p").cast("decimal(38,0)")).as("__m"))
-        .join(outDeg, "from_state")
-        .select(col("from_state").as("state"),
-          expr("CAST(__m div n_from AS BIGINT)").as("p"))
-      pk = pinned(states
-        .join(mass, Seq("state"), "left")
-        .select(col("state"), coalesce(col("p"), lit(0L)).as("p")))
+    val pairRows = pairs
+      .limit(driverFoldMaxStates * driverFoldMaxStates + 1).collect()
+    if (pairRows.length <= driverFoldMaxStates * driverFoldMaxStates) {
+      val trans = pairRows.map(r =>
+        (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val stateList = (trans.map(_._1) ++ trans.map(_._2)).distinct.sorted
+      val out = trans.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var pk: Map[String, BigInt] = stateList.map(st =>
+        st -> (if (st == absorbing) BigInt(scale) else BigInt(0))).toMap
+      for (_ <- 1 to steps) {
+        val mass = trans.groupBy(_._1).view.mapValues(ts =>
+          ts.map { case (_, to, n) => BigInt(n) * pk(to) }.sum).toMap
+        pk = stateList.map { st =>
+          st -> (if (st == absorbing) BigInt(scale)
+                 else mass.get(st).map(_ / BigInt(out(st))).getOrElse(BigInt(0)))
+        }.toMap
+      }
+      val session = events.sparkSession
+      import scala.jdk.CollectionConverters._
+      val rows = stateList.map { st =>
+        val p = pk(st).toLong
+        org.apache.spark.sql.Row(st, p, p.toDouble / scale.toDouble)
+      }
+      session.createDataFrame(rows.asJava,
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("state",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("p_absorb_scaled",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("p_absorb",
+            org.apache.spark.sql.types.DoubleType, nullable = false))))
+    } else {
+      def pinned(p: DataFrame): DataFrame =
+        p.withColumn("p", when(col("state") === absorbing, scale)
+          .otherwise(col("p")))
+      var pk = pinned(states.withColumn("p", lit(0L)))
+      for (_ <- 1 to steps) {
+        val mass = pairs
+          .join(pk.select(col("state").as("to_state"), col("p")), "to_state")
+          .groupBy(col("from_state"))
+          // decimal product: Σ n·p reaches transitions×scale, past int64
+          // on a large corpus (the pageRank overflow-guard class)
+          .agg(sum(col("n").cast("decimal(38,0)") *
+            col("p").cast("decimal(38,0)")).as("__m"))
+          .join(outDeg, "from_state")
+          .select(col("from_state").as("state"),
+            expr("CAST(__m div n_from AS BIGINT)").as("p"))
+        pk = pinned(states
+          .join(mass, Seq("state"), "left")
+          .select(col("state"), coalesce(col("p"), lit(0L)).as("p")))
+      }
+      pk.select(col("state"), col("p").as("p_absorb_scaled"),
+        (col("p").cast("double") / lit(scale).cast("double"))
+          .as("p_absorb"))
     }
-    pk.select(col("state"), col("p").as("p_absorb_scaled"),
-      (col("p").cast("double") / lit(scale).cast("double"))
-        .as("p_absorb"))
   }
+
+  /** Driver-fold guard for [[absorptionProbability]]: the state space a
+    * behavioral Markov chain runs over is a domain constant (event
+    * types); past this many states the rounds stay distributed. */
+  private val DriverFoldMaxStates = 64
 
   /** Pairwise audience overlap between segments — |A∩B|, |A|, |B| and
     * Jaccard for every segment pair, the "which cohorts are the same

@@ -869,6 +869,27 @@ class AnalyticsSpec extends AnyFunSuite {
       "P" -> 1000000000L))
   }
 
+  test("absorptionProbability: driver-fold path equals the distributed " +
+    "rounds on a multi-state chain (r17 guard equivalence)") {
+    // 6 states incl. absorbing, uneven fan-out, 5 steps — enough rounds
+    // that a floor-division divergence between the BigInt fold and the
+    // decimal `div` chain would compound and show.
+    val rng = new scala.util.Random(7)
+    val states = Vector("P", "a", "b", "c", "d", "e")
+    val rows = (1L to 40L).flatMap { u =>
+      (0L to 6L).map(i => (u, i, states(rng.nextInt(states.size))))
+    }.toDF("u", "us", "st")
+      .select(col("u"), col("us"), timestamp_micros(col("us")).as("ts"),
+        col("st"))
+    def run(fold: Int) = AnalyticsOps.absorptionProbability(rows,
+        col("u"), col("ts"), col("st"), col("us"), "P", steps = 5,
+        driverFoldMaxStates = fold)
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    assert(run(64) == run(0),
+      "driver-folded rounds must be value-identical to the distributed path")
+  }
+
   test("giniCoefficient: perfect equality reads 0, hand-computed " +
     "inequality matches the sorted-rank identity, monopoly approaches " +
     "(n-1)/n") {
