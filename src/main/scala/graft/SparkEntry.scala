@@ -1243,9 +1243,15 @@ object SparkEntry {
         maxGapUs = 86400000000L)),
 
     // L133: deterministic hash-bootstrap confidence band — 32 exact
-    // integer resamples of per-flag total quantity, p05/p50/p95.
+    // integer resamples of per-flag total quantity, p05/p50/p95. The
+    // 32 per-row resample hashes are heavy enough that the single-split
+    // local scan serialized them (one task, 1.1 s of a 1.3 s plan —
+    // r17, guide §2.1); spread after projecting the 4 needed columns.
     "q150_bootstrap_ci" -> ((s, dir) =>
-      An.hashBootstrap(t(s, dir, "lineitem"), col("l_returnflag"),
+      An.hashBootstrap(
+          spread(s, t(s, dir, "lineitem").select(col("l_returnflag"),
+            col("l_orderkey"), col("l_linenumber"), col("l_quantity"))),
+          col("l_returnflag"),
           concat(col("l_orderkey"), lit("_"), col("l_linenumber")),
           col("l_quantity"), b = 32)
         .withColumnRenamed("grp", "l_returnflag")),
